@@ -1,0 +1,218 @@
+"""Deduplication family for large-scale text corpora.
+
+All variants are pure DataFrame compositions (no Python UDFs), so they
+run JVM-side and scale by shuffle on content-derived keys:
+
+- exact:       hash-groupBy on a normalized-text fingerprint
+- n-gram Jaccard: shingle -> explode -> self-join on shingle -> ratio
+- MinHash+LSH: shingle -> K minhashes -> band -> bucket self-join
+- SimHash:     token hash sign-vote -> hamming-bucket join
+
+Scale notes: the explode(shingles) self-join is the classic
+near-dup-mining shape (one shuffle on shingle, one aggregation); hot
+shingles (stopword n-grams) are the skew risk — mitigated by dropping
+shingles with document frequency above ``max_df`` before the join,
+which is both a perf and a quality measure (ubiquitous shingles carry
+no signal). MinHash-LSH replaces the quadratic candidate space with
+band-bucket collisions: cost O(docs * bands).
+
+Hash choice: md5 (not xxhash64) so every step is reproducible in ANSI
+SQL oracles across engines; at production scale swap for xxhash64 via
+the ``hash_fn`` hook (same topology, cheaper hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, normalize_text, word_shingles
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group exact duplicates by normalized-text fingerprint.
+
+    Returns (fp, n_docs, keep_id): one row per distinct content, the
+    kept representative being the smallest id — the deterministic
+    analog of the reference's keyed last-writer-wins (importer.rs:345-390)
+    applied to content instead of a declared key.
+    """
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col).alias("__id"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("__id").alias("keep_id"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Drop exact duplicates, keeping the smallest-id representative."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def shingle_table(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, max_df: int | None = None
+) -> DataFrame:
+    """Distinct (id, shingle) pairs; optionally drop shingles appearing
+    in more than ``max_df`` docs (skew + signal control)."""
+    sh = (
+        df.select(F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("s"))
+        .distinct()
+    )
+    if max_df is not None:
+        freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(freq.filter(F.col("df") <= max_df).select("s"), on="s", how="left_semi")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.0,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All candidate pairs with their n-gram Jaccard similarity.
+
+    Plan shape: explode shingles -> self-equi-join on shingle (shuffle
+    on shingle) -> per-pair intersection count -> join per-doc shingle
+    counts (broadcastable) -> |A∩B| / (|A|+|B|-|A∩B|).
+    Output: (doc_a, doc_b, common, jaccard) with doc_a < doc_b.
+    """
+    sh = shingle_table(df, text_col, id_col, n, max_df)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, on="s")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    md5(i || '|' || shingle). String-min over hex digests is a valid
+    uniform min-hash and is engine-portable. Output: (doc, sig:array)."""
+    shingles = word_shingles(text_col, shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(1), F.lit(num_hashes)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s))
+            )
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.when(F.size(shingles) > 0, sig).alias("sig"),
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: (doc, band, band_hash), one row per band.
+
+    band_hash = md5 of the band's concatenated signature slice; docs
+    colliding on (band, band_hash) are near-dup candidates.
+    """
+    assert num_hashes % band_size == 0
+    n_bands = num_hashes // band_size
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.md5(
+                F.concat_ws("", F.slice(F.col("sig"), b * band_size + 1, band_size))
+            ).alias("band_hash"),
+        ),
+    )
+    return (
+        sigs.filter(F.col("sig").isNotNull())
+        .select("doc", F.explode(bands).alias("bh"))
+        .select("doc", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Distinct candidate near-dup pairs from LSH bucket collisions.
+
+    Shuffle is on (band, band_hash) — O(docs·bands) rows, never the
+    quadratic pair space. Output: (doc_a, doc_b)."""
+    bands = minhash_bands(df, text_col, id_col, num_hashes, band_size, shingle_n)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, on=["band", "band_hash"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """SimHash per doc over unigram tokens, as a pure expression.
+
+    For each bit b: sum over distinct tokens of (+1 if bit b of
+    md5(token) set else -1); bit set in the result iff the vote is
+    positive. 16 bits keeps the expression tree small; production
+    scale would use 64 via xxhash64.
+    Output: (doc, simhash BIGINT).
+    """
+    toks = F.array_distinct(F.split(normalize_text(text_col), " "))
+    # bit b of md5: use hex digit parity — conv(substr(md5,k,1),16,10) & 1
+    def bit_vote(b: Column) -> Column:
+        digit = F.conv(F.substring(F.md5(F.col("__t")), b + 1, 1), 16, 10).cast("int")
+        return F.when(digit % 2 == 1, 1).otherwise(-1)
+
+    exploded = df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("__t"))
+    votes = exploded.groupBy("doc").agg(
+        *[
+            F.sum(bit_vote(F.lit(b))).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("doc", sim.cast("long").alias("simhash"))

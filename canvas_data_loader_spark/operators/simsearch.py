@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two strategies:
+
+- ``brute_force_topk``: exact top-k cosine. Queries are broadcast
+  (they're small by construction); candidates stream through a single
+  projection + per-query window top-k. At 100 TB this is the correct
+  baseline shape: no shuffle of the candidate table, one pass, the
+  only shuffle is the final top-k combine which AQE keeps tiny.
+
+- ``lsh_topk``: random-hyperplane LSH. Each vector hashes to a
+  ``n_planes``-bit bucket; only same-bucket (or neighbor-probe)
+  candidates are scored. Turns the cross product into an equi-join on
+  bucket — the scale path when queries are many.
+
+All math is JVM-side (zip_with/aggregate in double) — deterministic,
+codegen'd, oracle-comparable. Hyperplanes are generated from a seeded
+RNG on the driver and inlined as literals (no closure capture).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine, dot
+
+
+def brute_force_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Output: (query_id, neighbor_id, sim, rank), rank 1..k, ties broken
+    by neighbor_id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Seeded random hyperplanes (driver-side, inlined as literals)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def bucketize(
+    df: DataFrame, planes: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Add an LSH ``bucket`` column: sign-bit signature over hyperplanes."""
+    bucket = None
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn("bucket", bucket.cast("int"))
+
+
+def lsh_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only same-LSH-bucket candidates.
+
+    The cross join becomes an equi-join on ``bucket`` — at scale the
+    candidate side is bucketed once (written bucketed/partitioned) and
+    each query probes one bucket. Recall is tunable via n_planes
+    (fewer planes = bigger buckets = higher recall, more compute).
+    Output: (query_id, neighbor_id, sim, rank).
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    c = bucketize(
+        candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        planes,
+        "__cv",
+    )
+    q = bucketize(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        planes,
+        "__qv",
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

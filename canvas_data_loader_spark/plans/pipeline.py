@@ -1,0 +1,241 @@
+"""Dump-import pipeline: the reference's ``main()`` as a Spark plan loop.
+
+Run lifecycle (reference src/main.rs:55-249, re-architected per
+SURVEY.md §3.4):
+
+  1. list dumps, sort ascending by created_at           (A24)
+  2. fetch latest schema ONCE -> registry               (A2; the
+     reference re-fetched per shard file — not carried over)
+  3. per dump: skip unfinished / already-successful / out-of-date;
+     mark schema-stale dumps out-of-date                (A24, A25)
+  4. optionally skip historical refreshes               (A23)
+  5. stage shards, then per table: typed TSV read ->
+     overwrite (volatile / schema changed) or keyed
+     last-writer-wins merge                             (A7-A22)
+  6. ledger commit per dump                             (A25)
+
+Warehouse layout: one parquet directory per table under
+``warehouse_dir``. Writes go to a new snapshot directory then an
+atomic pointer swap — read-after-write consistency without Delta.
+At 100 TB the same flow targets Delta/Iceberg MERGE with the table
+bucketed by the merge key so only affected partitions rewrite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schema import (
+    SchemaDef,
+    infer_key_column,
+    is_historical_refresh,
+    is_volatile,
+    parse_shard_filename,
+)
+from ..sources.api_client import CanvasDataApiClient, DumpInList
+from ..sources.tsv import read_tsv_shards
+from ..operators.merge import merge_upsert
+
+
+@dataclass
+class PipelineConfig:
+    """Mirrors the reference's settings surface (src/settings.rs:42-57)."""
+
+    stage_dir: str
+    warehouse_dir: str
+    ledger_path: str
+    only_load_final: bool = False  # settings.rs:98-100
+    skip_historical_imports: bool = False  # settings.rs:93-95
+    all_tables_volatile: bool = False  # settings.rs:103-105
+    extra_volatile: set[str] = field(default_factory=set)
+
+
+class Warehouse:
+    """Snapshot-versioned parquet warehouse with atomic table pointer."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _pointer(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}.current")
+
+    def current_path(self, table: str) -> str | None:
+        ptr = self._pointer(table)
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as fh:
+            return fh.read().strip()
+
+    def exists(self, table: str) -> bool:
+        return self.current_path(table) is not None
+
+    def read(self, table: str) -> DataFrame:
+        path = self.current_path(table)
+        if path is None:
+            raise FileNotFoundError(f"table not in warehouse: {table}")
+        return self.spark.read.parquet(path)
+
+    def write(self, table: str, df: DataFrame, snapshot: str) -> None:
+        """Write a new snapshot then atomically swap the pointer."""
+        out = os.path.join(self.root, table, snapshot)
+        df.write.mode("overwrite").parquet(out)
+        old = self.current_path(table)
+        tmp = self._pointer(table) + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(out)
+        os.replace(tmp, self._pointer(table))
+        if old and old != out and os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    def drop(self, table: str) -> None:
+        """DROP TABLE IF EXISTS analog (reference src/db_client.rs:126-145)."""
+        path = self.current_path(table)
+        ptr = self._pointer(table)
+        if os.path.exists(ptr):
+            os.remove(ptr)
+        if path and os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        table_dir = os.path.join(self.root, table)
+        if os.path.isdir(table_dir):
+            shutil.rmtree(table_dir, ignore_errors=True)
+
+
+@dataclass
+class DumpResult:
+    dump_id: str
+    status: str
+    tables: dict[str, int] = field(default_factory=dict)  # table -> rows written
+
+
+class ImportPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        client: CanvasDataApiClient,
+        config: PipelineConfig,
+    ):
+        from .ledger import ImportLedger
+
+        self.spark = spark
+        self.client = client
+        self.config = config
+        self.ledger = ImportLedger(config.ledger_path)
+        self.warehouse = Warehouse(spark, config.warehouse_dir)
+
+    # -- planning (reference src/main.rs:65-168) ----------------------------
+    def plan_dumps(self, dumps: list[DumpInList], latest_version: str) -> list[DumpInList]:
+        """Order + select dumps to import this run."""
+        ordered = sorted(dumps, key=lambda d: d.created_at)  # main.rs:66-68
+        if self.config.only_load_final and ordered:
+            ordered = ordered[-1:]  # position-based, main.rs:95-100
+        selected: list[DumpInList] = []
+        for d in ordered:
+            if not d.finished:  # main.rs:112-116
+                continue
+            if self.ledger.should_skip(d.dump_id):  # main.rs:119-138
+                continue
+            if d.schema_version != latest_version:  # main.rs:141-147
+                self.ledger.mark_out_of_date(d.dump_id, d.schema_version)
+                continue
+            selected.append(d)
+        return selected
+
+    # -- per-dump import (reference src/importer.rs:189-406) ----------------
+    def import_dump(
+        self,
+        dump: DumpInList,
+        schema: SchemaDef,
+        schema_changed: bool = False,
+    ) -> DumpResult:
+        files = self.client.get_files_for_dump(dump.dump_id)
+
+        if self.config.skip_historical_imports and is_historical_refresh(
+            files.files_by_table()
+        ):
+            # Reference marks historical-refresh dumps successful and moves
+            # on (src/main.rs:158-168).
+            self.ledger.mark_successful(dump.dump_id, dump.schema_version)
+            return DumpResult(dump.dump_id, "skipped_historical")
+
+        self.ledger.mark_in_progress(dump.dump_id, dump.schema_version)
+        stage = os.path.join(self.config.stage_dir, dump.dump_id)
+        try:
+            staged = self.client.download_files_for_dump(files, stage)
+            result = self._import_staged(dump, schema, staged, schema_changed)
+            self.ledger.mark_successful(dump.dump_id, dump.schema_version)
+            result.status = "successful"
+            return result
+        except Exception:
+            self.ledger.mark_failure(dump.dump_id, dump.schema_version)
+            raise
+
+    def _import_staged(
+        self,
+        dump: DumpInList,
+        schema: SchemaDef,
+        staged_paths: list[str],
+        schema_changed: bool,
+    ) -> DumpResult:
+        # Filename -> table routing on the driver (reference importer.rs:66-101,
+        # 216, 244-245); unroutable files rejected exactly as the reference does.
+        by_table: dict[str, list[str]] = {}
+        for p in staged_paths:
+            split = parse_shard_filename(p)
+            if split is None:
+                continue
+            by_table.setdefault(split.table_name, []).append(p)
+
+        result = DumpResult(dump.dump_id, "in_progress")
+        force_volatile = self.config.all_tables_volatile or schema_changed
+        for table_name, paths in sorted(by_table.items()):
+            tdef = schema.get_table(table_name)
+            if tdef is None:
+                continue  # reference logs + skips unknown tables
+            df = read_tsv_shards(self.spark, paths, tdef)
+            key = infer_key_column(table_name, tdef.column_names())
+            volatile = (
+                is_volatile(table_name, force_volatile)
+                or table_name in self.config.extra_volatile
+                or key is None
+            )
+            if volatile or not self.warehouse.exists(table_name):
+                # Overwrite == the reference's drop-then-rebuild pass
+                # (importer.rs:206-228 + per-row INSERTs 331-344), minus the
+                # window where the table doesn't exist: snapshot swap.
+                self.warehouse.write(table_name, df, snapshot=dump.dump_id)
+            else:
+                old = self.warehouse.read(table_name)
+                merged = merge_upsert(old, df, key)
+                self.warehouse.write(table_name, merged, snapshot=dump.dump_id)
+            result.tables[table_name] = self.warehouse.read(table_name).count()
+        return result
+
+    # -- full run (reference src/main.rs:55-249) ----------------------------
+    def run(self) -> list[DumpResult]:
+        dumps = self.client.get_dumps()
+        schema = self.client.get_latest_schema()
+        # Schema-version change forces full reload of every table
+        # (reference src/main.rs:188-193 — PG branch; we apply it to all
+        # sinks, recording the MySQL asymmetry as a reference quirk).
+        schema_changed = (
+            self.ledger.last_version_processed is not None
+            and self.ledger.last_version_processed != schema.version
+        )
+        results = []
+        for dump in self.plan_dumps(dumps, schema.version):
+            results.append(self.import_dump(dump, schema, schema_changed))
+        self.ledger.set_last_version_processed(schema.version)  # main.rs:243-246
+        return results
+
+
+def run_pipeline(
+    spark: SparkSession, client: CanvasDataApiClient, config: PipelineConfig
+) -> list[DumpResult]:
+    return ImportPipeline(spark, client, config).run()

@@ -1,0 +1,1233 @@
+"""Query registry: the engine's declared query surface + DuckDB oracles.
+
+Every operator from SURVEY.md §2 Tier B gets a named query here:
+``SPARK[name]`` is a ``(spark, sf_dir) -> DataFrame`` callable built on
+the DataFrame API (Catalyst plans it); ``ORACLE[name]`` is the
+equivalent SQL DuckDB runs on the same parquet for the differential
+correctness gate. Names and output column names match exactly on both
+sides (the driver sorts columns by name before hashing).
+
+Float determinism policy (why you see decimal casts and rounds):
+- SUM(double) is order-dependent -> both sides sum in DECIMAL(27,4)
+  (exact, associative) and cast the result back to double.
+- AVG / transcendentals are rounded to a tolerance the accumulation
+  error cannot cross.
+- COUNT/MIN/MAX are exact as-is.
+- Timestamps are emitted as formatted strings (engine-neutral).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.text import normalize_text
+from .functions.vector import cosine, norm
+from .operators import dedup as D
+from .operators import simsearch as S
+from .operators import textops as X
+
+DEC = "decimal(27,4)"
+
+SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        SPARK[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _pin_utc(spark: SparkSession) -> None:
+    """Pin the session timezone so timestamp rendering/extraction is
+    engine-neutral (parquet stores UTC instants; DuckDB reads them as
+    naive-UTC). Without this, a driver JVM in a non-UTC zone shifts
+    every date_format/extract result (verified failure mode)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    _pin_utc(spark)
+    if table == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects; read it as raw int64 nanos (legacy conf) and convert
+    with exact integer division to microseconds (matching DuckDB's
+    ns->us truncation). Double division would lose precision at 1e18."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def dsum(col: F.Column, alias: str) -> F.Column:
+    """Order-independent double sum: accumulate exactly in decimal."""
+    return F.sum(col.cast(DEC)).cast("double").alias(alias)
+
+
+def ts_str(col) -> F.Column:
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+# =====================================================================
+# Aggregation / scan / filter
+# =====================================================================
+
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,4))) AS DOUBLE) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + hash aggregate (flagship)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_filter_predicates",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_totalprice BETWEEN 50000 AND 200000
+      AND o_orderstatus LIKE 'F%'
+      AND o_custkey IS NOT NULL
+    """,
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter surface: IN, BETWEEN, LIKE, NULL predicate (pushed to scan)."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_totalprice").between(50000, 200000)
+        & F.col("o_orderstatus").like("F%")
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "q06_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.09
+      AND l_quantity < 24
+    """,
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight filter + global aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q11_agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity"), "sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "q12_agg_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        dsum(F.col("o_totalprice"), "total"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "q13_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS total
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via SQL (Catalyst expands to Expand + Aggregate)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS decimal(27,4))) AS double) AS total
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q41_percentiles",
+    """
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           COUNT(DISTINCT o_custkey) AS n_cust
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles + distinct count per group."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+    )
+
+
+@query(
+    "q21_distinct_pairs",
+    """
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (exact dedup on composite key)."""
+    return load(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# =====================================================================
+# Joins
+# =====================================================================
+
+
+@query(
+    "q03_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate_str
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-k."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", ts_str("o_orderdate").alias("orderdate_str"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q04_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (EXISTS) join with a non-equi residual condition."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q05_region_revenue",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with broadcast dims."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@query(
+    "q07_left_join",
+    """
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(27,4))), 0) AS DOUBLE) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast(DEC)), F.lit(0).cast(DEC))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "q08_full_outer",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey, n_cust, n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, "nk", "full_outer")
+        .select(F.col("nk").alias("nationkey"), "n_cust", "n_supp")
+    )
+
+
+@query(
+    "q09_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    """,
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — the merge-survivor op (ref A17/A19)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q10_semi_join",
+    """
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@query(
+    "q16_cross_join",
+    """
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (small dims)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "q38_range_join",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_early
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range (interval) join: lineitems shipped within 30 days."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAYS"))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_early"))
+    )
+
+
+@query(
+    "q37_asof_join",
+    """
+    WITH j AS (
+        SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, o_orderkey AS asof_orderkey, o_totalprice AS asof_totalprice
+    FROM j WHERE rn = 1
+    """,
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's most recent prior
+    order. Composition: range join + per-event window top-1 (the
+    DataFrame expression of ASOF JOIN; deterministic tiebreak)."""
+    e = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    j = e.join(
+        o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts), "inner"
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.col("o_totalprice").alias("asof_totalprice"),
+        )
+    )
+
+
+# =====================================================================
+# Windows
+# =====================================================================
+
+
+@query(
+    "q14_window_topk",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number window."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "q15_window_lag",
+    """
+    SELECT event_id, user_id, value,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           ROUND(value - COALESCE(LAG(value) OVER w, 0), 4) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation window."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0)), 4).alias(
+            "delta"
+        ),
+    )
+
+
+@query(
+    "q17_window_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend,
+           COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+    FROM orders
+    """,
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) frame aggregate + partition count."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_spend"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("n_orders"),
+    )
+
+
+@query(
+    "q18_rank_ntile",
+    """
+    SELECT p_brand, p_partkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC)
+    """,
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile."""
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "q36_sessionize",
+    """
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - COALESCE(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+                         > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), s AS (
+        SELECT user_id, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM g
+    )
+    SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap splitting via lag + cumulative sum."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.coalesce(
+        F.lag(F.col("ts").cast("long")).over(w), F.col("ts").cast("long")
+    )
+    sess = (
+        e.withColumn("new_session", F.when(gap > 1800, 1).otherwise(0))
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# =====================================================================
+# Sort / limit / set ops
+# =====================================================================
+
+
+@query(
+    "q19_topk_global",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """,
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (TakeOrderedAndProject — no full sort materialized)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "q20_set_ops",
+    """
+    WITH active AS (SELECT DISTINCT o_custkey AS k FROM orders),
+         rich   AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+         partial AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'P')
+    SELECT k, 'both' AS tag FROM (SELECT k FROM active INTERSECT SELECT k FROM rich)
+    UNION ALL
+    SELECT k, 'rich_only' AS tag FROM (SELECT k FROM rich EXCEPT SELECT k FROM active)
+    UNION ALL
+    SELECT k, 'partial' AS tag FROM partial
+    """,
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: INTERSECT, EXCEPT, UNION ALL."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    active = o.select(F.col("o_custkey").alias("k")).distinct()
+    rich = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
+    partial = (
+        o.filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    both = active.intersect(rich).withColumn("tag", F.lit("both"))
+    rich_only = rich.subtract(active).withColumn("tag", F.lit("rich_only"))
+    part_tag = partial.withColumn("tag", F.lit("partial"))
+    return both.unionByName(rich_only).unionByName(part_tag)
+
+
+# =====================================================================
+# Scalar function surface
+# =====================================================================
+
+
+@query(
+    "q22_string_fns",
+    """
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           LOWER(p_brand) AS brand_lower,
+           SUBSTR(p_name, 1, 5) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_type, ' ', '_') AS type_snake,
+           REGEXP_EXTRACT(p_name, '^(\\w+)', 1) AS first_word,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           TRIM('  ' || p_brand || ' ') AS brand_trim,
+           CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS has_green
+    FROM part
+    """,
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.regexp_replace(F.col("p_type"), " ", "_").alias("type_snake"),
+        F.regexp_extract(F.col("p_name"), r"^(\w+)", 1).alias("first_word"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias("brand_trim"),
+        F.when(F.col("p_name").like("%green%"), 1).otherwise(0).alias("has_green"),
+    )
+
+
+@query(
+    "q23_datetime_fns",
+    """
+    SELECT event_id,
+           EXTRACT(YEAR FROM ts) AS yr,
+           EXTRACT(MONTH FROM ts) AS mon,
+           EXTRACT(DAY FROM ts) AS dom,
+           EXTRACT(HOUR FROM ts) AS hr,
+           EXTRACT(MINUTE FROM ts) AS mi,
+           ISODOW(ts) - 1 AS weekday_mon0,
+           STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d %H:%M:%S') AS day_str,
+           DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since
+    FROM events
+    """,
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface (engine-neutral day-of-week: Mon=0)."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.year("ts").cast("long").alias("yr"),
+        F.month("ts").cast("long").alias("mon"),
+        F.dayofmonth("ts").cast("long").alias("dom"),
+        F.hour("ts").cast("long").alias("hr"),
+        F.minute("ts").cast("long").alias("mi"),
+        F.weekday("ts").cast("long").alias("weekday_mon0"),
+        ts_str(F.date_trunc("day", F.col("ts"))).alias("day_str"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+    )
+
+
+@query(
+    "q24_math_fns",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS price_r1,
+           ABS(l_discount - 0.05) AS disc_dev,
+           FLOOR(l_quantity) AS qty_floor,
+           CEIL(l_extendedprice / 1000) AS price_k,
+           ROUND(LN(l_extendedprice), 6) AS price_ln,
+           ROUND(LOG10(l_extendedprice), 6) AS price_log10,
+           ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
+           ROUND(POW(1 + l_tax, 2), 6) AS tax_sq,
+           SIGN(l_discount - 0.05) AS disc_sign,
+           MOD(l_linenumber, 3) AS ln_mod
+    FROM lineitem
+    """,
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function surface (transcendentals rounded to 6dp for
+    cross-libm portability)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.round(F.log10(F.col("l_extendedprice")), 6).alias("price_log10"),
+        F.round(F.sqrt(F.col("l_quantity")), 6).alias("qty_sqrt"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        (F.col("l_linenumber") % 3).alias("ln_mod"),
+    )
+
+
+@query(
+    "q25_case_when",
+    """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                WHEN o_totalprice < 300000 THEN 'large'
+                ELSE 'jumbo' END AS band,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN banding + aggregate."""
+    o = load(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .when(F.col("o_totalprice") < 300000, "large")
+        .otherwise("jumbo")
+    )
+    return o.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice"), "total")
+    )
+
+
+@query(
+    "q26_array_fns",
+    """
+    SELECT vec_id, label,
+           LEN(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+           ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface over embedding vectors."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_elem"),
+        F.round(norm(F.col("embedding")), 6).alias("l2_norm"),
+    )
+
+
+@query(
+    "q27_json_fns",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props payload column."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("k_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q28_pivot",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(27,4))) AS DOUBLE) AS qty_f,
+           CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(27,4))) AS DOUBLE) AS qty_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    )
+
+
+# =====================================================================
+# LLM-data-pipeline operators
+# =====================================================================
+
+_NORM_SQL = "TRIM(REGEXP_REPLACE(LOWER({c}), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "q29_fingerprints",
+    f"""
+    SELECT doc_id, MD5({_NORM_SQL.format(c='text')}) AS fp
+    FROM documents
+    """,
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (md5 of normalized text)."""
+    d = load(spark, sf_dir, "documents")
+    return X.doc_fingerprints(d, "text", "doc_id")
+
+
+@query(
+    "q30_exact_dedup",
+    f"""
+    SELECT MD5({_NORM_SQL.format(c='text')}) AS fp,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content fingerprint."""
+    d = load(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(d, "text", "doc_id")
+
+
+@query(
+    "q31_text_stats",
+    f"""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS n_tokens,
+           ROUND(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0.0 ELSE
+               LENGTH(REPLACE({_NORM_SQL.format(c='text')}, ' ', ''))
+               / CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS DOUBLE) END, 4) AS avg_token_len,
+           ROUND(CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE
+               (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')))
+               / CAST(LENGTH(text) AS DOUBLE) END, 4) AS punct_ratio,
+           ROUND(CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE
+               (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')))
+               / CAST(LENGTH(text) AS DOUBLE) END, 4) AS digit_ratio,
+           ROUND(CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE
+               (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Z]', '', 'g')))
+               / CAST(LENGTH(text) AS DOUBLE) END, 4) AS upper_ratio
+    FROM documents
+    """,
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics."""
+    d = load(spark, sf_dir, "documents")
+    return X.text_stats(d, "text", "doc_id")
+
+
+@query(
+    "q33_token_histogram",
+    f"""
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT UNNEST(STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ')) AS token
+          FROM documents)
+    WHERE LENGTH(token) > 0
+    GROUP BY token
+    """,
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency histogram."""
+    return X.token_histogram(load(spark, sf_dir, "documents"), "text")
+
+
+@query(
+    "q34_ngram_jaccard",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+2], ' ') AS s
+        FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t) - 1, 1))) AS r(i)
+        WHERE LEN(t) >= 3
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common,
+           ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard_r
+    FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY jaccard_r DESC, doc_a ASC, doc_b ASC
+    LIMIT 20
+    """,
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup mining: top pairs by word-3-gram Jaccard similarity."""
+    d = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", n=3)
+    return (
+        pairs.select(
+            "doc_a", "doc_b", "common", F.round("jaccard", 6).alias("jaccard_r")
+        )
+        .orderBy(F.col("jaccard_r").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q35_minhash_bands",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t
+        FROM documents WHERE doc_id < 100
+    ), sh AS (
+        SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+2], ' ') AS s
+        FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t) - 1, 1))) AS r(i)
+        WHERE LEN(t) >= 3
+    ), mh AS (
+        SELECT doc_id, seed, MIN(MD5(CAST(seed AS VARCHAR) || '|' || s)) AS h
+        FROM sh CROSS JOIN UNNEST(RANGE(1, 17)) AS r(seed)
+        GROUP BY doc_id, seed
+    )
+    SELECT doc_id AS doc, CAST((seed - 1) // 4 AS BIGINT) AS band,
+           MD5(STRING_AGG(h, '' ORDER BY seed)) AS band_hash
+    FROM mh GROUP BY doc_id, CAST((seed - 1) // 4 AS BIGINT)
+    """,
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH band hashes (the dedup-candidate bucketing key)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    bands = D.minhash_bands(d, "text", "doc_id", num_hashes=16, band_size=4)
+    return bands.select("doc", F.col("band").cast("long").alias("band"), "band_hash")
+
+
+@query(
+    "q32_simsearch_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         scored AS (
+            SELECT query_id, neighbor_id,
+                   LIST_SUM(LIST_TRANSFORM(LIST_ZIP(qv, cv),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (SQRT(LIST_SUM(LIST_TRANSFORM(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * SQRT(LIST_SUM(LIST_TRANSFORM(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+            FROM c CROSS JOIN q
+            WHERE query_id <> neighbor_id
+         ), ranked AS (
+            SELECT query_id, neighbor_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+         )
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim_r, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search (exact baseline)."""
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    topk = S.brute_force_topk(e, queries, k=10)
+    return topk.select(
+        "query_id", "neighbor_id", F.round("sim", 6).alias("sim_r"), "rank"
+    )
+
+
+@query(
+    "q39_lang_scores",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           ROUND(LEN(LIST_FILTER(t, x -> LIST_CONTAINS(['the','and','of','to','a','in','is','it'], x)))
+                 / CAST(LEN(t) AS DOUBLE), 4) AS score_en,
+           ROUND(LEN(LIST_FILTER(t, x -> LIST_CONTAINS(['el','la','de','que','y','en','un','es'], x)))
+                 / CAST(LEN(t) AS DOUBLE), 4) AS score_es
+    FROM toks WHERE LEN(t) > 0
+    """,
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language scoring (heuristic lang-ID signal)."""
+    d = load(spark, sf_dir, "documents")
+    scores = X.lang_scores(d, "text", "doc_id")
+    return (
+        scores.join(d.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "score_en", "score_es")
+    )
+
+
+@query(
+    "q40_multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+           ASCII(SUBSTR(text, 1, 1)) AS first_byte
+    FROM documents
+    """,
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload + mapInPandas feature pass.
+
+    The byte-stat 'decode' is the deterministic stand-in for a real
+    media decoder (see operators/multimodal.py); schema + Arrow batch
+    shape are the real contract under test.
+    """
+    from .operators.multimodal import extract_features, to_media_table
+
+    d = load(spark, sf_dir, "documents")
+    media = to_media_table(d, "doc_id", "text", "source")
+    feats = extract_features(media)
+    return feats.select("media_id", "n_bytes", F.col("first_byte").cast("long").alias("first_byte"))
+
+
+# =====================================================================
+# Streaming (run-to-completion over the finite events table)
+# =====================================================================
+
+
+@query(
+    "q42_stream_tumbling",
+    """
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window agg (AvailableNow trigger,
+    complete mode == batch semantics on a finite source)."""
+    from .streaming.events import read_events_stream, tumbling_counts
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = tumbling_counts(stream, "1 hour")
+    return out.select(
+        "win_start",
+        "event_type",
+        "n",
+        F.col("total").cast(DEC).cast("double").alias("total"),
+    )
+
+
+@query(
+    "q43_stream_sliding",
+    """
+    -- make_timestamp(us) yields a naive (TZ-free) timestamp; TO_TIMESTAMP
+    -- would yield timestamptz and render in the session zone.
+    SELECT STRFTIME(MAKE_TIMESTAMP(CAST(FLOOR(EPOCH(ts) / 1800) * 1800 - k AS BIGINT) * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, COUNT(*) AS n
+    FROM events CROSS JOIN (SELECT UNNEST([0, 1800]) AS k)
+    GROUP BY 1, 2
+    """,
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sliding-window counts (1h window / 30m slide:
+    each event lands in exactly two windows)."""
+    from .streaming.events import read_events_stream, sliding_counts
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return sliding_counts(stream, "1 hour", "30 minutes")
+
+
+@query(
+    "q44_stream_dedup",
+    """
+    SELECT event_type, COUNT(DISTINCT event_id) AS n FROM events GROUP BY event_type
+    """,
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup by event_id (watermark-bounded state) + counts."""
+    from .streaming.events import read_events_stream, streaming_dedup_counts
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return streaming_dedup_counts(stream)
+
+
+# q45 watermark semantics: append-mode output withholds windows newer
+# than (max_ts - watermark); not expressible as a single SQL query over
+# the input — registered without an oracle (driver rows-only check).
+@query("q45_stream_watermark")
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked append-mode tumbling agg: late/open windows withheld."""
+    from .streaming.events import read_events_stream, windowed_with_watermark
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return windowed_with_watermark(stream, "1 hour", "2 hours")

@@ -1,0 +1,139 @@
+"""Streaming operators over the ``events`` table.
+
+The reference's hourly cron re-list-and-diff loop (README.md:31-33 +
+dump ordering/ledger, src/main.rs) is batch-incremental ingestion; its
+Spark-native analog is a Structured Streaming file source with
+``Trigger.AvailableNow`` — each trigger processes exactly the files
+not yet seen (the checkpoint is the ledger).
+
+For finite test runs, the helpers run a streaming query to completion
+against a memory sink and return the result as a DataFrame, so the
+same operator is checkable against a batch/DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as int64
+# nanos (legacy conf) and we convert to microsecond timestamps with
+# exact integer division (see queries.load_events for the batch analog).
+EVENTS_SCHEMA_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source incremental ingest of events parquet.
+
+    ``path`` may be a single file; the file streaming source requires a
+    directory basePath, so split into (dir, glob filter).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base, _, fname = path.rpartition("/")
+    reader = spark.readStream.schema(EVENTS_SCHEMA_RAW)
+    if fname.endswith(".parquet"):
+        reader = reader.option("pathGlobFilter", fname)
+        path = base
+    stream = reader.parquet(path)
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a finite streaming query to completion via a memory sink."""
+    name = "s_" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def tumbling_counts(
+    stream: DataFrame, window_len: str = "1 hour", run: bool = True
+) -> DataFrame:
+    """Tumbling-window count+sum per event_type.
+
+    Complete-mode output over a finite source equals the batch
+    ``groupBy(window(...))`` — which is what the oracle checks.
+    """
+    agg = stream.groupBy(
+        F.window("ts", window_len).alias("win"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    out = agg.select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n",
+        "total",
+    )
+    return _run_to_memory(out, "complete") if run else out
+
+
+def sliding_counts(
+    stream: DataFrame,
+    window_len: str = "1 hour",
+    slide: str = "30 minutes",
+    run: bool = True,
+) -> DataFrame:
+    """Sliding-window event counts per event_type."""
+    agg = stream.groupBy(
+        F.window("ts", window_len, slide).alias("win"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = agg.select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n",
+    )
+    return _run_to_memory(out, "complete") if run else out
+
+
+def windowed_with_watermark(
+    stream: DataFrame,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+    run: bool = True,
+) -> DataFrame:
+    """Watermarked tumbling agg in append mode: only windows older than
+    the watermark emit; late rows beyond it are dropped. On a finite
+    ordered source the watermark ends at max(ts) - delay, so the last
+    window(s) stay open and are withheld — that withholding IS the
+    semantics under test."""
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n",
+        )
+    )
+    return _run_to_memory(agg, "append") if run else agg
+
+
+def streaming_dedup_counts(
+    stream: DataFrame, watermark: str = "24 hours", run: bool = True
+) -> DataFrame:
+    """Streaming dedup by event_id (state bounded by the watermark),
+    then per-type counts — the streaming analog of the reference's
+    idempotent re-import skip (ledger A25)."""
+    deduped = stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return _run_to_memory(agg, "complete") if run else agg
