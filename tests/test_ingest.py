@@ -1,0 +1,138 @@
+"""TSV-gz ingest tests: wire-format fidelity (A9-A12) + property checks."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from canvas_data_loader_spark.schema import ColumnDef, TableDef
+from canvas_data_loader_spark.sources.api_client import (
+    compute_auth_header,
+    gzip_tsv,
+)
+from canvas_data_loader_spark.sources.tsv import read_tsv_shards
+
+TDEF = TableDef(
+    table_name="t",
+    columns=[
+        ColumnDef("id", "bigint"),
+        ColumnDef("name", "varchar"),
+        ColumnDef("score", "double precision"),
+        ColumnDef("ok", "boolean"),
+        ColumnDef("created", "timestamp"),
+    ],
+)
+
+
+def write_gz(path, rows):
+    with open(path, "wb") as fh:
+        fh.write(gzip_tsv(rows))
+
+
+class TestTsvRead:
+    def test_typed_read_with_nulls(self, spark, tmp_path):
+        p = str(tmp_path / "t-00000-aaa.gz")
+        write_gz(
+            p,
+            [
+                [1, "alice", 1.5, "true", "2024-01-02 03:04:05"],
+                [2, None, None, "false", None],
+            ],
+        )
+        df = read_tsv_shards(spark, p, TDEF)
+        rows = sorted(tuple(r) for r in df.collect())
+        assert rows[0][0] == 1 and rows[0][1] == "alice" and rows[0][2] == 1.5
+        assert rows[0][3] is True and str(rows[0][4]) == "2024-01-02 03:04:05"
+        assert rows[1][1] is None and rows[1][2] is None and rows[1][4] is None
+
+    def test_quotes_preserved_not_stripped(self, spark, tmp_path):
+        # The reference STRIPS quotes from values (db_client.rs:216 etc.) —
+        # a documented data-corrupting divergence we must NOT replicate.
+        p = str(tmp_path / "t-00000-bbb.gz")
+        write_gz(p, [[1, "it's \"quoted\"", 0.0, "true", None]])
+        df = read_tsv_shards(spark, p, TDEF)
+        assert df.collect()[0]["name"] == "it's \"quoted\""
+
+    def test_multi_shard_glob(self, spark, tmp_path):
+        for i in range(3):
+            write_gz(
+                str(tmp_path / f"t-0000{i}-xyz.gz"),
+                [[i * 10 + j, f"r{i}{j}", None, None, None] for j in range(5)],
+            )
+        df = read_tsv_shards(spark, str(tmp_path / "t-*.gz"), TDEF)
+        assert df.count() == 15
+        # one input split per gz shard (gz is non-splittable): parallelism
+        # comes from the shard count, as in the reference's rayon loop
+        assert df.rdd.getNumPartitions() >= 1
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=-(2**62), max_value=2**62),
+                st.one_of(
+                    st.none(),
+                    st.text(
+                        alphabet=st.characters(
+                            codec="utf-8",
+                            exclude_characters="\t\n\r\\",
+                            exclude_categories=("Cs", "Cc"),
+                        ),
+                        max_size=40,
+                    ),
+                ),
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def test_roundtrip_property(self, spark, tmp_path, rows):
+        """Random rows survive TSV-encode -> gz -> typed read unchanged
+        (including unicode and embedded quotes; \\N means NULL)."""
+        tdef = TableDef(
+            table_name="t",
+            columns=[ColumnDef("id", "bigint"), ColumnDef("name", "varchar")],
+        )
+        p = str(tmp_path / f"t-{abs(hash(str(rows))) % 10**8}-h.gz")
+        write_gz(p, [list(r) for r in rows])
+        df = read_tsv_shards(spark, p, tdef)
+        key = lambda t: (t[0], t[1] is not None, t[1] or "")
+        got = sorted(((r["id"], r["name"]) for r in df.collect()), key=key)
+        # Spark CSV reads empty unquoted strings as null (emptyValue);
+        # canonicalize '' -> None on expectation side the same way
+        want = sorted(
+            ((i, (None if (s is None or s == "") else s)) for i, s in rows), key=key
+        )
+        os.remove(p)
+        assert got == want
+
+
+class TestAuthHeader:
+    def test_hmac_shape_and_determinism(self):
+        h1 = compute_auth_header(
+            "GET", "portal.inshosteddata.com", "", "",
+            "/api/account/self/dump", "", "2024-01-01T00:00:00.000Z", "key", "secret",
+        )
+        h2 = compute_auth_header(
+            "GET", "portal.inshosteddata.com", "", "",
+            "/api/account/self/dump", "", "2024-01-01T00:00:00.000Z", "key", "secret",
+        )
+        assert h1 == h2
+        assert h1.startswith("HMACAuth key:")
+        # changing any signed field changes the signature
+        h3 = compute_auth_header(
+            "GET", "portal.inshosteddata.com", "", "",
+            "/api/account/self/dump", "", "2024-01-01T00:00:00.001Z", "key", "secret",
+        )
+        assert h1 != h3
+
+    def test_gzip_tsv_wire_format(self):
+        raw = gzip.decompress(gzip_tsv([[1, None, "x"]])).decode()
+        assert raw == "1\t\\N\tx\n"

@@ -1,0 +1,69 @@
+"""Merge/upsert semantics tests (the heart of the reference, A17-A22)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from canvas_data_loader_spark.operators.merge import (
+    dedup_latest,
+    merge_upsert,
+    merge_upsert_large_batch,
+)
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestDedupLatest:
+    def test_keeps_latest_by_order(self, spark):
+        df = spark.createDataFrame(
+            [Row(id=1, v="old", seq=1), Row(id=1, v="new", seq=2), Row(id=2, v="x", seq=1)]
+        )
+        out = dedup_latest(df, "id", "seq")
+        assert rows(out.select("id", "v")) == [(1, "new"), (2, "x")]
+
+    def test_composite_key(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(a=1, b="x", v=1, seq=1),
+                Row(a=1, b="x", v=2, seq=2),
+                Row(a=1, b="y", v=3, seq=1),
+            ]
+        )
+        out = dedup_latest(df, ["a", "b"], "seq")
+        assert rows(out.select("a", "b", "v")) == [(1, "x", 2), (1, "y", 3)]
+
+
+class TestMergeUpsert:
+    def test_replace_and_preserve(self, spark):
+        old = spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")])
+        new = spark.createDataFrame([Row(id=2, v="B"), Row(id=3, v="c")])
+        out = merge_upsert(old, new, "id")
+        # key 2 replaced (last writer wins), key 1 preserved, key 3 inserted
+        assert rows(out) == [(1, "a"), (2, "B"), (3, "c")]
+
+    def test_duplicate_keys_in_batch_latest_wins(self, spark):
+        # matches reference sequential-overwrite within a file
+        # (importer.rs:345-390): the later row is the survivor
+        old = spark.createDataFrame([Row(id=1, v="orig", seq=0)])
+        new = spark.createDataFrame(
+            [Row(id=1, v="first", seq=1), Row(id=1, v="second", seq=2)]
+        )
+        out = merge_upsert(old, new, "id", order_col="seq")
+        assert rows(out.select("id", "v")) == [(1, "second")]
+
+    def test_idempotent(self, spark):
+        old = spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")])
+        new = spark.createDataFrame([Row(id=2, v="B")])
+        once = merge_upsert(old, new, "id")
+        twice = merge_upsert(once, new, "id")
+        assert rows(once) == rows(twice)
+
+    def test_large_batch_variant_same_result(self, spark):
+        old = spark.createDataFrame([Row(id=i, v=f"o{i}") for i in range(50)])
+        new = spark.createDataFrame([Row(id=i, v=f"n{i}") for i in range(25, 75)])
+        a = merge_upsert(old, new, "id")
+        b = merge_upsert_large_batch(old, new, "id")
+        assert rows(a) == rows(b)
+        assert a.count() == 75

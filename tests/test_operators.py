@@ -1,0 +1,160 @@
+"""Invariant tests for the LLM-pipeline operators (dedup, simsearch,
+textops, multimodal) on the real sf0.001 fixture tables."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from canvas_data_loader_spark.operators import dedup as D
+from canvas_data_loader_spark.operators import simsearch as S
+from canvas_data_loader_spark.operators import textops as X
+from canvas_data_loader_spark.operators.multimodal import (
+    decode_stub,
+    extract_features,
+    to_media_table,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+class TestDedup:
+    def test_exact_dedup_keeps_one_per_content(self, spark, docs):
+        out = D.exact_dedup(docs, "text", "doc_id")
+        groups = D.exact_dedup_groups(docs, "text", "doc_id")
+        assert out.count() == groups.count()
+        # idempotent
+        assert D.exact_dedup(out, "text", "doc_id").count() == out.count()
+
+    def test_identical_docs_collapse(self, spark):
+        df = spark.createDataFrame(
+            [(1, "hello  world  foo"), (2, "hello world foo"), (3, "different text")],
+            ["doc_id", "text"],
+        )
+        # whitespace-normalized duplicates collapse; min id kept
+        out = D.exact_dedup(df, "text", "doc_id")
+        assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+
+    def test_jaccard_pairs_bounds(self, docs):
+        pairs = D.ngram_jaccard_pairs(docs.limit(50), "text", "doc_id").collect()
+        for p in pairs:
+            assert 0.0 < p.jaccard <= 1.0
+            assert p.doc_a < p.doc_b
+
+    def test_minhash_candidates_superset_of_identical(self, spark):
+        # identical docs must collide in EVERY band
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j"),
+             (3, "k l m n o p q r s t")],
+            ["doc_id", "text"],
+        )
+        cands = D.minhash_candidate_pairs(df, "text", "doc_id")
+        assert (1, 2) in [(r.doc_a, r.doc_b) for r in cands.collect()]
+
+    def test_simhash_identical_docs_equal(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha  beta gamma"), (3, "zz yy xx")],
+            ["doc_id", "text"],
+        )
+        out = {r.doc: r.simhash for r in D.simhash(df, "text", "doc_id").collect()}
+        assert out[1] == out[2]
+        assert 0 <= out[1] < 2**16
+
+
+class TestSimsearch:
+    def test_brute_force_topk_shape(self, embs):
+        q = embs.filter(F.col("vec_id") < 3)
+        out = S.brute_force_topk(embs, q, k=5).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append(r)
+        assert set(by_q) == {0, 1, 2}
+        for qid, rs in by_q.items():
+            assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+            sims = [r.sim for r in sorted(rs, key=lambda r: r.rank)]
+            assert sims == sorted(sims, reverse=True)
+            assert all(-1.0001 <= s <= 1.0001 for s in sims)
+            assert all(r.neighbor_id != qid for r in rs)
+
+    def test_self_similarity_is_one(self, spark, embs):
+        q = embs.filter(F.col("vec_id") == 0)
+        # include self by not filtering: cosine(v,v) == 1
+        from canvas_data_loader_spark.functions.vector import cosine
+
+        row = (
+            q.select(cosine(F.col("embedding"), F.col("embedding")).alias("s"))
+            .collect()[0]
+        )
+        assert math.isclose(row.s, 1.0, rel_tol=1e-9)
+
+    def test_lsh_recall_against_exact(self, embs):
+        """LSH top-k with few planes recalls most of the exact top-k."""
+        q = embs.filter(F.col("vec_id") < 3)
+        exact = S.brute_force_topk(embs, q, k=5).collect()
+        approx = S.lsh_topk(embs, q, k=5, n_planes=4).collect()
+        exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+        approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+        # 4 planes -> 16 buckets over 500 vecs; expect nontrivial overlap
+        assert len(exact_set & approx_set) >= 3
+
+    def test_bucketize_deterministic(self, embs):
+        planes = S.hyperplanes(64, 8, seed=42)
+        b1 = {r.vec_id: r.bucket for r in S.bucketize(embs, planes).select("vec_id", "bucket").collect()}
+        b2 = {r.vec_id: r.bucket for r in S.bucketize(embs, planes).select("vec_id", "bucket").collect()}
+        assert b1 == b2
+        assert all(0 <= b < 256 for b in b1.values())
+
+
+class TestTextOps:
+    def test_stats_consistency(self, docs):
+        out = X.text_stats(docs, "text", "doc_id")
+        # n_chars computed == n_chars column in the fixture
+        mismatches = (
+            out.join(docs.selectExpr("doc_id", "n_chars AS expected"), "doc_id")
+            .filter(F.col("n_chars") != F.col("expected"))
+            .count()
+        )
+        assert mismatches == 0
+
+    def test_lang_pred_deterministic_argmax(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the cat and the dog of the house"), (2, "el la de que y en un es")],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r.lang_pred for r in X.lang_scores(df, "text", "doc_id").collect()}
+        assert out[1] == "en"
+        assert out[2] == "es"
+
+    def test_token_histogram_total(self, spark):
+        df = spark.createDataFrame([(1, "a b a"), (2, "b c")], ["doc_id", "text"])
+        hist = {r.token: r.freq for r in X.token_histogram(df, "text").collect()}
+        assert hist == {"a": 2, "b": 2, "c": 1}
+
+
+class TestMultimodal:
+    def test_decode_stub_raises(self):
+        with pytest.raises(NotImplementedError):
+            decode_stub(b"\x00")
+
+    def test_media_roundtrip_features(self, docs):
+        media = to_media_table(docs, "doc_id", "text", "source")
+        assert [f.name for f in media.schema.fields] == ["media_id", "payload", "meta"]
+        feats = extract_features(media)
+        joined = feats.join(
+            docs.selectExpr("doc_id AS media_id", "n_chars"), "media_id"
+        )
+        # ascii corpus: utf-8 byte length == char count
+        assert joined.filter(F.col("n_bytes") != F.col("n_chars")).count() == 0
+        assert feats.filter(F.col("first_byte").isNull()).count() == 0

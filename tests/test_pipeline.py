@@ -1,0 +1,284 @@
+"""Golden end-to-end pipeline tests (SURVEY.md §5 item 2).
+
+Synthetic Canvas-style mini-dumps (gzipped TSVs + schema JSON) are
+served through the offline transport; the pipeline runs the reference
+lifecycle (src/main.rs:55-249) against a temp warehouse. Covers:
+idempotency, cross-dump upsert, volatile full-refresh, historical skip,
+schema-version-change reload, out-of-date dumps, ledger state machine.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from canvas_data_loader_spark.plans.ledger import (
+    FAILURE,
+    OUT_OF_DATE,
+    SUCCESSFUL,
+    ImportLedger,
+)
+from canvas_data_loader_spark.plans.pipeline import ImportPipeline, PipelineConfig
+from canvas_data_loader_spark.sources.api_client import (
+    CanvasDataApiClient,
+    LocalDirTransport,
+    gzip_tsv,
+)
+
+SCHEMA_JSON = {
+    "version": "4.2.0",
+    "schema": {
+        "account_dim": {
+            "tableName": "account_dim",
+            "dw_type": "dimension",
+            "incremental": False,
+            "columns": [
+                {"name": "id", "type": "bigint"},
+                {"name": "name", "type": "varchar"},
+                {"name": "workflow_state", "type": "enum"},
+            ],
+        },
+        "requests": {
+            "tableName": "requests",
+            "dw_type": "fact",
+            "incremental": True,
+            "columns": [
+                {"name": "url", "type": "text"},
+                {"name": "hits", "type": "int"},
+            ],
+        },
+    },
+}
+
+
+def make_dump_json(dump_id, seq, created, version="4.2.0", finished=True):
+    return {
+        "dumpId": dump_id,
+        "sequence": seq,
+        "accountId": "self",
+        "numFiles": 1,
+        "finished": finished,
+        "expires": None,
+        "createdAt": created,
+        "updatedAt": created,
+        "schemaVersion": version,
+    }
+
+
+def files_json(dump_id, table_files):
+    return {
+        "dumpId": dump_id,
+        "artifactsByTable": {
+            t: {"partial": False, "files": [{"filename": f, "url": f"u://{dump_id}/{f}"} for f in fs]}
+            for t, fs in table_files.items()
+        },
+    }
+
+
+@pytest.fixture
+def env(tmp_path):
+    def build(dumps_json, files_by_dump, payloads, **cfg_kw):
+        transport = LocalDirTransport(dumps_json, SCHEMA_JSON, files_by_dump, payloads)
+        client = CanvasDataApiClient("key", "secret", transport)
+        config = PipelineConfig(
+            stage_dir=str(tmp_path / "stage"),
+            warehouse_dir=str(tmp_path / "wh"),
+            ledger_path=str(tmp_path / "ledger.jsonl"),
+            **cfg_kw,
+        )
+        return client, config
+
+    return build
+
+
+def wh_rows(pipeline, table):
+    return sorted(tuple(r) for r in pipeline.warehouse.read(table).collect())
+
+
+class TestEndToEnd:
+    def test_single_dump_load_and_idempotent_rerun(self, spark, env):
+        payloads = {
+            "u://d1/account_dim-00000-aaa.gz": gzip_tsv(
+                [[1, "root", "active"], [2, "sub", None]]
+            )
+        }
+        client, config = env(
+            [make_dump_json("d1", 1, "2024-01-01T00:00:00Z")],
+            {"d1": files_json("d1", {"account_dim": ["account_dim-00000-aaa.gz"]})},
+            payloads,
+        )
+        p = ImportPipeline(spark, client, config)
+        results = p.run()
+        assert [r.status for r in results] == ["successful"]
+        assert wh_rows(p, "account_dim") == [(1, "root", "active"), (2, "sub", None)]
+
+        # second run: dump already successful -> no work, same state
+        p2 = ImportPipeline(spark, client, config)
+        assert p2.run() == []
+        assert wh_rows(p2, "account_dim") == [(1, "root", "active"), (2, "sub", None)]
+
+    def test_cross_dump_upsert_latest_wins(self, spark, env):
+        payloads = {
+            "u://d1/account_dim-00000-aaa.gz": gzip_tsv([[1, "old", "active"], [2, "keep", "active"]]),
+            "u://d2/account_dim-00000-bbb.gz": gzip_tsv([[1, "new", "deleted"], [3, "add", "active"]]),
+        }
+        client, config = env(
+            [
+                make_dump_json("d1", 1, "2024-01-01T00:00:00Z"),
+                make_dump_json("d2", 2, "2024-01-02T00:00:00Z"),
+            ],
+            {
+                "d1": files_json("d1", {"account_dim": ["account_dim-00000-aaa.gz"]}),
+                "d2": files_json("d2", {"account_dim": ["account_dim-00000-bbb.gz"]}),
+            },
+            payloads,
+        )
+        p = ImportPipeline(spark, client, config)
+        p.run()
+        # id=1 replaced by d2, id=2 preserved, id=3 inserted
+        assert wh_rows(p, "account_dim") == [
+            (1, "new", "deleted"),
+            (2, "keep", "active"),
+            (3, "add", "active"),
+        ]
+
+    def test_volatile_table_full_refresh(self, spark, env):
+        # 'requests' is in VOLATILE_TABLES (and has no id column):
+        # second dump REPLACES content instead of merging
+        payloads = {
+            "u://d1/requests-00000-aaa.gz": gzip_tsv([["/a", 1], ["/b", 2]]),
+            "u://d2/requests-00000-bbb.gz": gzip_tsv([["/c", 3]]),
+        }
+        client, config = env(
+            [
+                make_dump_json("d1", 1, "2024-01-01T00:00:00Z"),
+                make_dump_json("d2", 2, "2024-01-02T00:00:00Z"),
+            ],
+            {
+                "d1": files_json("d1", {"requests": ["requests-00000-aaa.gz"]}),
+                "d2": files_json("d2", {"requests": ["requests-00000-bbb.gz"]}),
+            },
+            payloads,
+        )
+        p = ImportPipeline(spark, client, config)
+        p.run()
+        assert wh_rows(p, "requests") == [("/c", 3)]
+
+    def test_historical_refresh_skipped_and_marked_successful(self, spark, env):
+        payloads = {"u://d1/requests-00000-aaa.gz": gzip_tsv([["/a", 1]])}
+        client, config = env(
+            [make_dump_json("d1", 1, "2024-01-01T00:00:00Z")],
+            {"d1": files_json("d1", {"requests": ["requests-00000-aaa.gz"]})},
+            payloads,
+            skip_historical_imports=True,
+        )
+        p = ImportPipeline(spark, client, config)
+        results = p.run()
+        assert [r.status for r in results] == ["skipped_historical"]
+        # marked successful exactly as reference does (main.rs:158-168)
+        assert p.ledger.status("d1") == SUCCESSFUL
+        assert not p.warehouse.exists("requests")
+
+    def test_stale_schema_version_marked_out_of_date(self, spark, env):
+        client, config = env(
+            [make_dump_json("d1", 1, "2024-01-01T00:00:00Z", version="4.1.0")],
+            {},
+            {},
+        )
+        p = ImportPipeline(spark, client, config)
+        results = p.run()
+        assert results == []
+        assert p.ledger.status("d1") == OUT_OF_DATE
+        # out-of-date dumps are never retried (main.rs:133)
+        p2 = ImportPipeline(spark, client, config)
+        assert p2.run() == []
+
+    def test_unfinished_dump_skipped(self, spark, env):
+        client, config = env(
+            [make_dump_json("d1", 1, "2024-01-01T00:00:00Z", finished=False)],
+            {},
+            {},
+        )
+        p = ImportPipeline(spark, client, config)
+        assert p.run() == []
+        assert p.ledger.status("d1") is None
+
+    def test_only_load_final(self, spark, env):
+        payloads = {
+            "u://d1/account_dim-00000-aaa.gz": gzip_tsv([[1, "a", "x"]]),
+            "u://d2/account_dim-00000-bbb.gz": gzip_tsv([[2, "b", "y"]]),
+        }
+        client, config = env(
+            [
+                make_dump_json("d1", 1, "2024-01-01T00:00:00Z"),
+                make_dump_json("d2", 2, "2024-01-02T00:00:00Z"),
+            ],
+            {
+                "d1": files_json("d1", {"account_dim": ["account_dim-00000-aaa.gz"]}),
+                "d2": files_json("d2", {"account_dim": ["account_dim-00000-bbb.gz"]}),
+            },
+            payloads,
+            only_load_final=True,
+        )
+        p = ImportPipeline(spark, client, config)
+        p.run()
+        assert p.ledger.status("d1") is None  # skipped by position
+        assert wh_rows(p, "account_dim") == [(2, "b", "y")]
+
+    def test_schema_version_change_forces_full_reload(self, spark, env):
+        payloads = {
+            "u://d1/account_dim-00000-aaa.gz": gzip_tsv([[1, "a", "x"], [2, "b", "y"]]),
+        }
+        client, config = env(
+            [make_dump_json("d1", 1, "2024-01-01T00:00:00Z")],
+            {"d1": files_json("d1", {"account_dim": ["account_dim-00000-aaa.gz"]})},
+            payloads,
+        )
+        # pretend a previous run processed an older schema version
+        ledger = ImportLedger(config.ledger_path)
+        ledger.set_last_version_processed("4.1.0")
+        p = ImportPipeline(spark, client, config)
+        p.run()
+        # full reload happened (overwrite path) and version advanced
+        assert wh_rows(p, "account_dim") == [(1, "a", "x"), (2, "b", "y")]
+        assert p.ledger.last_version_processed == "4.2.0"
+
+    def test_failure_marked_and_retryable(self, spark, env):
+        # payload missing -> download raises -> dump marked failure;
+        # failures are retried on the next run (main.rs:133 skips only
+        # successful/out-of-date)
+        client, config = env(
+            [make_dump_json("d1", 1, "2024-01-01T00:00:00Z")],
+            {"d1": files_json("d1", {"account_dim": ["account_dim-00000-aaa.gz"]})},
+            {},  # no payloads!
+        )
+        p = ImportPipeline(spark, client, config)
+        with pytest.raises(KeyError):
+            p.run()
+        assert p.ledger.status("d1") == FAILURE
+
+        # now provide the payload; rerun imports it
+        client2, _ = env(
+            [make_dump_json("d1", 1, "2024-01-01T00:00:00Z")],
+            {"d1": files_json("d1", {"account_dim": ["account_dim-00000-aaa.gz"]})},
+            {"u://d1/account_dim-00000-aaa.gz": gzip_tsv([[1, "a", "x"]])},
+        )
+        p2 = ImportPipeline(spark, client2, config)
+        results = p2.run()
+        assert [r.status for r in results] == ["successful"]
+        assert wh_rows(p2, "account_dim") == [(1, "a", "x")]
+
+
+class TestLedger:
+    def test_state_machine_persistence(self, tmp_path):
+        path = str(tmp_path / "l.jsonl")
+        led = ImportLedger(path)
+        led.mark_in_progress("d1", "v1")
+        led.mark_successful("d1", "v1")
+        led.mark_failure("d2", "v1")
+        led.set_last_version_processed("v1")
+        # replay from disk
+        led2 = ImportLedger(path)
+        assert led2.status("d1") == SUCCESSFUL
+        assert led2.status("d2") == FAILURE
+        assert led2.should_skip("d1") and not led2.should_skip("d2")
+        assert led2.last_version_processed == "v1"

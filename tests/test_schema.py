@@ -1,0 +1,147 @@
+"""Unit tests for the pure ported logic (SURVEY.md §5 item 1).
+
+Table-driven per the reference semantics:
+- type mapping        (reference src/type_converter.rs:13-66)
+- key inference       (reference src/importer.rs:148-186)
+- filename parse      (reference src/importer.rs:66-101)
+- historical detect   (reference src/api_client.rs:101-112)
+- volatile routing    (reference src/importer.rs:15-49)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from canvas_data_loader_spark.schema import (
+    CANVAS_TO_SPARK,
+    UnknownCanvasType,
+    canvas_type_to_spark,
+    infer_key_column,
+    is_historical_refresh,
+    is_volatile,
+    parse_shard_filename,
+    sanitize_identifier,
+)
+
+
+class TestTypeMap:
+    @pytest.mark.parametrize(
+        "canvas,spark_t",
+        [
+            ("bigint", T.LongType()),
+            ("boolean", T.BooleanType()),
+            ("double precision", T.DoubleType()),
+            ("enum", T.StringType()),
+            ("int", T.IntegerType()),
+            ("integer", T.IntegerType()),
+            ("text", T.StringType()),
+            ("timestamp", T.TimestampType()),
+            ("date", T.DateType()),
+            ("varchar", T.StringType()),
+            ("guid", T.StringType()),
+            ("datetime", T.TimestampType()),
+        ],
+    )
+    def test_known_types(self, canvas, spark_t):
+        assert canvas_type_to_spark(canvas) == spark_t
+
+    def test_case_insensitive(self):
+        assert canvas_type_to_spark("BigInt") == T.LongType()
+
+    def test_unknown_type_hard_error(self):
+        # matches reference: unknown types abort (type_converter.rs:62-64)
+        with pytest.raises(UnknownCanvasType):
+            canvas_type_to_spark("blob")
+
+    def test_universe_complete(self):
+        assert len(CANVAS_TO_SPARK) == 12
+
+
+class TestKeyInference:
+    def test_id_direct(self):
+        assert infer_key_column("account_dim", ["id", "name"]) == "id"
+
+    def test_single_strip(self):
+        # assignment_fact -> assignment_id (importer.rs:160-170)
+        assert (
+            infer_key_column("assignment_fact", ["assignment_id", "x"])
+            == "assignment_id"
+        )
+
+    def test_double_strip(self):
+        # assignment_group_fact -> assignment_id after two strips
+        assert (
+            infer_key_column("assignment_group_fact", ["assignment_id", "x"])
+            == "assignment_id"
+        )
+
+    def test_prefers_id(self):
+        assert infer_key_column("assignment_fact", ["id", "assignment_id"]) == "id"
+
+    def test_none_when_absent(self):
+        assert infer_key_column("requests", ["url", "ts"]) is None
+
+    def test_single_word_table(self):
+        assert infer_key_column("requests", ["requests_id"]) is None
+
+
+class TestFilenameRouting:
+    def test_standard(self):
+        s = parse_shard_filename("account_dim-00000-abc123.gz")
+        assert s is not None and s.table_name == "account_dim"
+        assert s.shard == "00000"
+
+    def test_with_path(self):
+        s = parse_shard_filename("/stage/d1/account_dim-00000-abc123.gz")
+        assert s is not None and s.table_name == "account_dim"
+
+    @pytest.mark.parametrize(
+        "bad", ["toofew-parts.gz", "a-b-c-d.gz", "noparts.gz", ""]
+    )
+    def test_reject_malformed(self, bad):
+        # exactly 3 '-'-separated parts or rejected (importer.rs:77-101)
+        assert parse_shard_filename(bad) is None
+
+
+class TestHistoricalRefresh:
+    def test_requests_only_dump(self):
+        assert is_historical_refresh({"requests": ["requests-00000-aaa.gz"]})
+
+    def test_mixed_dump(self):
+        assert not is_historical_refresh(
+            {
+                "requests": ["requests-00000-aaa.gz"],
+                "account_dim": ["account_dim-00000-bbb.gz"],
+            }
+        )
+
+    def test_empty_dump_not_historical(self):
+        assert not is_historical_refresh({})
+
+
+class TestVolatileRouting:
+    def test_known_volatile(self):
+        assert is_volatile("requests")
+        assert is_volatile("quiz_question_dim")
+        assert is_volatile("module_fact")
+
+    def test_non_volatile(self):
+        assert not is_volatile("account_dim")
+
+    def test_force_all(self):
+        # all_tables_volatile config (settings.rs:103-105)
+        assert is_volatile("account_dim", all_tables_volatile=True)
+
+
+class TestIdentifierSanitize:
+    def test_default_renamed_everywhere(self):
+        assert sanitize_identifier("default", "postgres") == "_default"
+        assert sanitize_identifier("default", "mysql") == "_default"
+
+    def test_generated_mysql_only(self):
+        assert sanitize_identifier("generated", "mysql") == "_generated"
+        assert sanitize_identifier("generated", "postgres") == "generated"
+
+    def test_normal_untouched(self):
+        assert sanitize_identifier("user_id", "postgres") == "user_id"
