@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs each headline query end-to-end (full materialization via the
+``noop`` sink so Catalyst can't prune away projections the way a bare
+count() would) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from canvas_data_loader_spark import queries as Q
+from canvas_data_loader_spark.session import get_spark
+
+# Representative mix: scan-agg, star join, semi join, windows, top-k,
+# dedup family, simsearch, text stats, sessionization, streaming.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q14_window_topk",
+    "q17_window_running",
+    "q30_exact_dedup",
+    "q32_simsearch_topk",
+    "q34_ngram_jaccard",
+    "q36_sessionize",
+    "q37_asof_join",
+    "q42_stream_tumbling",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("bench")
+
+    # JVM/codegen warmup on a trivial action so q01 isn't charged for it
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.SPARK[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
