@@ -1231,3 +1231,456 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
     return windowed_with_watermark(stream, "1 hour", "2 hours")
+
+
+# =====================================================================
+# Batch 2: statistical aggs, struct-max, explode, maps, unpivot,
+# correlated subqueries, date arithmetic, hashing, TPC-H classics
+# =====================================================================
+
+
+@query(
+    "q46_agg_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS price_std,
+           ROUND(VAR_SAMP(l_quantity), 4) AS qty_var,
+           ROUND(CORR(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           ROUND(COVAR_SAMP(l_extendedprice, l_discount), 4) AS price_disc_cov,
+           ROUND(MIN(l_extendedprice), 4) AS price_min,
+           ROUND(MAX(l_extendedprice), 4) AS price_max
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/corr/covar."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_std"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("price_disc_cov"),
+        F.round(F.min("l_extendedprice"), 4).alias("price_min"),
+        F.round(F.max("l_extendedprice"), 4).alias("price_max"),
+    )
+
+
+@query(
+    "q47_argmax",
+    """
+    SELECT o_orderstatus,
+           (MAX(ROW(o_totalprice, o_orderkey)))[2] AS top_orderkey,
+           (MAX(ROW(o_totalprice, o_orderkey)))[1] AS top_price,
+           (MIN(ROW(o_totalprice, o_orderkey)))[2] AS bottom_orderkey
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin per group via struct ordering (deterministic under
+    ties, unlike bare max_by)."""
+    o = load(spark, sf_dir, "orders")
+    pair = F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+    return o.groupBy("o_orderstatus").agg(
+        F.max(pair).getField("k").alias("top_orderkey"),
+        F.max(pair).getField("p").alias("top_price"),
+        F.min(pair).getField("k").alias("bottom_orderkey"),
+    )
+
+
+@query(
+    "q48_explode_pos",
+    """
+    SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+           ROUND(CAST(embedding[i] AS DOUBLE), 6) AS val
+    FROM embeddings, UNNEST(RANGE(1, LEN(embedding) + 1)) AS r(i)
+    WHERE vec_id < 10
+    """,
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode of an array column (vector unnesting)."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "__v")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("__v").cast("double"), 6).alias("val"),
+    )
+
+
+@query(
+    "q49_map_fns",
+    """
+    SELECT event_id,
+           'k' AS first_key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           1 AS n_keys
+    FROM events WHERE event_id < 500
+    """,
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: parse JSON to map, then map_keys/size/
+    element access (MapType round-trips through the engine)."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.map_keys(m).getItem(0).alias("first_key"),
+        m.getItem("k").alias("k_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@query(
+    "q50_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount' AS metric, l_discount AS val
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax' AS metric, l_tax AS val
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide->long) via stack()."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax)"
+        ).alias("metric", "val"),
+    )
+
+
+@query(
+    "q51_null_fns",
+    """
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_nonneg,
+           COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_filled,
+           (c_acctbal IS NULL) AS bal_is_null
+    FROM customer
+    """,
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: nullif/coalesce/conditional nulling."""
+    c = load(spark, sf_dir, "customer")
+    bal_nonneg = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(
+        F.col("c_acctbal")
+    )
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("seg_masked"),
+        bal_nonneg.alias("bal_nonneg"),
+        F.coalesce(bal_nonneg, F.lit(0.0)).alias("bal_filled"),
+        F.isnull("c_acctbal").alias("bal_is_null"),
+    )
+
+
+@query(
+    "q52_regexp_count",
+    """
+    SELECT doc_id,
+           LEN(REGEXP_EXTRACT_ALL(text, 'the')) AS n_the,
+           LEN(REGEXP_EXTRACT_ALL(text, '[0-9]+')) AS n_numbers,
+           CAST(REGEXP_MATCHES(text, 'spark') AS BOOLEAN) AS has_spark
+    FROM documents
+    """,
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex occurrence counting + boolean match."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("the")).cast("long").alias("n_the"),
+        F.regexp_count("text", F.lit("[0-9]+")).cast("long").alias("n_numbers"),
+        F.col("text").rlike("spark").alias("has_spark"),
+    )
+
+
+@query(
+    "q53_range_frame",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) OVER (
+                PARTITION BY o_orderstatus ORDER BY o_totalprice
+                RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum,
+           COUNT(*) OVER (
+                PARTITION BY o_orderstatus ORDER BY o_totalprice
+                RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS near_n
+    FROM orders
+    """,
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based sliding window). Decimal-summed
+    so frame accumulation order can't skew doubles."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("near_sum"),
+        F.count(F.lit(1)).over(w).alias("near_n"),
+    )
+
+
+@query(
+    "q54_scalar_subquery",
+    """
+    SELECT o_orderkey, o_totalprice,
+           (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_items
+    FROM orders o
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+    """,
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated + uncorrelated scalar subqueries (SQL surface;
+    Catalyst rewrites to joins)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_items
+        FROM orders o
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+        """
+    )
+
+
+@query(
+    "q55_date_arith",
+    """
+    SELECT event_id,
+           STRFTIME(CAST(ts AS DATE) + 7, '%Y-%m-%d') AS plus_week,
+           STRFTIME(CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE), '%Y-%m-%d') AS plus_2mo,
+           STRFTIME(LAST_DAY(CAST(ts AS DATE)), '%Y-%m-%d') AS month_end,
+           STRFTIME(CAST(DATE_TRUNC('month', ts) AS DATE), '%Y-%m-%d') AS month_start,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS epoch_sec
+    FROM events WHERE event_id < 200
+    """,
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: date_add / add_months / last_day / trunc / epoch."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    d = F.to_date("ts")
+    return e.select(
+        "event_id",
+        F.date_format(F.date_add(d, 7), "yyyy-MM-dd").alias("plus_week"),
+        F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("plus_2mo"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.trunc(d, "month"), "yyyy-MM-dd").alias("month_start"),
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("epoch_sec"),
+    )
+
+
+@query(
+    "q56_hash_fns",
+    """
+    SELECT p_partkey,
+           MD5(p_name) AS name_md5,
+           SHA256(p_brand) AS brand_sha256,
+           LENGTH(MD5(p_name)) AS md5_len
+    FROM part
+    """,
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash surface (engine-portable md5/sha256)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("name_md5"),
+        F.sha2("p_brand", 256).alias("brand_sha256"),
+        F.length(F.md5("p_name")).alias("md5_len"),
+    )
+
+
+@query(
+    "q57_first_last_window",
+    """
+    SELECT event_id, user_id,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+           NTH_VALUE(event_type, 2) OVER w AS second_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over full-partition frames."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )
+
+
+@query(
+    "q58_q10_returned_revenue",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue,
+           n_name
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q59_q13_custdist",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q60_q18_large_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY o_orderkey, o_custkey, o_totalprice
+    """,
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-quantity orders via HAVING-subquery
+    semi join."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 150)
+        .select(F.col("l_orderkey").alias("__big_key"))  # avoid self-join ambiguity
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(big, o.o_orderkey == big.__big_key, "left_semi")
+        .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+        .agg(dsum(F.col("l_quantity"), "total_qty"))
+    )
+
+
+@query(
+    "q61_q22_idle_customers",
+    """
+    SELECT SUBSTR(c_name, 10, 1) AS name_digit,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    GROUP BY SUBSTR(c_name, 10, 1)
+    """,
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no
+    finished orders (scalar subquery + anti join). The anti-join side
+    is filtered to status 'F' because the synthetic data gives every
+    customer at least one order — an unfiltered NOT EXISTS would be a
+    vacuous 0-row check."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("a"))
+        .collect()[0]["a"]
+    )
+    return (
+        c.filter(F.col("c_acctbal") > avg_bal)
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.substring("c_name", 10, 1).alias("name_digit"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum(F.col("c_acctbal"), "total_bal"),
+        )
+    )
+
+
+# Approximate sketches: engine-specific estimators never hash-match
+# across engines, so these register rows-only (the pytest suite bounds
+# their error against exact counts instead).
+@query("q62_approx_sketches")
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) + approx percentile sketches."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@query("q63_lsh_simsearch")
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via random-hyperplane LSH (the
+    scale path for q32; rows-only — recall bounded in pytest)."""
+    e = load(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 5)
+    return S.lsh_topk(e, queries_df, k=10, n_planes=6)
