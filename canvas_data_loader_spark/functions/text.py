@@ -27,19 +27,36 @@ def token_count(c: Column | str) -> Column:
     )
 
 
-def word_shingles(c: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as array<string> (for Jaccard / MinHash).
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokens of the normalized text, as array<string>."""
+    return F.split(normalize_text(c), " ")
 
-    Built with transform over a token slice — pure Catalyst, no UDF.
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a token-array column.
+
+    ``toks`` should be a *materialized attribute* (project `tokens()`
+    into a named column first), not an inline `split(...)` expression:
+    a higher-order-function lambda re-evaluates its free subexpressions
+    per array element, so an inline split+regexp_replace turns into
+    O(tokens²) regex work per row (measured 6.5× slower at sf0.1).
     Returns an empty array when there are fewer than ``n`` tokens.
     """
-    c = F.col(c) if isinstance(c, str) else c
-    toks = F.split(normalize_text(c), " ")
     n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     return F.transform(
         F.sequence(F.lit(1), n_sh),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (for Jaccard / MinHash).
+
+    Convenience single-expression form. In anything performance
+    sensitive prefer `tokens()` in its own projection followed by
+    `shingles_from_tokens` (see that docstring for why).
+    """
+    return shingles_from_tokens(tokens(c), n)
 
 
 def fingerprint(c: Column | str) -> Column:

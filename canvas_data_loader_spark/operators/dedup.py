@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, normalize_text, word_shingles
+from ..functions.text import (
+    fingerprint,
+    normalize_text,
+    shingles_from_tokens,
+    tokens,
+    word_shingles,
+)
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -60,8 +66,11 @@ def shingle_table(
 ) -> DataFrame:
     """Distinct (id, shingle) pairs; optionally drop shingles appearing
     in more than ``max_df`` docs (skew + signal control)."""
+    # Tokenize in its own projection so the shingle lambda slices a
+    # materialized array instead of re-running split+regexp per element.
+    toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("__t"))
     sh = (
-        df.select(F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("s"))
+        toks.select("doc", F.explode(shingles_from_tokens(F.col("__t"), n)).alias("s"))
         .distinct()
     )
     if max_df is not None:
@@ -119,18 +128,25 @@ def minhash_signatures(
     """MinHash signature per doc: sig[i] = min over shingles of
     md5(i || '|' || shingle). String-min over hex digests is a valid
     uniform min-hash and is engine-portable. Output: (doc, sig:array)."""
-    shingles = word_shingles(text_col, shingle_n)
+    # Two-stage projection: materialize the shingle array once, then
+    # hash it num_hashes times. Inlining word_shingles() here would
+    # re-tokenize the document once per hash seed (16× the regex work).
+    shingled = df.select(
+        F.col(id_col).alias("doc"),
+        shingles_from_tokens(tokens(text_col), shingle_n).alias("__sh"),
+    )
+    sh = F.col("__sh")
     sig = F.transform(
         F.sequence(F.lit(1), F.lit(num_hashes)),
         lambda i: F.array_min(
             F.transform(
-                shingles, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s))
+                sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s))
             )
         ),
     )
-    return df.select(
-        F.col(id_col).alias("doc"),
-        F.when(F.size(shingles) > 0, sig).alias("sig"),
+    return shingled.select(
+        "doc",
+        F.when(F.size(sh) > 0, sig).alias("sig"),
     )
 
 
