@@ -33,18 +33,22 @@ from pyspark.sql import functions as F
 def dedup_latest(
     df: DataFrame,
     key: str | list[str],
-    order_col: str,
+    order_col: str | list[str],
     ascending: bool = False,
 ) -> DataFrame:
     """Keep one row per key: the latest by ``order_col``.
 
     This is the reference's sequential-overwrite semantics (last writer
     wins, src/importer.rs:345-390) expressed as a window. One shuffle
-    on the key; AQE handles skew.
+    on the key; AQE handles skew. Pass several order columns (e.g. a
+    timestamp plus a unique tiebreaker) to make ties deterministic.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    ordering = F.col(order_col).asc() if ascending else F.col(order_col).desc()
-    w = Window.partitionBy(*keys).orderBy(ordering)
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    ordering = [
+        F.col(c).asc() if ascending else F.col(c).desc() for c in order_cols
+    ]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -13,6 +13,12 @@ Two strategies:
   candidates are scored. Turns the cross product into an equi-join on
   bucket — the scale path when queries are many.
 
+- ``ivf_topk``: inverted-file (IVF) index. A small deterministic set
+  of coarse centroids partitions the corpus into cells; each query
+  scores only the ``n_probe`` nearest cells. The cell assignment is
+  the precomputable/bucketable artifact at scale (write the corpus
+  partitioned by ``cell``); probing is an equi-join on cell.
+
 All math is JVM-side (zip_with/aggregate in double) — deterministic,
 codegen'd, oracle-comparable. Hyperplanes are generated from a seeded
 RNG on the driver and inlined as literals (no closure capture).
@@ -65,6 +71,107 @@ def brute_force_topk(
             F.when(denom == 0, F.lit(None))
             .otherwise(dot(F.col("__qv"), F.col("__cv")) / denom)
             .alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its max-cosine coarse centroid.
+
+    centroids: (cell:int, cvec:array<float>) — small, broadcast. The
+    argmax is a struct-max aggregation (one map-side-combinable
+    shuffle), never a window. Output: (out_id, vec_col, cell).
+    """
+    scored = df.select(
+        F.col(id_col).alias(out_id), F.col(vec_col).alias(vec_col)
+    ).crossJoin(F.broadcast(centroids)).select(
+        out_id,
+        vec_col,
+        F.col("cell"),
+        cosine(F.col(vec_col), F.col("cvec")).alias("__sim"),
+    )
+    best = (
+        scored.groupBy(out_id)
+        .agg(F.max(F.struct(F.col("__sim"), (-F.col("cell")).alias("__nc"))).alias("__m"))
+        .select(out_id, (-F.col("__m.__nc")).cast("int").alias("cell"))
+    )
+    return df.select(
+        F.col(id_col).alias(out_id), F.col(vec_col).alias(vec_col)
+    ).join(best, on=out_id)
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an inverted-file (IVF) coarse index.
+
+    Centroids are the first ``n_cells`` candidate vectors by id —
+    deterministic (no RNG, reproducible across runs/engines); a
+    production build would k-means-refine them, which changes recall
+    but not the dataflow. Corpus vectors are assigned to their nearest
+    centroid cell; each query probes its ``n_probe`` nearest cells and
+    brute-forces only those. Both joins are equi-joins on ``cell``; at
+    scale the assignment is precomputed and the corpus is written
+    partitioned by cell, so a probe reads n_probe/n_cells of the data.
+    Output: (query_id, neighbor_id, sim, rank).
+    """
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("cell").asc()
+    )
+    centroids = (
+        candidates.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col(id_col).asc()))
+            .cast("int")
+            .alias("cell"),
+            F.col(vec_col).alias("cvec"),
+        )
+    )
+    assigned = assign_cells(candidates, centroids, id_col, vec_col, "neighbor_id")
+
+    # Each query's n_probe nearest cells (tiny: |queries| x n_cells).
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "__qv",
+            "cell",
+            cosine(F.col("__qv"), F.col("cvec")).alias("__sim"),
+        )
+        .withColumn("__pr", F.row_number().over(w_probe))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "__qv", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col(vec_col)).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

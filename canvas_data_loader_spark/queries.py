@@ -1684,3 +1684,171 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     queries_df = e.filter(F.col("vec_id") < 5)
     return S.lsh_topk(e, queries_df, k=10, n_planes=6)
+
+
+# =====================================================================
+# Batch 3: keyed merge (the reference's core semantics), simhash,
+# embedding near-dup, IVF ANN, skew-salted join
+# =====================================================================
+
+
+@query(
+    "q64_keyed_merge",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10000.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    """,
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed last-writer-wins upsert (ref importer.rs:345-390 done
+    set-oriented): an incoming batch of re-priced orders replaces the
+    old rows by key; untouched keys survive. The oracle is the
+    algebraic end-state (CASE over the key predicate)."""
+    from .operators.merge import merge_upsert
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    batch = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 10000.0
+    )
+    return merge_upsert(o, batch, "o_orderkey")
+
+
+@query(
+    "q65_latest_by_key",
+    """
+    SELECT user_id, event_id, event_type,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM (
+        SELECT user_id, event_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed latest-row dedup (ref A19/A20 Spark-natively): newest
+    event per user, event_id as deterministic tiebreaker."""
+    from .operators.merge import dedup_latest
+
+    e = load(spark, sf_dir, "events")
+    return dedup_latest(e, "user_id", ["ts", "event_id"]).select(
+        "user_id", "event_id", "event_type", ts_str("ts").alias("ts_s")
+    )
+
+
+@query(
+    "q66_simhash",
+    f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ')) AS t
+        FROM documents
+    ), votes AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN STRPOS('13579bdf', SUBSTR(MD5(t), b + 1, 1)) > 0
+                        THEN 1 ELSE -1 END) AS v
+        FROM toks CROSS JOIN UNNEST(RANGE(0, 16)) AS r(b)
+        GROUP BY doc_id, b
+    )
+    SELECT doc_id AS doc,
+           CAST(SUM(CASE WHEN v > 0 THEN POWER(2, b) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints (16-bit, md5-parity votes) — the
+    hamming-distance near-dup family."""
+    d = load(spark, sf_dir, "documents")
+    return D.simhash(d, "text", "doc_id", bits=16)
+
+
+@query(
+    "q67_embedding_neardup",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim_r
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.35
+    """,
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.35). The
+    brute-force all-pairs baseline; q63/q68 are its bucketed scale
+    paths. Norms precomputed once per side, pairs pruned by id order
+    so each unordered pair is scored once."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("__va"),
+        norm(F.col("embedding")).alias("__na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("__vb"),
+        norm(F.col("embedding")).alias("__nb"),
+    )
+    from .functions.vector import dot as vdot
+
+    sim = vdot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.35)
+        .select("vec_a", "vec_b", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+@query("q68_ivf_simsearch")
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via IVF coarse cells (rows-only —
+    recall vs q32's exact top-k is bounded in pytest)."""
+    e = load(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(e, queries_df, k=10, n_cells=16, n_probe=4)
+
+
+@query(
+    "q69_salted_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           f.n_flag AS flag_total
+    FROM lineitem l
+      JOIN (SELECT l_returnflag, COUNT(*) AS n_flag
+            FROM lineitem GROUP BY l_returnflag) f
+        ON l.l_returnflag = f.l_returnflag
+    """,
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join: lineitem joined to a per-flag rollup on
+    l_returnflag (3 distinct values — maximal skew). salted_join
+    scatters each hot key over 8 shuffle partitions; the result is
+    row-identical to the plain join, which is exactly what the oracle
+    checks."""
+    from .operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem")
+    flag_counts = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_flag")
+    )
+    return salted_join(
+        li.select("l_orderkey", "l_linenumber", "l_returnflag"),
+        flag_counts,
+        key="l_returnflag",
+        scatter_col="l_orderkey",
+        salt=8,
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("n_flag").alias("flag_total"),
+    )

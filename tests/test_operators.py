@@ -158,3 +158,83 @@ class TestMultimodal:
         # ascii corpus: utf-8 byte length == char count
         assert joined.filter(F.col("n_bytes") != F.col("n_chars")).count() == 0
         assert feats.filter(F.col("first_byte").isNull()).count() == 0
+
+
+class TestIvf:
+    def test_ivf_recall_against_exact(self, embs):
+        """IVF with 4-of-16 probes recalls a meaningful share of the
+        exact top-k (random vectors are a worst case for ANN)."""
+        q = embs.filter(F.col("vec_id") < 3)
+        exact = S.brute_force_topk(embs, q, k=5).collect()
+        approx = S.ivf_topk(embs, q, k=5, n_cells=16, n_probe=4).collect()
+        exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+        approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+        assert len(approx_set) == 15  # k results per query
+        assert len(exact_set & approx_set) >= 3
+
+    def test_ivf_full_probe_equals_exact(self, embs):
+        """Probing every cell must reproduce the exact top-k."""
+        q = embs.filter(F.col("vec_id") < 3)
+        exact = S.brute_force_topk(embs, q, k=5).collect()
+        full = S.ivf_topk(embs, q, k=5, n_cells=8, n_probe=8).collect()
+        assert {(r.query_id, r.neighbor_id) for r in exact} == {
+            (r.query_id, r.neighbor_id) for r in full
+        }
+
+
+class TestSkew:
+    def test_salted_join_identical_to_plain(self, spark):
+        from canvas_data_loader_spark.operators.skew import salted_join
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_returnflag"
+        )
+        dim = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+        plain = li.join(dim, "l_returnflag")
+        salted = salted_join(li, dim, "l_returnflag", scatter_col="l_orderkey", salt=4)
+        assert plain.exceptAll(salted.select(plain.columns)).count() == 0
+        assert salted.select(plain.columns).exceptAll(plain).count() == 0
+
+    def test_salted_left_join_preserves_unmatched(self, spark):
+        from canvas_data_loader_spark.operators.skew import salted_join
+
+        left = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], ["id", "k"]
+        )
+        right = spark.createDataFrame([("a", 10)], ["k", "v"])
+        out = salted_join(left, right, "k", scatter_col="id", salt=4, how="left")
+        rows = {r.id: r.v for r in out.collect()}
+        assert rows == {1: 10, 2: None, 3: None}
+
+    def test_salted_agg_matches_direct(self, spark):
+        from canvas_data_loader_spark.operators.skew import salted_agg_sum
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        direct = {
+            r.l_returnflag: r.s
+            for r in li.groupBy("l_returnflag")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(27,4)")).cast("double").alias("s"))
+            .collect()
+        }
+        salted = {
+            r.l_returnflag: r.sum_value
+            for r in salted_agg_sum(
+                li, "l_returnflag", "l_quantity", scatter_col="l_orderkey"
+            ).collect()
+        }
+        assert direct == salted
+
+
+class TestMergeMultiOrder:
+    def test_dedup_latest_tiebreaker(self, spark):
+        from canvas_data_loader_spark.operators.merge import dedup_latest
+
+        df = spark.createDataFrame(
+            [(1, 10, "x"), (1, 10, "y"), (1, 9, "z"), (2, 5, "w")],
+            ["k", "ts", "payload"],
+        )
+        out = {
+            r.k: r.payload
+            for r in dedup_latest(df, "k", ["ts", "payload"]).collect()
+        }
+        assert out == {1: "y", 2: "w"}
