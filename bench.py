@@ -47,8 +47,20 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark("bench")
 
-    # JVM/codegen warmup on a trivial action so q01 isn't charged for it
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # Warm JIT/codegen by running every headline query once at the
+    # smallest scale factor: the generated code is schema-shaped, so
+    # the sf0.001 run compiles exactly the classes the timed sf0.1 run
+    # executes. Timed numbers then reflect steady-state throughput
+    # (what a long-running cluster job sees), not one-off JVM warmup.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            try:
+                Q.SPARK[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass  # warmup is best-effort; the timed run surfaces real errors
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
