@@ -1852,3 +1852,14 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.col("n_flag").alias("flag_total"),
     )
+
+
+@query("q70_stateful_sessions")
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user gap-based session accounting. Rows-only — single-batch
+    equivalence to the batch sessionizer is proven in pytest."""
+    from .streaming.events import read_events_stream, stateful_user_sessions
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return stateful_user_sessions(stream, gap_minutes=30)

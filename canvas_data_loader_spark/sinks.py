@@ -1,0 +1,103 @@
+"""Relational sinks: JDBC mirror and partitioned parquet.
+
+The reference writes to Postgres/MySQL one SQL statement per row with
+string-concatenated, quote-stripped values (src/db_client.rs:216,276 —
+a data-corrupting sanitizer we deliberately do NOT replicate). The
+Spark-native sink is batched, parameterized `df.write.jdbc`:
+
+- append          = A18 insert path
+- overwrite       = A16+A15 drop/recreate ("volatile" tables)
+- keyed upsert    = compose operators/merge.py::merge_upsert in the
+                    warehouse, then overwrite the mirror; server-side
+                    MERGE needs a staging table + SQL, out of scope
+                    for a portable engine core.
+
+Reserved-identifier mangling (A14, src/db_client.rs:160,256,350-356,
+453-457): the reference renames columns *containing* "default" ->
+"_default" on both backends and "generated" -> "_generated" on MySQL
+only; applied at the sink boundary so warehouse column names stay
+faithful to the source schema.
+
+No database ships in this environment, so `write_jdbc` is exercised in
+tests only down to the option-building boundary; the rename logic is
+fully unit-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def sanitize_identifiers(
+    df: DataFrame, dialect: str = "postgres"
+) -> tuple[DataFrame, dict[str, str]]:
+    """Apply the reference's reserved-word renames for a JDBC dialect.
+
+    Returns (renamed_df, {old: new}). Matches the reference's
+    substring-containment rule, not exact equality (db_client.rs:160:
+    ``if key.contains("default")``).
+    """
+    renames: dict[str, str] = {}
+    for name in df.columns:
+        new = name
+        if "default" in name.lower():
+            new = f"_{name}"
+        elif dialect == "mysql" and "generated" in name.lower():
+            new = f"_{name}"
+        if new != name:
+            renames[name] = new
+    out = df
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out, renames
+
+
+def jdbc_writer_options(
+    num_partitions: int = 8, batch_size: int = 10_000
+) -> dict[str, str]:
+    """Writer options replacing the reference's r2d2 pool + per-row
+    statements (db_client.rs:88-94): N parallel connections, batched
+    inserts."""
+    return {
+        "numPartitions": str(num_partitions),
+        "batchsize": str(batch_size),
+        "isolationLevel": "READ_COMMITTED",
+    }
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    dialect: str = "postgres",
+    properties: dict[str, str] | None = None,
+    num_partitions: int = 8,
+    batch_size: int = 10_000,
+) -> dict[str, str]:
+    """Batched JDBC write with dialect renames. Returns the applied
+    column renames (for round-trip mapping)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    renamed, renames = sanitize_identifiers(df, dialect)
+    props = dict(jdbc_writer_options(num_partitions, batch_size))
+    props.update(properties or {})
+    renamed.write.jdbc(url=url, table=table, mode=mode, properties=props)
+    return renames
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Hive-partitioned parquet sink — the warehouse layout that makes
+    partition pruning work for downstream readers. Cap file size via
+    maxRecordsPerFile rather than coalesce (keeps write parallelism)."""
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    writer = df.write.mode(mode).partitionBy(*cols)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)

@@ -137,3 +137,62 @@ def streaming_dedup_counts(
     deduped = stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     return _run_to_memory(agg, "complete") if run else agg
+
+
+def stateful_user_sessions(
+    stream: DataFrame, gap_minutes: int = 30, run: bool = True
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    session accounting with an arbitrary-gap rule that windowed aggs
+    can't express (a session ends only when ``gap_minutes`` pass with
+    no activity — unbounded session length).
+
+    State per user: (n_events, n_sessions, last_ts_us). Each trigger
+    merges the user's new micro-batch (sorted by ts, event_id) into the
+    running counts and emits one summary row in update mode. Grouping
+    shuffles by user_id once; state lives in the state store, sized by
+    #distinct users, not #events — the correct shape at 100 TB.
+
+    Streaming analog of q36's batch sessionization (ref has no
+    counterpart; cf. SURVEY.md §2 Tier B streaming rows).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    out_schema = (
+        "user_id bigint, n_events bigint, n_sessions bigint, last_ts_us bigint"
+    )
+    state_schema = "n_events bigint, n_sessions bigint, last_ts_us bigint"
+
+    def update(key, pdf_iter, state: GroupState):
+        n_events, n_sessions, last_ts = (
+            state.get if state.exists else (0, 0, None)
+        )
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for ts in rows["ts"]:
+            ts_us = int(ts.value // 1_000)  # pandas Timestamp ns -> us
+            if last_ts is None or ts_us - last_ts > gap_us:
+                n_sessions += 1
+            n_events += 1
+            last_ts = ts_us
+        state.update((int(n_events), int(n_sessions), int(last_ts)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_events],
+                "n_sessions": [n_sessions],
+                "last_ts_us": [last_ts],
+            }
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "update") if run else out

@@ -5,6 +5,8 @@ from __future__ import annotations
 import gzip
 import os
 
+from pyspark.sql import functions as F
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -136,3 +138,53 @@ class TestAuthHeader:
     def test_gzip_tsv_wire_format(self):
         raw = gzip.decompress(gzip_tsv([[1, None, "x"]])).decode()
         assert raw == "1\t\\N\tx\n"
+
+
+class TestSinks:
+    def test_sanitize_identifiers_postgres(self, spark):
+        from canvas_data_loader_spark.sinks import sanitize_identifiers
+
+        df = spark.createDataFrame(
+            [(1, 2, 3)], ["id", "account_default_grade", "generated_at"]
+        )
+        out, renames = sanitize_identifiers(df, "postgres")
+        assert renames == {"account_default_grade": "_account_default_grade"}
+        assert out.columns == ["id", "_account_default_grade", "generated_at"]
+
+    def test_sanitize_identifiers_mysql(self, spark):
+        from canvas_data_loader_spark.sinks import sanitize_identifiers
+
+        df = spark.createDataFrame(
+            [(1, 2, 3)], ["id", "account_default_grade", "generated_at"]
+        )
+        out, renames = sanitize_identifiers(df, "mysql")
+        assert renames == {
+            "account_default_grade": "_account_default_grade",
+            "generated_at": "_generated_at",
+        }
+
+    def test_partitioned_parquet_roundtrip(self, spark, tmp_path):
+        from canvas_data_loader_spark.sinks import write_partitioned_parquet
+
+        df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        out = str(tmp_path / "orders_part")
+        write_partitioned_parquet(df, out, "o_orderstatus")
+        back = spark.read.parquet(out)
+        assert back.count() == df.count()
+        # partition pruning: a status filter must prune to one partition dir
+        plan = (
+            back.filter(F.col("o_orderstatus") == "F")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+    def test_write_jdbc_rejects_bad_mode(self, spark):
+        import pytest as _pytest
+
+        from canvas_data_loader_spark.sinks import write_jdbc
+
+        df = spark.createDataFrame([(1,)], ["id"])
+        with _pytest.raises(ValueError):
+            write_jdbc(df, "jdbc:postgresql://x/y", "t", mode="merge")

@@ -238,3 +238,49 @@ class TestMergeMultiOrder:
             for r in dedup_latest(df, "k", ["ts", "payload"]).collect()
         }
         assert out == {1: "y", 2: "w"}
+
+
+class TestStatefulSessions:
+    def test_single_batch_matches_batch_sessionize(self, spark):
+        """With the whole file in one micro-batch, the stateful
+        operator's session counts must equal the batch gap-rule
+        computation."""
+        from canvas_data_loader_spark.queries import load_events
+        from canvas_data_loader_spark.streaming.events import (
+            read_events_stream,
+            stateful_user_sessions,
+        )
+        from pyspark.sql import Window
+
+        out = {
+            r.user_id: (r.n_events, r.n_sessions)
+            for r in stateful_user_sessions(
+                read_events_stream(spark, f"{SF}/events.parquet"), 30
+            ).collect()
+        }
+
+        e = load_events(spark, SF)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        batch = (
+            e.withColumn("prev_ts", F.lag("ts").over(w))
+            .withColumn(
+                "new_sess",
+                (
+                    F.col("prev_ts").isNull()
+                    | (
+                        F.col("ts").cast("double")
+                        - F.col("prev_ts").cast("double")
+                        > 1800
+                    )
+                ).cast("int"),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("new_sess").alias("n_sessions"),
+            )
+        )
+        expected = {
+            r.user_id: (r.n_events, r.n_sessions) for r in batch.collect()
+        }
+        assert out == expected
