@@ -102,3 +102,81 @@ def extract_features(media: DataFrame, rows_per_batch: int = 1024) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224, rows_per_batch: int = 256
+) -> DataFrame:
+    """Image-resize pass: mapInPandas over binary payloads.
+
+    The resize itself is stubbed deterministically (payload truncated
+    to width*height bytes, dimensions echoed) — a real build swaps in
+    PIL/libvips inside the batch function. Batches are re-chunked to
+    ``rows_per_batch`` rows so a batch of decoded images bounds Arrow
+    memory regardless of upstream partition sizes — the contract that
+    matters at scale, where one parquet row group can hold thousands
+    of multi-MB payloads.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for start in range(0, len(pdf), rows_per_batch):
+                chunk = pdf.iloc[start : start + rows_per_batch]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"],
+                        "payload": chunk["payload"].map(
+                            lambda b: bytes(b[: width * height])
+                            if b is not None
+                            else None
+                        ),
+                        "width": width,
+                        "height": height,
+                    }
+                )
+
+    return media.select("media_id", "payload").mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
+) -> DataFrame:
+    """Video frame-sampling pass: one input row fans out to N frame
+    rows (explode-shaped mapInPandas). The 'frame' is a deterministic
+    byte slice standing in for an ffmpeg keyframe grab; the fan-out
+    schema (media_id, frame_no, frame) and batch amplification are the
+    real contract — downstream per-frame ops join/aggregate on
+    (media_id, frame_no)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nos, frames = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                if b is None:
+                    continue
+                for i in range(min(max_frames, max(1, len(b) // every_n_bytes))):
+                    ids.append(mid)
+                    nos.append(i)
+                    frames.append(bytes(b[i * every_n_bytes : (i + 1) * every_n_bytes]))
+            yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
+
+    return media.select("media_id", "payload").mapInPandas(batches, FRAME_SCHEMA)

@@ -1863,3 +1863,84 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
     return stateful_user_sessions(stream, gap_minutes=30)
+
+
+@query(
+    "q71_rank_distributions",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST() OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist distribution windows."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "q72_stream_session_window",
+    """
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - COALESCE(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+                    >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+        FROM events
+    ), s AS (
+        SELECT user_id, ts,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           STRFTIME(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS win_end,
+           COUNT(*) AS n
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (merging-window state) — oracle is the
+    SQL gaps-and-islands rewrite; >= matches Spark's end-exclusive
+    session boundary."""
+    from .streaming.events import read_events_stream, session_window_counts
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return session_window_counts(stream, "30 minutes")
+
+
+@query(
+    "q73_frame_sample",
+    """
+    SELECT doc_id AS media_id, i AS frame_no,
+           MD5(SUBSTRING(text, i * 32 + 1, 32)) AS frame_md5,
+           CAST(OCTET_LENGTH(ENCODE(SUBSTRING(text, i * 32 + 1, 32))) AS BIGINT) AS frame_len
+    FROM documents,
+         UNNEST(RANGE(0, LEAST(4, GREATEST(1, LENGTH(text) // 32)))) AS r(i)
+    """,
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: one media row fans out to N frame
+    rows via mapInPandas; frames are deterministic byte slices, so the
+    oracle reproduces them with varchar slicing (corpus is ASCII) and
+    md5-compares the bytes."""
+    from .operators.multimodal import sample_frames, to_media_table
+
+    d = load(spark, sf_dir, "documents")
+    media = to_media_table(d, "doc_id", "text", "source")
+    frames = sample_frames(media, every_n_bytes=32, max_frames=4)
+    return frames.select(
+        "media_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.md5("frame").alias("frame_md5"),
+        F.octet_length("frame").cast("long").alias("frame_len"),
+    )

@@ -196,3 +196,30 @@ def stateful_user_sessions(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(out, "update") if run else out
+
+
+def session_window_counts(
+    stream: DataFrame, gap: str = "30 minutes", run: bool = True
+) -> DataFrame:
+    """Built-in session windows (merging-window state) per user: the
+    declarative counterpart of ``stateful_user_sessions`` — use this
+    when the per-session output (start/end/count) is what you need;
+    use the applyInPandasWithState variant when the per-user rollup
+    must carry custom state across sessions.
+
+    Complete-mode output on a finite source equals the batch
+    ``groupBy(session_window(...))`` — oracle-checkable via the SQL
+    gaps-and-islands rewrite (session end = last event + gap,
+    end-exclusive)."""
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("win_end"),
+            "n",
+        )
+    )
+    return _run_to_memory(agg, "complete") if run else agg

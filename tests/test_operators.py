@@ -284,3 +284,33 @@ class TestStatefulSessions:
             r.user_id: (r.n_events, r.n_sessions) for r in batch.collect()
         }
         assert out == expected
+
+
+class TestMultimodalPasses:
+    def test_resize_shapes_and_determinism(self, spark, docs):
+        from canvas_data_loader_spark.operators.multimodal import (
+            resize_images,
+            to_media_table,
+        )
+
+        media = to_media_table(docs, "doc_id", "text", "source")
+        out = resize_images(media, width=8, height=4, rows_per_batch=64)
+        rows = out.orderBy("media_id").limit(5).collect()
+        assert all(r.width == 8 and r.height == 4 for r in rows)
+        assert all(len(r.payload) <= 32 for r in rows)
+        again = resize_images(media, width=8, height=4).orderBy("media_id").limit(5).collect()
+        assert [bytes(r.payload) for r in rows] == [bytes(r.payload) for r in again]
+
+    def test_frame_sampling_fanout(self, spark, docs):
+        from canvas_data_loader_spark.operators.multimodal import (
+            sample_frames,
+            to_media_table,
+        )
+
+        media = to_media_table(docs, "doc_id", "text", "source")
+        frames = sample_frames(media, every_n_bytes=32, max_frames=4)
+        per_doc = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n"))
+        assert per_doc.filter(F.col("n") > 4).count() == 0
+        assert frames.count() >= media.count()  # >=1 frame per non-null doc
+        # frame_no dense from 0
+        assert frames.filter(F.col("frame_no") == 0).count() == media.count()
