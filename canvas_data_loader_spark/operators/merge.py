@@ -17,8 +17,9 @@ Scale notes (100 TB design point):
 - An anti-join merge rewrites the whole table per batch. At scale,
   partition the warehouse table by a stable bucket of the key
   (``pmod(hash(key), N)``) and rewrite only partitions containing
-  incoming keys — implemented in ``plans/pipeline.py`` via dynamic
-  partition overwrite.
+  incoming keys — implemented here: ``write_bucketed`` +
+  ``merge_upsert_bucketed`` (partition pruning on read, dynamic
+  partition overwrite on write).
 - Duplicate keys *within* a batch resolve deterministically to the
   last row by ingest order (window dedup), matching the reference's
   sequential overwrite outcome within a file.
@@ -89,3 +90,61 @@ def merge_upsert_large_batch(
     keys = [key] if isinstance(key, str) else list(key)
     survivors = old.join(new.select(*keys).distinct(), on=keys, how="left_anti")
     return survivors.unionByName(new.select(old.columns))
+
+
+BUCKET_COL = "__kb"
+
+
+def bucket_of(key_col, n_buckets: int):
+    """Stable key bucket: pmod(xxhash64(key), n). Deterministic across
+    runs/sessions, so a table written partitioned by it is mergeable
+    forever after."""
+    return F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
+
+
+def write_bucketed(df: DataFrame, path: str, key: str, n_buckets: int) -> None:
+    """Write a warehouse table Hive-partitioned by the key's bucket —
+    the layout that makes `merge_upsert_bucketed` rewrite only
+    affected partitions instead of the whole table."""
+    df.withColumn(BUCKET_COL, bucket_of(F.col(key), n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy(BUCKET_COL).parquet(path)
+
+
+def merge_upsert_bucketed(
+    spark,
+    path: str,
+    new: DataFrame,
+    key: str,
+    n_buckets: int,
+    order_col: str | None = None,
+) -> list[int]:
+    """Partition-pruned keyed upsert into a bucket-partitioned table.
+
+    At 100 TB a whole-table anti-join merge rewrites everything per
+    batch; this rewrites only the buckets the incoming keys hash to:
+
+      1. buckets = distinct pmod(xxhash64(key), N) of the batch
+         (driver-side list, at most N integers);
+      2. read ONLY those partitions (partition pruning on the filter —
+         a batch touching b of N buckets scans b/N of the table);
+      3. anti-join merge within them;
+      4. dynamic partition overwrite replaces just those directories.
+
+    Equivalent to Delta/Iceberg MERGE with bucket clustering, built
+    from plain parquet + a deterministic layout. Returns the affected
+    bucket ids (for observability/testing).
+    """
+    new_b = new.withColumn(BUCKET_COL, bucket_of(F.col(key), n_buckets))
+    if order_col is not None:
+        new_b = dedup_latest(new_b, key, order_col)
+    affected = sorted(
+        r[BUCKET_COL] for r in new_b.select(BUCKET_COL).distinct().collect()
+    )
+    old = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(affected))
+    merged = old.join(
+        F.broadcast(new_b.select(key).distinct()), on=key, how="left_anti"
+    ).unionByName(new_b.select(old.columns))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+    return affected

@@ -67,3 +67,73 @@ class TestMergeUpsert:
         b = merge_upsert_large_batch(old, new, "id")
         assert rows(a) == rows(b)
         assert a.count() == 75
+
+
+class TestBucketedMerge:
+    def test_end_state_and_partition_pruning(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from canvas_data_loader_spark.operators.merge import (
+            BUCKET_COL,
+            merge_upsert_bucketed,
+            write_bucketed,
+        )
+
+        path = str(tmp_path / "orders_bucketed")
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        write_bucketed(o, path, "o_orderkey", n_buckets=8)
+
+        batch = (
+            o.filter(F.col("o_orderkey") % 500 == 0)  # 3 keys -> <=3 of 8 buckets
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        )
+        # snapshot untouched-partition files before the merge
+        def part_files(p):
+            out = {}
+            for d in os.listdir(p):
+                if d.startswith(BUCKET_COL):
+                    out[d] = sorted(os.listdir(os.path.join(p, d)))
+            return out
+
+        before = part_files(path)
+        affected = merge_upsert_bucketed(spark, path, batch, "o_orderkey", 8)
+        after = part_files(path)
+        untouched = [d for d in before if int(d.split("=")[1]) not in affected]
+        assert untouched, "expected some unaffected buckets"
+        for d in untouched:
+            assert before[d] == after[d], f"unaffected partition {d} was rewritten"
+
+        # end state == plain merge
+        got = {
+            r.o_orderkey: r.o_totalprice
+            for r in spark.read.parquet(path).select("o_orderkey", "o_totalprice").collect()
+        }
+        expected = {
+            r.o_orderkey: (r.o_totalprice + 1.0 if r.o_orderkey % 500 == 0 else r.o_totalprice)
+            for r in o.collect()
+        }
+        assert got == expected
+
+    def test_merge_idempotent(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from canvas_data_loader_spark.operators.merge import (
+            merge_upsert_bucketed,
+            write_bucketed,
+        )
+
+        path = str(tmp_path / "t")
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+        write_bucketed(o, path, "o_orderkey", 4)
+        batch = o.limit(20).withColumn("o_totalprice", F.lit(0.0))
+        merge_upsert_bucketed(spark, path, batch, "o_orderkey", 4)
+        first = sorted(tuple(r) for r in spark.read.parquet(path).drop("__kb").collect())
+        merge_upsert_bucketed(spark, path, batch, "o_orderkey", 4)
+        second = sorted(tuple(r) for r in spark.read.parquet(path).drop("__kb").collect())
+        assert first == second

@@ -314,3 +314,49 @@ class TestMultimodalPasses:
         assert frames.count() >= media.count()  # >=1 frame per non-null doc
         # frame_no dense from 0
         assert frames.filter(F.col("frame_no") == 0).count() == media.count()
+
+
+class TestApproxSketchBounds:
+    def test_hll_and_percentile_error_bounds(self, spark):
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        row = (
+            li.agg(
+                F.approx_count_distinct("l_orderkey").alias("approx"),
+                F.countDistinct("l_orderkey").alias("exact"),
+                F.percentile_approx("l_extendedprice", 0.5).alias("p50_approx"),
+                F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+            )
+            .collect()[0]
+        )
+        assert abs(row.approx - row.exact) / row.exact < 0.1  # HLL++ rsd≈0.05
+        assert abs(row.p50_approx - row.p50_exact) / row.p50_exact < 0.05
+
+
+class TestBucketedJoin:
+    def test_bucketed_tables_join_without_shuffle(self, spark, tmp_path):
+        """bucketBy + saveAsTable co-locates both sides: the join plan
+        must contain no shuffle exchange — the 100 TB co-located join
+        strategy (SURVEY §2 'bucketing for co-located joins')."""
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            o = spark.read.parquet(f"{SF}/orders.parquet")
+            li = spark.read.parquet(f"{SF}/lineitem.parquet")
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
+            o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+                "overwrite"
+            ).saveAsTable("b_orders")
+            li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+                "overwrite"
+            ).saveAsTable("b_lineitem")
+            joined = spark.table("b_orders").join(
+                spark.table("b_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in plan
+            assert joined.count() == li.count()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
