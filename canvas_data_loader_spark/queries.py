@@ -509,24 +509,27 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event matched to the user's most recent prior
-    order. Composition: range join + per-event window top-1 (the
-    DataFrame expression of ASOF JOIN; deterministic tiebreak)."""
-    e = load(spark, sf_dir, "events")
+    order — union+carry-forward dataflow (operators/asof.py): one
+    linear shuffle of |events|+|orders|, never the quadratic
+    (event x prior-order) pair space of the join+window shape."""
+    from .operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = load(spark, sf_dir, "orders")
-    j = e.join(
-        o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts), "inner"
+    out = asof_join(
+        e,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderdate", "o_orderkey", "o_totalprice"],
+        how="inner",
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
-    return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "event_id",
-            F.col("o_orderkey").alias("asof_orderkey"),
-            F.col("o_totalprice").alias("asof_totalprice"),
-        )
+    return out.select(
+        "event_id",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_totalprice").alias("asof_totalprice"),
     )
 
 

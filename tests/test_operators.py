@@ -360,3 +360,43 @@ class TestBucketedJoin:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
             spark.sql("DROP TABLE IF EXISTS b_orders")
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+class TestAsofJoin:
+    def _mk(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, "e1"), (1, 20, "e2"), (2, 5, "e3"), (3, 7, "e4")],
+            ["k", "t", "eid"],
+        )
+        right = spark.createDataFrame(
+            [(1, 8, 100), (1, 20, 200), (1, 20, 201), (2, 9, 300)],
+            ["k", "t", "val"],
+        )
+        return left, right
+
+    def test_inner_matches_latest_at_or_before(self, spark):
+        from canvas_data_loader_spark.operators.asof import asof_join
+
+        left, right = self._mk(spark)
+        out = {
+            r.eid: r.val
+            for r in asof_join(
+                left, right, "k", "k", "t", "t", ["t", "val"], how="inner"
+            ).collect()
+        }
+        # e1: t=10 -> right t=8 val=100; e2: t=20 -> tie at 20, greatest
+        # payload (t,val)=(20,201); e3: t=5 -> no prior (right t=9 later);
+        # e4: no right rows for k=3
+        assert out == {"e1": 100, "e2": 201}
+
+    def test_left_keeps_unmatched_with_nulls(self, spark):
+        from canvas_data_loader_spark.operators.asof import asof_join
+
+        left, right = self._mk(spark)
+        out = {
+            r.eid: r.val
+            for r in asof_join(
+                left, right, "k", "k", "t", "t", ["t", "val"], how="left"
+            ).collect()
+        }
+        assert out == {"e1": 100, "e2": 201, "e3": None, "e4": None}
