@@ -400,3 +400,25 @@ class TestAsofJoin:
             ).collect()
         }
         assert out == {"e1": 100, "e2": 201, "e3": None, "e4": None}
+
+
+class TestPandasUdfParity:
+    def test_cosine_pandas_udf_matches_expression(self, spark, embs):
+        """The Arrow slow path and the JVM expression agree to 1e-12
+        (both accumulate in float64; order differs so not bit-exact)."""
+        from canvas_data_loader_spark.functions.vector import (
+            cosine,
+            cosine_pandas_udf,
+        )
+
+        cos_udf = cosine_pandas_udf()
+        a = embs.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+        b = embs.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+        pairs = a.join(b, F.col("ia") == F.col("ib") - 1)
+        both = pairs.select(
+            cosine(F.col("ea"), F.col("eb")).alias("expr_sim"),
+            cos_udf(F.col("ea"), F.col("eb")).alias("udf_sim"),
+        ).collect()
+        assert len(both) > 100
+        for r in both:
+            assert abs(r.expr_sim - r.udf_sim) < 1e-12
