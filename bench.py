@@ -23,8 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from canvas_data_loader_spark import queries as Q
 from canvas_data_loader_spark.session import get_spark
 
-# Representative mix: scan-agg, star join, semi join, windows, top-k,
-# dedup family, simsearch, text stats, sessionization, streaming.
+# Representative mix: scan-agg, star joins, semi join, windows, top-k,
+# merge, dedup family, simsearch, text ops, sessionization, multimodal,
+# streaming (fixed at round 1 so BENCH_r{N} stays comparable across rounds).
 HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -39,6 +40,12 @@ HEADLINE = [
     "q36_sessionize",
     "q37_asof_join",
     "q42_stream_tumbling",
+    "q58_q10_returned_revenue",
+    "q64_keyed_merge",
+    "q66_simhash",
+    "q67_embedding_neardup",
+    "q72_stream_session_window",
+    "q73_frame_sample",
 ]
 
 

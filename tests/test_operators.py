@@ -422,3 +422,27 @@ class TestPandasUdfParity:
         assert len(both) > 100
         for r in both:
             assert abs(r.expr_sim - r.udf_sim) < 1e-12
+
+
+class TestEmbeddingNearDup:
+    def test_two_phase_equals_naive_all_pairs(self, spark, embs):
+        from canvas_data_loader_spark.functions.vector import cosine
+        from canvas_data_loader_spark.operators.simsearch import (
+            embedding_neardup_pairs,
+        )
+
+        got = {
+            (r.vec_a, r.vec_b): r.sim
+            for r in embedding_neardup_pairs(embs, 0.30).collect()
+        }
+        a = embs.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+        b = embs.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+        naive = {
+            (r.vec_a, r.vec_b): r.sim
+            for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .withColumn("sim", cosine(F.col("ea"), F.col("eb")))
+            .filter(F.col("sim") >= 0.30)
+            .select("vec_a", "vec_b", "sim")
+            .collect()
+        }
+        assert got == naive  # bit-identical, not just approximately
