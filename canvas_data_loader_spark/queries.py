@@ -2216,3 +2216,63 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "q82_misc_aggs",
+    """
+    SELECT o_orderstatus,
+           BOOL_AND(o_totalprice > 1000) AS all_over_1k,
+           BOOL_OR(o_totalprice > 400000) AS any_over_400k,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           ARG_MIN(o_orderkey, o_totalprice) AS cheapest_key,
+           ARG_MAX(o_orderkey, o_totalprice) AS priciest_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misc aggregate surface: bool_and/bool_or, filtered count
+    (count_if), min_by/max_by (argmin/argmax without the struct
+    trick). The per-status extreme o_totalprice values are unique in
+    this data (verified: the one duplicated price sits mid-range), so
+    arg-extrema are deterministic."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_key"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_key"),
+    )
+
+
+@query(
+    "q83_grouped_mad",
+    """
+    SELECT user_id,
+           ROUND(MAD(value), 6) AS value_mad,
+           COUNT(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user median absolute deviation.
+    MAD needs two dependent passes (median, then median of deviations)
+    — awkward as SQL, one numpy pass per group in pandas. The grouped
+    shuffle is by user_id; each group fits a pandas frame (bounded by
+    per-user activity, the natural partition unit)."""
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events")
+
+    def mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy()
+        med = float(pd.Series(v).median())
+        m = float(pd.Series(abs(v - med)).median())
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "value_mad": [round(m, 6)], "n": [len(v)]}
+        )
+
+    return e.select("user_id", "value").groupBy("user_id").applyInPandas(
+        mad, "user_id bigint, value_mad double, n bigint"
+    )
