@@ -2276,3 +2276,279 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("user_id", "value").groupBy("user_id").applyInPandas(
         mad, "user_id bigint, value_mad double, n bigint"
     )
+
+
+@query(
+    "q84_q8_market_share",
+    """
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_0' THEN volume_d ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume_d) AS DOUBLE), 6) AS mkt_share
+    FROM (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4)) AS volume_d,
+               n2.n_name AS nation
+        FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region    ON n1.n_regionkey = r_regionkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    ) t
+    GROUP BY o_year
+    """,
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): 8-way join, conditional
+    aggregate ratio per year. Scale notes: lineitem is the only big
+    input; part is pre-filtered before the join (predicate pushdown),
+    and every dimension (supplier/customer/nation/region) is broadcast
+    so the plan is one shuffle for the final group-by. The ratio is
+    computed from two decimal sums (order-independent), divided as
+    double, rounded to 6."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_asia = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left_semi")
+        .select("c_custkey")
+    )
+    supp_nation = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    t = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_asia), o.o_custkey == cust_asia.c_custkey, "left_semi")
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.cast(DEC).alias("volume_d"),
+            "nation",
+        )
+    )
+    num = F.sum(F.when(F.col("nation") == "NATION_0", F.col("volume_d")).otherwise(F.lit(0).cast(DEC)))
+    den = F.sum(F.col("volume_d"))
+    return t.groupBy("o_year").agg(
+        F.round(num.cast("double") / den.cast("double"), 6).alias("mkt_share")
+    )
+
+
+@query(
+    "q85_q2_min_cost_supplier",
+    """
+    WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    elig AS (
+        SELECT sp.l_partkey AS partkey, s_suppkey, s_name, s_acctbal, n_name
+        FROM sp
+          JOIN supplier ON s_suppkey = sp.l_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT p_partkey, s_name, ROUND(s_acctbal, 2) AS acctbal, n_name
+    FROM part JOIN elig ON p_partkey = elig.partkey
+    WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+      AND s_acctbal = (SELECT MAX(e2.s_acctbal) FROM elig e2 WHERE e2.partkey = p_partkey)
+    """,
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (best supplier per part, correlated MAX
+    subquery). No partsupp table in the fixtures, so the supplier<->part
+    relation is derived as DISTINCT (l_partkey, l_suppkey) from
+    lineitem, and s_acctbal stands in for ps_supplycost (max instead of
+    min). The correlated subquery decorrelates to a per-part max over
+    the SAME eligible set, joined back on (partkey, acctbal) — one
+    shuffle on partkey for distinct + windowless max, dims broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sp = li.select(F.col("l_partkey").alias("partkey"), "l_suppkey").distinct()
+    supp_eur = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    elig = sp.join(F.broadcast(supp_eur), sp.l_suppkey == supp_eur.s_suppkey)
+    best = elig.groupBy("partkey").agg(F.max("s_acctbal").alias("__best"))
+    return (
+        elig.join(best, "partkey")
+        .filter(F.col("s_acctbal") == F.col("__best"))
+        .join(F.broadcast(p), F.col("partkey") == p.p_partkey, "left_semi")
+        .select(
+            F.col("partkey").alias("p_partkey"),
+            "s_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+    )
+
+
+@query(
+    "q86_q9_profit",
+    """
+    SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - 0.1 * p_retailprice * l_quantity AS DECIMAL(27,4))) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    """,
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation/year). Fixtures
+    have no ps_supplycost; cost is surrogated as 10% of p_retailprice
+    per unit, which preserves the shape: fact x filtered-part join,
+    supplier->nation lookup, two-key aggregate. part is filtered on a
+    LIKE before joining (pushed to the scan); supplier/nation broadcast;
+    single shuffle for the (nation, year) aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .select("nation", F.year("o_orderdate").alias("o_year"), profit.cast(DEC).alias("__pd"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum("__pd").cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "q87_q11_important_parts",
+    """
+    WITH pv AS (
+        SELECT l_partkey AS partkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS value_d
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                      JOIN nation   ON s_nationkey = n_nationkey
+                      JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY l_partkey
+    )
+    SELECT partkey, CAST(value_d AS DOUBLE) AS part_value
+    FROM pv
+    WHERE value_d > (SELECT SUM(value_d) * 0.001 FROM pv)
+    """,
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock: per-key value above a fraction
+    of the GLOBAL total — uncorrelated scalar subquery over the same
+    aggregate). Spark side computes the per-part aggregate once, derives
+    the global threshold from it (single-row broadcast cross join), and
+    filters — the aggregate is not recomputed. Region-filtered suppliers
+    are a broadcast semi-join against the fact."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp_eur = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left_semi")
+        .select("s_suppkey")
+    )
+    pv = (
+        li.join(F.broadcast(supp_eur), li.l_suppkey == supp_eur.s_suppkey, "left_semi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias("value_d"))
+    )
+    total = pv.agg((F.sum("value_d") * F.lit(0.001)).alias("__thresh"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value_d") > F.col("__thresh"))
+        .select("partkey", F.col("value_d").cast("double").alias("part_value"))
+    )
+
+
+@query(
+    "q88_q20_excess_shippers",
+    """
+    WITH shipped AS (
+        SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+               SUM(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                             THEN l_quantity ELSE 0 END AS DECIMAL(27,4))) AS recent_qty,
+               SUM(CAST(l_quantity AS DECIMAL(27,4))) AS total_qty
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        GROUP BY l_suppkey, l_partkey
+    )
+    SELECT DISTINCT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA'
+      AND s_suppkey IN (SELECT suppkey FROM shipped
+                        WHERE recent_qty > 0.5 * total_qty AND total_qty > 0)
+    """,
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess recent shipments: nested
+    IN-subqueries becoming semi-join chains over an aggregated
+    subquery). availqty has no fixture analog, so the predicate is
+    'more than half of this supplier's all-time quantity for the part
+    shipped since 1997'. Plan: part-name filter broadcast-semi-joins
+    the fact BEFORE the (suppkey, partkey) aggregate (the only big
+    shuffle); qualifying suppkeys broadcast back against the dim."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    recent = F.when(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"), F.col("l_quantity")
+    ).otherwise(F.lit(0))
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(recent.cast(DEC)).alias("recent_qty"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("total_qty"),
+        )
+    )
+    excess = (
+        shipped.filter(
+            (F.col("total_qty") > 0) & (F.col("recent_qty") > F.col("total_qty") * 0.5)
+        )
+        .select(F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left_semi")
+        .join(F.broadcast(excess), s.s_suppkey == excess.suppkey, "left_semi")
+        .select("s_name", "n_name")
+        .distinct()
+    )
