@@ -232,3 +232,63 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
         term = F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return votes.select("doc", sim.cast("long").alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    Input: an edge list (undirected; each pair may appear in either or
+    both orientations). Output: (node, component) where component is
+    the smallest node id reachable from ``node``.
+
+    Algorithm: label(v) starts as v; each round
+    label(v) <- min(label(v), min over neighbors u of label(u)); stop
+    when no label changes. Round count is bounded by the graph
+    diameter; near-dup graphs are unions of small cliques/chains, so
+    a handful of rounds suffice. Each round is one shuffle on the edge
+    key plus one on node — the DataFrame translation of the
+    large-star/small-star CC algorithm (Kiveris et al.), which is the
+    production upgrade path if diameters get large.
+
+    ``localCheckpoint`` truncates the lineage each round so the plan
+    does not grow unboundedly (iterative-algorithm hygiene on Spark).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.u == labels.node)
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("component").alias("__nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -2552,3 +2552,125 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .distinct()
     )
+
+
+@query(
+    "q89_stratified_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 1000 <
+          CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 300 ELSE 100 END
+    """,
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the training-data-curation
+    primitive for rebalancing a corpus by language (keep 50% of en,
+    30% of zh, 10% of the rest). Uses an arithmetic LCG hash of the id
+    so the sample is reproducible and engine-portable (same rows in
+    any engine, any partitioning, any run — unlike rand()-based
+    sampleBy). Pure narrow projection+filter: no shuffle at all; the
+    predicate pushes to the scan. At 100 TB swap the LCG for
+    xxhash64(id) — same one-pass, shuffle-free shape."""
+    d = load(spark, sf_dir, "documents")
+    bucket = ((F.col("doc_id") * 1103515245 + 12345) % 2147483648) % 1000
+    rate = (
+        F.when(F.col("lang") == "en", 500)
+        .when(F.col("lang") == "zh", 300)
+        .otherwise(100)
+    )
+    return d.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
+@query(
+    "q90_source_quota_cap",
+    """
+    SELECT doc_id, source, n_chars
+    FROM (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    ) t
+    WHERE rn <= 10
+    """,
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping: keep at most K documents per source,
+    preferring the longest — the domain-balancing step of a pretraining
+    pipeline (caps crawl-heavy domains so no source dominates the
+    corpus). One shuffle on source; rank is deterministic via the
+    (n_chars DESC, doc_id) tiebreak. At scale the window never
+    materializes more than a partition per source; a skewed mega-source
+    would use the two-phase top-K (per-partition heads, then re-rank)
+    from q14's pattern."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+@query(
+    "q91_dedup_components",
+    f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t
+        FROM documents WHERE doc_id < 100
+    ), sh AS (
+        SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+2], ' ') AS s
+        FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t) - 1, 1))) AS r(i)
+        WHERE LEN(t) >= 3
+    ), mh AS (
+        SELECT doc_id, seed, MIN(MD5(CAST(seed AS VARCHAR) || '|' || s)) AS h
+        FROM sh CROSS JOIN UNNEST(RANGE(1, 17)) AS r(seed)
+        GROUP BY doc_id, seed
+    ), bands AS (
+        SELECT doc_id AS doc, CAST((seed - 1) // 4 AS BIGINT) AS band,
+               MD5(STRING_AGG(h, '' ORDER BY seed)) AS band_hash
+        FROM mh GROUP BY doc_id, CAST((seed - 1) // 4 AS BIGINT)
+    ), edges AS (
+        SELECT DISTINCT a.doc AS x, b.doc AS y
+        FROM bands a JOIN bands b USING (band, band_hash)
+        WHERE a.doc <> b.doc
+    ), nodes AS (
+        SELECT DISTINCT doc FROM bands
+    ), reach(src, dst) AS (
+        SELECT doc, doc FROM nodes
+        UNION
+        SELECT r.src, e.y FROM reach r JOIN edges e ON r.dst = e.x
+    )
+    SELECT src AS doc, MIN(dst) AS component
+    FROM reach GROUP BY src
+    """,
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components over the
+    MinHash-LSH collision graph (same bands as q35), each doc labeled
+    with the smallest doc id reachable through chains of band
+    collisions. This is the step that turns pairwise near-dup
+    candidates into dedup groups (keep one doc per component) — chains
+    matter because A~B in band 1 and B~C in band 3 must land A, C in
+    one group even though A and C never collide. Spark side iterates
+    min-label propagation (operators.dedup.connected_components, the
+    DataFrame form of large-star/small-star); the oracle is a
+    recursive-CTE reachability fixpoint — two completely different
+    evaluation strategies agreeing on the fixpoint."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    bands = D.minhash_bands(d, "text", "doc_id", num_hashes=16, band_size=4)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    edges = (
+        a.join(b, on=["band", "band_hash"])
+        .filter(F.col("a.doc") != F.col("b.doc"))
+        .select(F.col("a.doc").alias("src"), F.col("b.doc").alias("dst"))
+        .distinct()
+    )
+    isolated = bands.select("doc").distinct()
+    comp = D.connected_components(edges)
+    return (
+        isolated.join(comp, isolated.doc == comp.node, "left")
+        .select("doc", F.coalesce("component", "doc").alias("component"))
+    )

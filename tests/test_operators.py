@@ -446,3 +446,24 @@ class TestEmbeddingNearDup:
             .collect()
         }
         assert got == naive  # bit-identical, not just approximately
+
+
+class TestConnectedComponents:
+    def test_chain_clique_isolated(self, spark):
+        from canvas_data_loader_spark.operators.dedup import connected_components
+
+        # chain 1-2-3-4 (diameter > 1 forces multiple propagation
+        # rounds), clique 10-11-12, separate pair 20-21
+        edges = spark.createDataFrame(
+            [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (21, 20)],
+            "src long, dst long",
+        )
+        got = {r.node: r.component for r in connected_components(edges).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    def test_single_edge_and_self_loop(self, spark):
+        from canvas_data_loader_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame([(5, 5), (7, 6)], "src long, dst long")
+        got = {r.node: r.component for r in connected_components(edges).collect()}
+        assert got == {5: 5, 6: 6, 7: 6}
