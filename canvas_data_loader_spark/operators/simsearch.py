@@ -290,6 +290,7 @@ def embedding_neardup_pairs(
 
     def gen(batches):
         c_ids, c_unit = bc.value
+        ct = np.ascontiguousarray(c_unit.T)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -297,11 +298,22 @@ def embedding_neardup_pairs(
             B = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             bn = np.linalg.norm(B, axis=1)
             bn[bn == 0] = np.inf
-            sims = (B / bn[:, None]) @ c_unit.T
-            bi, ci = np.nonzero(sims >= threshold - margin)
-            a, b = b_ids[bi], c_ids[ci]
-            keep = a < b
-            yield pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep]})
+            Bu = B / bn[:, None]
+            # Block the matmul: bounded (256 x corpus) outputs keep
+            # every BLAS call on the small-buffer fast path (this
+            # container's dgemm hits a multi-second stall on large
+            # single calls) and bound peak memory regardless of how
+            # big an Arrow batch the reader hands us.
+            outs = []
+            for lo in range(0, Bu.shape[0], 256):
+                sims = Bu[lo : lo + 256] @ ct
+                bi, ci = np.nonzero(sims >= threshold - margin)
+                a, b = b_ids[lo:][bi], c_ids[ci]
+                keep = a < b
+                outs.append(pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep]}))
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"vec_a": [], "vec_b": []}
+            )
 
     cand_pairs = candidates.select(id_col, vec_col).mapInPandas(
         gen, "vec_a long, vec_b long"

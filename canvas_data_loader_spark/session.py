@@ -14,6 +14,18 @@ from __future__ import annotations
 
 import os
 
+# Pin BLAS to one thread per process BEFORE numpy loads anywhere
+# (driver or Python workers, which inherit this env in local mode).
+# Two reasons: (a) 32 parallel Python workers each spinning up an
+# OpenBLAS pool oversubscribes the box 32x; (b) this container's
+# OpenBLAS threaded dgemm pays ~2s of handshake overhead on EVERY
+# large call (measured), while the single-threaded path is ~0.01s.
+# Vectorized operators additionally block their matmuls (see
+# operators/simsearch.py) so no single BLAS call crosses the
+# large-buffer slow path.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
