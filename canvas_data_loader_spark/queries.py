@@ -2485,6 +2485,12 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(supp_eur), li.l_suppkey == supp_eur.s_suppkey, "left_semi")
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias("value_d"))
+        # Persist the per-part aggregate: both the threshold scalar and
+        # the final filter consume it, and without pinning it Catalyst
+        # re-expands the subtree into a SECOND full lineitem scan (the
+        # 100 TB killer — the aggregate is ~#parts rows, the rescan is
+        # the whole fact).
+        .persist()
     )
     total = pv.agg((F.sum("value_d") * F.lit(0.001)).alias("__thresh"))
     return (
@@ -2673,4 +2679,111 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         isolated.join(comp, isolated.doc == comp.node, "left")
         .select("doc", F.coalesce("component", "doc").alias("component"))
+    )
+
+
+@query(
+    "q92_quality_rules",
+    """
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           LEN(w) AS n_words,
+           ROUND(LIST_SUM(LIST_TRANSFORM(w, x -> LEN(x))) * 1.0 / LEN(w), 6) AS mean_word_len,
+           ROUND(LEN(LIST_FILTER(w, x -> x IN ('a','the'))) * 1.0 / LEN(w), 6) AS stop_frac,
+           ROUND(LEN(LIST_DISTINCT(w)) * 1.0 / LEN(w), 6) AS ttr,
+           ROUND(LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(w),
+                 x -> LEN(LIST_FILTER(w, y -> y = x)))) * 1.0 / LEN(w), 6) AS top_word_frac,
+           (LEN(w) BETWEEN 5 AND 1000
+            AND LIST_SUM(LIST_TRANSFORM(w, x -> LEN(x))) * 1.0 / LEN(w) BETWEEN 2 AND 10
+            AND LEN(LIST_FILTER(w, x -> x IN ('a','the'))) * 1.0 / LEN(w) < 0.5
+            AND LEN(LIST_DISTINCT(w)) * 1.0 / LEN(w) > 0.2) AS keep
+    FROM t
+    """,
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style document quality rules: word count, mean word
+    length, stopword fraction, type-token ratio (repetition signal),
+    top-word concentration, and the composite keep/drop verdict. The
+    entire scorer is higher-order array expressions on the tokenized
+    text — ZERO shuffles, no UDFs, embarrassingly parallel: the ideal
+    100 TB shape (a pure map over the corpus, whole-stage codegen'd).
+    The top-word scan is O(distinct x words) per doc, bounded by doc
+    length — still cheaper than an explode + groupBy shuffle of every
+    token in the corpus."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    d = d.select("doc_id", w.alias("w"))
+    n = F.size("w")
+    char_sum = F.aggregate(
+        "w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_len = char_sum * 1.0 / n
+    stop_frac = F.size(F.filter("w", lambda x: x.isin("a", "the"))) * 1.0 / n
+    ttr = F.size(F.array_distinct("w")) * 1.0 / n
+    wcol = F.col("w")
+    top_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct("w"),
+                lambda x: F.size(F.filter(wcol, lambda y: y == x)),
+            )
+        )
+        * 1.0
+        / n
+    )
+    keep = (
+        n.between(5, 1000)
+        & mean_len.between(2, 10)
+        & (stop_frac < 0.5)
+        & (ttr > 0.2)
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(stop_frac, 6).alias("stop_frac"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(top_frac, 6).alias("top_word_frac"),
+        keep.alias("keep"),
+    )
+
+
+@query(
+    "q93_embedding_quantize",
+    """
+    WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id, v, LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) AS mx FROM e)
+    SELECT vec_id,
+           ROUND(CASE WHEN mx > 0 THEN 127.0/mx ELSE 0 END, 6) AS scale,
+           LIST_SUM(LIST_TRANSFORM(v, x -> CAST(FLOOR(x * (CASE WHEN mx > 0
+                THEN 127.0/mx ELSE 0 END) + 0.5) AS BIGINT))) AS qsum,
+           LEN(LIST_FILTER(v, x -> FLOOR(x * (CASE WHEN mx > 0
+                THEN 127.0/mx ELSE 0 END) + 0.5) <> 0)) AS qnnz
+    FROM s
+    """,
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (the storage/bandwidth
+    step before ANN at scale: 4x smaller vectors, SIMD-friendly dot
+    products). Per vector: scale = 127/max|x|, q_i = floor(x*scale+.5)
+    — floor(+0.5) instead of round() because round-half semantics
+    differ across engines while floor is exact IEEE on both. Checked
+    via per-vector checksum (qsum) and nnz rather than the raw array
+    to keep the oracle's canonical form engine-neutral. Pure array
+    expressions: zero shuffles, whole-stage codegen."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    e = e.select("vec_id", v.alias("v"))
+    mx = F.array_max(F.transform("v", F.abs))
+    scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+    e = e.select("vec_id", "v", scale.alias("__s"))
+    qi = lambda x: F.floor(x * F.col("__s") + 0.5).cast("long")  # noqa: E731
+    qsum = F.aggregate("v", F.lit(0).cast("long"), lambda acc, x: acc + qi(x))
+    qnnz = F.size(F.filter("v", lambda x: qi(x) != 0))
+    return e.select(
+        "vec_id",
+        F.round("__s", 6).alias("scale"),
+        qsum.alias("qsum"),
+        qnnz.alias("qnnz"),
     )
