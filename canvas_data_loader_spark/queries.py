@@ -2787,3 +2787,112 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
         qsum.alias("qsum"),
         qnnz.alias("qnnz"),
     )
+
+
+@query(
+    "q94_decontamination",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, source, ARRAY_TO_STRING(t[i:i+2], ' ') AS s
+        FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t) - 1, 1))) AS r(i)
+        WHERE LEN(t) >= 3
+    ), eval_sh AS (
+        SELECT DISTINCT s FROM sh WHERE source IN ('src0','src1','src2')
+    ), train_sh AS (
+        SELECT doc_id, s FROM sh WHERE source NOT IN ('src0','src1','src2')
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(e.s) AS n_hits,
+           ROUND(COUNT(e.s) * 1.0 / COUNT(*), 6) AS contamination
+    FROM train_sh t LEFT JOIN eval_sh e ON t.s = e.s
+    GROUP BY t.doc_id
+    """,
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: per training document, the fraction
+    of its distinct 3-gram shingles that also occur anywhere in the
+    held-out eval sources — the overlap screen run before pretraining
+    so benchmark text is not memorized. Plan: shingle both splits once
+    (shared scan), distinct eval shingles, LEFT join train shingles ->
+    per-doc hit ratio. The single shuffle is on the shingle hash —
+    never the quadratic doc-pair space; at 100 TB the eval side is
+    small and becomes a broadcast bloom/semi-join."""
+    d = load(spark, sf_dir, "documents")
+    eval_srcs = ("src0", "src1", "src2")
+    sh = D.shingle_table(d.withColumnRenamed("doc_id", "__id"), "text", "__id", n=3)
+    src = d.select(F.col("doc_id").alias("doc"), "source")
+    sh = sh.join(F.broadcast(src), "doc")
+    eval_sh = (
+        sh.filter(F.col("source").isin(*eval_srcs)).select("s").distinct()
+    )
+    train_sh = sh.filter(~F.col("source").isin(*eval_srcs)).select("doc", "s")
+    hits = train_sh.join(
+        eval_sh.withColumn("__hit", F.lit(1)), "s", "left"
+    )
+    return hits.groupBy(F.col("doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("__hit").alias("n_hits"),
+        F.round(F.count("__hit") * 1.0 / F.count(F.lit(1)), 6).alias("contamination"),
+    )
+
+
+@query(
+    "q95_snapshot_diff",
+    """
+    WITH old AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders WHERE o_orderkey % 97 <> 0
+    ), new AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END AS p
+        FROM orders WHERE o_orderkey % 89 <> 0
+    )
+    SELECT COALESCE(old.k, new.k) AS k,
+           CASE WHEN old.k IS NULL THEN 'added'
+                WHEN new.k IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           ROUND(old.p, 4) AS old_price,
+           ROUND(new.p, 4) AS new_price
+    FROM old FULL OUTER JOIN new ON old.k = new.k
+    WHERE old.k IS NULL OR new.k IS NULL OR old.p <> new.p
+    """,
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC): added / removed / changed rows between two
+    keyed table versions — the inverse of the reference's upsert
+    (importer.rs:345-390 applies a delta; this RECOVERS the delta from
+    two snapshots, which is how you audit a merge or feed a downstream
+    incremental consumer). Full outer join on the key, one shuffle,
+    then row-level classification; unchanged rows are dropped so output
+    is delta-sized. The two versions are derived deterministically from
+    orders so the oracle sees identical inputs. At scale both sides
+    partition on the key (bucketed tables join shuffle-free — see
+    TestBucketedJoin)."""
+    o = load(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("op")
+    )
+    new = o.filter(F.col("o_orderkey") % 89 != 0).select(
+        F.col("o_orderkey").alias("k2"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("np"),
+    )
+    j = old.join(new, old.k == new.k2, "full_outer")
+    change = (
+        F.when(F.col("k").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return (
+        j.filter(F.col("k").isNull() | F.col("k2").isNull() | (F.col("op") != F.col("np")))
+        .select(
+            F.coalesce("k", "k2").alias("k"),
+            change.alias("change"),
+            F.round("op", 4).alias("old_price"),
+            F.round("np", 4).alias("new_price"),
+        )
+    )
