@@ -225,3 +225,34 @@ def gzip_tsv(rows: list[list[str | None]]) -> bytes:
     for row in rows:
         lines.append("\t".join("\\N" if v is None else str(v) for v in row))
     return gzip.compress(("\n".join(lines) + "\n").encode())
+
+
+class HttpTransport:
+    """Real HTTPS transport over the standard library (no extra deps).
+
+    Matches the reference's reqwest usage (src/api_client.rs:123-143):
+    GET with the signed Authorization/Date headers, JSON decode; plain
+    GET for the (pre-signed) file URLs. Not exercised in this offline
+    container — covered by the LocalDirTransport fake in tests, which
+    drives the identical client code path above the transport seam.
+    """
+
+    def __init__(self, host: str = CanvasDataApiClient.HOST, timeout: float = 60.0):
+        self.host = host
+        self.timeout = timeout
+
+    def get_json(self, path: str, query: str, headers: dict[str, str]):
+        import json
+        import urllib.request
+
+        url = f"https://{self.host}{path}" + (f"?{query}" if query else "")
+        req = urllib.request.Request(url, headers=headers, method="GET")
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return json.loads(resp.read().decode())
+
+    def get_bytes(self, url: str) -> bytes:
+        import urllib.request
+
+        req = urllib.request.Request(url, method="GET")
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return resp.read()

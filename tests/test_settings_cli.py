@@ -1,0 +1,110 @@
+"""Settings layering (ref settings.rs:61-80) + CLI runner end-to-end."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+from canvas_data_loader_spark.settings import Settings
+
+
+def write_toml(path, text):
+    path.write_text(text)
+
+
+class TestSettingsLayering:
+    def test_default_only(self, tmp_path):
+        write_toml(
+            tmp_path / "default.toml",
+            'save_location = "/tmp/s"\nrocksdb_location = "/tmp/r"\n'
+            'skip_historical_imports = true\n'
+            '[canvasdataauth]\napi_key = "k"\napi_secret = "sec"\n'
+            '[database]\nurl = "postgres://x/y"\ndb_type = "Psql"\n',
+        )
+        st = Settings.load(str(tmp_path), environ={})
+        assert st.save_location == "/tmp/s"
+        assert st.skip_historical_imports is True
+        assert st.only_load_final is False  # Option::None default
+        assert st.api_key == "k" and st.database_url == "postgres://x/y"
+
+    def test_local_overrides_default(self, tmp_path):
+        write_toml(tmp_path / "default.toml", 'save_location = "/tmp/a"\nrocksdb_location = "/tmp/r"\n')
+        write_toml(tmp_path / "local.toml", 'save_location = "/tmp/b"\n')
+        st = Settings.load(str(tmp_path), environ={})
+        assert st.save_location == "/tmp/b"
+        assert st.rocksdb_location == "/tmp/r"  # non-overridden key survives
+
+    def test_env_overrides_all(self, tmp_path):
+        write_toml(
+            tmp_path / "default.toml",
+            'save_location = "/tmp/a"\nrocksdb_location = "/tmp/r"\n'
+            '[database]\nurl = "postgres://default"\n',
+        )
+        env = {
+            "cdl__save_location": "/tmp/env",
+            "cdl__database__url": "mysql://env",
+            "cdl__database__db_type": "Mysql",
+            "cdl__only_load_final": "true",
+            "UNRELATED": "x",
+        }
+        st = Settings.load(str(tmp_path), environ=env)
+        assert st.save_location == "/tmp/env"
+        assert st.database_url == "mysql://env"
+        assert st.db_type == "Mysql"
+        assert st.only_load_final is True
+
+    def test_unknown_db_type_falls_back_to_psql(self, tmp_path):
+        # settings.rs:113-118: unknown strings silently -> Psql
+        write_toml(
+            tmp_path / "default.toml",
+            'save_location = "/s"\nrocksdb_location = "/r"\n[database]\ndb_type = "oracle"\n',
+        )
+        st = Settings.load(str(tmp_path), environ={})
+        assert st.db_type == "Psql"
+
+    def test_missing_config_dir_gives_defaults(self, tmp_path):
+        st = Settings.load(str(tmp_path / "nope"), environ={})
+        assert st.save_location == "/tmp/cdl-save"
+        assert st.db_type == "Psql"
+
+
+class TestCliRunner:
+    def test_offline_fixture_end_to_end(self, tmp_path, spark):
+        from tests.test_pipeline import SCHEMA_JSON, files_json, make_dump_json
+
+        fx = tmp_path / "fx"
+        (fx / "payloads").mkdir(parents=True)
+        (fx / "dumps.json").write_text(
+            json.dumps([make_dump_json("d1", 1, "2024-01-01T00:00:00Z")])
+        )
+        (fx / "schema.json").write_text(json.dumps(SCHEMA_JSON))
+        (fx / "files_by_dump.json").write_text(
+            json.dumps({"d1": files_json("d1", {"account_dim": ["account_dim-00000-aaa.gz"]})})
+        )
+        tsv = "1\tAlpha\tactive\n2\tBeta\t\\N\n".encode()
+        (fx / "payloads" / "account_dim-00000-aaa.gz").write_bytes(gzip.compress(tsv))
+        cfgdir = tmp_path / "config"
+        cfgdir.mkdir()
+        (cfgdir / "default.toml").write_text(
+            f'save_location = "{tmp_path}/stage"\n'
+            f'rocksdb_location = "{tmp_path}/ledger.jsonl"\n'
+            'skip_historical_imports = false\n'
+            '[canvasdataauth]\napi_key = "k"\napi_secret = "s"\n'
+        )
+
+        import canvas_data_loader_spark.__main__ as cli
+
+        rc = cli.main(
+            [
+                "--config-dir", str(cfgdir),
+                "--offline-fixture", str(fx),
+                "--warehouse-dir", str(tmp_path / "wh"),
+            ]
+        )
+        assert rc == 0
+        rows = sorted(
+            tuple(r) for r in spark.read.parquet(
+                open(tmp_path / "wh" / "account_dim.current").read().strip()
+            ).collect()
+        )
+        assert rows == [(1, "Alpha", "active"), (2, "Beta", None)]
