@@ -48,6 +48,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Local-mode split sizing: the test fixtures are single ~20 MB
+        # parquet files, which at the default 128 MB split = ONE scan
+        # task on a 32-core box (measured by tools/scale_probe.py: 10x
+        # the data ran FASTER because it shipped as 32 files). 4 MB
+        # splits parallelize the small-file scans; on a real cluster
+        # against TB inputs the default is correct — this override is
+        # keyed to local mode only.
+        .config("spark.sql.files.maxPartitionBytes", "4m" if master.startswith("local") else "128m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

@@ -1,0 +1,142 @@
+"""Scale-up probe: replicate the sf0.1 fixtures ~Nx (default 10x, i.e.
+sf~1: ~6M lineitem rows) into a temp warehouse with key-space offsets,
+then time representative plan shapes at both scales and report the
+wall-clock scaling exponent. A linear plan (exponent ~1.0) survives
+scale-up; superlinear means a shuffle or build side is growing faster
+than the data.
+
+Replication keeps referential integrity: fact keys (orderkey) are
+offset per copy so joins fan out correctly; dimension keys (custkey,
+suppkey, partkey) are NOT offset, so dims stay dim-sized and fact->dim
+joins stay broadcastable — exactly the 100 TB regime (facts grow,
+dims don't).
+
+Usage: python tools/scale_probe.py [factor] [--keep]
+Prints one JSON line: {"factor": N, "queries": {name: {"sec_base":
+s0, "sec_scaled": s1, "exponent": e}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from canvas_data_loader_spark.session import get_spark
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OFFSET = 10_000_000_000
+
+
+def replicate(spark, factor: int, dest: str) -> None:
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    o = spark.read.parquet(f"{BASE}/orders.parquet")
+    copies_li = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * OFFSET))
+        for i in range(factor)
+    ]
+    copies_o = [
+        o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * OFFSET))
+        for i in range(factor)
+    ]
+    big_li = copies_li[0]
+    for c in copies_li[1:]:
+        big_li = big_li.unionByName(c)
+    big_o = copies_o[0]
+    for c in copies_o[1:]:
+        big_o = big_o.unionByName(c)
+    # Write with enough output files that the scaled read parallelizes
+    # (one 200 MB file would serialize the scan on the splitless edge).
+    big_li.repartition(32).write.mode("overwrite").parquet(f"{dest}/lineitem.parquet")
+    big_o.repartition(16).write.mode("overwrite").parquet(f"{dest}/orders.parquet")
+    for dim in ("customer", "supplier", "nation", "region", "part"):
+        shutil.copy(f"{BASE}/{dim}.parquet", f"{dest}/{dim}.parquet")
+
+
+def shapes(spark, d: str):
+    li = spark.read.parquet(f"{d}/lineitem.parquet")
+    o = spark.read.parquet(f"{d}/orders.parquet")
+    c = spark.read.parquet(f"{d}/customer.parquet")
+    s = spark.read.parquet(f"{d}/supplier.parquet")
+
+    def scan_agg():
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1)))
+        )
+
+    def fact_fact_join():
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def fact_dim_broadcast():
+        return (
+            li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .groupBy("s_nationkey")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        )
+
+    def window_topk():
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("l_suppkey").orderBy(F.desc("l_extendedprice"))
+        return (
+            li.select("l_suppkey", "l_extendedprice", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 3)
+        )
+
+    return {
+        "scan_agg": scan_agg,
+        "fact_fact_join": fact_fact_join,
+        "fact_dim_broadcast": fact_dim_broadcast,
+        "window_topk": window_topk,
+    }
+
+
+def time_all(spark, d: str) -> dict[str, float]:
+    out = {}
+    for name, fn in shapes(spark, d).items():
+        fn().write.format("noop").mode("overwrite").save()  # warm
+        t = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t, 3)
+    return out
+
+
+def main():
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    keep = "--keep" in sys.argv
+    spark = get_spark("scale_probe")
+    dest = tempfile.mkdtemp(prefix="scale_probe_")
+    try:
+        replicate(spark, factor, dest)
+        base_t = time_all(spark, BASE)
+        scaled_t = time_all(spark, dest)
+        report = {}
+        for name in base_t:
+            e = math.log(max(scaled_t[name], 1e-3) / max(base_t[name], 1e-3)) / math.log(factor)
+            report[name] = {
+                "sec_base": base_t[name],
+                "sec_scaled": scaled_t[name],
+                "exponent": round(e, 3),
+            }
+        print(json.dumps({"factor": factor, "queries": report}))
+    finally:
+        if not keep:
+            shutil.rmtree(dest, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
