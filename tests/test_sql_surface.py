@@ -1,0 +1,77 @@
+"""SQL front-end parity: spark.sql over registered views produces the
+same rows as the DataFrame registry queries (same Catalyst underneath;
+this pins that the engine's capabilities are SQL-reachable)."""
+
+from __future__ import annotations
+
+import pytest
+
+from canvas_data_loader_spark import queries as Q
+from canvas_data_loader_spark.sql import register_views
+
+SF = "/root/testdata/sf0.001"
+
+
+def rows(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def views(spark):
+    register_views(spark, SF)
+    return spark
+
+
+class TestSqlParity:
+    def test_scan_agg_q1_shape(self, views):
+        sql = views.sql(
+            """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,4))) AS DOUBLE) AS sum_charge,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   ROUND(AVG(l_extendedprice), 4) AS avg_price,
+                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            """
+        )
+        assert rows(sql) == rows(Q.SPARK["q01_pricing_summary"](views, SF))
+
+    def test_join_window_topk_shape(self, views):
+        sql = views.sql(
+            """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+            """
+        )
+        assert rows(sql) == rows(Q.SPARK["q14_window_topk"](views, SF))
+
+    def test_quality_rules_sql_reachable(self, views):
+        # higher-order array functions from SQL (Spark SQL lambda syntax)
+        sql = views.sql(
+            """
+            SELECT doc_id, size(split(text, ' ')) AS n_words,
+                   size(filter(split(text, ' '), x -> x IN ('a','the'))) AS n_stop
+            FROM documents
+            """
+        )
+        df = Q.load(views, SF, "documents")
+        from pyspark.sql import functions as F
+
+        w = F.split(F.col("text"), " ")
+        ref = df.select(
+            "doc_id",
+            F.size(w).alias("n_words"),
+            F.size(F.filter(w, lambda x: x.isin("a", "the"))).alias("n_stop"),
+        )
+        assert rows(sql) == rows(ref)
