@@ -2896,3 +2896,160 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("np", 4).alias("new_price"),
         )
     )
+
+
+@query(
+    "q96_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t FROM documents
+    ), tf AS (
+        SELECT doc_id, s AS term, COUNT(*) AS tf
+        FROM toks, UNNEST(t) AS r(s)
+        GROUP BY doc_id, s
+    ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ), ranked AS (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
+    """,
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 most characteristic terms per document. The
+    retrieval/feature-extraction primitive: explode tokens -> per-doc
+    term frequency (shuffle on (doc, term)) -> document frequency
+    (shuffle on term; at corpus scale this aggregate is tiny relative
+    to the corpus and broadcasts back) -> smooth-IDF score -> per-doc
+    top-K window. ln((N+1)/(df+1)) keeps the oracle portable (no
+    log-base differences) and avoids div-by-zero smoothing branches."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()  # scalar; corpus row count is cheap metadata
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@query(
+    "q97_bm25_retrieval",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t FROM documents
+    ), stats AS (
+        SELECT AVG(LEN(t)) AS avgdl, COUNT(*) AS n_docs FROM toks
+    ), tf AS (
+        SELECT doc_id, LEN(t) AS dl, s AS term, COUNT(*) AS tf
+        FROM toks, UNNEST(t) AS r(s)
+        WHERE s IN ('spark', 'shuffle', 'partition')
+        GROUP BY doc_id, LEN(t), s
+    ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id,
+           ROUND(SUM(
+               LN(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+               (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN df USING (term) CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 scoring of every document against a fixed term set (k1=1.2,
+    b=0.75) — the classic sparse-retrieval ranker, run corpus-wide the
+    way a training-data pipeline scores documents against a topic
+    filter. Terms are filtered BEFORE the tf aggregate (predicate
+    pushdown into the explode), so the shuffle carries only matching
+    (doc, term) rows; corpus stats (avgdl, N) and per-term df are
+    scalar/broadcast-sized."""
+    d = load(spark, sf_dir, "documents")
+    terms = ("spark", "shuffle", "partition")
+    toks = d.select("doc_id", F.split(normalize_text("text"), " ").alias("t"))
+    stats = toks.agg(
+        F.avg(F.size("t")).alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = (
+        toks.select("doc_id", F.size("t").alias("dl"), F.explode("t").alias("term"))
+        .filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = idf * (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 6).alias("bm25"))
+    )
+
+
+@query(
+    "q98_cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               DATEDIFF('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day, day_offset,
+           COUNT(*) AS active_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, distinct
+    active users per (cohort, day-offset) for the first week — the
+    standard product-analytics rollup. Two shuffles on user_id (first
+    one computes cohorts, second joins them back — at scale the cohort
+    table is user-dimension-sized and the join co-partitions on
+    user_id with no extra exchange), then one on the output key."""
+    e = load(spark, sf_dir, "events")
+    ed = e.select("user_id", F.col("ts").cast("date").alias("d"))
+    firsts = ed.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    activity = (
+        ed.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("d", "cohort_day").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"), "day_offset"
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
