@@ -23,7 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.text import normalize_text
+from .functions.text import fingerprint, normalize_text
 from .functions.vector import cosine, norm
 from .operators import dedup as D
 from .operators import simsearch as S
@@ -3052,4 +3052,75 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cohort_day").cast("string").alias("cohort_day"), "day_offset"
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+@query(
+    "q99_curation_pipeline",
+    f"""
+    WITH q AS (
+        SELECT doc_id, lang, n_chars,
+               MD5({_NORM_SQL.format(c='text')}) AS fp,
+               STRING_SPLIT(text, ' ') AS w
+        FROM documents
+    ), kept_quality AS (
+        SELECT doc_id, lang, n_chars, fp FROM q
+        WHERE LEN(w) BETWEEN 5 AND 1000
+          AND LIST_SUM(LIST_TRANSFORM(w, x -> LEN(x))) * 1.0 / LEN(w) BETWEEN 2 AND 10
+          AND LEN(LIST_FILTER(w, x -> x IN ('a','the'))) * 1.0 / LEN(w) < 0.5
+          AND LEN(LIST_DISTINCT(w)) * 1.0 / LEN(w) > 0.2
+    ), deduped AS (
+        SELECT MIN_BY(doc_id, doc_id) AS doc_id, ANY_VALUE(lang) AS lang,
+               ANY_VALUE(n_chars) AS n_chars
+        FROM kept_quality GROUP BY fp
+    ), sampled AS (
+        SELECT * FROM deduped
+        WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 1000 <
+              CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 300 ELSE 100 END
+    )
+    SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS total_chars,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM sampled GROUP BY lang
+    """,
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end corpus curation: Gopher-style quality filter
+    (q92 rules) -> exact dedup keeping the smallest doc id per content
+    fingerprint (q30 machinery) -> deterministic per-language
+    stratified rebalance (q89 LCG) -> per-language corpus stats. The
+    composition is the point: the quality filter and the sample
+    predicate are shuffle-free maps, so the ONLY shuffles in the whole
+    pipeline are the dedup group-by (on content hash — uniformly
+    distributed, unskewable by construction) and the final tiny
+    per-language rollup. That plan shape is exactly how the full-scale
+    corpus build should look at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    char_sum = F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    quality = (
+        n.between(5, 1000)
+        & (char_sum * 1.0 / n).between(2, 10)
+        & (F.size(F.filter(w, lambda x: x.isin("a", "the"))) * 1.0 / n < 0.5)
+        & (F.size(F.array_distinct(w)) * 1.0 / n > 0.2)
+    )
+    kept = d.filter(quality).select(
+        "doc_id", "lang", "n_chars", fingerprint("text").alias("fp")
+    )
+    deduped = kept.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.first("lang").alias("lang"),
+        F.first("n_chars").alias("n_chars"),
+    )
+    bucket = ((F.col("doc_id") * 1103515245 + 12345) % 2147483648) % 1000
+    rate = (
+        F.when(F.col("lang") == "en", 500)
+        .when(F.col("lang") == "zh", 300)
+        .otherwise(100)
+    )
+    sampled = deduped.filter(bucket < rate)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
