@@ -138,5 +138,95 @@ def main():
             shutil.rmtree(dest, ignore_errors=True)
 
 
+
+
+
+def replicate_documents(spark, factor: int, dest: str) -> None:
+    """documents scaled by unioning id-offset copies with a per-copy
+    token prefix mutation (so near-dup structure doesn't collapse into
+    exact cross-copy duplicates and LSH bucket sizes stay realistic)."""
+    d = spark.read.parquet(f"{BASE}/documents.parquet")
+    copies = [
+        d.withColumn("doc_id", F.col("doc_id") + F.lit(i * OFFSET)).withColumn(
+            "text", F.concat(F.lit(f"c{i} "), F.col("text"))
+        )
+        for i in range(factor)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big.repartition(32).write.mode("overwrite").parquet(f"{dest}/documents.parquet")
+
+
+def text_shapes(spark, d: str):
+    from canvas_data_loader_spark.operators import dedup as D
+    from canvas_data_loader_spark.queries import load
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+
+    def quality_map():
+        w = F.split(F.col("text"), " ")
+        n = F.size(w)
+        return docs.select(
+            "doc_id",
+            (F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)) * 1.0 / n).alias("mwl"),
+            (F.size(F.array_distinct(w)) * 1.0 / n).alias("ttr"),
+        )
+
+    def exact_groups():
+        return D.exact_dedup_groups(docs, "text", "doc_id")
+
+    def minhash_band_rows():
+        return D.minhash_bands(docs, "text", "doc_id", num_hashes=16, band_size=4)
+
+    def lsh_candidates():
+        return D.minhash_candidate_pairs(docs, "text", "doc_id", num_hashes=16, band_size=4)
+
+    return {
+        "quality_map": quality_map,
+        "exact_dedup_groups": exact_groups,
+        "minhash_bands": minhash_band_rows,
+        "lsh_candidate_pairs": lsh_candidates,
+    }
+
+
+def main_text():
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("scale_probe_text")
+    dest = tempfile.mkdtemp(prefix="scale_probe_text_")
+    try:
+        replicate_documents(spark, factor, dest)
+        # base = the same replicated layout at factor 1 (fair file counts)
+        base_dir = tempfile.mkdtemp(prefix="scale_probe_text_base_")
+        replicate_documents(spark, 1, base_dir)
+
+        def time_dir(d):
+            out = {}
+            for name, fn in text_shapes(spark, d).items():
+                fn().write.format("noop").mode("overwrite").save()
+                t = time.time()
+                fn().write.format("noop").mode("overwrite").save()
+                out[name] = round(time.time() - t, 3)
+            return out
+
+        base_t = time_dir(base_dir)
+        scaled_t = time_dir(dest)
+        report = {}
+        for name in base_t:
+            e = math.log(max(scaled_t[name], 1e-3) / max(base_t[name], 1e-3)) / math.log(factor)
+            report[name] = {
+                "sec_base": base_t[name],
+                "sec_scaled": scaled_t[name],
+                "exponent": round(e, 3),
+            }
+        print(json.dumps({"mode": "text", "factor": factor, "queries": report}))
+        shutil.rmtree(base_dir, ignore_errors=True)
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--text":
+        main_text()
+    else:
+        main()
