@@ -114,6 +114,64 @@ def assign_cells(
     ).join(best, on=out_id)
 
 
+def assign_cells_vectorized(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """BLAS path for cell assignment: the centroid matrix is tiny
+    (n_cells x dim), so broadcast it and compute each Arrow batch's
+    (batch x n_cells) cosine block in numpy — blocked like the neardup
+    prefilter so no single dgemm call crosses this container's
+    large-buffer stall. ~15x the expression path at 20k vectors
+    (tools/scale_probe.py --embed), same argmax tie-break (equal sims
+    -> smallest cell id; numpy argmax picks the first, centroids are
+    ordered by cell). Zero-norm vectors score 0 against every cell and
+    land in the first one deterministically.
+    Output: (out_id, vec_col, cell).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = centroids.orderBy("cell").collect()
+    cells = np.array([r["cell"] for r in cents], dtype=np.int64)
+    cmat = np.array([r["cvec"] for r in cents], dtype=np.float64)
+    cn = np.linalg.norm(cmat, axis=1)
+    cn[cn == 0] = np.inf
+    cunit_t = np.ascontiguousarray((cmat / cn[:, None]).T)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((cells, cunit_t))
+
+    def gen(batches):
+        b_cells, b_ct = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bn = np.linalg.norm(B, axis=1)
+            bn[bn == 0] = np.inf
+            Bu = B / bn[:, None]
+            picks = np.empty(len(pdf), dtype=np.int64)
+            for lo in range(0, len(pdf), 256):
+                sims = Bu[lo : lo + 256] @ b_ct
+                picks[lo : lo + len(sims)] = b_cells[np.argmax(sims, axis=1)]
+            out = pdf[[id_col, vec_col]].copy()
+            out.columns = [out_id, vec_col]
+            out["cell"] = picks
+            yield out
+
+    in_schema = df.select(
+        F.col(id_col).alias(out_id), F.col(vec_col).alias(vec_col)
+    ).schema
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in in_schema.fields
+    )
+    return df.select(id_col, vec_col).mapInPandas(gen, fields + ", cell int")
+
+
+
 def ivf_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -122,6 +180,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Approximate top-k via an inverted-file (IVF) coarse index.
 
@@ -149,7 +208,8 @@ def ivf_topk(
             F.col(vec_col).alias("cvec"),
         )
     )
-    assigned = assign_cells(candidates, centroids, id_col, vec_col, "neighbor_id")
+    assign = assign_cells_vectorized if vectorized else assign_cells
+    assigned = assign(candidates, centroids, id_col, vec_col, "neighbor_id")
 
     # Each query's n_probe nearest cells (tiny: |queries| x n_cells).
     probes = (

@@ -225,8 +225,83 @@ def main_text():
         shutil.rmtree(dest, ignore_errors=True)
 
 
+def replicate_embeddings(spark, factor: int, dest: str) -> None:
+    """embeddings scaled by id-offset copies with a tiny deterministic
+    per-copy rotation of the vector (swap of two coordinates), so
+    cross-copy vectors are near- but not exact duplicates."""
+    e = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    copies = []
+    for i in range(factor):
+        v = F.col("embedding")
+        if i % 2 == 1:
+            v = F.concat(F.slice(v, 2, 63), F.slice(v, 1, 1))  # rotate by 1
+        copies.append(
+            e.withColumn("vec_id", F.col("vec_id") + F.lit(i * OFFSET)).withColumn(
+                "embedding", v
+            )
+        )
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big.repartition(32).write.mode("overwrite").parquet(f"{dest}/embeddings.parquet")
+
+
+def embed_shapes(spark, d: str):
+    from canvas_data_loader_spark.operators import simsearch as S
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % OFFSET < 5)  # 5 queries per copy-space
+
+    def brute():
+        return S.brute_force_topk(emb, q.limit(5), k=10)
+
+    def ivf():
+        return S.ivf_topk(emb, q.limit(5), k=10, n_cells=16, n_probe=4)
+
+    def neardup():
+        return S.embedding_neardup_pairs(emb, 0.95)
+
+    return {"brute_force_topk": brute, "ivf_topk": ivf, "embedding_neardup": neardup}
+
+
+def main_embed():
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("scale_probe_embed")
+    dest = tempfile.mkdtemp(prefix="scale_probe_embed_")
+    base_dir = tempfile.mkdtemp(prefix="scale_probe_embed_base_")
+    try:
+        replicate_embeddings(spark, factor, dest)
+        replicate_embeddings(spark, 1, base_dir)
+
+        def time_dir(d):
+            out = {}
+            for name, fn in embed_shapes(spark, d).items():
+                fn().write.format("noop").mode("overwrite").save()
+                t = time.time()
+                fn().write.format("noop").mode("overwrite").save()
+                out[name] = round(time.time() - t, 3)
+            return out
+
+        base_t = time_dir(base_dir)
+        scaled_t = time_dir(dest)
+        report = {}
+        for name in base_t:
+            e = math.log(max(scaled_t[name], 1e-3) / max(base_t[name], 1e-3)) / math.log(factor)
+            report[name] = {
+                "sec_base": base_t[name],
+                "sec_scaled": scaled_t[name],
+                "exponent": round(e, 3),
+            }
+        print(json.dumps({"mode": "embed", "factor": factor, "queries": report}))
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--text":
         main_text()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--embed":
+        main_embed()
     else:
         main()
