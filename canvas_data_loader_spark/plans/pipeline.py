@@ -56,11 +56,22 @@ class PipelineConfig:
 
 
 class Warehouse:
-    """Snapshot-versioned parquet warehouse with atomic table pointer."""
+    """Snapshot-versioned parquet warehouse with atomic table pointer.
 
-    def __init__(self, spark: SparkSession, root: str):
+    Every write lands in its own immutable snapshot directory and the
+    ``.current`` pointer swaps atomically — readers never see a
+    half-written table. The last ``retain`` snapshots are kept, giving
+    time travel (``versions``/``read_at``): the audit tool for exactly
+    the cases the reference handles blind — historical refreshes and
+    schema-change reloads can be diffed against the pre-import state
+    (pairs with the q95 snapshot-diff op). Older snapshots are pruned
+    on write; a real deployment would prune by age instead.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, retain: int = 3):
         self.spark = spark
         self.root = root
+        self.retain = retain
         os.makedirs(root, exist_ok=True)
 
     def _pointer(self, table: str) -> str:
@@ -82,17 +93,44 @@ class Warehouse:
             raise FileNotFoundError(f"table not in warehouse: {table}")
         return self.spark.read.parquet(path)
 
+    def _log(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}.log")
+
+    def versions(self, table: str) -> list[str]:
+        """Snapshot names, oldest first, newest = current."""
+        log = self._log(table)
+        if not os.path.exists(log):
+            cur = self.current_path(table)
+            return [os.path.basename(cur)] if cur else []
+        with open(log) as fh:
+            names = [line.strip() for line in fh if line.strip()]
+        return [n for n in names if os.path.isdir(os.path.join(self.root, table, n))]
+
+    def read_at(self, table: str, snapshot: str) -> DataFrame:
+        """Time travel: read a retained (non-current) snapshot."""
+        path = os.path.join(self.root, table, snapshot)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"snapshot {snapshot!r} of {table!r} not retained "
+                f"(have: {self.versions(table)})"
+            )
+        return self.spark.read.parquet(path)
+
     def write(self, table: str, df: DataFrame, snapshot: str) -> None:
-        """Write a new snapshot then atomically swap the pointer."""
+        """Write a new snapshot then atomically swap the pointer;
+        prune snapshots beyond the retention window."""
         out = os.path.join(self.root, table, snapshot)
         df.write.mode("overwrite").parquet(out)
-        old = self.current_path(table)
         tmp = self._pointer(table) + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(out)
         os.replace(tmp, self._pointer(table))
-        if old and old != out and os.path.isdir(old):
-            shutil.rmtree(old, ignore_errors=True)
+        names = [n for n in self.versions(table) if n != snapshot] + [snapshot]
+        expired, kept = names[: -self.retain], names[-self.retain :]
+        with open(self._log(table), "w") as fh:
+            fh.write("\n".join(kept) + "\n")
+        for n in expired:
+            shutil.rmtree(os.path.join(self.root, table, n), ignore_errors=True)
 
     def drop(self, table: str) -> None:
         """DROP TABLE IF EXISTS analog (reference src/db_client.rs:126-145)."""
@@ -105,6 +143,8 @@ class Warehouse:
         table_dir = os.path.join(self.root, table)
         if os.path.isdir(table_dir):
             shutil.rmtree(table_dir, ignore_errors=True)
+        if os.path.exists(self._log(table)):
+            os.remove(self._log(table))
 
 
 @dataclass

@@ -282,3 +282,35 @@ class TestLedger:
         assert led2.status("d2") == FAILURE
         assert led2.should_skip("d1") and not led2.should_skip("d2")
         assert led2.last_version_processed == "v1"
+
+
+class TestWarehouseTimeTravel:
+    def test_versions_read_at_and_retention(self, spark, tmp_path):
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "wh"), retain=2)
+        df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+        df2 = spark.createDataFrame([(1, "b"), (2, "c")], "id long, v string")
+        df3 = spark.createDataFrame([(3, "d")], "id long, v string")
+        wh.write("t", df1, snapshot="s1")
+        wh.write("t", df2, snapshot="s2")
+        assert wh.versions("t") == ["s1", "s2"]
+        # time travel to the pre-merge state while current moved on
+        assert sorted(tuple(r) for r in wh.read_at("t", "s1").collect()) == [(1, "a")]
+        assert sorted(tuple(r) for r in wh.read("t").collect()) == [(1, "b"), (2, "c")]
+        # third write prunes s1 (retain=2)
+        wh.write("t", df3, snapshot="s3")
+        assert wh.versions("t") == ["s2", "s3"]
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError):
+            wh.read_at("t", "s1")
+
+    def test_drop_clears_history(self, spark, tmp_path):
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        wh.write("t", spark.createDataFrame([(1,)], "id long"), snapshot="s1")
+        wh.drop("t")
+        assert wh.versions("t") == []
+        assert not wh.exists("t")
