@@ -3124,3 +3124,44 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+@query(
+    "q100_quality_percentile_keep",
+    """
+    WITH scored AS (
+        SELECT doc_id, lang, source,
+               LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) * 1.0
+                 / LEN(STRING_SPLIT(text, ' ')) AS ttr,
+               n_chars
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, lang, source, ROUND(ttr, 6) AS ttr_r,
+               PERCENT_RANK() OVER (PARTITION BY lang, source
+                                    ORDER BY ttr DESC, doc_id) AS pr
+        FROM scored
+    )
+    SELECT doc_id, lang, source, ttr_r
+    FROM ranked WHERE pr <= 0.2
+    """,
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-percentile retention: keep the top 20% of documents per
+    (lang, source) by type-token ratio — the 'best fraction per
+    domain' curation step (a relative threshold per stratum, unlike
+    q92's absolute rules, so heterogeneous sources each contribute
+    their best). One shuffle on (lang, source); the score itself is a
+    shuffle-free expression. percent_rank (not ntile) keeps the cut
+    exact under ties, deterministic via the doc_id tiebreak."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(w)) * 1.0 / F.size(w)
+    win = Window.partitionBy("lang", "source").orderBy(
+        F.desc("__ttr"), F.asc("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", "source", ttr.alias("__ttr"))
+        .withColumn("pr", F.percent_rank().over(win))
+        .filter(F.col("pr") <= 0.2)
+        .select("doc_id", "lang", "source", F.round("__ttr", 6).alias("ttr_r"))
+    )
