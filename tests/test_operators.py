@@ -467,3 +467,52 @@ class TestConnectedComponents:
         edges = spark.createDataFrame([(5, 5), (7, 6)], "src long, dst long")
         got = {r.node: r.component for r in connected_components(edges).collect()}
         assert got == {5: 5, 6: 6, 7: 6}
+
+
+class TestConnectedComponentsProperty:
+    def test_random_graphs_match_union_find(self, spark):
+        """Property check: label propagation on Spark == classic
+        union-find, across a batch of seeded random graphs (varied
+        density, chains, isolated pairs)."""
+        import random as rnd
+
+        from canvas_data_loader_spark.operators.dedup import connected_components
+
+        for seed in range(6):
+            r = rnd.Random(seed)
+            n = r.randint(2, 25)
+            m = r.randint(1, 40)
+            edges = [(r.randrange(n), r.randrange(n)) for _ in range(m)]
+
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            def union(a, b):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+
+            for a, b in edges:
+                union(a, b)
+            # canonical label = min node id in the component, but only
+            # for nodes that appear in the edge list (operator's domain)
+            nodes = sorted({x for e in edges for x in e})
+            groups = {}
+            for x in nodes:
+                groups.setdefault(find(x), []).append(x)
+            expected = {}
+            for members in groups.values():
+                lo = min(members)
+                for x in members:
+                    expected[x] = lo
+
+            df = spark.createDataFrame(edges, "src long, dst long")
+            got = {
+                r_.node: r_.component for r_ in connected_components(df).collect()
+            }
+            assert got == expected, f"seed={seed} edges={edges}"
