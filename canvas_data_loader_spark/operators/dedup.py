@@ -94,7 +94,11 @@ def ngram_jaccard_pairs(
     counts (broadcastable) -> |A∩B| / (|A|+|B|-|A∩B|).
     Output: (doc_a, doc_b, common, jaccard) with doc_a < doc_b.
     """
-    sh = shingle_table(df, text_col, id_col, n, max_df)
+    # The shingle table feeds three consumers (both self-join sides and
+    # the per-doc sizes); without pinning it, the tokenize+explode+
+    # distinct subtree re-executes per consumer (plan audit showed 4
+    # document scans). Persist = one materialization, three reads.
+    sh = shingle_table(df, text_col, id_col, n, max_df).persist()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

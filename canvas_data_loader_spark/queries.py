@@ -2825,7 +2825,9 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_srcs = ("src0", "src1", "src2")
     sh = D.shingle_table(d.withColumnRenamed("doc_id", "__id"), "text", "__id", n=3)
     src = d.select(F.col("doc_id").alias("doc"), "source")
-    sh = sh.join(F.broadcast(src), "doc")
+    # Both splits consume the shingle table; pin it so tokenization
+    # runs once (same reuse reasoning as ngram_jaccard_pairs).
+    sh = sh.join(F.broadcast(src), "doc").persist()
     eval_sh = (
         sh.filter(F.col("source").isin(*eval_srcs)).select("s").distinct()
     )
