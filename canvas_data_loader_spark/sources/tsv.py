@@ -55,3 +55,41 @@ def stage_glob(stage_dir: str, dump_id: str, table_name: str) -> str:
     globs ``{save}/{dump_id}/*.gz``; we narrow per table since Spark
     routes by path, not by post-hoc filename parsing)."""
     return f"{stage_dir}/{dump_id}/{table_name}-*"
+
+
+def read_tsv_shards_quarantine(
+    spark: SparkSession,
+    paths: list[str] | str,
+    table_def: TableDef,
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE read with a bad-row quarantine channel.
+
+    The reference hard-fails the whole import on one malformed row
+    (src/importer.rs error paths poison the rayon pool via the shared
+    AtomicBool, 203/234). At 100 TB that is operationally wrong: one
+    corrupt shard among thousands should not kill a day of ingest.
+    This variant binds rows PERMISSIVEly and routes failures to a
+    quarantine DataFrame via the ``columnNameOfCorruptRecord`` side
+    channel: returns (good_rows, quarantined_raw_lines). The
+    quarantine is written next to the warehouse for replay after the
+    upstream fix — count it, alert on it, never silently drop it.
+    """
+    st = table_def.to_struct_type().add("_corrupt", "string")
+    df = (
+        spark.read.schema(st)
+        .options(
+            sep="\t",
+            nullValue="\\N",
+            header="false",
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord="_corrupt",
+            emptyValue="",
+        )
+        .csv(paths)
+        .cache()  # one scan feeds both channels
+    )
+    good = df.filter(df["_corrupt"].isNull()).drop("_corrupt")
+    bad = df.filter(df["_corrupt"].isNotNull()).select(
+        df["_corrupt"].alias("raw_line")
+    )
+    return good, bad

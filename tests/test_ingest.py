@@ -188,3 +188,38 @@ class TestSinks:
         df = spark.createDataFrame([(1,)], ["id"])
         with _pytest.raises(ValueError):
             write_jdbc(df, "jdbc:postgresql://x/y", "t", mode="merge")
+
+
+class TestQuarantine:
+    def test_bad_rows_quarantined_good_rows_survive(self, spark, tmp_path):
+        import gzip as gz
+
+        from canvas_data_loader_spark.schema import SchemaDef
+        from canvas_data_loader_spark.sources.tsv import read_tsv_shards_quarantine
+
+        schema = SchemaDef.from_json(
+            {
+                "version": "1",
+                "schema": {
+                    "t": {
+                        "tableName": "t",
+                        "columns": [
+                            {"name": "id", "type": "bigint"},
+                            {"name": "score", "type": "double precision"},
+                        ],
+                    }
+                },
+            }
+        )
+        lines = "1\t2.5\nnot_a_number\t3.5\n2\t\\N\n3\toops\n"
+        p = tmp_path / "t-00000-x.gz"
+        p.write_bytes(gz.compress(lines.encode()))
+        good, bad = read_tsv_shards_quarantine(
+            spark, str(p), schema.tables["t"]
+        )
+        assert sorted(tuple(r) for r in good.collect()) == [
+            (1, 2.5),
+            (2, None),
+        ]
+        quarantined = sorted(r.raw_line for r in bad.collect())
+        assert quarantined == ["3\toops", "not_a_number\t3.5"]
