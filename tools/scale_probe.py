@@ -298,10 +298,66 @@ def main_embed():
         shutil.rmtree(base_dir, ignore_errors=True)
 
 
+def main_skew():
+    """Measure the salted-join strategy on a zipf-skewed key: 90% of
+    fact rows share ONE key. Plain shuffle join must put that key's
+    rows in one task; the salted join scatters them across ``salt``
+    subkeys. (AQE's skew-join split also fires on the plain path —
+    this probe quantifies how much headroom the explicit strategy has
+    when AQE cannot help, e.g. an aggregation directly downstream.)
+    """
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    from canvas_data_loader_spark.operators.skew import salted_join
+
+    spark = get_spark("scale_probe_skew")
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    big = li
+    for i in range(1, factor):
+        big = big.unionByName(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * OFFSET))
+        )
+    # 90% of rows collapse onto hot key 1
+    skewed = big.withColumn(
+        "hot_key",
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(1)).otherwise(
+            F.col("l_orderkey") % 1000
+        ),
+    ).select("hot_key", "l_quantity", "l_orderkey")
+    dim = spark.range(0, 1000).select(
+        F.col("id").alias("hot_key"), (F.col("id") * 2).alias("dim_val")
+    )
+    # force a shuffle join (no broadcast) so skew actually matters
+    plain = skewed.hint("merge").join(dim.hint("merge"), "hot_key").groupBy(
+        "dim_val"
+    ).agg(F.sum("l_quantity").alias("s"))
+    salted = salted_join(
+        skewed, dim, "hot_key", scatter_col="l_orderkey", salt=32
+    ).groupBy("dim_val").agg(F.sum("l_quantity").alias("s"))
+
+    def t(df):
+        df.write.format("noop").mode("overwrite").save()
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    no_aqe = {"spark.sql.adaptive.enabled": "false"}
+    results = {}
+    for name, df in [("plain_smj", plain), ("salted", salted)]:
+        results[name + "_aqe"] = t(df)
+    for k, v in no_aqe.items():
+        spark.conf.set(k, v)
+    for name, df in [("plain_smj", plain), ("salted", salted)]:
+        results[name + "_noaqe"] = t(df)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    print(json.dumps({"mode": "skew", "factor": factor, "sec": results}))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--text":
         main_text()
     elif len(sys.argv) > 1 and sys.argv[1] == "--embed":
         main_embed()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        main_skew()
     else:
         main()
