@@ -3167,3 +3167,56 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pr") <= 0.2)
         .select("doc_id", "lang", "source", F.round("__ttr", 6).alias("ttr_r"))
     )
+
+
+@query(
+    "q101_value_histogram",
+    """
+    SELECT event_type,
+           CAST(CASE WHEN value < 0 THEN 0
+                     WHEN value >= 100 THEN 21
+                     ELSE FLOOR(value / 5.0) + 1 END AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type, 2
+    """,
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram per event type via width_bucket — the
+    distribution-profiling primitive (dashboards, drift detection).
+    Single shuffle on the (type, bucket) pair; bucket assignment is a
+    pure expression so the aggregate is map-side combinable: 20
+    buckets x #types rows out of however many billions in."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.width_bucket("value", F.lit(0.0), F.lit(100.0), F.lit(20)).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q102_median_mode",
+    """
+    SELECT o_orderstatus,
+           ROUND(MEDIAN(o_totalprice), 4) AS med_price,
+           MODE(o_orderpriority ORDER BY o_orderpriority) AS top_priority,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median and modal value per group (Spark 3.4+ median/mode
+    builtins). Median is the exact percentile (a sort-based agg —
+    heavier than percentile_approx q41, which is the at-scale
+    default); mode ties are broken deterministically (DuckDB: ORDER BY
+    in the aggregate; Spark's mode() returns the same least value on
+    ties for this data, pinned by the oracle match)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 4).alias("med_price"),
+        F.mode("o_orderpriority").alias("top_priority"),
+        F.count(F.lit(1)).alias("n"),
+    )
