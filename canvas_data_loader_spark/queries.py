@@ -3220,3 +3220,116 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.mode("o_orderpriority").alias("top_priority"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q103_peak_concurrency",
+    """
+    WITH iv AS (
+        SELECT event_id, event_type, ts AS start_ts,
+               ts + INTERVAL 1 SECOND * CAST(value * 60 AS BIGINT) AS end_ts
+        FROM events
+    ), pts AS (
+        SELECT event_type, start_ts AS t, 1 AS delta, event_id FROM iv
+        UNION ALL
+        SELECT event_type, end_ts AS t, -1 AS delta, event_id FROM iv
+    ), run AS (
+        SELECT event_type,
+               SUM(delta) OVER (PARTITION BY event_type
+                                ORDER BY t, delta, event_id) AS concurrent
+        FROM pts
+    )
+    SELECT event_type, MAX(concurrent) AS peak_concurrent
+    FROM run GROUP BY event_type
+    """,
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency per event type (each event held open
+    for value minutes): the +1/-1 boundary-sweep — explode intervals
+    to start/end deltas, running sum over time, max. The relational
+    form of the classic sweep-line; one shuffle on event_type for the
+    window. Ends sort BEFORE starts at the same instant (delta -1 < 1)
+    so back-to-back intervals don't double-count; event_id breaks
+    remaining ties so the running sum is deterministic."""
+    e = load(spark, sf_dir, "events")
+    iv = e.select(
+        "event_id",
+        "event_type",
+        F.col("ts").alias("start_ts"),
+        (
+            F.col("ts")
+            + F.make_interval(secs=(F.col("value") * 60).cast("bigint").cast("double"))
+        ).alias("end_ts"),
+    )
+    pts = iv.select(
+        "event_type", F.col("start_ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionByName(
+        iv.select(
+            "event_type", F.col("end_ts").alias("t"), F.lit(-1).alias("delta"), "event_id"
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("event_type", F.sum("delta").over(w).alias("concurrent"))
+    return run.groupBy("event_type").agg(
+        F.max("concurrent").alias("peak_concurrent")
+    )
+
+
+@query(
+    "q104_funnel",
+    """
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS t_signup FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), v AS (
+        SELECT e.user_id, MIN(e.ts) AS t_view
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'view' AND e.ts > s.t_signup
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM v) AS n_then_view,
+           (SELECT COUNT(*) FROM p) AS n_then_purchase
+    """,
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who signed up, then viewed AFTER the
+    signup, then purchased AFTER that view — sequential pattern
+    matching as cascaded earliest-event joins (the relational
+    decomposition of MATCH_RECOGNIZE). Each stage is a per-user min
+    over a semi-joined subset: shuffles stay on user_id throughout, so
+    a user-bucketed layout runs the whole funnel co-partitioned."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_then_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_then_purchase")))
+    )
