@@ -3333,3 +3333,54 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(v.agg(F.count(F.lit(1)).alias("n_then_view")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_then_purchase")))
     )
+
+
+@query(
+    "q105_sequence_pattern",
+    """
+    WITH seq AS (
+        SELECT user_id,
+               STRING_AGG(SUBSTR(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, LEN(s) AS n_events,
+           LENGTH(REGEXP_REPLACE(s, 'vp', '', 'g')) <> LENGTH(s) AS has_view_purchase,
+           LENGTH(s) - LENGTH(REGEXP_REPLACE(s, 'e', '', 'g')) AS n_errors
+    FROM seq
+    """,
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern mining: collapse each user's ordered
+    event history to a compact symbol string (first letter per type —
+    all five types are distinct on it), then run pattern predicates as
+    regex over the string: 'did a view immediately precede a purchase'
+    (adjacency, not just precedence — funnel q104 can't see that) and
+    error counts. This is the poor-man's MATCH_RECOGNIZE, and the
+    symbol-string trick is the scalable shape: one shuffle to build
+    the per-user string (bounded by user activity), then pure string
+    expressions — no self-joins over the event table."""
+    e = load(spark, sf_dir, "events")
+    sym = F.substring("event_type", 1, 1)
+    seq = (
+        e.select("user_id", "ts", "event_id", sym.alias("c"))
+        .withColumn(
+            "s_arr",
+            F.collect_list("c").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
+        .groupBy("user_id")
+        .agg(F.first(F.concat_ws("", "s_arr")).alias("s"))
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").alias("n_events"),
+        (
+            F.length(F.regexp_replace("s", "vp", "")) != F.length("s")
+        ).alias("has_view_purchase"),
+        (
+            F.length("s") - F.length(F.regexp_replace("s", "e", ""))
+        ).alias("n_errors"),
+    )
