@@ -3384,3 +3384,81 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("s") - F.length(F.regexp_replace("s", "e", ""))
         ).alias("n_errors"),
     )
+
+
+@query(
+    "q106_label_centroids",
+    """
+    WITH pos AS (
+        SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(RANGE(1, LEN(embedding) + 1)) AS r(i)
+        WHERE label IS NOT NULL
+    )
+    SELECT label, pos,
+           ROUND(AVG(x), 6) AS centroid_x,
+           ROUND(STDDEV_POP(x), 6) AS spread_x
+    FROM pos GROUP BY label, pos
+    """,
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids + per-dimension spread: the
+    cluster-summarization op (class prototypes for nearest-centroid
+    classification, drift monitoring of embedding spaces). Vectors
+    explode positionally so the aggregate is a plain (label, pos)
+    group-by — element-wise mean without any UDF; one shuffle of
+    #vectors x dim narrow rows, map-side combined down to
+    #labels x dim. (At extreme scale, aggregate the arrays directly
+    with fold expressions to avoid the explode fan-out; the explode
+    form is the oracle-checkable reference semantics.)"""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
+    pos = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("x").cast("double").alias("x"),
+    )
+    return pos.groupBy("label", "pos").agg(
+        F.round(F.avg("x"), 6).alias("centroid_x"),
+        F.round(F.stddev_pop("x"), 6).alias("spread_x"),
+    )
+
+
+@query(
+    "q107_null_safe_join",
+    """
+    WITH l AS (
+        SELECT o_orderkey, NULLIF(o_orderpriority, '3-MEDIUM') AS pr, o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+    ), r AS (
+        SELECT DISTINCT NULLIF(o_orderpriority, '3-MEDIUM') AS pr
+        FROM orders
+    )
+    SELECT l.o_orderkey, COALESCE(l.pr, 'NONE') AS pr_out,
+           ROUND(l.o_totalprice, 4) AS price
+    FROM l JOIN r ON l.pr IS NOT DISTINCT FROM r.pr
+    """,
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match NULL keys instead of vanishing — the join semantics needed
+    when the key is a derived/optional attribute (here priorities with
+    one value nulled out). Still a hash-joinable equi-predicate in
+    Catalyst (EqualNullSafe), unlike an OR-of-IS-NULL rewrite which
+    would fall to nested-loop."""
+    o = load(spark, sf_dir, "orders")
+    pr = F.when(F.col("o_orderpriority") == "3-MEDIUM", F.lit(None)).otherwise(
+        F.col("o_orderpriority")
+    )
+    left = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", pr.alias("pr"), "o_totalprice"
+    )
+    right = o.select(pr.alias("pr_r")).distinct()
+    return (
+        left.join(right, left.pr.eqNullSafe(right.pr_r))
+        .select(
+            "o_orderkey",
+            F.coalesce("pr", F.lit("NONE")).alias("pr_out"),
+            F.round("o_totalprice", 4).alias("price"),
+        )
+    )
