@@ -3462,3 +3462,27 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 4).alias("price"),
         )
     )
+
+
+@query(
+    "q108_stream_stream_join",
+    """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (clicks -> purchases within 30 min,
+    same user), run as a real Structured Streaming join with
+    watermark-bounded state on BOTH sides — the attribution-pipeline
+    shape. Finite-source append output ≡ the batch interval join the
+    oracle runs."""
+    from .streaming.events import stream_stream_click_purchase
+
+    _pin_utc(spark)
+    return stream_stream_click_purchase(spark, f"{sf_dir}/events.parquet")

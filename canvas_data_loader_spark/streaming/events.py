@@ -245,3 +245,49 @@ def session_window_counts(
         )
     )
     return _run_to_memory(agg, "complete") if run else agg
+
+
+def stream_stream_click_purchase(
+    spark: SparkSession, path: str, within: str = "30 minutes", run: bool = True
+) -> DataFrame:
+    """Stream-stream interval join: clicks joined to the same user's
+    purchases that land within ``within`` AFTER the click. Both sides
+    carry watermarks so the join state is bounded: a click can be
+    dropped from state once the purchase-side watermark passes
+    click.ts + within (Spark derives the state retention from the
+    interval condition — unbounded joins without it are rejected).
+    On a finite AvailableNow source the emitted set equals the batch
+    interval join, which is what the oracle checks."""
+    clicks = (
+        read_events_stream(spark, path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    j = clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + interval {within}"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+    return _run_to_memory(j, "append") if run else j
