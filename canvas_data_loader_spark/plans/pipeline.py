@@ -24,6 +24,7 @@ bucketed by the merge key so only affected partitions rewrite.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 from dataclasses import dataclass, field
@@ -131,6 +132,35 @@ class Warehouse:
             fh.write("\n".join(kept) + "\n")
         for n in expired:
             shutil.rmtree(os.path.join(self.root, table, n), ignore_errors=True)
+
+    def compact(self, table: str, target_bytes: int = 128 * 1024 * 1024) -> int:
+        """Compact the current snapshot's small files into ~target-size
+        files (bin-packing by total bytes). Incremental merges fragment
+        a table into one file set per batch; at scale the scan cost
+        becomes file-open-bound long before it is byte-bound, so
+        periodic compaction is part of the write path's contract (the
+        Delta/Iceberg OPTIMIZE analog). Rewrites as a new snapshot via
+        the same atomic pointer swap; time travel still sees the
+        pre-compaction snapshot. Returns the new file count."""
+        path = self.current_path(table)
+        if path is None:
+            raise FileNotFoundError(f"table not in warehouse: {table}")
+        total = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, math.ceil(total / target_bytes))
+        df = self.spark.read.parquet(path)
+        self.write(table, df.repartition(n_files), snapshot=f"compact-{n_files}")
+        new_path = self.current_path(table)
+        return sum(
+            1
+            for dp, _, fs in os.walk(new_path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
 
     def drop(self, table: str) -> None:
         """DROP TABLE IF EXISTS analog (reference src/db_client.rs:126-145)."""

@@ -314,3 +314,25 @@ class TestWarehouseTimeTravel:
         wh.drop("t")
         assert wh.versions("t") == []
         assert not wh.exists("t")
+
+
+class TestCompaction:
+    def test_fragmented_table_compacts_to_fewer_files(self, spark, tmp_path):
+        import os
+
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        # fragment: 16 partitions of a small table = 16 tiny files
+        df = spark.range(0, 1000).repartition(16)
+        wh.write("t", df, snapshot="s1")
+        path = wh.current_path("t")
+        n_before = sum(
+            1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+        )
+        assert n_before >= 16
+        n_after = wh.compact("t")
+        assert n_after == 1  # tiny table -> single file
+        assert sorted(r.id for r in wh.read("t").collect()) == list(range(1000))
+        # pre-compaction snapshot still reachable (time travel)
+        assert "s1" in wh.versions("t")
