@@ -101,3 +101,53 @@ def write_partitioned_parquet(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(path)
+
+
+def zorder_key(col_a, col_b, bits: int = 21):
+    """Morton (Z-order) key: bit-interleave two non-negative integer
+    columns into one clustering key. Sorting/range-partitioning a table
+    by this key makes files tight in BOTH dimensions at once, so
+    per-file min/max stats prune scans filtered on EITHER column —
+    multi-column data skipping, the Delta/Iceberg ZORDER analog, as a
+    pure expression.
+
+    ``bits`` per dimension (21+21=42 result bits stays well inside a
+    signed 64-bit long). Inputs outside [0, 2^bits) should be rank- or
+    scale-normalized first; the interleave simply truncates high bits.
+    """
+    from pyspark.sql import functions as F
+
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + (F.shiftleft(F.shiftright(a.cast("long"), i).bitwiseAND(1), 2 * i))
+            + (F.shiftleft(F.shiftright(b.cast("long"), i).bitwiseAND(1), 2 * i + 1))
+        )
+    return z
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered on the Z-order of (col_a, col_b):
+    range-partition on the interleaved key (keeps files balanced AND
+    contiguous in Z-space), sort within partitions, drop the key.
+    Downstream engines skip files via parquet footer min/max on both
+    columns; tests quantify the range tightening vs a single-column
+    sort."""
+    keyed = df.withColumn("__z", zorder_key(col_a, col_b))
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -223,3 +223,51 @@ class TestQuarantine:
         ]
         quarantined = sorted(r.raw_line for r in bad.collect())
         assert quarantined == ["3\toops", "not_a_number\t3.5"]
+
+
+class TestZOrder:
+    def test_interleave_correctness(self, spark):
+        from pyspark.sql import functions as F
+
+        from canvas_data_loader_spark.sinks import zorder_key
+
+        rows = spark.range(0, 1).select(
+            zorder_key(F.lit(0b101), F.lit(0b011)).alias("z")
+        ).collect()
+        # a=101, b=011 -> interleaved (b2 a2 b1 a1 b0 a0) = 0 1 1 0 1 1
+        assert rows[0].z == 0b011011
+
+    def test_zorder_tightens_both_dims(self, spark, tmp_path):
+        """Files clustered by z-order must bound BOTH columns far
+        tighter than a sort on one column bounds the other."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from canvas_data_loader_spark.sinks import write_zordered_parquet
+
+        r = random.Random(7)
+        data = [(r.randrange(1024), r.randrange(1024)) for _ in range(20_000)]
+        df = spark.createDataFrame(data, "x long, y long")
+
+        def avg_span(path, col):
+            got = (
+                spark.read.parquet(path)
+                .select(col, F.input_file_name().alias("f"))
+                .groupBy("f")
+                .agg((F.max(col) - F.min(col)).alias("span"))
+                .agg(F.avg("span").alias("a"))
+                .collect()
+            )
+            return got[0].a
+
+        z_path = str(tmp_path / "z")
+        s_path = str(tmp_path / "s")
+        write_zordered_parquet(df, z_path, "x", "y", n_files=16)
+        df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(s_path)
+
+        # single-column sort: x is tight but y spans ~full domain
+        assert avg_span(s_path, "y") > 900
+        # z-order: both dimensions substantially bounded
+        assert avg_span(z_path, "x") < 600
+        assert avg_span(z_path, "y") < 600
