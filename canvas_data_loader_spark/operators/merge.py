@@ -148,3 +148,27 @@ def merge_upsert_bucketed(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
     return affected
+
+
+def merge_upsert_evolve(
+    old: DataFrame,
+    new: DataFrame,
+    key: str | list[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """Keyed upsert with additive schema evolution: columns present in
+    only one side survive the merge, null-padded on the other (the
+    mergeSchema analog of merge_upsert). The reference's answer to any
+    schema change is a full reload (main.rs:188-193); an additive
+    column does not need one — old rows simply read NULL for the new
+    column, exactly what a warehouse backfill would produce. Column
+    REMOVALS and type changes still route to full reload (they change
+    the meaning of existing data, not just its extent).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if order_col is not None:
+        new = dedup_latest(new, keys, order_col)
+    survivors = old.join(
+        F.broadcast(new.select(*keys).distinct()), on=keys, how="left_anti"
+    )
+    return survivors.unionByName(new, allowMissingColumns=True)

@@ -137,3 +137,34 @@ class TestBucketedMerge:
         merge_upsert_bucketed(spark, path, batch, "o_orderkey", 4)
         second = sorted(tuple(r) for r in spark.read.parquet(path).drop("__kb").collect())
         assert first == second
+
+
+class TestSchemaEvolvingMerge:
+    def test_added_column_survives_and_backfills_null(self, spark):
+        from canvas_data_loader_spark.operators.merge import merge_upsert_evolve
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        )
+        new = spark.createDataFrame(
+            [(2, "b2", "extra2"), (3, "c", "extra3")],
+            "id long, v string, w string",
+        )
+        got = sorted(
+            tuple(r) for r in merge_upsert_evolve(old, new, "id").collect()
+        )
+        assert got == [
+            (1, "a", None),       # untouched old row, new col null-padded
+            (2, "b2", "extra2"),  # updated
+            (3, "c", "extra3"),   # inserted
+        ]
+
+    def test_dropped_column_preserved_from_old(self, spark):
+        from canvas_data_loader_spark.operators.merge import merge_upsert_evolve
+
+        old = spark.createDataFrame([(1, "a", 9)], "id long, v string, legacy long")
+        new = spark.createDataFrame([(2, "b")], "id long, v string")
+        got = sorted(
+            tuple(r) for r in merge_upsert_evolve(old, new, "id").collect()
+        )
+        assert got == [(1, "a", 9), (2, "b", None)]
