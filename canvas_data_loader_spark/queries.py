@@ -1021,11 +1021,17 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+2], ' ') AS s
         FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t) - 1, 1))) AS r(i)
         WHERE LEN(t) >= 3
+    ), kept AS (
+        -- skew + signal cap: drop shingles appearing in > 100 docs
+        -- (ubiquitous n-grams carry no near-dup signal and are the
+        -- self-join's quadratic hot keys)
+        SELECT sh.doc_id, sh.s FROM sh
+        JOIN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100) f USING (s)
     ), sizes AS (
-        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
     ), pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, common,
@@ -1038,9 +1044,13 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup mining: top pairs by word-3-gram Jaccard similarity."""
+    """Near-dup mining: top pairs by word-3-gram Jaccard similarity.
+    max_df=100 drops ubiquitous shingles before the self-join — the
+    hot keys that make shingle joins quadratic on real corpora (and
+    pure noise for similarity); sizes are computed post-filter on both
+    sides so the Jaccard denominator stays consistent."""
     d = load(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", n=3)
+    pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", n=3, max_df=100)
     return (
         pairs.select(
             "doc_a", "doc_b", "common", F.round("jaccard", 6).alias("jaccard_r")
