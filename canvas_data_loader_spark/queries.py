@@ -3496,3 +3496,38 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _pin_utc(spark)
     return stream_stream_click_purchase(spark, f"{sf_dir}/events.parquet")
+
+
+@query(
+    "q109_weighted_sample",
+    """
+    WITH scored AS (
+        SELECT doc_id, lang, n_chars,
+               LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) * 1.0
+                 / LEN(STRING_SPLIT(text, ' ')) AS ttr
+        FROM documents
+    )
+    SELECT doc_id, lang, ROUND(ttr, 6) AS ttr_r
+    FROM scored
+    WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 1000
+          < CAST(100 + 800 * ttr AS INTEGER)
+    """,
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling: keep probability 10%..90% scales
+    linearly with the document's type-token ratio — soft curation
+    (downweight junk without a hard cutoff, preserving distribution
+    tails), reproducible because the coin is the q89 LCG id-hash, not
+    rand(). The weight comparison is integer-vs-integer (the threshold
+    truncates via CAST) so no float-boundary flakiness across engines.
+    Shuffle-free: pure scan-project-filter."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(w)) * 1.0 / F.size(w)
+    bucket = ((F.col("doc_id") * 1103515245 + 12345) % 2147483648) % 1000
+    thresh = (100 + 800 * ttr).cast("int")
+    return (
+        d.select("doc_id", "lang", ttr.alias("__ttr"))
+        .filter(bucket < thresh)
+        .select("doc_id", "lang", F.round("__ttr", 6).alias("ttr_r"))
+    )
