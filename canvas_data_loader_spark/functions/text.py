@@ -41,12 +41,18 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     per array element, so an inline split+regexp_replace turns into
     O(tokens²) regex work per row (measured 6.5× slower at sf0.1).
     Returns an empty array when there are fewer than ``n`` tokens.
+    Short docs need the explicit guard: ``sequence(1, 0)`` is the
+    DESCENDING array ``[1, 0]`` (not empty), and ``slice(toks, 0, n)``
+    then raises INVALID_PARAMETER_VALUE.START — so a bare
+    ``sequence(1, size-n+1)`` crashes on any doc with < n tokens.
     """
-    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def word_shingles(c: Column | str, n: int = 3) -> Column:

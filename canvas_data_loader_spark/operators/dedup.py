@@ -97,8 +97,12 @@ def ngram_jaccard_pairs(
     # The shingle table feeds three consumers (both self-join sides and
     # the per-doc sizes); without pinning it, the tokenize+explode+
     # distinct subtree re-executes per consumer (plan audit showed 4
-    # document scans). Persist = one materialization, three reads.
-    sh = shingle_table(df, text_col, id_col, n, max_df).persist()
+    # document scans). localCheckpoint (not persist): one
+    # materialization, three reads, and the blocks are RDD-level so the
+    # ContextCleaner frees them once the result is unreachable — a
+    # CacheManager persist() here would outlive the query and
+    # accumulate across calls on a shared session.
+    sh = shingle_table(df, text_col, id_col, n, max_df).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -145,8 +145,12 @@ def merge_upsert_bucketed(
     merged = old.join(
         F.broadcast(new_b.select(key).distinct()), on=key, how="left_anti"
     ).unionByName(new_b.select(old.columns))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+    # Per-write option, NOT spark.conf.set: mutating the shared session
+    # conf would silently change the semantics of any later static
+    # partitioned overwrite in the same session.
+    merged.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy(BUCKET_COL).parquet(path)
     return affected
 
 

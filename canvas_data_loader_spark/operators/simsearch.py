@@ -310,74 +310,17 @@ def lsh_topk(
     )
 
 
-def embedding_neardup_pairs(
+def _exact_rescore(
     candidates: DataFrame,
+    cand_pairs: DataFrame,
     threshold: float,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """All unordered pairs with cosine >= threshold, exactly.
-
-    Two phases:
-
-    1. PREFILTER (vectorized): the corpus matrix is broadcast and each
-       Arrow batch computes a (batch x corpus) normalized matmul in
-       numpy, keeping pairs above ``threshold - margin``. This replaces
-       the interpreted per-pair aggregate() over the full cross join —
-       measured 10x+ at sf0.1 (12.5M pairs). BLAS summation order
-       differs from sequential, hence the margin, not the verdict.
-    2. EXACT (expression): survivors (tiny) are re-scored with the
-       same sequential-order zip_with/aggregate expression the oracle
-       uses, and the final threshold is applied there — results are
-       bit-identical to the naive plan.
-
-    At 100 TB the broadcast side is an LSH/IVF bucket, not the whole
-    corpus — same two-phase shape, bounded block sizes.
-    Output: (vec_a, vec_b, sim) with vec_a < vec_b.
-    """
-    import numpy as np
-    import pandas as pd
-
-    rows = candidates.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = np.inf  # zero vectors match nothing
-    unit = mat / norms[:, None]
-    spark = candidates.sparkSession
-    bc = spark.sparkContext.broadcast((ids, unit))
-    margin = 1e-9
-
-    def gen(batches):
-        c_ids, c_unit = bc.value
-        ct = np.ascontiguousarray(c_unit.T)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            b_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            B = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            bn = np.linalg.norm(B, axis=1)
-            bn[bn == 0] = np.inf
-            Bu = B / bn[:, None]
-            # Block the matmul: bounded (256 x corpus) outputs keep
-            # every BLAS call on the small-buffer fast path (this
-            # container's dgemm hits a multi-second stall on large
-            # single calls) and bound peak memory regardless of how
-            # big an Arrow batch the reader hands us.
-            outs = []
-            for lo in range(0, Bu.shape[0], 256):
-                sims = Bu[lo : lo + 256] @ ct
-                bi, ci = np.nonzero(sims >= threshold - margin)
-                a, b = b_ids[lo:][bi], c_ids[ci]
-                keep = a < b
-                outs.append(pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep]}))
-            yield pd.concat(outs) if outs else pd.DataFrame(
-                {"vec_a": [], "vec_b": []}
-            )
-
-    cand_pairs = candidates.select(id_col, vec_col).mapInPandas(
-        gen, "vec_a long, vec_b long"
-    )
+    """Phase 2 of near-dup: re-score candidate (vec_a, vec_b) pairs with
+    the sequential-order zip_with/aggregate expression the oracle uses
+    and apply the exact threshold — results are bit-identical to the
+    naive all-pairs plan regardless of how candidates were generated."""
     a = candidates.select(
         F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va")
     )
@@ -392,3 +335,171 @@ def embedding_neardup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "sim")
     )
+
+
+def embedding_neardup_pairs(
+    candidates: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All unordered pairs with cosine >= threshold, EXACTLY — fully
+    distributed (no driver-side corpus materialization, no full-corpus
+    broadcast).
+
+    Two phases:
+
+    1. PREFILTER (distributed block-pair BLAS): each row hashes to one
+       of ``n_blocks`` stable blocks; every unordered block pair
+       (i <= j) forms one shuffle group holding exactly blocks i and j.
+       Each group computes its (|i| x |j|) normalized matmul in numpy
+       (inner-blocked at 256 rows to stay on this container's
+       small-buffer BLAS fast path) and keeps pairs above
+       ``threshold - margin``. Every qualifying pair lives in exactly
+       one group, so candidate generation is complete — this is exact,
+       not LSH. Replication factor is n_blocks; peak task memory is
+       O(2·corpus/n_blocks · dim), tuned by n_blocks, never O(corpus)
+       on one node. (Round 1 collected the whole corpus on the driver
+       and broadcast the matrix — correct at sf0.1, OOM at scale.)
+       BLAS summation order differs from sequential, hence the margin,
+       not the verdict.
+    2. EXACT (expression): survivors (tiny) re-scored sequentially and
+       thresholded — bit-identical to the naive plan.
+
+    Total work is inherently O(n²/2) dot products (it is an exact
+    operator); the scale lever is distribution, and for corpora where
+    quadratic work itself is the problem, ``embedding_neardup_pairs_lsh``
+    is the sub-quadratic approximate path.
+    Output: (vec_a, vec_b, sim) with vec_a < vec_b.
+    """
+    import numpy as np
+    import pandas as pd
+
+    margin = 1e-9
+    src = candidates.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("__blk"),
+    )
+    # Replicate each row into every block pair its block participates
+    # in: group key (gi, gj) = (min(blk, p), max(blk, p)) over all p.
+    # Block-i rows reach group (i, j) exactly once (p = j), so a pair
+    # (a in i, b in j) is scored exactly once, in group (i, j).
+    pairs_of = F.array(
+        *[
+            F.struct(
+                F.least(F.col("__blk"), F.lit(p)).alias("gi"),
+                F.greatest(F.col("__blk"), F.lit(p)).alias("gj"),
+            )
+            for p in range(n_blocks)
+        ]
+    )
+    rep = src.select(
+        "__id", "__v", "__blk", F.explode(pairs_of).alias("__g")
+    ).select("__id", "__v", "__blk", F.col("__g.gi").alias("gi"), F.col("__g.gj").alias("gj"))
+
+    def score_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        gi, gj = int(pdf["gi"].iat[0]), int(pdf["gj"].iat[0])
+
+        def unit_of(frame):
+            ids = frame["__id"].to_numpy(dtype=np.int64)
+            M = np.stack(frame["__v"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(M, axis=1)
+            nrm[nrm == 0] = np.inf  # zero vectors match nothing
+            return ids, M / nrm[:, None]
+
+        if gi == gj:
+            l_ids, Lu = unit_of(pdf)
+            r_ids, Ru = l_ids, Lu
+        else:
+            l_ids, Lu = unit_of(pdf[pdf["__blk"] == gi])
+            r_ids, Ru = unit_of(pdf[pdf["__blk"] == gj])
+        Rt = np.ascontiguousarray(Ru.T)
+        outs = []
+        for lo in range(0, Lu.shape[0], 256):
+            sims = Lu[lo : lo + 256] @ Rt
+            li, ri = np.nonzero(sims >= threshold - margin)
+            a, b = l_ids[lo:][li], r_ids[ri]
+            if gi == gj:
+                # within-block: L x L scores each unordered pair twice
+                # (and self-pairs once) — keep the a < b half only
+                keep = a < b
+                a, b = a[keep], b[keep]
+            else:
+                # cross-block: L x R scores each unordered pair exactly
+                # once; id order is independent of block order, so
+                # normalize instead of filtering (filtering here DROPS
+                # the pairs whose id order opposes the block order)
+                a, b = np.minimum(a, b), np.maximum(a, b)
+            outs.append(pd.DataFrame({"vec_a": a, "vec_b": b}))
+        return (
+            pd.concat(outs)
+            if outs
+            else pd.DataFrame({"vec_a": [], "vec_b": []})
+        )
+
+    cand_pairs = rep.groupBy("gi", "gj").applyInPandas(
+        score_group, "vec_a long, vec_b long"
+    )
+    return _exact_rescore(candidates, cand_pairs, threshold, id_col, vec_col)
+
+
+def embedding_neardup_pairs_lsh(
+    candidates: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 8,
+    band_bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via banded random-hyperplane LSH — the
+    sub-quadratic 100 TB path (high recall, not guaranteed-exhaustive).
+
+    ``n_bands`` independent sign-bit signatures of ``band_bits`` planes
+    each; a pair becomes a candidate if it collides in ANY band (the
+    MinHash-LSH banding scheme applied to the cosine family). For
+    threshold t the per-pair candidate probability is
+    1 - (1 - p^band_bits)^n_bands with p = 1 - arccos(t)/pi — at
+    t = 0.95 and (8 bands x 8 bits) recall is ~0.99 and the pair space
+    collapses to same-bucket pairs: O(sum_b |bucket|²) << O(n²) on
+    real (non-degenerate) embedding distributions. Survivors get the
+    same exact sequential re-score as the exact operator, so precision
+    is 1 — only recall is approximate.
+    Output: (vec_a, vec_b, sim) with vec_a < vec_b.
+    """
+    src = candidates.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    band_cols = []
+    for band in range(n_bands):
+        planes = hyperplanes(dim, band_bits, seed + 1000 * band)
+        sig = None
+        for i, p in enumerate(planes):
+            plane = F.array(*[F.lit(x) for x in p])
+            bit = F.when(dot(F.col("__v"), plane) >= 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+            sig = bit if sig is None else sig + bit
+        band_cols.append(
+            F.struct(F.lit(band).alias("band"), sig.cast("int").alias("sig"))
+        )
+    tagged = src.select(
+        "__id", F.explode(F.array(*band_cols)).alias("__b")
+    ).select(
+        "__id",
+        F.col("__b.band").alias("band"),
+        F.col("__b.sig").alias("sig"),
+    )
+    cand_pairs = (
+        tagged.alias("a")
+        .join(tagged.alias("b"), on=["band", "sig"])
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("vec_a"), F.col("b.__id").alias("vec_b")
+        )
+        .distinct()  # a pair may collide in several bands
+    )
+    return _exact_rescore(candidates, cand_pairs, threshold, id_col, vec_col)

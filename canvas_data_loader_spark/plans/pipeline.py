@@ -29,7 +29,8 @@ import os
 import shutil
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from ..schema import (
     SchemaDef,
@@ -40,7 +41,7 @@ from ..schema import (
 )
 from ..sources.api_client import CanvasDataApiClient, DumpInList
 from ..sources.tsv import read_tsv_shards
-from ..operators.merge import merge_upsert
+from ..operators.merge import dedup_latest, merge_upsert
 
 
 @dataclass
@@ -275,16 +276,42 @@ class ImportPipeline:
                 or table_name in self.config.extra_volatile
                 or key is None
             )
+            if not volatile:
+                # Collapse duplicate keys WITHIN the batch to the last row
+                # by ingest order before any keyed write. The reference's
+                # sequential DELETE+INSERT loop nets exactly one (last-
+                # writer) row per key even when a dump repeats a key
+                # (src/importer.rs:363-389); without this, repeated keys
+                # would survive as duplicate warehouse rows and persist
+                # across every later merge. monotonically_increasing_id is
+                # (partition_index << 33) + row_position: for unsplittable
+                # .gz shards that is exactly (file order, line order) —
+                # the reference's within-file overwrite order.
+                seq = "__ingest_seq"
+                df = dedup_latest(
+                    df.withColumn(seq, F.monotonically_increasing_id()),
+                    key,
+                    seq,
+                ).drop(seq)
             if volatile or not self.warehouse.exists(table_name):
                 # Overwrite == the reference's drop-then-rebuild pass
                 # (importer.rs:206-228 + per-row INSERTs 331-344), minus the
                 # window where the table doesn't exist: snapshot swap.
-                self.warehouse.write(table_name, df, snapshot=dump.dump_id)
+                out = df
             else:
                 old = self.warehouse.read(table_name)
-                merged = merge_upsert(old, df, key)
-                self.warehouse.write(table_name, merged, snapshot=dump.dump_id)
-            result.tables[table_name] = self.warehouse.read(table_name).count()
+                out = merge_upsert(old, df, key)
+            # Row count via observed metrics on the write job itself —
+            # a post-write warehouse.read().count() would re-scan every
+            # table once per dump purely for this dict, doubling read
+            # I/O at scale.
+            obs = Observation()
+            self.warehouse.write(
+                table_name,
+                out.observe(obs, F.count(F.lit(1)).alias("rows")),
+                snapshot=dump.dump_id,
+            )
+            result.tables[table_name] = obs.get["rows"]
         return result
 
     # -- full run (reference src/main.rs:55-249) ----------------------------

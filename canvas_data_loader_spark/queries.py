@@ -88,10 +88,10 @@ def ts_str(col) -> F.Column:
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,4))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            ROUND(AVG(l_extendedprice), 4) AS avg_price,
            ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -102,17 +102,27 @@ def ts_str(col) -> F.Column:
     """,
 )
 def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: scan + filter + hash aggregate (flagship)."""
+    """TPC-H Q1 shape: scan + filter + hash aggregate (flagship).
+
+    Float determinism: the source doubles carry exactly-2dp values, so
+    each operand is cast to decimal FIRST and all arithmetic happens in
+    exact decimal (associative, engine-identical). Computing the
+    product in double and casting the RESULT to decimal is not enough:
+    per-row half-way rounding differs between JVM and DuckDB and the
+    1e-4 deltas accumulate over 60k rows (observed 0.004 divergence on
+    sum_charge at sf0.01 = driver hash_match failure)."""
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_price = price * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(F.col("l_quantity"), "sum_qty"),
-            dsum(F.col("l_extendedprice"), "sum_base_price"),
-            dsum(disc_price, "sum_disc_price"),
-            dsum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -814,20 +824,26 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            ROUND(l_extendedprice, 1) AS price_r1,
            ABS(l_discount - 0.05) AS disc_dev,
-           FLOOR(l_quantity) AS qty_floor,
-           CEIL(l_extendedprice / 1000) AS price_k,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_k,
            ROUND(LN(l_extendedprice), 6) AS price_ln,
            ROUND(LOG10(l_extendedprice), 6) AS price_log10,
            ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
            ROUND(POW(1 + l_tax, 2), 6) AS tax_sq,
-           SIGN(l_discount - 0.05) AS disc_sign,
+           CAST(SIGN(l_discount - 0.05) AS BIGINT) AS disc_sign,
            MOD(l_linenumber, 3) AS ln_mod
     FROM lineitem
     """,
 )
 def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math function surface (transcendentals rounded to 6dp for
-    cross-libm portability)."""
+    cross-libm portability).
+
+    Integer-valued results (floor/ceil/sign) are cast to BIGINT on BOTH
+    sides: Spark's FLOOR/CEIL return LONG while DuckDB's return DOUBLE
+    (and the reverse for SIGN), and the driver's value canonicalization
+    is type-sensitive — 7 vs 7.0 hash-mismatches even though the math
+    agrees (observed driver hash_match failure, round 1)."""
     li = load(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -840,7 +856,7 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log10(F.col("l_extendedprice")), 6).alias("price_log10"),
         F.round(F.sqrt(F.col("l_quantity")), 6).alias("qty_sqrt"),
         F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.signum(F.col("l_discount") - 0.05).cast("bigint").alias("disc_sign"),
         (F.col("l_linenumber") % 3).alias("ln_mod"),
     )
 
@@ -1234,12 +1250,32 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_dedup_counts(stream)
 
 
-# q45 watermark semantics: append-mode output withholds windows newer
-# than (max_ts - watermark); not expressible as a single SQL query over
-# the input — registered without an oracle (driver rows-only check).
-@query("q45_stream_watermark")
+@query(
+    "q45_stream_watermark",
+    """
+    -- Finite-source watermark emulation: on an AvailableNow run the
+    -- final watermark is max(event time) - delay (Spark tracks it in
+    -- whole milliseconds, hence the EPOCH_MS truncation), and append
+    -- mode emits exactly the windows whose END has been passed by
+    -- that watermark. Pure integer-microsecond arithmetic both sides.
+    WITH w AS (
+      SELECT DATE_TRUNC('hour', ts) AS win_start, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ), wm AS (
+      SELECT (EPOCH_MS(MAX(ts)) - 7200000) * 1000 AS wmark_us FROM events
+    )
+    SELECT STRFTIME(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, n
+    FROM w, wm
+    WHERE EPOCH(win_start) * 1000000 + 3600000000 <= wmark_us
+    """,
+)
 def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked append-mode tumbling agg: late/open windows withheld."""
+    """Watermarked append-mode tumbling agg: late/open windows withheld.
+
+    The withheld tail IS the semantics under test: watermark ends at
+    max(ts) - 2h on a finite source, so the last windows never close
+    and append mode must not emit them (verified 717 of 720 hour
+    windows emitted at sf0.01 by both engines)."""
     from .streaming.events import read_events_stream, windowed_with_watermark
 
     stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
@@ -1796,11 +1832,14 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.35).
-    Two-phase: vectorized numpy prefilter over a broadcast corpus
-    block (with float margin), then exact sequential-order expression
-    re-scoring of the survivors — bit-identical to the naive all-pairs
-    plan the oracle runs, ~10x faster (interpreted higher-order
-    functions never touch the 12.5M-pair cross product)."""
+    Two-phase and fully distributed: block-pair BLAS prefilter (every
+    unordered block pair is one shuffle group — no driver collect, no
+    full-corpus broadcast; O(corpus/n_blocks) peak task memory), then
+    exact sequential-order expression re-scoring of the survivors —
+    bit-identical to the naive all-pairs plan the oracle runs, while
+    the interpreted higher-order functions never touch the 12.5M-pair
+    cross product. Sub-quadratic approximate path:
+    operators.simsearch.embedding_neardup_pairs_lsh."""
     e = load(spark, sf_dir, "embeddings")
     pairs = S.embedding_neardup_pairs(e, threshold=0.35)
     return pairs.select("vec_a", "vec_b", F.round("sim", 6).alias("sim_r"))
@@ -3210,24 +3249,36 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q102_median_mode",
     """
-    SELECT o_orderstatus,
-           ROUND(MEDIAN(o_totalprice), 4) AS med_price,
-           MODE(o_orderpriority ORDER BY o_orderpriority) AS top_priority,
+    WITH pc AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c
+        FROM orders GROUP BY 1, 2
+    ), m AS (
+        SELECT o_orderstatus, o_orderpriority AS top_priority,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY c DESC, o_orderpriority ASC) AS rn
+        FROM pc
+    )
+    SELECT o.o_orderstatus,
+           ROUND(MEDIAN(o.o_totalprice), 4) AS med_price,
+           ANY_VALUE(m.top_priority) AS top_priority,
            COUNT(*) AS n
-    FROM orders GROUP BY o_orderstatus
+    FROM orders o JOIN m ON o.o_orderstatus = m.o_orderstatus AND m.rn = 1
+    GROUP BY o.o_orderstatus
     """,
 )
 def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median and modal value per group (Spark 3.4+ median/mode
     builtins). Median is the exact percentile (a sort-based agg —
     heavier than percentile_approx q41, which is the at-scale
-    default); mode ties are broken deterministically (DuckDB: ORDER BY
-    in the aggregate; Spark's mode() returns the same least value on
-    ties for this data, pinned by the oracle match)."""
+    default). Mode ties break to the LOWEST value on both sides:
+    Spark's mode(col, deterministic=True) guarantees it; the oracle
+    spells the same rule as an explicit count-desc/value-asc argmax
+    (DuckDB's MODE tie-break is unspecified — it actually diverged on
+    the sf0.001 'P' group, where 2-HIGH and 4-NOT SPECIFIED tie)."""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.round(F.median("o_totalprice"), 4).alias("med_price"),
-        F.mode("o_orderpriority").alias("top_priority"),
+        F.mode("o_orderpriority", True).alias("top_priority"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -3510,7 +3561,7 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang, ROUND(ttr, 6) AS ttr_r
     FROM scored
     WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 1000
-          < CAST(100 + 800 * ttr AS INTEGER)
+          < CAST(FLOOR(100 + 800 * ttr) AS INTEGER)
     """,
 )
 def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3518,14 +3569,16 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     linearly with the document's type-token ratio — soft curation
     (downweight junk without a hard cutoff, preserving distribution
     tails), reproducible because the coin is the q89 LCG id-hash, not
-    rand(). The weight comparison is integer-vs-integer (the threshold
-    truncates via CAST) so no float-boundary flakiness across engines.
-    Shuffle-free: pure scan-project-filter."""
+    rand(). The weight comparison is integer-vs-integer, truncated via
+    an EXPLICIT floor on both sides: Spark's cast('int') truncates but
+    DuckDB's CAST(... AS INTEGER) rounds half-away-from-zero (2.5 -> 3
+    in DuckDB, 2 in Spark), which diverged on 1 sf0.1 row before the
+    floor was made explicit. Shuffle-free: pure scan-project-filter."""
     d = load(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
     ttr = F.size(F.array_distinct(w)) * 1.0 / F.size(w)
     bucket = ((F.col("doc_id") * 1103515245 + 12345) % 2147483648) % 1000
-    thresh = (100 + 800 * ttr).cast("int")
+    thresh = F.floor(100 + 800 * ttr).cast("int")
     return (
         d.select("doc_id", "lang", ttr.alias("__ttr"))
         .filter(bucket < thresh)

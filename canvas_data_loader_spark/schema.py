@@ -240,20 +240,6 @@ def is_historical_refresh(files_by_table: dict[str, list[str]]) -> bool:
     return saw_any
 
 
-# --- Reserved-word identifier mangling (reference src/db_client.rs:160,350-357)
-
-
-def sanitize_identifier(name: str, dialect: str = "postgres") -> str:
-    """Rename reserved identifiers at the JDBC sink boundary only.
-
-    Reference renames columns *containing* "default" -> "_default"
-    (both dialects) and "generated" -> "_generated" (MySQL only).
-    We apply exact-match renames (the reference's substring match is
-    recorded as a bug, not replicated).
-    """
-    lowered = name.lower()
-    if lowered == "default":
-        return "_default"
-    if dialect == "mysql" and lowered == "generated":
-        return "_generated"
-    return name
+# Reserved-word identifier mangling lives in sinks.sanitize_identifiers
+# (the only write-path consumer). One function, one documented policy:
+# substring containment, matching the reference (db_client.rs:160).

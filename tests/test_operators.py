@@ -53,6 +53,26 @@ class TestDedup:
             assert 0.0 < p.jaccard <= 1.0
             assert p.doc_a < p.doc_b
 
+    def test_short_and_empty_docs_survive_shingling(self, spark):
+        # Docs with < n tokens must yield empty shingle arrays, not a
+        # SparkRuntimeException from slice(toks, 0, n) (regression:
+        # sequence(1, 0) is the DESCENDING [1, 0], not an empty array).
+        from canvas_data_loader_spark.functions.text import word_shingles
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "one"), (3, "two tokens"), (4, "a b c d e")],
+            ["doc_id", "text"],
+        )
+        rows = df.select("doc_id", word_shingles("text", 3).alias("sh")).collect()
+        by_id = {r.doc_id: r.sh for r in rows}
+        assert by_id[1] == [] and by_id[2] == [] and by_id[3] == []
+        assert by_id[4] == ["a b c", "b c d", "c d e"]
+        # the whole shingle-based family must not crash on short docs
+        pairs = D.ngram_jaccard_pairs(df, "text", "doc_id")
+        assert pairs.count() == 0
+        cands = D.minhash_candidate_pairs(df, "text", "doc_id")
+        assert cands.count() >= 0
+
     def test_minhash_candidates_superset_of_identical(self, spark):
         # identical docs must collide in EVERY band
         df = spark.createDataFrame(
@@ -446,6 +466,51 @@ class TestEmbeddingNearDup:
             .collect()
         }
         assert got == naive  # bit-identical, not just approximately
+
+    def test_blocking_factor_does_not_change_results(self, spark, embs):
+        # Exactness must be independent of the distribution knob: the
+        # block-pair decomposition covers every unordered pair exactly
+        # once for ANY n_blocks (1 = single group ≈ the old broadcast
+        # plan; 8 = the distributed default; 5 exercises odd splits).
+        from canvas_data_loader_spark.operators.simsearch import (
+            embedding_neardup_pairs,
+        )
+
+        ref = sorted(
+            (r.vec_a, r.vec_b, r.sim)
+            for r in embedding_neardup_pairs(embs, 0.30, n_blocks=1).collect()
+        )
+        for nb in (5, 8):
+            got = sorted(
+                (r.vec_a, r.vec_b, r.sim)
+                for r in embedding_neardup_pairs(embs, 0.30, n_blocks=nb).collect()
+            )
+            assert got == ref
+
+    def test_lsh_variant_precision_one_high_recall(self, spark, embs):
+        # The sub-quadratic LSH path: every reported pair is exact
+        # (precision 1 — survivors are re-scored with the same
+        # expression), and banding recalls nearly all true pairs at a
+        # near-dup threshold on the fixture corpus.
+        from canvas_data_loader_spark.operators.simsearch import (
+            embedding_neardup_pairs,
+            embedding_neardup_pairs_lsh,
+        )
+
+        t = 0.80
+        exact = {
+            (r.vec_a, r.vec_b): r.sim
+            for r in embedding_neardup_pairs(embs, t).collect()
+        }
+        approx = {
+            (r.vec_a, r.vec_b): r.sim
+            for r in embedding_neardup_pairs_lsh(embs, t).collect()
+        }
+        assert set(approx) <= set(exact)  # precision 1
+        for k, v in approx.items():
+            assert v == exact[k]  # identical sims (same exact re-score)
+        if exact:
+            assert len(approx) / len(exact) >= 0.85
 
 
 class TestConnectedComponents:

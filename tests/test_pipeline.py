@@ -141,6 +141,43 @@ class TestEndToEnd:
             (3, "add", "active"),
         ]
 
+    def test_within_batch_duplicate_keys_collapse_last_wins(self, spark, env):
+        # The reference's sequential DELETE+INSERT nets exactly ONE
+        # (last-writer) row when a single dump repeats a key
+        # (src/importer.rs:363-389). Both the first-load path and the
+        # merge path must collapse, or the duplicates persist in the
+        # warehouse across all future merges.
+        payloads = {
+            "u://d1/account_dim-00000-aaa.gz": gzip_tsv(
+                [[1, "first", "active"], [1, "second", "deleted"], [2, "x", "active"]]
+            ),
+            "u://d2/account_dim-00000-bbb.gz": gzip_tsv(
+                [[2, "v1", "active"], [2, "v2", "deleted"], [2, "v3", "active"]]
+            ),
+        }
+        client, config = env(
+            [
+                make_dump_json("d1", 1, "2024-01-01T00:00:00Z"),
+                make_dump_json("d2", 2, "2024-01-02T00:00:00Z"),
+            ],
+            {
+                "d1": files_json("d1", {"account_dim": ["account_dim-00000-aaa.gz"]}),
+                "d2": files_json("d2", {"account_dim": ["account_dim-00000-bbb.gz"]}),
+            },
+            payloads,
+        )
+        p = ImportPipeline(spark, client, config)
+        results = p.run()
+        # one row per key, last line of the shard wins
+        assert wh_rows(p, "account_dim") == [
+            (1, "second", "deleted"),
+            (2, "v3", "active"),
+        ]
+        # observed row counts come from the write job (no re-scan) and
+        # reflect the POST-collapse table
+        assert results[0].tables["account_dim"] == 2
+        assert results[1].tables["account_dim"] == 2
+
     def test_volatile_table_full_refresh(self, spark, env):
         # 'requests' is in VOLATILE_TABLES (and has no id column):
         # second dump REPLACES content instead of merging

@@ -21,7 +21,6 @@ from canvas_data_loader_spark.schema import (
     is_historical_refresh,
     is_volatile,
     parse_shard_filename,
-    sanitize_identifier,
 )
 
 
@@ -134,14 +133,6 @@ class TestVolatileRouting:
         assert is_volatile("account_dim", all_tables_volatile=True)
 
 
-class TestIdentifierSanitize:
-    def test_default_renamed_everywhere(self):
-        assert sanitize_identifier("default", "postgres") == "_default"
-        assert sanitize_identifier("default", "mysql") == "_default"
-
-    def test_generated_mysql_only(self):
-        assert sanitize_identifier("generated", "mysql") == "_generated"
-        assert sanitize_identifier("generated", "postgres") == "generated"
-
-    def test_normal_untouched(self):
-        assert sanitize_identifier("user_id", "postgres") == "user_id"
+# Reserved-word mangling now has exactly one implementation —
+# sinks.sanitize_identifiers (substring containment, matching reference
+# db_client.rs:160) — covered by test_ingest.TestJdbcSinkBoundary.
