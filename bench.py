@@ -25,7 +25,11 @@ from canvas_data_loader_spark.session import get_spark
 
 # Representative mix: scan-agg, star joins, semi join, windows, top-k,
 # merge, dedup family, simsearch, text ops, sessionization, multimodal,
-# streaming (fixed at round 1 so BENCH_r{N} stays comparable across rounds).
+# streaming. The round-1 set is kept intact (per-query timings stay
+# comparable across BENCH_r{N}); round 2 promotes the newer half of the
+# registry — RANGE frames, date arithmetic, first/last windows, approx
+# sketches, latest-by-key merge, and four TPC-H shapes (Q7/Q8/Q9/Q11) —
+# so regressions there are caught by BENCH, not just pytest.
 HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -46,6 +50,16 @@ HEADLINE = [
     "q67_embedding_neardup",
     "q72_stream_session_window",
     "q73_frame_sample",
+    # round-2 promotions
+    "q53_range_frame",
+    "q55_date_arith",
+    "q57_first_last_window",
+    "q62_approx_sketches",
+    "q65_latest_by_key",
+    "q74_q7_nation_volume",
+    "q84_q8_market_share",
+    "q86_q9_profit",
+    "q87_q11_important_parts",
 ]
 
 

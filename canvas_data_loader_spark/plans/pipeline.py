@@ -15,10 +15,13 @@ SURVEY.md §3.4):
   6. ledger commit per dump                             (A25)
 
 Warehouse layout: one parquet directory per table under
-``warehouse_dir``. Writes go to a new snapshot directory then an
-atomic pointer swap — read-after-write consistency without Delta.
-At 100 TB the same flow targets Delta/Iceberg MERGE with the table
-bucketed by the merge key so only affected partitions rewrite.
+``warehouse_dir``. Writes go to a new immutable snapshot directory,
+then a numbered manifest is published to the table's append-only
+commit log (``_commits/``) — readers follow the highest manifest, so
+commits are atomic with LIST+GET+conditional-PUT only (valid on
+S3/HDFS, no rename anywhere). At 100 TB the same flow targets
+Delta/Iceberg MERGE with the table bucketed by the merge key so only
+affected partitions rewrite.
 """
 
 from __future__ import annotations
@@ -58,13 +61,28 @@ class PipelineConfig:
 
 
 class Warehouse:
-    """Snapshot-versioned parquet warehouse with atomic table pointer.
+    """Snapshot-versioned parquet warehouse with a manifest commit log.
 
-    Every write lands in its own immutable snapshot directory and the
-    ``.current`` pointer swaps atomically — readers never see a
-    half-written table. The last ``retain`` snapshots are kept, giving
-    time travel (``versions``/``read_at``): the audit tool for exactly
-    the cases the reference handles blind — historical refreshes and
+    Every write lands in its own immutable snapshot directory, then a
+    new numbered manifest (``{table}/_commits/NNNNNNNN.json``) is
+    published with create-if-absent semantics; readers list the commit
+    directory and follow the highest-numbered manifest. This is the
+    object-store-safe commit protocol (the Delta/Iceberg log shape):
+
+    - no rename and no overwrite anywhere on the read path — S3 has no
+      atomic rename, so the previous design (a ``.current`` pointer
+      file swapped with ``os.replace``) was only valid on POSIX;
+    - commits are immutable objects with monotonically increasing
+      numbers; publishing = one conditional put (emulated locally with
+      ``open(..., 'x')``; on S3 use If-None-Match/put-if-absent, on
+      HDFS the same exclusive create) — concurrent writers race on the
+      number and the loser retries with the next one;
+    - readers need only LIST + GET with read-after-write consistency
+      (S3 has been strongly consistent since 2020).
+
+    The last ``retain`` snapshots are kept, giving time travel
+    (``versions``/``read_at``): the audit tool for exactly the cases
+    the reference handles blind — historical refreshes and
     schema-change reloads can be diffed against the pre-import state
     (pairs with the q95 snapshot-diff op). Older snapshots are pruned
     on write; a real deployment would prune by age instead.
@@ -76,15 +94,45 @@ class Warehouse:
         self.retain = retain
         os.makedirs(root, exist_ok=True)
 
-    def _pointer(self, table: str) -> str:
-        return os.path.join(self.root, f"{table}.current")
+    # -- commit log ---------------------------------------------------------
+    def _commits_dir(self, table: str) -> str:
+        return os.path.join(self.root, table, "_commits")
+
+    def _commits(self, table: str) -> list[tuple[int, dict]]:
+        """(version, manifest) pairs, ascending. LIST + GET only."""
+        cdir = self._commits_dir(table)
+        if not os.path.isdir(cdir):
+            return []
+        out = []
+        for name in sorted(os.listdir(cdir)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(cdir, name)) as fh:
+                out.append((int(name[:-5]), json.load(fh)))
+        return out
+
+    def _publish(self, table: str, manifest: dict) -> int:
+        """Append a manifest under the next commit number via exclusive
+        create (the local emulation of a conditional put). Retries on
+        collision so concurrent committers serialize last-writer-wins."""
+        cdir = self._commits_dir(table)
+        os.makedirs(cdir, exist_ok=True)
+        commits = self._commits(table)
+        version = (commits[-1][0] + 1) if commits else 1
+        while True:
+            target = os.path.join(cdir, f"{version:08d}.json")
+            try:
+                with open(target, "x") as fh:
+                    json.dump(manifest, fh)
+                return version
+            except FileExistsError:
+                version += 1
 
     def current_path(self, table: str) -> str | None:
-        ptr = self._pointer(table)
-        if not os.path.exists(ptr):
+        commits = self._commits(table)
+        if not commits:
             return None
-        with open(ptr) as fh:
-            return fh.read().strip()
+        return os.path.join(self.root, table, commits[-1][1]["snapshot"])
 
     def exists(self, table: str) -> bool:
         return self.current_path(table) is not None
@@ -95,18 +143,17 @@ class Warehouse:
             raise FileNotFoundError(f"table not in warehouse: {table}")
         return self.spark.read.parquet(path)
 
-    def _log(self, table: str) -> str:
-        return os.path.join(self.root, f"{table}.log")
-
     def versions(self, table: str) -> list[str]:
-        """Snapshot names, oldest first, newest = current."""
-        log = self._log(table)
-        if not os.path.exists(log):
-            cur = self.current_path(table)
-            return [os.path.basename(cur)] if cur else []
-        with open(log) as fh:
-            names = [line.strip() for line in fh if line.strip()]
-        return [n for n in names if os.path.isdir(os.path.join(self.root, table, n))]
+        """Retained snapshot names, oldest first, newest = current."""
+        seen: list[str] = []
+        for _, m in self._commits(table):
+            s = m["snapshot"]
+            if s in seen:
+                seen.remove(s)
+            seen.append(s)
+        return [
+            s for s in seen if os.path.isdir(os.path.join(self.root, table, s))
+        ]
 
     def read_at(self, table: str, snapshot: str) -> DataFrame:
         """Time travel: read a retained (non-current) snapshot."""
@@ -119,19 +166,16 @@ class Warehouse:
         return self.spark.read.parquet(path)
 
     def write(self, table: str, df: DataFrame, snapshot: str) -> None:
-        """Write a new snapshot then atomically swap the pointer;
-        prune snapshots beyond the retention window."""
+        """Write a new immutable snapshot, publish its manifest, prune
+        snapshots beyond the retention window. Readers follow the
+        commit log, so a crash between the parquet write and the
+        publish leaves the table exactly as before (the orphan snapshot
+        is invisible and re-written on retry)."""
         out = os.path.join(self.root, table, snapshot)
         df.write.mode("overwrite").parquet(out)
-        tmp = self._pointer(table) + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(out)
-        os.replace(tmp, self._pointer(table))
-        names = [n for n in self.versions(table) if n != snapshot] + [snapshot]
-        expired, kept = names[: -self.retain], names[-self.retain :]
-        with open(self._log(table), "w") as fh:
-            fh.write("\n".join(kept) + "\n")
-        for n in expired:
+        self._publish(table, {"snapshot": snapshot})
+        names = self.versions(table)
+        for n in names[: -self.retain]:
             shutil.rmtree(os.path.join(self.root, table, n), ignore_errors=True)
 
     def compact(self, table: str, target_bytes: int = 128 * 1024 * 1024) -> int:
@@ -164,18 +208,11 @@ class Warehouse:
         )
 
     def drop(self, table: str) -> None:
-        """DROP TABLE IF EXISTS analog (reference src/db_client.rs:126-145)."""
-        path = self.current_path(table)
-        ptr = self._pointer(table)
-        if os.path.exists(ptr):
-            os.remove(ptr)
-        if path and os.path.isdir(path):
-            shutil.rmtree(path, ignore_errors=True)
+        """DROP TABLE IF EXISTS analog (reference src/db_client.rs:126-145).
+        Removes the whole table directory including its commit log."""
         table_dir = os.path.join(self.root, table)
         if os.path.isdir(table_dir):
             shutil.rmtree(table_dir, ignore_errors=True)
-        if os.path.exists(self._log(table)):
-            os.remove(self._log(table))
 
 
 @dataclass

@@ -18,9 +18,12 @@ Reserved-identifier mangling (A14, src/db_client.rs:160,256,350-356,
 only; applied at the sink boundary so warehouse column names stay
 faithful to the source schema.
 
-No database ships in this environment, so `write_jdbc` is exercised in
-tests only down to the option-building boundary; the rename logic is
-fully unit-tested.
+`write_jdbc` is exercised end-to-end against embedded Apache Derby
+(which ships in pyspark's jars): append/append/overwrite round-trips
+and reserved-word renames under a real dialect — see
+tests/test_ingest.py::TestSinks::test_jdbc_roundtrip_embedded_derby.
+No Postgres/MySQL server exists in this container; those paths share
+the same writer code and differ only in URL/driver/dialect strings.
 """
 
 from __future__ import annotations

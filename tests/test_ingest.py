@@ -163,6 +163,43 @@ class TestSinks:
             "generated_at": "_generated_at",
         }
 
+    def test_jdbc_roundtrip_embedded_derby(self, spark, tmp_path):
+        """Live JDBC round-trip through embedded Apache Derby (ships in
+        pyspark's jars for the Hive metastore): append, append-again,
+        overwrite, and reserved-word renames — the A15-A18 semantics
+        (reference src/db_client.rs:147-303) against a real database,
+        not just the option-building boundary."""
+        from canvas_data_loader_spark.sinks import write_jdbc
+
+        url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+        props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+        df = spark.createDataFrame(
+            [(1, "root", 0.5), (2, "sub", None)],
+            ["id", "name", "account_default_rate"],
+        )
+        renames = write_jdbc(
+            df, url, "account_dim", mode="append", properties=props,
+            num_partitions=1,
+        )
+        # reserved-word mangling applied under a real dialect
+        assert renames == {"account_default_rate": "_account_default_rate"}
+        back = spark.read.jdbc(url, "account_dim", properties=props)
+        assert set(back.columns) == {"ID", "NAME", "_account_default_rate"} or set(
+            c.lower() for c in back.columns
+        ) == {"id", "name", "_account_default_rate"}
+        assert sorted(
+            (r[0], r[1], r[2]) for r in back.collect()
+        ) == [(1, "root", 0.5), (2, "sub", None)]
+        # append accumulates (A18 insert path)
+        write_jdbc(df, url, "account_dim", mode="append", properties=props,
+                   num_partitions=1)
+        assert spark.read.jdbc(url, "account_dim", properties=props).count() == 4
+        # overwrite = drop/recreate (A16+A15 volatile path)
+        write_jdbc(df.filter("id = 1"), url, "account_dim", mode="overwrite",
+                   properties=props, num_partitions=1)
+        final = spark.read.jdbc(url, "account_dim", properties=props)
+        assert [tuple(r) for r in final.collect()] == [(1, "root", 0.5)]
+
     def test_partitioned_parquet_roundtrip(self, spark, tmp_path):
         from canvas_data_loader_spark.sinks import write_partitioned_parquet
 

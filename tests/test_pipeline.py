@@ -343,6 +343,56 @@ class TestWarehouseTimeTravel:
         with _pytest.raises(FileNotFoundError):
             wh.read_at("t", "s1")
 
+    def test_orphan_snapshot_is_invisible_until_published(self, spark, tmp_path):
+        # Crash-safety of the manifest commit log: parquet data written
+        # but whose manifest was never published (crash between the two
+        # steps) must not be visible to readers — the read path follows
+        # only the commit log, never directory listing of snapshots.
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        wh.write("t", spark.range(3), snapshot="s1")
+        orphan = tmp_path / "wh" / "t" / "s-orphan"
+        spark.range(99).write.mode("overwrite").parquet(str(orphan))
+        assert wh.read("t").count() == 3
+        assert wh.versions("t") == ["s1"]
+
+    def test_publish_collision_retries_to_next_number(self, spark, tmp_path):
+        # Concurrent committers race on the commit number; the loser of
+        # the conditional put must retry with the next number, not fail
+        # or overwrite.
+        import json as _json
+
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        wh.write("t", spark.range(1), snapshot="a")
+        cdir = tmp_path / "wh" / "t" / "_commits"
+        # another writer publishes #2 AFTER our stale listing (simulated
+        # by freezing _commits at the pre-race state for one publish)
+        spark.range(5).write.mode("overwrite").parquet(
+            str(tmp_path / "wh" / "t" / "b")
+        )
+        with open(cdir / "00000002.json", "x") as fh:
+            _json.dump({"snapshot": "b"}, fh)
+        spark.range(7).write.mode("overwrite").parquet(
+            str(tmp_path / "wh" / "t" / "c")
+        )
+        stale = [(1, {"snapshot": "a"})]
+        real_commits = wh._commits
+        wh._commits = lambda table: stale  # stale LIST: next number = 2
+        try:
+            got = wh._publish("t", {"snapshot": "c"})
+        finally:
+            wh._commits = real_commits
+        assert got == 3  # conditional put on #2 lost, retried to #3
+        assert sorted(p.name for p in cdir.iterdir()) == [
+            "00000001.json",
+            "00000002.json",
+            "00000003.json",
+        ]
+        assert wh.versions("t") == ["a", "b", "c"]
+
     def test_drop_clears_history(self, spark, tmp_path):
         from canvas_data_loader_spark.plans.pipeline import Warehouse
 

@@ -102,11 +102,10 @@ class TestCliRunner:
             ]
         )
         assert rc == 0
-        rows = sorted(
-            tuple(r) for r in spark.read.parquet(
-                open(tmp_path / "wh" / "account_dim.current").read().strip()
-            ).collect()
-        )
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        rows = sorted(tuple(r) for r in wh.read("account_dim").collect())
         assert rows == [(1, "Alpha", "active"), (2, "Beta", None)]
 
 

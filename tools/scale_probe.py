@@ -261,7 +261,60 @@ def embed_shapes(spark, d: str):
     def neardup():
         return S.embedding_neardup_pairs(emb, 0.95)
 
-    return {"brute_force_topk": brute, "ivf_topk": ivf, "embedding_neardup": neardup}
+    def neardup_lsh():
+        return S.embedding_neardup_pairs_lsh(emb, 0.95)
+
+    return {
+        "brute_force_topk": brute,
+        "ivf_topk": ivf,
+        "embedding_neardup": neardup,
+        "embedding_neardup_lsh": neardup_lsh,
+    }
+
+
+def main_neardup():
+    """Probe ONLY the near-dup family (exact block-pair vs banded LSH)
+    so the two plans' scaling exponents land side by side: the exact
+    operator does O(n²) dot products by definition (distributed, but
+    quadratic work — its exponent approaches 2 once compute dominates),
+    while the LSH path only scores same-bucket pairs and should stay
+    sublinear-to-linear in wall clock at these sizes."""
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("scale_probe_neardup")
+    dest = tempfile.mkdtemp(prefix="scale_probe_nd_")
+    base_dir = tempfile.mkdtemp(prefix="scale_probe_nd_base_")
+    try:
+        replicate_embeddings(spark, factor, dest)
+        replicate_embeddings(spark, 1, base_dir)
+        wanted = ("embedding_neardup", "embedding_neardup_lsh")
+
+        def time_dir(d):
+            out = {}
+            for name, fn in embed_shapes(spark, d).items():
+                if name not in wanted:
+                    continue
+                fn().write.format("noop").mode("overwrite").save()
+                t = time.time()
+                fn().write.format("noop").mode("overwrite").save()
+                out[name] = round(time.time() - t, 3)
+            return out
+
+        base_t = time_dir(base_dir)
+        scaled_t = time_dir(dest)
+        report = {}
+        for name in base_t:
+            e = math.log(
+                max(scaled_t[name], 1e-3) / max(base_t[name], 1e-3)
+            ) / math.log(factor)
+            report[name] = {
+                "sec_base": base_t[name],
+                "sec_scaled": scaled_t[name],
+                "exponent": round(e, 3),
+            }
+        print(json.dumps({"mode": "neardup", "factor": factor, "queries": report}))
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+        shutil.rmtree(base_dir, ignore_errors=True)
 
 
 def main_embed():
@@ -359,5 +412,7 @@ if __name__ == "__main__":
         main_embed()
     elif len(sys.argv) > 1 and sys.argv[1] == "--skew":
         main_skew()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--neardup":
+        main_neardup()
     else:
         main()
