@@ -300,3 +300,93 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the at-scale upgrade over min-label propagation.
+
+    Min-label propagation needs O(diameter) rounds: a 1M-node chain is
+    1M shuffles. The star operations contract the graph toward each
+    component's minimum in O(log²) rounds regardless of diameter, with
+    the same per-round cost (one groupBy-min + one join):
+
+      large-star(u): m = min(Γ(u) ∪ {u}); connect every neighbor
+                     v > u directly to m.
+      small-star(u): over Γ≤(u) = {v ∈ Γ(u): v < u}:
+                     m = min(Γ≤(u) ∪ {u}); connect u and each
+                     v ∈ Γ≤(u) to m.
+
+    At the fixed point the edge set is a union of stars centered at
+    component minima, so component(v) = min(v, min neighbor).
+    Output: (node, component) — identical to ``connected_components``
+    (property-tested against union-find on random graphs).
+    """
+    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+    nodes = (
+        e.select(F.col("x").alias("node"))
+        .union(e.select(F.col("y").alias("node")))
+        .distinct()
+    )
+
+    def canon(df: DataFrame) -> DataFrame:
+        """Undirected canonical (a < b) edge set, self-loops dropped."""
+        return (
+            df.select(
+                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def sym(df: DataFrame) -> DataFrame:
+        return df.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            df.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    cur = canon(e).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        adj = sym(cur)
+        # large-star: every strictly-greater neighbor re-attaches to the
+        # neighborhood minimum
+        mins = adj.groupBy("u").agg(F.min("v").alias("__mn")).select(
+            "u", F.least(F.col("u"), F.col("__mn")).alias("m")
+        )
+        ls = canon(
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+        )
+        # small-star: the not-greater neighborhood (plus u itself)
+        # collapses onto its minimum
+        adj2 = sym(ls)
+        le = adj2.filter(F.col("v") < F.col("u"))
+        mins2 = le.groupBy("u").agg(F.min("v").alias("m"))
+        ss = canon(
+            le.join(mins2, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .union(mins2.select(F.col("u").alias("x"), F.col("m").alias("y")))
+        ).localCheckpoint(eager=True)
+        same = (
+            ss.count() == cur.count()
+            and cur.exceptAll(ss).limit(1).count() == 0
+        )
+        cur = ss
+        if same:
+            break
+    # fixed point = stars centered at minima: label(v) = min(v, min nbr)
+    nbr_min = (
+        sym(cur).groupBy(F.col("u").alias("node")).agg(F.min("v").alias("__mn"))
+    )
+    return nodes.join(nbr_min, "node", "left").select(
+        "node",
+        F.least(F.col("node"), F.coalesce(F.col("__mn"), F.col("node"))).alias(
+            "component"
+        ),
+    )

@@ -23,7 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.text import fingerprint, normalize_text
+from .functions.text import fingerprint, normalize_text, tokens
 from .functions.vector import cosine, norm
 from .operators import dedup as D
 from .operators import simsearch as S
@@ -1958,11 +1958,36 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q70_stateful_sessions")
+@query(
+    "q70_stateful_sessions",
+    """
+    -- Final state of the gap-sessionizer on a finite source == batch
+    -- gaps-and-islands. Timestamps truncated ns -> us FIRST (matching
+    -- the stream's integer div-1000 conversion) so a gap of exactly
+    -- 30min + sub-us remainder can't flip between engines.
+    WITH e AS (
+      SELECT user_id, event_id, EPOCH_NS(ts) // 1000 AS ts_us FROM events
+    ), d AS (
+      SELECT user_id, ts_us,
+             LAG(ts_us) OVER (PARTITION BY user_id
+                              ORDER BY ts_us, event_id) AS prev_us
+      FROM e
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN prev_us IS NULL
+                          OR ts_us - prev_us > 1800000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           MAX(ts_us) AS last_ts_us
+    FROM d GROUP BY user_id
+    """,
+)
 def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
-    per-user gap-based session accounting. Rows-only — single-batch
-    equivalence to the batch sessionizer is proven in pytest."""
+    per-user gap-based session accounting. The update-mode final state
+    on a finite AvailableNow source equals batch gaps-and-islands —
+    which is exactly what the oracle runs (single-batch equivalence to
+    the batch sessionizer is additionally proven in pytest)."""
     from .streaming.events import read_events_stream, stateful_user_sessions
 
     stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
@@ -2775,9 +2800,11 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions. This is the step that turns pairwise near-dup
     candidates into dedup groups (keep one doc per component) — chains
     matter because A~B in band 1 and B~C in band 3 must land A, C in
-    one group even though A and C never collide. Spark side iterates
-    min-label propagation (operators.dedup.connected_components, the
-    DataFrame form of large-star/small-star); the oracle is a
+    one group even though A and C never collide. Spark side runs
+    alternating large-star/small-star contraction
+    (operators.dedup.connected_components_star — O(log) rounds
+    regardless of graph diameter, the 100 TB-safe choice; min-label
+    propagation kept as the reference implementation); the oracle is a
     recursive-CTE reachability fixpoint — two completely different
     evaluation strategies agreeing on the fixpoint."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -2791,7 +2818,7 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     isolated = bands.select("doc").distinct()
-    comp = D.connected_components(edges)
+    comp = D.connected_components_star(edges)
     return (
         isolated.join(comp, isolated.doc == comp.node, "left")
         .select("doc", F.coalesce("component", "doc").alias("component"))
@@ -3650,4 +3677,190 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", ttr.alias("__ttr"))
         .filter(bucket < thresh)
         .select("doc_id", "lang", F.round("__ttr", 6).alias("ttr_r"))
+    )
+
+
+# =====================================================================
+# Batch 5 (round 2): PII redaction, chunking, entropy, boilerplate
+# =====================================================================
+
+
+@query(
+    "q110_pii_redaction",
+    """
+    WITH withpii AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-'
+                    || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+             + CAST(LEN(REGEXP_EXTRACT_ALL(t, '\\+1-555-[0-9]{4}')) AS INT)
+             AS n_redacted,
+           MD5(REGEXP_REPLACE(REGEXP_REPLACE(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g'),
+                '\\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS clean_md5
+    FROM withpii
+    """,
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex redaction of emails and phone numbers with
+    a per-doc redaction count — the standard pre-training privacy
+    pass. The fixture corpus carries no PII, so a deterministic
+    email+phone per doc is injected first (same expression both
+    sides); the patterns stay in the Java-regex ∩ RE2 common dialect
+    so Spark and DuckDB match identically. Shuffle-free
+    scan-project; the md5 of the scrubbed text makes the oracle
+    comparison byte-exact without shipping full texts."""
+    d = load(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+1-555-[0-9]{4}"
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(t, email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        (F.regexp_count(t, F.lit(email)) + F.regexp_count(t, F.lit(phone)))
+        .cast("int")
+        .alias("n_redacted"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+@query(
+    "q111_doc_chunking",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 48 AS INT) AS chunk_idx,
+           CAST(LEAST(CAST(s + 63 AS BIGINT), LEN(t)) - s + 1 AS INT) AS n_tokens,
+           MD5(ARRAY_TO_STRING(t[s:LEAST(CAST(s + 63 AS BIGINT), LEN(t))], ' ')) AS chunk_md5
+    FROM toks, UNNEST(RANGE(1, LEN(t) + 1, 48)) AS r(s)
+    WHERE LEN(t) > 0
+    """,
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (window 64 tokens, stride
+    48 — 16-token overlap), the context-packing primitive of a
+    training-data pipeline. Chunk starts come from a per-row
+    sequence + posexplode (no join, no shuffle); each chunk is
+    identified by md5 so the oracle compares byte-exact without
+    duplicating corpus text. Short docs produce one short chunk;
+    final ragged chunks keep their true token count."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("__t"), F.lit(1)), F.lit(48))
+    chunk = F.slice(F.col("__t"), F.col("s"), 64)
+    return (
+        d.select("doc_id", toks.alias("__t"))
+        .filter(F.size("__t") > 0)
+        .select("doc_id", "__t", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.floor((F.col("s") - 1) / 48).cast("int").alias("chunk_idx"),
+            F.size(chunk).alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+        )
+    )
+
+
+@query(
+    "q112_token_entropy",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ')) AS w
+        FROM documents
+    ), cnt AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w
+    ), tot AS (
+        SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           ROUND(-SUM((c.c * 1.0 / t.n) * LOG2(c.c * 1.0 / t.n)), 6) AS entropy_r
+    FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
+    GROUP BY c.doc_id, t.n
+    """,
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy — the perplexity-proxy
+    quality signal (low entropy = repetitive/boilerplate text, high =
+    diverse vocabulary). One explode + two key-local aggregations;
+    the per-(doc, token) count shuffle is the only wide stage and is
+    map-side combinable. Rounded to 6dp (30-term double sums agree
+    across engines far below that tolerance)."""
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_doc = Window.partitionBy("doc_id")
+    p = F.col("c") / F.sum("c").over(w_doc)
+    return (
+        cnt.withColumn("__p", p)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(-F.sum(F.col("__p") * F.log2("__p")), 6).alias("entropy_r"),
+        )
+    )
+
+
+@query(
+    "q113_boilerplate_bigrams",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, ARRAY_TO_STRING(t[i:i+1], ' ') AS g
+        FROM toks, UNNEST(RANGE(1, LEN(t))) AS r(i)
+        WHERE LEN(t) >= 2
+    ), cnt AS (
+        SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(MAX(c) AS BIGINT) AS top_count,
+           ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_frac
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection via top-bigram concentration: the share
+    of a document's bigrams taken by its single most frequent bigram
+    (C4/Gopher-style repetition signal; templated text scores high).
+    Bigrams come from the guarded shingle expression (short docs
+    yield no rows, not a crash — the round-1 short-doc fix), counted
+    per doc with one map-side-combinable shuffle."""
+    from .functions.text import shingles_from_tokens
+
+    d = load(spark, sf_dir, "documents")
+    bg = (
+        d.select(
+            "doc_id",
+            F.explode(shingles_from_tokens(tokens(F.col("text")), 2)).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return bg.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_count"),
+        F.round(F.max("c") * 1.0 / F.sum("c"), 6).alias("top_frac"),
     )

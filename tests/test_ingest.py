@@ -200,6 +200,33 @@ class TestSinks:
         final = spark.read.jdbc(url, "account_dim", properties=props)
         assert [tuple(r) for r in final.collect()] == [(1, "root", 0.5)]
 
+    def test_jsonl_roundtrip_with_explicit_schema(self, spark, tmp_path):
+        """JSONL is the lingua franca of training-data interchange:
+        write the documents table as JSON lines, read it back with the
+        EXPLICIT source schema (never inference — inference samples the
+        data and can flip types between runs), compare content."""
+        src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = str(tmp_path / "docs_jsonl")
+        src.write.mode("overwrite").json(out)
+        back = spark.read.schema(src.schema).json(out)
+        assert back.schema == src.schema
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, src.collect())
+        )
+
+    def test_orc_roundtrip(self, spark, tmp_path):
+        """ORC sink/scan (Spark-native columnar alternative; some
+        warehouses standardize on it). Full content equality incl.
+        NULLs and the embeddings array column."""
+        src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = str(tmp_path / "emb_orc")
+        src.write.mode("overwrite").orc(out)
+        back = spark.read.orc(out)
+        assert back.schema == src.schema
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, src.collect())
+        )
+
     def test_partitioned_parquet_roundtrip(self, spark, tmp_path):
         from canvas_data_loader_spark.sinks import write_partitioned_parquet
 

@@ -541,7 +541,10 @@ class TestConnectedComponentsProperty:
         density, chains, isolated pairs)."""
         import random as rnd
 
-        from canvas_data_loader_spark.operators.dedup import connected_components
+        from canvas_data_loader_spark.operators.dedup import (
+            connected_components,
+            connected_components_star,
+        )
 
         for seed in range(6):
             r = rnd.Random(seed)
@@ -581,3 +584,25 @@ class TestConnectedComponentsProperty:
                 r_.node: r_.component for r_ in connected_components(df).collect()
             }
             assert got == expected, f"seed={seed} edges={edges}"
+            # the large-star/small-star variant must agree exactly
+            got_star = {
+                r_.node: r_.component
+                for r_ in connected_components_star(df).collect()
+            }
+            assert got_star == expected, f"star seed={seed} edges={edges}"
+
+    def test_star_converges_on_long_chain_in_few_rounds(self, spark):
+        """A 40-node chain has diameter 39 — min-label needs ~39 rounds
+        while the star algorithm must finish well inside max_iter=8
+        (O(log) contraction), still producing exact components."""
+        from canvas_data_loader_spark.operators.dedup import (
+            connected_components_star,
+        )
+
+        edges = [(i, i + 1) for i in range(39)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.node: r.component
+            for r in connected_components_star(df, max_iter=8).collect()
+        }
+        assert got == {i: 0 for i in range(40)}
