@@ -1793,13 +1793,67 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.join(exact, "l_returnflag")
 
 
-@query("q63_lsh_simsearch")
+def _q63_oracle() -> str:
+    """LSH is APPROXIMATE but fully DETERMINISTIC: the hyperplanes come
+    from a seeded driver-side RNG and are inlined as literals, so the
+    oracle can embed the exact same doubles (repr round-trips) and
+    reproduce bucketing + scoring + ranking bit-for-bit. Sign bits
+    agree because the sequential-order dot product is identical on
+    both engines (proven by q32/q67)."""
+    from .operators.simsearch import hyperplanes
+
+    planes = hyperplanes(dim=64, n_planes=6, seed=42)
+
+    def dot_sql(vcol: str, plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (
+            f"LIST_SUM(LIST_TRANSFORM(LIST_ZIP({vcol}, {lit}), "
+            f"p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_sql('embedding', p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    cos = (
+        "LIST_SUM(LIST_TRANSFORM(LIST_ZIP(qv, cv),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        " / (SQRT(LIST_SUM(LIST_TRANSFORM(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * SQRT(LIST_SUM(LIST_TRANSFORM(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+    WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                      ({bucket}) AS bucket FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qv,
+                      ({bucket}) AS bucket FROM embeddings WHERE vec_id < 5),
+         scored AS (
+            SELECT query_id, neighbor_id, {cos} AS sim
+            FROM c JOIN q USING (bucket)
+            WHERE query_id <> neighbor_id
+         ), ranked AS (
+            SELECT query_id, neighbor_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+         )
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim_r, rank
+    FROM ranked WHERE rank <= 10
+    """
+
+
+@query("q63_lsh_simsearch", _q63_oracle())
 def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via random-hyperplane LSH (the
-    scale path for q32; rows-only — recall bounded in pytest)."""
+    scale path for q32). Deterministic seeded hyperplanes make even
+    the approximate result oracle-checkable — the oracle SQL embeds
+    the identical plane literals (see _q63_oracle); recall vs exact
+    top-k is additionally bounded in pytest."""
     e = load(spark, sf_dir, "embeddings")
     queries_df = e.filter(F.col("vec_id") < 5)
-    return S.lsh_topk(e, queries_df, k=10, n_planes=6)
+    topk = S.lsh_topk(e, queries_df, k=10, n_planes=6)
+    return topk.select(
+        "query_id", "neighbor_id", F.round("sim", 6).alias("sim_r"), "rank"
+    )
 
 
 # =====================================================================
@@ -1912,13 +1966,74 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("vec_a", "vec_b", F.round("sim", 6).alias("sim_r"))
 
 
-@query("q68_ivf_simsearch")
+_COS_QC = (
+    "LIST_SUM(LIST_TRANSFORM(LIST_ZIP({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    " / (SQRT(LIST_SUM(LIST_TRANSFORM({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * SQRT(LIST_SUM(LIST_TRANSFORM({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+@query(
+    "q68_ivf_simsearch",
+    f"""
+    -- The IVF index is deterministic end to end (centroids = the 16
+    -- lowest-id vectors; argmax assignment ties -> smallest cell;
+    -- probe ranking ties -> smallest cell), so the whole approximate
+    -- index is reproducible in SQL.
+    WITH cents AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS cell,
+               embedding AS cvec
+        FROM embeddings ORDER BY vec_id ASC LIMIT 16
+    ), assign_scored AS (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS_QC.format(a='e.embedding', b='c.cvec')} DESC,
+                                           c.cell ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ), assigned AS (
+        SELECT neighbor_id, cv, cell FROM assign_scored WHERE rn = 1
+    ), probe_scored AS (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS_QC.format(a='q.embedding', b='c.cvec')} DESC,
+                                           c.cell ASC) AS pr
+        FROM embeddings q CROSS JOIN cents c
+        WHERE q.vec_id < 5
+    ), probes AS (
+        SELECT query_id, qv, cell FROM probe_scored WHERE pr <= 4
+    ), scored AS (
+        SELECT p.query_id, a.neighbor_id,
+               {_COS_QC.format(a='p.qv', b='a.cv')} AS sim
+        FROM assigned a JOIN probes p USING (cell)
+        WHERE p.query_id <> a.neighbor_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim_r, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
 def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbors via IVF coarse cells (rows-only —
-    recall vs q32's exact top-k is bounded in pytest)."""
+    """Approximate nearest neighbors via IVF coarse cells — fully
+    deterministic (first-16-by-id centroids, tie-broken argmax
+    assignment and probes), so the approximate result itself is
+    oracle-checkable. Uses the engine-pure expression assignment here
+    so every float matches the SQL mirror bit-for-bit; the blocked-
+    BLAS assignment (the at-scale default) is pinned equal to the
+    expression path in pytest. Recall vs exact top-k also bounded in
+    pytest."""
     e = load(spark, sf_dir, "embeddings")
     queries_df = e.filter(F.col("vec_id") < 5)
-    return S.ivf_topk(e, queries_df, k=10, n_cells=16, n_probe=4)
+    topk = S.ivf_topk(
+        e, queries_df, k=10, n_cells=16, n_probe=4, vectorized=False
+    )
+    return topk.select(
+        "query_id", "neighbor_id", F.round("sim", 6).alias("sim_r"), "rank"
+    )
 
 
 @query(

@@ -192,6 +192,36 @@ class TestIvf:
         assert len(approx_set) == 15  # k results per query
         assert len(exact_set & approx_set) >= 3
 
+    def test_blas_assignment_equals_expression_assignment(self, spark, embs):
+        """The blocked-BLAS cell assignment (at-scale default) and the
+        engine-pure expression assignment must agree on every vector —
+        this is what lets q68 run the expression path against its SQL
+        oracle while production uses BLAS."""
+        from pyspark.sql import Window as W
+
+        cents = (
+            embs.orderBy(F.col("vec_id").asc())
+            .limit(16)
+            .select(
+                F.row_number()
+                .over(W.orderBy(F.col("vec_id").asc()))
+                .cast("int")
+                .alias("cell"),
+                F.col("embedding").alias("cvec"),
+            )
+        )
+        expr = {
+            r.vec_id: r.cell
+            for r in S.assign_cells(embs, cents, "vec_id", "embedding").collect()
+        }
+        blas = {
+            r.vec_id: r.cell
+            for r in S.assign_cells_vectorized(
+                embs, cents, "vec_id", "embedding"
+            ).collect()
+        }
+        assert expr == blas
+
     def test_ivf_full_probe_equals_exact(self, embs):
         """Probing every cell must reproduce the exact top-k."""
         q = embs.filter(F.col("vec_id") < 3)
