@@ -60,6 +60,11 @@ HEADLINE = [
     "q84_q8_market_share",
     "q86_q9_profit",
     "q87_q11_important_parts",
+    # round-2 additions (new LLM-pipeline ops)
+    "q110_pii_redaction",
+    "q111_doc_chunking",
+    "q112_token_entropy",
+    "q113_boilerplate_bigrams",
 ]
 
 

@@ -3966,10 +3966,15 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import shingles_from_tokens
 
     d = load(spark, sf_dir, "documents")
+    # tokens MUST be projected into a named column before the shingle
+    # HOF — an inline tokens() free subexpression re-runs split+regexp
+    # once per array element inside the lambda (measured 3.1s -> 0.5s
+    # at sf0.1; see shingles_from_tokens docstring).
+    t = d.select("doc_id", tokens(F.col("text")).alias("__t"))
     bg = (
-        d.select(
+        t.select(
             "doc_id",
-            F.explode(shingles_from_tokens(tokens(F.col("text")), 2)).alias("g"),
+            F.explode(shingles_from_tokens(F.col("__t"), 2)).alias("g"),
         )
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))

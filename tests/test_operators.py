@@ -543,6 +543,77 @@ class TestEmbeddingNearDup:
             assert len(approx) / len(exact) >= 0.85
 
 
+class TestTextPipelineInvariants:
+    def test_chunking_reconstructs_document(self, spark, docs):
+        """Chunk invariants on real fixture docs: stride-48 windows of
+        size 64 must (a) cover every token, (b) start at 1, 49, 97, …,
+        (c) reconstruct the normalized document exactly when overlaps
+        are removed."""
+        from canvas_data_loader_spark.functions.text import tokens
+
+        d = docs.limit(50).select("doc_id", tokens(F.col("text")).alias("t"))
+        toks = {r.doc_id: r.t for r in d.collect()}
+        chunks = (
+            d.filter(F.size("t") > 0)
+            .select(
+                "doc_id",
+                "t",
+                F.explode(
+                    F.sequence(F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(48))
+                ).alias("s"),
+            )
+            .select("doc_id", "s", F.slice(F.col("t"), F.col("s"), 64).alias("c"))
+            .collect()
+        )
+        by_doc: dict[int, list] = {}
+        for r in chunks:
+            by_doc.setdefault(r.doc_id, []).append((r.s, r.c))
+        for doc_id, cs in by_doc.items():
+            cs.sort()
+            starts = [s for s, _ in cs]
+            assert starts == list(range(1, starts[-1] + 1, 48))
+            rebuilt = list(cs[0][1])
+            for s, c in cs[1:]:
+                # chunk starts at s (1-based); we already have s-1+16
+                # overlap tokens, append the tail beyond the overlap
+                rebuilt.extend(c[len(rebuilt) - (s - 1):])
+            assert rebuilt == toks[doc_id]
+
+    def test_token_entropy_bounds(self, spark, docs):
+        """0 <= H <= log2(#tokens); single-repeated-token doc has H=0,
+        all-distinct doc has H=log2(n)."""
+        import math
+
+        from canvas_data_loader_spark import queries as Q
+
+        df = spark.createDataFrame(
+            [(1, "a a a a"), (2, "w x y z"), (3, "solo")],
+            ["doc_id", "text"],
+        ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")).withColumn(
+            "n_chars", F.length("text")
+        )
+        # run the same expression shape q112 uses, over a local frame
+        from canvas_data_loader_spark.functions.text import tokens as toks_fn
+        from pyspark.sql import Window as W
+
+        cnt = (
+            df.select("doc_id", F.explode(toks_fn(F.col("text"))).alias("w"))
+            .groupBy("doc_id", "w")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        p = F.col("c") / F.sum("c").over(W.partitionBy("doc_id"))
+        got = {
+            r.doc_id: r.h
+            for r in cnt.withColumn("__p", p)
+            .groupBy("doc_id")
+            .agg(F.round(-F.sum(F.col("__p") * F.log2("__p")), 9).alias("h"))
+            .collect()
+        }
+        assert got[1] == 0.0
+        assert abs(got[2] - 2.0) < 1e-9
+        assert got[3] == 0.0
+
+
 class TestConnectedComponents:
     def test_chain_clique_isolated(self, spark):
         from canvas_data_loader_spark.operators.dedup import connected_components
