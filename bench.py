@@ -65,6 +65,7 @@ HEADLINE = [
     "q111_doc_chunking",
     "q112_token_entropy",
     "q113_boilerplate_bigrams",
+    "q114_sequence_packing",
 ]
 
 

@@ -3984,3 +3984,57 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("top_count"),
         F.round(F.max("c") * 1.0 / F.sum("c"), 6).alias("top_frac"),
     )
+
+
+@query(
+    "q114_sequence_packing",
+    f"""
+    -- Contiguous greedy packing: docs in doc_id order per language,
+    -- bin = floor(tokens-before-me / budget). Integer-only, so the
+    -- oracle is bit-exact. (True first-fit bin packing is inherently
+    -- sequential; contiguous packing is what large pipelines actually
+    -- run because it streams.)
+    WITH t AS (
+        SELECT doc_id, lang,
+               LEN(STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ')) AS n_tok
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang, n_tok,
+               COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS before_me
+        FROM t
+    )
+    SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(before_me // 256 AS BIGINT) AS bin_id,
+           CAST(before_me % 256 AS BIGINT) AS bin_offset
+    FROM c
+    """,
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: assign documents (in
+    deterministic doc_id order per language) to fixed-token-budget
+    bins (budget 256), with each doc's offset inside its bin — the
+    context-packing step between curation and tokenization. Contiguous
+    streaming packing, not combinatorial bin packing: one running-sum
+    window per language partition, integer arithmetic throughout
+    (bit-exact across engines), no data movement beyond the one
+    window shuffle."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.select("doc_id", "lang", n_tok.alias("n_tok"))
+        .withColumn("__before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+            F.floor(F.col("__before") / 256).alias("bin_id"),
+            (F.col("__before") % 256).alias("bin_offset"),
+        )
+    )
