@@ -223,17 +223,18 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     Output: (doc, simhash BIGINT).
     """
     toks = F.array_distinct(F.split(normalize_text(text_col), " "))
-    # bit b of md5: use hex digit parity — conv(substr(md5,k,1),16,10) & 1
-    def bit_vote(b: Column) -> Column:
-        digit = F.conv(F.substring(F.md5(F.col("__t")), b + 1, 1), 16, 10).cast("int")
+    # bit b of md5: use hex digit parity — conv(substr(md5,k,1),16,10) & 1.
+    # The md5 is projected ONCE per token row (__h): leaving F.md5
+    # inline in each of the 16 vote expressions re-hashes every token
+    # 16x (Catalyst does not CSE across aggregate expressions).
+    def bit_vote(b: int) -> Column:
+        digit = F.conv(F.substring(F.col("__h"), b + 1, 1), 16, 10).cast("int")
         return F.when(digit % 2 == 1, 1).otherwise(-1)
 
     exploded = df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("__t"))
-    votes = exploded.groupBy("doc").agg(
-        *[
-            F.sum(bit_vote(F.lit(b))).alias(f"v{b}")
-            for b in range(bits)
-        ]
+    hashed = exploded.select("doc", F.md5(F.col("__t")).alias("__h"))
+    votes = hashed.groupBy("doc").agg(
+        *[F.sum(bit_vote(b)).alias(f"v{b}") for b in range(bits)]
     )
     sim = None
     for b in range(bits):
