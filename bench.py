@@ -66,6 +66,7 @@ HEADLINE = [
     "q112_token_entropy",
     "q113_boilerplate_bigrams",
     "q114_sequence_packing",
+    "q115_pq_codes",
 ]
 
 

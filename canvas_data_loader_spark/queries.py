@@ -4038,3 +4038,93 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__before") % 256).alias("bin_offset"),
         )
     )
+
+
+_L2_QC = (
+    "LIST_SUM(LIST_TRANSFORM(LIST_ZIP({a}, {b}),"
+    " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+)
+
+
+@query(
+    "q115_pq_codes",
+    f"""
+    -- Product quantization: 64-dim vectors -> 4 sub-vectors of 16 dims,
+    -- each assigned to the nearest of 8 deterministic sub-codebook
+    -- centroids (slices of the first 8 vectors by id; ties -> smallest
+    -- code). Fully deterministic, so the compressed codes themselves
+    -- are oracle-checkable.
+    WITH cents AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS k,
+               embedding AS cv
+        FROM embeddings ORDER BY vec_id ASC LIMIT 8
+    ), subcents AS (
+        SELECT k, m, cv[1 + 16 * m : 16 + 16 * m] AS csub
+        FROM cents, UNNEST([0, 1, 2, 3]) AS u(m)
+    ), scored AS (
+        SELECT e.vec_id, s.m, s.k,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id, s.m
+                   ORDER BY {_L2_QC.format(a='e.embedding[1 + 16 * s.m : 16 + 16 * s.m]', b='s.csub')} ASC,
+                            s.k ASC) AS rn
+        FROM embeddings e CROSS JOIN subcents s
+    )
+    SELECT vec_id,
+           CAST(MAX(CASE WHEN m = 0 THEN k END) AS INT) AS code0,
+           CAST(MAX(CASE WHEN m = 1 THEN k END) AS INT) AS code1,
+           CAST(MAX(CASE WHEN m = 2 THEN k END) AS INT) AS code2,
+           CAST(MAX(CASE WHEN m = 3 THEN k END) AS INT) AS code3
+    FROM scored WHERE rn = 1
+    GROUP BY vec_id
+    """,
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes: the vector-compression step of a
+    billion-scale ANN index (store 4 bytes/vector instead of 256). The
+    codebook is deterministic (sub-slices of the first 8 vectors by
+    id, L2 argmin ties to the smallest code) so even the compressed
+    representation is oracle-checked bit-exactly. Plan: 32-row
+    codebook broadcast against one corpus scan, argmin via min-struct
+    aggregation (map-side combinable), pivot to one row per vector —
+    no window over the corpus, one shuffle on vec_id."""
+    e = load(spark, sf_dir, "embeddings")
+    w_cent = Window.orderBy(F.col("vec_id").asc())
+    cents = (
+        e.orderBy(F.col("vec_id").asc())
+        .limit(8)
+        .select(
+            (F.row_number().over(w_cent) - 1).cast("int").alias("k"),
+            F.col("embedding").alias("cv"),
+        )
+    )
+    subcents = cents.select(
+        "k", F.explode(F.array(*[F.lit(m) for m in range(4)])).alias("m"), "cv"
+    ).select("k", "m", F.expr("slice(cv, 1 + 16 * m, 16)").alias("csub"))
+    esub = F.expr("slice(embedding, 1 + 16 * m, 16)")
+    l2 = F.aggregate(
+        F.zip_with(
+            esub,
+            F.col("csub"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = e.crossJoin(F.broadcast(subcents)).select(
+        "vec_id", "m", "k", l2.alias("__d")
+    )
+    best = (
+        scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("__d"), F.col("k"))).alias("__b"))
+        .select("vec_id", "m", F.col("__b.k").alias("code"))
+    )
+    return best.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("code")))
+            .cast("int")
+            .alias(f"code{m}")
+            for m in range(4)
+        ]
+    )
