@@ -20,19 +20,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as int64
-# nanos (legacy conf) and we convert to microsecond timestamps with
-# exact integer division (see queries.load_events for the batch analog).
-EVENTS_SCHEMA_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+# events.ts has shipped as both TIMESTAMP(NANOS) and timestamp[us]
+# parquet across testdata generations. The file streaming source needs
+# an explicit schema, so probe the actual parquet footer (batch read,
+# metadata-only) and declare ts accordingly: NANOS arrives as int64
+# nanos (legacy conf) and converts with exact integer division;
+# timestamp[us] arrives as TIMESTAMP_NTZ and just casts to the
+# session-UTC instant type. Declaring LongType over a timestamp[us]
+# file silently yields raw micros mis-divided by 1000 — every event
+# lands in 1970 and watermarks/windows are garbage (observed driver
+# failure mode, round 3).
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -43,13 +51,20 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_is_long = dict(spark.read.parquet(path).dtypes)["ts"] == "bigint"
     base, _, fname = path.rpartition("/")
-    reader = spark.readStream.schema(EVENTS_SCHEMA_RAW)
+    reader = spark.readStream.schema(
+        _events_schema(T.LongType() if ts_is_long else T.TimestampNTZType())
+    )
     if fname.endswith(".parquet"):
         reader = reader.option("pathGlobFilter", fname)
         path = base
     stream = reader.parquet(path)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(

@@ -37,9 +37,49 @@ def canon_cell(v):
     return str(v)
 
 
+# Canonical cross-engine type families. The driver's value hash is
+# type-sensitive (DuckDB HUGEINT != Spark bigint even when every value
+# is equal — q75/q93 shipped that way twice because this differ only
+# compared Python values). Map both engines' column types onto one
+# vocabulary and fail on width mismatches.
+_SPARK_CANON = {
+    "tinyint": "i8", "smallint": "i16", "int": "i32", "bigint": "i64",
+    "float": "f32", "double": "f64", "string": "str", "boolean": "bool",
+    "date": "date", "binary": "bin",
+}
+_DUCK_CANON = {
+    "TINYINT": "i8", "SMALLINT": "i16", "INTEGER": "i32", "BIGINT": "i64",
+    "HUGEINT": "i128", "UTINYINT": "u8", "USMALLINT": "u16",
+    "UINTEGER": "u32", "UBIGINT": "u64",
+    "FLOAT": "f32", "DOUBLE": "f64", "VARCHAR": "str", "BOOLEAN": "bool",
+    "DATE": "date", "BLOB": "bin",
+}
+
+
+def canon_spark_type(dt: str) -> str:
+    if dt.startswith("decimal"):
+        return "dec" + dt[len("decimal"):]
+    if dt.startswith(("array", "struct", "map")):
+        return "arr"
+    if dt.startswith("timestamp"):
+        return "ts"
+    return _SPARK_CANON.get(dt, dt)
+
+
+def canon_duck_type(t) -> str:
+    t = str(t)
+    if t.startswith("DECIMAL"):
+        return "dec" + t[len("DECIMAL"):]
+    if t.endswith("[]") or t.startswith(("LIST", "STRUCT", "MAP")):
+        return "arr"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    return _DUCK_CANON.get(t, t)
+
+
 def diff_one(spark, con, qs, osql, name, sf_dir, verbose=True):
     """Return (status, n). status: pass|rows-only|spark-error|
-    oracle-error|columns|rowcount|values."""
+    oracle-error|columns|types|rowcount|values."""
     try:
         df = qs[name](spark, sf_dir)
         cols = df.columns
@@ -71,6 +111,23 @@ def diff_one(spark, con, qs, osql, name, sf_dir, verbose=True):
         if verbose:
             print(f"  COLUMN MISMATCH: {s_names} vs {d_names}")
         return "columns", -1
+    s_dtypes = dict(df.dtypes)
+    s_types = [canon_spark_type(s_dtypes[c]) for c in s_names]
+    try:
+        rel = con.sql(osql[name])  # plans only; types come from the plan
+        d_type_map = dict(zip(rel.columns, (canon_duck_type(t) for t in rel.types)))
+        d_types = [d_type_map[c] for c in d_names]
+    except Exception:  # noqa: BLE001 — fall back to value-only compare
+        d_types = s_types
+    if s_types != d_types:
+        bad_cols = [
+            f"{c}: spark={a} duckdb={b}"
+            for c, a, b in zip(s_names, s_types, d_types)
+            if a != b
+        ]
+        if verbose:
+            print("  TYPE MISMATCH: " + "; ".join(bad_cols))
+        return "types", len(bad_cols)
     if len(s_rows) != len(d_rows):
         if verbose:
             print(f"  ROWCOUNT MISMATCH: {len(s_rows)} vs {len(d_rows)}")
