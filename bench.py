@@ -67,6 +67,23 @@ HEADLINE = [
     "q113_boilerplate_bigrams",
     "q114_sequence_packing",
     "q115_pq_codes",
+    # round-4 promotions: the q98+ block (analytics rollups, the
+    # curation pipeline, the join-heavy funnel) plus the two new
+    # registrations (banded-LSH near-dup, JSONL/ORC round-trip)
+    "q98_cohort_retention",
+    "q99_curation_pipeline",
+    "q100_quality_percentile_keep",
+    "q101_value_histogram",
+    "q102_median_mode",
+    "q103_peak_concurrency",
+    "q104_funnel",
+    "q105_sequence_pattern",
+    "q106_label_centroids",
+    "q107_null_safe_join",
+    "q108_stream_stream_join",
+    "q109_weighted_sample",
+    "q116_lsh_neardup_pairs",
+    "q117_jsonl_orc_roundtrip",
 ]
 
 

@@ -351,6 +351,57 @@ def main_embed():
         shutil.rmtree(base_dir, ignore_errors=True)
 
 
+def main_textops():
+    """10x exponents for the round-2 text/packing op family (q110-q114:
+    PII redaction, overlapping chunking, token entropy, boilerplate
+    bigrams, sequence packing). All five are documents-only, so the
+    registered query callables run unmodified against the replicated
+    corpus dir — probing the exact plans the driver checks."""
+    from canvas_data_loader_spark import queries as Q
+
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    names = [
+        "q110_pii_redaction",
+        "q111_doc_chunking",
+        "q112_token_entropy",
+        "q113_boilerplate_bigrams",
+        "q114_sequence_packing",
+    ]
+    spark = get_spark("scale_probe_textops")
+    dest = tempfile.mkdtemp(prefix="scale_probe_textops_")
+    base_dir = tempfile.mkdtemp(prefix="scale_probe_textops_base_")
+    try:
+        replicate_documents(spark, factor, dest)
+        replicate_documents(spark, 1, base_dir)
+
+        def time_dir(d):
+            out = {}
+            for name in names:
+                fn = Q.SPARK[name]
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                t0 = time.time()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                out[name] = round(time.time() - t0, 3)
+            return out
+
+        base_t = time_dir(base_dir)
+        scaled_t = time_dir(dest)
+        report = {}
+        for name in names:
+            e = math.log(
+                max(scaled_t[name], 1e-3) / max(base_t[name], 1e-3)
+            ) / math.log(factor)
+            report[name] = {
+                "sec_base": base_t[name],
+                "sec_scaled": scaled_t[name],
+                "exponent": round(e, 3),
+            }
+        print(json.dumps({"mode": "textops", "factor": factor, "queries": report}))
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
 def main_skew():
     """Measure the salted-join strategy on a zipf-skewed key: 90% of
     fact rows share ONE key. Plain shuffle join must put that key's
@@ -414,5 +465,7 @@ if __name__ == "__main__":
         main_skew()
     elif len(sys.argv) > 1 and sys.argv[1] == "--neardup":
         main_neardup()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--textops":
+        main_textops()
     else:
         main()
