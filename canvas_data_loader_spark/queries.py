@@ -1810,7 +1810,21 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     separate aggregations joined on the (3-row) group key: mixing a
     distinct agg with object-hash sketch aggs in ONE agg forces
     Spark's expand rewrite plus a SortAggregate fallback for the
-    sketches — measured 8.3s vs 0.9s at sf0.01 for the fused plan."""
+    sketches — measured 8.3s (two F.percentile) / 40s+ (array form)
+    vs 0.9s at sf0.01 for the fused plan.
+
+    The Spark-side IQR bounds are percentile_approx at accuracy 1e5
+    (deterministic Greenwald-Khanna summary, relative rank error
+    <= 1e-5), NOT exact F.percentile: exact percentile buffers every
+    value per group, and even fused into one array call it measured
+    1.9s at sf0.1 vs 1.2s for the summary (r2-r4 history: two exact
+    calls cost 3.7s). The gate loses nothing measurable — the median
+    sits ~25 percentile-points inside each bound while the bound
+    error is ~0.001 percentile-points, so a broken median sketch
+    still trips the boolean, and the bound sketch (1e5) is a
+    different summary than the median sketch (default 1e4), keeping
+    the check non-vacuous. The oracle side stays exact QUANTILE_CONT;
+    only the booleans are compared, and both engines agree."""
     li = load(spark, sf_dir, "lineitem")
     sketches = li.groupBy("l_returnflag").agg(
         # rsd=0.01: the default 0.05 makes the 5%-relative-error gate a
@@ -1818,8 +1832,9 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
         # gate sits ~5 sigma out on both engines.
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile("l_extendedprice", 0.25).alias("__p25"),
-        F.percentile("l_extendedprice", 0.75).alias("__p75"),
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75)), F.lit(100000)
+        ).alias("__iqr"),
     )
     exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders")
@@ -1832,7 +1847,7 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_orders_ok"
         ),
         F.col("approx_median_price")
-        .between(F.col("__p25"), F.col("__p75"))
+        .between(F.col("__iqr")[0], F.col("__iqr")[1])
         .alias("approx_median_ok"),
     )
 

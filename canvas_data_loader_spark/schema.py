@@ -181,28 +181,28 @@ VOLATILE_TABLES: frozenset[str] = frozenset(
         "module_prerequisite_fact",
         "module_progression_completion_requirement_fact",
         "module_progression_fact",
-        "quiz_question_answer_dim",
+        "quiz_fact",
         "quiz_question_answer_fact",
-        "quiz_question_dim",
         "quiz_question_fact",
-        "quiz_question_group_dim",
         "quiz_question_group_fact",
-        "quiz_submission_dim",
         "quiz_submission_fact",
-        "quiz_submission_historical_dim",
         "quiz_submission_historical_fact",
-        "requests",
         "module_completion_requirement_dim",
         "module_dim",
         "module_item_dim",
         "module_prerequisite_dim",
         "module_progression_completion_requirement_dim",
         "module_progression_dim",
+        "quiz_dim",
+        "quiz_question_answer_dim",
+        "quiz_question_dim",
+        "quiz_question_group_dim",
+        "quiz_submission_dim",
+        "quiz_submission_historical_dim",
+        "submission_comment_participant_dim",
+        "requests",
         "assignment_override_user_rollup_fact",
-        "communication_channel_fact",
         "enrollment_rollup_dim",
-        "discussion_entry_fact",
-        "submission_file_fact",
     }
 )
 

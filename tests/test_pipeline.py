@@ -46,6 +46,18 @@ SCHEMA_JSON = {
                 {"name": "hits", "type": "int"},
             ],
         },
+        # quiz_fact HAS an inferrable key (quiz_id) but is in the
+        # reference's VOLATILE_TABLES (importer.rs:26) because its IDs
+        # are unstable — it must be overwritten, never merged.
+        "quiz_fact": {
+            "tableName": "quiz_fact",
+            "dw_type": "fact",
+            "incremental": False,
+            "columns": [
+                {"name": "quiz_id", "type": "bigint"},
+                {"name": "points_possible", "type": "int"},
+            ],
+        },
     },
 }
 
@@ -199,6 +211,34 @@ class TestEndToEnd:
         p = ImportPipeline(spark, client, config)
         p.run()
         assert wh_rows(p, "requests") == [("/c", 3)]
+
+    def test_quiz_fact_overwritten_despite_inferrable_key(self, spark, env):
+        # quiz_fact HAS quiz_id (the key-inference rule would pick it up),
+        # but the reference routes it to drop/recreate because its IDs are
+        # unstable across dumps (importer.rs:26).  A merge would keep the
+        # stale quiz_id=1 row from d1; the correct result is d2's rows only.
+        from canvas_data_loader_spark.schema import infer_key_column
+
+        assert infer_key_column("quiz_fact", ["quiz_id", "points_possible"]) == "quiz_id"
+        payloads = {
+            "u://d1/quiz_fact-00000-aaa.gz": gzip_tsv([[1, 10], [2, 20]]),
+            "u://d2/quiz_fact-00000-bbb.gz": gzip_tsv([[2, 25], [3, 30]]),
+        }
+        client, config = env(
+            [
+                make_dump_json("d1", 1, "2024-01-01T00:00:00Z"),
+                make_dump_json("d2", 2, "2024-01-02T00:00:00Z"),
+            ],
+            {
+                "d1": files_json("d1", {"quiz_fact": ["quiz_fact-00000-aaa.gz"]}),
+                "d2": files_json("d2", {"quiz_fact": ["quiz_fact-00000-bbb.gz"]}),
+            },
+            payloads,
+        )
+        p = ImportPipeline(spark, client, config)
+        p.run()
+        # full refresh: quiz_id=1 must be GONE (a merge would have kept it)
+        assert wh_rows(p, "quiz_fact") == [(2, 25), (3, 30)]
 
     def test_historical_refresh_skipped_and_marked_successful(self, spark, env):
         payloads = {"u://d1/requests-00000-aaa.gz": gzip_tsv([["/a", 1]])}

@@ -119,14 +119,60 @@ class TestHistoricalRefresh:
         assert not is_historical_refresh({})
 
 
+# Literal transcription of reference src/importer.rs:19-48, in the
+# reference's own order.  The test below asserts FULL set equality, not
+# spot-checks — a single divergent name silently mis-routes that table
+# between merge and full-refresh (data corruption the oracle can't see).
+REFERENCE_VOLATILE_TABLES = [
+    "module_completion_requirement_fact",
+    "module_fact",
+    "module_item_fact",
+    "module_prerequisite_fact",
+    "module_progression_completion_requirement_fact",
+    "module_progression_fact",
+    "quiz_fact",
+    "quiz_question_answer_fact",
+    "quiz_question_fact",
+    "quiz_question_group_fact",
+    "quiz_submission_fact",
+    "quiz_submission_historical_fact",
+    "module_completion_requirement_dim",
+    "module_dim",
+    "module_item_dim",
+    "module_prerequisite_dim",
+    "module_progression_completion_requirement_dim",
+    "module_progression_dim",
+    "quiz_dim",
+    "quiz_question_answer_dim",
+    "quiz_question_dim",
+    "quiz_question_group_dim",
+    "quiz_submission_dim",
+    "quiz_submission_historical_dim",
+    "submission_comment_participant_dim",
+    "requests",
+    "assignment_override_user_rollup_fact",
+    "enrollment_rollup_dim",
+]
+
+
 class TestVolatileRouting:
-    def test_known_volatile(self):
-        assert is_volatile("requests")
-        assert is_volatile("quiz_question_dim")
-        assert is_volatile("module_fact")
+    def test_full_set_matches_reference_exactly(self):
+        from canvas_data_loader_spark.schema import VOLATILE_TABLES
+
+        assert len(REFERENCE_VOLATILE_TABLES) == 28  # importer.rs has 28 entries
+        assert VOLATILE_TABLES == frozenset(REFERENCE_VOLATILE_TABLES)
+
+    def test_every_reference_name_routes_volatile(self):
+        for name in REFERENCE_VOLATILE_TABLES:
+            assert is_volatile(name), name
 
     def test_non_volatile(self):
         assert not is_volatile("account_dim")
+        # Tables that were once wrongly in our list must NOT be volatile:
+        # the reference merges these incrementally.
+        assert not is_volatile("communication_channel_fact")
+        assert not is_volatile("discussion_entry_fact")
+        assert not is_volatile("submission_file_fact")
 
     def test_force_all(self):
         # all_tables_volatile config (settings.rs:103-105)
