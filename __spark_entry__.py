@@ -26,34 +26,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _priority_order(names: list[str]) -> list[str]:
-    """Order the registry so the driver's 50-entry correctness window
-    (observed rounds 1-3) verifies what needs proof most. Round-4
-    window, in order:
-    1. the nine round-3 failures (events.ts parquet type regression +
-       the q75/q93 oracle integer-width bugs — all fixed this round)
-       and q62 (now oracle-checkable via error-bound booleans),
-    2. q98-q115, never yet inside any round's window,
-    3. the two new registrations (banded-LSH near-dup, JSONL/ORC
-       round-trip),
-    4. re-greens whose code changed this round: the streaming loaders
-       (q42-q44) and every other events-reading query, plus the eleven
-       queries whose oracle SQL gained exact type alignment.
-    Everything else (already driver-green, untouched) follows in
-    numeric order.
+    """Order the registry so the driver's correctness window (50
+    entries, observed rounds 1-4) verifies what needs proof most.
+
+    MECHANICAL since round 5: the verification ledger
+    (tools/ledger.py) fingerprints every query's source + oracle and
+    compares against the fingerprints recorded with its last green
+    driver proof (tools/ledger_hashes.json). Anything not currently
+    green — source changed since proof, failed, or never windowed —
+    leads; the remainder is ordered oldest-proof-first so long-green
+    rows keep getting refreshed. This replaces the hand-maintained
+    round lists that let two round-4 implementation changes (q61 via
+    its own edit, q67 via a shared helper) ship without re-proof; both
+    are also explicitly led this round since their r4 edits predate
+    the first fingerprint snapshot.
     """
     def num(n: str) -> int:
         return int(n.split("_", 1)[0][1:])
 
-    r3_failures = [45, 55, 57, 62, 65, 70, 72, 75, 83, 93]
-    never_windowed = list(range(98, 116))
-    new_regs = [116, 117]
-    touched = [42, 43, 44, 14, 15, 18, 22, 23, 27, 32, 36, 37, 40, 49,
-               56, 63, 68, 84, 86, 92]
-    lead_nums = r3_failures + never_windowed + new_regs + touched
-    by_num = sorted(names, key=num)
-    lead = [n for k in lead_nums for n in by_num if num(n) == k]
-    rest = [n for n in by_num if n not in lead]
-    return lead + rest
+    # r4-changed but absent from the r4 window (ADVICE): the fingerprint
+    # baseline was snapshotted from the end-of-r4 tree, so staleness
+    # cannot see that their last GREEN rows (r2/r3) proved OLDER code.
+    explicit_lead = {"q61", "q67"}
+    try:
+        from tools.ledger import (
+            current_fingerprints,
+            load_hashes,
+            load_rounds,
+            proof_rounds,
+            status_of,
+        )
+
+        rounds, rec, fps = load_rounds(), load_hashes(), current_fingerprints()
+
+        def sort_key(n: str):
+            green, _ = proof_rounds(n, rounds)
+            needs_proof = (
+                status_of(n, rounds, rec, fps.get(n)) != "green"
+                or n.split("_", 1)[0] in explicit_lead
+            )
+            return (0 if needs_proof else 1, max(green) if green else 0, num(n))
+
+        return sorted(names, key=sort_key)
+    except Exception:
+        # the ordering is an optimization — never let it break the driver
+        return sorted(names, key=num)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -5,16 +5,26 @@ Runs each headline query end-to-end (full materialization via the
 count() would) and prints ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+     "queries": {"q01_...": sec, ...},
+     "spread": {"q01_...": [min, max], ...}, "repeat": 3, "sf": 0.1}
 
+Each query is timed ``--repeat`` times (default 3) and ``queries``
+reports the per-query MEDIAN; ``spread`` records [min, max] so
+round-over-round comparisons can tell a real regression from
+scheduler noise (observed up to 6x run-to-run variance on short
+queries, e.g. q99 0.9s..5.6s within one session).
+
+Usage: python bench.py [--repeat N]
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -88,6 +98,9 @@ HEADLINE = [
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeat", type=int, default=3)
+    args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark("bench")
@@ -108,12 +121,17 @@ def main() -> None:
                 pass  # warmup is best-effort; the timed run surfaces real errors
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = Q.SPARK[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(max(1, args.repeat)):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)  # fresh plan every run, like the driver
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -123,6 +141,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "repeat": max(1, args.repeat),
                 "sf": sf,
             }
         )

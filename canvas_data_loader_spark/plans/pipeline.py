@@ -44,7 +44,7 @@ from ..schema import (
 )
 from ..sources.api_client import CanvasDataApiClient, DumpInList
 from ..sources.tsv import read_tsv_shards
-from ..operators.merge import dedup_latest, merge_upsert
+from ..operators.merge import dedup_latest, merge_upsert, merge_upsert_large_batch
 
 
 @dataclass
@@ -58,6 +58,15 @@ class PipelineConfig:
     skip_historical_imports: bool = False  # settings.rs:93-95
     all_tables_volatile: bool = False  # settings.rs:103-105
     extra_volatile: set[str] = field(default_factory=set)
+    # Merge-strategy cutover: batches whose staged shard bytes exceed
+    # this use the shuffled anti-join (no broadcast hint — AQE picks
+    # the physical join from runtime stats). Below it, the batch's
+    # distinct KEYS are broadcast for the anti-join. 32 MiB of gzip
+    # TSV ≈ 100-150 MiB of rows; the key projection of that is well
+    # inside executor memory, while a historical-refresh-sized batch
+    # (unbounded) must never be forced driver-side. 0 disables the
+    # broadcast hint entirely.
+    broadcast_merge_max_bytes: int = 32 << 20
 
 
 class Warehouse:
@@ -215,6 +224,18 @@ class Warehouse:
             shutil.rmtree(table_dir, ignore_errors=True)
 
 
+def _staged_bytes(paths: list[str]) -> int:
+    """Total on-disk size of a table's staged shards; 0 if unknown.
+    Unknown sizes route to the non-broadcast merge (the safe side)."""
+    total = 0
+    for p in paths:
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return 0
+    return total
+
+
 @dataclass
 class DumpResult:
     dump_id: str
@@ -284,6 +305,25 @@ class ImportPipeline:
             self.ledger.mark_failure(dump.dump_id, dump.schema_version)
             raise
 
+    def _merge(
+        self, old: DataFrame, new: DataFrame, key: str, batch_bytes: int
+    ) -> DataFrame:
+        """Pick the merge strategy by incoming-batch size.
+
+        Small batches (the steady-state daily dump) broadcast their
+        distinct keys for the anti-join — one shuffle-free pass over
+        the warehouse table. A batch above the cutover (historical
+        refreshes can be as large as the table itself) must NOT force
+        an unbounded key set through the driver: it takes the shuffled
+        anti-join and AQE picks broadcast vs sort-merge from the
+        runtime size of the key projection. The size signal is the
+        staged shard bytes on disk — free to compute, monotone in row
+        count, and available before any Spark job runs.
+        """
+        if 0 < batch_bytes <= self.config.broadcast_merge_max_bytes:
+            return merge_upsert(old, new, key)
+        return merge_upsert_large_batch(old, new, key)
+
     def _import_staged(
         self,
         dump: DumpInList,
@@ -337,7 +377,7 @@ class ImportPipeline:
                 out = df
             else:
                 old = self.warehouse.read(table_name)
-                out = merge_upsert(old, df, key)
+                out = self._merge(old, df, key, _staged_bytes(paths))
             # Row count via observed metrics on the write job itself —
             # a post-write warehouse.read().count() would re-scan every
             # table once per dump purely for this dict, doubling read

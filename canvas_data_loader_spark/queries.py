@@ -18,6 +18,7 @@ Float determinism policy (why you see decimal casts and rounds):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -3698,23 +3699,33 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex over the string: 'did a view immediately precede a purchase'
     (adjacency, not just precedence — funnel q104 can't see that) and
     error counts. This is the poor-man's MATCH_RECOGNIZE, and the
-    symbol-string trick is the scalable shape: one shuffle to build
+    symbol-string trick is the scalable shape: ONE shuffle to build
     the per-user string (bounded by user activity), then pure string
-    expressions — no self-joins over the event table."""
+    expressions — no self-joins over the event table.
+
+    The ordered string is groupBy + array_sort(collect_list(struct)):
+    collect_list is unordered, so the sort key (ts, event_id) rides
+    inside the struct and array_sort orders each user's array once
+    after collection. The previous shape — collect_list over an
+    unbounded window then groupBy/first — materialized the full
+    per-user array ON EVERY ROW and threw away all but one: O(events
+    x user_history) memory and an extra aggregate, with the window's
+    sort shuffle on top. This is one hash aggregation, no window, no
+    sort exchange."""
     e = load(spark, sf_dir, "events")
     sym = F.substring("event_type", 1, 1)
     seq = (
         e.select("user_id", "ts", "event_id", sym.alias("c"))
-        .withColumn(
-            "s_arr",
-            F.collect_list("c").over(
-                Window.partitionBy("user_id")
-                .orderBy("ts", "event_id")
-                .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-            ),
-        )
         .groupBy("user_id")
-        .agg(F.first(F.concat_ws("", "s_arr")).alias("s"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "c"))
+            ).alias("s_arr")
+        )
+        .select(
+            "user_id",
+            F.array_join(F.transform("s_arr", lambda x: x["c"]), "").alias("s"),
+        )
     )
     return seq.select(
         "user_id",
@@ -4290,11 +4301,22 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
     the aggregate (ids, counts, unicode text lengths, string ordering).
     JSON is read back with the explicit source schema — schema
     inference on JSONL demotes absent-in-sample fields and is banned
-    on the 100 TB path for the same reason."""
+    on the 100 TB path for the same reason.
+
+    The staging directory is a FIXED path keyed by the input dir (not
+    mkdtemp-per-call): every write below is mode=overwrite, so bench
+    warmup + repeats + correctness sweeps reuse two table copies of
+    disk instead of accumulating one pair per invocation. A fresh
+    mkdtemp would also break nothing — but it leaked unboundedly
+    across a long session. The returned DataFrame lazily re-reads the
+    ORC path, so the path must outlive this call: a session-temp dir
+    does, an auto-removed one would not."""
+    import hashlib
     import tempfile
 
     d = load(spark, sf_dir, "documents")
-    base = tempfile.mkdtemp(prefix="q117_")
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"q117_roundtrip_{key}")
     jsonl_path, orc_path = f"{base}/docs_jsonl", f"{base}/docs_orc"
     d.write.mode("overwrite").json(jsonl_path)
     back_json = spark.read.schema(d.schema).json(jsonl_path)

@@ -31,28 +31,132 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def mangle_identifier(name: str, dialect: str = "postgres") -> str:
+    """The reference's reserved-word mangling, exactly: substring
+    REPLACE, not prefix — ``key.replace("default", "_default")`` on
+    both backends (db_client.rs:160 PG, :350 MySQL), and MySQL
+    additionally ``.replace("generated", "_generated")``
+    (db_client.rs:351-354). Mid-string occurrences mangle too:
+    ``grade_default`` -> ``grade__default``."""
+    out = name.replace("default", "_default")
+    if dialect == "mysql":
+        out = out.replace("generated", "_generated")
+    return out
+
+
 def sanitize_identifiers(
     df: DataFrame, dialect: str = "postgres"
 ) -> tuple[DataFrame, dict[str, str]]:
     """Apply the reference's reserved-word renames for a JDBC dialect.
 
-    Returns (renamed_df, {old: new}). Matches the reference's
-    substring-containment rule, not exact equality (db_client.rs:160:
-    ``if key.contains("default")``).
-    """
+    Returns (renamed_df, {old: new}); same mangling as the generated
+    DDL (``create_table_ddl``) so inserts line up with the mirror
+    table's columns."""
     renames: dict[str, str] = {}
     for name in df.columns:
-        new = name
-        if "default" in name.lower():
-            new = f"_{name}"
-        elif dialect == "mysql" and "generated" in name.lower():
-            new = f"_{name}"
+        new = mangle_identifier(name, dialect)
         if new != name:
             renames[name] = new
     out = df
     for old, new in renames.items():
         out = out.withColumnRenamed(old, new)
     return out, renames
+
+
+# --- dialect DDL (reference src/type_converter.rs + db_client.rs) ----------
+
+# Canvas schema type -> column DDL type, per dialect
+# (src/type_converter.rs:13-66; note the deliberate reference quirks:
+# MySQL boolean is VARCHAR(10), MySQL double precision is FLOAT(17)).
+_CANVAS_TO_PG = {
+    "bigint": "BIGINT",
+    "boolean": "BOOLEAN",
+    "double precision": "double precision",
+    "enum": "TEXT",
+    "int": "INT",
+    "integer": "INT",
+    "text": "TEXT",
+    "timestamp": "TIMESTAMP",
+    "date": "DATE",
+    "varchar": "TEXT",
+    "guid": "TEXT",
+    "datetime": "TIMESTAMP",
+}
+_CANVAS_TO_MYSQL = {
+    "bigint": "BIGINT",
+    "boolean": "VARCHAR(10)",
+    "double precision": "FLOAT(17)",
+    "enum": "TEXT",
+    "int": "INT",
+    "integer": "INT",
+    "text": "LONGTEXT",
+    "timestamp": "DATETIME",
+    "date": "DATE",
+    "varchar": "LONGTEXT",
+    "guid": "LONGTEXT",
+    "datetime": "DATETIME",
+}
+
+# Database column type -> explicit CAST target for string values, or ""
+# when the engine coerces implicitly (src/type_converter.rs:76-99).
+_CAST_AS_PG = {
+    "bigint": "int8",
+    "boolean": "boolean",
+    "double precision": "double precision",
+    "int": "int",
+    "timestamp": "timestamp",
+}
+_CAST_AS_MYSQL = {
+    "bigint": "SIGNED",
+    "int": "SIGNED",
+    "float(17)": "DECIMAL(34, 17)",
+    "datetime": "DATETIME",
+    "date": "DATE",
+}
+
+
+def canvas_type_to_ddl(canvas_type: str, dialect: str) -> str:
+    """src/type_converter.rs:13-66 ``convert_type_for_db``; raises on
+    unknown types exactly as the reference errors
+    (InvalidTypeToConvert)."""
+    table = _CANVAS_TO_PG if dialect == "postgres" else _CANVAS_TO_MYSQL
+    try:
+        return table[canvas_type]
+    except KeyError:
+        raise ValueError(f"invalid type to convert: {canvas_type!r}") from None
+
+
+def cast_as(db_type: str, dialect: str) -> str:
+    """src/type_converter.rs:76-99 ``get_cast_as``: CAST target for a
+    string literal bound to this column type ('' = no cast needed).
+    Lookup is case-insensitive like the reference's to_lowercase."""
+    table = _CAST_AS_PG if dialect == "postgres" else _CAST_AS_MYSQL
+    return table.get(db_type.lower(), "")
+
+
+def create_table_ddl(
+    table_name: str, columns: dict[str, str], dialect: str = "postgres"
+) -> str:
+    """The reference's CREATE TABLE statement, byte-for-byte
+    (db_client.rs:147-168 PG, :336-377 MySQL): columns in sorted-name
+    order (the reference iterates a BTreeMap), reserved words mangled,
+    MySQL tables pinned to CHARACTER SET utf8mb4.
+
+    ``columns`` maps column name -> Canvas schema type.
+    """
+    ddl = f"CREATE TABLE IF NOT EXISTS {table_name} (\n"
+    for name in sorted(columns):
+        col_type = canvas_type_to_ddl(columns[name], dialect)
+        ddl += f"{mangle_identifier(name, dialect)} {col_type},\n"
+    ddl = ddl[:-2] + ")"
+    if dialect == "mysql":
+        ddl += " CHARACTER SET utf8mb4"
+    return ddl
+
+
+def drop_table_ddl(table_name: str) -> str:
+    """db_client.rs:136 (PG) / :325 (MySQL) — identical on both."""
+    return f"DROP TABLE IF EXISTS {table_name}"
 
 
 def jdbc_writer_options(

@@ -32,6 +32,11 @@ def read_tsv_shards(
     - tab separator, positional bind to schema column order
     - literal ``\\N`` decodes to NULL
     - no header row
+    - NO quote handling: the reference raw-splits each line on tabs,
+      so ``"`` is an ordinary character. Spark's CSV default treats a
+      leading ``"`` as an opening quote and mangles the field
+      (hypothesis-found: ``"0`` read back as ``0``); quote="" turns
+      quoting off entirely and every byte survives verbatim.
     - typed at scan time (vs the reference's cast-at-SQL-boundary, A12)
 
     ``fail_fast=True`` mirrors the reference's abort-on-bad-row; pass
@@ -45,6 +50,7 @@ def read_tsv_shards(
             header="false",
             mode="FAILFAST" if fail_fast else "PERMISSIVE",
             emptyValue="",
+            quote="",
         )
         .csv(paths)
     )
@@ -84,6 +90,7 @@ def read_tsv_shards_quarantine(
             mode="PERMISSIVE",
             columnNameOfCorruptRecord="_corrupt",
             emptyValue="",
+            quote="",
         )
         .csv(paths)
         .cache()  # one scan feeds both channels

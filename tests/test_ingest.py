@@ -148,8 +148,10 @@ class TestSinks:
             [(1, 2, 3)], ["id", "account_default_grade", "generated_at"]
         )
         out, renames = sanitize_identifiers(df, "postgres")
-        assert renames == {"account_default_grade": "_account_default_grade"}
-        assert out.columns == ["id", "_account_default_grade", "generated_at"]
+        # substring REPLACE, exactly db_client.rs:160 — NOT a prefix:
+        # "account_default_grade".replace("default", "_default")
+        assert renames == {"account_default_grade": "account__default_grade"}
+        assert out.columns == ["id", "account__default_grade", "generated_at"]
 
     def test_sanitize_identifiers_mysql(self, spark):
         from canvas_data_loader_spark.sinks import sanitize_identifiers
@@ -159,7 +161,7 @@ class TestSinks:
         )
         out, renames = sanitize_identifiers(df, "mysql")
         assert renames == {
-            "account_default_grade": "_account_default_grade",
+            "account_default_grade": "account__default_grade",
             "generated_at": "_generated_at",
         }
 
@@ -182,11 +184,11 @@ class TestSinks:
             num_partitions=1,
         )
         # reserved-word mangling applied under a real dialect
-        assert renames == {"account_default_rate": "_account_default_rate"}
+        assert renames == {"account_default_rate": "account__default_rate"}
         back = spark.read.jdbc(url, "account_dim", properties=props)
-        assert set(back.columns) == {"ID", "NAME", "_account_default_rate"} or set(
+        assert set(back.columns) == {"ID", "NAME", "account__default_rate".upper()} or set(
             c.lower() for c in back.columns
-        ) == {"id", "name", "_account_default_rate"}
+        ) == {"id", "name", "account__default_rate"}
         assert sorted(
             (r[0], r[1], r[2]) for r in back.collect()
         ) == [(1, "root", 0.5), (2, "sub", None)]
@@ -335,3 +337,136 @@ class TestZOrder:
         # z-order: both dimensions substantially bounded
         assert avg_span(z_path, "x") < 600
         assert avg_span(z_path, "y") < 600
+
+
+class TestDialectDDL:
+    """Generated-DDL parity with the reference's PG/MySQL paths
+    (db_client.rs:147-182 PG create, :336-377 MySQL create,
+    type_converter.rs:13-99) — testable without a server."""
+
+    COLS = {
+        "id": "bigint",
+        "visible": "boolean",
+        "score": "double precision",
+        "workflow_state": "enum",
+        "position": "int",
+        "points": "integer",
+        "body": "text",
+        "created_at": "timestamp",
+        "due_date": "date",
+        "name": "varchar",
+        "uuid": "guid",
+        "updated_at": "datetime",
+    }
+
+    def test_type_mapping_postgres(self):
+        from canvas_data_loader_spark.sinks import canvas_type_to_ddl
+
+        expect = {
+            "bigint": "BIGINT", "boolean": "BOOLEAN",
+            "double precision": "double precision", "enum": "TEXT",
+            "int": "INT", "integer": "INT", "text": "TEXT",
+            "timestamp": "TIMESTAMP", "date": "DATE", "varchar": "TEXT",
+            "guid": "TEXT", "datetime": "TIMESTAMP",
+        }
+        for canvas, ddl in expect.items():
+            assert canvas_type_to_ddl(canvas, "postgres") == ddl, canvas
+
+    def test_type_mapping_mysql_divergences(self):
+        # The reference's deliberate MySQL quirks (type_converter.rs):
+        # boolean -> VARCHAR(10) (:19), double precision -> FLOAT(17)
+        # (:25), text/varchar/guid -> LONGTEXT, timestamp/datetime ->
+        # DATETIME.
+        from canvas_data_loader_spark.sinks import canvas_type_to_ddl
+
+        expect = {
+            "bigint": "BIGINT", "boolean": "VARCHAR(10)",
+            "double precision": "FLOAT(17)", "enum": "TEXT",
+            "int": "INT", "integer": "INT", "text": "LONGTEXT",
+            "timestamp": "DATETIME", "date": "DATE", "varchar": "LONGTEXT",
+            "guid": "LONGTEXT", "datetime": "DATETIME",
+        }
+        for canvas, ddl in expect.items():
+            assert canvas_type_to_ddl(canvas, "mysql") == ddl, canvas
+
+    def test_unknown_type_raises(self):
+        # InvalidTypeToConvert (type_converter.rs:62-64)
+        import pytest
+        from canvas_data_loader_spark.sinks import canvas_type_to_ddl
+
+        with pytest.raises(ValueError):
+            canvas_type_to_ddl("jsonb", "postgres")
+
+    def test_create_table_postgres_string(self):
+        from canvas_data_loader_spark.sinks import create_table_ddl
+
+        ddl = create_table_ddl(
+            "quiz_dim",
+            {"id": "bigint", "name": "varchar", "default_grade": "boolean"},
+            "postgres",
+        )
+        # sorted (BTreeMap) column order, substring-mangled reserved
+        # word, no charset suffix on PG
+        assert ddl == (
+            "CREATE TABLE IF NOT EXISTS quiz_dim (\n"
+            "_default_grade BOOLEAN,\n"
+            "id BIGINT,\n"
+            "name TEXT)"
+        )
+
+    def test_create_table_mysql_string(self):
+        from canvas_data_loader_spark.sinks import create_table_ddl
+
+        ddl = create_table_ddl(
+            "quiz_dim",
+            {"id": "bigint", "generated_at": "datetime", "body": "text"},
+            "mysql",
+        )
+        # utf8mb4 charset pinned (db_client.rs:361), generated mangled
+        # on MySQL only; order is sorted by ORIGINAL name (the BTreeMap
+        # holds unmangled keys; mangling happens at format time)
+        assert ddl == (
+            "CREATE TABLE IF NOT EXISTS quiz_dim (\n"
+            "body LONGTEXT,\n"
+            "_generated_at DATETIME,\n"
+            "id BIGINT) CHARACTER SET utf8mb4"
+        )
+
+    def test_generated_not_mangled_on_postgres(self):
+        from canvas_data_loader_spark.sinks import create_table_ddl
+
+        ddl = create_table_ddl("t", {"generated_at": "datetime"}, "postgres")
+        assert ddl == "CREATE TABLE IF NOT EXISTS t (\ngenerated_at TIMESTAMP)"
+
+    def test_midstring_mangle_matches_reference_replace(self):
+        from canvas_data_loader_spark.sinks import mangle_identifier
+
+        # str.replace semantics, not prefix: the reference's
+        # key.replace("default", "_default")
+        assert mangle_identifier("grade_default", "postgres") == "grade__default"
+        assert mangle_identifier("default", "postgres") == "_default"
+        assert mangle_identifier("regenerated", "mysql") == "re_generated"
+        assert mangle_identifier("regenerated", "postgres") == "regenerated"
+
+    def test_cast_as_parity(self):
+        from canvas_data_loader_spark.sinks import cast_as
+
+        # get_cast_as (type_converter.rs:76-99): PG
+        assert cast_as("bigint", "postgres") == "int8"
+        assert cast_as("BOOLEAN", "postgres") == "boolean"
+        assert cast_as("text", "postgres") == ""
+        # MySQL — note FLOAT(17) -> DECIMAL(34, 17)
+        assert cast_as("FLOAT(17)", "mysql") == "DECIMAL(34, 17)"
+        assert cast_as("bigint", "mysql") == "SIGNED"
+        assert cast_as("longtext", "mysql") == ""
+
+    def test_full_schema_roundtrip_both_dialects(self):
+        # every Canvas type maps on both dialects without error and the
+        # DDL contains every (mangled) column exactly once
+        from canvas_data_loader_spark.sinks import create_table_ddl, mangle_identifier
+
+        for dialect in ("postgres", "mysql"):
+            ddl = create_table_ddl("assignment_dim", self.COLS, dialect)
+            for name in self.COLS:
+                assert ddl.count(f"\n{mangle_identifier(name, dialect)} ") == 1 or \
+                    ddl.count(f"(\n{mangle_identifier(name, dialect)} ") == 1

@@ -1,0 +1,113 @@
+"""Staleness-aware verification ledger (tools/ledger.py).
+
+The ledger's green status must be mechanical: a green driver row only
+counts while the query's source fingerprint (callable + reachable
+engine helpers + oracle SQL) still matches the fingerprint recorded
+when the proof was snapshotted. These tests pin the failure mode that
+survived rounds 2-4: a query edited (directly or via a shared helper)
+after its last green row kept reporting green.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import textwrap
+
+import pytest
+
+from tools.ledger import source_fingerprint, status_of
+
+
+def _load_module(path, name):
+    spec = importlib.util.spec_from_file_location(name, str(path))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture
+def fake_engine(tmp_path):
+    """A file-backed miniature engine package so inspect.getsource works."""
+
+    def build(helper_body):
+        pkg = tmp_path / "canvas_data_loader_spark_fake"
+        pkg.mkdir(exist_ok=True)
+        (pkg / "__init__.py").write_text("")
+        (pkg / "ops.py").write_text(textwrap.dedent(f"""
+            def helper(x):
+                {helper_body}
+
+            def query_fn(x):
+                return helper(x) + 1
+        """))
+        mod = _load_module(pkg / "ops.py", "canvas_data_loader_spark.fake_ops")
+        return mod
+
+    return build
+
+
+class TestFingerprint:
+    def test_touching_query_changes_fingerprint(self, fake_engine):
+        before = source_fingerprint(fake_engine("return x * 2").query_fn, "SELECT 1")
+        after_reload = source_fingerprint(
+            fake_engine("return x * 2").query_fn, "SELECT 1"
+        )
+        assert before == after_reload  # deterministic across reloads
+
+    def test_shared_helper_change_invalidates_query(self, fake_engine):
+        # The round-4 escape: q67's own source was untouched but a shared
+        # helper (_exact_rescore) changed. The fingerprint must move.
+        before = source_fingerprint(fake_engine("return x * 2").query_fn, "SELECT 1")
+        after = source_fingerprint(fake_engine("return x * 3").query_fn, "SELECT 1")
+        assert before != after
+
+    def test_oracle_change_invalidates_query(self, fake_engine):
+        fn = fake_engine("return x * 2").query_fn
+        assert source_fingerprint(fn, "SELECT 1") != source_fingerprint(fn, "SELECT 2")
+
+    def test_real_registry_walks_shared_helpers(self):
+        # q67 and q116 share simsearch._exact_rescore through a module
+        # reference — the dependency walk must reach it for both, so a
+        # helper edit stales BOTH queries.
+        from canvas_data_loader_spark import queries as Q
+        from canvas_data_loader_spark.operators import simsearch as S
+        from tools.ledger import _engine_deps
+
+        for qname in ("q67_embedding_neardup", "q116_lsh_neardup_pairs"):
+            fn = Q.SPARK[qname]
+            deps = _engine_deps(fn, {fn})
+            names = {d.__qualname__ for d in deps}
+            assert any("_exact_rescore" in n for n in names), (qname, names)
+
+
+class TestStatus:
+    ROUNDS = {
+        1: {"qA": {"err": None, "rows_match": True, "schema_match": True, "hash_match": True}},
+        2: {"qB": {"err": "boom", "rows_match": False, "schema_match": False, "hash_match": False}},
+    }
+
+    def test_green_when_fingerprint_matches(self):
+        rec = {"qA": {"hash": "f" * 16}}
+        assert status_of("qA", self.ROUNDS, rec, "f" * 16) == "green"
+
+    def test_stale_when_source_changed(self):
+        rec = {"qA": {"hash": "f" * 16}}
+        s = status_of("qA", self.ROUNDS, rec, "0" * 16)
+        assert s.startswith("STALE")
+
+    def test_stale_when_never_recorded(self):
+        assert status_of("qA", self.ROUNDS, {}, "f" * 16).startswith("STALE")
+
+    def test_failed_and_never_rows(self):
+        assert status_of("qB", self.ROUNDS, {}, "x") == "FAILED last check"
+        assert status_of("qC", self.ROUNDS, {}, "x") == "never in driver window"
+
+    def test_newer_failure_beats_old_green(self):
+        rounds = {
+            1: {"qA": {"err": None, "rows_match": True, "schema_match": True, "hash_match": True}},
+            3: {"qA": {"err": "x", "rows_match": False, "schema_match": False, "hash_match": False}},
+        }
+        rec = {"qA": {"hash": "f" * 16}}
+        assert status_of("qA", rounds, rec, "f" * 16) == "FAILED last check"

@@ -240,6 +240,45 @@ class TestEndToEnd:
         # full refresh: quiz_id=1 must be GONE (a merge would have kept it)
         assert wh_rows(p, "quiz_fact") == [(2, 25), (3, 30)]
 
+    def test_large_batch_merges_without_broadcast_hint(self, spark, env, tmp_path):
+        # A historical-refresh-sized batch must not force its key set
+        # through a driver broadcast (OOM at scale). Above the cutover
+        # the pipeline routes to the shuffled anti-join: no broadcast
+        # hint in the logical plan, and with the auto-broadcast
+        # threshold off, a physical plan with NO BroadcastExchange.
+        import pyspark.sql.functions as F
+
+        client, config = env([], {}, {}, broadcast_merge_max_bytes=100)
+        p = ImportPipeline(spark, client, config)
+        old = spark.range(1000).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        )
+        new = spark.range(500).select(F.col("id"), (F.col("id") * 3).alias("v"))
+
+        small = p._merge(old, new, "id", batch_bytes=50)
+        large = p._merge(old, new, "id", batch_bytes=101)
+        unknown = p._merge(old, new, "id", batch_bytes=0)
+
+        def optimized(df):
+            return df._jdf.queryExecution().optimizedPlan().toString()
+
+        assert "broadcast" in optimized(small).lower()  # hinted key broadcast
+        assert "hint" not in optimized(large).lower()
+        assert "hint" not in optimized(unknown).lower()
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            phys = large._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastExchange" not in phys
+            # result is still a correct upsert either way
+            assert large.count() == 1000
+            assert large.filter("id = 0").collect()[0]["v"] == 0
+            assert large.filter("id = 600").collect()[0]["v"] == 1200
+            assert large.filter("id = 400").collect()[0]["v"] == 1200
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
     def test_historical_refresh_skipped_and_marked_successful(self, spark, env):
         payloads = {"u://d1/requests-00000-aaa.gz": gzip_tsv([["/a", 1]])}
         client, config = env(

@@ -113,12 +113,19 @@ def diff_one(spark, con, qs, osql, name, sf_dir, verbose=True):
         return "columns", -1
     s_dtypes = dict(df.dtypes)
     s_types = [canon_spark_type(s_dtypes[c]) for c in s_names]
+    types_checked = True
     try:
         rel = con.sql(osql[name])  # plans only; types come from the plan
         d_type_map = dict(zip(rel.columns, (canon_duck_type(t) for t in rel.types)))
         d_types = [d_type_map[c] for c in d_names]
-    except Exception:  # noqa: BLE001 — fall back to value-only compare
+    except Exception as ex:  # noqa: BLE001 — fall back to value-only compare
+        # A silently-disabled type check would let the q75/q93 bug class
+        # (Spark LONG vs DuckDB DOUBLE) through unnoticed — say so loudly.
+        print(f"  WARNING {name}: type check SKIPPED (duckdb plan error: {ex})")
         d_types = s_types
+        types_checked = False
+    if not types_checked and verbose:
+        print("  (values still compared; types not)")
     if s_types != d_types:
         bad_cols = [
             f"{c}: spark={a} duckdb={b}"

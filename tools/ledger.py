@@ -1,65 +1,235 @@
 """Cross-round verification ledger: which round's driver CORRECTNESS
 row last proved each registered query, and whether that proof is still
-current (a query whose implementation or oracle changed after its last
-green row must be re-queued, not assumed green).
+current.
 
-Usage: python tools/ledger.py            # markdown table to stdout
+"Green" is mechanical, not discipline-based: every snapshot records a
+SOURCE FINGERPRINT (sha256 of the query callable's source, the sources
+of engine functions it references — recursively — and its oracle SQL).
+The report compares each query's current fingerprint against the one
+recorded with its last green proof and flags STALE on mismatch, so a
+query edited after its last green driver row can't silently keep its
+green status (the round-4 failure mode: q61/q67 changed via a shared
+helper but stayed "green" from r2/r3 rows).
+
+Usage:
+  python tools/ledger.py                   # markdown table to stdout
+  python tools/ledger.py snapshot          # record fingerprints of the
+                                           # current worktree as verified
+  python tools/ledger.py snapshot --ref X  # fingerprints of git commit X
+                                           # (the tree the driver actually
+                                           # verified at end of a round)
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
+import inspect
 import json
 import os
+import subprocess
 import sys
+import tempfile
+import types
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HASHES_PATH = os.path.join(REPO, "tools", "ledger_hashes.json")
+PKG = "canvas_data_loader_spark"
 
 
-def load_rounds() -> dict[int, dict]:
+def load_rounds(repo: str = REPO) -> dict[int, dict]:
     out = {}
-    for path in sorted(glob.glob(f"{REPO}/CORRECTNESS_r*.json")):
+    for path in sorted(glob.glob(f"{repo}/CORRECTNESS_r*.json")):
         rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
         with open(path) as f:
             out[rnd] = json.load(f)
     return out
 
 
+# --- source fingerprinting -------------------------------------------------
+
+
+def _engine_deps(fn, seen: set) -> list:
+    """Engine-package functions reachable from ``fn``: globals named in
+    its code object, plus attributes of engine modules it references
+    (catches ``D.minhash_pairs``-style calls and shared helpers like
+    the q67/q116 ``_exact_rescore``). Recursive with cycle guard."""
+    out = []
+    g = getattr(fn, "__globals__", {})
+    names = set(getattr(getattr(fn, "__code__", None), "co_names", ()))
+    for name in sorted(names):
+        obj = g.get(name)
+        if isinstance(obj, types.FunctionType):
+            if obj.__module__ and obj.__module__.startswith(PKG) and obj not in seen:
+                seen.add(obj)
+                out.append(obj)
+                out.extend(_engine_deps(obj, seen))
+        elif isinstance(obj, types.ModuleType) and obj.__name__.startswith(PKG):
+            for attr in sorted(names):
+                sub = getattr(obj, attr, None)
+                if (
+                    isinstance(sub, types.FunctionType)
+                    and sub.__module__
+                    and sub.__module__.startswith(PKG)
+                    and sub not in seen
+                ):
+                    seen.add(sub)
+                    out.append(sub)
+                    out.extend(_engine_deps(sub, seen))
+    return out
+
+
+def source_fingerprint(fn, oracle_sql: str | None) -> str:
+    """sha256 over the callable's source, its reachable engine-function
+    sources, and its oracle SQL. Whitespace-insensitive per line so
+    reformatting alone doesn't invalidate a proof."""
+    parts = []
+    for f in [fn] + _engine_deps(fn, {fn}):
+        try:
+            src = inspect.getsource(f)
+        except (OSError, TypeError):
+            src = repr(getattr(f, "__code__", f))
+        parts.append(f.__qualname__ + "\n" + "\n".join(
+            ln.strip() for ln in src.splitlines() if ln.strip()
+        ))
+    parts.append(oracle_sql.strip() if oracle_sql else "")
+    return hashlib.sha256("\x00".join(parts).encode()).hexdigest()[:16]
+
+
+def current_fingerprints() -> dict[str, str]:
+    from canvas_data_loader_spark import queries as Q
+
+    return {
+        name: source_fingerprint(Q.SPARK[name], Q.ORACLE.get(name))
+        for name in sorted(Q.SPARK)
+    }
+
+
+def load_hashes() -> dict[str, dict]:
+    if os.path.exists(HASHES_PATH):
+        with open(HASHES_PATH) as f:
+            return json.load(f)
+    return {}
+
+
+# --- status computation ----------------------------------------------------
+
+
+def row_ok(row: dict) -> bool:
+    return (
+        row.get("err") is None
+        and row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match") is not False
+    )
+
+
+def proof_rounds(name: str, rounds: dict[int, dict]) -> tuple[list[int], list[int]]:
+    green, failed = [], []
+    for rnd, data in rounds.items():
+        row = data.get(name)
+        if row is None:
+            continue
+        (green if row_ok(row) else failed).append(rnd)
+    return green, failed
+
+
+def status_of(
+    name: str,
+    rounds: dict[int, dict],
+    recorded: dict[str, dict],
+    current_fp: str | None,
+) -> str:
+    """green | STALE | FAILED last check | never in driver window.
+
+    STALE = has a green row, but the current source fingerprint differs
+    from the one recorded when that proof was snapshotted (or no
+    fingerprint was ever recorded, so currency is unprovable).
+    """
+    green, failed = proof_rounds(name, rounds)
+    if not green:
+        return "FAILED last check" if failed else "never in driver window"
+    if failed and max(failed) >= max(green):
+        return "FAILED last check"
+    rec = recorded.get(name)
+    if rec is None or current_fp is None:
+        return "STALE (no fingerprint recorded)"
+    if rec["hash"] != current_fp:
+        return "STALE (source changed since proof)"
+    return "green"
+
+
+# --- snapshot --------------------------------------------------------------
+
+
+def snapshot(ref: str | None) -> None:
+    """Record fingerprints as 'this is the source state the proofs refer
+    to'. With --ref, fingerprint that commit's tree (what the driver
+    verified); without, the current worktree (use right after running
+    the full local bitdiff sweep)."""
+    if ref is None:
+        fps, label = current_fingerprints(), "worktree"
+    else:
+        with tempfile.TemporaryDirectory() as td:
+            tar = subprocess.run(
+                ["git", "-C", REPO, "archive", ref], capture_output=True, check=True
+            )
+            subprocess.run(["tar", "-x", "-C", td], input=tar.stdout, check=True)
+            # Load THIS file (the current fingerprint logic) by path, but
+            # resolve the engine package from the archived tree: the
+            # module body inserts REPO into sys.path, so td must be
+            # re-inserted in front immediately before the package import.
+            code = (
+                "import sys, json, importlib.util\n"
+                f"spec = importlib.util.spec_from_file_location('ledger_now', {os.path.abspath(__file__)!r})\n"
+                "L = importlib.util.module_from_spec(spec); spec.loader.exec_module(L)\n"
+                f"sys.path.insert(0, {td!r})\n"
+                "print(json.dumps(L.current_fingerprints()))\n"
+            )
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, check=True, cwd=td
+            )
+            fps, label = json.loads(out.stdout.strip().splitlines()[-1]), ref
+    hashes = load_hashes()
+    for name, fp in fps.items():
+        hashes[name] = {"hash": fp, "ref": label}
+    with open(HASHES_PATH, "w") as f:
+        json.dump(hashes, f, indent=1, sort_keys=True)
+    print(f"recorded {len(fps)} fingerprints from {label} -> {HASHES_PATH}")
+
+
+# --- report ----------------------------------------------------------------
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "snapshot":
+        ref = None
+        if "--ref" in sys.argv:
+            ref = sys.argv[sys.argv.index("--ref") + 1]
+        snapshot(ref)
+        return
+
     from canvas_data_loader_spark import queries as Q
 
     rounds = load_rounds()
+    recorded = load_hashes()
+    fps = current_fingerprints()
     print("| query | last green driver row | failed rows | status |")
     print("|---|---|---|---|")
-    never = []
+    bad = []
     for name in sorted(Q.SPARK):
-        green, failed = [], []
-        for rnd, data in rounds.items():
-            row = data.get(name)
-            if row is None:
-                continue
-            ok = (
-                row.get("err") is None
-                and row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match") is not False
-            )
-            (green if ok else failed).append(rnd)
-        status = (
-            "green" if green and (not failed or max(green) > max(failed))
-            else "FAILED last check" if failed
-            else "never in driver window"
-        )
+        green, failed = proof_rounds(name, rounds)
+        status = status_of(name, rounds, recorded, fps.get(name))
         if status != "green":
-            never.append(name)
+            bad.append(name)
         print(
             f"| {name} | {('r%d' % max(green)) if green else '—'} |"
             f" {','.join('r%d' % r for r in failed) or '—'} | {status} |"
         )
     print()
-    print(f"{len(never)} without a current green row: {', '.join(never)}")
+    print(f"{len(bad)} without a current green proof: {', '.join(bad)}")
 
 
 if __name__ == "__main__":
