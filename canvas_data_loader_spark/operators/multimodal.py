@@ -59,8 +59,85 @@ def to_media_table(df: DataFrame, id_col: str, text_col: str, source_col: str) -
     )
 
 
+def media_capabilities() -> dict[str, bool]:
+    """Which real decoders are importable here. The Spark plumbing
+    never depends on these — they only select real-vs-stub decode, so
+    the same pipeline code runs in a bare container (stub, tests skip)
+    and a full image (PIL present, tests run)."""
+    caps = {}
+    try:
+        import PIL.Image  # noqa: F401
+
+        caps["image"] = True
+    except ImportError:
+        caps["image"] = False
+    return caps
+
+
+IMAGE_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mode", T.StringType(), True),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real image decode when PIL is importable; otherwise the honest
+    NotImplementedError (this container has no imaging libraries).
+    Callers that want the pipeline shape without the capability use
+    ``extract_features``'s deterministic byte stats instead."""
+    if not media_capabilities()["image"]:
+        raise NotImplementedError(
+            "media decode requires image libraries (PIL) not present in "
+            "this environment; use extract_features for pipeline testing"
+        )
+    import io
+
+    import PIL.Image
+
+    with PIL.Image.open(io.BytesIO(payload)) as im:
+        return {"width": im.width, "height": im.height, "mode": im.mode}
+
+
+def decode_images(media: DataFrame, rows_per_batch: int = 256) -> DataFrame:
+    """Real image-decode pass (PIL) over binary payloads — the
+    production counterpart of ``extract_features``. Raises at plan
+    build when the capability is missing so the failure is immediate
+    and driver-side, not a per-task executor crash loop."""
+    if not media_capabilities()["image"]:
+        raise NotImplementedError(
+            "decode_images needs PIL on driver and executors; "
+            "media_capabilities()['image'] is False here"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for start in range(0, len(pdf), rows_per_batch):
+                chunk = pdf.iloc[start : start + rows_per_batch]
+                rows = {"media_id": [], "width": [], "height": [], "mode": []}
+                for mid, b in zip(chunk["media_id"], chunk["payload"]):
+                    rows["media_id"].append(mid)
+                    if b is None:
+                        rows["width"].append(None)
+                        rows["height"].append(None)
+                        rows["mode"].append(None)
+                    else:
+                        d = decode_image(bytes(b))
+                        rows["width"].append(d["width"])
+                        rows["height"].append(d["height"])
+                        rows["mode"].append(d["mode"])
+                yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, IMAGE_DECODE_SCHEMA
+    )
+
+
 def decode_stub(payload: bytes) -> dict:
-    """Real media decode — requires PIL/ffmpeg, not in this container."""
+    """Backwards-compatible alias for the no-capability path."""
     raise NotImplementedError(
         "media decode requires image/audio libraries not present in this "
         "environment; use fake_decode for pipeline testing"

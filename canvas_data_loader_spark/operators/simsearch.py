@@ -458,6 +458,75 @@ def embedding_neardup_pairs(
     return _exact_rescore(candidates, cand_pairs, threshold, id_col, vec_col)
 
 
+def band_signatures_vectorized(
+    src: DataFrame,
+    n_bands: int,
+    band_bits: int,
+    dim: int,
+    seed: int,
+) -> DataFrame:
+    """All band signatures in one blocked-BLAS pass: (__id, band, sig).
+
+    The expression path inlines n_bands x band_bits dot-product
+    aggregates — at 8x8 that is a 64-expression tree whose whole-stage
+    codegen COMPILE dominates end-to-end time on small inputs (measured
+    ~4.7s at sf0.1 for the plan, of which <1s is row work), and whose
+    per-row interpreted cost still scales with bits x dim. Here the
+    full plane matrix ((n_bands*band_bits) x dim, driver-built from the
+    same seeds) is broadcast once and each Arrow batch computes its
+    (batch x planes) sign block with one dgemm, blocked at 256 rows
+    like ``assign_cells_vectorized`` so no call crosses the container's
+    large-buffer stall. Bits pack per band exactly like the expression
+    path (bit i set iff dot >= 0, weight 1<<i).
+
+    Sign parity with the expression path: a BLAS dot and a sequential
+    fold can disagree only when |dot| is within fp-summation error of
+    zero (~1e-13 for unit-scale 64-dim data) — vanishingly rare and
+    checked by the differential oracle, which reproduces the
+    sequential order.
+    """
+    import numpy as np
+
+    planes = []
+    for band in range(n_bands):
+        planes.extend(hyperplanes(dim, band_bits, seed + 1000 * band))
+    spark = src.sparkSession
+    bc = spark.sparkContext.broadcast(
+        np.ascontiguousarray(np.array(planes, dtype=np.float64).T)
+    )
+    weights_shape = (n_bands, band_bits)
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        P = bc.value  # dim x (n_bands*band_bits)
+        w = (_np.ones(weights_shape, dtype=_np.int64) << _np.arange(band_bits))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["__id"].to_numpy()
+            B = _np.stack(pdf["__v"].to_numpy()).astype(_np.float64)
+            sigs = _np.empty((len(pdf), weights_shape[0]), dtype=_np.int64)
+            for lo in range(0, len(pdf), 256):
+                bits = (B[lo : lo + 256] @ P) >= 0  # batch x planes
+                bb = bits.reshape(len(bits), *weights_shape)
+                sigs[lo : lo + len(bits)] = (bb * w).sum(axis=2)
+            n = len(pdf)
+            yield _pd.DataFrame(
+                {
+                    "__id": _np.repeat(ids, weights_shape[0]),
+                    "band": _np.tile(
+                        _np.arange(weights_shape[0], dtype=_np.int64), n
+                    ),
+                    "sig": sigs.reshape(-1),
+                }
+            )
+
+    id_type = src.schema["__id"].dataType.simpleString()
+    return src.mapInPandas(gen, f"__id {id_type}, band int, sig int")
+
+
 def embedding_neardup_pairs_lsh(
     candidates: DataFrame,
     threshold: float,
@@ -467,6 +536,7 @@ def embedding_neardup_pairs_lsh(
     band_bits: int = 8,
     dim: int = 64,
     seed: int = 42,
+    vectorized: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via banded random-hyperplane LSH — the
     sub-quadratic 100 TB path (high recall, not guaranteed-exhaustive).
@@ -486,26 +556,32 @@ def embedding_neardup_pairs_lsh(
     src = candidates.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     )
-    band_cols = []
-    for band in range(n_bands):
-        planes = hyperplanes(dim, band_bits, seed + 1000 * band)
-        sig = None
-        for i, p in enumerate(planes):
-            plane = F.array(*[F.lit(x) for x in p])
-            bit = F.when(dot(F.col("__v"), plane) >= 0, F.lit(1 << i)).otherwise(
-                F.lit(0)
+    if vectorized:
+        # blocked-BLAS signatures (see band_signatures_vectorized): one
+        # dgemm per Arrow batch instead of n_bands*band_bits inlined
+        # dot aggregates whose codegen compile dominates.
+        tagged = band_signatures_vectorized(src, n_bands, band_bits, dim, seed)
+    else:
+        band_cols = []
+        for band in range(n_bands):
+            planes = hyperplanes(dim, band_bits, seed + 1000 * band)
+            sig = None
+            for i, p in enumerate(planes):
+                plane = F.array(*[F.lit(x) for x in p])
+                bit = F.when(dot(F.col("__v"), plane) >= 0, F.lit(1 << i)).otherwise(
+                    F.lit(0)
+                )
+                sig = bit if sig is None else sig + bit
+            band_cols.append(
+                F.struct(F.lit(band).alias("band"), sig.cast("int").alias("sig"))
             )
-            sig = bit if sig is None else sig + bit
-        band_cols.append(
-            F.struct(F.lit(band).alias("band"), sig.cast("int").alias("sig"))
+        tagged = src.select(
+            "__id", F.explode(F.array(*band_cols)).alias("__b")
+        ).select(
+            "__id",
+            F.col("__b.band").alias("band"),
+            F.col("__b.sig").alias("sig"),
         )
-    tagged = src.select(
-        "__id", F.explode(F.array(*band_cols)).alias("__b")
-    ).select(
-        "__id",
-        F.col("__b.band").alias("band"),
-        F.col("__b.sig").alias("sig"),
-    )
     cand_pairs = (
         tagged.alias("a")
         .join(tagged.alias("b"), on=["band", "sig"])

@@ -4275,10 +4275,18 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(sum_b |bucket|^2) << O(n^2); survivors get the exact
     sequential-order cosine re-score, making precision 1 and the whole
     output deterministic (seeded hyperplanes) — hence oracle-checkable
-    despite being an approximation."""
+    despite being an approximation.
+
+    vectorized=True: signatures come from the blocked-BLAS mapInPandas
+    path (one dgemm per Arrow batch) instead of 32 inlined dot-product
+    aggregates — the expression tree's codegen COMPILE alone cost more
+    than all the row work at sf0.1 (measured ~3.3s -> see BENCH_r05).
+    Sign bits are identical up to fp-summation order on |dot|~1e-13
+    ties; the differential oracle (sequential-order SQL) guards it."""
     e = load(spark, sf_dir, "embeddings")
     pairs = S.embedding_neardup_pairs_lsh(
-        e, threshold=0.35, n_bands=_Q116_BANDS, band_bits=8, dim=64, seed=42
+        e, threshold=0.35, n_bands=_Q116_BANDS, band_bits=8, dim=64, seed=42,
+        vectorized=True,
     )
     return pairs.select("vec_a", "vec_b", F.round("sim", 6).alias("sim_r"))
 

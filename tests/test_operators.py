@@ -168,6 +168,37 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             decode_stub(b"\x00")
 
+    def test_real_decode_capability_gated(self, spark):
+        # Where PIL exists this RUNS (real decode of a 1x1 PNG through
+        # the Spark mapInPandas pass); where it doesn't it SKIPS — the
+        # stub is a capability gate, not a dead end.
+        from canvas_data_loader_spark.operators.multimodal import (
+            decode_image,
+            decode_images,
+            media_capabilities,
+        )
+
+        if not media_capabilities()["image"]:
+            with pytest.raises(NotImplementedError):
+                decode_image(b"\x89PNG")
+            with pytest.raises(NotImplementedError):
+                decode_images(spark.range(0).selectExpr(
+                    "id AS media_id", "CAST(NULL AS BINARY) AS payload"
+                ))
+            pytest.skip("PIL not installed in this container")
+        # deterministic 1x1 red-pixel PNG
+        import base64
+
+        png = base64.b64decode(
+            "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+            "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+        )
+        media = spark.createDataFrame(
+            [(1, bytearray(png))], "media_id long, payload binary"
+        )
+        rows = decode_images(media).collect()
+        assert rows[0]["width"] == 1 and rows[0]["height"] == 1
+
     def test_media_roundtrip_features(self, docs):
         media = to_media_table(docs, "doc_id", "text", "source")
         assert [f.name for f in media.schema.fields] == ["media_id", "payload", "meta"]
