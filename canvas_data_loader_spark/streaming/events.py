@@ -43,6 +43,43 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
     )
 
 
+def _probe_ts_is_long(spark: SparkSession, path: str) -> bool:
+    """True iff ts arrives as raw int64 nanos (legacy NANOS parquet).
+
+    Reads the footer of EVERY file, not a merged batch-read schema: a
+    directory mixing testdata generations (NANOS files next to
+    timestamp[us] files) would make a merged-schema probe pick one
+    representation and silently misread the other kind — micros
+    div-1000'd into 1970, or nanos read as micros. Mixed directories
+    fail loudly here instead; normalize the files before streaming.
+    Falls back to the batch-read probe for non-local paths pyarrow
+    can't reach.
+    """
+    try:
+        import glob as _glob
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        files = (
+            [path]
+            if _os.path.isfile(path)
+            else sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        )
+        kinds = {str(_pq.read_schema(f).field("ts").type) for f in files}
+        if not kinds:
+            raise ValueError(f"no parquet files under {path!r}")
+        if len(kinds) > 1:
+            raise ValueError(
+                f"events files under {path!r} mix ts representations "
+                f"{sorted(kinds)}; a single stream schema cannot read both "
+                "— normalize the directory first"
+            )
+        return kinds.pop().startswith("timestamp[ns")
+    except (ImportError, OSError):
+        return dict(spark.read.parquet(path).dtypes)["ts"] == "bigint"
+
+
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source incremental ingest of events parquet.
 
@@ -51,7 +88,7 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ts_is_long = dict(spark.read.parquet(path).dtypes)["ts"] == "bigint"
+    ts_is_long = _probe_ts_is_long(spark, path)
     base, _, fname = path.rpartition("/")
     reader = spark.readStream.schema(
         _events_schema(T.LongType() if ts_is_long else T.TimestampNTZType())

@@ -738,3 +738,60 @@ class TestConnectedComponentsProperty:
             for r in connected_components_star(df, max_iter=8).collect()
         }
         assert got == {i: 0 for i in range(40)}
+
+class TestEventsStreamProbe:
+    def test_mixed_ts_directory_fails_loudly(self, spark, tmp_path):
+        """A directory mixing NANOS-era and timestamp[us] events files
+        must raise, not silently misread one kind (the merged-schema
+        probe failure mode: micros div-1000'd into 1970)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest as _pytest
+
+        from canvas_data_loader_spark.streaming.events import read_events_stream
+
+        d = tmp_path / "events_mixed"
+        d.mkdir()
+        cols = {
+            "event_id": pa.array([1], pa.int64()),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["view"], pa.string()),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+        pq.write_table(
+            pa.table({**cols, "ts": pa.array([1_700_000_000_000_000_000], pa.timestamp("ns"))}),
+            str(d / "a.parquet"),
+        )
+        pq.write_table(
+            pa.table({**cols, "ts": pa.array([1_700_000_000_000_000], pa.timestamp("us"))}),
+            str(d / "b.parquet"),
+        )
+        with _pytest.raises(ValueError, match="mix ts representations"):
+            read_events_stream(spark, str(d))
+
+    def test_uniform_directory_reads(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from canvas_data_loader_spark.streaming.events import (
+            read_events_stream,
+            tumbling_counts,
+        )
+
+        d = tmp_path / "events_us"
+        d.mkdir()
+        for i, name in enumerate(["a.parquet", "b.parquet"]):
+            pq.write_table(
+                pa.table({
+                    "event_id": pa.array([i], pa.int64()),
+                    "ts": pa.array([1_700_000_000_000_000 + i * 3_600_000_000], pa.timestamp("us")),
+                    "user_id": pa.array([1], pa.int64()),
+                    "event_type": pa.array(["view"], pa.string()),
+                    "value": pa.array([1.0], pa.float64()),
+                    "props": pa.array(["{}"], pa.string()),
+                }),
+                str(d / name),
+            )
+        rows = tumbling_counts(read_events_stream(spark, str(d))).collect()
+        assert sum(r.n for r in rows) == 2
