@@ -67,6 +67,19 @@ class TestFingerprint:
         fn = fake_engine("return x * 2").query_fn
         assert source_fingerprint(fn, "SELECT 1") != source_fingerprint(fn, "SELECT 2")
 
+    def test_function_local_imports_are_walked(self):
+        # q42 imports read_events_stream INSIDE the function body —
+        # such names never appear in __globals__, and the first
+        # fingerprint implementation missed them (the round-5 streaming
+        # probe change left all 7 streaming queries falsely green).
+        from canvas_data_loader_spark import queries as Q
+        from tools.ledger import _engine_deps
+
+        fn = Q.SPARK["q42_stream_tumbling"]
+        names = {d.__qualname__ for d in _engine_deps(fn, {fn})}
+        assert "read_events_stream" in names
+        assert "_probe_ts_is_long" in names  # transitively
+
     def test_real_registry_walks_shared_helpers(self):
         # q67 and q116 share simsearch._exact_rescore through a module
         # reference — the dependency walk must reach it for both, so a

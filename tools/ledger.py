@@ -51,33 +51,62 @@ def load_rounds(repo: str = REPO) -> dict[int, dict]:
 # --- source fingerprinting -------------------------------------------------
 
 
+def _engine_modules() -> list:
+    """ALL engine-package modules, deterministic order. Imports the
+    whole package tree first — resolving function-local imports from
+    whatever happened to be in sys.modules would make fingerprints
+    depend on import order."""
+    import importlib
+    import pkgutil
+
+    pkg = importlib.import_module(PKG)
+    for info in pkgutil.walk_packages(pkg.__path__, prefix=PKG + "."):
+        try:
+            importlib.import_module(info.name)
+        except ImportError:
+            pass
+    return [
+        m
+        for n, m in sorted(sys.modules.items())
+        if n.startswith(PKG) and m is not None
+    ]
+
+
 def _engine_deps(fn, seen: set) -> list:
     """Engine-package functions reachable from ``fn``: globals named in
-    its code object, plus attributes of engine modules it references
+    its code object, attributes of engine modules it references
     (catches ``D.minhash_pairs``-style calls and shared helpers like
-    the q67/q116 ``_exact_rescore``). Recursive with cycle guard."""
+    the q67/q116 ``_exact_rescore``), and — for names its globals can't
+    resolve — any engine-module attribute with that name (catches
+    FUNCTION-LOCAL ``from .streaming.events import x`` imports, which
+    never appear in ``__globals__``; this over-links same-named
+    functions across modules, which errs stale-not-green — the safe
+    direction). Recursive with cycle guard."""
     out = []
     g = getattr(fn, "__globals__", {})
     names = set(getattr(getattr(fn, "__code__", None), "co_names", ()))
+
+    def take(obj):
+        if (
+            isinstance(obj, types.FunctionType)
+            and obj.__module__
+            and obj.__module__.startswith(PKG)
+            and obj not in seen
+        ):
+            seen.add(obj)
+            out.append(obj)
+            out.extend(_engine_deps(obj, seen))
+
     for name in sorted(names):
         obj = g.get(name)
         if isinstance(obj, types.FunctionType):
-            if obj.__module__ and obj.__module__.startswith(PKG) and obj not in seen:
-                seen.add(obj)
-                out.append(obj)
-                out.extend(_engine_deps(obj, seen))
+            take(obj)
         elif isinstance(obj, types.ModuleType) and obj.__name__.startswith(PKG):
             for attr in sorted(names):
-                sub = getattr(obj, attr, None)
-                if (
-                    isinstance(sub, types.FunctionType)
-                    and sub.__module__
-                    and sub.__module__.startswith(PKG)
-                    and sub not in seen
-                ):
-                    seen.add(sub)
-                    out.append(sub)
-                    out.extend(_engine_deps(sub, seen))
+                take(getattr(obj, attr, None))
+        elif obj is None:
+            for mod in _engine_modules():
+                take(getattr(mod, name, None))
     return out
 
 
