@@ -94,6 +94,8 @@ HEADLINE = [
     "q109_weighted_sample",
     "q116_lsh_neardup_pairs",
     "q117_jsonl_orc_roundtrip",
+    # round-5 addition: SemDeDup-style semantic dedup
+    "q118_semantic_dedup",
 ]
 
 

