@@ -94,8 +94,9 @@ HEADLINE = [
     "q109_weighted_sample",
     "q116_lsh_neardup_pairs",
     "q117_jsonl_orc_roundtrip",
-    # round-5 addition: SemDeDup-style semantic dedup
+    # round-5 additions: SemDeDup-style semantic dedup, hash splits
     "q118_semantic_dedup",
+    "q119_hash_split",
 ]
 
 

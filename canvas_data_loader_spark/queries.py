@@ -4387,3 +4387,44 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding", vectorized=False,
     )
     return kept.select("vec_id", "cell")
+
+@query(
+    "q119_hash_split",
+    """
+    -- Deterministic hash split: md5 of (salt || doc_id), first two hex
+    -- chars compared as STRINGS (cross-engine safe: no integer parsing
+    -- of hex needed). 'cc' = 204/256 = 79.7% train; 'e6' = 230/256 =
+    -- 89.8% cumulative -> ~10% val, ~10% test.
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               SUBSTR(MD5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 2) AS hh
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN hh < 'cc' THEN 'train'
+                WHEN hh < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment — the split every
+    training pipeline needs to be STABLE across runs, engines, and
+    data arrival order. Hash-based (salted md5 of the id), so a
+    document's split never changes when the corpus grows, and the
+    split is re-derivable by any engine with md5 (thresholds compare
+    HEX PREFIX STRINGS — no hex->int parsing, which engines disagree
+    on). Pure expression; scales embarrassingly (no shuffle at all).
+    Salt the key to re-deal splits; version the salt ('split-v1') so
+    provenance is explicit."""
+    d = load(spark, sf_dir, "documents")
+    hh = F.substring(
+        F.md5(F.concat(F.lit("split-v1:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    return d.select(
+        "doc_id",
+        F.when(hh < "cc", "train")
+        .when(hh < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
