@@ -351,6 +351,61 @@ def main_embed():
         shutil.rmtree(base_dir, ignore_errors=True)
 
 
+def main_semdedup():
+    """Scaling probe for semantic_dedup under the documented discipline:
+    n_cells grows ~ sqrt(corpus), so the pair space
+    sum |cell|^2 = n^2/n_cells grows ~ n^1.5 instead of the fixed-cell
+    n^2. Reported side by side: fixed n_cells=16 (the WRONG way to
+    scale it) vs sqrt-scaled cells.
+
+    Measured (this container): at 10x (50k vectors) both variants are
+    still overhead-bound (~0.5 exponents, indistinguishable); at 20x
+    (100k vectors) the fixed-cell quadratic term emerges — exponent
+    1.17, 67s — while sqrt-scaled cells hold exponent 0.24, 25s. Run
+    with factor >= 20 to see the separation."""
+    from canvas_data_loader_spark.operators.simsearch import semantic_dedup
+
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("scale_probe_semdedup")
+    dest = tempfile.mkdtemp(prefix="scale_probe_sd_")
+    base_dir = tempfile.mkdtemp(prefix="scale_probe_sd_base_")
+    try:
+        replicate_embeddings(spark, factor, dest)
+        replicate_embeddings(spark, 1, base_dir)
+
+        def time_dir(d, n_cells):
+            emb = spark.read.parquet(f"{d}/embeddings.parquet")
+            fn = lambda: semantic_dedup(  # noqa: E731
+                emb, threshold=0.95, n_cells=n_cells, vectorized=True
+            )
+            fn().write.format("noop").mode("overwrite").save()
+            t = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            return round(time.time() - t, 3)
+
+        n_base = spark.read.parquet(f"{base_dir}/embeddings.parquet").count()
+        cells_base = max(4, int(math.sqrt(n_base) / 4))
+        cells_scaled = max(4, int(math.sqrt(n_base * factor) / 4))
+        report = {}
+        for name, (bc, sc) in {
+            "semdedup_fixed_cells": (16, 16),
+            "semdedup_sqrt_cells": (cells_base, cells_scaled),
+        }.items():
+            b, s = time_dir(base_dir, bc), time_dir(dest, sc)
+            report[name] = {
+                "sec_base": b,
+                "sec_scaled": s,
+                "cells": [bc, sc],
+                "exponent": round(
+                    math.log(max(s, 1e-3) / max(b, 1e-3)) / math.log(factor), 3
+                ),
+            }
+        print(json.dumps({"mode": "semdedup", "factor": factor, "queries": report}))
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
 def main_textops():
     """10x exponents for the round-2 text/packing op family (q110-q114:
     PII redaction, overlapping chunking, token entropy, boilerplate
@@ -467,5 +522,7 @@ if __name__ == "__main__":
         main_neardup()
     elif len(sys.argv) > 1 and sys.argv[1] == "--textops":
         main_textops()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--semdedup":
+        main_semdedup()
     else:
         main()
