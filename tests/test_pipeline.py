@@ -279,6 +279,40 @@ class TestEndToEnd:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
+    def test_large_batch_end_to_end_routes_off_broadcast(self, spark, env):
+        # broadcast_merge_max_bytes=0 disables the broadcast-keys hint
+        # entirely, so the second dump merges through the shuffled
+        # anti-join inside the REAL run() flow — results must be
+        # identical to the default path.
+        payloads = {
+            "u://d1/account_dim-00000-aaa.gz": gzip_tsv(
+                [[1, "old", "active"], [2, "keep", "active"]]
+            ),
+            "u://d2/account_dim-00000-bbb.gz": gzip_tsv(
+                [[1, "new", "deleted"], [3, "add", "active"]]
+            ),
+        }
+        client, config = env(
+            [
+                make_dump_json("d1", 1, "2024-01-01T00:00:00Z"),
+                make_dump_json("d2", 2, "2024-01-02T00:00:00Z"),
+            ],
+            {
+                "d1": files_json("d1", {"account_dim": ["account_dim-00000-aaa.gz"]}),
+                "d2": files_json("d2", {"account_dim": ["account_dim-00000-bbb.gz"]}),
+            },
+            payloads,
+            broadcast_merge_max_bytes=0,
+        )
+        p = ImportPipeline(spark, client, config)
+        results = p.run()
+        assert [r.status for r in results] == ["successful", "successful"]
+        assert wh_rows(p, "account_dim") == [
+            (1, "new", "deleted"),
+            (2, "keep", "active"),
+            (3, "add", "active"),
+        ]
+
     def test_historical_refresh_skipped_and_marked_successful(self, spark, env):
         payloads = {"u://d1/requests-00000-aaa.gz": gzip_tsv([["/a", 1]])}
         client, config = env(
