@@ -820,6 +820,24 @@ class TestSemanticDedup:
         kept = semantic_dedup(df, threshold=0.9, n_cells=3)
         assert kept.count() == 6
 
+    def test_vectorized_assignment_same_keep_set(self, spark):
+        # the blocked-BLAS cell assignment (the at-scale path) must
+        # produce the identical keep-set as the expression path the
+        # oracle mirrors
+        from canvas_data_loader_spark.operators.simsearch import semantic_dedup
+        from canvas_data_loader_spark.queries import load
+
+        e = load(spark, "/root/testdata/sf0.001", "embeddings")
+        expr = sorted(
+            (r.vec_id, r.cell)
+            for r in semantic_dedup(e, 0.30, n_cells=16, vectorized=False).collect()
+        )
+        blas = sorted(
+            (r.vec_id, r.cell)
+            for r in semantic_dedup(e, 0.30, n_cells=16, vectorized=True).collect()
+        )
+        assert expr == blas
+
     def test_survivors_have_no_kept_neardup_in_cell(self, spark):
         # invariant on the real fixture: for every survivor, no OTHER
         # SURVIVOR in the same cell with lower id is >= threshold.
