@@ -97,6 +97,7 @@ HEADLINE = [
     # round-5 additions: SemDeDup-style semantic dedup, hash splits
     "q118_semantic_dedup",
     "q119_hash_split",
+    "q120_stream_static_join",
 ]
 
 

@@ -4428,3 +4428,33 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+@query(
+    "q120_stream_static_join",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the everyday production
+    streaming shape: a fact stream joined to a broadcast batch
+    dimension (no state, no watermark on the static side; Spark
+    re-reads the dim per micro-batch so reference-data updates flow
+    in), then a stateful aggregate keyed by the small dim attribute.
+    Complete-mode output on a finite AvailableNow source equals the
+    batch join+groupBy the oracle runs. Sum in DECIMAL (exact,
+    associative) per the float policy."""
+    from .streaming.events import stream_static_enrich
+
+    customer = load(spark, sf_dir, "customer")
+    out = stream_static_enrich(
+        spark, f"{sf_dir}/events.parquet", customer
+    )
+    return out.select(
+        "c_mktsegment",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )

@@ -343,3 +343,33 @@ def stream_stream_click_purchase(
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
     )
     return _run_to_memory(j, "append") if run else j
+
+def stream_static_enrich(
+    spark: SparkSession,
+    path: str,
+    dim,
+    run: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join + streaming aggregate: the events
+    stream joined to a BATCH dimension table (the most common
+    production streaming shape — enrich a fact stream with slowly
+    changing reference data), then counted per dimension attribute.
+
+    The static side needs no watermark and holds no state: Spark
+    re-plans the batch side per micro-batch (picking up dim updates
+    between triggers) and broadcasts it under AQE like any batch join.
+    Only the post-join aggregation keeps state, keyed by the (small)
+    dimension attribute. On a finite AvailableNow source the
+    complete-mode result equals the batch join+groupBy, which is what
+    the oracle checks."""
+    ev = read_events_stream(spark, path)
+    joined = ev.join(
+        F.broadcast(dim), ev["user_id"] == dim["c_custkey"], "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # sum the DECIMAL operands (exact, associative) so streaming
+        # accumulation order can't shift the float result vs the oracle
+        F.sum(F.col("value").cast("decimal(27,4)")).alias("total_value"),
+    )
+    return _run_to_memory(agg, "complete") if run else agg
