@@ -49,6 +49,10 @@ def _priority_order(names: list[str]) -> list[str]:
     # cannot see that their last GREEN rows (r2/r3) proved OLDER code.
     explicit_lead = {"q61", "q67"}
     try:
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from tools.ledger import (
             current_fingerprints,
             load_hashes,
