@@ -4341,14 +4341,16 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q118_semantic_dedup",
     f"""
-    -- SemDeDup keep-set, reproduced exactly: centroids = 16 lowest-id
-    -- vectors; tie-broken argmax cell assignment (sim DESC, cell ASC);
-    -- drop any vector with a lower-id same-cell neighbor at
-    -- cosine >= 0.30; report survivors and their cell.
+    -- SemDeDup keep-set, reproduced exactly: centroids = 32 lowest-id
+    -- vectors (n_cells ~ sqrt(corpus) at the checked scale, per the
+    -- operator's cell-sizing discipline); tie-broken argmax cell
+    -- assignment (sim DESC, cell ASC); drop any vector with a
+    -- lower-id same-cell neighbor at cosine >= 0.30; report
+    -- survivors and their cell.
     WITH cents AS (
         SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS cell,
                embedding AS cvec
-        FROM embeddings ORDER BY vec_id ASC LIMIT 16
+        FROM embeddings ORDER BY vec_id ASC LIMIT 32
     ), assign_scored AS (
         SELECT e.vec_id, e.embedding AS v, c.cell,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -4375,16 +4377,19 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
     above the cosine threshold — one within-cell self-join +
     anti-join, no iteration (see semantic_dedup for how this differs
     from a literal greedy sweep on chains). Fully
-    deterministic (first-16-by-id centroids, tie-broken assignment),
-    so the approximate keep-set itself is oracle-checkable, like q68's
-    IVF and q116's banded LSH. The engine-pure expression assignment
-    is used here for bit-parity; ``vectorized=True`` is the at-scale
-    path (blocked-BLAS assignment, corpus partitioned by cell, dedup
-    becomes per-partition with no global shuffle)."""
+    deterministic (first-32-by-id centroids — n_cells ~ sqrt(corpus)
+    at the checked scale — tie-broken assignment), so the approximate
+    keep-set itself is oracle-checkable, like q68's IVF and q116's
+    banded LSH. Assignment runs the blocked-BLAS path (the at-scale
+    default); its keep-set is pinned IDENTICAL to the expression path
+    the oracle mirrors, at BOTH driver scales (pytest parity tests) —
+    argmax cells differ only on fp near-ties, absent in this data. At
+    scale: corpus partitioned by cell, dedup becomes per-partition
+    with no global shuffle."""
     e = load(spark, sf_dir, "embeddings")
     kept = S.semantic_dedup(
-        e, threshold=0.30, n_cells=16, id_col="vec_id",
-        vec_col="embedding", vectorized=False,
+        e, threshold=0.30, n_cells=32, id_col="vec_id",
+        vec_col="embedding", vectorized=True,
     )
     return kept.select("vec_id", "cell")
 

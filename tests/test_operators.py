@@ -827,16 +827,17 @@ class TestSemanticDedup:
         from canvas_data_loader_spark.operators.simsearch import semantic_dedup
         from canvas_data_loader_spark.queries import load
 
-        e = load(spark, "/root/testdata/sf0.001", "embeddings")
-        expr = sorted(
-            (r.vec_id, r.cell)
-            for r in semantic_dedup(e, 0.30, n_cells=16, vectorized=False).collect()
-        )
-        blas = sorted(
-            (r.vec_id, r.cell)
-            for r in semantic_dedup(e, 0.30, n_cells=16, vectorized=True).collect()
-        )
-        assert expr == blas
+        for sf in ("sf0.001", "sf0.01"):  # both driver scales
+            e = load(spark, f"/root/testdata/{sf}", "embeddings")
+            expr = sorted(
+                (r.vec_id, r.cell)
+                for r in semantic_dedup(e, 0.30, n_cells=32, vectorized=False).collect()
+            )
+            blas = sorted(
+                (r.vec_id, r.cell)
+                for r in semantic_dedup(e, 0.30, n_cells=32, vectorized=True).collect()
+            )
+            assert expr == blas, sf
 
     def test_survivors_have_no_kept_neardup_in_cell(self, spark):
         # invariant on the real fixture: for every survivor, no OTHER

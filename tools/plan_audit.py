@@ -39,6 +39,9 @@ EXPECTED = {
     # Arrow dgemm per batch deliberately replaces a 32-expression
     # codegen tree whose COMPILE time dominated (BENCH r4->r5 3.3->1.2s)
     "q116_lsh_neardup_pairs": {"MAP_IN_PANDAS"},
+    # blocked-BLAS IVF cell assignment (assign_cells_vectorized) —
+    # keep-set pinned identical to the expression path in pytest
+    "q118_semantic_dedup": {"MAP_IN_PANDAS"},
 }
 
 
