@@ -54,11 +54,28 @@ def _pin_utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# Memoized source DataFrames. A fresh spark.read.parquet costs
+# ~140-180 ms per call on these fixtures (file listing + footer/schema
+# read + FileIndex build) — pure fixed tax repaid on EVERY query build,
+# since the testdata is immutable within a session. Keyed by
+# applicationId so a restarted session can't serve stale plans.
+# DataFrames are immutable, so sharing the base object is safe; no
+# registered query loads the same table twice (self-joins all go
+# through .alias on one object, which Spark dealiases).
+_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     _pin_utc(spark)
-    if table == "events":
-        return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, table)
+    df = _LOAD_CACHE.get(key)
+    if df is None:
+        if table == "events":
+            df = load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        _LOAD_CACHE[key] = df
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
