@@ -13,6 +13,7 @@ same operator is checkable against a batch/DuckDB oracle.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -122,6 +123,7 @@ def _run_to_memory(
     spark = stream_df.sparkSession
     name = "s_" + uuid.uuid4().hex[:12]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
     try:
         spark.conf.set(
             "spark.sql.shuffle.partitions",
@@ -131,13 +133,17 @@ def _run_to_memory(
             stream_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # the finite run is over and the memory sink holds the result;
+        # the checkpoint is dead state — without this, every bench/test
+        # invocation leaked a directory of state-store deltas
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
