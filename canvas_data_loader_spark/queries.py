@@ -1089,9 +1089,15 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_df=100 drops ubiquitous shingles before the self-join — the
     hot keys that make shingle joins quadratic on real corpora (and
     pure noise for similarity); sizes are computed post-filter on both
-    sides so the Jaccard denominator stays consistent."""
+    sides so the Jaccard denominator stays consistent. The self-join
+    runs on xxhash64 shingle fingerprints (8-byte shuffle keys, exact
+    modulo a ~3e-8 collision chance at this shingle count — see
+    ngram_jaccard_pairs); the oracle counts raw strings, so the
+    differential check itself proves collision-freedom on this data."""
     d = load(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(d, "text", "doc_id", n=3, max_df=100)
+    pairs = D.ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, max_df=100, hash_shingles=True
+    )
     return (
         pairs.select(
             "doc_a", "doc_b", "common", F.round("jaccard", 6).alias("jaccard_r")
