@@ -65,11 +65,19 @@ def _priority_order(names: list[str]) -> list[str]:
 
         def sort_key(n: str):
             green, _ = proof_rounds(n, rounds)
-            needs_proof = (
-                status_of(n, rounds, rec, fps.get(n)) != "green"
-                or n.split("_", 1)[0] in explicit_lead
-            )
-            return (0 if needs_proof else 1, max(green) if green else 0, num(n))
+            status = status_of(n, rounds, rec, fps.get(n))
+            if n.split("_", 1)[0] in explicit_lead or status in (
+                "FAILED last check",
+                "never in driver window",
+            ):
+                tier = 0  # no usable proof at all / explicit re-queue
+            elif status == "green":
+                tier = 3
+            elif status == "STALE (loader only)":
+                tier = 2  # only the shared source loader changed
+            else:
+                tier = 1  # the query's own logic/oracle changed
+            return (tier, max(green) if green else 0, num(n))
 
         return sorted(names, key=sort_key)
     except Exception:

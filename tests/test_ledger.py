@@ -95,6 +95,10 @@ class TestFingerprint:
             assert any("_exact_rescore" in n for n in names), (qname, names)
 
 
+def fp(h, sem):
+    return {"hash": h, "sem": sem}
+
+
 class TestStatus:
     ROUNDS = {
         1: {"qA": {"err": None, "rows_match": True, "schema_match": True, "hash_match": True}},
@@ -102,25 +106,43 @@ class TestStatus:
     }
 
     def test_green_when_fingerprint_matches(self):
-        rec = {"qA": {"hash": "f" * 16}}
-        assert status_of("qA", self.ROUNDS, rec, "f" * 16) == "green"
+        rec = {"qA": fp("f" * 16, "s" * 16)}
+        assert status_of("qA", self.ROUNDS, rec, fp("f" * 16, "s" * 16)) == "green"
 
-    def test_stale_when_source_changed(self):
-        rec = {"qA": {"hash": "f" * 16}}
-        s = status_of("qA", self.ROUNDS, rec, "0" * 16)
-        assert s.startswith("STALE")
+    def test_semantics_stale_when_own_logic_changed(self):
+        rec = {"qA": fp("f" * 16, "s" * 16)}
+        s = status_of("qA", self.ROUNDS, rec, fp("0" * 16, "0" * 16))
+        assert s == "STALE (semantics changed)"
+
+    def test_loader_only_stale_when_sem_hash_survives(self):
+        # full hash moved (shared loader edited) but the semantic hash
+        # — which excludes the loader trio — is unchanged
+        rec = {"qA": fp("f" * 16, "s" * 16)}
+        s = status_of("qA", self.ROUNDS, rec, fp("0" * 16, "s" * 16))
+        assert s == "STALE (loader only)"
 
     def test_stale_when_never_recorded(self):
-        assert status_of("qA", self.ROUNDS, {}, "f" * 16).startswith("STALE")
+        assert status_of("qA", self.ROUNDS, {}, fp("f" * 16, "s" * 16)).startswith("STALE")
 
     def test_failed_and_never_rows(self):
-        assert status_of("qB", self.ROUNDS, {}, "x") == "FAILED last check"
-        assert status_of("qC", self.ROUNDS, {}, "x") == "never in driver window"
+        assert status_of("qB", self.ROUNDS, {}, fp("x", "x")) == "FAILED last check"
+        assert status_of("qC", self.ROUNDS, {}, fp("x", "x")) == "never in driver window"
 
     def test_newer_failure_beats_old_green(self):
         rounds = {
             1: {"qA": {"err": None, "rows_match": True, "schema_match": True, "hash_match": True}},
             3: {"qA": {"err": "x", "rows_match": False, "schema_match": False, "hash_match": False}},
         }
-        rec = {"qA": {"hash": "f" * 16}}
-        assert status_of("qA", rounds, rec, "f" * 16) == "FAILED last check"
+        rec = {"qA": fp("f" * 16, "s" * 16)}
+        assert status_of("qA", rounds, rec, fp("f" * 16, "s" * 16)) == "FAILED last check"
+
+    def test_loader_change_stales_every_query_but_sem_separates(self):
+        # the round-5 incident in miniature: current_fingerprints()'s
+        # sem hash must NOT include the loader trio, so a load() edit
+        # moves "hash" for all queries while "sem" moves for none
+        from tools.ledger import _LOADER_FNS, current_fingerprints
+
+        assert _LOADER_FNS == {"load", "load_events", "_pin_utc"}
+        fps = current_fingerprints()
+        some = fps["q01_pricing_summary"]
+        assert set(some) == {"hash", "sem"} and some["hash"] != some["sem"]

@@ -110,12 +110,27 @@ def _engine_deps(fn, seen: set) -> list:
     return out
 
 
-def source_fingerprint(fn, oracle_sql: str | None) -> str:
+# The shared source-loader trio: a change here touches EVERY query's
+# full fingerprint at once (e.g. the round-5 DataFrame memoization
+# staled all 120). The SEMANTIC fingerprint excludes exactly these, so
+# the priority order can distinguish "this query's logic changed" (top
+# of the driver window) from "only the shared loader changed" (re-queued
+# too, but after the semantic changes). Loader changes stay visible —
+# they make the FULL hash differ, which still reports as stale.
+_LOADER_FNS = frozenset({"load", "load_events", "_pin_utc"})
+
+
+def source_fingerprint(
+    fn, oracle_sql: str | None, exclude: frozenset[str] = frozenset()
+) -> str:
     """sha256 over the callable's source, its reachable engine-function
-    sources, and its oracle SQL. Whitespace-insensitive per line so
-    reformatting alone doesn't invalidate a proof."""
+    sources (minus ``exclude`` by function name), and its oracle SQL.
+    Whitespace-insensitive per line so reformatting alone doesn't
+    invalidate a proof."""
     parts = []
     for f in [fn] + _engine_deps(fn, {fn}):
+        if f is not fn and f.__name__ in exclude:
+            continue
         try:
             src = inspect.getsource(f)
         except (OSError, TypeError):
@@ -127,13 +142,17 @@ def source_fingerprint(fn, oracle_sql: str | None) -> str:
     return hashlib.sha256("\x00".join(parts).encode()).hexdigest()[:16]
 
 
-def current_fingerprints() -> dict[str, str]:
+def current_fingerprints() -> dict[str, dict[str, str]]:
     from canvas_data_loader_spark import queries as Q
 
-    return {
-        name: source_fingerprint(Q.SPARK[name], Q.ORACLE.get(name))
-        for name in sorted(Q.SPARK)
-    }
+    out = {}
+    for name in sorted(Q.SPARK):
+        fn, osql = Q.SPARK[name], Q.ORACLE.get(name)
+        out[name] = {
+            "hash": source_fingerprint(fn, osql),
+            "sem": source_fingerprint(fn, osql, _LOADER_FNS),
+        }
+    return out
 
 
 def load_hashes() -> dict[str, dict]:
@@ -169,13 +188,16 @@ def status_of(
     name: str,
     rounds: dict[int, dict],
     recorded: dict[str, dict],
-    current_fp: str | None,
+    current_fp: dict[str, str] | None,
 ) -> str:
-    """green | STALE | FAILED last check | never in driver window.
+    """green | STALE (…) | FAILED last check | never in driver window.
 
     STALE = has a green row, but the current source fingerprint differs
     from the one recorded when that proof was snapshotted (or no
-    fingerprint was ever recorded, so currency is unprovable).
+    fingerprint was ever recorded, so currency is unprovable). Two
+    stale flavors: the query's own logic changed ("semantics"), or
+    only the shared source loader it reads through changed ("loader
+    only") — both need driver re-proof, semantics first.
     """
     green, failed = proof_rounds(name, rounds)
     if not green:
@@ -185,9 +207,11 @@ def status_of(
     rec = recorded.get(name)
     if rec is None or current_fp is None:
         return "STALE (no fingerprint recorded)"
-    if rec["hash"] != current_fp:
-        return "STALE (source changed since proof)"
-    return "green"
+    if rec["hash"] == current_fp["hash"]:
+        return "green"
+    if rec.get("sem") == current_fp["sem"]:
+        return "STALE (loader only)"
+    return "STALE (semantics changed)"
 
 
 # --- snapshot --------------------------------------------------------------
@@ -223,7 +247,7 @@ def snapshot(ref: str | None) -> None:
             fps, label = json.loads(out.stdout.strip().splitlines()[-1]), ref
     hashes = load_hashes()
     for name, fp in fps.items():
-        hashes[name] = {"hash": fp, "ref": label}
+        hashes[name] = {**fp, "ref": label}
     with open(HASHES_PATH, "w") as f:
         json.dump(hashes, f, indent=1, sort_keys=True)
     print(f"recorded {len(fps)} fingerprints from {label} -> {HASHES_PATH}")
