@@ -98,6 +98,7 @@ HEADLINE = [
     "q118_semantic_dedup",
     "q119_hash_split",
     "q120_stream_static_join",
+    "q121_gap_fill",
 ]
 
 

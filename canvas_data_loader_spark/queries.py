@@ -4486,3 +4486,71 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("total_value").cast("double").alias("total_value"),
     )
+
+@query(
+    "q121_gap_fill",
+    """
+    -- Hourly resample with gap-fill: each user's hourly activity on a
+    -- dense spine from their first to last active hour; empty hours
+    -- carry n_events = 0 and the last seen hourly value forward.
+    WITH b AS (
+        SELECT user_id, DATE_TRUNC('hour', ts) AS h, COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(27,4))) AS v
+        FROM events GROUP BY 1, 2
+    ), r AS (
+        SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM b GROUP BY 1
+    ), spine AS (
+        SELECT user_id, UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM r
+    )
+    SELECT s.user_id,
+           STRFTIME(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           COALESCE(CAST(b.n AS BIGINT), 0) AS n_events,
+           CAST(LAST_VALUE(b.v IGNORE NULLS) OVER (
+                PARTITION BY s.user_id ORDER BY s.h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS filled_value
+    FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.h = b.h
+    """,
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill — the missing half of as-of
+    joins for feature pipelines: snap events to an hourly grid, emit a
+    DENSE per-user spine (sequence + explode, no driver loop), zero
+    the empty hours, and forward-fill the last observed hourly sum
+    with last(ignorenulls) over an unbounded-preceding frame. One
+    aggregation + one spine join + one window, all on user_id —
+    partition-aligned, no global shuffle beyond the keyed ones. The
+    spine never leads with a NULL (it starts at each user's first
+    active hour), so forward-fill is total. Hourly sums accumulate in
+    DECIMAL per the float policy."""
+    e = load(spark, sf_dir, "events")
+    b = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).alias("v"),
+    )
+    r = b.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = r.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(b, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.last("v", ignorenulls=True).over(w).cast("double").alias(
+                "filled_value"
+            ),
+        )
+    )
