@@ -44,10 +44,11 @@ def _priority_order(names: list[str]) -> list[str]:
     def num(n: str) -> int:
         return int(n.split("_", 1)[0][1:])
 
-    # r4-changed but absent from the r4 window (ADVICE): the fingerprint
-    # baseline was snapshotted from the end-of-r4 tree, so staleness
-    # cannot see that their last GREEN rows (r2/r3) proved OLDER code.
-    explicit_lead = {"q61", "q67"}
+    # One-shot re-queues for queries whose proof the fingerprint ledger
+    # cannot see as stale (used in r5 for q61/q67, whose r4 edits
+    # predated the first snapshot; both went green in r5 and the
+    # snapshot now binds to that tree, so the set is empty again).
+    explicit_lead: set[str] = set()
     try:
         import os
         import sys

@@ -4195,15 +4195,11 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (map-side combinable), pivot to one row per vector —
     no window over the corpus, one shuffle on vec_id."""
     e = load(spark, sf_dir, "embeddings")
-    w_cent = Window.orderBy(F.col("vec_id").asc())
-    cents = (
-        e.orderBy(F.col("vec_id").asc())
-        .limit(8)
-        .select(
-            (F.row_number().over(w_cent) - 1).cast("int").alias("k"),
-            F.col("embedding").alias("cv"),
-        )
-    )
+    # driver-built 8-row codebook (first_n_centroids): no global
+    # row_number window on the limit(8) frame -> warning-clean plan
+    cents = S.first_n_centroids(
+        e, 8, "vec_id", "embedding", cell_col="k", base=0
+    ).select("k", F.col("cvec").alias("cv"))
     subcents = cents.select(
         "k", F.explode(F.array(*[F.lit(m) for m in range(4)])).alias("m"), "cv"
     ).select("k", "m", F.expr("slice(cv, 1 + 16 * m, 16)").alias("csub"))
@@ -4364,16 +4360,22 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q118_semantic_dedup",
     f"""
-    -- SemDeDup keep-set, reproduced exactly: centroids = 32 lowest-id
-    -- vectors (n_cells ~ sqrt(corpus) at the checked scale, per the
-    -- operator's cell-sizing discipline); tie-broken argmax cell
-    -- assignment (sim DESC, cell ASC); drop any vector with a
-    -- lower-id same-cell neighbor at cosine >= 0.30; report
-    -- survivors and their cell.
-    WITH cents AS (
-        SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS cell,
-               embedding AS cvec
-        FROM embeddings ORDER BY vec_id ASC LIMIT 32
+    -- SemDeDup keep-set, reproduced exactly: centroids = the
+    -- max(16, ceil(sqrt(corpus))) lowest-id vectors — the SAME
+    -- sqrt-cells derivation the operator now enforces by default
+    -- (simsearch.derive_n_cells), so the oracle tracks any corpus
+    -- size; tie-broken argmax cell assignment (sim DESC, cell ASC);
+    -- drop any vector with a lower-id same-cell neighbor at cosine
+    -- >= 0.30; report survivors and their cell.
+    WITH nc AS (
+        SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k
+        FROM embeddings
+    ), cents AS (
+        SELECT cell, cvec FROM (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS cell,
+                   embedding AS cvec
+            FROM embeddings
+        ) WHERE cell <= (SELECT k FROM nc)
     ), assign_scored AS (
         SELECT e.vec_id, e.embedding AS v, c.cell,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -4399,11 +4401,12 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
     within each cluster drop every vector with ANY lower-id neighbor
     above the cosine threshold — one within-cell self-join +
     anti-join, no iteration (see semantic_dedup for how this differs
-    from a literal greedy sweep on chains). Fully
-    deterministic (first-32-by-id centroids — n_cells ~ sqrt(corpus)
-    at the checked scale — tie-broken assignment), so the approximate
-    keep-set itself is oracle-checkable, like q68's IVF and q116's
-    banded LSH. Assignment runs the blocked-BLAS path (the at-scale
+    from a literal greedy sweep on chains). Fully deterministic
+    (first-n-by-id centroids with n_cells DERIVED by the operator's
+    default sqrt-cells rule max(16, ceil(sqrt(corpus))) — 23 cells at
+    the 500-vector driver scale, 45 at sf0.1 — tie-broken
+    assignment), so the approximate keep-set itself is
+    oracle-checkable, like q68's IVF and q116's banded LSH. Assignment runs the blocked-BLAS path (the at-scale
     default); its keep-set is pinned IDENTICAL to the expression path
     the oracle mirrors, at BOTH driver scales (pytest parity tests) —
     argmax cells differ only on fp near-ties, absent in this data. At
@@ -4411,7 +4414,7 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no global shuffle."""
     e = load(spark, sf_dir, "embeddings")
     kept = S.semantic_dedup(
-        e, threshold=0.30, n_cells=32, id_col="vec_id",
+        e, threshold=0.30, id_col="vec_id",
         vec_col="embedding", vectorized=True,
     )
     return kept.select("vec_id", "cell")

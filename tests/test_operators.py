@@ -829,15 +829,29 @@ class TestSemanticDedup:
 
         for sf in ("sf0.001", "sf0.01"):  # both driver scales
             e = load(spark, f"/root/testdata/{sf}", "embeddings")
+            # n_cells omitted on purpose: exercise the derived
+            # sqrt-cells default, which is what q118 runs
             expr = sorted(
                 (r.vec_id, r.cell)
-                for r in semantic_dedup(e, 0.30, n_cells=32, vectorized=False).collect()
+                for r in semantic_dedup(e, 0.30, vectorized=False).collect()
             )
             blas = sorted(
                 (r.vec_id, r.cell)
-                for r in semantic_dedup(e, 0.30, n_cells=32, vectorized=True).collect()
+                for r in semantic_dedup(e, 0.30, vectorized=True).collect()
             )
             assert expr == blas, sf
+
+    def test_derive_n_cells_sqrt_discipline(self):
+        from canvas_data_loader_spark.operators.simsearch import derive_n_cells
+
+        assert derive_n_cells(0) == 16
+        assert derive_n_cells(1) == 16
+        assert derive_n_cells(256) == 16       # floor wins up to 256
+        assert derive_n_cells(257) == 17       # ceil(sqrt(257)) = 17
+        assert derive_n_cells(500) == 23       # driver-scale corpus
+        assert derive_n_cells(2000) == 45      # sf0.1 corpus
+        assert derive_n_cells(2500) == 50      # exact square stays exact
+        assert derive_n_cells(10**12) == 10**6  # 100 TB-ish corpus: 1M cells
 
     def test_survivors_have_no_kept_neardup_in_cell(self, spark):
         # invariant on the real fixture: for every survivor, no OTHER

@@ -383,13 +383,13 @@ def main_semdedup():
             fn().write.format("noop").mode("overwrite").save()
             return round(time.time() - t, 3)
 
-        n_base = spark.read.parquet(f"{base_dir}/embeddings.parquet").count()
-        cells_base = max(4, int(math.sqrt(n_base) / 4))
-        cells_scaled = max(4, int(math.sqrt(n_base * factor) / 4))
         report = {}
         for name, (bc, sc) in {
             "semdedup_fixed_cells": (16, 16),
-            "semdedup_sqrt_cells": (cells_base, cells_scaled),
+            # None = the operator's own derived sqrt-cells DEFAULT
+            # (max(16, ceil(sqrt(n)))) — probing exactly what a
+            # no-args caller gets, not a hand-tuned variant.
+            "semdedup_default_sqrt_cells": (None, None),
         }.items():
             b, s = time_dir(base_dir, bc), time_dir(dest, sc)
             report[name] = {
