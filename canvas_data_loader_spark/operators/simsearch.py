@@ -122,6 +122,93 @@ def first_n_centroids(
     return df.sparkSession.createDataFrame(data, schema)
 
 
+def lloyd_step(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectorized: bool = False,
+    round_dp: int = 6,
+) -> DataFrame:
+    """One deterministic Lloyd (k-means) iteration over cosine cells.
+
+    Assignment is the tie-broken argmax of ``assign_cells`` (equal
+    sims -> smallest cell); the update is the element-wise mean of
+    each cell's members, ROUNDED to ``round_dp`` decimals so the
+    order-dependent double sum is reproducible across partitionings
+    and engines (the repo-wide 6dp policy for order-dependent sums —
+    per-dimension cell sums have tens-to-thousands of terms, far
+    inside the safe range). Empty cells keep their previous centroid
+    (cast to double, exact for float32 inputs). The mean is a single
+    posexplode + map-side-combinable groupBy(cell, dim) — one shuffle
+    of n_vectors x dim scalar rows per iteration, no window, no
+    driver-side vector math. The <= n_cells result rows are
+    materialized on the driver (they were destined for a broadcast
+    anyway), so each iteration's plan starts from a literal frame
+    instead of an ever-deeper lazy chain.
+    Output: (cell:int, cvec:array<double>).
+    """
+    cent_rows = centroids.orderBy("cell").collect()  # <= n_cells, tiny
+    assign = assign_cells_vectorized if vectorized else assign_cells
+    assigned = assign(df, centroids, id_col, vec_col, "__kid")
+    # per-dimension means via posexplode + groupBy(cell, dim): a
+    # map-side-combinable AVG whose shuffle is n_cells x dim partial
+    # sums. (A 64-wide one-shot agg was tried and is ~3x slower here —
+    # wholestage codegen compile dominates at this width.) The
+    # empty-cell fallback is merged driver-side against the
+    # already-collected previous centroids — no join.
+    means = (
+        assigned.select("cell", F.posexplode(F.col(vec_col)).alias("dim", "val"))
+        .groupBy("cell", "dim")
+        .agg(F.round(F.avg(F.col("val").cast("double")), round_dp).alias("cval"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("__s"))
+        .select("cell", F.expr("transform(__s, x -> x.cval)").alias("mvec"))
+    )
+    got = {int(r["cell"]): list(r["mvec"]) for r in means.collect()}
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType(), False),
+            T.StructField("cvec", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+    data = [
+        (
+            int(r["cell"]),
+            got.get(int(r["cell"]), [float(x) for x in r["cvec"]]),
+        )
+        for r in cent_rows
+    ]
+    return df.sparkSession.createDataFrame(data, schema)
+
+
+def refined_centroids(
+    df: DataFrame,
+    n_cells: int,
+    refine_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectorized: bool = False,
+) -> DataFrame:
+    """Coarse-quantizer centroids: deterministic first-n-by-id seed,
+    optionally refined by ``refine_iters`` Lloyd iterations.
+
+    Fully reproducible end to end — seeded init (no RNG), fixed
+    iteration count, tie-broken assignment, 6dp-rounded means — so
+    even the REFINED approximate index stays oracle-checkable (the
+    SQL mirror unrolls the same iterations). Production recall wants
+    refine_iters >= 1: the first-N seed collapses most of the corpus
+    into few cells, while refined centroids spread it (measured in
+    tests/test_operators.py::TestKmeansRefine).
+    """
+    c = first_n_centroids(df, n_cells, id_col, vec_col)
+    for _ in range(refine_iters):
+        c = lloyd_step(df, c, id_col, vec_col, vectorized)
+    return c
+
+
 def assign_cells(
     df: DataFrame,
     centroids: DataFrame,
@@ -220,13 +307,15 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vectorized: bool = True,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k via an inverted-file (IVF) coarse index.
 
-    Centroids are the first ``n_cells`` candidate vectors by id —
-    deterministic (no RNG, reproducible across runs/engines); a
-    production build would k-means-refine them, which changes recall
-    but not the dataflow. Corpus vectors are assigned to their nearest
+    Centroids seed from the first ``n_cells`` candidate vectors by id
+    — deterministic (no RNG, reproducible across runs/engines) — and
+    are optionally k-means-refined by ``refine_iters`` deterministic
+    Lloyd iterations (see refined_centroids), which improves recall
+    without changing the dataflow. Corpus vectors are assigned to their nearest
     centroid cell; each query probes its ``n_probe`` nearest cells and
     brute-forces only those. Both joins are equi-joins on ``cell``; at
     scale the assignment is precomputed and the corpus is written
@@ -236,7 +325,9 @@ def ivf_topk(
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("cell").asc()
     )
-    centroids = first_n_centroids(candidates, n_cells, id_col, vec_col)
+    centroids = refined_centroids(
+        candidates, n_cells, refine_iters, id_col, vec_col, vectorized
+    )
     assign = assign_cells_vectorized if vectorized else assign_cells
     assigned = assign(candidates, centroids, id_col, vec_col, "neighbor_id")
 
@@ -294,6 +385,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vectorized: bool = False,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus coarsely, then within each
@@ -329,7 +421,9 @@ def semantic_dedup(
     """
     if n_cells is None:
         n_cells = derive_n_cells(candidates.count())
-    centroids = first_n_centroids(candidates, n_cells, id_col, vec_col)
+    centroids = refined_centroids(
+        candidates, n_cells, refine_iters, id_col, vec_col, vectorized
+    )
     assign = assign_cells_vectorized if vectorized else assign_cells
     assigned = assign(candidates, centroids, id_col, vec_col, "__id")
     # candidate pairs carry IDS ONLY through the cell self-join; the

@@ -2058,17 +2058,63 @@ _COS_QC = (
 )
 
 
+def _kmeans_ctes(iters: int, table: str = "embeddings") -> str:
+    """Unrolled deterministic Lloyd iterations as DuckDB CTEs.
+
+    Mirrors operators.simsearch.lloyd_step exactly: tie-broken argmax
+    assignment against cents{i-1} (cos DESC, cell ASC), element-wise
+    cell mean ROUNDed to 6 decimals (the repo's order-dependent-sum
+    policy, so Spark's partition-order AVG and DuckDB's agree), empty
+    cells keep the previous centroid cast to DOUBLE[]. Expects a
+    ``cents0`` CTE in scope; defines cents1..cents{iters}.
+    """
+    parts = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        cos = _COS_QC.format(a="e.embedding", b="c.cvec")
+        parts.append(
+            f"""ka{i} AS (
+        SELECT e.vec_id, e.embedding AS v, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos} DESC, c.cell ASC) AS rn
+        FROM {table} e CROSS JOIN cents{p} c
+    ), kasg{i} AS (
+        SELECT vec_id, v, cell FROM ka{i} WHERE rn = 1
+    ), km{i} AS (
+        SELECT cell, dim, ROUND(AVG(CAST(val AS DOUBLE)), 6) AS cval
+        FROM (SELECT cell, UNNEST(v) AS val,
+                     UNNEST(RANGE(1, LEN(v) + 1)) AS dim
+              FROM kasg{i})
+        GROUP BY cell, dim
+    ), kmv{i} AS (
+        SELECT cell, LIST(cval ORDER BY dim ASC) AS mvec
+        FROM km{i} GROUP BY cell
+    ), cents{i} AS (
+        SELECT c.cell,
+               COALESCE(mv.mvec,
+                        LIST_TRANSFORM(c.cvec, x -> CAST(x AS DOUBLE))) AS cvec
+        FROM cents{p} c LEFT JOIN kmv{i} mv USING (cell)
+    )"""
+        )
+    return ", ".join(parts)
+
+
 @query(
     "q68_ivf_simsearch",
     f"""
-    -- The IVF index is deterministic end to end (centroids = the 16
-    -- lowest-id vectors; argmax assignment ties -> smallest cell;
-    -- probe ranking ties -> smallest cell), so the whole approximate
+    -- The IVF index is deterministic end to end (centroid seed = the
+    -- 16 lowest-id vectors, then TWO unrolled k-means iterations with
+    -- tie-broken argmax assignment and 6dp-rounded means; probe
+    -- ranking ties -> smallest cell), so even the REFINED approximate
     -- index is reproducible in SQL.
-    WITH cents AS (
-        SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS cell,
-               embedding AS cvec
-        FROM embeddings ORDER BY vec_id ASC LIMIT 16
+    WITH cents0 AS (
+        SELECT cell, cvec FROM (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS cell,
+                   embedding AS cvec
+            FROM embeddings
+        ) WHERE cell <= 16
+    ), {_kmeans_ctes(2)}, cents AS (
+        SELECT cell, cvec FROM cents2
     ), assign_scored AS (
         SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cell,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -2103,18 +2149,22 @@ _COS_QC = (
     """,
 )
 def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbors via IVF coarse cells — fully
-    deterministic (first-16-by-id centroids, tie-broken argmax
-    assignment and probes), so the approximate result itself is
-    oracle-checkable. Uses the engine-pure expression assignment here
-    so every float matches the SQL mirror bit-for-bit; the blocked-
-    BLAS assignment (the at-scale default) is pinned equal to the
-    expression path in pytest. Recall vs exact top-k also bounded in
-    pytest."""
+    """Approximate nearest neighbors via IVF coarse cells with
+    k-means-REFINED centroids — fully deterministic (first-16-by-id
+    seed, two fixed Lloyd iterations with 6dp-rounded means,
+    tie-broken argmax assignment and probes), so even the refined
+    approximate index is oracle-checkable: the SQL mirror unrolls the
+    same two iterations and the centroids match bit-for-bit (pinned
+    in pytest at all three scales). Uses the engine-pure expression
+    assignment here so every float matches the SQL mirror; the
+    blocked-BLAS assignment (the at-scale default) is pinned equal to
+    the expression path in pytest. Recall vs exact top-k also bounded
+    in pytest."""
     e = load(spark, sf_dir, "embeddings")
     queries_df = e.filter(F.col("vec_id") < 5)
     topk = S.ivf_topk(
-        e, queries_df, k=10, n_cells=16, n_probe=4, vectorized=False
+        e, queries_df, k=10, n_cells=16, n_probe=4, vectorized=False,
+        refine_iters=2,
     )
     return topk.select(
         "query_id", "neighbor_id", F.round("sim", 6).alias("sim_r"), "rank"
@@ -4360,22 +4410,25 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q118_semantic_dedup",
     f"""
-    -- SemDeDup keep-set, reproduced exactly: centroids = the
+    -- SemDeDup keep-set, reproduced exactly: centroid seed = the
     -- max(16, ceil(sqrt(corpus))) lowest-id vectors — the SAME
-    -- sqrt-cells derivation the operator now enforces by default
+    -- sqrt-cells derivation the operator enforces by default
     -- (simsearch.derive_n_cells), so the oracle tracks any corpus
-    -- size; tie-broken argmax cell assignment (sim DESC, cell ASC);
-    -- drop any vector with a lower-id same-cell neighbor at cosine
-    -- >= 0.30; report survivors and their cell.
+    -- size — then TWO unrolled k-means iterations (6dp-rounded
+    -- means, tie-broken argmax); drop any vector with a lower-id
+    -- same-cell neighbor at cosine >= 0.30; report survivors and
+    -- their cell.
     WITH nc AS (
         SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k
         FROM embeddings
-    ), cents AS (
+    ), cents0 AS (
         SELECT cell, cvec FROM (
             SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS cell,
                    embedding AS cvec
             FROM embeddings
         ) WHERE cell <= (SELECT k FROM nc)
+    ), {_kmeans_ctes(2)}, cents AS (
+        SELECT cell, cvec FROM cents2
     ), assign_scored AS (
         SELECT e.vec_id, e.embedding AS v, c.cell,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -4401,12 +4454,13 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
     within each cluster drop every vector with ANY lower-id neighbor
     above the cosine threshold — one within-cell self-join +
     anti-join, no iteration (see semantic_dedup for how this differs
-    from a literal greedy sweep on chains). Fully deterministic
-    (first-n-by-id centroids with n_cells DERIVED by the operator's
-    default sqrt-cells rule max(16, ceil(sqrt(corpus))) — 23 cells at
-    the 500-vector driver scale, 45 at sf0.1 — tie-broken
-    assignment), so the approximate keep-set itself is
-    oracle-checkable, like q68's IVF and q116's banded LSH. Assignment runs the blocked-BLAS path (the at-scale
+    from a literal greedy sweep on chains). Fully deterministic:
+    n_cells DERIVED by the operator's default sqrt-cells rule
+    max(16, ceil(sqrt(corpus))) — 23 cells at the 500-vector driver
+    scale, 45 at sf0.1 — first-n-by-id seed, two fixed k-means
+    iterations (6dp-rounded means), tie-broken assignment; so the
+    approximate keep-set itself is oracle-checkable, like q68's IVF
+    and q116's banded LSH. Assignment runs the blocked-BLAS path (the at-scale
     default); its keep-set is pinned IDENTICAL to the expression path
     the oracle mirrors, at BOTH driver scales (pytest parity tests) —
     argmax cells differ only on fp near-ties, absent in this data. At
@@ -4415,7 +4469,7 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     kept = S.semantic_dedup(
         e, threshold=0.30, id_col="vec_id",
-        vec_col="embedding", vectorized=True,
+        vec_col="embedding", vectorized=True, refine_iters=2,
     )
     return kept.select("vec_id", "cell")
 

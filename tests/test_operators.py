@@ -796,6 +796,104 @@ class TestEventsStreamProbe:
         rows = tumbling_counts(read_events_stream(spark, str(d))).collect()
         assert sum(r.n for r in rows) == 2
 
+class TestKmeansRefine:
+    def test_refined_centroids_match_sql_mirror(self, spark):
+        # the unrolled DuckDB Lloyd iterations (_kmeans_ctes) must
+        # reproduce lloyd_step BIT-exactly — this is what keeps the
+        # refined q68/q118 indexes oracle-checkable
+        import duckdb
+
+        from canvas_data_loader_spark.operators import simsearch as S
+        from canvas_data_loader_spark.queries import _kmeans_ctes, load
+
+        for sf, n_cells in (("sf0.001", 16), ("sf0.01", 23)):
+            con = duckdb.connect()
+            con.execute(
+                "CREATE VIEW embeddings AS SELECT * FROM "
+                f"'/root/testdata/{sf}/embeddings.parquet'"
+            )
+            duck = con.execute(
+                f"""
+                WITH cents0 AS (
+                    SELECT cell, cvec FROM (
+                        SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS cell,
+                               embedding AS cvec
+                        FROM embeddings
+                    ) WHERE cell <= {n_cells}
+                ), {_kmeans_ctes(2)}
+                SELECT cell, cvec FROM cents2 ORDER BY cell
+                """
+            ).fetchall()
+            e = load(spark, f"/root/testdata/{sf}", "embeddings")
+            sp = (
+                S.refined_centroids(e, n_cells, refine_iters=2)
+                .orderBy("cell")
+                .collect()
+            )
+            assert [(d[0], list(d[1])) for d in duck] == [
+                (r["cell"], list(r["cvec"])) for r in sp
+            ], sf
+
+    def test_pathological_seed_recall_improves(self, spark):
+        # the production argument for refinement: a first-N-by-id seed
+        # is hostage to id order. Here the 16 lowest ids all sit in ONE
+        # of four clusters, so every seed centroid starts in that
+        # cluster; two Lloyd iterations separate them and recall@5 at
+        # n_probe=1 goes from 0.95 to 1.0 (deterministic fixture).
+        import random
+
+        import pyspark.sql.functions as F
+
+        from canvas_data_loader_spark.operators import simsearch as S
+
+        rng = random.Random(7)
+        axes = [[0.0] * 8 for _ in range(4)]
+        for c in range(4):
+            axes[c][c] = 1.0
+        rows, vid = [], 1
+        for _ in range(16):
+            rows.append((vid, [x + rng.uniform(-0.05, 0.05) for x in axes[0]]))
+            vid += 1
+        for c in (1, 2, 3):
+            for _ in range(16):
+                rows.append((vid, [x + rng.uniform(-0.05, 0.05) for x in axes[c]]))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = df.filter(F.col("vec_id").isin([1, 17, 33, 49]))
+        exact = S.brute_force_topk(df, q, k=5).collect()
+        ex: dict = {}
+        for r in exact:
+            ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+        def recall(iters):
+            ap = S.ivf_topk(
+                df, q, k=5, n_cells=4, n_probe=1, vectorized=False,
+                refine_iters=iters,
+            ).collect()
+            got: dict = {}
+            for r in ap:
+                got.setdefault(r.query_id, set()).add(r.neighbor_id)
+            tot = sum(len(v) for v in ex.values())
+            return sum(len(ex[k] & got.get(k, set())) for k in ex) / tot
+
+        r0, r2 = recall(0), recall(2)
+        assert r0 == 0.95 and r2 == 1.0, (r0, r2)
+
+    def test_empty_cell_keeps_previous_centroid(self, spark):
+        from canvas_data_loader_spark.operators import simsearch as S
+
+        # two identical seed vectors -> every tie resolves to cell 1,
+        # cell 2 gets no members and must keep its seed (as doubles)
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        seed = S.first_n_centroids(df, 2)
+        stepped = {r["cell"]: list(r["cvec"]) for r in S.lloyd_step(df, seed).collect()}
+        assert stepped[2] == [1.0, 0.0]  # untouched seed survives
+        assert stepped[1] is not None and len(stepped[1]) == 2
+
+
 class TestSemanticDedup:
     def test_identical_vectors_keep_lowest_id(self, spark):
         from canvas_data_loader_spark.operators.simsearch import semantic_dedup
@@ -829,15 +927,20 @@ class TestSemanticDedup:
 
         for sf in ("sf0.001", "sf0.01"):  # both driver scales
             e = load(spark, f"/root/testdata/{sf}", "embeddings")
-            # n_cells omitted on purpose: exercise the derived
-            # sqrt-cells default, which is what q118 runs
+            # n_cells omitted + refine_iters=2 on purpose: exercise the
+            # derived sqrt-cells default and the refined centroids,
+            # which is exactly what q118 runs
             expr = sorted(
                 (r.vec_id, r.cell)
-                for r in semantic_dedup(e, 0.30, vectorized=False).collect()
+                for r in semantic_dedup(
+                    e, 0.30, vectorized=False, refine_iters=2
+                ).collect()
             )
             blas = sorted(
                 (r.vec_id, r.cell)
-                for r in semantic_dedup(e, 0.30, vectorized=True).collect()
+                for r in semantic_dedup(
+                    e, 0.30, vectorized=True, refine_iters=2
+                ).collect()
             )
             assert expr == blas, sf
 
