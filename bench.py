@@ -99,6 +99,8 @@ HEADLINE = [
     "q119_hash_split",
     "q120_stream_static_join",
     "q121_gap_fill",
+    # round-6 addition: tokenizer-aware packing (BPE merge chain)
+    "q122_bpe_token_packing",
 ]
 
 

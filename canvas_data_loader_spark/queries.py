@@ -24,6 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.bpe import count_expr_duckdb, count_expr_spark
 from .functions.text import fingerprint, normalize_text, tokens
 from .functions.vector import cosine, norm
 from .operators import dedup as D
@@ -4609,5 +4610,84 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("v", ignorenulls=True).over(w).cast("double").alias(
                 "filled_value"
             ),
+        )
+    )
+
+
+# The DuckDB mirror of the BPE merge-chain token count (generated from
+# the same MERGES table the Spark expression uses — see functions/bpe.py).
+_BPE_COUNT_QC = count_expr_duckdb("text")
+
+
+@query(
+    "q122_bpe_token_packing",
+    f"""
+    -- Word-proxy vs BPE-merged token counts and the packing bins each
+    -- implies (budget 256, contiguous doc_id-order packing per q114's
+    -- recipe). The BPE count comes from functions/bpe.py's generated
+    -- REPLACE-chain encoder, so this SQL runs the IDENTICAL merge
+    -- table the Spark expression runs — bit-exact by construction.
+    WITH t AS (
+        SELECT doc_id, lang,
+               LEN(STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ')) AS n_ws,
+               {_BPE_COUNT_QC} AS n_bpe
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang, n_ws, n_bpe,
+               COALESCE(SUM(n_ws) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS ws_before,
+               COALESCE(SUM(n_bpe) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS bpe_before
+        FROM t
+    )
+    SELECT doc_id, lang,
+           CAST(n_ws AS BIGINT) AS n_ws,
+           CAST(n_bpe AS BIGINT) AS n_bpe,
+           CAST(ws_before // 256 AS BIGINT) AS bin_ws,
+           CAST(bpe_before // 256 AS BIGINT) AS bin_bpe
+    FROM c
+    """,
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware sequence packing (VERDICT r5 item 4): q114's
+    contiguous 256-budget packing computed twice — once with the
+    whitespace word proxy, once with the in-repo deterministic BPE
+    merge-table count (functions/bpe.py) — exposing how far the word
+    proxy drifts from a subword tokenizer's bins (BPE counts run ~2x
+    the word proxy on this corpus: multi-symbol words survive as
+    several subwords). The BPE path is a pure JVM expression chain
+    (regexp pre-tokenize + 40 REPLACE merge ranks inside transform();
+    no Python workers), generated from the same merge table the
+    DuckDB oracle embeds, so the approximate tokenizer itself is
+    oracle-checked bit-exactly. The Arrow-batched pandas-UDF lane a
+    REAL trained tokenizer (tiktoken public vocab) would use at scale
+    is bpe.bpe_token_count_udf, pinned equal to this expression in
+    pytest; both windows share one (lang) shuffle."""
+    d = load(spark, sf_dir, "documents")
+    n_ws = F.size(tokens(F.col("text")))
+    n_bpe = F.expr(count_expr_spark("text"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            n_ws.cast("bigint").alias("n_ws"),
+            n_bpe.cast("bigint").alias("n_bpe"),
+        )
+        .withColumn("__wsb", F.coalesce(F.sum("n_ws").over(w), F.lit(0)))
+        .withColumn("__bpb", F.coalesce(F.sum("n_bpe").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "lang",
+            "n_ws",
+            "n_bpe",
+            F.floor(F.col("__wsb") / 256).alias("bin_ws"),
+            F.floor(F.col("__bpb") / 256).alias("bin_bpe"),
         )
     )

@@ -796,6 +796,59 @@ class TestEventsStreamProbe:
         rows = tumbling_counts(read_events_stream(spark, str(d))).collect()
         assert sum(r.n for r in rows) == 2
 
+class TestBpeTokens:
+    def test_known_merges(self):
+        from canvas_data_loader_spark.functions.bpe import bpe_token_count_py
+
+        # "the" -> t h e -> th e -> the : one token
+        assert bpe_token_count_py("the") == 1
+        # digits and punct runs count 1 each
+        assert bpe_token_count_py("abc 123 !!") == bpe_token_count_py("abc") + 2
+        assert bpe_token_count_py("") == 0
+        assert bpe_token_count_py(None) == 0
+        # subword survival: an unmergeable consonant string stays
+        # one-symbol-per-char
+        assert bpe_token_count_py("zzzz") == 4
+
+    def test_udf_matches_expression_path(self, spark):
+        # the Arrow-batched pandas-UDF lane (where a real trained
+        # tokenizer would plug in) must agree with the JVM expression
+        # chain the registered q122 runs
+        import pyspark.sql.functions as F
+
+        from canvas_data_loader_spark.functions.bpe import (
+            bpe_token_count_udf,
+            count_expr_spark,
+        )
+        from canvas_data_loader_spark.queries import load
+
+        d = load(spark, "/root/testdata/sf0.01", "documents")
+        udf = bpe_token_count_udf()
+        both = d.select(
+            "doc_id",
+            F.expr(count_expr_spark("text")).alias("expr_n"),
+            udf(F.col("text")).alias("udf_n"),
+        )
+        diff = both.filter(F.col("expr_n") != F.col("udf_n")).count()
+        assert diff == 0
+
+    def test_bpe_counts_exceed_word_proxy(self, spark):
+        # BPE merge tables this small leave multi-subword residue, so
+        # token counts must be >= the whitespace word proxy for every
+        # document — the drift q122 exposes
+        import pyspark.sql.functions as F
+
+        from canvas_data_loader_spark.functions.bpe import count_expr_spark
+        from canvas_data_loader_spark.functions.text import tokens
+        from canvas_data_loader_spark.queries import load
+
+        d = load(spark, "/root/testdata/sf0.001", "documents")
+        bad = d.filter(
+            F.expr(count_expr_spark("text")) < F.size(tokens(F.col("text")))
+        ).count()
+        assert bad == 0
+
+
 class TestKmeansRefine:
     def test_refined_centroids_match_sql_mirror(self, spark):
         # the unrolled DuckDB Lloyd iterations (_kmeans_ctes) must
