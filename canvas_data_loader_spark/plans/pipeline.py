@@ -44,7 +44,13 @@ from ..schema import (
 )
 from ..sources.api_client import CanvasDataApiClient, DumpInList
 from ..sources.tsv import read_tsv_shards
-from ..operators.merge import dedup_latest, merge_upsert, merge_upsert_large_batch
+from ..operators.merge import (
+    BUCKET_COL,
+    bucket_of,
+    dedup_latest,
+    merge_upsert,
+    merge_upsert_large_batch,
+)
 
 
 @dataclass
@@ -67,6 +73,14 @@ class PipelineConfig:
     # (unbounded) must never be forced driver-side. 0 disables the
     # broadcast hint entirely.
     broadcast_merge_max_bytes: int = 32 << 20
+    # Tables stored bucket-partitioned in the warehouse (table ->
+    # bucket count). A bucketed table's incremental merges read and
+    # rewrite ONLY the buckets the batch's keys hash to — the 100 TB
+    # default: a daily dump touching b of N buckets scans and writes
+    # b/N of the table instead of all of it. Untouched bucket files
+    # are never rewritten (byte-identical across merges, pinned in
+    # tests/test_pipeline.py::TestBucketedPipeline).
+    bucketed_tables: dict[str, int] = field(default_factory=dict)
 
 
 class Warehouse:
@@ -143,14 +157,81 @@ class Warehouse:
             return None
         return os.path.join(self.root, table, commits[-1][1]["snapshot"])
 
+    def current_manifest(self, table: str) -> dict | None:
+        commits = self._commits(table)
+        return commits[-1][1] if commits else None
+
     def exists(self, table: str) -> bool:
         return self.current_path(table) is not None
 
+    def is_bucketed(self, table: str) -> bool:
+        m = self.current_manifest(table)
+        return bool(m and m.get("buckets"))
+
+    def _read_manifest(self, table: str, manifest: dict) -> DataFrame:
+        """Assemble a table from a manifest. Bucketed manifests map each
+        bucket id to the snapshot whose write last touched it (the
+        Delta/Iceberg file-reuse shape: a merge publishes a manifest
+        referencing new directories for affected buckets and the OLD
+        directories for everything else). One read per referenced
+        snapshot (<= retain), each listing only its buckets."""
+        buckets = manifest.get("buckets")
+        if not buckets:
+            return self.spark.read.parquet(
+                os.path.join(self.root, table, manifest["snapshot"])
+            )
+        by_snap: dict[str, list[int]] = {}
+        for b, snap in buckets.items():
+            by_snap.setdefault(snap, []).append(int(b))
+        parts = []
+        for snap in sorted(by_snap):
+            base = os.path.join(self.root, table, snap)
+            # empty buckets have no directory (partitionBy writes only
+            # non-empty partitions) — they contribute no rows
+            leaves = [
+                d
+                for k in sorted(by_snap[snap])
+                if os.path.isdir(d := os.path.join(base, f"{BUCKET_COL}={k}"))
+            ]
+            if leaves:
+                parts.append(
+                    self.spark.read.option("basePath", base).parquet(*leaves)
+                )
+        if not parts:
+            raise FileNotFoundError(
+                f"bucketed table {table!r} has no data directories"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read(self, table: str) -> DataFrame:
-        path = self.current_path(table)
-        if path is None:
+        m = self.current_manifest(table)
+        if m is None:
             raise FileNotFoundError(f"table not in warehouse: {table}")
-        return self.spark.read.parquet(path)
+        df = self._read_manifest(table, m)
+        if m.get("buckets"):
+            df = df.drop(BUCKET_COL)
+        return df
+
+    def read_buckets(self, table: str, bucket_ids: list[int]) -> DataFrame:
+        """Partition-pruned read of a bucketed table: lists ONLY the
+        requested buckets' directories — a batch touching b of N
+        buckets scans b/N of the table."""
+        m = self.current_manifest(table)
+        if m is None or not m.get("buckets"):
+            raise FileNotFoundError(f"table not bucketed: {table}")
+        wanted = {str(b) for b in bucket_ids}
+        sub = {**m, "buckets": {b: s for b, s in m["buckets"].items() if b in wanted}}
+        if not sub["buckets"]:
+            # no rows can exist in absent buckets: empty frame, table schema
+            return self._read_manifest(table, m).limit(0)
+        try:
+            return self._read_manifest(table, sub)
+        except FileNotFoundError:
+            # every requested bucket is empty (no directory written)
+            return self._read_manifest(table, m).limit(0)
 
     def versions(self, table: str) -> list[str]:
         """Retained snapshot names, oldest first, newest = current."""
@@ -165,7 +246,26 @@ class Warehouse:
         ]
 
     def read_at(self, table: str, snapshot: str) -> DataFrame:
-        """Time travel: read a retained (non-current) snapshot."""
+        """Time travel: read the table AS OF a retained snapshot. For
+        bucketed tables this replays the manifest published by that
+        snapshot's commit (bucket map included), not just the snapshot
+        directory — a bucketed snapshot dir holds only the buckets its
+        batch touched."""
+        for _, m in reversed(self._commits(table)):
+            if m["snapshot"] == snapshot:
+                if m.get("buckets"):
+                    missing = [
+                        s
+                        for s in set(m["buckets"].values())
+                        if not os.path.isdir(os.path.join(self.root, table, s))
+                    ]
+                    if missing:
+                        raise FileNotFoundError(
+                            f"snapshot {snapshot!r} of {table!r} not fully "
+                            f"retained (pruned: {missing})"
+                        )
+                    return self._read_manifest(table, m).drop(BUCKET_COL)
+                break
         path = os.path.join(self.root, table, snapshot)
         if not os.path.isdir(path):
             raise FileNotFoundError(
@@ -174,18 +274,114 @@ class Warehouse:
             )
         return self.spark.read.parquet(path)
 
-    def write(self, table: str, df: DataFrame, snapshot: str) -> None:
+    def write(
+        self,
+        table: str,
+        df: DataFrame,
+        snapshot: str,
+        bucket: tuple[str, int] | None = None,
+    ) -> None:
         """Write a new immutable snapshot, publish its manifest, prune
         snapshots beyond the retention window. Readers follow the
         commit log, so a crash between the parquet write and the
         publish leaves the table exactly as before (the orphan snapshot
-        is invisible and re-written on retry)."""
+        is invisible and re-written on retry).
+
+        With ``bucket=(key, n)`` the snapshot is written Hive-
+        partitioned by ``pmod(xxhash64(key), n)`` and the manifest maps
+        every bucket id to this snapshot — the layout merge_bucketed
+        then prunes and partially rewrites."""
         out = os.path.join(self.root, table, snapshot)
-        df.write.mode("overwrite").parquet(out)
-        self._publish(table, {"snapshot": snapshot})
+        if bucket is None:
+            df.write.mode("overwrite").parquet(out)
+            self._publish(table, {"snapshot": snapshot})
+        else:
+            key, n = bucket
+            df.withColumn(BUCKET_COL, bucket_of(F.col(key), n)).write.mode(
+                "overwrite"
+            ).partitionBy(BUCKET_COL).parquet(out)
+            self._publish(
+                table,
+                {
+                    "snapshot": snapshot,
+                    "bucket_key": key,
+                    "n_buckets": n,
+                    "buckets": {str(k): snapshot for k in range(n)},
+                },
+            )
+        self._prune(table)
+
+    def merge_bucketed(
+        self,
+        table: str,
+        new: DataFrame,
+        snapshot: str,
+        broadcast_keys: bool = True,
+        observation: Observation | None = None,
+    ) -> list[int]:
+        """Partition-pruned keyed upsert into a bucketed table — the
+        pipeline's at-scale default (the managed-table MERGE analog of
+        operators.merge.merge_upsert_bucketed, upgraded to the commit
+        log: instead of dynamic partition overwrite in place, affected
+        buckets are written under a NEW snapshot directory and the
+        published manifest points affected buckets there while
+        untouched buckets keep referencing their existing directories
+        — which are therefore byte-identical across merges, and the
+        whole merge stays crash-safe: nothing is overwritten, readers
+        see the old manifest until the publish).
+
+        Returns the affected bucket ids."""
+        m = self.current_manifest(table)
+        if m is None or not m.get("buckets"):
+            raise FileNotFoundError(f"table not bucketed: {table}")
+        key, n = m["bucket_key"], int(m["n_buckets"])
+        new_b = new.withColumn(BUCKET_COL, bucket_of(F.col(key), n))
+        affected = sorted(
+            int(r[BUCKET_COL])
+            for r in new_b.select(BUCKET_COL).distinct().collect()
+        )
+        old = self.read_buckets(table, affected)
+        keys = new_b.select(key).distinct()
+        if broadcast_keys:
+            keys = F.broadcast(keys)
+        merged = old.join(keys, on=key, how="left_anti").unionByName(
+            new_b.select(old.columns)
+        )
+        if observation is not None:
+            merged = merged.observe(
+                observation, F.count(F.lit(1)).alias("rows")
+            )
+        out = os.path.join(self.root, table, snapshot)
+        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out)
+        self._publish(
+            table,
+            {
+                "snapshot": snapshot,
+                "bucket_key": key,
+                "n_buckets": n,
+                "buckets": {
+                    **m["buckets"],
+                    **{str(k): snapshot for k in affected},
+                },
+            },
+        )
+        self._prune(table)
+        return affected
+
+    def _prune(self, table: str) -> None:
+        """Remove snapshots beyond the retention window — but NEVER a
+        directory the current manifest still references (a bucketed
+        manifest can reference arbitrarily old snapshots for buckets
+        no recent batch touched)."""
+        m = self.current_manifest(table) or {}
+        referenced = {m.get("snapshot")} | set((m.get("buckets") or {}).values())
         names = self.versions(table)
-        for n in names[: -self.retain]:
-            shutil.rmtree(os.path.join(self.root, table, n), ignore_errors=True)
+        for nme in names[: -self.retain]:
+            if nme in referenced:
+                continue
+            shutil.rmtree(
+                os.path.join(self.root, table, nme), ignore_errors=True
+            )
 
     def compact(self, table: str, target_bytes: int = 128 * 1024 * 1024) -> int:
         """Compact the current snapshot's small files into ~target-size
@@ -199,6 +395,25 @@ class Warehouse:
         path = self.current_path(table)
         if path is None:
             raise FileNotFoundError(f"table not in warehouse: {table}")
+        m = self.current_manifest(table)
+        if m and m.get("buckets"):
+            # bucketed: rewrite one full bucketed snapshot — one file
+            # per bucket (each bucket's fragments come from its merge
+            # history) — and repoint every bucket at it
+            df = self.read(table)
+            self.write(
+                table,
+                df.repartition(int(m["n_buckets"])),
+                snapshot="compact-bucketed",
+                bucket=(m["bucket_key"], int(m["n_buckets"])),
+            )
+            new_path = self.current_path(table)
+            return sum(
+                1
+                for dp, _, fs in os.walk(new_path)
+                for f in fs
+                if f.endswith(".parquet")
+            )
         total = sum(
             os.path.getsize(os.path.join(dp, f))
             for dp, _, fs in os.walk(path)
@@ -370,24 +585,52 @@ class ImportPipeline:
                     key,
                     seq,
                 ).drop(seq)
-            if volatile or not self.warehouse.exists(table_name):
-                # Overwrite == the reference's drop-then-rebuild pass
-                # (importer.rs:206-228 + per-row INSERTs 331-344), minus the
-                # window where the table doesn't exist: snapshot swap.
-                out = df
-            else:
-                old = self.warehouse.read(table_name)
-                out = self._merge(old, df, key, _staged_bytes(paths))
+            n_buckets = self.config.bucketed_tables.get(table_name)
+            # bucket layout applies to every write of a configured
+            # table (including volatile/forced full reloads — a reload
+            # must not silently de-bucket the table); the pruned MERGE
+            # path additionally requires an existing bucketed current
+            # snapshot and non-volatile semantics
+            bucketed = n_buckets is not None and key is not None
             # Row count via observed metrics on the write job itself —
             # a post-write warehouse.read().count() would re-scan every
             # table once per dump purely for this dict, doubling read
             # I/O at scale.
             obs = Observation()
-            self.warehouse.write(
-                table_name,
-                out.observe(obs, F.count(F.lit(1)).alias("rows")),
-                snapshot=dump.dump_id,
-            )
+            if (
+                bucketed
+                and not volatile
+                and self.warehouse.exists(table_name)
+                and self.warehouse.is_bucketed(table_name)
+            ):
+                # The at-scale default: partition-pruned merge that
+                # reads and rewrites ONLY affected buckets. Small
+                # batches broadcast their key set (same cutover rule
+                # as _merge); big ones let AQE pick the join.
+                self.warehouse.merge_bucketed(
+                    table_name,
+                    df,
+                    snapshot=dump.dump_id,
+                    broadcast_keys=0
+                    < _staged_bytes(paths)
+                    <= self.config.broadcast_merge_max_bytes,
+                    observation=obs,
+                )
+            else:
+                if volatile or not self.warehouse.exists(table_name):
+                    # Overwrite == the reference's drop-then-rebuild pass
+                    # (importer.rs:206-228 + per-row INSERTs 331-344), minus
+                    # the window where the table doesn't exist: snapshot swap.
+                    out = df
+                else:
+                    old = self.warehouse.read(table_name)
+                    out = self._merge(old, df, key, _staged_bytes(paths))
+                self.warehouse.write(
+                    table_name,
+                    out.observe(obs, F.count(F.lit(1)).alias("rows")),
+                    snapshot=dump.dump_id,
+                    bucket=(key, n_buckets) if bucketed else None,
+                )
             result.tables[table_name] = obs.get["rows"]
         return result
 

@@ -536,3 +536,173 @@ class TestCompaction:
         assert sorted(r.id for r in wh.read("t").collect()) == list(range(1000))
         # pre-compaction snapshot still reachable (time travel)
         assert "s1" in wh.versions("t")
+
+
+class TestBucketedPipeline:
+    """VERDICT r5 item 5: the bucketed, partition-pruned MERGE is the
+    pipeline default for configured tables — reads and rewrites only
+    affected buckets, untouched bucket FILES are byte-identical across
+    merges (never rewritten), all under the crash-safe commit log."""
+
+    def _md5s(self, root):
+        import hashlib
+        import os
+
+        out = {}
+        for dp, _, fs in os.walk(root):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dp, f)
+                    out[p] = hashlib.md5(open(p, "rb").read()).hexdigest()
+        return out
+
+    def test_incremental_merge_prunes_and_reuses_buckets(self, spark, env):
+        import os
+
+        d1_rows = [[i, f"v{i}", "active"] for i in range(1, 13)]
+        payloads1 = {"u://d1/account_dim-00000-aaa.gz": gzip_tsv(d1_rows)}
+        client, config = env(
+            [make_dump_json("d1", 1, "2024-01-01T00:00:00Z")],
+            {"d1": files_json("d1", {"account_dim": ["account_dim-00000-aaa.gz"]})},
+            payloads1,
+            bucketed_tables={"account_dim": 8},
+        )
+        p = ImportPipeline(spark, client, config)
+        p.run()
+        wh = p.warehouse
+        assert wh.is_bucketed("account_dim")
+        m1 = wh.current_manifest("account_dim")
+        assert set(m1["buckets"].values()) == {"d1"}
+        before = self._md5s(os.path.join(wh.root, "account_dim", "d1"))
+
+        # second dump updates key 1 and inserts key 99
+        payloads2 = dict(payloads1)
+        payloads2["u://d2/account_dim-00000-bbb.gz"] = gzip_tsv(
+            [[1, "NEW", "deleted"], [99, "add", "active"]]
+        )
+        client2, config2 = env(
+            [
+                make_dump_json("d1", 1, "2024-01-01T00:00:00Z"),
+                make_dump_json("d2", 2, "2024-01-02T00:00:00Z"),
+            ],
+            {
+                "d1": files_json("d1", {"account_dim": ["account_dim-00000-aaa.gz"]}),
+                "d2": files_json("d2", {"account_dim": ["account_dim-00000-bbb.gz"]}),
+            },
+            payloads2,
+            bucketed_tables={"account_dim": 8},
+        )
+        p2 = ImportPipeline(spark, client2, config2)
+        p2.run()  # ledger skips d1; only d2 merges
+
+        # merged content is the plain-upsert expectation
+        expect = [(1, "NEW", "deleted")] + [
+            (i, f"v{i}", "active") for i in range(2, 13)
+        ] + [(99, "add", "active")]
+        assert wh_rows(p2, "account_dim") == sorted(expect)
+
+        # the manifest reuses d1 directories for untouched buckets and
+        # points only affected buckets at d2
+        m2 = p2.warehouse.current_manifest("account_dim")
+        snaps = set(m2["buckets"].values())
+        assert snaps == {"d1", "d2"}
+        affected = sorted(
+            int(b) for b, s in m2["buckets"].items() if s == "d2"
+        )
+        untouched = [int(b) for b, s in m2["buckets"].items() if s == "d1"]
+        assert 1 <= len(affected) <= 2  # keys 1 and 99 -> at most 2 buckets
+        assert untouched, "expected untouched buckets"
+
+        # untouched bucket FILES in d1 are byte-identical (never rewritten)
+        after = self._md5s(os.path.join(p2.warehouse.root, "account_dim", "d1"))
+        for path, h in before.items():
+            if any(f"__kb={b}/" in path or path.find(f"__kb={b}{os.sep}") >= 0 for b in affected):
+                continue  # affected bucket data in d1 is now shadowed
+            assert after.get(path) == h, f"rewritten: {path}"
+
+        # partition-pruned read: listing only the affected buckets'
+        # directories, never the untouched ones
+        files = p2.warehouse.read_buckets("account_dim", affected).inputFiles()
+        assert files, "pruned read should see the merged bucket files"
+        for f in files:
+            assert any(f"__kb={b}" in f for b in affected), f
+            assert "/d2/" in f, f"pruned read escaped the d2 snapshot: {f}"
+
+    def test_volatile_reload_keeps_bucket_layout(self, spark, env):
+        # quiz_fact is in the reference's volatile list: every dump
+        # overwrites it. A configured table must stay bucketed across
+        # such reloads (layout survives full refresh).
+        payloads = {
+            "u://d1/quiz_fact-00000-aaa.gz": gzip_tsv([[1, 10], [2, 20]]),
+            "u://d2/quiz_fact-00000-bbb.gz": gzip_tsv([[3, 30]]),
+        }
+        client, config = env(
+            [
+                make_dump_json("d1", 1, "2024-01-01T00:00:00Z"),
+                make_dump_json("d2", 2, "2024-01-02T00:00:00Z"),
+            ],
+            {
+                "d1": files_json("d1", {"quiz_fact": ["quiz_fact-00000-aaa.gz"]}),
+                "d2": files_json("d2", {"quiz_fact": ["quiz_fact-00000-bbb.gz"]}),
+            },
+            payloads,
+            bucketed_tables={"quiz_fact": 4},
+        )
+        p = ImportPipeline(spark, client, config)
+        p.run()
+        assert p.warehouse.is_bucketed("quiz_fact")
+        assert wh_rows(p, "quiz_fact") == [(3, 30)]  # volatile: last dump only
+
+    def test_retention_never_prunes_referenced_snapshots(self, spark, tmp_path):
+        # Five merges all touching the same key leave the other buckets
+        # referencing the ORIGINAL snapshot; retention (3) must keep it
+        # alive while pruning superseded intermediate snapshots.
+        import os
+
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "whb"), retain=3)
+        base = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1, 13)], "id long, v string"
+        )
+        wh.write("t", base, snapshot="s0", bucket=("id", 8))
+        for i in range(1, 6):
+            batch = spark.createDataFrame([(1, f"u{i}")], "id long, v string")
+            wh.merge_bucketed("t", batch, snapshot=f"s{i}")
+        m = wh.current_manifest("t")
+        assert "s0" in set(m["buckets"].values())  # untouched buckets still on s0
+        assert os.path.isdir(os.path.join(wh.root, "t", "s0"))
+        # superseded intermediates got pruned (s1/s2 are unreferenced
+        # and beyond the retention window)
+        assert not os.path.isdir(os.path.join(wh.root, "t", "s1"))
+        rows = sorted(tuple(r) for r in wh.read("t").collect())
+        assert rows == sorted([(1, "u5")] + [(i, f"v{i}") for i in range(2, 13)])
+
+    def test_crash_before_publish_leaves_table_intact(self, spark, tmp_path):
+        # merge_bucketed inherits the commit-log contract: parquet for
+        # the new snapshot written but manifest unpublished (crash
+        # between the steps) leaves readers on the old state.
+        import os
+
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "whc"))
+        base = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1, 9)], "id long, v string"
+        )
+        wh.write("t", base, snapshot="s0", bucket=("id", 4))
+        before = sorted(tuple(r) for r in wh.read("t").collect())
+        # simulate the crash: write the data directory exactly as
+        # merge_bucketed would, but never publish a manifest
+        from canvas_data_loader_spark.operators.merge import BUCKET_COL, bucket_of
+        import pyspark.sql.functions as F
+
+        batch = spark.createDataFrame([(1, "CRASH")], "id long, v string")
+        batch.withColumn(BUCKET_COL, bucket_of(F.col("id"), 4)).write.mode(
+            "overwrite"
+        ).partitionBy(BUCKET_COL).parquet(os.path.join(wh.root, "t", "s1"))
+        assert sorted(tuple(r) for r in wh.read("t").collect()) == before
+        # retry completes the merge and the update becomes visible
+        wh.merge_bucketed("t", batch, snapshot="s1")
+        rows = dict((r[0], r[1]) for r in wh.read("t").collect())
+        assert rows[1] == "CRASH" and len(rows) == 8
