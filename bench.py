@@ -107,7 +107,9 @@ HEADLINE = [
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeat", type=int, default=3)
-    args = ap.parse_args()
+    # tolerate unknown extra args from harness invocations (strict
+    # parse_args would SystemExit on them)
+    args, _unknown = ap.parse_known_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark("bench")

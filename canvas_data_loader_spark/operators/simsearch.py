@@ -266,12 +266,13 @@ def assign_cells_vectorized(
     cmat = np.array([r["cvec"] for r in cents], dtype=np.float64)
     cn = np.linalg.norm(cmat, axis=1)
     cn[cn == 0] = np.inf
+    # closure capture, not SparkContext.broadcast: the centroid matrix
+    # is n_cells x dim doubles (KBs); per-plan-build broadcasts
+    # accumulate un-unpersistable blocks across a long session
     cunit_t = np.ascontiguousarray((cmat / cn[:, None]).T)
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast((cells, cunit_t))
 
     def gen(batches):
-        b_cells, b_ct = bc.value
+        b_cells, b_ct = cells, cunit_t
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -693,17 +694,19 @@ def band_signatures_vectorized(
     planes = []
     for band in range(n_bands):
         planes.extend(hyperplanes(dim, band_bits, seed + 1000 * band))
-    spark = src.sparkSession
-    bc = spark.sparkContext.broadcast(
-        np.ascontiguousarray(np.array(planes, dtype=np.float64).T)
-    )
+    # plane matrix rides the task closure, NOT a SparkContext broadcast:
+    # it is ~(n_bands*band_bits*dim*8) bytes (tens of KB), and a
+    # broadcast created at every plan build accumulates driver/executor
+    # blocks for the session lifetime (bench --repeat, long sessions)
+    # with no safe place to unpersist a lazily-consumed broadcast
+    plane_mat = np.ascontiguousarray(np.array(planes, dtype=np.float64).T)
     weights_shape = (n_bands, band_bits)
 
     def gen(batches):
         import numpy as _np
         import pandas as _pd
 
-        P = bc.value  # dim x (n_bands*band_bits)
+        P = plane_mat  # dim x (n_bands*band_bits)
         w = (_np.ones(weights_shape, dtype=_np.int64) << _np.arange(band_bits))
         for pdf in batches:
             if len(pdf) == 0:

@@ -68,9 +68,15 @@ _LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     _pin_utc(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, table)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, table)
     df = _LOAD_CACHE.get(key)
     if df is None:
+        # only one session is live at a time: entries keyed by any
+        # other applicationId belong to a stopped session — drop them
+        # so its JVM-backed plans aren't pinned for the process lifetime
+        for k in [k for k in _LOAD_CACHE if k[0] != app]:
+            del _LOAD_CACHE[k]
         if table == "events":
             df = load_events(spark, sf_dir)
         else:
@@ -4381,20 +4387,40 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
     inference on JSONL demotes absent-in-sample fields and is banned
     on the 100 TB path for the same reason.
 
-    The staging directory is a FIXED path keyed by the input dir (not
-    mkdtemp-per-call): every write below is mode=overwrite, so bench
-    warmup + repeats + correctness sweeps reuse two table copies of
-    disk instead of accumulating one pair per invocation. A fresh
-    mkdtemp would also break nothing — but it leaked unboundedly
-    across a long session. The returned DataFrame lazily re-reads the
-    ORC path, so the path must outlive this call: a session-temp dir
-    does, an auto-removed one would not."""
+    The staging directory is a FIXED path keyed by (input dir, THIS
+    process) — not mkdtemp-per-call: every write below is
+    mode=overwrite, so bench warmup + repeats + correctness sweeps
+    reuse two table copies of disk instead of accumulating one pair
+    per invocation, while the pid component keeps two concurrent
+    processes on the same input from racing overwrite writes into one
+    directory (the lazily re-read ORC result could otherwise reflect
+    the other process's in-flight write). The returned DataFrame
+    lazily re-reads the ORC path, so the path must outlive this call:
+    a session-temp dir does, an auto-removed one would not; stale
+    per-pid dirs from finished processes are cleaned opportunistically."""
     import hashlib
     import tempfile
 
     d = load(spark, sf_dir, "documents")
     key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), f"q117_roundtrip_{key}")
+    base = os.path.join(
+        tempfile.gettempdir(), f"q117_roundtrip_{key}_{os.getpid()}"
+    )
+    # opportunistic cleanup of dirs left by other (dead) processes
+    import glob as _glob
+    import shutil as _shutil
+
+    for other in _glob.glob(
+        os.path.join(tempfile.gettempdir(), f"q117_roundtrip_{key}_*")
+    ):
+        pid = other.rsplit("_", 1)[-1]
+        if pid != str(os.getpid()) and pid.isdigit():
+            try:
+                os.kill(int(pid), 0)  # raises if the process is gone
+            except ProcessLookupError:
+                _shutil.rmtree(other, ignore_errors=True)
+            except PermissionError:
+                pass  # alive under another uid: leave it
     jsonl_path, orc_path = f"{base}/docs_jsonl", f"{base}/docs_orc"
     d.write.mode("overwrite").json(jsonl_path)
     back_json = spark.read.schema(d.schema).json(jsonl_path)

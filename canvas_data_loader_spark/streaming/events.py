@@ -65,7 +65,13 @@ def _probe_ts_is_long(spark: SparkSession, path: str) -> bool:
         files = (
             [path]
             if _os.path.isfile(path)
-            else sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+            # recursive: partition-subdirectory layouts
+            # (e.g. date=.../part-*.parquet) must reach the footers too
+            else sorted(
+                _glob.glob(
+                    _os.path.join(path, "**", "*.parquet"), recursive=True
+                )
+            )
         )
         kinds = {str(_pq.read_schema(f).field("ts").type) for f in files}
         if not kinds:
@@ -77,7 +83,12 @@ def _probe_ts_is_long(spark: SparkSession, path: str) -> bool:
                 "— normalize the directory first"
             )
         return kinds.pop().startswith("timestamp[ns")
-    except (ImportError, OSError):
+    except (ImportError, OSError, ValueError) as e:
+        if isinstance(e, ValueError) and "mix ts representations" in str(e):
+            raise  # the loud mixed-directory failure is the contract
+        # anything pyarrow couldn't reach or decode (missing lib,
+        # remote path, ArrowInvalid subclasses OSError but keep the
+        # net wide): the batch-read probe remains the safety net
         return dict(spark.read.parquet(path).dtypes)["ts"] == "bigint"
 
 

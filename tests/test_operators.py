@@ -796,6 +796,25 @@ class TestEventsStreamProbe:
         rows = tumbling_counts(read_events_stream(spark, str(d))).collect()
         assert sum(r.n for r in rows) == 2
 
+class TestDeclaredSchemas:
+    def test_rows_only_queries_keep_typed_schema(self, spark):
+        # q45 (watermark) and q40 (multimodal) get the weaker
+        # rows-only driver check in some rounds; pin their schemas to
+        # a typed expectation so the one unchecked dimension is
+        # covered here (VERDICT r5 item 8)
+        from canvas_data_loader_spark import queries as Q
+
+        expected = {
+            "q45_stream_watermark": "struct<win_start:string,n:bigint>",
+            "q40_multimodal_features": (
+                "struct<media_id:bigint,n_bytes:bigint,first_byte:bigint>"
+            ),
+        }
+        for name, want in expected.items():
+            got = Q.SPARK[name](spark, "/root/testdata/sf0.001").schema
+            assert got.simpleString() == want, (name, got.simpleString())
+
+
 class TestBpeTokens:
     def test_known_merges(self):
         from canvas_data_loader_spark.functions.bpe import bpe_token_count_py

@@ -383,14 +383,20 @@ def main_semdedup():
             fn().write.format("noop").mode("overwrite").save()
             return round(time.time() - t, 3)
 
-        report = {}
-        for name, (bc, sc) in {
+        variants = {
             "semdedup_fixed_cells": (16, 16),
             # None = the operator's own derived sqrt-cells DEFAULT
             # (max(16, ceil(sqrt(n)))) — probing exactly what a
             # no-args caller gets, not a hand-tuned variant.
             "semdedup_default_sqrt_cells": (None, None),
-        }.items():
+        }
+        if "--default-only" in sys.argv:
+            # at factor >= 50 the fixed-cell variant alone runs for
+            # minutes (it is the known-quadratic shape); allow probing
+            # just the enforced default
+            variants.pop("semdedup_fixed_cells")
+        report = {}
+        for name, (bc, sc) in variants.items():
             b, s = time_dir(base_dir, bc), time_dir(dest, sc)
             report[name] = {
                 "sec_base": b,
