@@ -99,8 +99,10 @@ HEADLINE = [
     "q119_hash_split",
     "q120_stream_static_join",
     "q121_gap_fill",
-    # round-6 addition: tokenizer-aware packing (BPE merge chain)
+    # round-6 additions: tokenizer-aware packing + chunk manifest
+    # (BPE merge chain)
     "q122_bpe_token_packing",
+    "q123_bpe_chunk_manifest",
 ]
 
 

@@ -4717,3 +4717,54 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("__bpb") / 256).alias("bin_bpe"),
         )
     )
+
+
+@query(
+    "q123_bpe_chunk_manifest",
+    f"""
+    -- Chunk MANIFEST in BPE-token space (window 64, stride 48 — the
+    -- q111 geometry, but over subword counts): the (doc, start, len)
+    -- ranges a downstream tokenizer worker slices the encoded stream
+    -- by. Pure integer arithmetic over the oracle-checked BPE count,
+    -- so the manifest itself is bit-exact across engines.
+    WITH t AS (
+        SELECT doc_id, CAST({_BPE_COUNT_QC} AS BIGINT) AS n_bpe
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 48 AS INT) AS chunk_idx,
+           CAST(s AS BIGINT) AS tok_start,
+           CAST(LEAST(CAST(s + 63 AS BIGINT), n_bpe) - s + 1 AS INT) AS n_tokens
+    FROM t, UNNEST(RANGE(1, n_bpe + 1, 48)) AS r(s)
+    WHERE n_bpe > 0
+    """,
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware chunk manifest (q111's counterpart in subword
+    space, completing VERDICT r5 item 4): overlapping 64-token windows
+    at stride 48 over the deterministic BPE token count
+    (functions/bpe.py), emitted as (doc, chunk, tok_start, n_tokens)
+    ranges — the manifest a tokenize-then-slice worker consumes, so
+    chunk geometry is fixed BEFORE the (expensive, Arrow-batched)
+    encoding pass touches any text. Chunk starts come from a per-row
+    sequence + explode: no join, no shuffle, corpus-linear."""
+    d = load(spark, sf_dir, "documents")
+    n_bpe = F.expr(count_expr_spark("text"))
+    starts = F.sequence(
+        F.lit(1).cast("bigint"),
+        F.greatest(F.col("__n"), F.lit(1).cast("bigint")),
+        F.lit(48).cast("bigint"),
+    )
+    return (
+        d.select("doc_id", n_bpe.alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select("doc_id", "__n", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.floor((F.col("s") - 1) / 48).cast("int").alias("chunk_idx"),
+            F.col("s").cast("bigint").alias("tok_start"),
+            (
+                F.least(F.col("s") + 63, F.col("__n")) - F.col("s") + 1
+            ).cast("int").alias("n_tokens"),
+        )
+    )
