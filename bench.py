@@ -100,9 +100,12 @@ HEADLINE = [
     "q120_stream_static_join",
     "q121_gap_fill",
     # round-6 additions: tokenizer-aware packing + chunk manifest
-    # (BPE merge chain)
+    # (BPE merge chain), hybrid RRF retrieval fusion, model-scored
+    # quality filtering
     "q122_bpe_token_packing",
     "q123_bpe_chunk_manifest",
+    "q124_hybrid_rrf_fusion",
+    "q125_quality_model_score",
 ]
 
 

@@ -4768,3 +4768,203 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "q124_hybrid_rrf_fusion",
+    f"""
+    -- Hybrid retrieval: fuse the sparse (BM25, q97's scorer) and the
+    -- dense (exact cosine vs the vec_id=0 query vector) rankings via
+    -- reciprocal-rank fusion, k=60 (Cormack et al. 2009). Both input
+    -- rankings are deterministic (BM25 ranked on its 6dp-rounded
+    -- score, cosine bit-exact across engines, all ties -> smaller
+    -- id), so the fused list is oracle-checkable. FULL OUTER fuse:
+    -- sf0.1 has docs with no embedding and vice versa.
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t FROM documents
+    ), stats AS (
+        SELECT AVG(LEN(t)) AS avgdl, COUNT(*) AS n_docs FROM toks
+    ), tf AS (
+        SELECT doc_id, LEN(t) AS dl, s AS term, COUNT(*) AS tf
+        FROM toks, UNNEST(t) AS r(s)
+        WHERE s IN ('spark', 'shuffle', 'partition')
+        GROUP BY doc_id, LEN(t), s
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), bm AS (
+        SELECT doc_id,
+               ROUND(SUM(
+                   LN(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+                   (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        GROUP BY doc_id
+    ), b_r AS (
+        SELECT doc_id AS id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_b
+        FROM bm QUALIFY rank_b <= 50
+    ), cosd AS (
+        SELECT vec_id,
+               {_COS_QC.format(a='e.embedding', b='(SELECT embedding FROM embeddings WHERE vec_id = 0)')} AS cs
+        FROM embeddings e WHERE vec_id <> 0
+    ), c_r AS (
+        SELECT vec_id AS id,
+               ROW_NUMBER() OVER (ORDER BY cs DESC, vec_id ASC) AS rank_c
+        FROM cosd QUALIFY rank_c <= 50
+    ), fused AS (
+        SELECT COALESCE(b.id, c.id) AS doc_id,
+               ROUND(COALESCE(1.0 / (60 + b.rank_b), 0)
+                     + COALESCE(1.0 / (60 + c.rank_c), 0), 6) AS rrf_r
+        FROM b_r b FULL OUTER JOIN c_r c ON b.id = c.id
+    )
+    SELECT doc_id, rrf_r,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_r DESC, doc_id ASC) AS INT) AS rank
+    FROM fused QUALIFY rank <= 20
+    """,
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval fusion — the RAG-stack ranker:
+    BM25 (q97's corpus-wide scorer) and exact cosine against a fixed
+    query vector, fused by reciprocal-rank fusion (1/(60+rank), the
+    rank-only combiner that needs no score calibration between
+    rankers). Top-50 per ranker via distributed TakeOrdered
+    (orderBy+limit — no global window), rank indices assigned
+    driver-side over the collected <=50 rows (warning-free, the
+    first_n_centroids pattern), FULL OUTER fuse because each ranker
+    covers a different id subset at sf0.1. BM25 ranks on its
+    6dp-rounded score (cross-engine-stable); cosine is bit-exact by
+    construction, so the fused list itself is oracle-checked."""
+    from pyspark.sql import types as T
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    terms = ("spark", "shuffle", "partition")
+    toks = d.select("doc_id", F.split(normalize_text("text"), " ").alias("t"))
+    stats = toks.agg(
+        F.avg(F.size("t")).alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = (
+        toks.select("doc_id", F.size("t").alias("dl"), F.explode("t").alias("term"))
+        .filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = idf * (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    bm = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 6).alias("bm25"))
+    )
+    top_b = bm.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(50).collect()
+
+    qv = (
+        e.orderBy(F.col("vec_id").asc()).limit(1).select("embedding").collect()
+    )[0][0]
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    cosd = e.filter(F.col("vec_id") != 0).select(
+        "vec_id", cosine(F.col("embedding"), qlit).alias("cs")
+    )
+    top_c = cosd.orderBy(F.col("cs").desc(), F.col("vec_id").asc()).limit(50).collect()
+
+    rank_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("rank", T.IntegerType(), False),
+        ]
+    )
+    b_r = spark.createDataFrame(
+        [(int(r["doc_id"]), i + 1) for i, r in enumerate(top_b)], rank_schema
+    ).withColumnRenamed("rank", "rank_b")
+    c_r = spark.createDataFrame(
+        [(int(r["vec_id"]), i + 1) for i, r in enumerate(top_c)], rank_schema
+    ).withColumnRenamed("rank", "rank_c")
+    fused = b_r.join(c_r, "id", "full").select(
+        F.col("id").alias("doc_id"),
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("rank_b")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rank_c")), F.lit(0.0)),
+            6,
+        ).alias("rrf_r"),
+    )
+    top = fused.orderBy(F.col("rrf_r").desc(), F.col("doc_id").asc()).limit(20).collect()
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("rrf_r", T.DoubleType(), False),
+            T.StructField("rank", T.IntegerType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(int(r["doc_id"]), float(r["rrf_r"]), i + 1) for i, r in enumerate(top)],
+        out_schema,
+    )
+
+
+@query(
+    "q125_quality_model_score",
+    """
+    -- Model-scored quality filtering: a linear scorer over q92's
+    -- handcrafted features with fixed (inline) weights + sigmoid —
+    -- the fasttext-style shape production pipelines use once the
+    -- hand rules graduate to a trained filter. The feature extractor
+    -- and the score are pure per-row expressions (zero shuffles);
+    -- weights would come from training, the dataflow is identical.
+    -- Score rounded to 6dp (transcendental cross-engine policy);
+    -- keep thresholds on the ROUNDED score for engine stability.
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    f AS (
+        SELECT doc_id,
+               LEN(w) AS n_words,
+               LIST_SUM(LIST_TRANSFORM(w, x -> LEN(x))) * 1.0 / LEN(w) AS mwl,
+               LEN(LIST_FILTER(w, x -> x IN ('a','the'))) * 1.0 / LEN(w) AS stop_frac,
+               LEN(LIST_DISTINCT(w)) * 1.0 / LEN(w) AS ttr
+        FROM t
+    ), s AS (
+        SELECT doc_id,
+               -9.0 + 1.2 * mwl - 5.0 * stop_frac + 4.0 * ttr
+                    + 0.35 * LN(CAST(n_words AS DOUBLE)) AS z
+        FROM f
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + EXP(-z)), 6) AS quality_r,
+           ROUND(1.0 / (1.0 + EXP(-z)), 6) >= 0.5 AS keep
+    FROM s
+    """,
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-filter scoring shape: sigmoid(w . features) over the
+    q92 feature family (mean word length, stopword fraction,
+    type-token ratio, log word count) with inline literal weights —
+    exactly how a trained fasttext/logistic quality filter deploys
+    (weights are data, the dataflow is this). Pure per-row
+    higher-order array expressions: ZERO shuffles, no UDFs, the ideal
+    100 TB map-only shape; swap the literals for trained weights and
+    nothing else changes. Keep decision thresholds on the 6dp-rounded
+    score so both engines agree bit-for-bit."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    base = d.select("doc_id", w.alias("w"))
+    n = F.size("w")
+    mwl = (
+        F.aggregate("w", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        * 1.0
+        / n
+    )
+    stop_frac = F.size(F.filter("w", lambda x: x.isin("a", "the"))) * 1.0 / n
+    ttr = F.size(F.array_distinct("w")) * 1.0 / n
+    z = (
+        F.lit(-9.0)
+        + 1.2 * mwl
+        - 5.0 * stop_frac
+        + 4.0 * ttr
+        + 0.35 * F.log(n.cast("double"))
+    )
+    q = F.round(1.0 / (1.0 + F.exp(-z)), 6)
+    return base.select(
+        "doc_id", q.alias("quality_r"), (q >= 0.5).alias("keep")
+    )

@@ -50,6 +50,19 @@ def stream_upsert_to_warehouse(
         new = batch_df
         if order_col is not None:
             new = dedup_latest(new, keys, order_col)
+        if (
+            warehouse.exists(table)
+            and warehouse.is_bucketed(table)
+            and len(keys) == 1
+            and warehouse.current_manifest(table).get("bucket_key") == keys[0]
+        ):
+            # bucketed tables take the partition-pruned MERGE: each
+            # micro-batch reads and rewrites only the buckets its keys
+            # hash to (round-6 pipeline default, same path as batch)
+            warehouse.merge_bucketed(
+                table, new, snapshot=f"stream-{batch_id}"
+            )
+            return
         if warehouse.exists(table):
             old = warehouse.read(table)
             merged = merge_upsert(old, new.select(old.columns), keys)

@@ -169,3 +169,68 @@ class TestStreamingUpsert:
             (2, "b1", 1),
             (3, "c1", 1),
         ]
+
+    def test_stream_merges_into_bucketed_table_with_file_reuse(
+        self, tmp_path, spark
+    ):
+        # round-6 integration: a stream draining into a BUCKETED
+        # warehouse table takes the partition-pruned merge — untouched
+        # bucket files stay byte-identical across micro-batches
+        import hashlib
+        import os
+
+        from pyspark.sql import types as T
+
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+        from canvas_data_loader_spark.streaming.ingest import (
+            stream_upsert_to_warehouse,
+        )
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("val", T.StringType()),
+                T.StructField("seq", T.LongType()),
+            ]
+        )
+        wh = Warehouse(spark, str(tmp_path / "whs"))
+        base = spark.createDataFrame(
+            [(i, f"v{i}", 0) for i in range(1, 13)], schema
+        )
+        wh.write("t", base, snapshot="s0", bucket=("id", 8))
+
+        def md5s(root):
+            out = {}
+            for dp, _, fs in os.walk(root):
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        p = os.path.join(dp, f)
+                        out[p] = hashlib.md5(open(p, "rb").read()).hexdigest()
+            return out
+
+        before = md5s(os.path.join(wh.root, "t", "s0"))
+
+        src = tmp_path / "drops_b"
+        src.mkdir()
+        spark.createDataFrame([(1, "NEW", 1)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = stream_upsert_to_warehouse(
+            stream, wh, "t", key="id", order_col="seq",
+            checkpoint=str(tmp_path / "ckpt_b"),
+        )
+        q.awaitTermination()
+
+        rows = {r[0]: r[1] for r in wh.read("t").collect()}
+        assert rows[1] == "NEW" and len(rows) == 12
+        m = wh.current_manifest("t")
+        snaps = set(m["buckets"].values())
+        assert "s0" in snaps and len(snaps) == 2  # one stream snapshot + s0
+        affected = {b for b, s in m["buckets"].items() if s != "s0"}
+        assert len(affected) == 1
+        after = md5s(os.path.join(wh.root, "t", "s0"))
+        for p, h in before.items():
+            if any(f"__kb={b}" in p for b in affected):
+                continue
+            assert after.get(p) == h, f"rewritten: {p}"
