@@ -106,6 +106,8 @@ HEADLINE = [
     "q123_bpe_chunk_manifest",
     "q124_hybrid_rrf_fusion",
     "q125_quality_model_score",
+    "q126_variant_json",
+    "q127_neardup_pagerank",
 ]
 
 

@@ -4968,3 +4968,160 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id", q.alias("quality_r"), (q >= 0.5).alias("keep")
     )
+
+
+@query(
+    "q126_variant_json",
+    """
+    -- Typed path extraction from semi-structured event props, grouped
+    -- per event type. Spark side parses each props string ONCE into a
+    -- VariantType value (Spark 4's binary semi-structured encoding —
+    -- the engine-native replacement for repeated get_json_object
+    -- string re-parses) and extracts "$.k" as a typed int; DuckDB
+    -- mirrors with its JSON extraction. Integer-only aggregates, so
+    -- the check is bit-exact.
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+           MIN(CAST(props->>'$.k' AS BIGINT)) AS k_min,
+           MAX(CAST(props->>'$.k' AS BIGINT)) AS k_max,
+           COUNT(*) FILTER (WHERE CAST(props->>'$.k' AS BIGINT) IS NULL)
+               AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured querying through Spark 4 VariantType: props is
+    parsed ONCE per row into the binary variant encoding
+    (parse_json), then "$.k" is extracted as a typed int
+    (try_variant_get) — the scale path for JSON-heavy corpora, where
+    repeated get_json_object calls re-parse the string per extraction
+    while a variant parses once and serves every path. One map-side-
+    combinable groupBy on event_type; integer aggregates keep the
+    oracle bit-exact. try_variant_get (not variant_get) so malformed
+    or missing paths surface as NULLs — counted in n_missing, the
+    quarantine column — instead of failing the batch."""
+    e = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.count_if(F.col("k").isNull()).alias("n_missing"),
+        )
+    )
+
+
+@query(
+    "q127_neardup_pagerank",
+    f"""
+    -- PageRank over a MinHash-LSH collision graph (q91's recipe at
+    -- r=1,b=16 — one minhash per band, the loose-banding operating
+    -- point that targets low-similarity recall, giving a non-trivial
+    -- graph on this corpus slice):
+    -- rank near-dup "hubs" — documents colliding with many others —
+    -- the centrality signal a dedup pipeline uses to pick canonical
+    -- representatives (keep the hub, drop satellites). THREE unrolled
+    -- power iterations in integer FIXED POINT (micro-rank units,
+    -- floor division, damping 850/1000) — exact arithmetic, so the
+    -- ranking is bit-identical across engines BY CONSTRUCTION (a
+    -- double-rounded variant hit a 6dp rounding boundary).
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t
+        FROM documents WHERE doc_id < 100
+    ), sh AS (
+        SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+2], ' ') AS s
+        FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t) - 1, 1))) AS r(i)
+        WHERE LEN(t) >= 3
+    ), mh AS (
+        SELECT doc_id, seed, MIN(MD5(CAST(seed AS VARCHAR) || '|' || s)) AS h
+        FROM sh CROSS JOIN UNNEST(RANGE(1, 17)) AS r(seed)
+        GROUP BY doc_id, seed
+    ), bands AS (
+        SELECT doc_id AS doc, CAST(seed - 1 AS BIGINT) AS band,
+               MD5(STRING_AGG(h, '' ORDER BY seed)) AS band_hash
+        FROM mh GROUP BY doc_id, CAST(seed - 1 AS BIGINT)
+    ), edges AS (
+        SELECT DISTINCT a.doc AS src, b.doc AS dst
+        FROM bands a JOIN bands b USING (band, band_hash)
+        WHERE a.doc <> b.doc
+    ), nodes AS (
+        SELECT DISTINCT doc FROM bands
+    ), deg AS (
+        SELECT src AS doc, COUNT(*) AS deg FROM edges GROUP BY src
+    ), pr0 AS (
+        SELECT doc, CAST(1000000 AS BIGINT) AS rn_u FROM nodes
+    ), pr1 AS (
+        SELECT n.doc,
+               CAST(150000 + (850 * COALESCE(SUM(p.rn_u // d.deg), 0)) // 1000
+                    AS BIGINT) AS rn_u
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.doc
+        LEFT JOIN pr0 p ON p.doc = e.src
+        LEFT JOIN deg d ON d.doc = e.src
+        GROUP BY n.doc
+    ), pr2 AS (
+        SELECT n.doc,
+               CAST(150000 + (850 * COALESCE(SUM(p.rn_u // d.deg), 0)) // 1000
+                    AS BIGINT) AS rn_u
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.doc
+        LEFT JOIN pr1 p ON p.doc = e.src
+        LEFT JOIN deg d ON d.doc = e.src
+        GROUP BY n.doc
+    ), pr3 AS (
+        SELECT n.doc,
+               CAST(150000 + (850 * COALESCE(SUM(p.rn_u // d.deg), 0)) // 1000
+                    AS BIGINT) AS rn_u
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.doc
+        LEFT JOIN pr2 p ON p.doc = e.src
+        LEFT JOIN deg d ON d.doc = e.src
+        GROUP BY n.doc
+    )
+    SELECT p.doc, p.rn_u / 1000000.0 AS pagerank_r,
+           CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree
+    FROM pr3 p LEFT JOIN deg d USING (doc)
+    """,
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup hub ranking: fixed-iteration PageRank
+    (operators/graph.py::pagerank — 3 power iterations, damping 0.85,
+    mean-1 normalization, integer FIXED-POINT micro-rank units with
+    floor division, so the arithmetic is exact and the ranking
+    bit-identical across engines by construction) over the q91-recipe
+    MinHash-LSH collision graph at the loose r=1,b=16 operating
+    point, joined with each node's collision degree. The centrality
+    signal a dedup pipeline uses to pick the canonical representative
+    of a near-dup cluster. Every iteration is a join +
+    map-side-combinable groupBy; the oracle unrolls the identical
+    iterations as CTEs — an iterative graph algorithm, hash-checked
+    end to end."""
+    from .operators.graph import pagerank
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    bands = D.minhash_bands(d, "text", "doc_id", num_hashes=16, band_size=1)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    edges = (
+        a.join(b, on=["band", "band_hash"])
+        .filter(F.col("a.doc") != F.col("b.doc"))
+        .select(F.col("a.doc").alias("src"), F.col("b.doc").alias("dst"))
+        .distinct()
+    )
+    nodes = bands.select("doc").distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pr = pagerank(edges, nodes, iters=3, damping=0.85)
+    return (
+        pr.join(deg, pr["doc"] == deg["src"], "left")
+        .select(
+            pr["doc"],
+            F.col("rn").alias("pagerank_r"),
+            F.coalesce(F.col("deg"), F.lit(0)).cast("bigint").alias("degree"),
+        )
+    )

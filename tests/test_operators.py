@@ -770,6 +770,44 @@ class TestEventsStreamProbe:
         with _pytest.raises(ValueError, match="mix ts representations"):
             read_events_stream(spark, str(d))
 
+    def test_nested_subdirectory_files_reach_the_probe(self, spark, tmp_path):
+        # round-6 ADVICE fix: a partition-subdirectory layout (files
+        # under nested dirs) must still reach the per-footer probe —
+        # a flat glob used to see zero files and raise; and a nested
+        # MIXED directory must still fail loudly
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest as _pytest
+
+        from canvas_data_loader_spark.streaming.events import _probe_ts_is_long
+
+        d = tmp_path / "events_nested"
+        (d / "day=1").mkdir(parents=True)
+        (d / "day=2").mkdir(parents=True)
+        cols = {
+            "event_id": pa.array([1], pa.int64()),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["view"], pa.string()),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+        pq.write_table(
+            pa.table({**cols, "ts": pa.array([1_700_000_000_000_000], pa.timestamp("us"))}),
+            str(d / "day=1" / "a.parquet"),
+        )
+        pq.write_table(
+            pa.table({**cols, "ts": pa.array([1_700_003_600_000_000], pa.timestamp("us"))}),
+            str(d / "day=2" / "b.parquet"),
+        )
+        assert _probe_ts_is_long(spark, str(d)) is False
+
+        pq.write_table(
+            pa.table({**cols, "ts": pa.array([1_700_000_000_000_000_000], pa.timestamp("ns"))}),
+            str(d / "day=2" / "c.parquet"),
+        )
+        with _pytest.raises(ValueError, match="mix ts representations"):
+            _probe_ts_is_long(spark, str(d))
+
     def test_uniform_directory_reads(self, spark, tmp_path):
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -851,6 +889,55 @@ class TestBpeTokens:
         diff = both.filter(F.col("expr_n") != F.col("udf_n")).count()
         assert diff == 0
 
+    def test_property_expr_matches_python_on_random_text(self, spark):
+        # hypothesis: the JVM expression chain and the pure-Python
+        # reference must agree on arbitrary ASCII text (catches regex
+        # dialect / replace-semantics divergence the fixture corpus
+        # could mask)
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        import pyspark.sql.functions as F
+
+        from canvas_data_loader_spark.functions.bpe import (
+            bpe_token_count_py,
+            count_expr_spark,
+        )
+
+        texts_seen = []
+
+        @settings(
+            max_examples=30,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                max_size=200,
+            )
+        )
+        def collect(t):
+            texts_seen.append(t)
+
+        collect()
+        rows = [(i, t) for i, t in enumerate(texts_seen)]
+        rows += [
+            (10_000, "the the the"),
+            (10_001, "a'b\"c\\d"),
+            (10_002, "  leading and   runs\t"),
+            (10_003, "ZZZ MiXeD 123abc456"),
+        ]
+        df = spark.createDataFrame(rows, "i long, t string")
+        got = {
+            r["i"]: r["n"]
+            for r in df.select(
+                "i", F.expr(count_expr_spark("t")).alias("n")
+            ).collect()
+        }
+        for i, t in rows:
+            assert got[i] == bpe_token_count_py(t), (i, repr(t))
+
     def test_bpe_counts_exceed_word_proxy(self, spark):
         # BPE merge tables this small leave multi-subword residue, so
         # token counts must be >= the whitespace word proxy for every
@@ -866,6 +953,33 @@ class TestBpeTokens:
             F.expr(count_expr_spark("text")) < F.size(tokens(F.col("text")))
         ).count()
         assert bad == 0
+
+
+class TestPagerank:
+    def test_star_graph_hub_dominates(self, spark):
+        from canvas_data_loader_spark.operators.graph import pagerank
+
+        # undirected star: hub 0 <-> leaves 1..4 (both edge directions)
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)],
+            "src long, dst long",
+        )
+        nodes = spark.createDataFrame([(i,) for i in range(5)], "doc long")
+        pr = {r["doc"]: r["rn"] for r in pagerank(edges, nodes, iters=3).collect()}
+        assert pr[0] > pr[1]
+        assert len({pr[i] for i in range(1, 5)}) == 1  # leaves symmetric
+        # fixed-point exactness: rerun gives the identical ranks
+        pr2 = {r["doc"]: r["rn"] for r in pagerank(edges, nodes, iters=3).collect()}
+        assert pr == pr2
+
+    def test_isolated_nodes_hold_the_floor(self, spark):
+        from canvas_data_loader_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        nodes = spark.createDataFrame([(1,), (2,), (3,)], "doc long")
+        pr = {r["doc"]: r["rn"] for r in pagerank(edges, nodes, iters=2).collect()}
+        assert pr[3] == 0.15  # (1-d), no incoming mass
+        assert pr[1] == pr[2] == 1.0  # 2-cycle holds all its mass
 
 
 class TestKmeansRefine:
