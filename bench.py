@@ -108,6 +108,7 @@ HEADLINE = [
     "q125_quality_model_score",
     "q126_variant_json",
     "q127_neardup_pagerank",
+    "q128_incremental_rollup",
 ]
 
 

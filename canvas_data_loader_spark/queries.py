@@ -5125,3 +5125,51 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("deg"), F.lit(0)).cast("bigint").alias("degree"),
         )
     )
+
+
+@query(
+    "q128_incremental_rollup",
+    """
+    -- Incremental view maintenance, checked against the full rebuild:
+    -- the Spark side maintains a per-user rollup through a keyed
+    -- UPDATE of every 10th event (value + 100) by aggregating ONLY
+    -- the changed rows (retract old, apply new — operators/ivm.py);
+    -- the oracle recomputes the rollup from scratch over the updated
+    -- fact table. Equality is exact because sums are maintained in
+    -- DECIMAL (associative), not double.
+    SELECT user_id,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CASE WHEN event_id % 10 = 0 THEN value + 100
+                              ELSE value END AS DECIMAL(28,6)))
+                AS DECIMAL(28,6)) AS value_sum
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (operators/ivm.py): a per-user
+    count+sum rollup is built over the original events, then every
+    10th event is UPDATED (value + 100) and the rollup is maintained
+    by aggregating ONLY the changed rows — retract the old versions,
+    apply the new — never rescanning the fact table (at 100 TB: the
+    daily delta is GBs, the fact table TBs; this is the relational
+    core of Materialize/DLT-style maintained views). The oracle
+    recomputes from scratch over the updated table, so the driver
+    check IS the maintained==rebuilt invariant, cross-engine. Sums
+    maintained in DECIMAL: associative, so the equality is exact, not
+    ulp-lucky (a double-summed variant would drift by summation
+    order)."""
+    from .operators.ivm import apply_rollup_delta, build_rollup
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    rollup0 = build_rollup(e, ["user_id"], {"value_sum": "value"})
+    changed = e.filter(F.col("event_id") % 10 == 0)
+    applied = changed.withColumn("value", F.col("value") + 100)
+    maintained = apply_rollup_delta(
+        rollup0, applied, changed, ["user_id"], {"value_sum": "value"}
+    )
+    return maintained.select(
+        "user_id",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("value_sum").cast("decimal(28,6)").alias("value_sum"),
+    )

@@ -955,6 +955,62 @@ class TestBpeTokens:
         assert bad == 0
 
 
+class TestIncrementalRollup:
+    def _frames(self, spark):
+        from canvas_data_loader_spark.operators.ivm import build_rollup
+
+        facts = spark.createDataFrame(
+            [(1, "a", 10.5), (2, "a", 1.25), (3, "b", 2.0), (4, "c", 7.0)],
+            "id long, grp string, v double",
+        )
+        return facts, build_rollup(facts, ["grp"], {"v_sum": "v"})
+
+    def test_maintained_equals_rebuilt_under_update(self, spark):
+        import pyspark.sql.functions as F
+
+        from canvas_data_loader_spark.operators.ivm import (
+            apply_rollup_delta,
+            build_rollup,
+        )
+
+        facts, r0 = self._frames(spark)
+        changed = facts.filter(F.col("id").isin(1, 3))
+        applied = changed.withColumn("v", F.col("v") + 100)
+        maintained = apply_rollup_delta(
+            r0, applied, changed, ["grp"], {"v_sum": "v"}
+        )
+        updated = facts.filter(~F.col("id").isin(1, 3)).unionByName(applied)
+        rebuilt = build_rollup(updated, ["grp"], {"v_sum": "v"})
+        assert sorted(map(tuple, maintained.collect())) == sorted(
+            map(tuple, rebuilt.collect())
+        )
+
+    def test_full_retraction_drops_group(self, spark):
+        import pyspark.sql.functions as F
+
+        from canvas_data_loader_spark.operators.ivm import apply_rollup_delta
+
+        facts, r0 = self._frames(spark)
+        gone = facts.filter(F.col("grp") == "c")
+        maintained = apply_rollup_delta(
+            r0, gone.limit(0), gone, ["grp"], {"v_sum": "v"}
+        )
+        assert sorted(r["grp"] for r in maintained.collect()) == ["a", "b"]
+
+    def test_pure_insert_new_group(self, spark):
+        from canvas_data_loader_spark.operators.ivm import apply_rollup_delta
+
+        facts, r0 = self._frames(spark)
+        new = facts.sparkSession.createDataFrame(
+            [(9, "d", 4.0)], "id long, grp string, v double"
+        )
+        maintained = apply_rollup_delta(
+            r0, new, new.limit(0), ["grp"], {"v_sum": "v"}
+        )
+        got = {r["grp"]: (r["n_rows"], float(r["v_sum"])) for r in maintained.collect()}
+        assert got["d"] == (1, 4.0) and got["a"] == (2, 11.75)
+
+
 class TestPagerank:
     def test_star_graph_hub_dominates(self, spark):
         from canvas_data_loader_spark.operators.graph import pagerank

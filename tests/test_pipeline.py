@@ -537,6 +537,38 @@ class TestCompaction:
         # pre-compaction snapshot still reachable (time travel)
         assert "s1" in wh.versions("t")
 
+    def test_bucketed_table_compacts_per_bucket(self, spark, tmp_path):
+        # merge history fragments each bucket; compact must rewrite ONE
+        # full bucketed snapshot (all buckets repointed), preserve rows
+        # and keep the table bucketed for future pruned merges
+        import os
+
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "whc"))
+        base = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1, 25)], "id long, v string"
+        )
+        wh.write("t", base, snapshot="s0", bucket=("id", 4))
+        for i in range(1, 4):
+            batch = spark.createDataFrame(
+                [(i, f"u{i}"), (i + 10, f"u{i+10}")], "id long, v string"
+            )
+            wh.merge_bucketed("t", batch, snapshot=f"s{i}")
+        before = sorted(tuple(r) for r in wh.read("t").collect())
+        wh.compact("t")
+        m = wh.current_manifest("t")
+        assert set(m["buckets"].values()) == {"compact-bucketed"}
+        assert wh.is_bucketed("t")
+        assert sorted(tuple(r) for r in wh.read("t").collect()) == before
+        # still merge-able after compaction
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(1, "FINAL")], "id long, v string"),
+            snapshot="s9",
+        )
+        assert dict((r[0], r[1]) for r in wh.read("t").collect())[1] == "FINAL"
+
 
 class TestBucketedPipeline:
     """VERDICT r5 item 5: the bucketed, partition-pruned MERGE is the
