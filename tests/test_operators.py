@@ -955,6 +955,40 @@ class TestBpeTokens:
         assert bad == 0
 
 
+class TestRocksDBStateStore:
+    def test_stateful_agg_matches_default_provider(self, spark):
+        # the at-scale state backend: RocksDB-backed state (bounded
+        # executor memory, changelog checkpointing upstream) must
+        # produce the identical windowed aggregate as the default
+        # in-memory/HDFS provider
+        from canvas_data_loader_spark.streaming.events import (
+            read_events_stream,
+            tumbling_counts,
+        )
+
+        key = "spark.sql.streaming.stateStore.providerClass"
+        rocks = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+        path = "/root/testdata/sf0.001/events.parquet"
+        default_rows = sorted(
+            map(tuple, tumbling_counts(read_events_stream(spark, path)).collect())
+        )
+        before = spark.conf.get(key)
+        spark.conf.set(key, rocks)
+        try:
+            rocks_rows = sorted(
+                map(
+                    tuple,
+                    tumbling_counts(read_events_stream(spark, path)).collect(),
+                )
+            )
+        finally:
+            spark.conf.set(key, before)
+        assert rocks_rows == default_rows and len(rocks_rows) > 0
+
+
 class TestIncrementalRollup:
     def _frames(self, spark):
         from canvas_data_loader_spark.operators.ivm import build_rollup

@@ -234,3 +234,43 @@ class TestStreamingUpsert:
             if any(f"__kb={b}" in p for b in affected):
                 continue
             assert after.get(p) == h, f"rewritten: {p}"
+
+    def test_rate_limited_backfill_bounded_batches(self, tmp_path, spark):
+        # maxFilesPerTrigger=1 + availableNow: a large backlog drains
+        # in bounded micro-batches (the backfill pattern — a TB-scale
+        # backlog must not become one unbounded first batch). Each
+        # batch lands as its own warehouse snapshot via foreachBatch.
+        from pyspark.sql import types as T
+
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+        from canvas_data_loader_spark.streaming.ingest import (
+            stream_upsert_to_warehouse,
+        )
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("val", T.StringType()),
+                T.StructField("seq", T.LongType()),
+            ]
+        )
+        src = tmp_path / "backlog"
+        src.mkdir()
+        for i in range(3):
+            spark.createDataFrame(
+                [(i, f"v{i}", i)], schema
+            ).coalesce(1).write.mode("append").parquet(str(src))
+        wh = Warehouse(spark, str(tmp_path / "whr"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = stream_upsert_to_warehouse(
+            stream, wh, "t", key="id", order_col="seq",
+            checkpoint=str(tmp_path / "ckpt_r"),
+        )
+        q.awaitTermination()
+        assert sorted(r[0] for r in wh.read("t").collect()) == [0, 1, 2]
+        # one snapshot per bounded micro-batch (3 files -> 3 batches)
+        assert len([v for v in wh.versions("t") if v.startswith("stream-")]) == 3
