@@ -109,6 +109,7 @@ HEADLINE = [
     "q126_variant_json",
     "q127_neardup_pagerank",
     "q128_incremental_rollup",
+    "q129_editdist_verify",
 ]
 
 

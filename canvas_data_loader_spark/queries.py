@@ -5173,3 +5173,85 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("long").alias("n_rows"),
         F.col("value_sum").cast("decimal(28,6)").alias("value_sum"),
     )
+
+
+@query(
+    "q129_editdist_verify",
+    f"""
+    -- Edit-distance verification of LSH candidate pairs: the
+    -- candidate-generation/verification split every fuzzy-match
+    -- pipeline uses — cheap banding proposes pairs (q127's r=1,b=16
+    -- collision graph), an exact but expensive measure verifies ONLY
+    -- those pairs (never the n^2 space). Here the verifier is
+    -- Levenshtein over each doc's 48-char normalized prefix.
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t
+        FROM documents WHERE doc_id < 100
+    ), sh AS (
+        SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+2], ' ') AS s
+        FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t) - 1, 1))) AS r(i)
+        WHERE LEN(t) >= 3
+    ), mh AS (
+        SELECT doc_id, seed, MIN(MD5(CAST(seed AS VARCHAR) || '|' || s)) AS h
+        FROM sh CROSS JOIN UNNEST(RANGE(1, 17)) AS r(seed)
+        GROUP BY doc_id, seed
+    ), bands AS (
+        SELECT doc_id AS doc, CAST(seed - 1 AS BIGINT) AS band,
+               MD5(STRING_AGG(h, '' ORDER BY seed)) AS band_hash
+        FROM mh GROUP BY doc_id, CAST(seed - 1 AS BIGINT)
+    ), pairs AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM bands a JOIN bands b USING (band, band_hash)
+        WHERE a.doc < b.doc
+    ), px AS (
+        SELECT doc_a, doc_b,
+               SUBSTR({_NORM_SQL.format(c='da.text')}, 1, 48) AS pa,
+               SUBSTR({_NORM_SQL.format(c='db.text')}, 1, 48) AS pb
+        FROM pairs
+        JOIN documents da ON da.doc_id = doc_a
+        JOIN documents db ON db.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(LEVENSHTEIN(pa, pb) AS INTEGER) AS edit_dist
+    FROM px
+    WHERE LEVENSHTEIN(pa, pb) <= 38
+    """,
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation/verification fuzzy matching: LSH banding
+    (q127's loose r=1,b=16 graph) proposes candidate pairs, exact
+    Levenshtein over 48-char normalized prefixes verifies them —
+    never touching the O(n^2) pair space. Edit distance is the
+    verifier every entity-resolution / fuzzy-dedup pipeline reaches
+    for once candidates are cheap; both engines implement classic
+    Levenshtein identically (pinned on ASCII in the oracle). The
+    distance compute is JVM-side (F.levenshtein, codegen) on
+    broadcast-joined prefix pairs; threshold keeps confirmed
+    near-matches only."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    bands = D.minhash_bands(d, "text", "doc_id", num_hashes=16, band_size=1)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(b, on=["band", "band_hash"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    prefix = F.substring(normalize_text("text"), 1, 48)
+    texts = d.select("doc_id", prefix.alias("p"))
+    px = (
+        pairs.join(
+            F.broadcast(texts.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(texts.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"))),
+            "doc_b",
+        )
+    )
+    dist = F.levenshtein("pa", "pb")
+    return (
+        px.filter(dist <= 38)
+        .select("doc_a", "doc_b", dist.cast("int").alias("edit_dist"))
+    )
