@@ -110,6 +110,8 @@ HEADLINE = [
     "q127_neardup_pagerank",
     "q128_incremental_rollup",
     "q129_editdist_verify",
+    "q130_unigram_logprob",
+    "q131_dsir_importance",
 ]
 
 

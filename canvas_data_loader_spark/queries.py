@@ -5255,3 +5255,142 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
         px.filter(dist <= 38)
         .select("doc_a", "doc_b", dist.cast("int").alias("edit_dist"))
     )
+
+
+@query(
+    "q130_unigram_logprob",
+    f"""
+    -- CCNet-style LM quality scoring, unigram core: fit token
+    -- log-probs on the corpus itself (pass 1), score each document by
+    -- mean negative log-likelihood (pass 2) — low-perplexity docs are
+    -- "in-domain", high are noise. The real CCNet uses a pretrained
+    -- 5-gram KenLM; the dataflow (broadcast-able LM table + one
+    -- explode-join-agg pass) is identical, the model is data.
+    WITH toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+    ), tot AS (
+        SELECT SUM(c) AS n FROM vocab
+    ), lp AS (
+        SELECT w, LN(c * 1.0 / n) AS lp FROM vocab CROSS JOIN tot
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(-l.lp), 6) AS nll_r
+    FROM toks t JOIN lp l USING (w)
+    GROUP BY t.doc_id
+    """,
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM perplexity scoring (the CCNet quality-filter shape):
+    pass 1 fits token log-probs on the corpus (a groupBy over the
+    exploded tokens — at scale this LM table is vocabulary-sized and
+    broadcasts), pass 2 scores every document by mean negative
+    log-likelihood with one explode + broadcast join + per-doc AVG.
+    Production swaps the fitted table for a pretrained n-gram model
+    (KenLM exported to rows) and adds OOV smoothing — the model is
+    data, the dataflow is exactly this. 6dp rounding on the mean (the
+    order-dependent-sum policy); token counts integer-exact."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "w", F.log(F.col("c") * 1.0 / F.col("n")).alias("lp")
+    )
+    return (
+        toks.join(F.broadcast(lp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.col("lp")), 6).alias("nll_r"),
+        )
+    )
+
+
+@query(
+    "q131_dsir_importance",
+    f"""
+    -- DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    -- score every document by its importance weight for a TARGET
+    -- domain — sum over tokens of log(p_target / p_background) with
+    -- add-one smoothing, unigram features. Target = the lang='en'
+    -- slice, background = the whole corpus; documents whose token
+    -- distribution looks target-like score high and get sampled into
+    -- the training mix. Both distributions are vocabulary-sized
+    -- tables fitted in one pass each and broadcast for the scoring
+    -- join — the fit-then-score shape of importance resampling.
+    WITH toks AS (
+        SELECT doc_id, lang,
+               UNNEST(STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w,
+               COUNT(*) AS c_bg,
+               COUNT(*) FILTER (WHERE lang = 'en') AS c_tg
+        FROM toks GROUP BY w
+    ), tot AS (
+        SELECT SUM(c_bg) AS n_bg, SUM(c_tg) AS n_tg,
+               COUNT(*) AS v
+        FROM vocab
+    ), ratio AS (
+        SELECT w,
+               LN((c_tg + 1.0) / (n_tg + v)) - LN((c_bg + 1.0) / (n_bg + v))
+                   AS llr
+        FROM vocab CROSS JOIN tot
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(r.llr), 6) AS importance_r,
+           ROUND(SUM(r.llr), 6) > 0 AS target_like
+    FROM toks t JOIN ratio r USING (w)
+    GROUP BY t.doc_id
+    """,
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights for domain-targeted data selection:
+    fit unigram distributions for the target slice (lang='en') and
+    the background corpus in ONE shared pass (conditional count
+    aggregates), add-one smoothing, then score every document with
+    sum(log p_target/p_background) via a broadcast join over the
+    vocabulary-sized log-ratio table — the fit-then-score dataflow of
+    importance resampling (production uses hashed n-gram buckets; the
+    feature map is data, the plan is identical). target_like
+    thresholds the 6dp-rounded weight at 0 for an engine-stable
+    verdict column."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(normalize_text("text"), " ")).alias("w"),
+    )
+    vocab = toks.groupBy("w").agg(
+        F.count(F.lit(1)).alias("c_bg"),
+        F.count_if(F.col("lang") == "en").alias("c_tg"),
+    )
+    tot = vocab.agg(
+        F.sum("c_bg").alias("n_bg"),
+        F.sum("c_tg").alias("n_tg"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    ratio = vocab.crossJoin(F.broadcast(tot)).select(
+        "w",
+        (
+            F.log((F.col("c_tg") + 1.0) / (F.col("n_tg") + F.col("v")))
+            - F.log((F.col("c_bg") + 1.0) / (F.col("n_bg") + F.col("v")))
+        ).alias("llr"),
+    )
+    imp = F.round(F.sum("llr"), 6)
+    return (
+        toks.join(F.broadcast(ratio), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            imp.alias("importance_r"),
+            (imp > 0).alias("target_like"),
+        )
+    )
