@@ -112,6 +112,7 @@ HEADLINE = [
     "q129_editdist_verify",
     "q130_unigram_logprob",
     "q131_dsir_importance",
+    "q132_winnowing_fingerprints",
 ]
 
 

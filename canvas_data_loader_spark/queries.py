@@ -5394,3 +5394,82 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
             (imp > 0).alias("target_like"),
         )
     )
+
+
+@query(
+    "q132_winnowing_fingerprints",
+    f"""
+    -- Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    -- SIGMOD 2003 — the MOSS algorithm): hash every 3-gram, slide a
+    -- window of 4 consecutive k-gram hashes, keep each window's
+    -- MINIMUM — guaranteeing any shared substring of >= 6 tokens
+    -- contributes a shared fingerprint, with a bounded fingerprint
+    -- density (the property plain MinHash lacks: winnowing is
+    -- POSITION-local, so it catches partial overlap/containment, not
+    -- just whole-document resemblance).
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t
+        FROM documents
+    ), kg AS (
+        SELECT doc_id, i, LEN(t) - 2 AS n_kg,
+               MD5(ARRAY_TO_STRING(t[i:i+2], ' ')) AS h
+        FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t) - 1, 1))) AS r(i)
+        WHERE LEN(t) >= 3
+    ), winmin AS (
+        SELECT doc_id, i, n_kg,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        FROM kg
+    )
+    SELECT doc_id,
+           CAST(MAX(n_kg) AS BIGINT) AS n_kgrams,
+           CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fingerprints,
+           MIN(wmin) AS min_fp
+    FROM winmin
+    WHERE i <= n_kg - 3
+    GROUP BY doc_id
+    """,
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS local-fingerprinting
+    algorithm): 3-gram hashes, min over each sliding window of 4 —
+    any shared >= 6-token substring between two documents shares a
+    fingerprint, which is what makes winnowing catch PARTIAL overlap
+    (quotation, containment) that whole-document MinHash resemblance
+    misses; fingerprint density is bounded at ~2/(w+1). One
+    posexplode + one bounded ROWS window per doc + one distinct
+    aggregate — no self-joins; the window frame is 4 rows regardless
+    of document length, so the plan is corpus-linear. Hashes are md5
+    strings, min/distinct lexicographic — bit-exact across engines."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(normalize_text("text"), " ").alias("t"))
+    kg = (
+        toks.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            (F.size("t") - 2).alias("n_kg"),
+            F.posexplode(
+                F.expr("transform(sequence(1, greatest(size(t) - 2, 1)),"
+                       " i -> array_join(slice(t, i, 3), ' '))")
+            ).alias("__p", "g"),
+        )
+        .select(
+            "doc_id",
+            (F.col("__p") + 1).alias("i"),
+            "n_kg",
+            F.md5("g").alias("h"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    winmin = kg.select(
+        "doc_id", "i", "n_kg", F.min("h").over(w).alias("wmin")
+    )
+    return (
+        winmin.filter(F.col("i") <= F.col("n_kg") - 3)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_kg").cast("bigint").alias("n_kgrams"),
+            F.count_distinct("wmin").cast("bigint").alias("n_fingerprints"),
+            F.min("wmin").alias("min_fp"),
+        )
+    )
