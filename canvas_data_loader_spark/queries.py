@@ -5114,7 +5114,11 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc").alias("src"), F.col("b.doc").alias("dst"))
         .distinct()
     )
-    nodes = bands.select("doc").distinct()
+    # materialize the (tiny) graph once: the unrolled iterations would
+    # otherwise re-execute the shingle->minhash->band subtree per
+    # iteration (observed: 18 scans / 21 exchanges in the lazy plan)
+    edges = edges.localCheckpoint()
+    nodes = bands.select("doc").distinct().localCheckpoint()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     pr = pagerank(edges, nodes, iters=3, damping=0.85)
     return (
