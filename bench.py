@@ -113,6 +113,7 @@ HEADLINE = [
     "q130_unigram_logprob",
     "q131_dsir_importance",
     "q132_winnowing_fingerprints",
+    "q133_partial_overlap_pairs",
 ]
 
 

@@ -5477,3 +5477,95 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("wmin").alias("min_fp"),
         )
     )
+
+
+@query(
+    "q133_partial_overlap_pairs",
+    f"""
+    -- Partial-overlap detection: documents sharing winnowing
+    -- fingerprints (q132's 3-gram/window-4 scheme) — the cross-doc
+    -- join that turns local fingerprints into a containment/quotation
+    -- detector, which whole-document resemblance (MinHash q35) and
+    -- full-text hashing (q30) both miss. Stop-fingerprints (shared by
+    -- > 20 docs — boilerplate) are dropped BEFORE the pair join, the
+    -- same hot-key cap discipline as q34's max_df: the shuffle is
+    -- bounded per fingerprint, never all-pairs.
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t
+        FROM documents
+    ), kg AS (
+        SELECT doc_id, i, LEN(t) - 2 AS n_kg,
+               MD5(ARRAY_TO_STRING(t[i:i+2], ' ')) AS h
+        FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t) - 1, 1))) AS r(i)
+        WHERE LEN(t) >= 3
+    ), winmin AS (
+        SELECT doc_id, i, n_kg,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        FROM kg
+    ), fp AS (
+        SELECT DISTINCT doc_id, wmin FROM winmin WHERE i <= n_kg - 3
+    ), keep_fp AS (
+        SELECT wmin FROM fp GROUP BY wmin
+        HAVING COUNT(*) BETWEEN 2 AND 20
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fp
+    FROM fp a
+    JOIN keep_fp k ON a.wmin = k.wmin
+    JOIN fp b ON b.wmin = a.wmin AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document partial-overlap pairs: q132's winnowing
+    fingerprints joined across documents — two docs sharing >= 3
+    fingerprints share (with winnowing's guarantee) multiple >=
+    6-token substrings: quotation/containment detection that neither
+    whole-doc resemblance (q35) nor exact hashing (q30) provides.
+    Scale shape: distinct (doc, fingerprint) pairs, stop-fingerprints
+    (in > 20 docs: boilerplate) dropped before the fingerprint-keyed
+    self-join — bounded bucket sizes, the q34 max_df discipline, never
+    the n^2 doc-pair space."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(normalize_text("text"), " ").alias("t"))
+    kg = (
+        toks.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            (F.size("t") - 2).alias("n_kg"),
+            F.posexplode(
+                F.expr("transform(sequence(1, greatest(size(t) - 2, 1)),"
+                       " i -> array_join(slice(t, i, 3), ' '))")
+            ).alias("__p", "g"),
+        )
+        .select(
+            "doc_id", (F.col("__p") + 1).alias("i"), "n_kg", F.md5("g").alias("h")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    fp = (
+        kg.select("doc_id", "i", "n_kg", F.min("h").over(w).alias("wmin"))
+        .filter(F.col("i") <= F.col("n_kg") - 3)
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    keep = (
+        fp.groupBy("wmin")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= 20))
+        .select("wmin")
+    )
+    fpk = fp.join(F.broadcast(keep), "wmin")
+    a = fpk.alias("a")
+    b = fpk.alias("b")
+    return (
+        a.join(b, on="wmin")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= 3)
+    )
