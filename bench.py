@@ -114,6 +114,7 @@ HEADLINE = [
     "q131_dsir_importance",
     "q132_winnowing_fingerprints",
     "q133_partial_overlap_pairs",
+    "q134_cdc_chunking",
 ]
 
 

@@ -102,3 +102,72 @@ def token_histogram(df: DataFrame, text_col: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 3,
+    hex_prefixes: tuple[str, ...] = ("0",),
+) -> DataFrame:
+    """Content-defined chunking (LBFS/rsync-style): a chunk boundary
+    opens at every token whose rolling ``gram``-gram hash starts with
+    one of ``hex_prefixes`` (default: 1/16 of positions -> expected
+    16-token chunks). Chunk identity is a function of content alone:
+    an edit perturbs only chunks up to the next boundary; everything
+    after is md5-identical (pinned in tests/test_operators.py::
+    TestCdcChunks) — the invariance dedup storage, embedding caches
+    and incremental re-tokenization rely on. One posexplode + one
+    per-doc running-sum window + one grouped md5; corpus-linear.
+    Output: (id_col, chunk_id, n_tokens, chunk_md5).
+    """
+    from pyspark.sql import Window
+
+    prefix_pred = " or ".join(
+        f"substring(md5(array_join(slice(t, i - {gram - 1}, {gram}), ' ')),"
+        f" 1, {len(p)}) = '{p}'"
+        for p in hex_prefixes
+    )
+    toks = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("t")
+    )
+    tk = (
+        toks.filter(F.size("t") >= 1)
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(t)), i -> struct("
+                    " t[i-1] as w,"
+                    f" case when i >= {gram} and ({prefix_pred})"
+                    " then 1 else 0 end as b))"
+                )
+            ).alias("__p", "s"),
+        )
+        .select(
+            id_col,
+            (F.col("__p") + 1).alias("i"),
+            F.col("s.w").alias("w"),
+            F.col("s.b").alias("b"),
+        )
+    )
+    w_cum = Window.partitionBy(id_col).orderBy("i")
+    chunked = tk.select(
+        id_col, "i", "w", F.sum("b").over(w_cum).alias("cid")
+    )
+    return (
+        chunked.groupBy(id_col, F.col("cid").cast("bigint").alias("chunk_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(i, w))),"
+                        " x -> x.w)"
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
+    )

@@ -5569,3 +5569,50 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fp"))
         .filter(F.col("shared_fp") >= 3)
     )
+
+
+@query(
+    "q134_cdc_chunking",
+    f"""
+    -- Content-defined chunking (LBFS/rsync-style): a chunk boundary
+    -- opens wherever the hash of the rolling 3-gram ending at a token
+    -- falls in a 1/16 class (hex prefix '0') — so chunk identity is a
+    -- function of CONTENT, not position: an insertion early in a doc
+    -- shifts q111's fixed windows at every later offset but leaves
+    -- all CDC chunks after the next boundary byte-identical (the
+    -- property dedup storage and training-data caches rely on).
+    -- Expected chunk length = 16 tokens.
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t
+        FROM documents
+    ), tk AS (
+        SELECT doc_id, i, t[i] AS w,
+               CASE WHEN i >= 3 AND SUBSTR(MD5(
+                        ARRAY_TO_STRING(t[i-2:i], ' ')), 1, 1) = '0'
+                    THEN 1 ELSE 0 END AS b
+        FROM toks, UNNEST(RANGE(1, LEN(t) + 1)) AS r(i)
+        WHERE LEN(t) >= 1
+    ), chunked AS (
+        SELECT doc_id, i, w,
+               SUM(b) OVER (PARTITION BY doc_id ORDER BY i) AS cid
+        FROM tk
+    )
+    SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           MD5(STRING_AGG(w, ' ' ORDER BY i)) AS chunk_md5
+    FROM chunked
+    GROUP BY doc_id, cid
+    """,
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: boundaries where the rolling 3-gram
+    hash lands in a 1/16 class (expected 16-token chunks) — chunk
+    identity depends on content alone, so edits only perturb chunks
+    up to the next boundary while q111's fixed windows shift at every
+    later offset (the invariance dedup storage, embedding caches and
+    incremental re-tokenization rely on). One posexplode + one
+    per-doc running-sum window + one grouped md5 — corpus-linear, no
+    joins; chunk text is identified by md5 so the oracle compares
+    byte-exact without duplicating corpus text."""
+    d = load(spark, sf_dir, "documents")
+    return X.cdc_chunks(d, "text", "doc_id")

@@ -955,6 +955,48 @@ class TestBpeTokens:
         assert bad == 0
 
 
+class TestCdcChunks:
+    def test_early_edit_leaves_later_chunks_identical(self, spark):
+        # THE content-defined-chunking property: an insertion near the
+        # start changes only chunks up to the next boundary; every
+        # later chunk hash survives. A fixed-window chunker (q111)
+        # shifts every chunk after the edit instead.
+        from canvas_data_loader_spark.operators.textops import cdc_chunks
+
+        base = " ".join(f"tok{i % 37}word{i % 11}" for i in range(400))
+        edited = "inserted stuff " + base
+        df = spark.createDataFrame(
+            [(1, base), (2, edited)], "doc_id long, text string"
+        )
+        out = cdc_chunks(df).collect()
+        h1 = {r["chunk_md5"] for r in out if r["doc_id"] == 1}
+        h2 = {r["chunk_md5"] for r in out if r["doc_id"] == 2}
+        shared = h1 & h2
+        # nearly all of the original chunks survive the edit
+        assert len(shared) >= len(h1) - 2, (len(h1), len(shared))
+        assert len(h1) > 5  # the fixture actually chunks
+
+    def test_chunks_reassemble_exactly(self, spark):
+        import hashlib
+
+        from canvas_data_loader_spark.functions.text import normalize_text
+        from canvas_data_loader_spark.operators.textops import cdc_chunks
+
+        import pyspark.sql.functions as F
+
+        text = "alpha beta gamma " * 40
+        df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+        norm = df.select(normalize_text("text").alias("n")).collect()[0]["n"]
+        chunks = sorted(
+            (r["chunk_id"], r["n_tokens"], r["chunk_md5"])
+            for r in cdc_chunks(df).collect()
+        )
+        # token counts add up to the full normalized doc
+        assert sum(c[1] for c in chunks) == len(norm.split(" "))
+        # chunk ids are contiguous from 0
+        assert [c[0] for c in chunks] == list(range(len(chunks)))
+
+
 class TestRocksDBStateStore:
     def test_stateful_agg_matches_default_provider(self, spark):
         # the at-scale state backend: RocksDB-backed state (bounded
