@@ -115,6 +115,8 @@ HEADLINE = [
     "q132_winnowing_fingerprints",
     "q133_partial_overlap_pairs",
     "q134_cdc_chunking",
+    "q135_ewma_fold",
+    "q136_maxsim_late_interaction",
 ]
 
 

@@ -5616,3 +5616,149 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-exact without duplicating corpus text."""
     d = load(spark, sf_dir, "documents")
     return X.cdc_chunks(d, "text", "doc_id")
+
+
+@query(
+    "q135_ewma_fold",
+    """
+    -- Per-user EWMA (alpha = 0.5) over time-ordered event values — an
+    -- ordered stateful FOLD expressed as a pure engine op on both
+    -- sides: Spark aggregate() over the sorted value array, DuckDB
+    -- list_reduce over LIST(... ORDER BY ...). Identical sequential
+    -- double arithmetic in identical order -> bit-exact without any
+    -- rounding policy (0.5*x is an exponent shift; the adds happen in
+    -- the same sequence). Rounded to 6dp in the OUTPUT only, as a
+    -- defensive final cast.
+    WITH ordered AS (
+        SELECT user_id,
+               LIST(value ORDER BY ts ASC, event_id ASC) AS vals
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(LEN(vals) AS BIGINT) AS n_events,
+           ROUND(LIST_REDUCE(vals, (acc, x) -> acc * 0.5 + x * 0.5), 6)
+               AS ewma_r
+    FROM ordered
+    """,
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered stateful fold without leaving the engine: per-user
+    exponentially-weighted moving average (alpha=0.5) over
+    time-ordered values — collect_list + array_sort gives the
+    deterministic sequence (ties broken by event_id), then a single
+    sequential aggregate() fold. This is the batch twin of the
+    streaming applyInPandasWithState sessionizer (q70): same
+    per-key-ordered-state semantics, but JVM higher-order functions,
+    no Python workers, one shuffle on user_id. Both engines run the
+    identical double operations in the identical order, so the fold
+    is bit-exact BEFORE the defensive 6dp output rounding."""
+    e = load(spark, sf_dir, "events")
+    ordered = (
+        e.groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id, value))),"
+                " x -> x.value)"
+            ).alias("vals")
+        )
+    )
+    fold = F.expr(
+        "aggregate(slice(vals, 2, size(vals) - 1), vals[0],"
+        " (acc, x) -> acc * 0.5D + x * 0.5D)"
+    )
+    return ordered.select(
+        "user_id",
+        F.size("vals").cast("bigint").alias("n_events"),
+        F.round(fold, 6).alias("ewma_r"),
+    )
+
+
+@query(
+    "q136_maxsim_late_interaction",
+    f"""
+    -- Late-interaction (ColBERT-style) retrieval: treat each 64-dim
+    -- embedding as FOUR 16-dim "token vectors" (the q115 sub-slice
+    -- scheme) and score doc D for query Q by MaxSim =
+    -- sum over query subvectors of max over doc subvectors of cosine
+    -- — the multi-vector scoring that beats single-vector dot
+    -- products on fine-grained relevance, as one relational plan:
+    -- explode subvectors, one broadcast of the 4 query slices, a
+    -- (vec, query-slice) MAX group, a per-vec SUM, top-20.
+    WITH q AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), qsub AS (
+        SELECT mq, (SELECT qv FROM q)[1 + 16 * mq : 16 + 16 * mq] AS qs
+        FROM UNNEST([0, 1, 2, 3]) AS v(mq)
+    ), dsub AS (
+        SELECT e.vec_id, u.m, e.embedding[1 + 16 * u.m : 16 + 16 * u.m] AS ds
+        FROM embeddings e, UNNEST([0, 1, 2, 3]) AS u(m)
+        WHERE e.vec_id <> 0
+    ), best AS (
+        SELECT d.vec_id, s.mq,
+               MAX({_COS_QC.format(a='s.qs', b='d.ds')}) AS b
+        FROM dsub d CROSS JOIN qsub s
+        GROUP BY d.vec_id, s.mq
+    ), scored AS (
+        SELECT vec_id, ROUND(SUM(b), 6) AS maxsim_r
+        FROM best GROUP BY vec_id
+    )
+    SELECT vec_id, maxsim_r,
+           CAST(ROW_NUMBER() OVER (ORDER BY maxsim_r DESC, vec_id ASC) AS INT)
+               AS rank
+    FROM scored QUALIFY rank <= 20
+    """,
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector late-interaction scoring (the ColBERT MaxSim
+    shape): each embedding is sliced into four 16-dim subvectors
+    (q115's scheme standing in for per-token vectors — the real thing
+    stores array<array<float>>; the plan is identical), the query's
+    four slices broadcast, and MaxSim computed as max-per-query-slice
+    then sum — one explode + broadcast join + two map-side-combinable
+    aggregations, no windows over the corpus. Ranking on the
+    6dp-rounded sum (4-term double sum policy), ties to smaller id;
+    the top-20 rank index is driver-built over the collected rows
+    (q124's warning-free pattern)."""
+    from pyspark.sql import types as T
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qsubs = [
+        F.array(*[F.lit(float(x)) for x in qv[16 * m : 16 * (m + 1)]])
+        for m in range(4)
+    ]
+    dsub = e.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(m) for m in range(4)])).alias("m"),
+        "embedding",
+    ).select(
+        "vec_id", "m", F.expr("slice(embedding, 1 + 16 * m, 16)").alias("ds")
+    )
+    per_q = None
+    for mq in range(4):
+        s = dsub.select(
+            "vec_id",
+            F.lit(mq).alias("mq"),
+            cosine(F.col("ds"), qsubs[mq]).alias("c"),
+        )
+        per_q = s if per_q is None else per_q.unionByName(s)
+    scored = (
+        per_q.groupBy("vec_id", "mq")
+        .agg(F.max("c").alias("b"))
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("b"), 6).alias("maxsim_r"))
+    )
+    top = scored.orderBy(
+        F.col("maxsim_r").desc(), F.col("vec_id").asc()
+    ).limit(20).collect()
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("maxsim_r", T.DoubleType(), False),
+            T.StructField("rank", T.IntegerType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(int(r["vec_id"]), float(r["maxsim_r"]), i + 1) for i, r in enumerate(top)],
+        out_schema,
+    )
