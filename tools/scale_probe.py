@@ -427,6 +427,16 @@ def main_textops():
         "q112_token_entropy",
         "q113_boilerplate_bigrams",
         "q114_sequence_packing",
+        # round-6 documents-only additions: BPE packing/chunking,
+        # model/LM/DSIR scoring, winnowing + overlap pairs, CDC
+        "q122_bpe_token_packing",
+        "q123_bpe_chunk_manifest",
+        "q125_quality_model_score",
+        "q130_unigram_logprob",
+        "q131_dsir_importance",
+        "q132_winnowing_fingerprints",
+        "q133_partial_overlap_pairs",
+        "q134_cdc_chunking",
     ]
     spark = get_spark("scale_probe_textops")
     dest = tempfile.mkdtemp(prefix="scale_probe_textops_")
