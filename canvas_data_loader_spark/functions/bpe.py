@@ -168,6 +168,11 @@ def bpe_token_count_udf():
     # signature inference
     @pandas_udf("bigint", PandasUDFType.SCALAR)
     def _count(texts):
-        return texts.map(bpe_token_count_py).astype("int64")
+        # NULL text stays NULL (matching the expression path, whose
+        # aggregate over a NULL array is NULL) — nullable Int64, not a
+        # 0-filled int64
+        return texts.map(
+            lambda t: None if t is None else bpe_token_count_py(t)
+        ).astype("Int64")
 
     return _count

@@ -171,3 +171,40 @@ def cdc_chunks(
             ).alias("chunk_md5"),
         )
     )
+
+
+def winnow_minima(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Winnowing window minima (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003): 3-gram hashes, min over each sliding window of 4. The
+    single source of the fingerprint scheme shared by q132 (per-doc
+    fingerprint stats) and q133 (cross-doc overlap pairs) — one
+    posexplode + one bounded ROWS window, corpus-linear.
+    Output: (id_col, i, n_kg, wmin) for window starts i <= n_kg - 3.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("t")
+    )
+    kg = (
+        toks.filter(F.size("t") >= 3)
+        .select(
+            id_col,
+            (F.size("t") - 2).alias("n_kg"),
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(t) - 2, 1)),"
+                    " i -> array_join(slice(t, i, 3), ' '))"
+                )
+            ).alias("__p", "g"),
+        )
+        .select(
+            id_col, (F.col("__p") + 1).alias("i"), "n_kg", F.md5("g").alias("h")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("i").rowsBetween(0, 3)
+    return kg.select(
+        id_col, "i", "n_kg", F.min("h").over(w).alias("wmin")
+    ).filter(F.col("i") <= F.col("n_kg") - 3)

@@ -157,6 +157,32 @@ class Warehouse:
             return None
         return os.path.join(self.root, table, commits[-1][1]["snapshot"])
 
+    def _fresh_snapshot_name(self, table: str, wanted: str) -> str:
+        """A snapshot directory name that is guaranteed not to collide
+        with any directory the CURRENT manifest references or that
+        already exists on disk. Writing into a referenced directory
+        with mode=overwrite would delete the data a concurrent (or the
+        same!) lazy read is consuming — the immutability contract says
+        new data always lands in a NEW directory. Collisions get a
+        monotonically-increasing ``-v{N}`` suffix (N = next commit
+        number), so repeated compactions / replayed streaming batches
+        each write somewhere fresh and publish on top."""
+        m = self.current_manifest(table) or {}
+        referenced = {m.get("snapshot")} | set((m.get("buckets") or {}).values())
+        if wanted not in referenced and not os.path.exists(
+            os.path.join(self.root, table, wanted)
+        ):
+            return wanted
+        commits = self._commits(table)
+        version = (commits[-1][0] + 1) if commits else 1
+        while True:
+            cand = f"{wanted}-v{version}"
+            if cand not in referenced and not os.path.exists(
+                os.path.join(self.root, table, cand)
+            ):
+                return cand
+            version += 1
+
     def current_manifest(self, table: str) -> dict | None:
         commits = self._commits(table)
         return commits[-1][1] if commits else None
@@ -198,8 +224,20 @@ class Warehouse:
                     self.spark.read.option("basePath", base).parquet(*leaves)
                 )
         if not parts:
-            raise FileNotFoundError(
-                f"bucketed table {table!r} has no data directories"
+            # every referenced bucket is empty (partitionBy writes no
+            # directory for an empty partition — e.g. an all-empty
+            # volatile reload): fall back to the schema the bucketed
+            # manifest carries, so the table stays readable
+            schema_json = manifest.get("schema")
+            if schema_json is None:
+                raise FileNotFoundError(
+                    f"bucketed table {table!r} has no data directories "
+                    "and its manifest carries no schema"
+                )
+            from pyspark.sql import types as T
+
+            return self.spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(schema_json))
             )
         out = parts[0]
         for p in parts[1:]:
@@ -290,7 +328,11 @@ class Warehouse:
         With ``bucket=(key, n)`` the snapshot is written Hive-
         partitioned by ``pmod(xxhash64(key), n)`` and the manifest maps
         every bucket id to this snapshot — the layout merge_bucketed
-        then prunes and partially rewrites."""
+        then prunes and partially rewrites. Bucketed manifests also
+        carry the table schema so an all-empty write (partitionBy of an
+        empty frame emits no directories) still reads back as an empty
+        frame instead of bricking the table."""
+        snapshot = self._fresh_snapshot_name(table, snapshot)
         out = os.path.join(self.root, table, snapshot)
         if bucket is None:
             df.write.mode("overwrite").parquet(out)
@@ -307,6 +349,9 @@ class Warehouse:
                     "bucket_key": key,
                     "n_buckets": n,
                     "buckets": {str(k): snapshot for k in range(n)},
+                    "schema": df.withColumn(
+                        BUCKET_COL, bucket_of(F.col(key), n)
+                    ).schema.json(),
                 },
             )
         self._prune(table)
@@ -334,6 +379,11 @@ class Warehouse:
         m = self.current_manifest(table)
         if m is None or not m.get("buckets"):
             raise FileNotFoundError(f"table not bucketed: {table}")
+        # a replayed batch (e.g. foreachBatch restart after publish but
+        # before the streaming checkpoint committed) would otherwise
+        # mode=overwrite the very directory the current manifest — and
+        # our own lazy `old` read below — points at
+        snapshot = self._fresh_snapshot_name(table, snapshot)
         key, n = m["bucket_key"], int(m["n_buckets"])
         new_b = new.withColumn(BUCKET_COL, bucket_of(F.col(key), n))
         affected = sorted(
@@ -363,6 +413,7 @@ class Warehouse:
                     **m["buckets"],
                     **{str(k): snapshot for k in affected},
                 },
+                **({"schema": m["schema"]} if m.get("schema") else {}),
             },
         )
         self._prune(table)
@@ -398,14 +449,18 @@ class Warehouse:
         m = self.current_manifest(table)
         if m and m.get("buckets"):
             # bucketed: rewrite one full bucketed snapshot — one file
-            # per bucket (each bucket's fragments come from its merge
-            # history) — and repoint every bucket at it
+            # per bucket (repartitioning ON the bucket expression, so
+            # each bucket's rows land wholly in one task and the
+            # partitionBy write emits exactly one file per non-empty
+            # bucket; a round-robin repartition would emit up to
+            # n_buckets files PER bucket) — and repoint every bucket
             df = self.read(table)
+            n = int(m["n_buckets"])
             self.write(
                 table,
-                df.repartition(int(m["n_buckets"])),
-                snapshot="compact-bucketed",
-                bucket=(m["bucket_key"], int(m["n_buckets"])),
+                df.repartition(n, bucket_of(F.col(m["bucket_key"]), n)),
+                snapshot=self._fresh_snapshot_name(table, "compact-bucketed"),
+                bucket=(m["bucket_key"], n),
             )
             new_path = self.current_path(table)
             return sum(
@@ -422,7 +477,11 @@ class Warehouse:
         )
         n_files = max(1, math.ceil(total / target_bytes))
         df = self.spark.read.parquet(path)
-        self.write(table, df.repartition(n_files), snapshot=f"compact-{n_files}")
+        self.write(
+            table,
+            df.repartition(n_files),
+            snapshot=self._fresh_snapshot_name(table, f"compact-{n_files}"),
+        )
         new_path = self.current_path(table)
         return sum(
             1

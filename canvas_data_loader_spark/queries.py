@@ -4862,9 +4862,10 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top_b = bm.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(50).collect()
 
-    qv = (
-        e.orderBy(F.col("vec_id").asc()).limit(1).select("embedding").collect()
-    )[0][0]
+    # literal vec_id 0, matching the oracle's scalar subquery exactly
+    # (a min-id pick could silently diverge from the SQL mirror if the
+    # id space ever changed); missing id 0 fails loudly on both sides
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     qlit = F.array(*[F.lit(float(x)) for x in qv])
     cosd = e.filter(F.col("vec_id") != 0).select(
         "vec_id", cosine(F.col("embedding"), qlit).alias("cs")
@@ -4980,14 +4981,19 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- string re-parses) and extracts "$.k" as a typed int; DuckDB
     -- mirrors with its JSON extraction. Integer-only aggregates, so
     -- the check is bit-exact.
+    WITH kx AS (
+        SELECT event_type,
+               CASE WHEN json_valid(props)
+                    THEN TRY_CAST(props->>'$.k' AS BIGINT) END AS k
+        FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
-           MIN(CAST(props->>'$.k' AS BIGINT)) AS k_min,
-           MAX(CAST(props->>'$.k' AS BIGINT)) AS k_max,
-           COUNT(*) FILTER (WHERE CAST(props->>'$.k' AS BIGINT) IS NULL)
-               AS n_missing
-    FROM events
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           MIN(k) AS k_min,
+           MAX(k) AS k_max,
+           COUNT(*) FILTER (WHERE k IS NULL) AS n_missing
+    FROM kx
     GROUP BY event_type
     """,
 )
@@ -5003,7 +5009,7 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     or missing paths surface as NULLs — counted in n_missing, the
     quarantine column — instead of failing the batch."""
     e = load(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -5400,6 +5406,28 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# Winnowing fingerprint CTEs shared by q132/q133 — the SQL mirror of
+# operators/textops.py::winnow_minima (3-gram md5, min over window-4,
+# valid starts only). Defines toks/kg/winfp; winfp = (doc_id, i, wmin).
+_WINNOW_CTES = f"""toks AS (
+        SELECT doc_id, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t
+        FROM documents
+    ), kg AS (
+        SELECT doc_id, i, LEN(t) - 2 AS n_kg,
+               MD5(ARRAY_TO_STRING(t[i:i+2], ' ')) AS h
+        FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t) - 1, 1))) AS r(i)
+        WHERE LEN(t) >= 3
+    ), winfp AS (
+        SELECT doc_id, i, n_kg,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        FROM kg
+        QUALIFY i <= n_kg - 3
+    )"""
+
+
 @query(
     "q132_winnowing_fingerprints",
     f"""
@@ -5411,26 +5439,12 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- density (the property plain MinHash lacks: winnowing is
     -- POSITION-local, so it catches partial overlap/containment, not
     -- just whole-document resemblance).
-    WITH toks AS (
-        SELECT doc_id, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t
-        FROM documents
-    ), kg AS (
-        SELECT doc_id, i, LEN(t) - 2 AS n_kg,
-               MD5(ARRAY_TO_STRING(t[i:i+2], ' ')) AS h
-        FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t) - 1, 1))) AS r(i)
-        WHERE LEN(t) >= 3
-    ), winmin AS (
-        SELECT doc_id, i, n_kg,
-               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
-                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
-        FROM kg
-    )
+    WITH {_WINNOW_CTES}
     SELECT doc_id,
            CAST(MAX(n_kg) AS BIGINT) AS n_kgrams,
            CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fingerprints,
            MIN(wmin) AS min_fp
-    FROM winmin
-    WHERE i <= n_kg - 3
+    FROM winfp
     GROUP BY doc_id
     """,
 )
@@ -5446,30 +5460,8 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
     of document length, so the plan is corpus-linear. Hashes are md5
     strings, min/distinct lexicographic — bit-exact across engines."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split(normalize_text("text"), " ").alias("t"))
-    kg = (
-        toks.filter(F.size("t") >= 3)
-        .select(
-            "doc_id",
-            (F.size("t") - 2).alias("n_kg"),
-            F.posexplode(
-                F.expr("transform(sequence(1, greatest(size(t) - 2, 1)),"
-                       " i -> array_join(slice(t, i, 3), ' '))")
-            ).alias("__p", "g"),
-        )
-        .select(
-            "doc_id",
-            (F.col("__p") + 1).alias("i"),
-            "n_kg",
-            F.md5("g").alias("h"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
-    winmin = kg.select(
-        "doc_id", "i", "n_kg", F.min("h").over(w).alias("wmin")
-    )
     return (
-        winmin.filter(F.col("i") <= F.col("n_kg") - 3)
+        X.winnow_minima(d)
         .groupBy("doc_id")
         .agg(
             F.max("n_kg").cast("bigint").alias("n_kgrams"),
@@ -5490,21 +5482,8 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- > 20 docs — boilerplate) are dropped BEFORE the pair join, the
     -- same hot-key cap discipline as q34's max_df: the shuffle is
     -- bounded per fingerprint, never all-pairs.
-    WITH toks AS (
-        SELECT doc_id, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t
-        FROM documents
-    ), kg AS (
-        SELECT doc_id, i, LEN(t) - 2 AS n_kg,
-               MD5(ARRAY_TO_STRING(t[i:i+2], ' ')) AS h
-        FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t) - 1, 1))) AS r(i)
-        WHERE LEN(t) >= 3
-    ), winmin AS (
-        SELECT doc_id, i, n_kg,
-               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
-                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
-        FROM kg
-    ), fp AS (
-        SELECT DISTINCT doc_id, wmin FROM winmin WHERE i <= n_kg - 3
+    WITH {_WINNOW_CTES}, fp AS (
+        SELECT DISTINCT doc_id, wmin FROM winfp
     ), keep_fp AS (
         SELECT wmin FROM fp GROUP BY wmin
         HAVING COUNT(*) BETWEEN 2 AND 20
@@ -5529,28 +5508,7 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join — bounded bucket sizes, the q34 max_df discipline, never
     the n^2 doc-pair space."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split(normalize_text("text"), " ").alias("t"))
-    kg = (
-        toks.filter(F.size("t") >= 3)
-        .select(
-            "doc_id",
-            (F.size("t") - 2).alias("n_kg"),
-            F.posexplode(
-                F.expr("transform(sequence(1, greatest(size(t) - 2, 1)),"
-                       " i -> array_join(slice(t, i, 3), ' '))")
-            ).alias("__p", "g"),
-        )
-        .select(
-            "doc_id", (F.col("__p") + 1).alias("i"), "n_kg", F.md5("g").alias("h")
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
-    fp = (
-        kg.select("doc_id", "i", "n_kg", F.min("h").over(w).alias("wmin"))
-        .filter(F.col("i") <= F.col("n_kg") - 3)
-        .select("doc_id", "wmin")
-        .distinct()
-    )
+    fp = X.winnow_minima(d).select("doc_id", "wmin").distinct()
     keep = (
         fp.groupBy("wmin")
         .agg(F.count(F.lit(1)).alias("__df"))

@@ -50,12 +50,17 @@ def stream_upsert_to_warehouse(
         new = batch_df
         if order_col is not None:
             new = dedup_latest(new, keys, order_col)
-        if (
-            warehouse.exists(table)
-            and warehouse.is_bucketed(table)
-            and len(keys) == 1
-            and warehouse.current_manifest(table).get("bucket_key") == keys[0]
-        ):
+        if warehouse.exists(table) and warehouse.is_bucketed(table):
+            bucket_key = warehouse.current_manifest(table).get("bucket_key")
+            if len(keys) != 1 or bucket_key != keys[0]:
+                # falling through to the plain path would publish an
+                # UNbucketed manifest — silently destroying the
+                # table's layout (and the pruned-merge property) on
+                # the first micro-batch. Refuse loudly instead.
+                raise ValueError(
+                    f"table {table!r} is bucketed on {bucket_key!r}; "
+                    f"stream merge key {keys!r} must match it"
+                )
             # bucketed tables take the partition-pruned MERGE: each
             # micro-batch reads and rewrites only the buckets its keys
             # hash to (round-6 pipeline default, same path as batch)

@@ -879,15 +879,28 @@ class TestBpeTokens:
         )
         from canvas_data_loader_spark.queries import load
 
-        d = load(spark, "/root/testdata/sf0.01", "documents")
+        d = load(spark, "/root/testdata/sf0.01", "documents").select(
+            "doc_id", "text"
+        )
+        # include a NULL text row: both lanes must yield NULL (a plain
+        # != filter would silently drop NULL<->0 mismatches)
+        d = d.unionByName(
+            d.sparkSession.createDataFrame(
+                [(999_999, None)], "doc_id long, text string"
+            )
+        )
         udf = bpe_token_count_udf()
         both = d.select(
             "doc_id",
             F.expr(count_expr_spark("text")).alias("expr_n"),
             udf(F.col("text")).alias("udf_n"),
         )
-        diff = both.filter(F.col("expr_n") != F.col("udf_n")).count()
+        diff = both.filter(
+            ~F.col("expr_n").eqNullSafe(F.col("udf_n"))
+        ).count()
         assert diff == 0
+        null_row = both.filter(F.col("doc_id") == 999_999).collect()[0]
+        assert null_row["expr_n"] is None and null_row["udf_n"] is None
 
     def test_property_expr_matches_python_on_random_text(self, spark):
         # hypothesis: the JVM expression chain and the pure-Python

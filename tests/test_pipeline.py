@@ -738,3 +738,95 @@ class TestBucketedPipeline:
         wh.merge_bucketed("t", batch, snapshot="s1")
         rows = dict((r[0], r[1]) for r in wh.read("t").collect())
         assert rows[1] == "CRASH" and len(rows) == 8
+
+
+class TestWarehouseSafety:
+    """Round-6 review fixes: snapshot names never collide with
+    referenced/existing directories (mode=overwrite into a directory a
+    lazy read is consuming = data loss), empty bucketed writes stay
+    readable, compaction writes one file per non-empty bucket."""
+
+    def test_double_compaction_is_safe(self, spark, tmp_path):
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        base = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1, 25)], "id long, v string"
+        )
+        wh.write("t", base, snapshot="s0", bucket=("id", 4))
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(1, "u1")], "id long, v string"),
+            snapshot="s1",
+        )
+        before = sorted(tuple(r) for r in wh.read("t").collect())
+        wh.compact("t")
+        wh.compact("t")  # second compaction reads what the first wrote
+        assert sorted(tuple(r) for r in wh.read("t").collect()) == before
+        # the two compactions landed in distinct directories
+        snaps = {m["snapshot"] for _, m in wh._commits("t")}
+        assert len([s for s in snaps if s.startswith("compact-bucketed")]) == 2
+
+    def test_bucketed_compaction_one_file_per_nonempty_bucket(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "whn"))
+        base = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1, 41)], "id long, v string"
+        ).repartition(8)  # fragment: several files per bucket
+        wh.write("t", base, snapshot="s0", bucket=("id", 4))
+        for i in range(1, 3):
+            wh.merge_bucketed(
+                "t",
+                spark.createDataFrame([(i, f"u{i}")], "id long, v string"),
+                snapshot=f"s{i}",
+            )
+        n_files = wh.compact("t")
+        new_path = wh.current_path("t")
+        buckets_on_disk = [
+            d for d in os.listdir(new_path) if d.startswith("__kb=")
+        ]
+        assert n_files == len(buckets_on_disk)  # exactly one per bucket
+
+    def test_replayed_merge_snapshot_name_is_disambiguated(
+        self, spark, tmp_path
+    ):
+        # foreachBatch replay: the same snapshot name arriving twice
+        # must not overwrite the directory the manifest (and our own
+        # lazy read) references
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "whr"))
+        base = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1, 9)], "id long, v string"
+        )
+        wh.write("t", base, snapshot="s0", bucket=("id", 4))
+        batch = spark.createDataFrame([(1, "B")], "id long, v string")
+        wh.merge_bucketed("t", batch, snapshot="stream-7")
+        wh.merge_bucketed("t", batch, snapshot="stream-7")  # replay
+        rows = dict((r[0], r[1]) for r in wh.read("t").collect())
+        assert rows[1] == "B" and len(rows) == 8
+        snaps = {m["snapshot"] for _, m in wh._commits("t")}
+        assert "stream-7" in snaps and any(
+            s.startswith("stream-7-v") for s in snaps
+        )
+
+    def test_empty_bucketed_write_stays_readable(self, spark, tmp_path):
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "whe"))
+        empty = spark.createDataFrame([], "id long, v string")
+        wh.write("t", empty, snapshot="s0", bucket=("id", 4))
+        assert wh.read("t").count() == 0
+        assert wh.read("t").columns == ["id", "v"]
+        # and the table recovers: a later merge works on the empty base
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            snapshot="s1",
+        )
+        assert [tuple(r) for r in wh.read("t").collect()] == [(1, "a")]
