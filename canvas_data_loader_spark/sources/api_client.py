@@ -237,15 +237,24 @@ class HttpTransport:
     drives the identical client code path above the transport seam.
     """
 
-    def __init__(self, host: str = CanvasDataApiClient.HOST, timeout: float = 60.0):
+    def __init__(
+        self,
+        host: str = CanvasDataApiClient.HOST,
+        timeout: float = 60.0,
+        scheme: str = "https",
+    ):
+        # scheme="http" exists for loopback integration tests (a real
+        # wire round-trip against an in-process server); production is
+        # the https default
         self.host = host
         self.timeout = timeout
+        self.scheme = scheme
 
     def get_json(self, path: str, query: str, headers: dict[str, str]):
         import json
         import urllib.request
 
-        url = f"https://{self.host}{path}" + (f"?{query}" if query else "")
+        url = f"{self.scheme}://{self.host}{path}" + (f"?{query}" if query else "")
         req = urllib.request.Request(url, headers=headers, method="GET")
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
             return json.loads(resp.read().decode())

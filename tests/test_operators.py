@@ -968,6 +968,39 @@ class TestBpeTokens:
         assert bad == 0
 
 
+class TestWinnowing:
+    def test_shared_run_guarantees_shared_fingerprint(self, spark):
+        # the winnowing THEOREM (SIGMOD 2003): with k-gram size 3 and
+        # window 4, any shared contiguous run of >= k + w - 1 = 6
+        # tokens between two documents yields at least one shared
+        # fingerprint. Property-checked over seeded random docs with a
+        # planted shared run placed at a random offset in each.
+        import random
+
+        from canvas_data_loader_spark.operators.textops import winnow_minima
+
+        rng = random.Random(1234)
+        vocab = [f"w{i}" for i in range(50)]
+        shared = [f"s{i}" for i in range(8)]  # 8-token planted run
+        rows = []
+        for d in range(20):
+            n = rng.randint(10, 60)
+            toks = [rng.choice(vocab) for _ in range(n)]
+            pos = rng.randint(0, len(toks))
+            toks[pos:pos] = shared
+            rows.append((d, " ".join(toks)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fp = winnow_minima(df).select("doc_id", "wmin").distinct().collect()
+        by_doc: dict = {}
+        for r in fp:
+            by_doc.setdefault(r["doc_id"], set()).add(r["wmin"])
+        docs = sorted(by_doc)
+        for a in docs:
+            for b in docs:
+                if a < b:
+                    assert by_doc[a] & by_doc[b], (a, b)
+
+
 class TestCdcChunks:
     def test_early_edit_leaves_later_chunks_identical(self, spark):
         # THE content-defined-chunking property: an insertion near the

@@ -830,3 +830,93 @@ class TestWarehouseSafety:
             snapshot="s1",
         )
         assert [tuple(r) for r in wh.read("t").collect()] == [(1, "a")]
+
+
+class TestHttpTransportLoopback:
+    """Exercise the REAL HttpTransport over the wire (loopback): an
+    in-process HTTP server serves the dump listing / schema / files
+    JSON and the gzipped TSV payloads; the full ImportPipeline runs
+    against it — the same client/pipeline code as production, with
+    urllib actually on the socket. Also asserts the server received
+    the signed Authorization/Date headers on every API route (the
+    file URLs are pre-signed in the real service: no auth there)."""
+
+    def test_pipeline_end_to_end_over_http(self, spark, tmp_path):
+        import json
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        from canvas_data_loader_spark.sources.api_client import (
+            CanvasDataApiClient,
+            HttpTransport,
+            gzip_tsv,
+        )
+
+        payload = gzip_tsv([[1, "root", "active"], [2, "sub", None]])
+        seen_auth: dict[str, list[str]] = {"api": [], "files": []}
+        dumps_json = [make_dump_json("d1", 1, "2024-01-01T00:00:00Z")]
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # keep pytest output clean
+                pass
+
+            def do_GET(self):
+                if self.path.startswith("/files/"):
+                    seen_auth["files"].append(
+                        self.headers.get("Authorization", "")
+                    )
+                    body, ctype = payload, "application/gzip"
+                else:
+                    seen_auth["api"].append(self.headers.get("Authorization", ""))
+                    if self.path == "/api/account/self/dump":
+                        doc = dumps_json
+                    elif self.path == "/api/schema/latest":
+                        doc = SCHEMA_JSON
+                    elif self.path == "/api/account/self/file/byDump/d1":
+                        doc = files_json(
+                            "d1", {"account_dim": ["account_dim-00000-aaa.gz"]}
+                        )
+                        # rewrite URLs to point at THIS server
+                        for a in doc["artifactsByTable"].values():
+                            for f in a["files"]:
+                                f["url"] = (
+                                    f"http://{self.server.server_address[0]}:"
+                                    f"{self.server.server_address[1]}/files/"
+                                    f"{f['filename']}"
+                                )
+                    else:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    body, ctype = json.dumps(doc).encode(), "application/json"
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            host = f"127.0.0.1:{srv.server_address[1]}"
+            client = CanvasDataApiClient(
+                "key", "secret", HttpTransport(host=host, scheme="http")
+            )
+            config = PipelineConfig(
+                stage_dir=str(tmp_path / "stage_http"),
+                warehouse_dir=str(tmp_path / "wh_http"),
+                ledger_path=str(tmp_path / "ledger_http.jsonl"),
+            )
+            p = ImportPipeline(spark, client, config)
+            results = p.run()
+            assert [r.status for r in results] == ["successful"]
+            assert wh_rows(p, "account_dim") == [
+                (1, "root", "active"),
+                (2, "sub", None),
+            ]
+            # every API call carried the HMAC signature
+            assert len(seen_auth["api"]) == 3  # dumps, schema, byDump
+            assert all(a.startswith("HMACAuth ") for a in seen_auth["api"])
+        finally:
+            srv.shutdown()
