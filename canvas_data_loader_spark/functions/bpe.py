@@ -143,13 +143,17 @@ def bpe_token_count_py(text: str) -> int:
         return 0
     low = text.lower()
     total = 0
-    for w in re.findall(r"[a-z]+", low):
+    # re.ASCII: Python's \s is Unicode-wide by default while Java
+    # regex and RE2 treat \s as ASCII — without the flag a U+00A0
+    # (non-breaking space) is dropped here but counted as a punct run
+    # by the engine paths (verified divergence on "a\xa0b": 2 vs 3)
+    for w in re.findall(r"[a-z]+", low, re.ASCII):
         s = " " + " ".join(w) + " "
         for a, b in MERGES:
             s = s.replace(f" {a} {b} ", f" {a}{b} ")
         total += len(s.split())
-    total += len(re.findall(r"[0-9]+", low))
-    total += len(re.findall(r"[^a-z0-9\s]+", low))
+    total += len(re.findall(r"[0-9]+", low, re.ASCII))
+    total += len(re.findall(r"[^a-z0-9\s]+", low, re.ASCII))
     return total
 
 

@@ -159,28 +159,35 @@ class Warehouse:
 
     def _fresh_snapshot_name(self, table: str, wanted: str) -> str:
         """A snapshot directory name that is guaranteed not to collide
-        with any directory the CURRENT manifest references or that
-        already exists on disk. Writing into a referenced directory
-        with mode=overwrite would delete the data a concurrent (or the
-        same!) lazy read is consuming — the immutability contract says
-        new data always lands in a NEW directory. Collisions get a
-        monotonically-increasing ``-v{N}`` suffix (N = next commit
-        number), so repeated compactions / replayed streaming batches
-        each write somewhere fresh and publish on top."""
-        m = self.current_manifest(table) or {}
-        referenced = {m.get("snapshot")} | set((m.get("buckets") or {}).values())
-        if wanted not in referenced and not os.path.exists(
-            os.path.join(self.root, table, wanted)
-        ):
-            return wanted
+        with any directory a commit references. Writing into a
+        referenced directory with mode=overwrite would delete the data
+        a concurrent (or the same!) lazy read is consuming — the
+        immutability contract says published data always lands in a
+        NEW directory. Collisions get a monotonically-increasing
+        ``-v{N}`` suffix (N = next commit number), so repeated
+        compactions / replayed streaming batches each write somewhere
+        fresh and publish on top.
+
+        A directory that exists on disk but appears in NO commit is a
+        crash orphan (written, never published, invisible to readers):
+        it is RECLAIMED — deleted and its name reused — so failed dumps
+        retried under the same id do not leak a full-size directory per
+        crash. Directories referenced by ANY retained commit are never
+        touched (they may be read_at time-travel targets)."""
         commits = self._commits(table)
+        ever_referenced: set[str] = set()
+        for _, man in commits:
+            ever_referenced.add(man.get("snapshot"))
+            ever_referenced.update((man.get("buckets") or {}).values())
         version = (commits[-1][0] + 1) if commits else 1
+        cand = wanted
         while True:
-            cand = f"{wanted}-v{version}"
-            if cand not in referenced and not os.path.exists(
-                os.path.join(self.root, table, cand)
-            ):
+            if cand not in ever_referenced:
+                path = os.path.join(self.root, table, cand)
+                if os.path.exists(path):
+                    shutil.rmtree(path, ignore_errors=True)
                 return cand
+            cand = f"{wanted}-v{version}"
             version += 1
 
     def current_manifest(self, table: str) -> dict | None:
@@ -459,7 +466,7 @@ class Warehouse:
             self.write(
                 table,
                 df.repartition(n, bucket_of(F.col(m["bucket_key"]), n)),
-                snapshot=self._fresh_snapshot_name(table, "compact-bucketed"),
+                snapshot="compact-bucketed",  # write() resolves collisions
                 bucket=(m["bucket_key"], n),
             )
             new_path = self.current_path(table)
@@ -480,7 +487,7 @@ class Warehouse:
         self.write(
             table,
             df.repartition(n_files),
-            snapshot=self._fresh_snapshot_name(table, f"compact-{n_files}"),
+            snapshot=f"compact-{n_files}",  # write() resolves collisions
         )
         new_path = self.current_path(table)
         return sum(
@@ -514,7 +521,13 @@ def _staged_bytes(paths: list[str]) -> int:
 class DumpResult:
     dump_id: str
     status: str
-    tables: dict[str, int] = field(default_factory=dict)  # table -> rows written
+    # table -> rows WRITTEN by this import's write job. For full
+    # rewrites (overwrite / whole-table merge) that equals the table
+    # row count; for the bucketed pruned merge it is the rows of the
+    # AFFECTED buckets only — by design (the pruned path never scans
+    # the rest of the table, which is the point). Not a table-size
+    # metric.
+    tables: dict[str, int] = field(default_factory=dict)
 
 
 class ImportPipeline:

@@ -5023,21 +5023,13 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q127_neardup_pagerank",
-    f"""
-    -- PageRank over a MinHash-LSH collision graph (q91's recipe at
-    -- r=1,b=16 — one minhash per band, the loose-banding operating
-    -- point that targets low-similarity recall, giving a non-trivial
-    -- graph on this corpus slice):
-    -- rank near-dup "hubs" — documents colliding with many others —
-    -- the centrality signal a dedup pipeline uses to pick canonical
-    -- representatives (keep the hub, drop satellites). THREE unrolled
-    -- power iterations in integer FIXED POINT (micro-rank units,
-    -- floor division, damping 850/1000) — exact arithmetic, so the
-    -- ranking is bit-identical across engines BY CONSTRUCTION (a
-    -- double-rounded variant hit a 6dp rounding boundary).
-    WITH toks AS (
+
+
+# MinHash r=1,b=16 collision-graph CTEs over the doc_id<100 slice,
+# shared by q127 (PageRank hubs) and q129 (edit-distance verify) —
+# the SQL mirror of D.minhash_bands(num_hashes=16, band_size=1).
+# Defines toks/sh/mh/bands; bands = (doc, band, band_hash).
+_MINHASH_BAND_CTES = f"""toks AS (
         SELECT doc_id, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t
         FROM documents WHERE doc_id < 100
     ), sh AS (
@@ -5052,7 +5044,43 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id AS doc, CAST(seed - 1 AS BIGINT) AS band,
                MD5(STRING_AGG(h, '' ORDER BY seed)) AS band_hash
         FROM mh GROUP BY doc_id, CAST(seed - 1 AS BIGINT)
-    ), edges AS (
+    )"""
+
+
+def _loose_band_collisions(bands, symmetric: bool):
+    """Spark side of the shared collision graph: distinct colliding doc
+    pairs from the banded signatures — both directions for graph
+    algorithms (q127), ordered pairs for pair scoring (q129)."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cond = (
+        (F.col("a.doc") != F.col("b.doc"))
+        if symmetric
+        else (F.col("a.doc") < F.col("b.doc"))
+    )
+    return (
+        a.join(b, on=["band", "band_hash"])
+        .filter(cond)
+        .select(F.col("a.doc").alias("src"), F.col("b.doc").alias("dst"))
+        .distinct()
+    )
+
+
+@query(
+    "q127_neardup_pagerank",
+    f"""
+    -- PageRank over a MinHash-LSH collision graph (q91's recipe at
+    -- r=1,b=16 — one minhash per band, the loose-banding operating
+    -- point that targets low-similarity recall, giving a non-trivial
+    -- graph on this corpus slice):
+    -- rank near-dup "hubs" — documents colliding with many others —
+    -- the centrality signal a dedup pipeline uses to pick canonical
+    -- representatives (keep the hub, drop satellites). THREE unrolled
+    -- power iterations in integer FIXED POINT (micro-rank units,
+    -- floor division, damping 850/1000) — exact arithmetic, so the
+    -- ranking is bit-identical across engines BY CONSTRUCTION (a
+    -- double-rounded variant hit a 6dp rounding boundary).
+    WITH {_MINHASH_BAND_CTES}, edges AS (
         SELECT DISTINCT a.doc AS src, b.doc AS dst
         FROM bands a JOIN bands b USING (band, band_hash)
         WHERE a.doc <> b.doc
@@ -5112,14 +5140,7 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     bands = D.minhash_bands(d, "text", "doc_id", num_hashes=16, band_size=1)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    edges = (
-        a.join(b, on=["band", "band_hash"])
-        .filter(F.col("a.doc") != F.col("b.doc"))
-        .select(F.col("a.doc").alias("src"), F.col("b.doc").alias("dst"))
-        .distinct()
-    )
+    edges = _loose_band_collisions(bands, symmetric=True)
     # materialize the (tiny) graph once: the unrolled iterations would
     # otherwise re-execute the shingle->minhash->band subtree per
     # iteration (observed: 18 scans / 21 exchanges in the lazy plan)
@@ -5194,22 +5215,7 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- collision graph), an exact but expensive measure verifies ONLY
     -- those pairs (never the n^2 space). Here the verifier is
     -- Levenshtein over each doc's 48-char normalized prefix.
-    WITH toks AS (
-        SELECT doc_id, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t
-        FROM documents WHERE doc_id < 100
-    ), sh AS (
-        SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+2], ' ') AS s
-        FROM toks, UNNEST(RANGE(1, GREATEST(LEN(t) - 1, 1))) AS r(i)
-        WHERE LEN(t) >= 3
-    ), mh AS (
-        SELECT doc_id, seed, MIN(MD5(CAST(seed AS VARCHAR) || '|' || s)) AS h
-        FROM sh CROSS JOIN UNNEST(RANGE(1, 17)) AS r(seed)
-        GROUP BY doc_id, seed
-    ), bands AS (
-        SELECT doc_id AS doc, CAST(seed - 1 AS BIGINT) AS band,
-               MD5(STRING_AGG(h, '' ORDER BY seed)) AS band_hash
-        FROM mh GROUP BY doc_id, CAST(seed - 1 AS BIGINT)
-    ), pairs AS (
+    WITH {_MINHASH_BAND_CTES}, pairs AS (
         SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
         FROM bands a JOIN bands b USING (band, band_hash)
         WHERE a.doc < b.doc
@@ -5240,13 +5246,8 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-matches only."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     bands = D.minhash_bands(d, "text", "doc_id", num_hashes=16, band_size=1)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    pairs = (
-        a.join(b, on=["band", "band_hash"])
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
+    pairs = _loose_band_collisions(bands, symmetric=False).select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
     )
     prefix = F.substring(normalize_text("text"), 1, 48)
     texts = d.select("doc_id", prefix.alias("p"))

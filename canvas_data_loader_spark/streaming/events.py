@@ -84,8 +84,11 @@ def _probe_ts_is_long(spark: SparkSession, path: str) -> bool:
             )
         return kinds.pop().startswith("timestamp[ns")
     except (ImportError, OSError, ValueError) as e:
-        if isinstance(e, ValueError) and "mix ts representations" in str(e):
-            raise  # the loud mixed-directory failure is the contract
+        if isinstance(e, ValueError) and (
+            "mix ts representations" in str(e)
+            or "no parquet files" in str(e)
+        ):
+            raise  # these loud, specific failures are the contract
         # anything pyarrow couldn't reach or decode (missing lib,
         # remote path, ArrowInvalid subclasses OSError but keep the
         # net wide): the batch-read probe remains the safety net

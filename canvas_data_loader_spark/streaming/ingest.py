@@ -63,9 +63,16 @@ def stream_upsert_to_warehouse(
                 )
             # bucketed tables take the partition-pruned MERGE: each
             # micro-batch reads and rewrites only the buckets its keys
-            # hash to (round-6 pipeline default, same path as batch)
+            # hash to (round-6 pipeline default, same path as batch).
+            # broadcast_keys=False: a stream has no staged-bytes size
+            # signal, and an unthrottled backfill can deliver the whole
+            # backlog as ONE micro-batch — forcing a broadcast of an
+            # unbounded key set is the exact hazard the batch path
+            # gates on broadcast_merge_max_bytes; AQE still broadcasts
+            # genuinely small key sets at runtime
             warehouse.merge_bucketed(
-                table, new, snapshot=f"stream-{batch_id}"
+                table, new, snapshot=f"stream-{batch_id}",
+                broadcast_keys=False,
             )
             return
         if warehouse.exists(table):

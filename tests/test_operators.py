@@ -866,6 +866,10 @@ class TestBpeTokens:
         # subword survival: an unmergeable consonant string stays
         # one-symbol-per-char
         assert bpe_token_count_py("zzzz") == 4
+        # non-ASCII whitespace (U+00A0) is a PUNCT RUN in all three
+        # lanes (ASCII \s semantics) — the Python reference must not
+        # treat it as whitespace (review-found divergence, now pinned)
+        assert bpe_token_count_py("a\xa0b") == 3
 
     def test_udf_matches_expression_path(self, spark):
         # the Arrow-batched pandas-UDF lane (where a real trained

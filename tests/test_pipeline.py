@@ -920,3 +920,23 @@ class TestHttpTransportLoopback:
             assert all(a.startswith("HMACAuth ") for a in seen_auth["api"])
         finally:
             srv.shutdown()
+
+    def test_crash_orphan_directory_is_reclaimed_on_retry(
+        self, spark, tmp_path
+    ):
+        # write data, never publish (crash) -> retry under the SAME
+        # name must reuse the directory (no unbounded orphan leak) and
+        # the published result must be the retry's data
+        import os
+
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "who"))
+        orphan = tmp_path / "who" / "t" / "d1"
+        spark.range(99).write.mode("overwrite").parquet(str(orphan))  # crashed attempt
+        wh.write("t", spark.range(3), snapshot="d1")  # retry
+        assert wh.read("t").count() == 3
+        assert wh.current_path("t").endswith("/d1")  # name reused, no -v suffix
+        # exactly one d1* dir on disk
+        dirs = [d for d in os.listdir(tmp_path / "who" / "t") if d.startswith("d1")]
+        assert dirs == ["d1"]
