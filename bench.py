@@ -117,6 +117,8 @@ HEADLINE = [
     "q134_cdc_chunking",
     "q135_ewma_fold",
     "q136_maxsim_late_interaction",
+    "q137_repetition_filters",
+    "q138_setsim_prefix_join",
 ]
 
 

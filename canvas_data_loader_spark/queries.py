@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.bpe import count_expr_duckdb, count_expr_spark
-from .functions.text import fingerprint, normalize_text, tokens
+from .functions.text import (
+    fingerprint,
+    normalize_text,
+    shingles_from_tokens,
+    tokens,
+)
 from .functions.vector import cosine, norm
 from .operators import dedup as D
 from .operators import simsearch as S
@@ -5721,3 +5726,206 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(r["vec_id"]), float(r["maxsim_r"]), i + 1) for i, r in enumerate(top)],
         out_schema,
     )
+
+
+@query(
+    "q137_repetition_filters",
+    f"""
+    -- Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    -- the filters every web-scale LLM corpus applies): per document,
+    -- the fraction of duplicate word occurrences, the fraction of
+    -- duplicate 3-gram occurrences, and the fraction of characters
+    -- covered by the most frequent word 2-gram; a doc is kept when
+    -- all three are under the published-style thresholds. The word
+    -- and 3-gram signals are pure per-row array arithmetic; only the
+    -- top-2-gram mode needs a (doc, bigram) count.
+    WITH toks AS (
+        SELECT doc_id, {_NORM_SQL.format(c='text')} AS norm,
+               STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t
+        FROM documents
+    ), base AS (
+        SELECT doc_id, norm, t,
+               CAST(LEN(t) AS BIGINT) AS n_tokens,
+               CAST(LEN(LIST_DISTINCT(t)) AS BIGINT) AS n_distinct
+        FROM toks
+    ), tri AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tri,
+               CAST(COUNT(DISTINCT ARRAY_TO_STRING(t[i - 2 : i], ' '))
+                    AS BIGINT) AS n_tri_distinct
+        FROM toks, UNNEST(RANGE(3, LEN(t) + 1)) AS r(i)
+        GROUP BY doc_id
+    ), bg AS (
+        SELECT doc_id, ARRAY_TO_STRING(t[i : i + 1], ' ') AS bigram,
+               COUNT(*) AS cnt
+        FROM toks, UNNEST(RANGE(1, LEN(t))) AS r(i)
+        GROUP BY doc_id, ARRAY_TO_STRING(t[i : i + 1], ' ')
+    ), topbg AS (
+        SELECT doc_id, bigram, cnt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, bigram ASC) AS rn
+        FROM bg
+    )
+    SELECT b.doc_id, b.n_tokens,
+           ROUND(CASE WHEN b.n_tokens = 0 THEN 0.0
+                 ELSE (b.n_tokens - b.n_distinct) * 1.0 / b.n_tokens END,
+                 6) AS dup_word_frac,
+           ROUND(CASE WHEN COALESCE(tri.n_tri, 0) = 0 THEN 0.0
+                 ELSE (tri.n_tri - tri.n_tri_distinct) * 1.0 / tri.n_tri END,
+                 6) AS dup_trigram_frac,
+           g.bigram AS top_bigram,
+           ROUND(CASE WHEN LEN(b.norm) = 0 THEN 0.0
+                 ELSE COALESCE(g.cnt * LEN(g.bigram), 0) * 1.0
+                      / LEN(b.norm) END, 6) AS top_bigram_frac,
+           CAST(CASE WHEN
+                ROUND(CASE WHEN b.n_tokens = 0 THEN 0.0
+                      ELSE (b.n_tokens - b.n_distinct) * 1.0 / b.n_tokens END,
+                      6) <= 0.5
+                AND ROUND(CASE WHEN COALESCE(tri.n_tri, 0) = 0 THEN 0.0
+                      ELSE (tri.n_tri - tri.n_tri_distinct) * 1.0
+                           / tri.n_tri END, 6) <= 0.3
+                AND ROUND(CASE WHEN LEN(b.norm) = 0 THEN 0.0
+                      ELSE COALESCE(g.cnt * LEN(g.bigram), 0) * 1.0
+                           / LEN(b.norm) END, 6) <= 0.18
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM base b
+    LEFT JOIN tri ON tri.doc_id = b.doc_id
+    LEFT JOIN topbg g ON g.doc_id = b.doc_id AND g.rn = 1
+    """,
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021, Table A1): the
+    three repetition signals production corpora filter on —
+    duplicate-word fraction (1 - distinct/total tokens),
+    duplicate-3-gram fraction, and the character fraction covered by
+    the modal word 2-gram — plus the keep decision at Gopher-style
+    thresholds (0.5 / 0.3 / 0.18 on the 6dp-rounded signals, so the
+    comparison can't straddle float noise).
+
+    Scale shape: the word and 3-gram signals are PER-ROW array
+    expressions (size/array_distinct over the token array — no
+    shuffle, map-only, document-length-bounded); only the modal
+    bigram needs state, and that is one (doc_id, bigram) hash
+    aggregate with map-side combine followed by a doc_id-partitioned
+    row_number — never a corpus-global window. All ratios are exact
+    integer-over-integer doubles, identical IEEE results both
+    engines, rounded 6dp per the float policy."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        normalize_text("text").alias("norm"),
+        tokens("text").alias("t"),
+    )
+    base = t.select(
+        "doc_id",
+        "norm",
+        "t",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("bigint").alias("n_distinct"),
+        F.size(shingles_from_tokens(F.col("t"), 3)).cast("bigint").alias("n_tri"),
+        F.size(F.array_distinct(shingles_from_tokens(F.col("t"), 3)))
+        .cast("bigint")
+        .alias("n_tri_distinct"),
+    )
+    bg = (
+        t.select(
+            "doc_id",
+            F.explode(shingles_from_tokens(F.col("t"), 2)).alias("bigram"),
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("bigram").asc()
+    )
+    topbg = (
+        bg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "bigram", "cnt")
+    )
+    j = base.join(topbg, "doc_id", "left")
+    dup_word = F.round(
+        F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+            (F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens")
+        ),
+        6,
+    )
+    dup_tri = F.round(
+        F.when(F.col("n_tri") == 0, F.lit(0.0)).otherwise(
+            (F.col("n_tri") - F.col("n_tri_distinct")) / F.col("n_tri")
+        ),
+        6,
+    )
+    top_frac = F.round(
+        F.when(F.length("norm") == 0, F.lit(0.0)).otherwise(
+            F.coalesce(
+                F.col("cnt") * F.length("bigram"), F.lit(0)
+            ).cast("double")
+            / F.length("norm")
+        ),
+        6,
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        dup_word.alias("dup_word_frac"),
+        dup_tri.alias("dup_trigram_frac"),
+        F.col("bigram").alias("top_bigram"),
+        top_frac.alias("top_bigram_frac"),
+        (
+            (dup_word <= 0.5) & (dup_tri <= 0.3) & (top_frac <= 0.18)
+        ).cast("int").alias("keep"),
+    )
+
+
+@query(
+    "q138_setsim_prefix_join",
+    f"""
+    -- EXACT Jaccard >= 3/5 similarity join over 3-gram shingle sets.
+    -- The oracle computes the full exact answer directly (shared-
+    -- shingle join + per-doc set sizes + integer-rational threshold);
+    -- the Spark side must produce the IDENTICAL set through prefix
+    -- filtering — which is what makes this a correctness check of the
+    -- pruning's losslessness, not just of the arithmetic.
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, ARRAY_TO_STRING(tk[i : i + 2], ' ') AS s
+        FROM toks, UNNEST(RANGE(1, LEN(tk) - 1)) AS r(i)
+        WHERE LEN(tk) >= 3
+    ), sz AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.inter AS BIGINT) AS inter,
+           CAST(sa.n + sb.n - p.inter AS BIGINT) AS un,
+           ROUND(p.inter * 1.0 / (sa.n + sb.n - p.inter), 6) AS jacc_r
+    FROM pairs p
+    JOIN sz sa ON sa.doc_id = p.doc_a
+    JOIN sz sb ON sb.doc_id = p.doc_b
+    WHERE p.inter * 5 >= (sa.n + sb.n - p.inter) * 3
+    """,
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join with lossless prefix filtering
+    (PPJoin/AllPairs, Xiao et al. WWW'08): every document pair whose
+    3-gram shingle sets have Jaccard >= 0.6 — the EXACT-answer
+    alternative to MinHash-LSH (q35/q116) when a dedup keep-set must
+    be reproducible and recall-complete. The Spark plan orders each
+    doc's shingles by global document frequency (rarest first), joins
+    only on each doc's first |d| - ceil(0.6|d|) + 1 shingles
+    (provably lossless for J >= 0.6), then exactly verifies the
+    candidate-bounded pair set; the DuckDB oracle computes the
+    unpruned exact answer, so a hash match PROVES the pruning dropped
+    nothing on this corpus. Threshold and prefix length are exact
+    integer arithmetic (3/5 rational, integer ceil) — no float
+    boundary. See operators/dedup.py::setsim_prefix_join for the
+    100 TB shape argument (skew-inverted join keys, candidate-bounded
+    verify)."""
+    d = load(spark, sf_dir, "documents")
+    return D.setsim_prefix_join(d, "text", "doc_id", n=3, t_num=3, t_den=5)

@@ -1350,3 +1350,108 @@ class TestSemanticDedup:
         # survivors may still pair with DROPPED vectors' ids? No: both
         # sides here are the kept set, so any hit is a real violation.
         assert violations.count() == 0
+
+
+class TestRepetitionFilters:
+    """q137 Gopher repetition signals: hand-computed values."""
+
+    def test_known_values(self, spark):
+        from canvas_data_loader_spark.queries import SPARK, load
+
+        df = spark.createDataFrame(
+            [
+                # "a b a b a b": 6 tokens, 2 distinct -> dup_word 4/6;
+                # trigrams: "a b a","b a b","a b a","b a b" -> 4 total
+                # 2 distinct -> dup 0.5; top bigram "a b" x3, len 3,
+                # norm len 11 -> 9/11
+                (1, "a b a b a b"),
+                # all unique, no repetition; long enough that a
+                # single bigram occurrence stays under the 0.18
+                # char-fraction threshold (a 5-word doc would not be:
+                # 7/23 chars -> the filter drops legitimately-short
+                # unique docs, which is Gopher's actual behavior)
+                (
+                    2,
+                    "one two three four five six seven eight nine ten "
+                    "eleven twelve thirteen fourteen fifteen sixteen",
+                ),
+            ],
+            ["doc_id", "text"],
+        )
+        import canvas_data_loader_spark.queries as Q
+
+        orig = Q.load
+        try:
+            Q.load = lambda s, d, t: df  # noqa: ARG005
+            out = {
+                r["doc_id"]: r.asDict()
+                for r in SPARK["q137_repetition_filters"](spark, "x").collect()
+            }
+        finally:
+            Q.load = orig
+        r1 = out[1]
+        assert r1["n_tokens"] == 6
+        assert abs(r1["dup_word_frac"] - 4 / 6) < 1e-6
+        assert abs(r1["dup_trigram_frac"] - 0.5) < 1e-6
+        assert r1["top_bigram"] == "a b"
+        assert abs(r1["top_bigram_frac"] - 9 / 11) < 1e-6
+        assert r1["keep"] == 0
+        r2 = out[2]
+        assert r2["dup_word_frac"] == 0.0
+        assert r2["dup_trigram_frac"] == 0.0
+        assert r2["keep"] == 1
+
+
+class TestSetsimPrefixJoin:
+    """q138: prefix filtering must be lossless vs brute force."""
+
+    def test_matches_bruteforce(self, spark):
+        from canvas_data_loader_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+            setsim_prefix_join,
+        )
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "a completely different document about spark engines"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+            (5, "a completely different document about spark planes"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r["doc_a"], r["doc_b"], r["inter"], r["un"])
+            for r in setsim_prefix_join(df, "text", "doc_id").collect()
+        }
+        brute = {
+            (r["doc_a"], r["doc_b"], r["common"], None)
+            for r in ngram_jaccard_pairs(
+                df, "text", "doc_id", min_jaccard=0.6
+            ).collect()
+        }
+        assert {(a, b) for a, b, *_ in got} == {(a, b) for a, b, *_ in brute}
+        # identical docs 1/4: inter == un, jaccard 1.0
+        exact = next(r for r in got if r[0] == 1 and r[1] == 4)
+        assert exact[2] == exact[3]
+
+    def test_prefix_length_exact_ceil(self, spark):
+        # sz=5, t=3/5: ceil(3) = 3, prefix = 5-3+1 = 3 — float ceil of
+        # 0.6*5 could give 4 and silently shorten the prefix; pin the
+        # integer-arithmetic result by checking a pair that NEEDS the
+        # full prefix: two 5-shingle docs sharing exactly 3 shingles
+        # (J = 3/7 < 0.6 -> excluded), and sharing 4 (J = 4/6 >= 0.6
+        # -> must be found).
+        from canvas_data_loader_spark.operators.dedup import setsim_prefix_join
+
+        # 7-token docs -> 5 3-gram shingles each; differ in last token
+        # -> share first 4 shingles... construct: differ in final token
+        df = spark.createDataFrame(
+            [
+                (1, "t1 t2 t3 t4 t5 t6 t7"),
+                (2, "t1 t2 t3 t4 t5 t6 zz"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = setsim_prefix_join(df, "text", "doc_id").collect()
+        assert len(out) == 1
+        assert out[0]["inter"] == 4 and out[0]["un"] == 6
