@@ -119,6 +119,8 @@ HEADLINE = [
     "q136_maxsim_late_interaction",
     "q137_repetition_filters",
     "q138_setsim_prefix_join",
+    "q139_temperature_mixture",
+    "q140_hard_negative_mining",
 ]
 
 

@@ -5929,3 +5929,170 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify)."""
     d = load(spark, sf_dir, "documents")
     return D.setsim_prefix_join(d, "text", "doc_id", n=3, t_num=3, t_den=5)
+
+
+@query(
+    "q139_temperature_mixture",
+    """
+    -- Temperature-based mixture reweighting (the multilingual /
+    -- multi-source sampling scheme of mC4 / XLM-R: group weight
+    -- proportional to n^alpha, alpha = 0.5, flattening the source
+    -- distribution so head groups stop drowning tail groups), with a
+    -- deterministic LCG-hash coin deciding each doc. Float policy:
+    -- sqrt is IEEE-correctly-rounded in both engines; the per-group
+    -- weights are rounded to 6dp and summed EXACTLY in decimal (the
+    -- only order-dependent step), then every downstream ratio is a
+    -- single-expression double computation identical on both sides.
+    WITH g AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(ROUND(SQRT(COUNT(*)), 6) AS DECIMAL(27,6)) AS w
+        FROM documents GROUP BY lang, source
+    ), t AS (
+        SELECT CAST(SUM(w) AS DOUBLE) AS wsum,
+               CAST(SUM(n_docs) AS DOUBLE) AS total FROM g
+    ), rates AS (
+        SELECT g.lang, g.source, g.n_docs,
+               LEAST(1.0, ((CAST(g.w AS DOUBLE) / t.wsum)
+                           * (t.total * 0.5)) / g.n_docs) AS rate
+        FROM g, t
+    )
+    SELECT r.lang, r.source, r.n_docs,
+           ROUND(r.rate, 6) AS rate_r,
+           CAST(COUNT_IF(((d.doc_id * 1103515245 + 12345) % 2147483648)
+                         % 1000000
+                         < CAST(FLOOR(r.rate * 1000000) AS BIGINT))
+                AS BIGINT) AS n_kept
+    FROM rates r JOIN documents d
+      ON d.lang = r.lang AND d.source = r.source
+    GROUP BY r.lang, r.source, r.n_docs, r.rate
+    """,
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled data mixture (mC4/XLM-R style): per
+    (lang, source) group, sampling weight proportional to n^0.5 —
+    the alpha-temperature flattening every multilingual/multi-source
+    pre-training mix applies — normalized into per-group keep rates
+    against a half-corpus budget, each document decided by the
+    reproducible q89 LCG id-hash coin (never rand()).
+
+    Scale shape: one map-side-combinable group count (the groups
+    table is dims-sized), the 1-row weight total joined back by
+    broadcast-cross (never a corpus window), and one broadcast join
+    of the per-group rate onto the corpus with a shuffle-free filter
+    + re-aggregate. Determinism: the only order-dependent float step
+    (summing group weights) is done in exact decimal on 6dp-rounded
+    sqrt weights; every later ratio is single-expression double
+    arithmetic, bitwise-identical across engines; the keep threshold
+    is an explicit floor compared as integers."""
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.sqrt(F.count(F.lit(1))), 6)
+        .cast("decimal(27,6)")
+        .alias("w"),
+    )
+    t = g.agg(
+        F.sum("w").cast("double").alias("wsum"),
+        F.sum("n_docs").cast("double").alias("total"),
+    )
+    rates = g.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            ((F.col("w").cast("double") / F.col("wsum"))
+             * (F.col("total") * F.lit(0.5)))
+            / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    coin = ((F.col("doc_id") * 1103515245 + 12345) % 2147483648) % 1000000
+    kept = (
+        d.join(F.broadcast(rates), ["lang", "source"])
+        .groupBy("lang", "source", "n_docs", "rate")
+        .agg(
+            F.count_if(
+                coin < F.floor(F.col("rate") * 1000000).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_kept")
+        )
+    )
+    return kept.select(
+        "lang",
+        "source",
+        "n_docs",
+        F.round("rate", 6).alias("rate_r"),
+        "n_kept",
+    )
+
+
+@query(
+    "q140_hard_negative_mining",
+    f"""
+    -- Hard-negative mining for contrastive training (DPR / SimCSE
+    -- recipe): for each query vector, the top-5 most-similar corpus
+    -- vectors with a DIFFERENT label — "hard" because they are
+    -- near-positives the model must learn to push apart; same-label
+    -- rows are excluded as presumed positives. Queries are the 8
+    -- smallest vec_ids (deterministic anchor set).
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS qv, label AS q_label
+        FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+        SELECT q.q_id, e.vec_id AS neg_id, e.label,
+               ROUND({_COS_QC.format(a='q.qv', b='e.embedding')}, 6) AS cos_r
+        FROM q JOIN embeddings e
+          ON e.label <> q.q_label AND e.vec_id <> q.q_id
+    )
+    SELECT q_id, neg_id, label, cos_r,
+           CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY cos_r DESC, neg_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (the DPR/SimCSE contrastive-training
+    retrieval shape): for each of 8 anchor queries, the top-5
+    highest-cosine corpus vectors carrying a DIFFERENT label —
+    near-positives the loss must separate; same-label vectors are
+    excluded as presumed positives via a theta-join predicate.
+
+    Scale shape: the 8-row query side is broadcast (one corpus pass,
+    no shuffle of the corpus); ranking is a window partitioned BY
+    QUERY (8 bounded partitions, never a corpus-global window); ties
+    broken (cos_r DESC, neg_id ASC) on the 6dp-rounded score per the
+    float policy. At real scale the anchor set is thousands of
+    training queries — same plan, more broadcast rows, or the
+    IVF-bucketed variant (q68) when the anchor side outgrows
+    broadcast."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        e.join(
+            F.broadcast(q),
+            (F.col("label") != F.col("q_label"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neg_id"),
+            "label",
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_r").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "neg_id", "label", "cos_r", "rank")
+    )

@@ -1455,3 +1455,60 @@ class TestSetsimPrefixJoin:
         out = setsim_prefix_join(df, "text", "doc_id").collect()
         assert len(out) == 1
         assert out[0]["inter"] == 4 and out[0]["un"] == 6
+
+
+class TestTemperatureMixture:
+    """q139: alpha=0.5 flattening must lift tail-group rates above
+    head-group rates, never exceed 1, and keep <= n per group."""
+
+    def test_flattening(self, spark):
+        import canvas_data_loader_spark.queries as Q
+
+        rows = [(i, "x", "en", "head", 10) for i in range(900)] + [
+            (1000 + i, "x", "de", "tail", 10) for i in range(100)
+        ]
+        df = spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        orig = Q.load
+        try:
+            Q.load = lambda s, d, t: df  # noqa: ARG005
+            out = {
+                (r["lang"]): r.asDict()
+                for r in Q.SPARK["q139_temperature_mixture"](spark, "x").collect()
+            }
+        finally:
+            Q.load = orig
+        head, tail = out["en"], out["de"]
+        # budget = 500; w_en = 30, w_de = 10 -> en target 375 (rate
+        # .4167), de target 125 -> rate capped at 1.0
+        assert tail["rate_r"] == 1.0
+        assert 0.41 < head["rate_r"] < 0.42
+        assert head["n_kept"] <= head["n_docs"]
+        # with rate 1.0 every tail doc is kept deterministically
+        assert tail["n_kept"] == tail["n_docs"] == 100
+
+
+class TestHardNegativeMining:
+    def test_excludes_same_label_and_self(self, spark):
+        import canvas_data_loader_spark.queries as Q
+
+        out = Q.SPARK["q140_hard_negative_mining"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        e = Q.load(spark, "/root/testdata/sf0.001", "embeddings")
+        labels = {r["vec_id"]: r["label"] for r in e.collect()}
+        assert len(out) == 8 * 5
+        for r in out:
+            assert r["neg_id"] != r["q_id"]
+            assert r["label"] != labels[r["q_id"]]
+        # ranks are 1..5 per query, scores non-increasing
+        from collections import defaultdict
+
+        per_q = defaultdict(list)
+        for r in out:
+            per_q[r["q_id"]].append((r["rank"], r["cos_r"]))
+        for q, rs in per_q.items():
+            rs.sort()
+            assert [x[0] for x in rs] == [1, 2, 3, 4, 5]
+            assert all(rs[i][1] >= rs[i + 1][1] for i in range(4))
