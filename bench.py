@@ -121,6 +121,8 @@ HEADLINE = [
     "q138_setsim_prefix_join",
     "q139_temperature_mixture",
     "q140_hard_negative_mining",
+    "q141_exactsubstr_coverage",
+    "q142_countmin_sketch",
 ]
 
 

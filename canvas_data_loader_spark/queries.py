@@ -6096,3 +6096,217 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("q_id", "neg_id", "label", "cos_r", "rank")
     )
+
+
+@query(
+    "q141_exactsubstr_coverage",
+    f"""
+    -- ExactSubstr-style duplicate-span coverage (Lee et al. 2022,
+    -- "Deduplicating Training Data Makes LMs Better"): for every
+    -- position whose 8-token gram also appears in ANOTHER document,
+    -- mark tokens [i, i+7] duplicated; per doc, report the union
+    -- length of those spans. Equal-length intervals make the union
+    -- exact with one lead() window: each marked position contributes
+    -- min(8, next_start - start), the last contributes 8.
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, i, MD5(ARRAY_TO_STRING(t[i : i + 7], ' ')) AS g
+        FROM toks, UNNEST(RANGE(1, LEN(t) - 6)) AS r(i)
+        WHERE LEN(t) >= 8
+    ), dupg AS (
+        SELECT g FROM grams GROUP BY g
+        HAVING COUNT(DISTINCT doc_id) > 1
+    ), marked AS (
+        SELECT gr.doc_id, gr.i,
+               LEAD(gr.i) OVER (PARTITION BY gr.doc_id ORDER BY gr.i) AS nxt
+        FROM grams gr JOIN dupg ON dupg.g = gr.g
+    ), cov AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS dup_positions,
+               CAST(SUM(CASE WHEN nxt IS NULL THEN 8
+                        ELSE LEAST(8, nxt - i) END) AS BIGINT) AS covered
+        FROM marked GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(LEN(b.t) AS BIGINT) AS n_tokens,
+           COALESCE(c.dup_positions, 0) AS dup_positions,
+           COALESCE(c.covered, 0) AS covered_tokens,
+           ROUND(COALESCE(c.covered, 0) * 1.0 / LEN(b.t), 6) AS coverage_frac
+    FROM toks b LEFT JOIN cov c ON c.doc_id = b.doc_id
+    """,
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring duplication coverage (the
+    ExactSubstr dedup statistic of Lee et al. 2022): a position is
+    duplicated when its 8-token gram occurs in at least one OTHER
+    document; the per-doc output is the exact union length of the
+    8-token spans those positions open — the quantity ExactSubstr
+    dedup cuts out of training data. (Winnowing q132/q133 detects
+    such overlap probabilistically with sampled fingerprints; this is
+    the exact accounting at a fixed gram length.)
+
+    Scale shape: grams are md5-hashed BEFORE the df aggregate (the
+    shuffle carries 32-byte keys, never 8-word strings), the
+    duplicated-gram set is a grams-keyed aggregate (map-side
+    combinable count-distinct over doc_id, bounded by 2 via an early
+    HAVING), the position join is gram-keyed, and the interval union
+    is ONE lead() window partitioned per document — equal-length
+    intervals make that exact, no sweep-line needed. Suffix arrays
+    (the paper's single-node tool) don't distribute; the gram-join
+    formulation is how this is run at corpus scale."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens("text").alias("t"))
+    grams = (
+        toks.filter(F.size("t") >= 8)
+        .select(
+            "doc_id",
+            F.posexplode(shingles_from_tokens(F.col("t"), 8)).alias("i0", "s"),
+        )
+        .select("doc_id", (F.col("i0") + 1).alias("i"), F.md5("s").alias("g"))
+    )
+    grams = grams.localCheckpoint(eager=False)
+    dupg = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("g")
+    )
+    marked = grams.join(dupg, "g").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    cov = (
+        marked.withColumn("nxt", F.lead("i").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dup_positions"),
+            F.sum(
+                F.when(F.col("nxt").isNull(), F.lit(8)).otherwise(
+                    F.least(F.lit(8), F.col("nxt") - F.col("i"))
+                )
+            )
+            .cast("bigint")
+            .alias("covered"),
+        )
+    )
+    return (
+        toks.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("n_tokens"),
+            F.coalesce("dup_positions", F.lit(0)).alias("dup_positions"),
+            F.coalesce("covered", F.lit(0)).alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered", F.lit(0)) * F.lit(1.0) / F.size("t"), 6
+            ).alias("coverage_frac"),
+        )
+    )
+
+
+@query(
+    "q142_countmin_sketch",
+    f"""
+    -- Count-min sketch construction + query, exactly reproduced:
+    -- 4 salted hash rows x 256 buckets (bucket key = first two hex
+    -- chars of md5 — compared as STRINGS, no hex->int parsing, the
+    -- q119 cross-engine rule). The sketch is built as ONE grouped
+    -- aggregate; each probe token's estimate is the min over its 4
+    -- cells; the oracle rebuilds the identical sketch, so the gate
+    -- checks the sketch CONSTRUCTION, and the exact join checks the
+    -- CMS guarantee est >= exact.
+    WITH tok AS (
+        SELECT UNNEST(STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ')) AS w
+        FROM documents
+    ), tokf AS (
+        SELECT w FROM tok WHERE LENGTH(w) > 0
+    ), cells AS (
+        SELECT r.i AS row_id, SUBSTR(MD5('cms' || r.i || ':' || w), 1, 2) AS b,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tokf, UNNEST([0, 1, 2, 3]) AS r(i)
+        GROUP BY r.i, SUBSTR(MD5('cms' || r.i || ':' || w), 1, 2)
+    ), exact AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tokf GROUP BY w
+        ORDER BY n DESC, w ASC LIMIT 20
+    )
+    SELECT e.w AS token, e.n AS exact_count,
+           MIN(c.cnt) AS cms_estimate,
+           CAST(MIN(c.cnt) >= e.n AS INT) AS no_undercount
+    FROM exact e
+    JOIN cells c
+      ON c.b = SUBSTR(MD5('cms' || c.row_id || ':' || e.w), 1, 2)
+    GROUP BY e.w, e.n
+    """,
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (Cormode & Muthukrishnan): the
+    mergeable frequency sketch streaming/distributed pipelines use
+    when exact token counts don't fit — built here as one grouped
+    aggregate over (hash row, bucket) with 4 salted md5 rows x 256
+    hex-prefix buckets, then queried for the exact top-20 tokens with
+    estimate = min over the 4 cells. The oracle rebuilds the sketch
+    cell-for-cell (deterministic construction — this is what makes an
+    approximate structure oracle-checkable), and the exact-count join
+    verifies the one-sided CMS guarantee (never undercounts).
+
+    Scale shape: the sketch build is a 1024-key hash aggregate with
+    map-side combine — each executor combines locally into its own
+    1024 counters and ships ONE sketch-sized partial regardless of
+    corpus size (the textbook mergeable-sketch property, same class
+    as approx_count_distinct's HLL at q62); bucket ids stay hex
+    STRINGS end-to-end (engines disagree on hex->int parsing). The
+    top-20 probe side is corpus-derived here for self-containment; at
+    100 TB the probe set is a fixed keyword list and the exact
+    groupBy disappears."""
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.length("w") > 0)
+    )
+    tok = tok.localCheckpoint(eager=False)
+    cells = (
+        tok.select(
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("row_id"),
+            F.col("w"),
+        )
+        .select(
+            "row_id",
+            F.substring(
+                F.md5(F.concat(F.lit("cms"), F.col("row_id"), F.lit(":"), F.col("w"))),
+                1,
+                2,
+            ).alias("b"),
+        )
+        .groupBy("row_id", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    exact = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(20)
+    )
+    probe = exact.select(
+        F.col("w").alias("token"),
+        F.col("n").alias("exact_count"),
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("row_id"),
+    ).withColumn(
+        "b",
+        F.substring(
+            F.md5(F.concat(F.lit("cms"), F.col("row_id"), F.lit(":"), F.col("token"))),
+            1,
+            2,
+        ),
+    )
+    return (
+        probe.join(F.broadcast(cells), ["row_id", "b"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            "token",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("exact_count"))
+            .cast("int")
+            .alias("no_undercount"),
+        )
+    )

@@ -1512,3 +1512,71 @@ class TestHardNegativeMining:
             rs.sort()
             assert [x[0] for x in rs] == [1, 2, 3, 4, 5]
             assert all(rs[i][1] >= rs[i + 1][1] for i in range(4))
+
+
+class TestExactSubstrCoverage:
+    def test_known_duplication(self, spark):
+        import canvas_data_loader_spark.queries as Q
+
+        shared = "s1 s2 s3 s4 s5 s6 s7 s8"  # one shared 8-gram
+        df = spark.createDataFrame(
+            [
+                (1, shared + " a1 a2 a3"),
+                (2, "b1 b2 " + shared),
+                (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+                (4, "short doc"),
+            ],
+            ["doc_id", "text"],
+        )
+        orig = Q.load
+        try:
+            Q.load = lambda s, d, t: df  # noqa: ARG005
+            out = {
+                r["doc_id"]: r.asDict()
+                for r in Q.SPARK["q141_exactsubstr_coverage"](spark, "x").collect()
+            }
+        finally:
+            Q.load = orig
+        # doc 1: gram at pos 1 duplicated (appears in doc 2) -> 8 tokens
+        assert out[1]["dup_positions"] == 1
+        assert out[1]["covered_tokens"] == 8
+        assert abs(out[1]["coverage_frac"] - 8 / 11) < 1e-6
+        # doc 2: same gram at pos 3
+        assert out[2]["covered_tokens"] == 8
+        # doc 3: unique content, no duplication; doc 4: too short
+        assert out[3]["covered_tokens"] == 0
+        assert out[4]["covered_tokens"] == 0 and out[4]["n_tokens"] == 2
+
+    def test_overlapping_spans_union(self, spark):
+        import canvas_data_loader_spark.queries as Q
+
+        # two docs sharing a 9-token run -> two overlapping 8-grams at
+        # positions 1,2 -> union = 9 tokens, not 16
+        run = "r1 r2 r3 r4 r5 r6 r7 r8 r9"
+        df = spark.createDataFrame(
+            [(1, run + " x1"), (2, run + " y1")], ["doc_id", "text"]
+        )
+        orig = Q.load
+        try:
+            Q.load = lambda s, d, t: df  # noqa: ARG005
+            out = {
+                r["doc_id"]: r.asDict()
+                for r in Q.SPARK["q141_exactsubstr_coverage"](spark, "x").collect()
+            }
+        finally:
+            Q.load = orig
+        assert out[1]["dup_positions"] == 2
+        assert out[1]["covered_tokens"] == 9
+
+
+class TestCountMinSketch:
+    def test_never_undercounts_and_exact_on_fixture(self, spark):
+        import canvas_data_loader_spark.queries as Q
+
+        out = Q.SPARK["q142_countmin_sketch"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert len(out) == 20
+        for r in out:
+            assert r["cms_estimate"] >= r["exact_count"]
+            assert r["no_undercount"] == 1
