@@ -123,6 +123,8 @@ HEADLINE = [
     "q140_hard_negative_mining",
     "q141_exactsubstr_coverage",
     "q142_countmin_sketch",
+    "q143_mmr_rerank",
+    "q144_bitext_margin_mining",
 ]
 
 

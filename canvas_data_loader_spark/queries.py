@@ -6310,3 +6310,242 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("no_undercount"),
         )
     )
+
+
+@query(
+    "q143_mmr_rerank",
+    f"""
+    -- Maximal Marginal Relevance (Carbonell & Goldstein 1998): the
+    -- RAG-stack diversification re-ranker. Candidates = top-16 by
+    -- cosine to the query; then greedily select 8, each step picking
+    -- argmax of 0.7*rel - 0.3*max-sim-to-already-selected (ties to
+    -- the smaller vec_id). The greedy recurrence runs as a RECURSIVE
+    -- CTE carrying the selected list; every similarity is rounded to
+    -- 6dp BEFORE the greedy so both engines take identical branches.
+    WITH RECURSIVE q AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), cand AS (
+        SELECT vec_id, embedding,
+               ROUND({_COS_QC.format(a='(SELECT qv FROM q)', b='embedding')},
+                     6) AS rel_r
+        FROM embeddings WHERE vec_id <> 0
+        ORDER BY rel_r DESC, vec_id ASC LIMIT 16
+    ), sims AS (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               ROUND({_COS_QC.format(a='a.embedding', b='b.embedding')},
+                     6) AS sim_r
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ), sel AS (
+        SELECT 1 AS step,
+               [(SELECT vec_id FROM cand
+                 ORDER BY rel_r DESC, vec_id ASC LIMIT 1)] AS picks
+        UNION ALL
+        SELECT step + 1,
+               LIST_APPEND(picks, (
+                   SELECT c.vec_id FROM cand c
+                   WHERE NOT LIST_CONTAINS(picks, c.vec_id)
+                   ORDER BY 0.7 * c.rel_r - 0.3 * COALESCE(
+                            (SELECT MAX(s.sim_r) FROM sims s
+                             WHERE s.a = c.vec_id
+                               AND LIST_CONTAINS(picks, s.b)), 0.0) DESC,
+                            c.vec_id ASC
+                   LIMIT 1))
+        FROM sel WHERE step < 8
+    ), final AS (
+        SELECT picks FROM sel WHERE step = 8
+    )
+    SELECT picks[i] AS vec_id, CAST(i AS INT) AS sel_rank, c.rel_r
+    FROM final, UNNEST(RANGE(1, 9)) AS r(i)
+    JOIN cand c ON c.vec_id = picks[i]
+    """,
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-ranking (Carbonell & Goldstein 1998), the
+    standard RAG diversification pass: take the top-16 cosine
+    candidates for the query, then greedily emit 8 results maximizing
+    0.7*relevance - 0.3*redundancy (max similarity to anything
+    already selected), ties to the smaller id.
+
+    Scale shape: relevance is ONE broadcast-query corpus pass (the
+    q32 brute-force shape, or q68's IVF at scale); the greedy
+    recurrence is inherently sequential but runs over only k
+    candidates — 16 rows of driver-side metadata (the q136
+    precedent), with the 16x16 similarity matrix computed as Spark
+    expressions so the driver loop does arithmetic on the SAME
+    6dp-rounded doubles the oracle's recursive CTE sees. Candidate
+    count, not corpus size, bounds the sequential part — which is why
+    MMR deployments re-rank top-k, never the corpus."""
+    from pyspark.sql import types as T
+
+    e = load(spark, sf_dir, "embeddings")
+    qv_row = e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qv = F.array(*[F.lit(float(x)) for x in qv_row[0][0]])
+    cand_df = (
+        e.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(cosine(qv, F.col("embedding")), 6).alias("rel_r"),
+        )
+        .orderBy(F.col("rel_r").desc(), F.col("vec_id").asc())
+        .limit(16)
+    )
+    cand = cand_df.collect()
+    sims_rows = (
+        cand_df.alias("a")
+        .crossJoin(cand_df.alias("b"))
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a"),
+            F.col("b.vec_id").alias("b"),
+            F.round(
+                cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("sim_r"),
+        )
+        .collect()
+    )
+    sim = {(r["a"], r["b"]): r["sim_r"] for r in sims_rows}
+    rel = {r["vec_id"]: r["rel_r"] for r in cand}
+    remaining = sorted(rel)
+    picks: list[int] = []
+    first = max(remaining, key=lambda v: (rel[v], -v))
+    picks.append(first)
+    remaining.remove(first)
+    while len(picks) < 8:
+        best = max(
+            remaining,
+            key=lambda v: (
+                0.7 * rel[v] - 0.3 * max(sim[(v, s)] for s in picks),
+                -v,
+            ),
+        )
+        picks.append(best)
+        remaining.remove(best)
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("sel_rank", T.IntegerType(), False),
+            T.StructField("rel_r", T.DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(int(v), i + 1, float(rel[v])) for i, v in enumerate(picks)],
+        out_schema,
+    )
+
+
+@query(
+    "q144_bitext_margin_mining",
+    f"""
+    -- Margin-based parallel-corpus mining (Artetxe & Schwenk 2019,
+    -- the LASER/CCMatrix recipe): label-0 vectors play the source
+    -- language, label-1 the target; a pair's score is its cosine
+    -- DIVIDED by the mean of the two sides' k-NN cosines (k = 4) —
+    -- the margin criterion that suppresses "hub" vectors which are
+    -- close to everything and would dominate raw-cosine matching.
+    -- Keep each source's best target where rounded margin >= 1.0.
+    WITH src AS (
+        SELECT vec_id, embedding FROM embeddings WHERE label = 0
+    ), tgt AS (
+        SELECT vec_id, embedding FROM embeddings WHERE label = 1
+    ), cp AS (
+        SELECT s.vec_id AS x, t.vec_id AS y,
+               ROUND({_COS_QC.format(a='s.embedding', b='t.embedding')}, 6)
+                   AS cos_r
+        FROM src s CROSS JOIN tgt t
+    ), kx AS (
+        SELECT x, CAST(SUM(CAST(cos_r AS DECIMAL(27,6))) AS DOUBLE) / 4 AS ax
+        FROM (SELECT x, y, cos_r, ROW_NUMBER() OVER (
+                  PARTITION BY x ORDER BY cos_r DESC, y ASC) AS rn FROM cp)
+        WHERE rn <= 4 GROUP BY x
+    ), ky AS (
+        SELECT y, CAST(SUM(CAST(cos_r AS DECIMAL(27,6))) AS DOUBLE) / 4 AS ay
+        FROM (SELECT x, y, cos_r, ROW_NUMBER() OVER (
+                  PARTITION BY y ORDER BY cos_r DESC, x ASC) AS rn FROM cp)
+        WHERE rn <= 4 GROUP BY y
+    ), m AS (
+        SELECT cp.x, cp.y, cp.cos_r,
+               cp.cos_r / ((kx.ax + ky.ay) / 2) AS margin
+        FROM cp JOIN kx ON kx.x = cp.x JOIN ky ON ky.y = cp.y
+    )
+    SELECT x AS src_id, y AS tgt_id, cos_r,
+           ROUND(margin, 6) AS margin_r
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY x ORDER BY margin DESC, y ASC) AS rn FROM m)
+    WHERE rn = 1 AND ROUND(margin, 6) >= 1.0
+    """,
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019) — the
+    LASER/CCMatrix criterion for mining parallel training pairs from
+    two monolingual embedding spaces: score = cosine / mean(x's k-NN
+    cosine, y's k-NN cosine), which cancels out hub vectors that
+    raw-cosine matching over-selects; keep each source's best target
+    at margin >= 1.0 (better-than-its-neighborhood).
+
+    Scale shape: the cross score matrix is a broadcast join (source
+    side broadcast, one pass over the target side); both k-NN means
+    are windows partitioned per vector with a bounded 4-row frame
+    contribution, summed in decimal per the float policy; the final
+    best-match is a per-source window. At real scale the dense
+    |src|x|tgt| matrix is replaced by IVF/LSH candidate generation
+    (q63/q68) followed by this exact margin re-score on candidates —
+    the published two-stage deployment; the relational margin logic
+    is unchanged."""
+    e = load(spark, sf_dir, "embeddings")
+    src = e.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("x"), F.col("embedding").alias("ex")
+    )
+    tgt = e.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("y"), F.col("embedding").alias("ey")
+    )
+    cp = (
+        tgt.join(F.broadcast(src))
+        .select(
+            "x",
+            "y",
+            F.round(cosine(F.col("ex"), F.col("ey")), 6).alias("cos_r"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wx = Window.partitionBy("x").orderBy(F.col("cos_r").desc(), F.col("y").asc())
+    kx = (
+        cp.withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") <= 4)
+        .groupBy("x")
+        .agg(
+            (F.sum(F.col("cos_r").cast("decimal(27,6)")).cast("double") / 4)
+            .alias("ax")
+        )
+    )
+    wy = Window.partitionBy("y").orderBy(F.col("cos_r").desc(), F.col("x").asc())
+    ky = (
+        cp.withColumn("rn", F.row_number().over(wy))
+        .filter(F.col("rn") <= 4)
+        .groupBy("y")
+        .agg(
+            (F.sum(F.col("cos_r").cast("decimal(27,6)")).cast("double") / 4)
+            .alias("ay")
+        )
+    )
+    m = (
+        cp.join(kx, "x")
+        .join(ky, "y")
+        .withColumn(
+            "margin",
+            F.col("cos_r") / ((F.col("ax") + F.col("ay")) / 2),
+        )
+    )
+    wbest = Window.partitionBy("x").orderBy(
+        F.col("margin").desc(), F.col("y").asc()
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(wbest))
+        .filter((F.col("rn") == 1) & (F.round("margin", 6) >= 1.0))
+        .select(
+            F.col("x").alias("src_id"),
+            F.col("y").alias("tgt_id"),
+            "cos_r",
+            F.round("margin", 6).alias("margin_r"),
+        )
+    )

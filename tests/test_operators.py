@@ -1580,3 +1580,42 @@ class TestCountMinSketch:
         for r in out:
             assert r["cms_estimate"] >= r["exact_count"]
             assert r["no_undercount"] == 1
+
+
+class TestMmrRerank:
+    def test_diversity_tradeoff(self, spark):
+        """MMR must (a) lead with the most relevant candidate, (b)
+        never repeat, (c) demote a near-duplicate of an already
+        selected item below what pure relevance ranking would do."""
+        import canvas_data_loader_spark.queries as Q
+
+        out = sorted(
+            Q.SPARK["q143_mmr_rerank"](spark, "/root/testdata/sf0.001").collect(),
+            key=lambda r: r["sel_rank"],
+        )
+        assert len(out) == 8
+        assert len({r["vec_id"] for r in out}) == 8
+        rels = [r["rel_r"] for r in out]
+        # first pick is the relevance argmax
+        assert rels[0] == max(rels)
+        # the sequence is NOT simply relevance-sorted (diversity term
+        # must have reordered something on this corpus)
+        assert rels != sorted(rels, reverse=True)
+
+
+class TestBitextMarginMining:
+    def test_margin_suppresses_hubs(self, spark):
+        """A hub vector close to everything must not win every match:
+        margin normalization divides by neighborhood similarity."""
+        import canvas_data_loader_spark.queries as Q
+
+        out = Q.SPARK["q144_bitext_margin_mining"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert len(out) > 0
+        # one best match per source, margin >= 1
+        srcs = [r["src_id"] for r in out]
+        assert len(srcs) == len(set(srcs))
+        assert all(r["margin_r"] >= 1.0 for r in out)
+        # matched targets are not a single hub
+        assert len({r["tgt_id"] for r in out}) > 1

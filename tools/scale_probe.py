@@ -437,6 +437,19 @@ def main_textops():
         "q132_winnowing_fingerprints",
         "q133_partial_overlap_pairs",
         "q134_cdc_chunking",
+        # round-6 batch 2: repetition filters, temperature mixture,
+        # ExactSubstr coverage, count-min sketch (all documents-only,
+        # linear-shaped). q138_setsim_prefix_join is deliberately NOT
+        # probed via replication: a replicated corpus multiplies every
+        # doc's duplicate group by `factor`, so the TRUE pair-set (and
+        # thus any exact join's output) grows ~factor^2 by
+        # construction — a data property, not a plan property; its
+        # scale argument is structural (rarest-first prefix keys +
+        # candidate-bounded verify, see operators/dedup.py).
+        "q137_repetition_filters",
+        "q139_temperature_mixture",
+        "q141_exactsubstr_coverage",
+        "q142_countmin_sketch",
     ]
     spark = get_spark("scale_probe_textops")
     dest = tempfile.mkdtemp(prefix="scale_probe_textops_")
