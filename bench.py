@@ -125,6 +125,7 @@ HEADLINE = [
     "q142_countmin_sketch",
     "q143_mmr_rerank",
     "q144_bitext_margin_mining",
+    "q145_exactsubstr_cut",
 ]
 
 

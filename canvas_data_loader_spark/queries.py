@@ -6549,3 +6549,97 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("margin", 6).alias("margin_r"),
         )
     )
+
+
+@query(
+    "q145_exactsubstr_cut",
+    f"""
+    -- The actionable half of q141: actually CUT the cross-document
+    -- duplicated 8-token spans out of each document (what ExactSubstr
+    -- dedup does to training data) and fingerprint the surviving
+    -- text. Position sets stay per-document and span-bounded; the
+    -- rewrite is a per-doc ordered re-aggregation.
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, i, MD5(ARRAY_TO_STRING(t[i : i + 7], ' ')) AS g
+        FROM toks, UNNEST(RANGE(1, LEN(t) - 6)) AS r(i)
+        WHERE LEN(t) >= 8
+    ), dupg AS (
+        SELECT g FROM grams GROUP BY g
+        HAVING COUNT(DISTINCT doc_id) > 1
+    ), covered AS (
+        SELECT DISTINCT gr.doc_id, p.j
+        FROM grams gr JOIN dupg ON dupg.g = gr.g,
+             UNNEST(RANGE(gr.i, gr.i + 8)) AS p(j)
+    ), kept AS (
+        SELECT tk.doc_id, tk.i, tk.w
+        FROM (SELECT doc_id, i, t[i] AS w
+              FROM toks, UNNEST(RANGE(1, LEN(t) + 1)) AS r(i)) tk
+        ANTI JOIN covered c ON c.doc_id = tk.doc_id AND c.j = tk.i
+    )
+    SELECT b.doc_id,
+           CAST(LEN(b.t) AS BIGINT) AS n_tokens,
+           CAST(LEN(b.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           MD5(COALESCE(k.clean, '')) AS clean_md5
+    FROM toks b LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               STRING_AGG(w, ' ' ORDER BY i) AS clean
+        FROM kept GROUP BY doc_id
+    ) k ON k.doc_id = b.doc_id
+    """,
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span-cut rewrite (Lee et al. 2022): remove every
+    token covered by a cross-document duplicated 8-gram and emit the
+    md5 of the surviving text — q141 measures the duplication, this
+    performs the dedup rewrite the paper applies to training data.
+
+    Scale shape: same hashed-gram df join as q141; covered positions
+    explode only from DUPLICATED gram positions (span-bounded, not
+    corpus-bounded) and collapse to one per-doc sorted array; the
+    rewrite itself is a single ARRAY-NATIVE positional filter
+    (filter(t, (x, i) -> ...) — no per-token explode of the corpus,
+    no re-sort: original token order is preserved by construction).
+    The md5 fingerprint makes the rewritten text oracle-checkable
+    without shipping full texts through the compare."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens("text").alias("t"))
+    grams = (
+        toks.filter(F.size("t") >= 8)
+        .select(
+            "doc_id",
+            F.posexplode(shingles_from_tokens(F.col("t"), 8)).alias("i0", "s"),
+        )
+        .select("doc_id", (F.col("i0") + 1).alias("i"), F.md5("s").alias("g"))
+    )
+    grams = grams.localCheckpoint(eager=False)
+    dupg = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("g")
+    )
+    covered = (
+        grams.join(dupg, "g")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + 7)).alias("j"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("j").alias("cov"))
+    )
+    j = toks.join(covered, "doc_id", "left").withColumn(
+        "cov", F.coalesce("cov", F.array().cast("array<bigint>"))
+    )
+    kept_arr = F.filter(
+        F.col("t"), lambda x, i: ~F.array_contains(F.col("cov"), (i + 1).cast("bigint"))
+    )
+    return j.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.size("cov").cast("bigint").alias("n_removed"),
+        F.md5(F.concat_ws(" ", kept_arr)).alias("clean_md5"),
+    )

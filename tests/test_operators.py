@@ -1619,3 +1619,35 @@ class TestBitextMarginMining:
         assert all(r["margin_r"] >= 1.0 for r in out)
         # matched targets are not a single hub
         assert len({r["tgt_id"] for r in out}) > 1
+
+
+class TestExactSubstrCut:
+    def test_removal_matches_q141_coverage(self, spark):
+        """q145 must remove exactly the token positions q141 counts as
+        covered — the two operators share one definition of
+        duplication."""
+        import canvas_data_loader_spark.queries as Q
+
+        cov = {
+            r["doc_id"]: r["covered_tokens"]
+            for r in Q.SPARK["q141_exactsubstr_coverage"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        cut = Q.SPARK["q145_exactsubstr_cut"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert {r["doc_id"]: r["n_removed"] for r in cut} == cov
+        # untouched docs keep their normalized text fingerprint
+        from canvas_data_loader_spark.functions.text import normalize_text
+
+        d = Q.load(spark, "/root/testdata/sf0.001", "documents")
+        norm_md5 = {
+            r["doc_id"]: r["m"]
+            for r in d.select(
+                "doc_id", F.md5(normalize_text("text")).alias("m")
+            ).collect()
+        }
+        for r in cut:
+            if r["n_removed"] == 0:
+                assert r["clean_md5"] == norm_md5[r["doc_id"]]
