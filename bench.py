@@ -126,6 +126,8 @@ HEADLINE = [
     "q143_mmr_rerank",
     "q144_bitext_margin_mining",
     "q145_exactsubstr_cut",
+    "q146_quantile_binning",
+    "q147_ks_drift",
 ]
 
 

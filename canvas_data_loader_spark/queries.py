@@ -6643,3 +6643,186 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("cov").cast("bigint").alias("n_removed"),
         F.md5(F.concat_ws(" ", kept_arr)).alias("clean_md5"),
     )
+
+
+@query(
+    "q146_quantile_binning",
+    """
+    -- Equal-frequency feature discretization: NTILE(4) bins of
+    -- document length within each language — the feature-engineering
+    -- primitive behind length-balanced batch construction and
+    -- quantile-bucketed quality tiers. NTILE over a TOTAL order
+    -- (n_chars, doc_id) is deterministic and its uneven-remainder
+    -- distribution (earlier buckets get the extras) is specified
+    -- identically in both engines.
+    SELECT lang, CAST(bin AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(n_chars) AS lo_chars,
+           MAX(n_chars) AS hi_chars
+    FROM (
+        SELECT lang, n_chars,
+               NTILE(4) OVER (PARTITION BY lang
+                              ORDER BY n_chars ASC, doc_id ASC) AS bin
+        FROM documents
+    )
+    GROUP BY lang, bin
+    """,
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency quantile binning (feature discretization): 4
+    NTILE bins of n_chars per language with per-bin count and value
+    range — the primitive behind quantile-tiered curation (q100 keeps
+    by a percentile cut; this materializes the full bin structure).
+    Deterministic because the window orders by the TOTAL key
+    (n_chars, doc_id); NTILE's remainder rule (first buckets take the
+    extras) is identical across engines. One lang-partitioned window
+    + one small aggregate; at scale, exact NTILE over a skewed
+    partition is the known hot spot and the documented swap is
+    approx_percentile cutpoints (q41's sketch) — same output schema,
+    sketch-bounded error."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("lang", "n_chars", F.ntile(4).over(w).alias("bin"))
+        .groupBy("lang", F.col("bin").cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_chars").alias("lo_chars"),
+            F.max("n_chars").alias("hi_chars"),
+        )
+    )
+
+
+@query(
+    "q147_ks_drift",
+    """
+    -- Exact two-sample Kolmogorov-Smirnov distance between every
+    -- pair of sources' length distributions — the distribution-drift
+    -- monitor for data pipelines (did src_a's docs change shape vs
+    -- src_b's?). All arithmetic is INTEGER until the final display
+    -- division: D = max over v of |c_a(v) * n_b - c_b(v) * n_a|,
+    -- ks = D / (n_a * n_b) — no float CDFs, so the max and its
+    -- argmin location are engine-exact by construction.
+    WITH vals AS (
+        SELECT source, n_chars AS v FROM documents
+    ), h AS (
+        SELECT source, v, CAST(COUNT(*) AS BIGINT) AS k
+        FROM vals GROUP BY source, v
+    ), n AS (
+        SELECT source, CAST(SUM(k) AS BIGINT) AS n FROM h GROUP BY source
+    ), grid AS (
+        SELECT DISTINCT v FROM vals
+    ), cum AS (
+        SELECT s.source, g.v,
+               CAST(SUM(COALESCE(h.k, 0)) OVER (
+                   PARTITION BY s.source ORDER BY g.v) AS BIGINT) AS c
+        FROM (SELECT DISTINCT source FROM vals) s
+        CROSS JOIN grid g
+        LEFT JOIN h ON h.source = s.source AND h.v = g.v
+    ), pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b
+        FROM (SELECT DISTINCT source FROM vals) a
+        JOIN (SELECT DISTINCT source FROM vals) b ON a.source < b.source
+    ), d AS (
+        SELECT p.src_a, p.src_b, ca.v,
+               ABS(ca.c * nb.n - cb.c * na.n) AS dd,
+               na.n AS n_a, nb.n AS n_b
+        FROM pairs p
+        JOIN cum ca ON ca.source = p.src_a
+        JOIN cum cb ON cb.source = p.src_b AND cb.v = ca.v
+        JOIN n na ON na.source = p.src_a
+        JOIN n nb ON nb.source = p.src_b
+    )
+    SELECT src_a, src_b, n_a, n_b,
+           CAST(dd AS BIGINT) AS d_num,
+           v AS ks_at,
+           ROUND(dd * 1.0 / (n_a * n_b), 6) AS ks_r
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY src_a, src_b ORDER BY dd DESC, v ASC) AS rn
+        FROM d
+    )
+    WHERE rn = 1
+    """,
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift statistic between
+    every source pair's document-length distributions — the
+    distribution-shift alarm a production corpus pipeline runs when a
+    crawler or upstream feed changes behavior. Integer-exact: with
+    c_a(v) the cumulative count at value v, the statistic maximizes
+    |c_a*n_b - c_b*n_a| (a BIGINT), and only the final reported ratio
+    divides — no float CDF comparisons, so max location and value are
+    deterministic across engines (ties at the max go to the smallest
+    v).
+
+    Scale shape: per-source histograms (map-side combinable), CDFs
+    via one source-partitioned cumulative window over the pooled
+    value grid (evaluating both step functions on a shared superset
+    of jump points changes nothing — D is constant on plateaus), and
+    a pair x grid equi-join that is dims x grid sized, never
+    corpus-sized. 190 pairs x ~2k grid points here; at 100 TB the
+    grid compresses to sketch quantiles (q41) with bounded KS error."""
+    d = load(spark, sf_dir, "documents")
+    vals = d.select("source", F.col("n_chars").alias("v"))
+    h = vals.groupBy("source", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    n = h.groupBy("source").agg(F.sum("k").cast("bigint").alias("n"))
+    grid = vals.select("v").distinct()
+    srcs = vals.select("source").distinct()
+    cum = (
+        srcs.crossJoin(grid)
+        .join(h, ["source", "v"], "left")
+        .withColumn(
+            "c",
+            F.sum(F.coalesce("k", F.lit(0)))
+            .over(Window.partitionBy("source").orderBy("v"))
+            .cast("bigint"),
+        )
+        .select("source", "v", "c")
+    )
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+    )
+    dd = (
+        pairs.join(
+            cum.select(
+                F.col("source").alias("src_a"), "v", F.col("c").alias("ca")
+            ),
+            "src_a",
+        )
+        .join(
+            cum.select(
+                F.col("source").alias("src_b"), "v", F.col("c").alias("cb")
+            ),
+            ["src_b", "v"],
+        )
+        .join(n.select(F.col("source").alias("src_a"), F.col("n").alias("n_a")), "src_a")
+        .join(n.select(F.col("source").alias("src_b"), F.col("n").alias("n_b")), "src_b")
+        .withColumn("dd", F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")))
+    )
+    w = Window.partitionBy("src_a", "src_b").orderBy(
+        F.col("dd").desc(), F.col("v").asc()
+    )
+    return (
+        dd.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            F.col("dd").cast("bigint").alias("d_num"),
+            F.col("v").alias("ks_at"),
+            F.round(F.col("dd") * 1.0 / (F.col("n_a") * F.col("n_b")), 6).alias(
+                "ks_r"
+            ),
+        )
+    )

@@ -1651,3 +1651,57 @@ class TestExactSubstrCut:
         for r in cut:
             if r["n_removed"] == 0:
                 assert r["clean_md5"] == norm_md5[r["doc_id"]]
+
+
+class TestQuantileBinning:
+    def test_equal_frequency(self, spark):
+        import canvas_data_loader_spark.queries as Q
+
+        out = Q.SPARK["q146_quantile_binning"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        from collections import defaultdict
+
+        per_lang = defaultdict(dict)
+        for r in out:
+            per_lang[r["lang"]][r["bin"]] = r
+        for lang, bins in per_lang.items():
+            assert set(bins) == {1, 2, 3, 4}
+            sizes = [bins[b]["n_docs"] for b in (1, 2, 3, 4)]
+            # NTILE remainder rule: sizes differ by at most 1, larger first
+            assert max(sizes) - min(sizes) <= 1
+            assert sizes == sorted(sizes, reverse=True)
+            # bins tile the value range in order
+            for b in (1, 2, 3):
+                assert bins[b]["hi_chars"] <= bins[b + 1]["lo_chars"]
+
+
+class TestKsDrift:
+    def test_against_scipy_free_reference(self, spark):
+        """Exact KS via a brute-force python computation on one pair."""
+        import canvas_data_loader_spark.queries as Q
+
+        out = {
+            (r["src_a"], r["src_b"]): r
+            for r in Q.SPARK["q147_ks_drift"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        d = Q.load(spark, "/root/testdata/sf0.001", "documents")
+        rows = d.select("source", "n_chars").collect()
+        a = sorted(r["n_chars"] for r in rows if r["source"] == "src0")
+        b = sorted(r["n_chars"] for r in rows if r["source"] == "src1")
+        import bisect
+
+        grid = sorted(set(a) | set(b))
+        best = max(
+            abs(bisect.bisect_right(a, v) * len(b)
+                - bisect.bisect_right(b, v) * len(a))
+            for v in grid
+        )
+        r = out[("src0", "src1")]
+        assert r["d_num"] == best
+        assert abs(r["ks_r"] - best / (len(a) * len(b))) < 1e-6
+        # KS is a metric bounded by [0, 1]
+        assert all(0 <= v["ks_r"] <= 1 for v in out.values())
+        assert len(out) == 190
