@@ -2968,7 +2968,7 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, lang, source
     FROM documents
-    WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 1000 <
+    WHERE (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 1000 <
           CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 300 ELSE 100 END
     """,
 )
@@ -2982,7 +2982,7 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate pushes to the scan. At 100 TB swap the LCG for
     xxhash64(id) — same one-pass, shuffle-free shape."""
     d = load(spark, sf_dir, "documents")
-    bucket = ((F.col("doc_id") * 1103515245 + 12345) % 2147483648) % 1000
+    bucket = (((F.col("doc_id") % 2147483648) * 1103515245 + 12345) % 2147483648) % 1000
     rate = (
         F.when(F.col("lang") == "en", 500)
         .when(F.col("lang") == "zh", 300)
@@ -3482,7 +3482,7 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM kept_quality GROUP BY fp
     ), sampled AS (
         SELECT * FROM deduped
-        WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 1000 <
+        WHERE (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 1000 <
               CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 300 ELSE 100 END
     )
     SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
@@ -3519,7 +3519,7 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("lang").alias("lang"),
         F.first("n_chars").alias("n_chars"),
     )
-    bucket = ((F.col("doc_id") * 1103515245 + 12345) % 2147483648) % 1000
+    bucket = (((F.col("doc_id") % 2147483648) * 1103515245 + 12345) % 2147483648) % 1000
     rate = (
         F.when(F.col("lang") == "en", 500)
         .when(F.col("lang") == "zh", 300)
@@ -3937,7 +3937,7 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, lang, ROUND(ttr, 6) AS ttr_r
     FROM scored
-    WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 1000
+    WHERE (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 1000
           < CAST(FLOOR(100 + 800 * ttr) AS INTEGER)
     """,
 )
@@ -3954,7 +3954,7 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
     ttr = F.size(F.array_distinct(w)) * 1.0 / F.size(w)
-    bucket = ((F.col("doc_id") * 1103515245 + 12345) % 2147483648) % 1000
+    bucket = (((F.col("doc_id") % 2147483648) * 1103515245 + 12345) % 2147483648) % 1000
     thresh = F.floor(100 + 800 * ttr).cast("int")
     return (
         d.select("doc_id", "lang", ttr.alias("__ttr"))
@@ -5958,7 +5958,7 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r.lang, r.source, r.n_docs,
            ROUND(r.rate, 6) AS rate_r,
-           CAST(COUNT_IF(((d.doc_id * 1103515245 + 12345) % 2147483648)
+           CAST(COUNT_IF((((d.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648)
                          % 1000000
                          < CAST(FLOOR(r.rate * 1000000) AS BIGINT))
                 AS BIGINT) AS n_kept
@@ -6006,7 +6006,7 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_docs"),
         ).alias("rate"),
     )
-    coin = ((F.col("doc_id") * 1103515245 + 12345) % 2147483648) % 1000000
+    coin = (((F.col("doc_id") % 2147483648) * 1103515245 + 12345) % 2147483648) % 1000000
     kept = (
         d.join(F.broadcast(rates), ["lang", "source"])
         .groupBy("lang", "source", "n_docs", "rate")

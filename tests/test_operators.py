@@ -1705,3 +1705,38 @@ class TestKsDrift:
         # KS is a metric bounded by [0, 1]
         assert all(0 <= v["ks_r"] <= 1 for v in out.values())
         assert len(out) == 190
+
+
+class TestLcgCoinOverflowSafe:
+    def test_huge_doc_ids_survive_ansi_mode(self, spark):
+        """The sampling coin must not overflow int64 for doc_ids a
+        100 TB corpus actually has (>= ~8.4e9 overflows the naive
+        id * 1103515245 under ANSI). The reduced form
+        (id % 2^31) * m is congruent mod 2^31, so small-id outputs
+        are unchanged — and huge ids now work."""
+        import canvas_data_loader_spark.queries as Q
+
+        big = spark.createDataFrame(
+            [
+                (10_000_000_123, "alpha beta gamma delta", "en", "s0", 10),
+                (2**40 + 7, "one two three four five", "de", "s1", 10),
+                (5, "small id doc text here", "en", "s0", 10),
+            ],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        orig = Q.load
+        try:
+            Q.load = lambda s, d, t: big  # noqa: ARG005
+            # both LCG-coin queries must run without ArithmeticException
+            r139 = Q.SPARK["q139_temperature_mixture"](spark, "x").collect()
+            r109 = Q.SPARK["q109_weighted_sample"](spark, "x").collect()
+        finally:
+            Q.load = orig
+        assert len(r139) > 0
+        assert len(r109) >= 0
+        # congruence: the reduced coin equals the naive coin for ids
+        # where the naive form is computable
+        for i in [5, 1000, 8_000_000_000 // 2]:
+            assert ((i % 2147483648) * 1103515245 + 12345) % 2147483648 == (
+                (i * 1103515245 + 12345) % 2147483648
+            )
