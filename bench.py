@@ -128,6 +128,7 @@ HEADLINE = [
     "q145_exactsubstr_cut",
     "q146_quantile_binning",
     "q147_ks_drift",
+    "q148_curation_pipeline_v2",
 ]
 
 

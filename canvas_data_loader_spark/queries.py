@@ -6826,3 +6826,265 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q148_curation_pipeline_v2",
+    f"""
+    -- End-to-end curation pipeline v2, composing the round-6 ops in
+    -- production order: Gopher repetition filters (q137) -> cross-doc
+    -- ExactSubstr span cut over the SURVIVORS (q145 — dedup after
+    -- filtering, so boilerplate that failed quality never pollutes
+    -- the gram table) -> temperature-sampled mixture rebalance
+    -- (q139) -> per-(lang, source) accounting of what the final
+    -- training mix contains.
+    WITH toks AS (
+        SELECT doc_id, lang, source, {_NORM_SQL.format(c='text')} AS norm,
+               STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t
+        FROM documents
+    ), base AS (
+        SELECT doc_id, lang, source, norm, t,
+               CAST(LEN(t) AS BIGINT) AS n_tokens,
+               CAST(LEN(LIST_DISTINCT(t)) AS BIGINT) AS n_distinct
+        FROM toks
+    ), tri AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tri,
+               CAST(COUNT(DISTINCT ARRAY_TO_STRING(t[i - 2 : i], ' '))
+                    AS BIGINT) AS n_tri_distinct
+        FROM toks, UNNEST(RANGE(3, LEN(t) + 1)) AS r(i)
+        GROUP BY doc_id
+    ), bg AS (
+        SELECT doc_id, ARRAY_TO_STRING(t[i : i + 1], ' ') AS bigram,
+               COUNT(*) AS cnt
+        FROM toks, UNNEST(RANGE(1, LEN(t))) AS r(i)
+        GROUP BY doc_id, ARRAY_TO_STRING(t[i : i + 1], ' ')
+    ), topbg AS (
+        SELECT doc_id, bigram, cnt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, bigram ASC) AS rn
+        FROM bg
+    ), surv AS (
+        SELECT b.doc_id, b.lang, b.source, b.t, b.n_tokens
+        FROM base b
+        LEFT JOIN tri ON tri.doc_id = b.doc_id
+        LEFT JOIN topbg g ON g.doc_id = b.doc_id AND g.rn = 1
+        WHERE ROUND(CASE WHEN b.n_tokens = 0 THEN 0.0
+                    ELSE (b.n_tokens - b.n_distinct) * 1.0 / b.n_tokens END,
+                    6) <= 0.5
+          AND ROUND(CASE WHEN COALESCE(tri.n_tri, 0) = 0 THEN 0.0
+                    ELSE (tri.n_tri - tri.n_tri_distinct) * 1.0
+                         / tri.n_tri END, 6) <= 0.3
+          AND ROUND(CASE WHEN LEN(b.norm) = 0 THEN 0.0
+                    ELSE COALESCE(g.cnt * LEN(g.bigram), 0) * 1.0
+                         / LEN(b.norm) END, 6) <= 0.18
+    ), grams AS (
+        SELECT doc_id, i, MD5(ARRAY_TO_STRING(t[i : i + 7], ' ')) AS g
+        FROM surv, UNNEST(RANGE(1, LEN(t) - 6)) AS r(i)
+        WHERE LEN(t) >= 8
+    ), dupg AS (
+        SELECT g FROM grams GROUP BY g
+        HAVING COUNT(DISTINCT doc_id) > 1
+    ), covered AS (
+        SELECT DISTINCT gr.doc_id, p.j
+        FROM grams gr JOIN dupg ON dupg.g = gr.g,
+             UNNEST(RANGE(gr.i, gr.i + 8)) AS p(j)
+    ), cut AS (
+        SELECT s.doc_id, s.lang, s.source, s.n_tokens,
+               COALESCE(c.n_cov, 0) AS n_removed,
+               s.n_tokens - COALESCE(c.n_cov, 0) AS n_remaining
+        FROM surv s LEFT JOIN (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cov
+            FROM covered GROUP BY doc_id
+        ) c ON c.doc_id = s.doc_id
+    ), g2 AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_in,
+               CAST(ROUND(SQRT(COUNT(*)), 6) AS DECIMAL(27,6)) AS w
+        FROM cut GROUP BY lang, source
+    ), t2 AS (
+        SELECT CAST(SUM(w) AS DOUBLE) AS wsum,
+               CAST(SUM(n_in) AS DOUBLE) AS total FROM g2
+    ), rates AS (
+        SELECT g2.lang, g2.source, g2.n_in,
+               LEAST(1.0, ((CAST(g2.w AS DOUBLE) / t2.wsum)
+                           * (t2.total * 0.5)) / g2.n_in) AS rate
+        FROM g2, t2
+    )
+    SELECT r.lang, r.source, r.n_in, ROUND(r.rate, 6) AS rate_r,
+           CAST(COUNT_IF(
+               (((c.doc_id % 2147483648) * 1103515245 + 12345)
+                % 2147483648) % 1000000
+               < CAST(FLOOR(r.rate * 1000000) AS BIGINT)) AS BIGINT)
+               AS n_kept,
+           CAST(COALESCE(SUM(c.n_removed) FILTER (WHERE
+               (((c.doc_id % 2147483648) * 1103515245 + 12345)
+                % 2147483648) % 1000000
+               < CAST(FLOOR(r.rate * 1000000) AS BIGINT)), 0) AS BIGINT)
+               AS tokens_removed,
+           CAST(COALESCE(SUM(c.n_remaining) FILTER (WHERE
+               (((c.doc_id % 2147483648) * 1103515245 + 12345)
+                % 2147483648) % 1000000
+               < CAST(FLOOR(r.rate * 1000000) AS BIGINT)), 0) AS BIGINT)
+               AS tokens_final
+    FROM rates r JOIN cut c ON c.lang = r.lang AND c.source = r.source
+    GROUP BY r.lang, r.source, r.n_in, r.rate
+    """,
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline v2 — the round-6 operators composed in the
+    order a production corpus build runs them: Gopher repetition
+    filters (q137's three signals and thresholds) -> cross-document
+    ExactSubstr span cutting over the survivors only (q145's gram
+    machinery; filtering FIRST keeps rejected boilerplate out of the
+    duplicate-gram table) -> temperature-sampled mixture rebalance
+    (q139's alpha = 0.5 scheme re-normalized over the filtered
+    corpus) -> per-(lang, source) accounting: docs in, keep rate,
+    docs kept, tokens cut as duplicates, tokens delivered.
+
+    Plan shape at scale: the repetition stage adds one (doc, bigram)
+    aggregate; the cut stage one hashed-gram df aggregate + one
+    span-bounded position join; the mixture one dims-sized group
+    table broadcast back — every corpus-sized dataflow is a map or a
+    content-keyed shuffle, and the whole pipeline never materializes
+    an intermediate corpus copy (one DAG, Catalyst fuses the
+    stages). q99 is pipeline v1 (quality rules + exact dedup); this
+    is its round-6 successor with repetition-aware filtering and
+    span-level (not whole-doc) dedup."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        normalize_text("text").alias("norm"),
+        tokens("text").alias("t"),
+    )
+    base = t.select(
+        "doc_id",
+        "lang",
+        "source",
+        "norm",
+        "t",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("bigint").alias("n_distinct"),
+        F.size(shingles_from_tokens(F.col("t"), 3)).cast("bigint").alias("n_tri"),
+        F.size(F.array_distinct(shingles_from_tokens(F.col("t"), 3)))
+        .cast("bigint")
+        .alias("n_tri_distinct"),
+    )
+    bg = (
+        t.select(
+            "doc_id",
+            F.explode(shingles_from_tokens(F.col("t"), 2)).alias("bigram"),
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wtop = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("bigram").asc()
+    )
+    topbg = (
+        bg.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "bigram", "cnt")
+    )
+    jj = base.join(topbg, "doc_id", "left")
+    dup_word = F.round(
+        F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+            (F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens")
+        ),
+        6,
+    )
+    dup_tri = F.round(
+        F.when(F.col("n_tri") == 0, F.lit(0.0)).otherwise(
+            (F.col("n_tri") - F.col("n_tri_distinct")) / F.col("n_tri")
+        ),
+        6,
+    )
+    top_frac = F.round(
+        F.when(F.length("norm") == 0, F.lit(0.0)).otherwise(
+            F.coalesce(F.col("cnt") * F.length("bigram"), F.lit(0)).cast("double")
+            / F.length("norm")
+        ),
+        6,
+    )
+    surv = (
+        jj.filter((dup_word <= 0.5) & (dup_tri <= 0.3) & (top_frac <= 0.18))
+        .select("doc_id", "lang", "source", "t", "n_tokens")
+        .localCheckpoint(eager=False)
+    )
+    grams = (
+        surv.filter(F.size("t") >= 8)
+        .select(
+            "doc_id",
+            F.posexplode(shingles_from_tokens(F.col("t"), 8)).alias("i0", "s"),
+        )
+        .select("doc_id", (F.col("i0") + 1).alias("i"), F.md5("s").alias("g"))
+        .localCheckpoint(eager=False)
+    )
+    dupg = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("g")
+    )
+    ncov = (
+        grams.join(dupg, "g")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + 7)).alias("j"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cov"))
+    )
+    cut = surv.join(ncov, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        F.coalesce("n_cov", F.lit(0)).alias("n_removed"),
+        (F.col("n_tokens") - F.coalesce("n_cov", F.lit(0))).alias("n_remaining"),
+    )
+    g2 = cut.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in"),
+        F.round(F.sqrt(F.count(F.lit(1))), 6).cast("decimal(27,6)").alias("w"),
+    )
+    t2 = g2.agg(
+        F.sum("w").cast("double").alias("wsum"),
+        F.sum("n_in").cast("double").alias("total"),
+    )
+    rates = g2.crossJoin(F.broadcast(t2)).select(
+        "lang",
+        "source",
+        "n_in",
+        F.least(
+            F.lit(1.0),
+            ((F.col("w").cast("double") / F.col("wsum"))
+             * (F.col("total") * F.lit(0.5)))
+            / F.col("n_in"),
+        ).alias("rate"),
+    )
+    coin = (((F.col("doc_id") % 2147483648) * 1103515245 + 12345) % 2147483648) % 1000000
+    keep = coin < F.floor(F.col("rate") * 1000000).cast("bigint")
+    return (
+        cut.join(F.broadcast(rates), ["lang", "source"])
+        .groupBy("lang", "source", "n_in", "rate")
+        .agg(
+            F.count_if(keep).cast("bigint").alias("n_kept"),
+            F.coalesce(F.sum(F.when(keep, F.col("n_removed"))), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_removed"),
+            F.coalesce(F.sum(F.when(keep, F.col("n_remaining"))), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_final"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_in",
+            F.round("rate", 6).alias("rate_r"),
+            "n_kept",
+            "tokens_removed",
+            "tokens_final",
+        )
+    )

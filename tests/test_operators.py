@@ -1740,3 +1740,25 @@ class TestLcgCoinOverflowSafe:
             assert ((i % 2147483648) * 1103515245 + 12345) % 2147483648 == (
                 (i * 1103515245 + 12345) % 2147483648
             )
+
+
+class TestCurationPipelineV2:
+    def test_stage_consistency(self, spark):
+        """q148's per-group accounting must be consistent with its
+        component operators run standalone on the same corpus."""
+        import canvas_data_loader_spark.queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        out = Q.SPARK["q148_curation_pipeline_v2"](spark, sf).collect()
+        assert len(out) > 0
+        # survivors entering the mixture == q137's keep count
+        n_in_total = sum(r["n_in"] for r in out)
+        q137_keep = sum(
+            r["keep"]
+            for r in Q.SPARK["q137_repetition_filters"](spark, sf).collect()
+        )
+        assert n_in_total == q137_keep
+        for r in out:
+            assert 0 < r["rate_r"] <= 1.0
+            assert r["n_kept"] <= r["n_in"]
+            assert r["tokens_removed"] >= 0 and r["tokens_final"] >= 0
