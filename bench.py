@@ -129,6 +129,7 @@ HEADLINE = [
     "q146_quantile_binning",
     "q147_ks_drift",
     "q148_curation_pipeline_v2",
+    "q149_retrieval_eval",
 ]
 
 

@@ -7088,3 +7088,133 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_final",
         )
     )
+
+
+def _ndcg_tables() -> tuple[str, str, str, str]:
+    """Discount / ideal-DCG literal tables for q149, generated ONCE in
+    Python and injected into BOTH engines as 12dp DECIMAL STRING
+    literals — log2 is not IEEE-correctly-rounded, so computing the
+    discounts independently in the JVM and DuckDB could differ by an
+    ulp; identical literals make the arithmetic identical by
+    construction. Returns (spark_discount_case, sql_discount_case,
+    spark_idcg_case, sql_idcg_case) keyed by rank / relevant-count."""
+    import math
+    from decimal import Decimal
+
+    disc = [Decimal(f"{1.0 / math.log2(i + 1):.12f}") for i in range(1, 11)]
+    idcg = []
+    acc = Decimal(0)
+    for d in disc:
+        acc += d
+        idcg.append(acc)
+    d_spark = "CASE rank " + " ".join(
+        f"WHEN {i + 1} THEN CAST('{disc[i]}' AS DECIMAL(27,12))"
+        for i in range(10)
+    ) + " END"
+    d_sql = d_spark
+    i_spark = "CASE n_rel10 " + " ".join(
+        f"WHEN {i + 1} THEN CAST('{idcg[i]}' AS DECIMAL(27,12))"
+        for i in range(10)
+    ) + " END"
+    i_sql = i_spark
+    return d_spark, d_sql, i_spark, i_sql
+
+
+_Q149_D, _Q149_D_SQL, _Q149_I, _Q149_I_SQL = _ndcg_tables()
+
+
+@query(
+    "q149_retrieval_eval",
+    f"""
+    -- Retrieval-quality evaluation (P@10 / MRR / nDCG@10): score the
+    -- cosine ranking against label-match relevance for 8 anchor
+    -- queries — the eval harness every retrieval/RAG pipeline runs.
+    -- Discounts and ideal-DCG values are 12dp DECIMAL literals
+    -- generated once and shared verbatim with the Spark side (log2
+    -- is not correctly-rounded; identical literals sidestep it);
+    -- sums run exact in decimal, only the final ratios are doubles.
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS qv, label AS q_label
+        FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+        SELECT q.q_id, e.vec_id AS y,
+               CASE WHEN e.label = q.q_label THEN 1 ELSE 0 END AS rel,
+               ROUND({_COS_QC.format(a='q.qv', b='e.embedding')}, 6) AS cos_r
+        FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+    ), ranked AS (
+        SELECT q_id, y, rel,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_r DESC, y ASC) AS rank
+        FROM scored
+    ), top10 AS (
+        SELECT * FROM ranked WHERE rank <= 10
+    ), agg AS (
+        SELECT q_id,
+               CAST(SUM(rel) AS BIGINT) AS n_rel10,
+               MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+               SUM(CASE WHEN rel = 1 THEN {_Q149_D_SQL}
+                        ELSE CAST('0' AS DECIMAL(27,12)) END) AS dcg
+        FROM top10 GROUP BY q_id
+    )
+    SELECT q_id, n_rel10,
+           ROUND(n_rel10 * 1.0 / 10, 6) AS p10_r,
+           ROUND(COALESCE(1.0 / first_rel, 0.0), 6) AS mrr_r,
+           CASE WHEN n_rel10 = 0 THEN 0.0
+                ELSE ROUND(CAST(dcg AS DOUBLE)
+                           / CAST({_Q149_I_SQL} AS DOUBLE), 6) END AS ndcg_r
+    FROM agg
+    """,
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation metrics — precision@10, MRR, nDCG@10 — of
+    the cosine ranking against label-match relevance for 8 anchor
+    queries: the eval side of the retrieval stack (q32 ranks, q140
+    mines negatives, q124 fuses; this GRADES them). Float policy
+    taken seriously for once-transcendental constants: the 1/log2
+    discount and ideal-DCG tables are 12dp DECIMAL literals generated
+    once in Python and injected into BOTH engines, DCG accumulates
+    exactly in decimal, and only the final ratios are double. Scale
+    shape: broadcast anchor join, one corpus pass, per-query bounded
+    windows — evaluation cost is queries x corpus, embarrassingly
+    parallel."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("vec_id").alias("y"),
+        (F.col("label") == F.col("q_label")).cast("int").alias("rel"),
+        F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_r"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_r").desc(), F.col("y").asc())
+    top10 = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+    agg = top10.groupBy("q_id").agg(
+        F.sum("rel").cast("bigint").alias("n_rel10"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel"),
+        F.sum(
+            F.when(F.col("rel") == 1, F.expr(_Q149_D)).otherwise(
+                F.expr("CAST('0' AS DECIMAL(27,12))")
+            )
+        ).alias("dcg"),
+    )
+    return agg.select(
+        "q_id",
+        "n_rel10",
+        F.round(F.col("n_rel10") * 1.0 / 10, 6).alias("p10_r"),
+        F.round(F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 6).alias(
+            "mrr_r"
+        ),
+        F.when(F.col("n_rel10") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("dcg").cast("double") / F.expr(_Q149_I).cast("double"), 6
+            )
+        )
+        .alias("ndcg_r"),
+    )

@@ -1762,3 +1762,57 @@ class TestCurationPipelineV2:
             assert 0 < r["rate_r"] <= 1.0
             assert r["n_kept"] <= r["n_in"]
             assert r["tokens_removed"] >= 0 and r["tokens_final"] >= 0
+
+
+class TestSetsimPrefixJoinProperty:
+    """Hypothesis: prefix filtering is LOSSLESS on arbitrary corpora —
+    the pair set equals a pure-Python brute force over 3-gram shingle
+    sets at J >= 3/5, for any token composition (shared boilerplate,
+    duplicates, short docs)."""
+
+    def test_lossless_vs_bruteforce(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from canvas_data_loader_spark.operators.dedup import setsim_prefix_join
+
+        alphabet = [f"w{i}" for i in range(8)]
+        doc_strategy = st.lists(
+            st.sampled_from(alphabet), min_size=1, max_size=12
+        )
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(st.lists(doc_strategy, min_size=2, max_size=6))
+        def run(docs):
+            rows = [(i + 1, " ".join(d)) for i, d in enumerate(docs)]
+            df = spark.createDataFrame(rows, ["doc_id", "text"])
+            got = {
+                (r["doc_a"], r["doc_b"])
+                for r in setsim_prefix_join(df, "text", "doc_id").collect()
+            }
+
+            def sh(toks):
+                return {
+                    " ".join(toks[i : i + 3])
+                    for i in range(len(toks) - 2)
+                }
+
+            want = set()
+            shingled = {i + 1: sh(d) for i, d in enumerate(docs)}
+            ids = sorted(shingled)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a, b = shingled[ids[i]], shingled[ids[j]]
+                    if not a or not b:
+                        continue
+                    inter = len(a & b)
+                    un = len(a | b)
+                    if inter * 5 >= un * 3:
+                        want.add((ids[i], ids[j]))
+            assert got == want
+
+        run()
