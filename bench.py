@@ -130,6 +130,9 @@ HEADLINE = [
     "q147_ks_drift",
     "q148_curation_pipeline_v2",
     "q149_retrieval_eval",
+    "q150_decayed_activity",
+    "q151_inverted_index",
+    "q152_markov_transitions",
 ]
 
 

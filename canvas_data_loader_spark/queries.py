@@ -7218,3 +7218,190 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("ndcg_r"),
     )
+
+
+@query(
+    "q150_decayed_activity",
+    """
+    -- Time-decayed user activity score with EXACT half-life weights:
+    -- weight = 2^-(whole days old) built from an integer bit-shift
+    -- (1::BIGINT << k) — a dyadic rational every engine represents
+    -- exactly, unlike EXP()/POWER() whose last-ulp rounding is
+    -- engine-specific. value * 2^-k only shifts the float exponent
+    -- (exact), so the only rounding anywhere is the policy decimal
+    -- cast feeding the order-independent sum.
+    WITH mx AS (
+        SELECT MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS m FROM events
+    ), w AS (
+        SELECT user_id,
+               value / (1::BIGINT << LEAST(
+                   CAST((mx.m - CAST(FLOOR(EPOCH(ts)) AS BIGINT)) // 86400
+                        AS BIGINT), 62))
+                   AS dv
+        FROM events, mx
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(dv AS DECIMAL(27,12))) AS DOUBLE), 6)
+               AS decayed_r
+    FROM w GROUP BY user_id
+    """,
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement scoring (the recency-weighted feature
+    every ranking/credit pipeline maintains): each event's value is
+    halved for every whole day of age relative to the corpus max
+    timestamp. Determinism trick worth naming: the half-life weight
+    is 2^-k built from an INTEGER bit-shift, an exactly-representable
+    dyadic rational — multiplying a double by it only decrements the
+    exponent, so the per-row product is EXACT in both engines and no
+    EXP/POWER last-ulp divergence exists; the only rounding is the
+    policy decimal cast feeding the order-independent sum. Scale
+    shape: one scalar max (broadcast), then a map + one user-keyed
+    hash aggregate with map-side combine — streaming-friendly (the
+    same fold runs incrementally as new days arrive by rescaling)."""
+    e = load(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.unix_timestamp("ts")).alias("m"))
+    k = F.least(
+        F.floor((F.col("m") - F.unix_timestamp("ts")) / 86400).cast("bigint"),
+        F.lit(62),
+    )
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .select("user_id", "value", k.alias("k"))
+        .select(
+            "user_id",
+            F.expr(
+                "value / shiftleft(cast(1 as bigint), cast(k as int))"
+            ).alias("dv"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(F.col("dv").cast("decimal(27,12)")).cast("double"), 6
+            ).alias("decayed_r"),
+        )
+    )
+
+
+@query(
+    "q151_inverted_index",
+    f"""
+    -- Inverted-index construction (the IR/map-reduce classic): token
+    -- -> document frequency, total term frequency, and an
+    -- md5-fingerprinted posting list "docid:tf,..." ordered by
+    -- zero-padded doc id (padding makes LEXICOGRAPHIC order equal
+    -- numeric order, so both engines serialize the identical list
+    -- without engine-specific numeric-sort-of-strings behavior).
+    WITH tf AS (
+        SELECT doc_id, w AS token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id,
+                     UNNEST(STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ')) AS w
+              FROM documents)
+        WHERE LENGTH(w) > 0
+        GROUP BY doc_id, w
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           MD5(STRING_AGG(LPAD(CAST(doc_id AS VARCHAR), 12, '0')
+                          || ':' || CAST(tf AS VARCHAR), ','
+                          ORDER BY LPAD(CAST(doc_id AS VARCHAR), 12, '0')))
+               AS postings_md5
+    FROM tf GROUP BY token
+    HAVING COUNT(*) >= 50
+    """,
+)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the canonical large-scale
+    dataflow (map-reduce's original workload, the build side of
+    BM25/q97): per token, document frequency, total term frequency,
+    and the posting list itself, fingerprinted. Posting entries are
+    keyed by ZERO-PADDED doc id so lexicographic sort order equals
+    numeric order — both engines serialize the identical byte string
+    and the md5 proves full posting-list equality without shipping
+    postings through the compare. Scale shape: one (doc, token)
+    aggregate, one token aggregate (both map-side combinable) — the
+    df >= 50 floor bounds output to the useful vocabulary; postings
+    for a hot token are one group's collect, the documented shard
+    point for web-scale postings (split by doc-id range)."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    entry = F.concat(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+        F.lit(":"),
+        F.col("tf").cast("string"),
+    )
+    return (
+        tf.select("token", "tf", entry.alias("e"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+            F.md5(F.concat_ws(",", F.sort_array(F.collect_list("e")))).alias(
+                "postings_md5"
+            ),
+        )
+        .filter(F.col("df") >= 50)
+    )
+
+
+@query(
+    "q152_markov_transitions",
+    """
+    -- First-order Markov transition matrix over per-user event
+    -- sequences (behavioral model estimation): order each user's
+    -- events by the TOTAL key (ts, event_id), pair each event with
+    -- its predecessor via lag, count transitions, and normalize per
+    -- source state. Counts are exact integers; the probability is
+    -- one integer-over-integer division.
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ), t AS (
+        SELECT prev, event_type AS next, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev IS NOT NULL
+        GROUP BY prev, event_type
+    )
+    SELECT prev, next, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev), 6) AS p_r
+    FROM t
+    """,
+)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov chain estimation over user event streams —
+    the transition-probability matrix behind next-action prediction
+    and anomaly scoring (a jump with near-zero learned probability is
+    the anomaly signal). Sequences are ordered by the TOTAL key
+    (ts, event_id) so lag() is deterministic under timestamp ties;
+    transition counts are exact integers and each row probability is
+    a single integer-ratio division. Scale shape: one user-partitioned
+    lag window (sequences never leave their partition), one
+    (prev, next) hash aggregate — states x states output (25 rows
+    here), corpus-size-independent; the normalizing window runs over
+    that dims-sized table, not the corpus."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    t = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wp = Window.partitionBy("prev")
+    return t.select(
+        "prev",
+        "next",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wp), 6).alias("p_r"),
+    )

@@ -1816,3 +1816,87 @@ class TestSetsimPrefixJoinProperty:
             assert got == want
 
         run()
+
+
+class TestDecayedActivity:
+    def test_dyadic_weights_exact(self, spark):
+        """Same-day events weigh 1.0; a value exactly one day older
+        weighs exactly half — no transcendental rounding anywhere."""
+        import datetime as dt
+
+        import canvas_data_loader_spark.queries as Q
+
+        base = dt.datetime(2024, 1, 10, 12, 0, 0)
+        df = spark.createDataFrame(
+            [
+                (1, base, 7, "view", 3.7, "{}"),
+                (2, base - dt.timedelta(days=1), 7, "view", 3.7, "{}"),
+                (3, base - dt.timedelta(days=2), 8, "view", 10.0, "{}"),
+            ],
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        orig = Q.load
+        try:
+            Q.load = lambda s, d, t: df  # noqa: ARG005
+            out = {
+                r["user_id"]: r["decayed_r"]
+                for r in Q.SPARK["q150_decayed_activity"](spark, "x").collect()
+            }
+        finally:
+            Q.load = orig
+        assert out[7] == round(3.7 + 3.7 / 2, 6)
+        assert out[8] == 2.5
+
+
+class TestInvertedIndex:
+    def test_postings_reconstructable(self, spark):
+        """df/total_tf consistency and md5 reproducibility from raw."""
+        import hashlib
+
+        import canvas_data_loader_spark.queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        out = Q.SPARK["q151_inverted_index"](spark, sf).collect()
+        assert len(out) > 0
+        d = Q.load(spark, sf, "documents")
+        from canvas_data_loader_spark.functions.text import tokens as tok
+
+        tf = (
+            d.select(F.col("doc_id"), F.explode(tok("text")).alias("w"))
+            .filter(F.length("w") > 0)
+            .groupBy("doc_id", "w")
+            .count()
+            .collect()
+        )
+        from collections import defaultdict
+
+        post = defaultdict(dict)
+        for r in tf:
+            post[r["w"]][r["doc_id"]] = r["count"]
+        for r in out:
+            entries = post[r["token"]]
+            assert r["df"] == len(entries) >= 50
+            assert r["total_tf"] == sum(entries.values())
+            serial = ",".join(
+                f"{doc:012d}:{c}" for doc, c in sorted(entries.items())
+            )
+            assert r["postings_md5"] == hashlib.md5(serial.encode()).hexdigest()
+
+
+class TestMarkovTransitions:
+    def test_rows_and_normalization(self, spark):
+        import canvas_data_loader_spark.queries as Q
+
+        out = Q.SPARK["q152_markov_transitions"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        from collections import defaultdict
+
+        per_prev = defaultdict(list)
+        for r in out:
+            per_prev[r["prev"]].append(r)
+        for prev, rows in per_prev.items():
+            total = sum(r["n"] for r in rows)
+            for r in rows:
+                assert abs(r["p_r"] - r["n"] / total) < 1e-6
+            assert abs(sum(r["p_r"] for r in rows) - 1.0) < 1e-4
