@@ -124,11 +124,13 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    # per-doc sizes are corpus-sized: no broadcast hint (AQE decides
+    # at test scale; a forced broadcast is a driver OOM at 100 TB)
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
@@ -488,11 +490,15 @@ def setsim_prefix_join(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # sizes is per-DOCUMENT — corpus-sized, so no broadcast hint: at
+    # test scale AQE broadcasts it on its own (under the threshold);
+    # at 100 TB a forced broadcast of a billion-row table would OOM
+    # the driver, and the co-keyed shuffle join is the correct shape.
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("n_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("n_b"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("un", (F.col("n_a") + F.col("n_b") - F.col("inter")))
         # exact rational threshold: inter/un >= t_num/t_den
         .filter(F.col("inter") * F.lit(t_den) >= F.col("un") * F.lit(t_num))
@@ -503,4 +509,50 @@ def setsim_prefix_join(
             F.col("un").cast("bigint").alias("un"),
             F.round(F.col("inter") / F.col("un"), 6).alias("jacc_r"),
         )
+    )
+
+
+def exactsubstr_grams(toks: DataFrame, n: int = 8) -> DataFrame:
+    """ExactSubstr gram table (Lee et al. 2022 machinery, shared by
+    q141/q145/q148 — one definition so the three consumers cannot
+    drift): from (doc_id, t token-array) rows, every n-gram as
+    (doc_id, i, g) with 1-based position i and md5-hashed gram g (the
+    shuffle carries 32-byte keys, never n-word strings). Callers
+    typically localCheckpoint the result — it feeds both the
+    duplicate-gram aggregate and the position join."""
+    return (
+        toks.filter(F.size("t") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(shingles_from_tokens(F.col("t"), n)).alias("i0", "s"),
+        )
+        .select("doc_id", (F.col("i0") + 1).alias("i"), F.md5("s").alias("g"))
+    )
+
+
+def cross_doc_dup_grams(grams: DataFrame) -> DataFrame:
+    """Grams occurring in more than one distinct document — the
+    duplication definition all ExactSubstr consumers share. Gram-keyed
+    aggregate with map-side combine."""
+    return (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("g")
+    )
+
+
+def exactsubstr_covered_positions(
+    grams: DataFrame, dupg: DataFrame, n: int = 8
+) -> DataFrame:
+    """Distinct (doc_id, j) token positions covered by any
+    cross-document duplicated n-gram. Positions explode only from
+    DUPLICATED gram positions — span-bounded, not corpus-bounded."""
+    return (
+        grams.join(dupg, "g")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("j"),
+        )
+        .distinct()
     )

@@ -5728,6 +5728,73 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _repetition_signal_frame(t: "DataFrame"):
+    """Shared Gopher repetition-signal machinery for q137 and the q148
+    pipeline (one definition, so a threshold or signal change cannot
+    silently drift the composite from its component query — the
+    pytest invariant n_in == q137 keep count depends on this).
+    ``t`` must carry (doc_id, norm, t) plus any passthrough columns.
+    Returns (frame, dup_word, dup_tri, top_frac): the frame adds
+    n_tokens/n_distinct/n_tri/n_tri_distinct and the left-joined
+    modal-bigram columns; the three expressions are the 6dp-rounded
+    signals."""
+    base = (
+        t.withColumn("n_tokens", F.size("t").cast("bigint"))
+        .withColumn("n_distinct", F.size(F.array_distinct("t")).cast("bigint"))
+        .withColumn(
+            "n_tri", F.size(shingles_from_tokens(F.col("t"), 3)).cast("bigint")
+        )
+        .withColumn(
+            "n_tri_distinct",
+            F.size(F.array_distinct(shingles_from_tokens(F.col("t"), 3)))
+            .cast("bigint"),
+        )
+    )
+    bg = (
+        t.select(
+            "doc_id",
+            F.explode(shingles_from_tokens(F.col("t"), 2)).alias("bigram"),
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("bigram").asc()
+    )
+    topbg = (
+        bg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "bigram", "cnt")
+    )
+    j = base.join(topbg, "doc_id", "left")
+    dup_word = F.round(
+        F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+            (F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens")
+        ),
+        6,
+    )
+    dup_tri = F.round(
+        F.when(F.col("n_tri") == 0, F.lit(0.0)).otherwise(
+            (F.col("n_tri") - F.col("n_tri_distinct")) / F.col("n_tri")
+        ),
+        6,
+    )
+    top_frac = F.round(
+        F.when(F.length("norm") == 0, F.lit(0.0)).otherwise(
+            F.coalesce(F.col("cnt") * F.length("bigram"), F.lit(0)).cast("double")
+            / F.length("norm")
+        ),
+        6,
+    )
+    return j, dup_word, dup_tri, top_frac
+
+
+# Gopher-style keep thresholds on the 6dp-rounded signals (Rae et al.
+# 2021 Table A1 spirit): ONE definition shared by q137 and q148.
+def _repetition_keep(dup_word, dup_tri, top_frac):
+    return (dup_word <= 0.5) & (dup_tri <= 0.3) & (top_frac <= 0.18)
+
+
 @query(
     "q137_repetition_filters",
     f"""
@@ -5816,55 +5883,7 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_text("text").alias("norm"),
         tokens("text").alias("t"),
     )
-    base = t.select(
-        "doc_id",
-        "norm",
-        "t",
-        F.size("t").cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct("t")).cast("bigint").alias("n_distinct"),
-        F.size(shingles_from_tokens(F.col("t"), 3)).cast("bigint").alias("n_tri"),
-        F.size(F.array_distinct(shingles_from_tokens(F.col("t"), 3)))
-        .cast("bigint")
-        .alias("n_tri_distinct"),
-    )
-    bg = (
-        t.select(
-            "doc_id",
-            F.explode(shingles_from_tokens(F.col("t"), 2)).alias("bigram"),
-        )
-        .groupBy("doc_id", "bigram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("cnt").desc(), F.col("bigram").asc()
-    )
-    topbg = (
-        bg.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "bigram", "cnt")
-    )
-    j = base.join(topbg, "doc_id", "left")
-    dup_word = F.round(
-        F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
-            (F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens")
-        ),
-        6,
-    )
-    dup_tri = F.round(
-        F.when(F.col("n_tri") == 0, F.lit(0.0)).otherwise(
-            (F.col("n_tri") - F.col("n_tri_distinct")) / F.col("n_tri")
-        ),
-        6,
-    )
-    top_frac = F.round(
-        F.when(F.length("norm") == 0, F.lit(0.0)).otherwise(
-            F.coalesce(
-                F.col("cnt") * F.length("bigram"), F.lit(0)
-            ).cast("double")
-            / F.length("norm")
-        ),
-        6,
-    )
+    j, dup_word, dup_tri, top_frac = _repetition_signal_frame(t)
     return j.select(
         "doc_id",
         "n_tokens",
@@ -5872,9 +5891,7 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_tri.alias("dup_trigram_frac"),
         F.col("bigram").alias("top_bigram"),
         top_frac.alias("top_bigram_frac"),
-        (
-            (dup_word <= 0.5) & (dup_tri <= 0.3) & (top_frac <= 0.18)
-        ).cast("int").alias("keep"),
+        _repetition_keep(dup_word, dup_tri, top_frac).cast("int").alias("keep"),
     )
 
 
@@ -6158,21 +6175,8 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation is how this is run at corpus scale."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens("text").alias("t"))
-    grams = (
-        toks.filter(F.size("t") >= 8)
-        .select(
-            "doc_id",
-            F.posexplode(shingles_from_tokens(F.col("t"), 8)).alias("i0", "s"),
-        )
-        .select("doc_id", (F.col("i0") + 1).alias("i"), F.md5("s").alias("g"))
-    )
-    grams = grams.localCheckpoint(eager=False)
-    dupg = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("g")
-    )
+    grams = D.exactsubstr_grams(toks).localCheckpoint(eager=False)
+    dupg = D.cross_doc_dup_grams(grams)
     marked = grams.join(dupg, "g").select("doc_id", "i")
     w = Window.partitionBy("doc_id").orderBy("i")
     cov = (
@@ -6389,6 +6393,11 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rel_r").desc(), F.col("vec_id").asc())
         .limit(16)
+        # pinned: the global top-16 sort feeds .collect() AND both
+        # sides of the sims crossJoin — without this the corpus
+        # scan+sort re-executes per consumer (the repo's standard
+        # multi-consumer localCheckpoint rule)
+        .localCheckpoint(eager=False)
     )
     cand = cand_df.collect()
     sims_rows = (
@@ -6606,28 +6615,10 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
     without shipping full texts through the compare."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens("text").alias("t"))
-    grams = (
-        toks.filter(F.size("t") >= 8)
-        .select(
-            "doc_id",
-            F.posexplode(shingles_from_tokens(F.col("t"), 8)).alias("i0", "s"),
-        )
-        .select("doc_id", (F.col("i0") + 1).alias("i"), F.md5("s").alias("g"))
-    )
-    grams = grams.localCheckpoint(eager=False)
-    dupg = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("g")
-    )
+    grams = D.exactsubstr_grams(toks).localCheckpoint(eager=False)
+    dupg = D.cross_doc_dup_grams(grams)
     covered = (
-        grams.join(dupg, "g")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("i"), F.col("i") + 7)).alias("j"),
-        )
-        .distinct()
+        D.exactsubstr_covered_positions(grams, dupg)
         .groupBy("doc_id")
         .agg(F.collect_set("j").alias("cov"))
     )
@@ -6637,10 +6628,13 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_arr = F.filter(
         F.col("t"), lambda x, i: ~F.array_contains(F.col("cov"), (i + 1).cast("bigint"))
     )
+    # n_removed as size(t) - size(kept), NOT size(cov): for a NULL text
+    # both sides of the subtraction are NULL, matching the oracle's
+    # LEN(t) - n_kept (size(cov) would emit 0 and hash-mismatch)
     return j.select(
         "doc_id",
         F.size("t").cast("bigint").alias("n_tokens"),
-        F.size("cov").cast("bigint").alias("n_removed"),
+        (F.size("t") - F.size(kept_arr)).cast("bigint").alias("n_removed"),
         F.md5(F.concat_ws(" ", kept_arr)).alias("clean_md5"),
     )
 
@@ -6958,82 +6952,16 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_text("text").alias("norm"),
         tokens("text").alias("t"),
     )
-    base = t.select(
-        "doc_id",
-        "lang",
-        "source",
-        "norm",
-        "t",
-        F.size("t").cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct("t")).cast("bigint").alias("n_distinct"),
-        F.size(shingles_from_tokens(F.col("t"), 3)).cast("bigint").alias("n_tri"),
-        F.size(F.array_distinct(shingles_from_tokens(F.col("t"), 3)))
-        .cast("bigint")
-        .alias("n_tri_distinct"),
-    )
-    bg = (
-        t.select(
-            "doc_id",
-            F.explode(shingles_from_tokens(F.col("t"), 2)).alias("bigram"),
-        )
-        .groupBy("doc_id", "bigram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    wtop = Window.partitionBy("doc_id").orderBy(
-        F.col("cnt").desc(), F.col("bigram").asc()
-    )
-    topbg = (
-        bg.withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "bigram", "cnt")
-    )
-    jj = base.join(topbg, "doc_id", "left")
-    dup_word = F.round(
-        F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
-            (F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens")
-        ),
-        6,
-    )
-    dup_tri = F.round(
-        F.when(F.col("n_tri") == 0, F.lit(0.0)).otherwise(
-            (F.col("n_tri") - F.col("n_tri_distinct")) / F.col("n_tri")
-        ),
-        6,
-    )
-    top_frac = F.round(
-        F.when(F.length("norm") == 0, F.lit(0.0)).otherwise(
-            F.coalesce(F.col("cnt") * F.length("bigram"), F.lit(0)).cast("double")
-            / F.length("norm")
-        ),
-        6,
-    )
+    jj, dup_word, dup_tri, top_frac = _repetition_signal_frame(t)
     surv = (
-        jj.filter((dup_word <= 0.5) & (dup_tri <= 0.3) & (top_frac <= 0.18))
+        jj.filter(_repetition_keep(dup_word, dup_tri, top_frac))
         .select("doc_id", "lang", "source", "t", "n_tokens")
         .localCheckpoint(eager=False)
     )
-    grams = (
-        surv.filter(F.size("t") >= 8)
-        .select(
-            "doc_id",
-            F.posexplode(shingles_from_tokens(F.col("t"), 8)).alias("i0", "s"),
-        )
-        .select("doc_id", (F.col("i0") + 1).alias("i"), F.md5("s").alias("g"))
-        .localCheckpoint(eager=False)
-    )
-    dupg = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("g")
-    )
+    grams = D.exactsubstr_grams(surv).localCheckpoint(eager=False)
+    dupg = D.cross_doc_dup_grams(grams)
     ncov = (
-        grams.join(dupg, "g")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("i"), F.col("i") + 7)).alias("j"),
-        )
-        .distinct()
+        D.exactsubstr_covered_positions(grams, dupg)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_cov"))
     )
@@ -7293,7 +7221,9 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- md5-fingerprinted posting list "docid:tf,..." ordered by
     -- zero-padded doc id (padding makes LEXICOGRAPHIC order equal
     -- numeric order, so both engines serialize the identical list
-    -- without engine-specific numeric-sort-of-strings behavior).
+    -- without engine-specific numeric-sort-of-strings behavior;
+    -- width 19 = int64 max digits — LPAD truncates, so a narrower
+    -- pad would collapse distinct large ids).
     WITH tf AS (
         SELECT doc_id, w AS token, CAST(COUNT(*) AS BIGINT) AS tf
         FROM (SELECT doc_id,
@@ -7305,9 +7235,9 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT token,
            CAST(COUNT(*) AS BIGINT) AS df,
            CAST(SUM(tf) AS BIGINT) AS total_tf,
-           MD5(STRING_AGG(LPAD(CAST(doc_id AS VARCHAR), 12, '0')
+           MD5(STRING_AGG(LPAD(CAST(doc_id AS VARCHAR), 19, '0')
                           || ':' || CAST(tf AS VARCHAR), ','
-                          ORDER BY LPAD(CAST(doc_id AS VARCHAR), 12, '0')))
+                          ORDER BY LPAD(CAST(doc_id AS VARCHAR), 19, '0')))
                AS postings_md5
     FROM tf GROUP BY token
     HAVING COUNT(*) >= 50
@@ -7333,8 +7263,12 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
+    # pad to 19 = int64 max width: LPAD TRUNCATES beyond its length in
+    # both engines, so a 12-char pad would collapse distinct 13-digit
+    # ids (>= 10^12 — real corpus id scale) to one key and break both
+    # posting order and uniqueness
     entry = F.concat(
-        F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+        F.lpad(F.col("doc_id").cast("string"), 19, "0"),
         F.lit(":"),
         F.col("tf").cast("string"),
     )

@@ -1878,7 +1878,7 @@ class TestInvertedIndex:
             assert r["df"] == len(entries) >= 50
             assert r["total_tf"] == sum(entries.values())
             serial = ",".join(
-                f"{doc:012d}:{c}" for doc, c in sorted(entries.items())
+                f"{doc:019d}:{c}" for doc, c in sorted(entries.items())
             )
             assert r["postings_md5"] == hashlib.md5(serial.encode()).hexdigest()
 
