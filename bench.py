@@ -133,6 +133,7 @@ HEADLINE = [
     "q150_decayed_activity",
     "q151_inverted_index",
     "q152_markov_transitions",
+    "q153_stream_dedup_ttl",
 ]
 
 

@@ -7339,3 +7339,32 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * 1.0 / F.sum("n").over(wp), 6).alias("p_r"),
     )
+
+
+@query(
+    "q153_stream_dedup_ttl",
+    """
+    SELECT event_type, COUNT(DISTINCT event_id) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with WATERMARK-EVICTED state
+    (dropDuplicatesWithinWatermark, Spark 3.5+): q44's dropDuplicates
+    keeps every seen key in the state store forever — unbounded state
+    on an unbounded key space, the classic long-running-stream
+    failure; this variant bounds state to the watermark horizon and
+    deduplicates redeliveries arriving within it (the at-least-once
+    retry case that causes real duplicates). On the finite fixture
+    every duplicate is within-horizon, so the streamed result equals
+    the relational COUNT(DISTINCT) the oracle runs — checking both
+    the dedup semantics and that eviction dropped nothing it
+    shouldn't."""
+    from .streaming.events import (
+        read_events_stream,
+        streaming_dedup_within_watermark,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = streaming_dedup_within_watermark(stream)
+    return out.select("event_type", F.col("n").cast("bigint").alias("n"))

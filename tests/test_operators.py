@@ -1900,3 +1900,27 @@ class TestMarkovTransitions:
             for r in rows:
                 assert abs(r["p_r"] - r["n"] / total) < 1e-6
             assert abs(sum(r["p_r"] for r in rows) - 1.0) < 1e-4
+
+
+class TestStreamDedupTtl:
+    def test_matches_q44_on_finite_source(self, spark):
+        """Within-watermark dedup equals unbounded-state dedup when all
+        duplicates arrive within the horizon (the fixture case); run
+        twice in one session to catch memory-sink name collisions."""
+        import canvas_data_loader_spark.queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        a = {
+            (r["event_type"], r["n"])
+            for r in Q.SPARK["q153_stream_dedup_ttl"](spark, sf).collect()
+        }
+        b = {
+            (r["event_type"], r["n"])
+            for r in Q.SPARK["q44_stream_dedup"](spark, sf).collect()
+        }
+        assert a == b and len(a) == 5
+        again = {
+            (r["event_type"], r["n"])
+            for r in Q.SPARK["q153_stream_dedup_ttl"](spark, sf).collect()
+        }
+        assert again == a
