@@ -134,6 +134,7 @@ HEADLINE = [
     "q151_inverted_index",
     "q152_markov_transitions",
     "q153_stream_dedup_ttl",
+    "q154_poisson_bootstrap",
 ]
 
 

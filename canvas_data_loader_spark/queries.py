@@ -7368,3 +7368,121 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
     out = streaming_dedup_within_watermark(stream)
     return out.select("event_type", F.col("n").cast("bigint").alias("n"))
+
+
+def _poisson1_thresholds() -> list[int]:
+    """Cumulative Poisson(1) CDF cut points scaled to the LCG's 2^31
+    integer range — computed ONCE here and injected into both engines
+    as INTEGER literals, so the draw weights are exact integer
+    comparisons with no cross-engine exp() in sight. P(X <= k) =
+    e^-1 * sum_{j<=k} 1/j!."""
+    import math
+
+    e1 = math.exp(-1.0)
+    cum, acc, fact = [], 0.0, 1.0
+    for k in range(5):
+        if k > 0:
+            fact *= k
+        acc += 1.0 / fact
+        cum.append(int(math.floor(e1 * acc * 2147483648)))
+    return cum
+
+
+_P1 = _poisson1_thresholds()
+
+
+def _bootstrap_weight_sql(u: str) -> str:
+    """Piecewise inverse-CDF: uniform integer -> Poisson(1) weight."""
+    return (
+        f"CASE WHEN {u} < {_P1[0]} THEN 0 WHEN {u} < {_P1[1]} THEN 1 "
+        f"WHEN {u} < {_P1[2]} THEN 2 WHEN {u} < {_P1[3]} THEN 3 "
+        f"WHEN {u} < {_P1[4]} THEN 4 ELSE 5 END"
+    )
+
+
+@query(
+    "q154_poisson_bootstrap",
+    f"""
+    -- Poisson bootstrap (the distributed resampling scheme: each of
+    -- 32 virtual resamples weights every row by an independent
+    -- Poisson(1) count, so no resample ever needs a corpus pass of
+    -- its own — one exploded scan computes all draws). The uniform
+    -- variate is the repo's overflow-safe LCG; the inverse-CDF cut
+    -- points are INTEGER literals precomputed in Python (no exp() in
+    -- either engine). Statistic: mean document length; the 32
+    -- per-draw means give the percentile CI.
+    WITH draws AS (
+        SELECT d.d,
+               {_bootstrap_weight_sql(
+                   "(((doc_id % 2147483648) * 1103515245 + 12345"
+                   " + d.d * 2654435761) % 2147483648)")} AS w,
+               n_chars
+        FROM documents, UNNEST(RANGE(0, 32)) AS d(d)
+    ), per_draw AS (
+        SELECT d, CAST(SUM(w) AS BIGINT) AS n_eff,
+               ROUND(SUM(w * n_chars) * 1.0 / SUM(w), 6) AS mean_r
+        FROM draws GROUP BY d
+    ), arr AS (
+        SELECT LIST_SORT(LIST(mean_r)) AS ms,
+               CAST(COUNT(*) AS BIGINT) AS n_draws,
+               CAST(SUM(CAST(mean_r AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(*) AS est
+        FROM per_draw
+    )
+    SELECT n_draws,
+           ROUND(est, 6) AS est_r,
+           ms[2] AS ci_lo_r,
+           ms[31] AS ci_hi_r
+    FROM arr
+    """,
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for a corpus statistic
+    (mean document length) — THE distributed uncertainty estimator:
+    classical bootstrap resampling needs each resample to draw n rows
+    WITH replacement (a corpus-sized shuffle per resample); the
+    Poisson approximation weights every row by an independent
+    Poisson(1) count instead, so ONE exploded map pass computes all
+    32 resamples and each executor contributes partial sums — no
+    resample ever materializes. Determinism: the uniform variate is
+    the overflow-safe LCG coin salted per draw; the inverse-CDF cut
+    points are integer literals computed once in Python (both engines
+    compare integers — no exp()); per-draw means are exact
+    integer-ratio doubles rounded 6dp, and the CI is order statistics
+    2/31 of the 32 sorted means. Scale: 32x map fan-out + a 32-key
+    aggregate with map-side combine; the fan-out constant is the
+    documented cost knob."""
+    d = load(spark, sf_dir, "documents")
+    u = (
+        "(((doc_id % 2147483648) * 1103515245 + 12345"
+        " + d * 2654435761) % 2147483648)"
+    )
+    draws = d.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("d"),
+    ).select(
+        "d",
+        "n_chars",
+        F.expr(_bootstrap_weight_sql(u)).alias("w"),
+    )
+    per_draw = draws.groupBy("d").agg(
+        F.sum("w").cast("bigint").alias("n_eff"),
+        F.round(
+            F.sum(F.col("w") * F.col("n_chars")) * 1.0 / F.sum("w"), 6
+        ).alias("mean_r"),
+    )
+    arr = per_draw.agg(
+        F.sort_array(F.collect_list("mean_r")).alias("ms"),
+        F.count(F.lit(1)).cast("bigint").alias("n_draws"),
+        (
+            F.sum(F.col("mean_r").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("est"),
+    )
+    return arr.select(
+        "n_draws",
+        F.round("est", 6).alias("est_r"),
+        F.element_at("ms", 2).alias("ci_lo_r"),
+        F.element_at("ms", 31).alias("ci_hi_r"),
+    )

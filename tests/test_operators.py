@@ -1924,3 +1924,20 @@ class TestStreamDedupTtl:
             for r in Q.SPARK["q153_stream_dedup_ttl"](spark, sf).collect()
         }
         assert again == a
+
+
+class TestPoissonBootstrap:
+    def test_ci_brackets_truth_and_weights_poisson_like(self, spark):
+        import canvas_data_loader_spark.queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        r = Q.SPARK["q154_poisson_bootstrap"](spark, sf).collect()[0]
+        d = Q.load(spark, sf, "documents")
+        truth = d.agg(F.avg("n_chars")).collect()[0][0]
+        assert r["n_draws"] == 32
+        assert r["ci_lo_r"] <= r["ci_hi_r"]
+        # the percentile CI of a mean over 500 docs should bracket the
+        # population mean and be tight relative to it
+        assert r["ci_lo_r"] <= truth <= r["ci_hi_r"]
+        assert (r["ci_hi_r"] - r["ci_lo_r"]) / truth < 0.2
+        assert abs(r["est_r"] - truth) / truth < 0.05
