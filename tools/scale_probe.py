@@ -450,6 +450,10 @@ def main_textops():
         "q139_temperature_mixture",
         "q141_exactsubstr_coverage",
         "q142_countmin_sketch",
+        "q145_exactsubstr_cut",
+        "q148_curation_pipeline_v2",
+        "q151_inverted_index",
+        "q154_poisson_bootstrap",
     ]
     spark = get_spark("scale_probe_textops")
     dest = tempfile.mkdtemp(prefix="scale_probe_textops_")
