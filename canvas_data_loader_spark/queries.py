@@ -5758,13 +5758,21 @@ def _repetition_signal_frame(t: "DataFrame"):
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("cnt").desc(), F.col("bigram").asc()
-    )
-    topbg = (
-        bg.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "bigram", "cnt")
+    # modal bigram via min(struct(-cnt, bigram)) — the argmin trick
+    # gives (highest count, then lexicographically smallest bigram)
+    # as ONE partial-aggregable hash aggregate; the previous
+    # row_number() formulation needed a per-doc sort window (an extra
+    # shuffle + sort) for the same deterministic result
+    topbg = bg.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("negcnt"),
+                F.col("bigram").alias("bigram"),
+                F.col("cnt").alias("cnt"),
+            )
+        ).alias("m")
+    ).select(
+        "doc_id", F.col("m.bigram").alias("bigram"), F.col("m.cnt").alias("cnt")
     )
     j = base.join(topbg, "doc_id", "left")
     dup_word = F.round(
