@@ -135,6 +135,8 @@ HEADLINE = [
     "q152_markov_transitions",
     "q153_stream_dedup_ttl",
     "q154_poisson_bootstrap",
+    "q155_grouped_ols",
+    "q156_blocking_quality",
 ]
 
 

@@ -7494,3 +7494,187 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("ms", 2).alias("ci_lo_r"),
         F.element_at("ms", 31).alias("ci_hi_r"),
     )
+
+
+@query(
+    "q155_grouped_ols",
+    f"""
+    -- Distributed least-squares fit per group, closed form: regress
+    -- token count on character count within each language via the
+    -- normal equations. Both variables are INTEGERS, so all four
+    -- sufficient statistics (Sx, Sy, Sxy, Sxx) are EXACT integer
+    -- sums — the slope/intercept are each ONE double division of
+    -- exact integers, bit-identical across engines with no
+    -- accumulation-order concerns at all. This is how regression
+    -- runs at 100 TB: map-side-combinable moments, closed-form solve.
+    WITH o AS (
+        SELECT lang,
+               n_chars AS x,
+               LEN(STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ')) AS y
+        FROM documents
+    ), m AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM o GROUP BY lang
+    )
+    SELECT lang, n,
+           ROUND((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
+               AS slope_r,
+           ROUND((sy * 1.0 / n)
+                 - ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+                   * (sx * 1.0 / n), 6) AS intercept_r
+    FROM m
+    """,
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ordinary-least-squares fit (tokens-per-character rate
+    per language) via the normal equations — the closed-form
+    distributed regression pattern: each executor combines the four
+    integer sufficient statistics map-side, one dims-sized group
+    emerges, and slope/intercept are single double divisions of EXACT
+    integers (both variables are ints, so there is literally no float
+    accumulation anywhere — stronger than the decimal-sum policy).
+    The model itself is the per-language chars→tokens calibration a
+    token-budget planner uses when only byte counts are known. At
+    100 TB: same plan, unchanged — sufficient statistics are the
+    canonical mergeable form of linear models."""
+    d = load(spark, sf_dir, "documents")
+    o = d.select(
+        "lang",
+        F.col("n_chars").alias("x"),
+        F.size(tokens("text")).alias("y"),
+    )
+    m = o.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0 / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "lang",
+        "n",
+        F.round(slope, 6).alias("slope_r"),
+        F.round(
+            (F.col("sy") * 1.0 / F.col("n")) - slope * (F.col("sx") * 1.0 / F.col("n")),
+            6,
+        ).alias("intercept_r"),
+    )
+
+
+@query(
+    "q156_blocking_quality",
+    f"""
+    -- Blocking-quality evaluation (the entity-resolution/dedup
+    -- meta-metrics): how good is MinHash-LSH banding (q35's 16-hash/
+    -- 4-band scheme) as a CANDIDATE GENERATOR against exact 3-gram
+    -- Jaccard >= 3/5 ground truth (q138's join)? Reports pair
+    -- completeness (recall: caught true pairs / true pairs) and
+    -- reduction ratio (1 - candidates / all-pairs) — the two numbers
+    -- every blocking scheme is judged by before anyone trusts it at
+    -- scale.
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i : i + 2], ' ') AS s
+        FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS r(i)
+        WHERE LEN(t) >= 3
+    ), sz AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), truth AS (
+        SELECT p.doc_a, p.doc_b
+        FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id) p
+        JOIN sz sa ON sa.doc_id = p.doc_a
+        JOIN sz sb ON sb.doc_id = p.doc_b
+        WHERE p.inter * 5 >= (sa.n + sb.n - p.inter) * 3
+    ), mh AS (
+        SELECT doc_id, seed, MIN(MD5(CAST(seed AS VARCHAR) || '|' || s)) AS h
+        FROM sh CROSS JOIN UNNEST(RANGE(1, 17)) AS r(seed)
+        GROUP BY doc_id, seed
+    ), bands AS (
+        SELECT doc_id, (seed - 1) // 4 AS band,
+               MD5(STRING_AGG(h, '' ORDER BY seed)) AS bh
+        FROM mh GROUP BY doc_id, (seed - 1) // 4
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ), caught AS (
+        SELECT t.doc_a, t.doc_b FROM truth t
+        JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    ), stats AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM caught) AS n_caught,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM sz) AS n_docs
+    )
+    SELECT n_true, n_cand, n_caught, n_docs,
+           ROUND(CASE WHEN n_true = 0 THEN 1.0
+                 ELSE n_caught * 1.0 / n_true END, 6) AS recall_r,
+           ROUND(1.0 - n_cand * 2.0 / (n_docs * (n_docs - 1)), 6)
+               AS reduction_r
+    FROM stats
+    """,
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation — pair completeness and reduction
+    ratio of MinHash-LSH banding (q35's scheme) measured against the
+    exact Jaccard >= 3/5 ground truth (q138's prefix join): the two
+    meta-metrics that decide whether a blocking scheme is trustworthy
+    before it gates a dedup at scale. Composition is the point: the
+    TRUTH side reuses the exact prefix-filtered join, the CANDIDATE
+    side reuses the production banding operator — the eval grades one
+    registered operator with another, so the number it reports is
+    about the real code paths. All counts exact integers; the two
+    ratios are single double divisions rounded 6dp. At 100 TB the
+    truth side is sampled (ground truth on a stratum), the candidate
+    side unchanged — the standard methodology."""
+    d = load(spark, sf_dir, "documents")
+    truth = D.setsim_prefix_join(d, "text", "doc_id", n=3, t_num=3, t_den=5).select(
+        "doc_a", "doc_b"
+    )
+    cand = D.minhash_candidate_pairs(
+        d, "text", "doc_id", num_hashes=16, band_size=4, shingle_n=3
+    )
+    truth = truth.localCheckpoint(eager=False)
+    cand = cand.localCheckpoint(eager=False)
+    caught = truth.join(cand, ["doc_a", "doc_b"])
+    n_docs_df = (
+        D.shingle_table(d, "text", "doc_id", n=3)
+        .select("doc")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    stats = (
+        truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand")))
+        .crossJoin(caught.agg(F.count(F.lit(1)).cast("bigint").alias("n_caught")))
+        .crossJoin(n_docs_df)
+    )
+    return stats.select(
+        "n_true",
+        "n_cand",
+        "n_caught",
+        "n_docs",
+        F.round(
+            F.when(F.col("n_true") == 0, F.lit(1.0)).otherwise(
+                F.col("n_caught") * 1.0 / F.col("n_true")
+            ),
+            6,
+        ).alias("recall_r"),
+        F.round(
+            1.0 - F.col("n_cand") * 2.0 / (F.col("n_docs") * (F.col("n_docs") - 1)),
+            6,
+        ).alias("reduction_r"),
+    )

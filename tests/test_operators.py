@@ -1941,3 +1941,50 @@ class TestPoissonBootstrap:
         assert r["ci_lo_r"] <= truth <= r["ci_hi_r"]
         assert (r["ci_hi_r"] - r["ci_lo_r"]) / truth < 0.2
         assert abs(r["est_r"] - truth) / truth < 0.05
+
+
+class TestGroupedOls:
+    def test_matches_numpy_lstsq(self, spark):
+        import numpy as np
+
+        import canvas_data_loader_spark.queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        out = {
+            r["lang"]: r
+            for r in Q.SPARK["q155_grouped_ols"](spark, sf).collect()
+        }
+        d = Q.load(spark, sf, "documents")
+        from canvas_data_loader_spark.functions.text import tokens as tok
+
+        rows = d.select(
+            "lang", F.col("n_chars").alias("x"), F.size(tok("text")).alias("y")
+        ).collect()
+        from collections import defaultdict
+
+        g = defaultdict(list)
+        for r in rows:
+            g[r["lang"]].append((r["x"], r["y"]))
+        for lang, pts in g.items():
+            x = np.array([p[0] for p in pts], dtype=float)
+            y = np.array([p[1] for p in pts], dtype=float)
+            slope, intercept = np.polyfit(x, y, 1)
+            assert abs(out[lang]["slope_r"] - slope) < 1e-4
+            assert abs(out[lang]["intercept_r"] - intercept) < 1e-2
+
+
+class TestBlockingQuality:
+    def test_metrics_sane(self, spark):
+        import canvas_data_loader_spark.queries as Q
+
+        r = Q.SPARK["q156_blocking_quality"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()[0]
+        assert r["n_caught"] <= min(r["n_true"], r["n_cand"])
+        assert 0.0 <= r["recall_r"] <= 1.0
+        assert 0.0 <= r["reduction_r"] <= 1.0
+        # banding with 4-hash bands at J >= 0.6 should catch most true
+        # pairs (collision prob per band = J^4 ~ 0.13-1.0, 4 bands)
+        # while pruning the vast majority of the pair space
+        assert r["recall_r"] >= 0.8
+        assert r["reduction_r"] >= 0.95
