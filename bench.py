@@ -137,6 +137,7 @@ HEADLINE = [
     "q154_poisson_bootstrap",
     "q155_grouped_ols",
     "q156_blocking_quality",
+    "q157_provenance_dedup",
 ]
 
 

@@ -7682,3 +7682,90 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("reduction_r"),
     )
+
+
+@query(
+    "q157_provenance_dedup",
+    f"""
+    -- Multi-source provenance dedup: when identical content arrives
+    -- from several sources, keep ONE copy chosen by source PRIORITY
+    -- (curated feeds beat crawls), not by arrival order — the rule
+    -- real corpus assemblies use so dedup never discards the
+    -- best-provenance copy. Priority = lexicographically smallest
+    -- source name here (stand-in for an explicit rank table); ties
+    -- within a source break to the smallest doc id. Also reports the
+    -- full provenance set per surviving fingerprint.
+    WITH fp AS (
+        -- content key = md5 of the SORTED DISTINCT token set: the
+        -- bag-of-words identity — invariant to word order and
+        -- repetition, the cheap canonical key sitting between exact
+        -- text equality (q30) and shingle similarity (q34); this
+        -- corpus has no byte-exact duplicates but plenty of bag-equal
+        -- near-copies, which is precisely the multi-source case
+        SELECT doc_id, source,
+               MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+                   STRING_SPLIT({_NORM_SQL.format(c='text')}, ' '))), ' '))
+                   AS fp
+        FROM documents
+    ), ranked AS (
+        SELECT fp, doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY fp
+                                  ORDER BY source ASC, doc_id ASC) AS rn
+        FROM fp
+    ), prov AS (
+        SELECT fp,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               STRING_AGG(DISTINCT source, ',' ORDER BY source) AS sources
+        FROM fp GROUP BY fp
+    )
+    SELECT p.fp, p.n_copies, p.n_sources, p.sources,
+           r.doc_id AS keep_id, r.source AS keep_source
+    FROM prov p JOIN ranked r ON r.fp = p.fp AND r.rn = 1
+    WHERE p.n_copies > 1
+    """,
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-aware dedup across sources, keyed by the
+    bag-of-words fingerprint (sorted distinct token set — word-order
+    and repetition invariant, the cheap canonical identity between
+    q30's exact text hash and q34's shingle similarity): for content
+    that occurs more than once, the keeper is selected by source priority (q30's
+    exact dedup keeps min-id blind to origin; real corpus assemblies
+    rank sources — license-clean or curated feeds over crawls — so
+    the surviving copy has the best provenance), and every surviving
+    fingerprint carries its full source set for attribution/audit.
+    Priority here is lexicographic source order standing in for an
+    explicit rank dimension (which would broadcast-join in front of
+    the same window). One content-hash shuffle (uniform keys,
+    unskewable) + a fingerprint-partitioned keeper window + one
+    aggregate — q30's scale shape with provenance attached."""
+    d = load(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tokens("text"))))
+        ).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy(
+        F.col("source").asc(), F.col("doc_id").asc()
+    )
+    ranked = fp.withColumn("rn", F.row_number().over(w))
+    prov = fp.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.concat_ws(",", F.array_sort(F.collect_set("source"))).alias("sources"),
+    )
+    return (
+        prov.filter(F.col("n_copies") > 1)
+        .join(
+            ranked.filter(F.col("rn") == 1).select(
+                "fp",
+                F.col("doc_id").alias("keep_id"),
+                F.col("source").alias("keep_source"),
+            ),
+            "fp",
+        )
+        .select("fp", "n_copies", "n_sources", "sources", "keep_id", "keep_source")
+    )

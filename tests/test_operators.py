@@ -1988,3 +1988,32 @@ class TestBlockingQuality:
         # while pruning the vast majority of the pair space
         assert r["recall_r"] >= 0.8
         assert r["reduction_r"] >= 0.95
+
+
+class TestProvenanceDedup:
+    def test_priority_keeper(self, spark):
+        import canvas_data_loader_spark.queries as Q
+
+        df = spark.createDataFrame(
+            [
+                (10, "same text here", "en", "src_crawl", 1),
+                (3, "same text here", "en", "src_curated", 1),
+                (7, "same text here", "en", "src_crawl", 1),
+                (1, "unique text", "en", "src_crawl", 1),
+            ],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        orig = Q.load
+        try:
+            Q.load = lambda s, d, t: df  # noqa: ARG005
+            out = Q.SPARK["q157_provenance_dedup"](spark, "x").collect()
+        finally:
+            Q.load = orig
+        assert len(out) == 1  # only the duplicated content
+        r = out[0]
+        # keeper is from the priority (lexicographically smaller)
+        # source, NOT the smallest doc id overall
+        assert r["keep_source"] == "src_crawl"
+        assert r["keep_id"] == 7
+        assert r["n_copies"] == 3 and r["n_sources"] == 2
+        assert r["sources"] == "src_crawl,src_curated"
