@@ -138,6 +138,7 @@ HEADLINE = [
     "q155_grouped_ols",
     "q156_blocking_quality",
     "q157_provenance_dedup",
+    "q158_exact_auc",
 ]
 
 

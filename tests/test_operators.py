@@ -2017,3 +2017,50 @@ class TestProvenanceDedup:
         assert r["keep_id"] == 7
         assert r["n_copies"] == 3 and r["n_sources"] == 2
         assert r["sources"] == "src_crawl,src_curated"
+
+
+class TestExactAuc:
+    def test_matches_bruteforce_with_ties(self, spark):
+        """Pin the midrank AUC against the O(n^2) pairwise definition
+        (ties count 1/2) on a small constructed set with heavy ties."""
+        import canvas_data_loader_spark.queries as Q
+
+        rows = [
+            # doc_id, text (score = ttr), lang
+            (1, "a a a a", "en", "s", 1),       # ttr 0.25
+            (2, "a a b b", "de", "s", 1),       # ttr 0.5
+            (3, "a b c d", "en", "s", 1),       # ttr 1.0
+            (4, "x y z w", "de", "s", 1),       # ttr 1.0 (tie)
+            (5, "p p q q", "en", "s", 1),       # ttr 0.5 (tie)
+        ]
+        df = spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        orig = Q.load
+        try:
+            Q.load = lambda s, d, t: df  # noqa: ARG005
+            r = Q.SPARK["q158_exact_auc"](spark, "x").collect()[0]
+        finally:
+            Q.load = orig
+        scores = {1: 0.25, 2: 0.5, 3: 1.0, 4: 1.0, 5: 0.5}
+        pos = {1, 3, 5}
+        neg = {2, 4}
+        total = 0.0
+        for p in pos:
+            for n in neg:
+                if scores[p] > scores[n]:
+                    total += 1.0
+                elif scores[p] == scores[n]:
+                    total += 0.5
+        want = total / (len(pos) * len(neg))
+        assert r["n_pos"] == 3 and r["n_neg"] == 2
+        assert abs(r["auc_r"] - want) < 1e-6
+
+    def test_fixture_auc_in_range(self, spark):
+        import canvas_data_loader_spark.queries as Q
+
+        r = Q.SPARK["q158_exact_auc"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()[0]
+        assert 0.0 <= r["auc_r"] <= 1.0
+        assert r["n_pos"] > 0 and r["n_neg"] > 0
