@@ -460,13 +460,14 @@ def setsim_prefix_join(
         .join(sizes, "doc")
     )
     # prefix length |d| - ceil(t*|d|) + 1 via exact integer ceil:
-    # ceil(t_num*sz/t_den) = (t_num*sz + t_den - 1) div t_den
+    # ceil(t_num*sz/t_den) = (t_num*sz + t_den - 1) div t_den, computed
+    # with SQL `div` (true integral division on bigints) — NOT `/` +
+    # cast, whose double intermediate is only exact below 2^53 and
+    # would quietly break the lossless-pruning proof past it
     prefix = ranked.filter(
         F.col("rk")
         <= F.col("sz")
-        - ((F.lit(t_num) * F.col("sz") + F.lit(t_den - 1)) / F.lit(t_den)).cast(
-            "long"
-        )
+        - F.expr(f"(CAST({t_num} AS BIGINT) * sz + {t_den - 1}) div {t_den}")
         + F.lit(1)
     ).select("doc", "s")
     cand = (

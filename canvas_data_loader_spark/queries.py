@@ -116,6 +116,23 @@ def ts_str(col) -> F.Column:
     return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
 
 
+def anchor_embedding(e: DataFrame, vec_id: int) -> list:
+    """Fetch the single anchor/query embedding `vec_id` to the driver,
+    failing with a DESCRIPTIVE error when the fixture lacks that row
+    (q124/q136/q143 hard-depend on vec_id 0 existing; a bare
+    collect()[0][0] would die with an opaque IndexError, or worse,
+    downstream code would see an empty frame and emit empty output
+    silently)."""
+    rows = e.filter(F.col("vec_id") == vec_id).select("embedding").collect()
+    if not rows or rows[0][0] is None:
+        raise ValueError(
+            f"anchor embedding vec_id={vec_id} missing from the embeddings "
+            "table — this query's oracle pins that exact id; regenerate the "
+            "fixture or change the anchor on BOTH sides"
+        )
+    return rows[0][0]
+
+
 # =====================================================================
 # Aggregation / scan / filter
 # =====================================================================
@@ -4870,7 +4887,7 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
     # literal vec_id 0, matching the oracle's scalar subquery exactly
     # (a min-id pick could silently diverge from the SQL mirror if the
     # id space ever changed); missing id 0 fails loudly on both sides
-    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qv = anchor_embedding(e, 0)
     qlit = F.array(*[F.lit(float(x)) for x in qv])
     cosd = e.filter(F.col("vec_id") != 0).select(
         "vec_id", cosine(F.col("embedding"), qlit).alias("cs")
@@ -5698,7 +5715,7 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     e = load(spark, sf_dir, "embeddings")
-    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qv = anchor_embedding(e, 0)
     qsubs = [
         F.array(*[F.lit(float(x)) for x in qv[16 * m : 16 * (m + 1)]])
         for m in range(4)
@@ -6043,6 +6060,14 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_docs"),
         ).alias("rate"),
     )
+    # NOTE on the final `% 1000000`: 2^31 is not a multiple of 1e6, so
+    # the coin carries a tiny modulo bias (~2147/2148 extra mass on the
+    # low residues) — realized keep rates sit a hair ABOVE nominal.
+    # Deterministic and engine-identical (the oracle repeats the same
+    # expression), so cross-engine equality is unaffected; stated here
+    # so baseline-drift analysis doesn't misattribute it. Comparing
+    # `lcg < floor(rate * 2^31)` directly would remove the bias at the
+    # cost of re-anchoring every kept-set golden.
     coin = (((F.col("doc_id") % 2147483648) * 1103515245 + 12345) % 2147483648) % 1000000
     kept = (
         d.join(F.broadcast(rates), ["lang", "source"])
@@ -6402,8 +6427,7 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     e = load(spark, sf_dir, "embeddings")
-    qv_row = e.filter(F.col("vec_id") == 0).select("embedding").collect()
-    qv = F.array(*[F.lit(float(x)) for x in qv_row[0][0]])
+    qv = F.array(*[F.lit(float(x)) for x in anchor_embedding(e, 0)])
     cand_df = (
         e.filter(F.col("vec_id") != 0)
         .select(
@@ -7012,6 +7036,14 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_in"),
         ).alias("rate"),
     )
+    # NOTE on the final `% 1000000`: 2^31 is not a multiple of 1e6, so
+    # the coin carries a tiny modulo bias (~2147/2148 extra mass on the
+    # low residues) — realized keep rates sit a hair ABOVE nominal.
+    # Deterministic and engine-identical (the oracle repeats the same
+    # expression), so cross-engine equality is unaffected; stated here
+    # so baseline-drift analysis doesn't misattribute it. Comparing
+    # `lcg < floor(rate * 2^31)` directly would remove the bias at the
+    # cost of re-anchoring every kept-set golden.
     coin = (((F.col("doc_id") % 2147483648) * 1103515245 + 12345) % 2147483648) % 1000000
     keep = coin < F.floor(F.col("rate") * 1000000).cast("bigint")
     return (
@@ -7700,13 +7732,15 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q157_provenance_dedup",
     f"""
     -- Multi-source provenance dedup: when identical content arrives
-    -- from several sources, keep ONE copy chosen by source PRIORITY
-    -- (curated feeds beat crawls), not by arrival order — the rule
-    -- real corpus assemblies use so dedup never discards the
-    -- best-provenance copy. Priority = lexicographically smallest
-    -- source name here (stand-in for an explicit rank table); ties
-    -- within a source break to the smallest doc id. Also reports the
-    -- full provenance set per surviving fingerprint.
+    -- from several sources, keep ONE copy chosen by a DETERMINISTIC
+    -- source ordering, not by arrival order — the rule real corpus
+    -- assemblies use so dedup never discards the best-provenance
+    -- copy. The ordering here is lexicographic source name — an
+    -- ARBITRARY but deterministic stand-in for an explicit quality
+    -- rank table (it is NOT quality-ordered: 'src_crawl' sorts
+    -- before 'src_curated'); ties within a source break to the
+    -- smallest doc id. Also reports the full provenance set per
+    -- surviving fingerprint.
     WITH fp AS (
         -- content key = md5 of the SORTED DISTINCT token set: the
         -- bag-of-words identity — invariant to word order and
@@ -7742,14 +7776,17 @@ def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
     bag-of-words fingerprint (sorted distinct token set — word-order
     and repetition invariant, the cheap canonical identity between
     q30's exact text hash and q34's shingle similarity): for content
-    that occurs more than once, the keeper is selected by source priority (q30's
-    exact dedup keeps min-id blind to origin; real corpus assemblies
-    rank sources — license-clean or curated feeds over crawls — so
-    the surviving copy has the best provenance), and every surviving
-    fingerprint carries its full source set for attribution/audit.
-    Priority here is lexicographic source order standing in for an
-    explicit rank dimension (which would broadcast-join in front of
-    the same window). One content-hash shuffle (uniform keys,
+    that occurs more than once, the keeper is selected by a
+    deterministic source ordering (q30's exact dedup keeps min-id
+    blind to origin; real corpus assemblies rank sources —
+    license-clean or curated feeds over crawls — so the surviving
+    copy has the best provenance), and every surviving fingerprint
+    carries its full source set for attribution/audit. The ordering
+    used here is plain lexicographic source name — ARBITRARY, not
+    quality-ordered ('src_crawl' < 'src_curated', so a crawl copy can
+    win); a production deployment replaces it with an explicit
+    priority-rank dimension broadcast-joined in front of the same
+    keeper window, which changes nothing else in the plan. One content-hash shuffle (uniform keys,
     unskewable) + a fingerprint-partitioned keeper window + one
     aggregate — q30's scale shape with provenance attached."""
     d = load(spark, sf_dir, "documents")
