@@ -159,6 +159,116 @@ def drop_table_ddl(table_name: str) -> str:
     return f"DROP TABLE IF EXISTS {table_name}"
 
 
+# --- per-row statement text (reference src/db_client.rs DML surface) -------
+#
+# The reference's actual write path is one generated SQL string per row
+# (insert_record / drop_record). The Spark engine never uses per-row
+# statements (batched parameterized JDBC above), but the statement TEXT
+# is the reference's observable dialect behavior — so it is re-expressed
+# here serverlessly and pinned by golden tests, locking the whole
+# PG/MySQL statement surface (not just DDL) without a database server.
+
+
+def _rust_debug_escape(s: str) -> str:
+    """Rust ``format!("{:?}", s)`` body escaping (std str Debug):
+    backslash, double-quote, \\t/\\r/\\n named escapes, and other
+    control characters as \\u{h...}. Printable characters (including
+    non-ASCII) pass through. The reference formats every value through
+    {:?} (db_client.rs:216/276/412/478), so its on-the-wire literals
+    carry these escapes."""
+    out = []
+    for ch in s:
+        if ch == "\\":
+            out.append("\\\\")
+        elif ch == '"':
+            out.append('\\"')  # unreachable post-strip; kept for fidelity
+        elif ch == "\t":
+            out.append("\\t")
+        elif ch == "\r":
+            out.append("\\r")
+        elif ch == "\n":
+            out.append("\\n")
+        elif ord(ch) < 0x20 or ord(ch) == 0x7F:
+            out.append("\\u{%x}" % ord(ch))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def render_sql_value(
+    value: str | None, db_type: str, dialect: str, stmt: str = "insert"
+) -> str:
+    """One value literal exactly as the reference renders it
+    (db_client.rs:210-222 PG drop, :266-290 PG insert, :406-419 MySQL
+    drop, :466-487 MySQL insert):
+
+    - None -> bare ``NULL`` (insert path only; drop takes a required
+      value).
+    - Otherwise strip EVERY single and double quote from the value
+      (the reference's data-corrupting sanitizer — faithfully
+      replicated HERE because statement text is the behavior being
+      pinned; the Spark sink proper never does this, see module doc),
+      Rust-debug-escape it, and wrap in single quotes (the reference
+      formats with {:?} then rewrites '"' -> \"'\").
+    - If ``get_cast_as`` yields a cast for the column's DB type:
+      PG appends ``::cast`` (both insert and drop); MySQL wraps in
+      ``CAST(... AS cast)`` on insert but ``CAST(... as cast)`` —
+      lowercase ``as`` — on drop (db_client.rs:478 vs :413, a real
+      asymmetry the golden tests preserve).
+    """
+    if value is None:
+        return "NULL"
+    lit = "'" + _rust_debug_escape(value.replace("'", "").replace('"', "")) + "'"
+    cast = cast_as(db_type, dialect)
+    if not cast:
+        return lit
+    if dialect == "postgres":
+        return f"{lit}::{cast}"
+    kw = "AS" if stmt == "insert" else "as"
+    return f"CAST({lit} {kw} {cast})"
+
+
+def insert_record_sql(
+    table_name: str,
+    column_types: dict[str, str],
+    columns: dict[str, str | None],
+    dialect: str = "postgres",
+) -> str:
+    """The reference's insert_record statement, byte-for-byte
+    (db_client.rs:236-301 PG, :431-501 MySQL): columns in sorted-name
+    order (BTreeMap iteration), reserved words mangled in the COLUMN
+    LIST (PG mangles only "default"; MySQL also "generated"), values
+    rendered via ``render_sql_value``. ``column_types`` maps column
+    name -> CONVERTED DB type (the importer passes
+    convert_type_for_db output, importer.rs:126-139)."""
+    names = sorted(columns)
+    col_list = ",".join(mangle_identifier(n, dialect) for n in names)
+    vals = ",".join(
+        render_sql_value(columns[n], column_types[n], dialect, "insert")
+        for n in names
+    )
+    return f"INSERT INTO {table_name} ({col_list}) VALUES ({vals})"
+
+
+def delete_record_sql(
+    table_name: str,
+    column_types: dict[str, str],
+    column_name: str,
+    value: str,
+    dialect: str = "postgres",
+) -> str:
+    """The reference's drop_record statement (db_client.rs:184-234 PG,
+    :379-430 MySQL): ``DELETE FROM t WHERE col = <value>``. The column
+    name is NOT reserved-word mangled here — the reference skips
+    mangling in both dialects' drop paths (db_client.rs:205/401), an
+    asymmetry with insert_record preserved deliberately; the id-like
+    key columns this path receives ("id", "<table>_id",
+    importer.rs:148-186) never contain the reserved substrings, so the
+    quirk is latent in practice."""
+    rendered = render_sql_value(value, column_types[column_name], dialect, "delete")
+    return f"DELETE FROM {table_name} WHERE {column_name} = {rendered}"
+
+
 def jdbc_writer_options(
     num_partitions: int = 8, batch_size: int = 10_000
 ) -> dict[str, str]:

@@ -470,3 +470,133 @@ class TestDialectDDL:
             for name in self.COLS:
                 assert ddl.count(f"\n{mangle_identifier(name, dialect)} ") == 1 or \
                     ddl.count(f"(\n{mangle_identifier(name, dialect)} ") == 1
+
+
+class TestRecordStatementText:
+    """Pin the reference's per-row DML statement TEXT for a golden row
+    set — the full PG/MySQL statement surface (insert_record
+    db_client.rs:236-301/:431-501, drop_record :184-234/:379-430), not
+    just DDL. Serverless: the reference's observable dialect behavior
+    IS the generated string; no database needed to lock it."""
+
+    # converted DB types, i.e. convert_type_for_db output — what the
+    # importer actually passes (importer.rs:126-139)
+    PG_TYPES = {
+        "id": "BIGINT",
+        "name": "TEXT",
+        "default_grade": "BOOLEAN",
+        "score": "double precision",
+        "updated_at": "TIMESTAMP",
+        "workflow_state": "TEXT",
+    }
+    MY_TYPES = {
+        "id": "BIGINT",
+        "name": "LONGTEXT",
+        "default_grade": "VARCHAR(10)",
+        "score": "FLOAT(17)",
+        "updated_at": "DATETIME",
+        "workflow_state": "LONGTEXT",
+    }
+    ROW = {
+        "id": "42",
+        "name": 'O\'Brien "quoted"\tx',
+        "default_grade": "true",
+        "score": "99.5",
+        "updated_at": "2018-01-01 00:00:00",
+        "workflow_state": None,  # the TSV \N path
+    }
+
+    def test_insert_postgres_golden(self):
+        from canvas_data_loader_spark.sinks import insert_record_sql
+
+        # sorted column order, "default" mangled, quotes stripped from
+        # values, tab rendered as Rust {:?} \t, NULL bare, ::casts per
+        # get_cast_as (int8/boolean/double precision/timestamp)
+        assert insert_record_sql("quiz_dim", self.PG_TYPES, self.ROW, "postgres") == (
+            "INSERT INTO quiz_dim "
+            "(_default_grade,id,name,score,updated_at,workflow_state) "
+            "VALUES ('true'::boolean,'42'::int8,'OBrien quoted\\tx',"
+            "'99.5'::double precision,"
+            "'2018-01-01 00:00:00'::timestamp,NULL)"
+        )
+
+    def test_insert_mysql_golden(self):
+        from canvas_data_loader_spark.sinks import insert_record_sql
+
+        # MySQL: CAST(... AS ...) instead of ::, SIGNED for ints,
+        # DECIMAL(34, 17) for FLOAT(17), VARCHAR(10) boolean uncast
+        assert insert_record_sql("quiz_dim", self.MY_TYPES, self.ROW, "mysql") == (
+            "INSERT INTO quiz_dim "
+            "(_default_grade,id,name,score,updated_at,workflow_state) "
+            "VALUES ('true',CAST('42' AS SIGNED),'OBrien quoted\\tx',"
+            "CAST('99.5' AS DECIMAL(34, 17)),"
+            "CAST('2018-01-01 00:00:00' AS DATETIME),NULL)"
+        )
+
+    def test_delete_postgres_golden(self):
+        from canvas_data_loader_spark.sinks import delete_record_sql
+
+        assert delete_record_sql("quiz_dim", self.PG_TYPES, "id", "42", "postgres") == (
+            "DELETE FROM quiz_dim WHERE id = '42'::int8"
+        )
+
+    def test_delete_mysql_lowercase_as(self):
+        from canvas_data_loader_spark.sinks import delete_record_sql
+
+        # the reference's real asymmetry: MySQL drop_record renders
+        # CAST(... as ...) lowercase (db_client.rs:413) while
+        # insert_record renders AS uppercase (:478)
+        assert delete_record_sql("quiz_dim", self.MY_TYPES, "id", "42", "mysql") == (
+            "DELETE FROM quiz_dim WHERE id = CAST('42' as SIGNED)"
+        )
+
+    def test_delete_column_never_mangled(self):
+        from canvas_data_loader_spark.sinks import delete_record_sql
+
+        # drop_record skips reserved-word mangling in BOTH dialects
+        # (db_client.rs:205/401) even though insert mangles the same
+        # column — pinned so the asymmetry survives refactors
+        assert delete_record_sql(
+            "t", {"default_grade": "BOOLEAN"}, "default_grade", "f", "postgres"
+        ) == "DELETE FROM t WHERE default_grade = 'f'::boolean"
+
+    def test_mysql_generated_mangled_in_insert_only(self):
+        from canvas_data_loader_spark.sinks import (
+            delete_record_sql,
+            insert_record_sql,
+        )
+
+        stmt = insert_record_sql(
+            "t", {"generated_at": "DATETIME"}, {"generated_at": "x"}, "mysql"
+        )
+        assert stmt.startswith("INSERT INTO t (_generated_at)")
+        # PG never mangles "generated"
+        stmt_pg = insert_record_sql(
+            "t", {"generated_at": "TIMESTAMP"}, {"generated_at": "x"}, "postgres"
+        )
+        assert stmt_pg.startswith("INSERT INTO t (generated_at)")
+        assert delete_record_sql(
+            "t", {"generated_at": "DATETIME"}, "generated_at", "x", "mysql"
+        ).startswith("DELETE FROM t WHERE generated_at =")
+
+    def test_rust_debug_escapes(self):
+        from canvas_data_loader_spark.sinks import render_sql_value
+
+        # {:?} escaping: backslash doubled, newline/tab/CR named,
+        # other control chars \u{h}; quotes stripped BEFORE escaping
+        assert render_sql_value("a\\b\nc", "TEXT", "postgres") == "'a\\\\b\\nc'"
+        assert render_sql_value("x\ry", "TEXT", "postgres") == "'x\\ry'"
+        assert render_sql_value("z\x01w", "TEXT", "postgres") == "'z\\u{1}w'"
+        assert render_sql_value("it's \"q\"", "TEXT", "postgres") == "'its q'"
+        # None -> bare NULL regardless of type/dialect
+        assert render_sql_value(None, "BIGINT", "mysql") == "NULL"
+
+    def test_cast_lookup_case_insensitive_in_statements(self):
+        from canvas_data_loader_spark.sinks import insert_record_sql
+
+        # importer passes convert_type_for_db's mixed-case output;
+        # get_cast_as lowercases (type_converter.rs:80/91)
+        stmt = insert_record_sql(
+            "t", {"score": "float(17)"}, {"score": "1.5"}, "mysql"
+        )
+        assert "CAST('1.5' AS DECIMAL(34, 17))" in stmt
