@@ -7880,9 +7880,22 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
     systems use, except at 6dp resolution it is EXACT."""
     d = load(spark, sf_dir, "documents")
     t = tokens("text")
+    # /* bounded */ The unpartitioned cumulative window below is safe
+    # ONLY because scores are rounded to `dp` decimals of a ratio in
+    # [0, 1]: at most 10^dp + 1 distinct rows ever reach it,
+    # independent of corpus size. The guard makes that contract
+    # explicit — raising the resolution past 7dp (>10^7 window rows,
+    # ~100MB+ of single-partition state) must come with a two-level
+    # prefix-sum (per-range partial sums + a tiny carry join) instead
+    # of silently recreating a corpus-wide single-partition sort.
+    dp = 6
+    assert dp <= 7, (
+        "q158 AUC: score resolution above 7dp unbounds the global "
+        "cumulative window — switch to a two-level prefix-sum first"
+    )
     scored = d.select(
         F.round(
-            F.size(F.array_distinct(t)) * F.lit(1.0) / F.size(t), 6
+            F.size(F.array_distinct(t)) * F.lit(1.0) / F.size(t), dp
         ).alias("score"),
         (F.col("lang") == "en").cast("int").alias("pos"),
     )
