@@ -227,6 +227,83 @@ def gzip_tsv(rows: list[list[str | None]]) -> bytes:
     return gzip.compress(("\n".join(lines) + "\n").encode())
 
 
+class RetryingTransport:
+    """Exponential-backoff retry decorator over any ``Transport``.
+
+    The reference client has NO retry path at all — a single transient
+    503 / connection reset aborts the entire hourly import run
+    (src/api_client.rs:123-143 surfaces the reqwest error straight to
+    the caller; the cron README simply waits for the next hour). For a
+    loader whose stated tolerance is 24-36h source latency, one flaky
+    response costing a full cadence slot is the wrong trade — so the
+    Spark port goes beyond parity here, composably: wrap any transport
+    (``RetryingTransport(HttpTransport(...))``) and the client code is
+    unchanged.
+
+    Retried (transient): HTTP 429/500/502/503/504, connection errors
+    (reset/refused/RemoteDisconnected), socket timeouts, DNS hiccups
+    (URLError). Raised through immediately (permanent): every other
+    HTTP status (401 bad signature, 404, ...) and non-network errors —
+    retrying a bad HMAC only delays the real failure.
+
+    Backoff: base * 2^attempt, capped at ``max_delay``. Deterministic
+    (no random jitter): the Canvas API has a single driver-side
+    caller, not a thundering herd; a ``sleep`` injection point keeps
+    tests instant and lets a fleet deployment pass a jittered sleeper.
+    """
+
+    TRANSIENT_HTTP = frozenset({429, 500, 502, 503, 504})
+
+    def __init__(
+        self,
+        inner: Transport,
+        max_attempts: int = 5,
+        base_delay: float = 0.5,
+        max_delay: float = 30.0,
+        sleep: Callable[[float], None] | None = None,
+    ):
+        if max_attempts < 1:
+            raise ValueError(f"max_attempts must be >= 1, got {max_attempts}")
+        self.inner = inner
+        self.max_attempts = max_attempts
+        self.base_delay = base_delay
+        self.max_delay = max_delay
+        if sleep is None:
+            import time
+
+            sleep = time.sleep
+        self._sleep = sleep
+        self.retries = 0  # observability: total retried attempts
+
+    def _is_transient(self, exc: Exception) -> bool:
+        import urllib.error
+
+        if isinstance(exc, urllib.error.HTTPError):
+            return exc.code in self.TRANSIENT_HTTP
+        # URLError wraps socket-level failures (refused, DNS, timeout);
+        # ConnectionError covers reset/aborted incl. RemoteDisconnected
+        return isinstance(
+            exc, (urllib.error.URLError, ConnectionError, TimeoutError)
+        )
+
+    def _call(self, thunk: Callable[[], object]):
+        for attempt in range(self.max_attempts):
+            try:
+                return thunk()
+            except Exception as exc:
+                last = attempt == self.max_attempts - 1
+                if last or not self._is_transient(exc):
+                    raise
+                self.retries += 1
+                self._sleep(min(self.max_delay, self.base_delay * 2**attempt))
+
+    def get_json(self, path: str, query: str, headers: dict[str, str]):
+        return self._call(lambda: self.inner.get_json(path, query, headers))
+
+    def get_bytes(self, url: str) -> bytes:
+        return self._call(lambda: self.inner.get_bytes(url))
+
+
 class HttpTransport:
     """Real HTTPS transport over the standard library (no extra deps).
 

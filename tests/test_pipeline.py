@@ -940,3 +940,191 @@ class TestHttpTransportLoopback:
         # exactly one d1* dir on disk
         dirs = [d for d in os.listdir(tmp_path / "who" / "t") if d.startswith("d1")]
         assert dirs == ["d1"]
+
+
+class TestRetryingTransport:
+    """Retry/backoff decorator over the transport seam — the WAN
+    resilience the reference lacks entirely (one transient 503 aborts
+    its whole hourly run). Unit-tests the retry policy with an
+    injected sleeper (instant), then drives the REAL HttpTransport
+    against a flaky loopback server that 503s the first hit of every
+    route — the full pipeline must succeed anyway."""
+
+    class _Flaky:
+        """Transport failing with the given exceptions, then serving."""
+
+        def __init__(self, failures, result="ok"):
+            self.failures = list(failures)
+            self.result = result
+            self.calls = 0
+
+        def get_json(self, path, query, headers):
+            self.calls += 1
+            if self.failures:
+                raise self.failures.pop(0)
+            return self.result
+
+        def get_bytes(self, url):
+            self.calls += 1
+            if self.failures:
+                raise self.failures.pop(0)
+            return b"ok"
+
+    @staticmethod
+    def _http_error(code):
+        import io
+        import urllib.error
+
+        return urllib.error.HTTPError(
+            "http://x", code, "err", hdrs=None, fp=io.BytesIO(b"")
+        )
+
+    def test_transient_503_retried_with_exponential_backoff(self):
+        from canvas_data_loader_spark.sources.api_client import RetryingTransport
+
+        slept = []
+        flaky = self._Flaky([self._http_error(503), self._http_error(502)])
+        t = RetryingTransport(
+            flaky, max_attempts=5, base_delay=0.5, sleep=slept.append
+        )
+        assert t.get_json("/p", "", {}) == "ok"
+        assert flaky.calls == 3
+        assert slept == [0.5, 1.0]  # base * 2^attempt
+        assert t.retries == 2
+
+    def test_permanent_http_error_raises_immediately(self):
+        import pytest
+        import urllib.error
+
+        from canvas_data_loader_spark.sources.api_client import RetryingTransport
+
+        slept = []
+        flaky = self._Flaky([self._http_error(401)])
+        t = RetryingTransport(flaky, sleep=slept.append)
+        with pytest.raises(urllib.error.HTTPError):
+            t.get_json("/p", "", {})
+        assert flaky.calls == 1 and slept == []  # no retry on bad auth
+
+    def test_exhaustion_raises_last_error_after_max_attempts(self):
+        import pytest
+
+        from canvas_data_loader_spark.sources.api_client import RetryingTransport
+
+        slept = []
+        flaky = self._Flaky([self._http_error(503)] * 10)
+        t = RetryingTransport(flaky, max_attempts=3, sleep=slept.append)
+        with pytest.raises(Exception):
+            t.get_bytes("http://x/f")
+        assert flaky.calls == 3 and len(slept) == 2
+
+    def test_connection_errors_and_timeouts_transient(self):
+        import urllib.error
+
+        from canvas_data_loader_spark.sources.api_client import RetryingTransport
+
+        for exc in (
+            ConnectionResetError("reset"),
+            TimeoutError("timed out"),
+            urllib.error.URLError("dns"),
+        ):
+            slept = []
+            flaky = self._Flaky([exc])
+            t = RetryingTransport(flaky, sleep=slept.append)
+            assert t.get_bytes("u") == b"ok"
+            assert len(slept) == 1
+
+    def test_delay_capped_at_max_delay(self):
+        from canvas_data_loader_spark.sources.api_client import RetryingTransport
+
+        slept = []
+        flaky = self._Flaky([self._http_error(503)] * 6)
+        t = RetryingTransport(
+            flaky, max_attempts=7, base_delay=1.0, max_delay=4.0,
+            sleep=slept.append,
+        )
+        assert t.get_json("/p", "", {}) == "ok"
+        assert slept == [1.0, 2.0, 4.0, 4.0, 4.0, 4.0]
+
+    def test_flaky_loopback_pipeline_succeeds(self, spark, tmp_path):
+        # every route 503s on its FIRST hit; the wrapped real
+        # HttpTransport retries and the full import still lands
+        import json
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        from canvas_data_loader_spark.sources.api_client import (
+            CanvasDataApiClient,
+            HttpTransport,
+            RetryingTransport,
+            gzip_tsv,
+        )
+
+        payload = gzip_tsv([[1, "root", "active"]])
+        dumps_json = [make_dump_json("d1", 1, "2024-01-01T00:00:00Z")]
+        seen: dict[str, int] = {}
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                first = self.path not in seen
+                seen[self.path] = seen.get(self.path, 0) + 1
+                if first:
+                    self.send_response(503)
+                    self.end_headers()
+                    return
+                if self.path.startswith("/files/"):
+                    body, ctype = payload, "application/gzip"
+                else:
+                    if self.path == "/api/account/self/dump":
+                        doc = dumps_json
+                    elif self.path == "/api/schema/latest":
+                        doc = SCHEMA_JSON
+                    elif self.path == "/api/account/self/file/byDump/d1":
+                        doc = files_json(
+                            "d1", {"account_dim": ["account_dim-00000-aaa.gz"]}
+                        )
+                        for a in doc["artifactsByTable"].values():
+                            for f in a["files"]:
+                                f["url"] = (
+                                    f"http://{self.server.server_address[0]}:"
+                                    f"{self.server.server_address[1]}/files/"
+                                    f"{f['filename']}"
+                                )
+                    else:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    body, ctype = json.dumps(doc).encode(), "application/json"
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            host = f"127.0.0.1:{srv.server_address[1]}"
+            slept = []
+            transport = RetryingTransport(
+                HttpTransport(host=host, scheme="http"),
+                base_delay=0.01,
+                sleep=slept.append,
+            )
+            client = CanvasDataApiClient("key", "secret", transport)
+            config = PipelineConfig(
+                stage_dir=str(tmp_path / "stage_flaky"),
+                warehouse_dir=str(tmp_path / "wh_flaky"),
+                ledger_path=str(tmp_path / "ledger_flaky.jsonl"),
+            )
+            p = ImportPipeline(spark, client, config)
+            results = p.run()
+            assert [r.status for r in results] == ["successful"]
+            assert wh_rows(p, "account_dim") == [(1, "root", "active")]
+            # each of the 4 routes was hit twice (503 then 200)
+            assert transport.retries == 4
+            assert all(n == 2 for n in seen.values()), seen
+        finally:
+            srv.shutdown()
