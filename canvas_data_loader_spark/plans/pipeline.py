@@ -53,6 +53,13 @@ from ..operators.merge import (
 )
 
 
+class CommitConflict(Exception):
+    """A compare-and-swap publish lost the race: the commit number the
+    manifest was derived against has been taken by another writer.
+    Callers re-read the new current manifest and re-derive their
+    write (see ``Warehouse.merge_bucketed``)."""
+
+
 @dataclass
 class PipelineConfig:
     """Mirrors the reference's settings surface (src/settings.rs:42-57)."""
@@ -134,12 +141,48 @@ class Warehouse:
                 out.append((int(name[:-5]), json.load(fh)))
         return out
 
-    def _publish(self, table: str, manifest: dict) -> int:
+    def _current_version(self, table: str) -> int:
+        commits = self._commits(table)
+        return commits[-1][0] if commits else 0
+
+    def _publish(
+        self, table: str, manifest: dict, expected_version: int | None = None
+    ) -> int:
         """Append a manifest under the next commit number via exclusive
-        create (the local emulation of a conditional put). Retries on
-        collision so concurrent committers serialize last-writer-wins."""
+        create (the local emulation of a conditional put).
+
+        Two modes, matching the two write semantics:
+
+        - ``expected_version=None`` (full-snapshot replace): the
+          manifest does not depend on prior state, so collisions just
+          bump to the next number — concurrent committers serialize
+          last-writer-wins, which is the correct outcome for two
+          complete replacements.
+        - ``expected_version=v`` (read-modify-write, e.g. a bucketed
+          MERGE whose manifest reuses the base's untouched-bucket map):
+          the publish is a compare-and-swap — it attempts EXACTLY
+          ``v+1`` and raises :class:`CommitConflict` if that number is
+          taken, because a manifest derived from commit v that lands at
+          v+2 would silently drop whatever v+1 changed (the lost-update
+          anomaly). The caller re-reads the new current state and
+          re-derives — optimistic concurrency, the Delta/Iceberg
+          commit-protocol shape, emulated locally with ``open('x')``
+          and on S3/HDFS by the same single put-if-absent.
+        """
         cdir = self._commits_dir(table)
         os.makedirs(cdir, exist_ok=True)
+        if expected_version is not None:
+            version = expected_version + 1
+            target = os.path.join(cdir, f"{version:08d}.json")
+            try:
+                with open(target, "x") as fh:
+                    json.dump(manifest, fh)
+                return version
+            except FileExistsError:
+                raise CommitConflict(
+                    f"{table}: commit {version} already exists — manifest "
+                    f"was derived from superseded version {expected_version}"
+                ) from None
         commits = self._commits(table)
         version = (commits[-1][0] + 1) if commits else 1
         while True:
@@ -325,6 +368,7 @@ class Warehouse:
         df: DataFrame,
         snapshot: str,
         bucket: tuple[str, int] | None = None,
+        expected_version: int | None = None,
     ) -> None:
         """Write a new immutable snapshot, publish its manifest, prune
         snapshots beyond the retention window. Readers follow the
@@ -338,12 +382,22 @@ class Warehouse:
         then prunes and partially rewrites. Bucketed manifests also
         carry the table schema so an all-empty write (partitionBy of an
         empty frame emits no directories) still reads back as an empty
-        frame instead of bricking the table."""
+        frame instead of bricking the table.
+
+        ``expected_version``: pass the commit version ``df`` was
+        DERIVED from (a read-modify-write like the pipeline's
+        non-bucketed merge) to make the publish a compare-and-swap —
+        raises :class:`CommitConflict` if another writer committed in
+        between, instead of silently dropping that writer's changes.
+        Leave ``None`` for state-independent full replacements, where
+        last-writer-wins is the correct race outcome."""
         snapshot = self._fresh_snapshot_name(table, snapshot)
         out = os.path.join(self.root, table, snapshot)
         if bucket is None:
             df.write.mode("overwrite").parquet(out)
-            self._publish(table, {"snapshot": snapshot})
+            self._publish(
+                table, {"snapshot": snapshot}, expected_version=expected_version
+            )
         else:
             key, n = bucket
             df.withColumn(BUCKET_COL, bucket_of(F.col(key), n)).write.mode(
@@ -360,6 +414,7 @@ class Warehouse:
                         BUCKET_COL, bucket_of(F.col(key), n)
                     ).schema.json(),
                 },
+                expected_version=expected_version,
             )
         self._prune(table)
 
@@ -370,6 +425,7 @@ class Warehouse:
         snapshot: str,
         broadcast_keys: bool = True,
         observation: Observation | None = None,
+        max_commit_retries: int = 5,
     ) -> list[int]:
         """Partition-pruned keyed upsert into a bucketed table — the
         pipeline's at-scale default (the managed-table MERGE analog of
@@ -382,49 +438,78 @@ class Warehouse:
         whole merge stays crash-safe: nothing is overwritten, readers
         see the old manifest until the publish).
 
+        The publish is a COMPARE-AND-SWAP against the commit version
+        the merge read its base state from: the manifest reuses the
+        base's untouched-bucket map, so landing it on top of a
+        concurrent commit would silently undo that commit's changes
+        (lost update). On conflict the whole merge re-derives against
+        the new current manifest and retries — optimistic concurrency;
+        concurrent merges on disjoint keys both land, serialized.
+
         Returns the affected bucket ids."""
-        m = self.current_manifest(table)
-        if m is None or not m.get("buckets"):
-            raise FileNotFoundError(f"table not bucketed: {table}")
-        # a replayed batch (e.g. foreachBatch restart after publish but
-        # before the streaming checkpoint committed) would otherwise
-        # mode=overwrite the very directory the current manifest — and
-        # our own lazy `old` read below — points at
-        snapshot = self._fresh_snapshot_name(table, snapshot)
-        key, n = m["bucket_key"], int(m["n_buckets"])
-        new_b = new.withColumn(BUCKET_COL, bucket_of(F.col(key), n))
-        affected = sorted(
-            int(r[BUCKET_COL])
-            for r in new_b.select(BUCKET_COL).distinct().collect()
-        )
-        old = self.read_buckets(table, affected)
-        keys = new_b.select(key).distinct()
-        if broadcast_keys:
-            keys = F.broadcast(keys)
-        merged = old.join(keys, on=key, how="left_anti").unionByName(
-            new_b.select(old.columns)
-        )
-        if observation is not None:
-            merged = merged.observe(
-                observation, F.count(F.lit(1)).alias("rows")
+        wanted = snapshot
+        for attempt in range(1 + max_commit_retries):
+            m = self.current_manifest(table)
+            if m is None or not m.get("buckets"):
+                raise FileNotFoundError(f"table not bucketed: {table}")
+            base_version = self._current_version(table)
+            # a replayed batch (e.g. foreachBatch restart after publish
+            # but before the streaming checkpoint committed) would
+            # otherwise mode=overwrite the very directory the current
+            # manifest — and our own lazy `old` read below — points at.
+            # Re-resolved each attempt: the racing winner may have
+            # published under exactly this name.
+            snapshot = self._fresh_snapshot_name(table, wanted)
+            key, n = m["bucket_key"], int(m["n_buckets"])
+            new_b = new.withColumn(BUCKET_COL, bucket_of(F.col(key), n))
+            affected = sorted(
+                int(r[BUCKET_COL])
+                for r in new_b.select(BUCKET_COL).distinct().collect()
             )
-        out = os.path.join(self.root, table, snapshot)
-        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out)
-        self._publish(
-            table,
-            {
-                "snapshot": snapshot,
-                "bucket_key": key,
-                "n_buckets": n,
-                "buckets": {
-                    **m["buckets"],
-                    **{str(k): snapshot for k in affected},
-                },
-                **({"schema": m["schema"]} if m.get("schema") else {}),
-            },
+            old = self.read_buckets(table, affected)
+            keys = new_b.select(key).distinct()
+            if broadcast_keys:
+                keys = F.broadcast(keys)
+            merged = old.join(keys, on=key, how="left_anti").unionByName(
+                new_b.select(old.columns)
+            )
+            if observation is not None and attempt == 0:
+                # an Observation is single-use (re-attaching raises);
+                # the first attempt's write populates it, so callers
+                # get that attempt's row count even if the publish
+                # retries — close enough for the ingest-rate metric it
+                # feeds, and exact in the no-contention common case
+                merged = merged.observe(
+                    observation, F.count(F.lit(1)).alias("rows")
+                )
+            out = os.path.join(self.root, table, snapshot)
+            merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out)
+            try:
+                self._publish(
+                    table,
+                    {
+                        "snapshot": snapshot,
+                        "bucket_key": key,
+                        "n_buckets": n,
+                        "buckets": {
+                            **m["buckets"],
+                            **{str(k): snapshot for k in affected},
+                        },
+                        **({"schema": m["schema"]} if m.get("schema") else {}),
+                    },
+                    expected_version=base_version,
+                )
+            except CommitConflict:
+                # the attempt's snapshot dir is now an unreferenced
+                # orphan; the next attempt's _fresh_snapshot_name
+                # reclaims it
+                continue
+            self._prune(table)
+            return affected
+        raise CommitConflict(
+            f"{table}: merge lost the commit race {1 + max_commit_retries} "
+            "times — contention too high, back off and retry"
         )
-        self._prune(table)
-        return affected
 
     def _prune(self, table: str) -> None:
         """Remove snapshots beyond the retention window — but NEVER a
@@ -688,21 +773,42 @@ class ImportPipeline:
                     <= self.config.broadcast_merge_max_bytes,
                     observation=obs,
                 )
-            else:
-                if volatile or not self.warehouse.exists(table_name):
-                    # Overwrite == the reference's drop-then-rebuild pass
-                    # (importer.rs:206-228 + per-row INSERTs 331-344), minus
-                    # the window where the table doesn't exist: snapshot swap.
-                    out = df
-                else:
-                    old = self.warehouse.read(table_name)
-                    out = self._merge(old, df, key, _staged_bytes(paths))
+            elif volatile or not self.warehouse.exists(table_name):
+                # Overwrite == the reference's drop-then-rebuild pass
+                # (importer.rs:206-228 + per-row INSERTs 331-344), minus
+                # the window where the table doesn't exist: snapshot swap.
+                # State-independent full replacement: last-writer-wins
+                # is the correct race outcome, publish unconditionally.
                 self.warehouse.write(
                     table_name,
-                    out.observe(obs, F.count(F.lit(1)).alias("rows")),
+                    df.observe(obs, F.count(F.lit(1)).alias("rows")),
                     snapshot=dump.dump_id,
                     bucket=(key, n_buckets) if bucketed else None,
                 )
+            else:
+                # Read-modify-write: the merged snapshot is derived
+                # from the current commit, so publish via CAS and
+                # re-derive on conflict (two overlapping pipeline runs
+                # — the cron-overlap hazard the reference suffers
+                # blindly — otherwise silently drop each other's rows).
+                for attempt in range(6):
+                    base_version = self.warehouse._current_version(table_name)
+                    old = self.warehouse.read(table_name)
+                    out = self._merge(old, df, key, _staged_bytes(paths))
+                    if attempt == 0:  # Observation is single-use
+                        out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
+                    try:
+                        self.warehouse.write(
+                            table_name,
+                            out,
+                            snapshot=dump.dump_id,
+                            bucket=(key, n_buckets) if bucketed else None,
+                            expected_version=base_version,
+                        )
+                        break
+                    except CommitConflict:
+                        if attempt == 5:
+                            raise
             result.tables[table_name] = obs.get["rows"]
         return result
 
