@@ -141,9 +141,27 @@ class Warehouse:
                 out.append((int(name[:-5]), json.load(fh)))
         return out
 
+    def _latest_commit(self, table: str) -> tuple[int, dict] | None:
+        """The highest-numbered manifest via LIST + ONE GET. The hot
+        path for every read/publish — must not scale with table
+        history (commit logs grow one entry per import forever; a
+        year of hourly dumps is ~9k manifests, and parsing all of
+        them per read would make metadata, not data, the bottleneck).
+        Old manifests are also pruned (``_prune``), which bounds the
+        LIST itself."""
+        cdir = self._commits_dir(table)
+        if not os.path.isdir(cdir):
+            return None
+        names = [n for n in os.listdir(cdir) if n.endswith(".json")]
+        if not names:
+            return None
+        top = max(names, key=lambda n: int(n[:-5]))
+        with open(os.path.join(cdir, top)) as fh:
+            return int(top[:-5]), json.load(fh)
+
     def _current_version(self, table: str) -> int:
-        commits = self._commits(table)
-        return commits[-1][0] if commits else 0
+        latest = self._latest_commit(table)
+        return latest[0] if latest else 0
 
     def _publish(
         self, table: str, manifest: dict, expected_version: int | None = None
@@ -183,8 +201,7 @@ class Warehouse:
                     f"{table}: commit {version} already exists — manifest "
                     f"was derived from superseded version {expected_version}"
                 ) from None
-        commits = self._commits(table)
-        version = (commits[-1][0] + 1) if commits else 1
+        version = self._current_version(table) + 1
         while True:
             target = os.path.join(cdir, f"{version:08d}.json")
             try:
@@ -195,10 +212,10 @@ class Warehouse:
                 version += 1
 
     def current_path(self, table: str) -> str | None:
-        commits = self._commits(table)
-        if not commits:
+        latest = self._latest_commit(table)
+        if latest is None:
             return None
-        return os.path.join(self.root, table, commits[-1][1]["snapshot"])
+        return os.path.join(self.root, table, latest[1]["snapshot"])
 
     def _fresh_snapshot_name(self, table: str, wanted: str) -> str:
         """A snapshot directory name that is guaranteed not to collide
@@ -234,8 +251,8 @@ class Warehouse:
             version += 1
 
     def current_manifest(self, table: str) -> dict | None:
-        commits = self._commits(table)
-        return commits[-1][1] if commits else None
+        latest = self._latest_commit(table)
+        return latest[1] if latest else None
 
     def exists(self, table: str) -> bool:
         return self.current_path(table) is not None
@@ -525,6 +542,23 @@ class Warehouse:
             shutil.rmtree(
                 os.path.join(self.root, table, nme), ignore_errors=True
             )
+        # Prune the commit LOG too: a manifest whose snapshot directory
+        # is gone can never be read (read_at requires the data), so its
+        # JSON is dead weight — and an unpruned log grows one entry per
+        # import forever, making every history LIST O(table lifetime)
+        # (a year of hourly dumps ≈ 9k manifests per table). The newest
+        # manifest is never touched (it defines the current version and
+        # carries every live reference).
+        commits = self._commits(table)
+        for v, man in commits[:-1]:
+            snap = man.get("snapshot")
+            if snap and not os.path.isdir(os.path.join(self.root, table, snap)):
+                try:
+                    os.remove(
+                        os.path.join(self._commits_dir(table), f"{v:08d}.json")
+                    )
+                except OSError:
+                    pass  # best-effort; retried on the next prune
 
     def compact(self, table: str, target_bytes: int = 128 * 1024 * 1024) -> int:
         """Compact the current snapshot's small files into ~target-size

@@ -1285,3 +1285,59 @@ class TestOptimisticConcurrency:
                 Warehouse(spark, str(tmp_path / "wh")).read("t").collect()}
         assert rows[5] == "w5" and rows[6] == "w6"
         assert len(rows) == 8
+
+
+class TestCommitLogBounded:
+    """The commit log must not grow with table lifetime: manifests
+    whose snapshot directories were pruned are dead (read_at needs the
+    data) and are removed, and the current-state accessors read ONE
+    manifest (LIST + single GET) rather than parsing the whole
+    history — at an import per hour the unbounded log would make
+    metadata, not data, the scan bottleneck within a year."""
+
+    def test_log_stays_bounded_over_many_merges(self, spark, tmp_path):
+        import os
+
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "wh"), retain=3)
+        df = spark.createDataFrame(
+            [(i, "v") for i in range(8)], "id long, val string"
+        )
+        wh.write("t", df, snapshot="base", bucket=("id", 4))
+        for k in range(12):
+            wh.merge_bucketed(
+                "t",
+                spark.createDataFrame([(k % 8, f"m{k}")], "id long, val string"),
+                snapshot=f"m{k}",
+            )
+        cdir = tmp_path / "wh" / "t" / "_commits"
+        n_files = len([n for n in os.listdir(cdir) if n.endswith(".json")])
+        # every retained snapshot keeps its manifest; dead ones are gone
+        assert n_files <= 3 + 2, n_files
+        # numbering never reuses a pruned slot: version = total commits
+        assert wh._current_version("t") == 13
+        rows = {r["id"]: r["val"] for r in wh.read("t").collect()}
+        assert rows[3] == "m11"  # k=11 hits id 3 last
+        # time travel within the retained window still works
+        assert wh.read_at("t", "m11").count() == 8
+
+    def test_latest_commit_single_get(self, spark, tmp_path):
+        # the hot-path accessors go through _latest_commit, not a full
+        # history parse: _commits must not be called by them
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        wh.write("t", spark.range(2), snapshot="s1")
+        wh.write("t", spark.range(3), snapshot="s2")
+        called = []
+        orig = wh._commits
+        wh._commits = lambda table: (called.append(table), orig(table))[1]
+        try:
+            assert wh.current_manifest("t")["snapshot"] == "s2"
+            assert wh._current_version("t") == 2
+            assert wh.current_path("t").endswith("/s2")
+            assert wh.read("t").count() == 3
+        finally:
+            wh._commits = orig
+        assert called == []  # zero full-history parses on the hot path
