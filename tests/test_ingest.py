@@ -600,3 +600,47 @@ class TestRecordStatementText:
             "t", {"score": "float(17)"}, {"score": "1.5"}, "mysql"
         )
         assert "CAST('1.5' AS DECIMAL(34, 17))" in stmt
+
+
+class TestRecordStatementProperties:
+    """Property-level pins for the per-row DML rendering: for ANY
+    value string, the generated literal is delimiter-safe under the
+    reference's own scheme (strip quotes, Rust-debug escape, wrap in
+    single quotes) and the statement shape is invariant."""
+
+    @settings(max_examples=200, suppress_health_check=[HealthCheck.too_slow])
+    @given(st.text(max_size=80))
+    def test_rendered_literal_never_contains_raw_quote_or_control(self, s):
+        from canvas_data_loader_spark.sinks import render_sql_value
+
+        lit = render_sql_value(s, "TEXT", "postgres")
+        assert lit.startswith("'") and lit.endswith("'")
+        body = lit[1:-1]
+        # the reference strips both quote kinds BEFORE escaping, so no
+        # quote of either kind can appear in the body at all
+        assert "'" not in body and '"' not in body
+        # raw control characters never survive (escaped to \t/\r/\n/\u{h})
+        assert not any(ord(c) < 0x20 or ord(c) == 0x7F for c in body)
+
+    @settings(max_examples=100, suppress_health_check=[HealthCheck.too_slow])
+    @given(st.text(max_size=40))
+    def test_insert_shape_invariant(self, s):
+        from canvas_data_loader_spark.sinks import insert_record_sql
+
+        stmt = insert_record_sql(
+            "t", {"a": "BIGINT", "b": "TEXT"}, {"b": s, "a": "7"}, "postgres"
+        )
+        # sorted columns, cast only on the typed column, value count 2
+        assert stmt.startswith("INSERT INTO t (a,b) VALUES ('7'::int8,")
+        assert stmt.endswith(")")
+
+    @settings(max_examples=100, suppress_health_check=[HealthCheck.too_slow])
+    @given(st.text(max_size=40).filter(lambda s: s.strip()))
+    def test_pg_and_mysql_bodies_agree_modulo_cast_syntax(self, s):
+        # the VALUE body (escaping/stripping) is dialect-independent;
+        # only the cast wrapper differs
+        from canvas_data_loader_spark.sinks import render_sql_value
+
+        pg = render_sql_value(s, "BIGINT", "postgres")     # 'body'::int8
+        my = render_sql_value(s, "BIGINT", "mysql")        # CAST('body' AS SIGNED)
+        assert pg.removesuffix("::int8") == my[len("CAST("):-len(" AS SIGNED)")]
