@@ -379,6 +379,70 @@ class Warehouse:
             )
         return self.spark.read.parquet(path)
 
+    def external_read_sql(self, table: str, version: int | None = None) -> str:
+        """CROSS-ENGINE snapshot read: a DuckDB-runnable SQL statement
+        that reads a consistent snapshot of ``table`` straight from the
+        warehouse parquet files — no Spark required on the read side.
+
+        The manifest IS the isolation mechanism: the emitted statement
+        enumerates exactly the parquet leaf globs the chosen commit
+        references. Because writers never overwrite in place (new
+        snapshot directories + CAS manifest publish), a concurrent
+        Spark merge cannot change what this statement reads; re-calling
+        after a commit yields a NEW statement for the new snapshot.
+        This is the reader half of the Delta/Iceberg interop story on
+        plain files — any engine with parquet + glob support works, the
+        emitted text just uses DuckDB's ``read_parquet`` spelling.
+
+        ``version``: a retained commit number for time-travel reads;
+        default = current. Raises if the version is unknown/pruned or
+        references pruned data."""
+        if version is None:
+            latest = self._latest_commit(table)
+            if latest is None:
+                raise FileNotFoundError(f"table not in warehouse: {table}")
+            _, man = latest
+        else:
+            by_version = dict(self._commits(table))
+            man = by_version.get(version)
+            if man is None:
+                raise FileNotFoundError(
+                    f"commit {version} of {table!r} not retained "
+                    f"(have: {sorted(by_version)})"
+                )
+        buckets = man.get("buckets")
+        if not buckets:
+            path = os.path.join(self.root, table, man["snapshot"])
+            if not os.path.isdir(path):
+                raise FileNotFoundError(
+                    f"snapshot {man['snapshot']!r} of {table!r} pruned"
+                )
+            return f"SELECT * FROM read_parquet('{path}/*.parquet')"
+        for snap in set(buckets.values()):
+            if not os.path.isdir(os.path.join(self.root, table, snap)):
+                raise FileNotFoundError(
+                    f"bucketed manifest of {table!r} references pruned "
+                    f"snapshot {snap!r}"
+                )
+        globs = []
+        for b, snap in sorted(buckets.items(), key=lambda kv: int(kv[0])):
+            leaf = os.path.join(self.root, table, snap, f"{BUCKET_COL}={b}")
+            if os.path.isdir(leaf):  # empty buckets write no directory
+                globs.append(f"'{leaf}/*.parquet'")
+        if not globs:
+            raise FileNotFoundError(
+                f"bucketed table {table!r} has no data files to read "
+                "externally (all buckets empty)"
+            )
+        # hive_partitioning=false: the bucket id lives only in the
+        # directory name, matching Spark-side read()'s drop of the
+        # bucket column; union_by_name tolerates additive schema
+        # evolution across the referenced snapshots
+        return (
+            "SELECT * FROM read_parquet([" + ", ".join(globs) + "], "
+            "hive_partitioning=false, union_by_name=true)"
+        )
+
     def write(
         self,
         table: str,
