@@ -544,8 +544,99 @@ def main_skew():
     print(json.dumps({"mode": "skew", "factor": factor, "sec": results}))
 
 
+def main_merge():
+    """Measure the pipeline's MERGE cost as the WAREHOUSE TABLE scales
+    with the incoming batch held fixed — the claim under the bucketed
+    default (PipelineConfig.bucketed_tables): a daily batch touching b
+    of N buckets scans/rewrites ~b/N of the table, so merge time should
+    be near-FLAT in table size (exponent ~0 once IO dominates), while
+    the non-bucketed merge rewrites the full table every time
+    (exponent ~1 by construction). Usage: --merge [factor]."""
+    import tempfile
+
+    from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    n_buckets = 32
+    spark = get_spark("scale_probe_merge")
+    # full-width orders (9 columns, unique key): wide enough that a
+    # full-table rewrite has real IO cost, so layout differences show
+    li = spark.read.parquet(f"{BASE}/orders.parquet").withColumnRenamed(
+        "o_orderkey", "k"
+    )
+    # fixed batch, same at every scale, and BUCKET-LOCAL: restricted to
+    # keys hashing into 2 of the 32 buckets — the realistic daily-dump
+    # shape the bucketed default exists for (a batch spread over every
+    # bucket degenerates to a full-table read by construction, for any
+    # layout)
+    from canvas_data_loader_spark.operators.merge import bucket_of
+
+    batch = (
+        li.filter(bucket_of(F.col("k"), n_buckets).isin(0, 1))
+        .limit(256)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .localCheckpoint()
+    )
+
+    def table_at(f):
+        big = li
+        for i in range(1, f):
+            big = big.unionByName(
+                li.withColumn("k", F.col("k") + F.lit(i * OFFSET))
+            )
+        return big
+
+    report = {}
+    for f in (1, factor):
+        root = tempfile.mkdtemp(prefix=f"scale_probe_merge_{f}_")
+        try:
+            wh = Warehouse(spark, root)
+            wh.write("t", table_at(f), snapshot="base", bucket=("k", n_buckets))
+            t0 = time.time()
+            affected = wh.merge_bucketed("t", batch, snapshot="m1")
+            bucketed_sec = round(time.time() - t0, 3)
+
+            wh.write("tf", table_at(f), snapshot="base")  # non-bucketed twin
+            from canvas_data_loader_spark.operators.merge import merge_upsert
+
+            t0 = time.time()
+            wh.write(
+                "tf", merge_upsert(wh.read("tf"), batch, "k"), snapshot="m1"
+            )
+            flat_sec = round(time.time() - t0, 3)
+            report[f"x{f}"] = {
+                "bucketed_sec": bucketed_sec,
+                "full_rewrite_sec": flat_sec,
+                "affected_buckets": len(affected),
+                "n_buckets": n_buckets,
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    e_b = math.log(
+        max(report[f"x{factor}"]["bucketed_sec"], 1e-3)
+        / max(report["x1"]["bucketed_sec"], 1e-3)
+    ) / math.log(factor)
+    e_f = math.log(
+        max(report[f"x{factor}"]["full_rewrite_sec"], 1e-3)
+        / max(report["x1"]["full_rewrite_sec"], 1e-3)
+    ) / math.log(factor)
+    print(
+        json.dumps(
+            {
+                "mode": "merge",
+                "factor": factor,
+                "tables": report,
+                "exponent_bucketed": round(e_b, 3),
+                "exponent_full_rewrite": round(e_f, 3),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--text":
+    if len(sys.argv) > 1 and sys.argv[1] == "--merge":
+        main_merge()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--text":
         main_text()
     elif len(sys.argv) > 1 and sys.argv[1] == "--embed":
         main_embed()
