@@ -60,11 +60,13 @@ def to_media_table(df: DataFrame, id_col: str, text_col: str, source_col: str) -
 
 
 def media_capabilities() -> dict[str, bool]:
-    """Which real decoders are importable here. The Spark plumbing
-    never depends on these — they only select real-vs-stub decode, so
-    the same pipeline code runs in a bare container (stub, tests skip)
-    and a full image (PIL present, tests run)."""
-    caps = {}
+    """Which real decoders are available here. PPM (P6) and
+    uncompressed 24-bit BMP are decoded by the pure-numpy readers
+    below and are ALWAYS available — no imaging library required —
+    so the decode/resize passes are genuinely exercisable end-to-end
+    even in a bare container. ``image`` (the general path: PNG/JPEG/
+    ...) additionally needs PIL."""
+    caps = {"ppm": True, "bmp": True}
     try:
         import PIL.Image  # noqa: F401
 
@@ -72,6 +74,110 @@ def media_capabilities() -> dict[str, bool]:
     except ImportError:
         caps["image"] = False
     return caps
+
+
+# --- pure-numpy decoders (no imaging library) -------------------------------
+
+
+def _decode_ppm_p6(payload: bytes):
+    """Binary PPM (P6): 'P6' <ws> width <ws> height <ws> maxval '\\n'
+    then raw RGB triplets. Whitespace-and-comment-tolerant header per
+    the netpbm spec; maxval must fit a byte. Returns HxWx3 uint8."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError(f"16-bit PPM unsupported (maxval={maxval})")
+    need = w * h * 3
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError(f"PPM raster truncated: {len(raster)} != {need}")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _decode_bmp24(payload: bytes):
+    """Uncompressed 24-bit bottom-up BMP (BITMAPINFOHEADER): the
+    lowest-common-denominator interchange format. Rows are BGR, padded
+    to 4-byte multiples, stored bottom-up. Returns HxWx3 uint8 RGB."""
+    import struct
+
+    import numpy as np
+
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload[data_off : data_off + stride * h], dtype=np.uint8
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # BGR -> RGB
+
+
+def encode_ppm_p6(arr) -> bytes:
+    """HxWx3 uint8 -> binary PPM bytes (the re-encode side of the
+    portable resize pass)."""
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
+
+
+def decode_image_array(payload: bytes):
+    """(HxWx3 uint8 RGB, mode) for any supported payload: PPM/BMP via
+    the pure decoders (always), anything else via PIL when present."""
+    import numpy as np
+
+    if payload.startswith(b"P6"):
+        return _decode_ppm_p6(payload), "RGB"
+    if payload.startswith(b"BM"):
+        return _decode_bmp24(payload), "RGB"
+    if not media_capabilities()["image"]:
+        raise NotImplementedError(
+            "payload is neither PPM nor BMP and PIL is not installed; "
+            "general-format decode needs imaging libraries"
+        )
+    import io
+
+    import PIL.Image
+
+    with PIL.Image.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("RGB")), im.mode
+
+
+def resize_array_nn(arr, width: int, height: int):
+    """Nearest-neighbor resize by pure index sampling — deterministic,
+    vectorized, library-free (the floor-sample convention: source
+    index = (dst * src_extent) // dst_extent)."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return arr[rows][:, cols]
 
 
 IMAGE_DECODE_SCHEMA = T.StructType(
@@ -85,14 +191,19 @@ IMAGE_DECODE_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real image decode when PIL is importable; otherwise the honest
-    NotImplementedError (this container has no imaging libraries).
-    Callers that want the pipeline shape without the capability use
-    ``extract_features``'s deterministic byte stats instead."""
+    """Real image decode: PPM/BMP always (pure numpy), other formats
+    via PIL when importable — otherwise the honest
+    NotImplementedError. Callers that want the pipeline shape without
+    any decodable payloads use ``extract_features``'s deterministic
+    byte stats instead."""
+    if payload.startswith(b"P6") or payload.startswith(b"BM"):
+        arr, mode = decode_image_array(bytes(payload))
+        return {"width": arr.shape[1], "height": arr.shape[0], "mode": mode}
     if not media_capabilities()["image"]:
         raise NotImplementedError(
-            "media decode requires image libraries (PIL) not present in "
-            "this environment; use extract_features for pipeline testing"
+            "general-format media decode requires image libraries (PIL) "
+            "not present in this environment; PPM/BMP payloads decode "
+            "without them, or use extract_features for pipeline testing"
         )
     import io
 
@@ -102,15 +213,20 @@ def decode_image(payload: bytes) -> dict:
         return {"width": im.width, "height": im.height, "mode": im.mode}
 
 
-def decode_images(media: DataFrame, rows_per_batch: int = 256) -> DataFrame:
-    """Real image-decode pass (PIL) over binary payloads — the
-    production counterpart of ``extract_features``. Raises at plan
-    build when the capability is missing so the failure is immediate
+def decode_images(
+    media: DataFrame, rows_per_batch: int = 256, portable_only: bool = False
+) -> DataFrame:
+    """Real image-decode pass over binary payloads — the production
+    counterpart of ``extract_features``. With ``portable_only`` the
+    caller asserts every payload is PPM/BMP (the pure-numpy decoders,
+    always available); otherwise general formats need PIL and the
+    capability check raises at PLAN BUILD so the failure is immediate
     and driver-side, not a per-task executor crash loop."""
-    if not media_capabilities()["image"]:
+    if not portable_only and not media_capabilities()["image"]:
         raise NotImplementedError(
-            "decode_images needs PIL on driver and executors; "
-            "media_capabilities()['image'] is False here"
+            "decode_images needs PIL on driver and executors for "
+            "general formats; media_capabilities()['image'] is False "
+            "here — pass portable_only=True if every payload is PPM/BMP"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -196,14 +312,26 @@ def resize_images(
 ) -> DataFrame:
     """Image-resize pass: mapInPandas over binary payloads.
 
-    The resize itself is stubbed deterministically (payload truncated
-    to width*height bytes, dimensions echoed) — a real build swaps in
-    PIL/libvips inside the batch function. Batches are re-chunked to
+    PPM/BMP payloads take the REAL path — pure-numpy decode,
+    deterministic nearest-neighbor resample (``resize_array_nn``),
+    re-encode as binary PPM. Payloads in neither format keep the
+    deterministic byte-truncation stand-in (so non-image smoke fixtures
+    still flow through the pass; a PIL build would route them through
+    ``decode_image_array`` too). Batches are re-chunked to
     ``rows_per_batch`` rows so a batch of decoded images bounds Arrow
     memory regardless of upstream partition sizes — the contract that
     matters at scale, where one parquet row group can hold thousands
     of multi-MB payloads.
     """
+
+    def one(b):
+        if b is None:
+            return None
+        b = bytes(b)
+        if b.startswith(b"P6") or b.startswith(b"BM"):
+            arr, _ = decode_image_array(b)
+            return encode_ppm_p6(resize_array_nn(arr, width, height))
+        return b[: width * height]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -212,11 +340,7 @@ def resize_images(
                 yield pd.DataFrame(
                     {
                         "media_id": chunk["media_id"],
-                        "payload": chunk["payload"].map(
-                            lambda b: bytes(b[: width * height])
-                            if b is not None
-                            else None
-                        ),
+                        "payload": chunk["payload"].map(one),
                         "width": width,
                         "height": height,
                     }

@@ -2064,3 +2064,125 @@ class TestExactAuc:
         ).collect()[0]
         assert 0.0 <= r["auc_r"] <= 1.0
         assert r["n_pos"] > 0 and r["n_neg"] > 0
+
+
+class TestPortableImageDecode:
+    """REAL image decode without imaging libraries: PPM (P6) and
+    uncompressed 24-bit BMP via the pure-numpy readers — so the
+    decode/resize passes are verified end-to-end in this container
+    instead of capability-skipping. PIL remains the path for general
+    formats; these two are the library-free floor."""
+
+    @staticmethod
+    def _ppm(w, h, px):
+        # px: list of rows of (r,g,b)
+        import numpy as np
+
+        from canvas_data_loader_spark.operators.multimodal import encode_ppm_p6
+
+        return encode_ppm_p6(np.array(px, dtype="uint8").reshape(h, w, 3))
+
+    @staticmethod
+    def _bmp24(w, h, rows_rgb):
+        # hand-rolled bottom-up 24-bit BMP (BGR, 4-byte row padding)
+        import struct
+
+        stride = (w * 3 + 3) & ~3
+        raster = b""
+        for row in reversed(rows_rgb):  # bottom-up storage
+            line = b"".join(bytes((b_, g, r)) for (r, g, b_) in row)
+            raster += line + b"\x00" * (stride - len(line))
+        data_off = 14 + 40
+        filesz = data_off + len(raster)
+        return (
+            b"BM"
+            + struct.pack("<IHHI", filesz, 0, 0, data_off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+            + raster
+        )
+
+    def test_ppm_decode_roundtrip(self):
+        from canvas_data_loader_spark.operators.multimodal import (
+            decode_image,
+            decode_image_array,
+        )
+
+        ppm = self._ppm(2, 2, [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)])
+        d = decode_image(ppm)
+        assert (d["width"], d["height"], d["mode"]) == (2, 2, "RGB")
+        arr, _ = decode_image_array(ppm)
+        assert arr[0, 0].tolist() == [255, 0, 0]
+        assert arr[1, 1].tolist() == [9, 9, 9]
+
+    def test_ppm_comment_header(self):
+        from canvas_data_loader_spark.operators.multimodal import _decode_ppm_p6
+
+        raw = b"P6\n# a comment\n1 1\n255\n\xaa\xbb\xcc"
+        assert _decode_ppm_p6(raw)[0, 0].tolist() == [0xAA, 0xBB, 0xCC]
+
+    def test_bmp_decode_matches_pixels(self):
+        from canvas_data_loader_spark.operators.multimodal import decode_image_array
+
+        rows = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (7, 8, 9)]]
+        arr, mode = decode_image_array(self._bmp24(2, 2, rows))
+        assert mode == "RGB"
+        # decoded top-down RGB must equal the logical rows
+        assert arr[0, 0].tolist() == [255, 0, 0]
+        assert arr[0, 1].tolist() == [0, 255, 0]
+        assert arr[1, 0].tolist() == [0, 0, 255]
+        assert arr[1, 1].tolist() == [7, 8, 9]
+
+    def test_decode_images_portable_runs_without_pil(self, spark):
+        from canvas_data_loader_spark.operators.multimodal import decode_images
+
+        ppm = self._ppm(3, 1, [(1, 2, 3), (4, 5, 6), (7, 8, 9)])
+        bmp = self._bmp24(1, 2, [[(10, 20, 30)], [(40, 50, 60)]])
+        media = spark.createDataFrame(
+            [(1, bytearray(ppm)), (2, bytearray(bmp)), (3, None)],
+            "media_id long, payload binary",
+        )
+        rows = {
+            r["media_id"]: (r["width"], r["height"])
+            for r in decode_images(media, portable_only=True).collect()
+        }
+        assert rows == {1: (3, 1), 2: (1, 2), 3: (None, None)}
+
+    def test_resize_real_path_nearest_neighbor(self, spark):
+        import numpy as np
+
+        from canvas_data_loader_spark.operators.multimodal import (
+            _decode_ppm_p6,
+            resize_images,
+        )
+
+        # 4x4 quadrant image -> 2x2 must pick one pixel per quadrant
+        quad = np.zeros((4, 4, 3), dtype="uint8")
+        quad[:2, :2] = (255, 0, 0)
+        quad[:2, 2:] = (0, 255, 0)
+        quad[2:, :2] = (0, 0, 255)
+        quad[2:, 2:] = (255, 255, 0)
+        from canvas_data_loader_spark.operators.multimodal import encode_ppm_p6
+
+        media = spark.createDataFrame(
+            [(1, bytearray(encode_ppm_p6(quad)))], "media_id long, payload binary"
+        )
+        out = resize_images(media, width=2, height=2).collect()[0]
+        small = _decode_ppm_p6(bytes(out["payload"]))
+        assert small.shape == (2, 2, 3)
+        assert small[0, 0].tolist() == [255, 0, 0]
+        assert small[0, 1].tolist() == [0, 255, 0]
+        assert small[1, 0].tolist() == [0, 0, 255]
+        assert small[1, 1].tolist() == [255, 255, 0]
+
+    def test_unknown_format_still_gated_without_pil(self):
+        from canvas_data_loader_spark.operators.multimodal import (
+            decode_image,
+            media_capabilities,
+        )
+
+        caps = media_capabilities()
+        assert caps["ppm"] and caps["bmp"]
+        if caps["image"]:
+            pytest.skip("PIL present: general formats decode for real")
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG\r\n\x1a\n")
