@@ -79,13 +79,28 @@ def media_capabilities() -> dict[str, bool]:
 # --- pure-numpy decoders (no imaging library) -------------------------------
 
 
+def _portable_format(payload: bytes) -> str | None:
+    """'ppm' | 'bmp' | None — the ONE sniff every portable-decode call
+    site shares (decode_image, decode_image_array, resize_images), so
+    format detection cannot drift between them. Stricter than a bare
+    2-byte magic check: 'P6' must be followed by whitespace (netpbm
+    header grammar) and 'BM' needs at least a full
+    FILEHEADER+INFOHEADER — ordinary text that merely starts with the
+    magic letters ('BMW ...') is rejected here, not deep in a reshape."""
+    if payload[:2] == b"P6" and len(payload) > 2 and payload[2:3].isspace():
+        return "ppm"
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        return "bmp"
+    return None
+
+
 def _decode_ppm_p6(payload: bytes):
     """Binary PPM (P6): 'P6' <ws> width <ws> height <ws> maxval '\\n'
     then raw RGB triplets. Whitespace-and-comment-tolerant header per
     the netpbm spec; maxval must fit a byte. Returns HxWx3 uint8."""
     import numpy as np
 
-    if not payload.startswith(b"P6"):
+    if _portable_format(payload) != "ppm":
         raise ValueError("not a P6 PPM payload")
     pos, fields = 2, []
     while len(fields) < 3:
@@ -118,11 +133,14 @@ def _decode_bmp24(payload: bytes):
 
     import numpy as np
 
-    if not payload.startswith(b"BM"):
+    if _portable_format(payload) != "bmp":
         raise ValueError("not a BMP payload")
-    data_off = struct.unpack_from("<I", payload, 10)[0]
-    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
-    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    try:
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+        planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    except struct.error as e:  # normalized: all malformed input -> ValueError
+        raise ValueError(f"truncated BMP header: {e}") from None
     if hdr_size < 40 or bpp != 24 or compression != 0:
         raise ValueError(
             f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
@@ -130,7 +148,11 @@ def _decode_bmp24(payload: bytes):
         )
     bottom_up = h > 0
     h = abs(h)
+    if w <= 0 or h == 0 or w * h > 1 << 28:
+        raise ValueError(f"implausible BMP dimensions {w}x{h}")
     stride = (w * 3 + 3) & ~3
+    if data_off + stride * h > len(payload):
+        raise ValueError("BMP raster truncated")
     rows = np.frombuffer(
         payload[data_off : data_off + stride * h], dtype=np.uint8
     ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
@@ -151,9 +173,10 @@ def decode_image_array(payload: bytes):
     the pure decoders (always), anything else via PIL when present."""
     import numpy as np
 
-    if payload.startswith(b"P6"):
+    fmt = _portable_format(payload)
+    if fmt == "ppm":
         return _decode_ppm_p6(payload), "RGB"
-    if payload.startswith(b"BM"):
+    if fmt == "bmp":
         return _decode_bmp24(payload), "RGB"
     if not media_capabilities()["image"]:
         raise NotImplementedError(
@@ -196,7 +219,7 @@ def decode_image(payload: bytes) -> dict:
     NotImplementedError. Callers that want the pipeline shape without
     any decodable payloads use ``extract_features``'s deterministic
     byte stats instead."""
-    if payload.startswith(b"P6") or payload.startswith(b"BM"):
+    if _portable_format(bytes(payload)) is not None:
         arr, mode = decode_image_array(bytes(payload))
         return {"width": arr.shape[1], "height": arr.shape[0], "mode": mode}
     if not media_capabilities()["image"]:
@@ -328,8 +351,15 @@ def resize_images(
         if b is None:
             return None
         b = bytes(b)
-        if b.startswith(b"P6") or b.startswith(b"BM"):
-            arr, _ = decode_image_array(b)
+        if _portable_format(b) is not None:
+            try:
+                arr, _ = decode_image_array(b)
+            except ValueError:
+                # sniffed like an image but didn't parse (e.g. text
+                # that happens to start 'BM' + 54 bytes): fall back to
+                # the stand-in instead of failing the whole Spark task
+                # on one malformed row
+                return b[: width * height]
             return encode_ppm_p6(resize_array_nn(arr, width, height))
         return b[: width * height]
 

@@ -30,6 +30,7 @@ import json
 import math
 import os
 import shutil
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -118,10 +119,24 @@ class Warehouse:
     on write; a real deployment would prune by age instead.
     """
 
-    def __init__(self, spark: SparkSession, root: str, retain: int = 3):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        retain: int = 3,
+        orphan_ttl_sec: float = 6 * 3600.0,
+    ):
         self.spark = spark
         self.root = root
         self.retain = retain
+        # how old (mtime) an UNPUBLISHED snapshot directory must be
+        # before _prune garbage-collects it. The TTL is what makes the
+        # sweep safe against in-flight writers: a directory being
+        # written right now is unreferenced too, and only age tells a
+        # crash orphan from active work (Delta's VACUUM retention
+        # reasoning). Keep it comfortably above the longest plausible
+        # write+publish window.
+        self.orphan_ttl_sec = orphan_ttl_sec
         os.makedirs(root, exist_ok=True)
 
     # -- commit log ---------------------------------------------------------
@@ -129,7 +144,10 @@ class Warehouse:
         return os.path.join(self.root, table, "_commits")
 
     def _commits(self, table: str) -> list[tuple[int, dict]]:
-        """(version, manifest) pairs, ascending. LIST + GET only."""
+        """(version, manifest) pairs, ascending. LIST + GET only. A
+        manifest disappearing between the LIST and its GET is a
+        concurrent _prune removing a dead entry — skipped, exactly as
+        a fresh LIST would not have shown it."""
         cdir = self._commits_dir(table)
         if not os.path.isdir(cdir):
             return []
@@ -137,8 +155,11 @@ class Warehouse:
         for name in sorted(os.listdir(cdir)):
             if not name.endswith(".json"):
                 continue
-            with open(os.path.join(cdir, name)) as fh:
-                out.append((int(name[:-5]), json.load(fh)))
+            try:
+                with open(os.path.join(cdir, name)) as fh:
+                    out.append((int(name[:-5]), json.load(fh)))
+            except FileNotFoundError:
+                continue
         return out
 
     def _latest_commit(self, table: str) -> tuple[int, dict] | None:
@@ -150,14 +171,21 @@ class Warehouse:
         Old manifests are also pruned (``_prune``), which bounds the
         LIST itself."""
         cdir = self._commits_dir(table)
-        if not os.path.isdir(cdir):
-            return None
-        names = [n for n in os.listdir(cdir) if n.endswith(".json")]
-        if not names:
-            return None
-        top = max(names, key=lambda n: int(n[:-5]))
-        with open(os.path.join(cdir, top)) as fh:
-            return int(top[:-5]), json.load(fh)
+        while True:
+            if not os.path.isdir(cdir):
+                return None
+            names = [n for n in os.listdir(cdir) if n.endswith(".json")]
+            if not names:
+                return None
+            top = max(names, key=lambda n: int(n[:-5]))
+            try:
+                with open(os.path.join(cdir, top)) as fh:
+                    return int(top[:-5]), json.load(fh)
+            except FileNotFoundError:
+                # raced a concurrent prune that removed a stale listing
+                # entry; the true head is never pruned, so re-listing
+                # converges
+                continue
 
     def _current_version(self, table: str) -> int:
         latest = self._latest_commit(table)
@@ -228,25 +256,37 @@ class Warehouse:
         compactions / replayed streaming batches each write somewhere
         fresh and publish on top.
 
-        A directory that exists on disk but appears in NO commit is a
-        crash orphan (written, never published, invisible to readers):
-        it is RECLAIMED — deleted and its name reused — so failed dumps
-        retried under the same id do not leak a full-size directory per
-        crash. Directories referenced by ANY retained commit are never
-        touched (they may be read_at time-travel targets)."""
+        A directory that exists on disk is NEVER deleted-and-reused
+        here, even when no commit references it: an unreferenced
+        directory is indistinguishable from a CONCURRENT writer's
+        not-yet-published work, and reclaiming it would rmtree data
+        that writer is about to publish — a lost update the CAS commit
+        protocol cannot see (both publishes succeed; one's data is
+        gone). Instead, on-disk-or-referenced names bump to a
+        ``-v{N}`` suffix (monotonically increasing, so repeated
+        compactions / replayed streaming batches / same-dump retries
+        each write somewhere fresh), and genuine crash orphans are
+        garbage-collected by ``_prune`` once older than
+        ``orphan_ttl_sec`` — age, not reference-absence alone, is what
+        distinguishes a dead directory from active work."""
         commits = self._commits(table)
-        ever_referenced: set[str] = set()
+        referenced: set[str] = set()
         for _, man in commits:
-            ever_referenced.add(man.get("snapshot"))
-            ever_referenced.update((man.get("buckets") or {}).values())
+            referenced.add(man.get("snapshot"))
+            referenced.update((man.get("buckets") or {}).values())
         version = (commits[-1][0] + 1) if commits else 1
         cand = wanted
         while True:
-            if cand not in ever_referenced:
-                path = os.path.join(self.root, table, cand)
-                if os.path.exists(path):
-                    shutil.rmtree(path, ignore_errors=True)
-                return cand
+            if cand not in referenced:
+                try:
+                    # atomic CLAIM: creating the directory is the
+                    # mutex. Two writers racing the same candidate
+                    # cannot both succeed (no exists-then-write TOCTOU
+                    # window); the loser bumps to the next suffix.
+                    os.makedirs(os.path.join(self.root, table, cand))
+                    return cand
+                except FileExistsError:
+                    pass
             cand = f"{wanted}-v{version}"
             version += 1
 
@@ -312,19 +352,34 @@ class Warehouse:
         return out
 
     def read(self, table: str) -> DataFrame:
-        m = self.current_manifest(table)
-        if m is None:
+        return self.read_versioned(table)[1]
+
+    def read_versioned(self, table: str) -> tuple[int, DataFrame]:
+        """(commit version, DataFrame reading exactly that commit's
+        manifest) from ONE manifest fetch. Read-modify-write callers
+        MUST use this pairing as their CAS base: fetching the version
+        and the manifest separately opens a race where a concurrent
+        commit lands in between, the stale manifest is re-derived, and
+        the CAS still succeeds at the newer number — exactly the lost
+        update the CAS exists to prevent."""
+        latest = self._latest_commit(table)
+        if latest is None:
             raise FileNotFoundError(f"table not in warehouse: {table}")
+        version, m = latest
         df = self._read_manifest(table, m)
         if m.get("buckets"):
             df = df.drop(BUCKET_COL)
-        return df
+        return version, df
 
-    def read_buckets(self, table: str, bucket_ids: list[int]) -> DataFrame:
+    def read_buckets(
+        self, table: str, bucket_ids: list[int], manifest: dict | None = None
+    ) -> DataFrame:
         """Partition-pruned read of a bucketed table: lists ONLY the
         requested buckets' directories — a batch touching b of N
-        buckets scans b/N of the table."""
-        m = self.current_manifest(table)
+        buckets scans b/N of the table. Pass ``manifest`` to pin the
+        read to an already-fetched commit (CAS read-modify-write must
+        read the same base its expected_version refers to)."""
+        m = manifest if manifest is not None else self.current_manifest(table)
         if m is None or not m.get("buckets"):
             raise FileNotFoundError(f"table not bucketed: {table}")
         wanted = {str(b) for b in bucket_ids}
@@ -417,7 +472,11 @@ class Warehouse:
                 raise FileNotFoundError(
                     f"snapshot {man['snapshot']!r} of {table!r} pruned"
                 )
-            return f"SELECT * FROM read_parquet('{path}/*.parquet')"
+            # '' escaping: a quote in root/table/snapshot must not
+            # terminate the SQL string literal (or inject into whatever
+            # engine runs the emitted text)
+            lit = (path + "/*.parquet").replace("'", "''")
+            return f"SELECT * FROM read_parquet('{lit}')"
         for snap in set(buckets.values()):
             if not os.path.isdir(os.path.join(self.root, table, snap)):
                 raise FileNotFoundError(
@@ -428,7 +487,8 @@ class Warehouse:
         for b, snap in sorted(buckets.items(), key=lambda kv: int(kv[0])):
             leaf = os.path.join(self.root, table, snap, f"{BUCKET_COL}={b}")
             if os.path.isdir(leaf):  # empty buckets write no directory
-                globs.append(f"'{leaf}/*.parquet'")
+                lit = (leaf + "/*.parquet").replace("'", "''")
+                globs.append(f"'{lit}'")
         if not globs:
             raise FileNotFoundError(
                 f"bucketed table {table!r} has no data files to read "
@@ -530,10 +590,16 @@ class Warehouse:
         Returns the affected bucket ids."""
         wanted = snapshot
         for attempt in range(1 + max_commit_retries):
-            m = self.current_manifest(table)
+            # ONE manifest fetch yields both the CAS base version and
+            # the bucket map derived from it — fetching them separately
+            # would let a concurrent commit slip between the two reads
+            # and the stale-derived manifest still CAS-succeed at the
+            # newer number (a lost update with extra steps)
+            latest = self._latest_commit(table)
+            m = latest[1] if latest else None
             if m is None or not m.get("buckets"):
                 raise FileNotFoundError(f"table not bucketed: {table}")
-            base_version = self._current_version(table)
+            base_version = latest[0]
             # a replayed batch (e.g. foreachBatch restart after publish
             # but before the streaming checkpoint committed) would
             # otherwise mode=overwrite the very directory the current
@@ -547,7 +613,7 @@ class Warehouse:
                 int(r[BUCKET_COL])
                 for r in new_b.select(BUCKET_COL).distinct().collect()
             )
-            old = self.read_buckets(table, affected)
+            old = self.read_buckets(table, affected, manifest=m)
             keys = new_b.select(key).distinct()
             if broadcast_keys:
                 keys = F.broadcast(keys)
@@ -623,6 +689,30 @@ class Warehouse:
                     )
                 except OSError:
                     pass  # best-effort; retried on the next prune
+        # Garbage-collect crash ORPHANS: directories no commit ever
+        # published, older than orphan_ttl_sec. The age gate is the
+        # safety argument — an unreferenced young directory may be a
+        # concurrent writer's in-flight output (snapshot names are
+        # claimed before the parquet write), and only once the TTL
+        # comfortably exceeds any plausible write+publish window can
+        # "unreferenced" be read as "dead". Same reasoning as Delta's
+        # VACUUM retention; crash-retried dumps therefore leak at most
+        # one directory per crash for at most the TTL.
+        ever_referenced: set[str] = set()
+        for _, man in commits:
+            ever_referenced.add(man.get("snapshot"))
+            ever_referenced.update((man.get("buckets") or {}).values())
+        tdir = os.path.join(self.root, table)
+        now = time.time()
+        for nme in os.listdir(tdir):
+            full = os.path.join(tdir, nme)
+            if nme == "_commits" or nme in ever_referenced or not os.path.isdir(full):
+                continue
+            try:
+                if now - os.path.getmtime(full) > self.orphan_ttl_sec:
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass
 
     def compact(self, table: str, target_bytes: int = 128 * 1024 * 1024) -> int:
         """Compact the current snapshot's small files into ~target-size
@@ -632,26 +722,55 @@ class Warehouse:
         periodic compaction is part of the write path's contract (the
         Delta/Iceberg OPTIMIZE analog). Rewrites as a new snapshot via
         the same atomic pointer swap; time travel still sees the
-        pre-compaction snapshot. Returns the new file count."""
-        path = self.current_path(table)
-        if path is None:
-            raise FileNotFoundError(f"table not in warehouse: {table}")
-        m = self.current_manifest(table)
-        if m and m.get("buckets"):
-            # bucketed: rewrite one full bucketed snapshot — one file
-            # per bucket (repartitioning ON the bucket expression, so
-            # each bucket's rows land wholly in one task and the
-            # partitionBy write emits exactly one file per non-empty
-            # bucket; a round-robin repartition would emit up to
-            # n_buckets files PER bucket) — and repoint every bucket
-            df = self.read(table)
-            n = int(m["n_buckets"])
-            self.write(
-                table,
-                df.repartition(n, bucket_of(F.col(m["bucket_key"]), n)),
-                snapshot="compact-bucketed",  # write() resolves collisions
-                bucket=(m["bucket_key"], n),
-            )
+        pre-compaction snapshot. Returns the new file count.
+
+        Compaction is a READ-MODIFY-WRITE (it republishes rows derived
+        from the commit it read), so its publish is a CAS against that
+        commit: a merge landing mid-compaction makes the publish
+        conflict and the compaction re-derive from the new state —
+        never the other way around (compaction must never revert a
+        concurrent merge; it is an optimization, the merge is data)."""
+        for _attempt in range(6):
+            latest = self._latest_commit(table)
+            if latest is None:
+                raise FileNotFoundError(f"table not in warehouse: {table}")
+            base_version, m = latest
+            try:
+                if m.get("buckets"):
+                    # bucketed: rewrite one full bucketed snapshot — one
+                    # file per bucket (repartitioning ON the bucket
+                    # expression, so each bucket's rows land wholly in one
+                    # task and the partitionBy write emits exactly one file
+                    # per non-empty bucket; a round-robin repartition would
+                    # emit up to n_buckets files PER bucket) — and repoint
+                    # every bucket
+                    df = self._read_manifest(table, m).drop(BUCKET_COL)
+                    n = int(m["n_buckets"])
+                    self.write(
+                        table,
+                        df.repartition(n, bucket_of(F.col(m["bucket_key"]), n)),
+                        snapshot="compact-bucketed",  # write() resolves collisions
+                        bucket=(m["bucket_key"], n),
+                        expected_version=base_version,
+                    )
+                else:
+                    path = os.path.join(self.root, table, m["snapshot"])
+                    total = sum(
+                        os.path.getsize(os.path.join(dp, f))
+                        for dp, _, fs in os.walk(path)
+                        for f in fs
+                        if f.endswith(".parquet")
+                    )
+                    n_files = max(1, math.ceil(total / target_bytes))
+                    df = self.spark.read.parquet(path)
+                    self.write(
+                        table,
+                        df.repartition(n_files),
+                        snapshot=f"compact-{n_files}",  # write() resolves collisions
+                        expected_version=base_version,
+                    )
+            except CommitConflict:
+                continue
             new_path = self.current_path(table)
             return sum(
                 1
@@ -659,25 +778,9 @@ class Warehouse:
                 for f in fs
                 if f.endswith(".parquet")
             )
-        total = sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(path)
-            for f in fs
-            if f.endswith(".parquet")
-        )
-        n_files = max(1, math.ceil(total / target_bytes))
-        df = self.spark.read.parquet(path)
-        self.write(
-            table,
-            df.repartition(n_files),
-            snapshot=f"compact-{n_files}",  # write() resolves collisions
-        )
-        new_path = self.current_path(table)
-        return sum(
-            1
-            for dp, _, fs in os.walk(new_path)
-            for f in fs
-            if f.endswith(".parquet")
+        raise CommitConflict(
+            f"{table}: compaction lost the commit race 6 times — "
+            "contention too high, run it in a quieter window"
         )
 
     def drop(self, table: str) -> None:
@@ -890,8 +993,10 @@ class ImportPipeline:
                 # — the cron-overlap hazard the reference suffers
                 # blindly — otherwise silently drop each other's rows).
                 for attempt in range(6):
-                    base_version = self.warehouse._current_version(table_name)
-                    old = self.warehouse.read(table_name)
+                    # one fetch pairs the CAS base with the data read
+                    base_version, old = self.warehouse.read_versioned(
+                        table_name
+                    )
                     out = self._merge(old, df, key, _staged_bytes(paths))
                     if attempt == 0:  # Observation is single-use
                         out = out.observe(obs, F.count(F.lit(1)).alias("rows"))

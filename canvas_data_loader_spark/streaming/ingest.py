@@ -75,12 +75,31 @@ def stream_upsert_to_warehouse(
                 broadcast_keys=False,
             )
             return
-        if warehouse.exists(table):
-            old = warehouse.read(table)
+        if not warehouse.exists(table):
+            warehouse.write(table, new, snapshot=f"stream-{batch_id}")
+            return
+        # read-modify-write: CAS the publish against the commit the
+        # merge read, re-deriving on conflict — a batch-pipeline import
+        # or another stream committing to the same table between this
+        # micro-batch's read and publish must not be silently
+        # overwritten by a stale-derived snapshot (same protocol as
+        # the batch path; merge_bucketed above retries internally)
+        from ..plans.pipeline import CommitConflict
+
+        for attempt in range(6):
+            base_version, old = warehouse.read_versioned(table)
             merged = merge_upsert(old, new.select(old.columns), keys)
-        else:
-            merged = new
-        warehouse.write(table, merged, snapshot=f"stream-{batch_id}")
+            try:
+                warehouse.write(
+                    table,
+                    merged,
+                    snapshot=f"stream-{batch_id}",
+                    expected_version=base_version,
+                )
+                return
+            except CommitConflict:
+                if attempt == 5:
+                    raise
 
     return (
         stream_df.writeStream.foreachBatch(apply_batch)

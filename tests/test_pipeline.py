@@ -921,25 +921,33 @@ class TestHttpTransportLoopback:
         finally:
             srv.shutdown()
 
-    def test_crash_orphan_directory_is_reclaimed_on_retry(
+    def test_crash_orphan_never_reclaimed_in_place_but_ttl_gced(
         self, spark, tmp_path
     ):
-        # write data, never publish (crash) -> retry under the SAME
-        # name must reuse the directory (no unbounded orphan leak) and
-        # the published result must be the retry's data
+        # An on-disk directory is NEVER deleted-and-reused by a retry:
+        # it is indistinguishable from a CONCURRENT writer's in-flight
+        # output, and reclaiming it would destroy that writer's data
+        # right before its (CAS-passing) publish. The retry writes
+        # somewhere fresh; the true crash orphan is garbage-collected
+        # by _prune once older than orphan_ttl_sec (age, not mere
+        # unreferencedness, distinguishes dead from in-flight).
         import os
 
         from canvas_data_loader_spark.plans.pipeline import Warehouse
 
-        wh = Warehouse(spark, str(tmp_path / "who"))
+        wh = Warehouse(spark, str(tmp_path / "who"), orphan_ttl_sec=1e9)
         orphan = tmp_path / "who" / "t" / "d1"
         spark.range(99).write.mode("overwrite").parquet(str(orphan))  # crashed attempt
         wh.write("t", spark.range(3), snapshot="d1")  # retry
         assert wh.read("t").count() == 3
-        assert wh.current_path("t").endswith("/d1")  # name reused, no -v suffix
-        # exactly one d1* dir on disk
-        dirs = [d for d in os.listdir(tmp_path / "who" / "t") if d.startswith("d1")]
-        assert dirs == ["d1"]
+        assert not wh.current_path("t").endswith("/d1")  # fresh -v name
+        assert (tmp_path / "who" / "t" / "d1").is_dir()  # untouched (young)
+        # ...until the TTL passes: then _prune sweeps it
+        wh.orphan_ttl_sec = 0.0
+        wh.write("t", spark.range(4), snapshot="d2")  # triggers _prune
+        assert not (tmp_path / "who" / "t" / "d1").exists()
+        dirs = sorted(os.listdir(tmp_path / "who" / "t"))
+        assert "_commits" in dirs and wh.read("t").count() == 4
 
 
 class TestRetryingTransport:
@@ -1191,7 +1199,7 @@ class TestOptimisticConcurrency:
         raced = {"done": False}
 
         class RacingWarehouse(Warehouse):
-            def read_buckets(self, table, bucket_ids):
+            def read_buckets(self, table, bucket_ids, manifest=None):
                 # B commits inside A's window, exactly once
                 if not raced["done"]:
                     raced["done"] = True
@@ -1202,7 +1210,7 @@ class TestOptimisticConcurrency:
                         ),
                         snapshot="b-merge",
                     )
-                return super().read_buckets(table, bucket_ids)
+                return super().read_buckets(table, bucket_ids, manifest)
 
         racing = RacingWarehouse(spark, str(tmp_path / "wh"))
         racing.merge_bucketed(
@@ -1229,7 +1237,7 @@ class TestOptimisticConcurrency:
         n = {"i": 0}
 
         class AlwaysRaced(Warehouse):
-            def read_buckets(self, table, bucket_ids):
+            def read_buckets(self, table, bucket_ids, manifest=None):
                 n["i"] += 1
                 contender.merge_bucketed(
                     "t",
@@ -1238,7 +1246,7 @@ class TestOptimisticConcurrency:
                     ),
                     snapshot=f"c{n['i']}",
                 )
-                return super().read_buckets(table, bucket_ids)
+                return super().read_buckets(table, bucket_ids, manifest)
 
         racing = AlwaysRaced(spark, str(tmp_path / "wh"))
         with pytest.raises(CommitConflict, match="commit race"):
@@ -1415,3 +1423,88 @@ class TestExternalSnapshotRead:
             wh.external_read_sql("missing")
         with pytest.raises(FileNotFoundError):
             wh.external_read_sql("t", version=99)
+
+
+class TestReviewedConcurrencyFixes:
+    """Regression tests for the round-7 code-review findings on the
+    CAS protocol's own threat model."""
+
+    def test_fresh_snapshot_name_claims_atomically(self, spark, tmp_path):
+        # two writers wanting the same name can never be handed the
+        # same directory: the first claim wins, the second bumps
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        (tmp_path / "wh" / "t").mkdir(parents=True)
+        a = wh._fresh_snapshot_name("t", "d1")
+        b = wh._fresh_snapshot_name("t", "d1")
+        assert a == "d1" and b != a
+        # both claimed on disk, so a third differs again
+        assert wh._fresh_snapshot_name("t", "d1") not in (a, b)
+
+    def test_inflight_same_name_writer_not_clobbered(self, spark, tmp_path):
+        # writer A wrote parquet under its claimed name but has not
+        # published; writer B reusing the same wanted name must NOT
+        # rmtree A's directory (the old reclaim did — a lost update the
+        # CAS cannot see)
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        df = spark.createDataFrame(
+            [(i, "x") for i in range(8)], "id long, val string"
+        )
+        wh.write("t", df, snapshot="base", bucket=("id", 4))
+        # A claims d1 and writes its data, publish pending
+        a_name = wh._fresh_snapshot_name("t", "d1")
+        a_dir = tmp_path / "wh" / "t" / a_name
+        spark.range(7).write.mode("overwrite").parquet(str(a_dir))
+        # B merges under the same wanted name — must leave A's dir alone
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(1, "B")], "id long, val string"),
+            snapshot="d1",
+        )
+        assert a_dir.is_dir()
+        assert spark.read.parquet(str(a_dir)).count() == 7  # A's data intact
+
+    def test_compact_conflicting_merge_survives(self, spark, tmp_path):
+        # a merge landing inside compaction's read->publish window must
+        # survive: compaction's CAS conflicts and re-derives, never
+        # reverting the merge
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        base = Warehouse(spark, str(tmp_path / "wh"))
+        df = spark.createDataFrame(
+            [(i, "old") for i in range(8)], "id long, val string"
+        )
+        base.write("t", df, snapshot="base", bucket=("id", 4))
+        raced = {"done": False}
+
+        class RacingCompact(Warehouse):
+            def _read_manifest(self, table, manifest):
+                if not raced["done"]:
+                    raced["done"] = True
+                    base.merge_bucketed(
+                        "t",
+                        spark.createDataFrame(
+                            [(2, "MERGED")], "id long, val string"
+                        ),
+                        snapshot="mid",
+                    )
+                return super()._read_manifest(table, manifest)
+
+        RacingCompact(spark, str(tmp_path / "wh")).compact("t")
+        rows = {r["id"]: r["val"] for r in base.read("t").collect()}
+        assert rows[2] == "MERGED" and raced["done"]
+
+    def test_external_read_sql_escapes_quotes(self, spark, tmp_path):
+        import duckdb
+
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        root = tmp_path / "o'brien wh"
+        wh = Warehouse(spark, str(root))
+        wh.write("t", spark.range(3), snapshot="s1")
+        sql = wh.external_read_sql("t")
+        assert "''" in sql  # the quote is doubled, not a terminator
+        assert sorted(r[0] for r in duckdb.sql(sql).fetchall()) == [0, 1, 2]
