@@ -515,7 +515,8 @@ class Warehouse:
         snapshots beyond the retention window. Readers follow the
         commit log, so a crash between the parquet write and the
         publish leaves the table exactly as before (the orphan snapshot
-        is invisible and re-written on retry).
+        is invisible; a retry writes under a fresh claimed name and the
+        orphan is TTL-swept by ``_prune``).
 
         With ``bucket=(key, n)`` the snapshot is written Hive-
         partitioned by ``pmod(xxhash64(key), n)`` and the manifest maps
@@ -648,8 +649,8 @@ class Warehouse:
                 )
             except CommitConflict:
                 # the attempt's snapshot dir is now an unreferenced
-                # orphan; the next attempt's _fresh_snapshot_name
-                # reclaims it
+                # orphan (the retry claims a fresh name; _prune sweeps
+                # the dead dir after orphan_ttl_sec)
                 continue
             self._prune(table)
             return affected
