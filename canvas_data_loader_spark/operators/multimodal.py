@@ -94,12 +94,11 @@ def _portable_format(payload: bytes) -> str | None:
     return None
 
 
-def _decode_ppm_p6(payload: bytes):
-    """Binary PPM (P6): 'P6' <ws> width <ws> height <ws> maxval '\\n'
-    then raw RGB triplets. Whitespace-and-comment-tolerant header per
-    the netpbm spec; maxval must fit a byte. Returns HxWx3 uint8."""
-    import numpy as np
-
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, maxval, raster_offset) from a P6 header —
+    whitespace-and-comment-tolerant per the netpbm spec, O(header)
+    only (metadata queries never need the raster). Validates
+    dimensions and maxval."""
     if _portable_format(payload) != "ppm":
         raise ValueError("not a P6 PPM payload")
     pos, fields = 2, []
@@ -116,13 +115,34 @@ def _decode_ppm_p6(payload: bytes):
         fields.append(int(payload[start:pos]))
     pos += 1  # the single whitespace byte after maxval
     w, h, maxval = fields
-    if maxval > 255:
-        raise ValueError(f"16-bit PPM unsupported (maxval={maxval})")
+    if w <= 0 or h <= 0 or w * h > 1 << 28:
+        raise ValueError(f"implausible PPM dimensions {w}x{h}")
+    if not 1 <= maxval <= 255:
+        raise ValueError(
+            f"PPM maxval {maxval} unsupported (need 1..255; 16-bit is 2 "
+            "bytes/sample)"
+        )
+    return w, h, maxval, pos
+
+
+def _decode_ppm_p6(payload: bytes):
+    """Binary PPM (P6) -> HxWx3 uint8, rescaled to 8-bit when the
+    header's maxval is below 255 (netpbm samples are relative to
+    maxval; returning them raw would darken legal maxval<255 images —
+    PIL rescales, so must we)."""
+    import numpy as np
+
+    w, h, maxval, pos = _ppm_header(payload)
     need = w * h * 3
     raster = payload[pos : pos + need]
     if len(raster) != need:
         raise ValueError(f"PPM raster truncated: {len(raster)} != {need}")
-    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    if maxval != 255:
+        arr = (
+            (arr.astype(np.int32) * 255 + maxval // 2) // maxval
+        ).clip(0, 255).astype(np.uint8)
+    return arr
 
 
 def _decode_bmp24(payload: bytes):
@@ -216,12 +236,26 @@ IMAGE_DECODE_SCHEMA = T.StructType(
 def decode_image(payload: bytes) -> dict:
     """Real image decode: PPM/BMP always (pure numpy), other formats
     via PIL when importable — otherwise the honest
-    NotImplementedError. Callers that want the pipeline shape without
-    any decodable payloads use ``extract_features``'s deterministic
-    byte stats instead."""
-    if _portable_format(bytes(payload)) is not None:
-        arr, mode = decode_image_array(bytes(payload))
-        return {"width": arr.shape[1], "height": arr.shape[0], "mode": mode}
+    NotImplementedError. Portable formats answer from the HEADER only
+    (O(1), never materializing the raster — a metadata pass over
+    multi-MB payloads must not copy every pixel). Callers that want
+    the pipeline shape without any decodable payloads use
+    ``extract_features``'s deterministic byte stats instead."""
+    payload = bytes(payload)
+    fmt = _portable_format(payload)
+    if fmt == "ppm":
+        w, h, _, _ = _ppm_header(payload)
+        return {"width": w, "height": h, "mode": "RGB"}
+    if fmt == "bmp":
+        import struct
+
+        try:
+            _, w, h = struct.unpack_from("<Iii", payload, 14)
+        except struct.error as e:
+            raise ValueError(f"truncated BMP header: {e}") from None
+        if w <= 0 or h == 0:
+            raise ValueError(f"implausible BMP dimensions {w}x{h}")
+        return {"width": w, "height": abs(h), "mode": "RGB"}
     if not media_capabilities()["image"]:
         raise NotImplementedError(
             "general-format media decode requires image libraries (PIL) "
@@ -260,14 +294,20 @@ def decode_images(
                 for mid, b in zip(chunk["media_id"], chunk["payload"]):
                     rows["media_id"].append(mid)
                     if b is None:
-                        rows["width"].append(None)
-                        rows["height"].append(None)
-                        rows["mode"].append(None)
+                        d = None
                     else:
-                        d = decode_image(bytes(b))
-                        rows["width"].append(d["width"])
-                        rows["height"].append(d["height"])
-                        rows["mode"].append(d["mode"])
+                        try:
+                            d = decode_image(bytes(b))
+                        except ValueError:
+                            # malformed payload: null the row (same as a
+                            # null payload) rather than failing the
+                            # whole Spark job on one bad record — the
+                            # resize pass's fallback discipline; callers
+                            # count nulls to quantify corruption
+                            d = None
+                    rows["width"].append(d["width"] if d else None)
+                    rows["height"].append(d["height"] if d else None)
+                    rows["mode"].append(d["mode"] if d else None)
                 yield pd.DataFrame(rows)
 
     return media.select("media_id", "payload").mapInPandas(

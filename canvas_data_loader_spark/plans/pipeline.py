@@ -510,7 +510,7 @@ class Warehouse:
         snapshot: str,
         bucket: tuple[str, int] | None = None,
         expected_version: int | None = None,
-    ) -> None:
+    ) -> str:
         """Write a new immutable snapshot, publish its manifest, prune
         snapshots beyond the retention window. Readers follow the
         commit log, so a crash between the parquet write and the
@@ -532,18 +532,32 @@ class Warehouse:
         raises :class:`CommitConflict` if another writer committed in
         between, instead of silently dropping that writer's changes.
         Leave ``None`` for state-independent full replacements, where
-        last-writer-wins is the correct race outcome."""
+        last-writer-wins is the correct race outcome.
+
+        Returns the RESOLVED snapshot name (the wanted name, possibly
+        ``-v{N}``-suffixed by the claim) — callers that then inspect
+        the written directory must use this, not ``current_path``,
+        which a concurrent commit can repoint in between.
+
+        Writes use mode=append into the freshly CLAIMED (empty)
+        directory, NEVER overwrite: Spark's static overwrite deletes
+        the target path at job start, which would destroy the mkdir
+        claim and reopen the same-name TOCTOU the claim closes (a
+        second writer could re-create the path inside the delete
+        window and both would write into one directory). Append into
+        an empty claimed dir has create semantics; names are never
+        reused, so there is never pre-existing data to append onto."""
         snapshot = self._fresh_snapshot_name(table, snapshot)
         out = os.path.join(self.root, table, snapshot)
         if bucket is None:
-            df.write.mode("overwrite").parquet(out)
+            df.write.mode("append").parquet(out)
             self._publish(
                 table, {"snapshot": snapshot}, expected_version=expected_version
             )
         else:
             key, n = bucket
             df.withColumn(BUCKET_COL, bucket_of(F.col(key), n)).write.mode(
-                "overwrite"
+                "append"
             ).partitionBy(BUCKET_COL).parquet(out)
             self._publish(
                 table,
@@ -559,6 +573,7 @@ class Warehouse:
                 expected_version=expected_version,
             )
         self._prune(table)
+        return snapshot
 
     def merge_bucketed(
         self,
@@ -631,7 +646,9 @@ class Warehouse:
                     observation, F.count(F.lit(1)).alias("rows")
                 )
             out = os.path.join(self.root, table, snapshot)
-            merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out)
+            # append into the claimed empty dir — overwrite would delete
+            # the claim and reopen the same-name TOCTOU (see write())
+            merged.write.mode("append").partitionBy(BUCKET_COL).parquet(out)
             try:
                 self._publish(
                     table,
@@ -747,7 +764,7 @@ class Warehouse:
                     # every bucket
                     df = self._read_manifest(table, m).drop(BUCKET_COL)
                     n = int(m["n_buckets"])
-                    self.write(
+                    written = self.write(
                         table,
                         df.repartition(n, bucket_of(F.col(m["bucket_key"]), n)),
                         snapshot="compact-bucketed",  # write() resolves collisions
@@ -764,7 +781,7 @@ class Warehouse:
                     )
                     n_files = max(1, math.ceil(total / target_bytes))
                     df = self.spark.read.parquet(path)
-                    self.write(
+                    written = self.write(
                         table,
                         df.repartition(n_files),
                         snapshot=f"compact-{n_files}",  # write() resolves collisions
@@ -772,7 +789,9 @@ class Warehouse:
                     )
             except CommitConflict:
                 continue
-            new_path = self.current_path(table)
+            # count the snapshot THIS compaction wrote — current_path
+            # could already point at a commit that landed afterwards
+            new_path = os.path.join(self.root, table, written)
             return sum(
                 1
                 for dp, _, fs in os.walk(new_path)
@@ -975,7 +994,7 @@ class ImportPipeline:
                     <= self.config.broadcast_merge_max_bytes,
                     observation=obs,
                 )
-            elif volatile or not self.warehouse.exists(table_name):
+            elif volatile:
                 # Overwrite == the reference's drop-then-rebuild pass
                 # (importer.rs:206-228 + per-row INSERTs 331-344), minus
                 # the window where the table doesn't exist: snapshot swap.
@@ -988,19 +1007,26 @@ class ImportPipeline:
                     bucket=(key, n_buckets) if bucketed else None,
                 )
             else:
-                # Read-modify-write: the merged snapshot is derived
-                # from the current commit, so publish via CAS and
-                # re-derive on conflict (two overlapping pipeline runs
-                # — the cron-overlap hazard the reference suffers
-                # blindly — otherwise silently drop each other's rows).
+                # Incremental table: both the first write (create) and
+                # the merge are state-DEPENDENT, so both publish via
+                # CAS and re-derive on conflict (two overlapping
+                # pipeline runs — the cron-overlap hazard the reference
+                # suffers blindly — otherwise silently drop each
+                # other's rows: an unconditional create racing another
+                # creator would supersede its whole first import).
+                obs_attached = False
                 for attempt in range(6):
-                    # one fetch pairs the CAS base with the data read
-                    base_version, old = self.warehouse.read_versioned(
-                        table_name
-                    )
-                    out = self._merge(old, df, key, _staged_bytes(paths))
-                    if attempt == 0:  # Observation is single-use
+                    if not self.warehouse.exists(table_name):
+                        out, base_version = df, 0  # CAS at commit 1
+                    else:
+                        # one fetch pairs the CAS base with the data read
+                        base_version, old = self.warehouse.read_versioned(
+                            table_name
+                        )
+                        out = self._merge(old, df, key, _staged_bytes(paths))
+                    if not obs_attached:  # Observation is single-use
                         out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
+                        obs_attached = True
                     try:
                         self.warehouse.write(
                             table_name,

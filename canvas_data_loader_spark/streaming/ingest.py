@@ -75,20 +75,21 @@ def stream_upsert_to_warehouse(
                 broadcast_keys=False,
             )
             return
-        if not warehouse.exists(table):
-            warehouse.write(table, new, snapshot=f"stream-{batch_id}")
-            return
-        # read-modify-write: CAS the publish against the commit the
-        # merge read, re-deriving on conflict — a batch-pipeline import
-        # or another stream committing to the same table between this
-        # micro-batch's read and publish must not be silently
-        # overwritten by a stale-derived snapshot (same protocol as
-        # the batch path; merge_bucketed above retries internally)
+        # Both the first write (create: CAS at commit 1) and the merge
+        # (CAS at the commit it read) are state-dependent publishes —
+        # a batch-pipeline import or another stream committing to the
+        # same table inside this micro-batch's window must not be
+        # silently superseded by a stale-derived (or creation-racing)
+        # snapshot. Same protocol as the batch path; merge_bucketed
+        # above retries internally.
         from ..plans.pipeline import CommitConflict
 
         for attempt in range(6):
-            base_version, old = warehouse.read_versioned(table)
-            merged = merge_upsert(old, new.select(old.columns), keys)
+            if not warehouse.exists(table):
+                merged, base_version = new, 0
+            else:
+                base_version, old = warehouse.read_versioned(table)
+                merged = merge_upsert(old, new.select(old.columns), keys)
             try:
                 warehouse.write(
                     table,

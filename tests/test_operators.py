@@ -2186,3 +2186,68 @@ class TestPortableImageDecode:
             pytest.skip("PIL present: general formats decode for real")
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+class TestPortableDecodeHardening:
+    """Round-7 review follow-ups: degenerate and spec-edge payloads
+    must not crash distributed passes, and metadata decode is
+    header-only."""
+
+    def test_zero_dim_ppm_rejected_and_resize_falls_back(self, spark):
+        from canvas_data_loader_spark.operators.multimodal import (
+            _decode_ppm_p6,
+            resize_images,
+        )
+
+        bad = b"P6\n0 0\n255\n"
+        with pytest.raises(ValueError):
+            _decode_ppm_p6(bad)
+        media = spark.createDataFrame(
+            [(1, bytearray(bad))], "media_id long, payload binary"
+        )
+        out = resize_images(media, width=2, height=2).collect()
+        assert len(out) == 1  # fell back to truncation, job survived
+
+    def test_low_maxval_ppm_rescales_to_8bit(self):
+        import numpy as np
+
+        from canvas_data_loader_spark.operators.multimodal import _decode_ppm_p6
+
+        # maxval=15: full white is 15 and must decode as 255, not 15
+        raw = b"P6\n2 1\n15\n" + bytes([15, 15, 15, 0, 7, 15])
+        arr = _decode_ppm_p6(raw)
+        assert arr[0, 0].tolist() == [255, 255, 255]
+        assert arr[0, 1].tolist() == [0, 119, 255]  # round(7*255/15)=119
+        with pytest.raises(ValueError):
+            _decode_ppm_p6(b"P6\n1 1\n0\n\x00\x00\x00")  # maxval 0 invalid
+        assert np.issubdtype(arr.dtype, np.uint8)
+
+    def test_decode_image_is_header_only(self):
+        from canvas_data_loader_spark.operators.multimodal import (
+            decode_image,
+            decode_image_array,
+        )
+
+        # valid header, truncated raster: metadata succeeds (header
+        # parse only), full decode honestly raises
+        truncated = b"P6\n4 4\n255\n" + b"\x01" * 5
+        assert decode_image(truncated) == {"width": 4, "height": 4, "mode": "RGB"}
+        with pytest.raises(ValueError):
+            decode_image_array(truncated)
+
+    def test_decode_images_nulls_malformed_rows(self, spark):
+        from canvas_data_loader_spark.operators.multimodal import (
+            decode_images,
+            encode_ppm_p6,
+        )
+        import numpy as np
+
+        good = encode_ppm_p6(np.zeros((1, 2, 3), dtype="uint8"))
+        malformed = b"BM" + b"\x00" * 60  # sniffs bmp, fails validation
+        media = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(malformed))],
+            "media_id long, payload binary",
+        )
+        rows = {r["media_id"]: r["width"] for r in
+                decode_images(media, portable_only=True).collect()}
+        assert rows == {1: 2, 2: None}  # job survives; bad row nulled

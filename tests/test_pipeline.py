@@ -1508,3 +1508,23 @@ class TestReviewedConcurrencyFixes:
         sql = wh.external_read_sql("t")
         assert "''" in sql  # the quote is doubled, not a terminator
         assert sorted(r[0] for r in duckdb.sql(sql).fetchall()) == [0, 1, 2]
+
+
+class TestCreateRaceCas:
+    """First-write (create) is state-dependent too: racing creators
+    must serialize through the CAS at commit 1, not silently supersede
+    each other's entire first import."""
+
+    def test_cas_create_conflicts_when_table_exists(self, spark, tmp_path):
+        import pytest
+
+        from canvas_data_loader_spark.plans.pipeline import (
+            CommitConflict,
+            Warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        wh.write("t", spark.range(5), snapshot="a", expected_version=0)
+        with pytest.raises(CommitConflict):
+            wh.write("t", spark.range(9), snapshot="b", expected_version=0)
+        assert wh.read("t").count() == 5  # first creator's data intact
