@@ -145,31 +145,40 @@ def _decode_ppm_p6(payload: bytes):
     return arr
 
 
-def _decode_bmp24(payload: bytes):
-    """Uncompressed 24-bit bottom-up BMP (BITMAPINFOHEADER): the
-    lowest-common-denominator interchange format. Rows are BGR, padded
-    to 4-byte multiples, stored bottom-up. Returns HxWx3 uint8 RGB."""
+def _bmp_header(payload: bytes) -> tuple[int, int, bool, int]:
+    """(width, height, bottom_up, data_offset) from an uncompressed
+    24-bit BITMAPINFOHEADER BMP — the ONE header parse both the
+    metadata and raster paths share, so their validation can never
+    diverge (a BITMAPCOREHEADER or compressed BMP must fail
+    identically in both, not return garbage dimensions from one).
+    O(header) only; raises ValueError on anything unsupported."""
     import struct
-
-    import numpy as np
 
     if _portable_format(payload) != "bmp":
         raise ValueError("not a BMP payload")
-    try:
-        data_off = struct.unpack_from("<I", payload, 10)[0]
-        hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
-        planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
-    except struct.error as e:  # normalized: all malformed input -> ValueError
-        raise ValueError(f"truncated BMP header: {e}") from None
+    # _portable_format guarantees len >= 54, covering every offset read
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    _planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
     if hdr_size < 40 or bpp != 24 or compression != 0:
         raise ValueError(
-            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
-            f"compression={compression})"
+            f"only uncompressed 24-bit BITMAPINFOHEADER BMP supported "
+            f"(hdr_size={hdr_size}, bpp={bpp}, compression={compression})"
         )
     bottom_up = h > 0
     h = abs(h)
     if w <= 0 or h == 0 or w * h > 1 << 28:
         raise ValueError(f"implausible BMP dimensions {w}x{h}")
+    return w, h, bottom_up, data_off
+
+
+def _decode_bmp24(payload: bytes):
+    """Uncompressed 24-bit bottom-up BMP (BITMAPINFOHEADER): the
+    lowest-common-denominator interchange format. Rows are BGR, padded
+    to 4-byte multiples, stored bottom-up. Returns HxWx3 uint8 RGB."""
+    import numpy as np
+
+    w, h, bottom_up, data_off = _bmp_header(payload)
     stride = (w * 3 + 3) & ~3
     if data_off + stride * h > len(payload):
         raise ValueError("BMP raster truncated")
@@ -247,15 +256,8 @@ def decode_image(payload: bytes) -> dict:
         w, h, _, _ = _ppm_header(payload)
         return {"width": w, "height": h, "mode": "RGB"}
     if fmt == "bmp":
-        import struct
-
-        try:
-            _, w, h = struct.unpack_from("<Iii", payload, 14)
-        except struct.error as e:
-            raise ValueError(f"truncated BMP header: {e}") from None
-        if w <= 0 or h == 0:
-            raise ValueError(f"implausible BMP dimensions {w}x{h}")
-        return {"width": w, "height": abs(h), "mode": "RGB"}
+        w, h, _, _ = _bmp_header(payload)
+        return {"width": w, "height": h, "mode": "RGB"}
     if not media_capabilities()["image"]:
         raise NotImplementedError(
             "general-format media decode requires image libraries (PIL) "
@@ -298,12 +300,17 @@ def decode_images(
                     else:
                         try:
                             d = decode_image(bytes(b))
-                        except ValueError:
-                            # malformed payload: null the row (same as a
-                            # null payload) rather than failing the
+                        except (ValueError, NotImplementedError, OSError):
+                            # undecodable payload: null the row (same as
+                            # a null payload) rather than failing the
                             # whole Spark job on one bad record — the
                             # resize pass's fallback discipline; callers
-                            # count nulls to quantify corruption
+                            # count nulls to quantify corruption. The
+                            # classes cover malformed portable headers
+                            # (ValueError), non-portable bytes with no
+                            # PIL (NotImplementedError), and PIL's own
+                            # UnidentifiedImageError, an OSError
+                            # subclass — NOT a ValueError
                             d = None
                     rows["width"].append(d["width"] if d else None)
                     rows["height"].append(d["height"] if d else None)

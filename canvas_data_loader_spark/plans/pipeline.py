@@ -187,6 +187,14 @@ class Warehouse:
                 # converges
                 continue
 
+    def _max_commit_number(self, table: str) -> int:
+        """Highest commit NUMBER from the LIST alone (no manifest GET)."""
+        cdir = self._commits_dir(table)
+        if not os.path.isdir(cdir):
+            return 0
+        names = [n for n in os.listdir(cdir) if n.endswith(".json")]
+        return max((int(n[:-5]) for n in names), default=0)
+
     def _current_version(self, table: str) -> int:
         latest = self._latest_commit(table)
         return latest[0] if latest else 0
@@ -223,12 +231,34 @@ class Warehouse:
             try:
                 with open(target, "x") as fh:
                     json.dump(manifest, fh)
-                return version
             except FileExistsError:
                 raise CommitConflict(
                     f"{table}: commit {version} already exists — manifest "
                     f"was derived from superseded version {expected_version}"
                 ) from None
+            # PRUNED-SLOT GUARD: commit-log pruning frees old numbers,
+            # so open('x') succeeding does not by itself prove we are
+            # the new head — a long-stalled writer whose base was
+            # pruned (e.g. a create at version 1 racing a writer that
+            # already landed retain+ commits) could land an INVISIBLE
+            # below-head commit and report success. If a higher commit
+            # exists, self-revert and conflict. Benign sub-race: a
+            # successor CASing on top of us inside this window makes
+            # us self-revert too — our caller retries and re-applies
+            # an idempotent upsert on top of the successor (same final
+            # state, wasted work only); our data stays live because
+            # the successor's manifest references our directories, not
+            # our JSON.
+            if self._max_commit_number(table) > version:
+                try:
+                    os.remove(target)
+                except OSError:
+                    pass
+                raise CommitConflict(
+                    f"{table}: commit {version} was a recycled pruned slot "
+                    "below the live head — base state no longer current"
+                )
+            return version
         version = self._current_version(table) + 1
         while True:
             target = os.path.join(cdir, f"{version:08d}.json")
@@ -1014,7 +1044,6 @@ class ImportPipeline:
                 # suffers blindly — otherwise silently drop each
                 # other's rows: an unconditional create racing another
                 # creator would supersede its whole first import).
-                obs_attached = False
                 for attempt in range(6):
                     if not self.warehouse.exists(table_name):
                         out, base_version = df, 0  # CAS at commit 1
@@ -1024,9 +1053,8 @@ class ImportPipeline:
                             table_name
                         )
                         out = self._merge(old, df, key, _staged_bytes(paths))
-                    if not obs_attached:  # Observation is single-use
+                    if attempt == 0:  # Observation is single-use
                         out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
-                        obs_attached = True
                     try:
                         self.warehouse.write(
                             table_name,

@@ -50,41 +50,46 @@ def stream_upsert_to_warehouse(
         new = batch_df
         if order_col is not None:
             new = dedup_latest(new, keys, order_col)
-        if warehouse.exists(table) and warehouse.is_bucketed(table):
-            bucket_key = warehouse.current_manifest(table).get("bucket_key")
-            if len(keys) != 1 or bucket_key != keys[0]:
-                # falling through to the plain path would publish an
-                # UNbucketed manifest — silently destroying the
-                # table's layout (and the pruned-merge property) on
-                # the first micro-batch. Refuse loudly instead.
-                raise ValueError(
-                    f"table {table!r} is bucketed on {bucket_key!r}; "
-                    f"stream merge key {keys!r} must match it"
-                )
-            # bucketed tables take the partition-pruned MERGE: each
-            # micro-batch reads and rewrites only the buckets its keys
-            # hash to (round-6 pipeline default, same path as batch).
-            # broadcast_keys=False: a stream has no staged-bytes size
-            # signal, and an unthrottled backfill can deliver the whole
-            # backlog as ONE micro-batch — forcing a broadcast of an
-            # unbounded key set is the exact hazard the batch path
-            # gates on broadcast_merge_max_bytes; AQE still broadcasts
-            # genuinely small key sets at runtime
-            warehouse.merge_bucketed(
-                table, new, snapshot=f"stream-{batch_id}",
-                broadcast_keys=False,
-            )
-            return
-        # Both the first write (create: CAS at commit 1) and the merge
-        # (CAS at the commit it read) are state-dependent publishes —
-        # a batch-pipeline import or another stream committing to the
-        # same table inside this micro-batch's window must not be
-        # silently superseded by a stale-derived (or creation-racing)
-        # snapshot. Same protocol as the batch path; merge_bucketed
-        # above retries internally.
+        # Every publish here is state-DEPENDENT — create (CAS at
+        # commit 1), plain merge (CAS at the commit it read), and the
+        # bucketed-vs-plain ROUTING itself (a concurrent batch
+        # pipeline may create the table bucketed inside this
+        # micro-batch's window) — so the whole decision tree sits
+        # inside the conflict-retry loop: on CommitConflict the table
+        # state is re-inspected from scratch, never re-derived from a
+        # stale routing decision. Otherwise a create attempt losing to
+        # a bucketed creator would fall into the PLAIN merge branch
+        # and publish an unbucketed manifest, silently destroying the
+        # layout this function refuses loudly to destroy below.
         from ..plans.pipeline import CommitConflict
 
         for attempt in range(6):
+            if warehouse.exists(table) and warehouse.is_bucketed(table):
+                bucket_key = warehouse.current_manifest(table).get("bucket_key")
+                if len(keys) != 1 or bucket_key != keys[0]:
+                    # falling through to the plain path would publish
+                    # an UNbucketed manifest — silently destroying the
+                    # table's layout (and the pruned-merge property) on
+                    # the first micro-batch. Refuse loudly instead.
+                    raise ValueError(
+                        f"table {table!r} is bucketed on {bucket_key!r}; "
+                        f"stream merge key {keys!r} must match it"
+                    )
+                # bucketed tables take the partition-pruned MERGE: each
+                # micro-batch reads and rewrites only the buckets its
+                # keys hash to (round-6 pipeline default, same path as
+                # batch). broadcast_keys=False: a stream has no
+                # staged-bytes size signal, and an unthrottled backfill
+                # can deliver the whole backlog as ONE micro-batch —
+                # forcing a broadcast of an unbounded key set is the
+                # exact hazard the batch path gates on
+                # broadcast_merge_max_bytes; AQE still broadcasts
+                # genuinely small key sets at runtime
+                warehouse.merge_bucketed(
+                    table, new, snapshot=f"stream-{batch_id}",
+                    broadcast_keys=False,
+                )
+                return
             if not warehouse.exists(table):
                 merged, base_version = new, 0
             else:

@@ -2251,3 +2251,41 @@ class TestPortableDecodeHardening:
         rows = {r["media_id"]: r["width"] for r in
                 decode_images(media, portable_only=True).collect()}
         assert rows == {1: 2, 2: None}  # job survives; bad row nulled
+
+
+class TestBmpHeaderUnified:
+    def test_core_header_bmp_rejected_consistently(self):
+        # BITMAPCOREHEADER (hdr_size=12): metadata and raster decode
+        # must BOTH raise, not one returning garbage dimensions
+        import struct
+
+        from canvas_data_loader_spark.operators.multimodal import (
+            decode_image,
+            decode_image_array,
+        )
+
+        core = (
+            b"BM" + struct.pack("<IHHI", 54, 0, 0, 26)
+            + struct.pack("<IHHHH", 12, 2, 2, 1, 24) + b"\x00" * 40
+        )
+        for fn in (decode_image, decode_image_array):
+            with pytest.raises(ValueError):
+                fn(core)
+
+    def test_decode_images_nulls_nonportable_without_pil(self, spark):
+        from canvas_data_loader_spark.operators.multimodal import (
+            decode_images,
+            media_capabilities,
+        )
+
+        if media_capabilities()["image"]:
+            pytest.skip("PIL present: general formats decode for real")
+        # 53-byte 'BM' prefix: sniffs as NON-portable (needs >= 54),
+        # general path raises NotImplementedError without PIL — must
+        # null the row, not kill the job
+        media = spark.createDataFrame(
+            [(1, bytearray(b"BM" + b"\x00" * 51))],
+            "media_id long, payload binary",
+        )
+        rows = decode_images(media, portable_only=True).collect()
+        assert rows[0]["width"] is None

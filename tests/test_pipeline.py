@@ -1528,3 +1528,31 @@ class TestCreateRaceCas:
         with pytest.raises(CommitConflict):
             wh.write("t", spark.range(9), snapshot="b", expected_version=0)
         assert wh.read("t").count() == 5  # first creator's data intact
+
+
+class TestPrunedSlotGuard:
+    def test_cas_below_head_recycled_slot_conflicts(self, spark, tmp_path):
+        # commit-log pruning frees old numbers; a stalled writer whose
+        # base was pruned must NOT land an invisible below-head commit
+        import json as _json
+        import os
+
+        import pytest
+
+        from canvas_data_loader_spark.plans.pipeline import (
+            CommitConflict,
+            Warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        cdir = tmp_path / "wh" / "t" / "_commits"
+        os.makedirs(cdir)
+        # history advanced to 6; commits 1-5 pruned away
+        for v in (5, 6):
+            with open(cdir / f"{v:08d}.json", "x") as fh:
+                _json.dump({"snapshot": f"s{v}"}, fh)
+        with pytest.raises(CommitConflict, match="recycled pruned slot"):
+            wh._publish("t", {"snapshot": "stale"}, expected_version=0)
+        # the guard self-reverted: slot 1 is free again, head unchanged
+        assert not (cdir / "00000001.json").exists()
+        assert wh._current_version("t") == 6
