@@ -274,3 +274,66 @@ class TestStreamingUpsert:
         assert sorted(r[0] for r in wh.read("t").collect()) == [0, 1, 2]
         # one snapshot per bounded micro-batch (3 files -> 3 batches)
         assert len([v for v in wh.versions("t") if v.startswith("stream-")]) == 3
+
+
+class TestStreamCreateRacesBucketedCreator:
+    def test_conflicted_create_reroutes_to_bucketed_merge(self, tmp_path, spark):
+        # round-7 review fix: a stream's CREATE attempt losing the CAS
+        # to a concurrent BUCKETED creator must re-inspect and take the
+        # bucketed merge on retry — not publish an unbucketed manifest
+        # that silently destroys the layout
+        from pyspark.sql import types as T
+
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+        from canvas_data_loader_spark.streaming.ingest import (
+            stream_upsert_to_warehouse,
+        )
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("val", T.StringType()),
+                T.StructField("seq", T.LongType()),
+            ]
+        )
+        wh = Warehouse(spark, str(tmp_path / "whr"))
+        other = Warehouse(spark, str(tmp_path / "whr"))
+        raced = {"done": False}
+        orig_write = wh.write
+
+        def racing_write(table, df, snapshot, bucket=None, expected_version=None):
+            # inject the race exactly once, inside the stream's create
+            # attempt: a concurrent batch pipeline creates the table
+            # BUCKETED before the stream's publish
+            if not raced["done"]:
+                raced["done"] = True
+                other.write(
+                    "t",
+                    spark.createDataFrame(
+                        [(i, f"v{i}", 0) for i in range(1, 9)], schema
+                    ),
+                    snapshot="batch-create",
+                    bucket=("id", 4),
+                )
+            return orig_write(
+                table, df, snapshot, bucket=bucket,
+                expected_version=expected_version,
+            )
+
+        wh.write = racing_write
+        src = tmp_path / "drops_r"
+        src.mkdir()
+        spark.createDataFrame([(1, "STREAMED", 1)], schema).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = stream_upsert_to_warehouse(
+            stream, wh, "t", key="id", order_col="seq",
+            checkpoint=str(tmp_path / "ckpt_r"),
+        )
+        q.awaitTermination()
+        assert raced["done"]
+        # layout survived AND both writers' rows are present
+        assert other.is_bucketed("t")
+        rows = {r["id"]: r["val"] for r in other.read("t").collect()}
+        assert rows[1] == "STREAMED" and rows[8] == "v8" and len(rows) == 8
