@@ -502,6 +502,17 @@ class Warehouse:
                 raise FileNotFoundError(
                     f"snapshot {man['snapshot']!r} of {table!r} pruned"
                 )
+            if not any(
+                f.endswith(".parquet") for f in os.listdir(path)
+            ):
+                # an empty-frame write produces a snapshot directory
+                # with no parquet files; emitting the glob anyway would
+                # fail later INSIDE the reading engine — raise the same
+                # descriptive error the bucketed branch raises locally
+                raise FileNotFoundError(
+                    f"snapshot {man['snapshot']!r} of {table!r} has no "
+                    "data files to read externally (empty table)"
+                )
             # '' escaping: a quote in root/table/snapshot must not
             # terminate the SQL string literal (or inject into whatever
             # engine runs the emitted text)

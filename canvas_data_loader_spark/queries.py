@@ -7889,10 +7889,11 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix-sum (per-range partial sums + a tiny carry join) instead
     # of silently recreating a corpus-wide single-partition sort.
     dp = 6
-    assert dp <= 7, (
-        "q158 AUC: score resolution above 7dp unbounds the global "
-        "cumulative window — switch to a two-level prefix-sum first"
-    )
+    if dp > 7:  # ValueError, not assert: the guard must survive python -O
+        raise ValueError(
+            "q158 AUC: score resolution above 7dp unbounds the global "
+            "cumulative window — switch to a two-level prefix-sum first"
+        )
     scored = d.select(
         F.round(
             F.size(F.array_distinct(t)) * F.lit(1.0) / F.size(t), dp

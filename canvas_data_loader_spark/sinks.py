@@ -171,24 +171,40 @@ def drop_table_ddl(table_name: str) -> str:
 
 def _rust_debug_escape(s: str) -> str:
     """Rust ``format!("{:?}", s)`` body escaping (std str Debug):
-    backslash, double-quote, \\t/\\r/\\n named escapes, and other
-    control characters as \\u{h...}. Printable characters (including
-    non-ASCII) pass through. The reference formats every value through
-    {:?} (db_client.rs:216/276/412/478), so its on-the-wire literals
-    carry these escapes."""
+    backslash, double-quote, \\0/\\t/\\r/\\n named escapes, other
+    control characters as \\u{h...}, and NON-PRINTABLE Unicode (the
+    categories rustc's printable table excludes: Cc, Cf, Cs, Co, Cn,
+    Zl, Zp) as \\u{h...} too. Printable characters — including
+    non-ASCII letters and Zs spaces — pass through. The reference
+    formats every value through {:?} (db_client.rs:216/276/412/478),
+    so its on-the-wire literals carry these escapes.
+
+    Known approximation vs ``char::escape_debug``: Rust additionally
+    escapes a grapheme-extending char (Mn/Me + Other_Grapheme_Extend)
+    only when it is the FIRST char of the string; this implementation
+    never does. That divergence is reachable only for a value whose
+    first char is a combining mark — outside any Canvas payload."""
+    import unicodedata
+
     out = []
     for ch in s:
         if ch == "\\":
             out.append("\\\\")
         elif ch == '"':
             out.append('\\"')  # unreachable post-strip; kept for fidelity
+        elif ch == "\0":
+            out.append("\\0")  # Rust names NUL, unlike other controls
         elif ch == "\t":
             out.append("\\t")
         elif ch == "\r":
             out.append("\\r")
         elif ch == "\n":
             out.append("\\n")
-        elif ord(ch) < 0x20 or ord(ch) == 0x7F:
+        elif (
+            ord(ch) < 0x20
+            or ord(ch) == 0x7F
+            or unicodedata.category(ch) in ("Cc", "Cf", "Cs", "Co", "Cn", "Zl", "Zp")
+        ):
             out.append("\\u{%x}" % ord(ch))
         else:
             out.append(ch)

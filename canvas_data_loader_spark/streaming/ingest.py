@@ -64,8 +64,16 @@ def stream_upsert_to_warehouse(
         from ..plans.pipeline import CommitConflict
 
         for attempt in range(6):
-            if warehouse.exists(table) and warehouse.is_bucketed(table):
-                bucket_key = warehouse.current_manifest(table).get("bucket_key")
+            # ONE state fetch per attempt: exists / bucketed / bucket_key
+            # all derive from a single manifest snapshot. Separate
+            # exists()/is_bucketed()/current_manifest() calls reopen a
+            # TOCTOU where the table is dropped or replaced un-bucketed
+            # between them and .get on a None manifest raises
+            # AttributeError OUTSIDE the CommitConflict retry loop,
+            # crashing the micro-batch (r7 advisor finding).
+            m = warehouse.current_manifest(table)
+            if m is not None and m.get("buckets"):
+                bucket_key = m.get("bucket_key")
                 if len(keys) != 1 or bucket_key != keys[0]:
                     # falling through to the plain path would publish
                     # an UNbucketed manifest — silently destroying the
@@ -90,7 +98,7 @@ def stream_upsert_to_warehouse(
                     broadcast_keys=False,
                 )
                 return
-            if not warehouse.exists(table):
+            if m is None:
                 merged, base_version = new, 0
             else:
                 base_version, old = warehouse.read_versioned(table)

@@ -591,6 +591,20 @@ class TestRecordStatementText:
         # None -> bare NULL regardless of type/dialect
         assert render_sql_value(None, "BIGINT", "mysql") == "NULL"
 
+    def test_rust_debug_escape_edge_fidelity(self):
+        # r7 advisor: match Rust escape_debug on the edges — NUL is the
+        # NAMED escape \0 (not \u{0}), and non-printable non-ASCII
+        # (Cc/Cf/Cs/Co/Cn/Zl/Zp) escapes as \u{h} while printable
+        # non-ASCII passes through
+        from canvas_data_loader_spark.sinks import _rust_debug_escape
+
+        assert _rust_debug_escape("\0") == "\\0"
+        assert _rust_debug_escape("\x85") == "\\u{85}"  # Cc NEL
+        assert _rust_debug_escape("​") == "\\u{200b}"  # Cf ZWSP
+        assert _rust_debug_escape("\xad") == "\\u{ad}"  # Cf soft hyphen
+        assert _rust_debug_escape(" ") == "\\u{2028}"  # Zl
+        assert _rust_debug_escape("caf\xe9 日") == "caf\xe9 日"
+
     def test_cast_lookup_case_insensitive_in_statements(self):
         from canvas_data_loader_spark.sinks import insert_record_sql
 

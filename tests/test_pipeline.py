@@ -1424,6 +1424,33 @@ class TestExternalSnapshotRead:
         with pytest.raises(FileNotFoundError):
             wh.external_read_sql("t", version=99)
 
+    def test_empty_nonbucketed_table_raises_locally(self, spark, tmp_path):
+        # r7 advisor: an empty-frame write leaves a snapshot directory
+        # with no parquet files; the emitted glob would fail later
+        # INSIDE the reading engine — raise the descriptive error
+        # locally, as the bucketed branch already does
+        import os
+
+        import duckdb
+        import pytest
+
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "whe"))
+        # this Spark build writes a schema-only part file for an empty
+        # frame, which stays externally readable (0 rows) —
+        wh.write("empty", spark.range(5).filter("id < 0"), snapshot="s1")
+        assert duckdb.sql(wh.external_read_sql("empty")).fetchall() == []
+        # — but a writer that emits NO part files (zero output tasks)
+        # must fail locally with the descriptive error, not later
+        # inside the reading engine: simulate by clearing the snapshot
+        snap = os.path.join(wh.root, "empty", "s1")
+        for f in os.listdir(snap):
+            if f.endswith(".parquet") or f.endswith(".crc"):
+                os.remove(os.path.join(snap, f))
+        with pytest.raises(FileNotFoundError, match="no data files"):
+            wh.external_read_sql("empty")
+
 
 class TestReviewedConcurrencyFixes:
     """Regression tests for the round-7 code-review findings on the

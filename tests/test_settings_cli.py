@@ -337,3 +337,62 @@ class TestStreamCreateRacesBucketedCreator:
         assert other.is_bucketed("t")
         rows = {r["id"]: r["val"] for r in other.read("t").collect()}
         assert rows[1] == "STREAMED" and rows[8] == "v8" and len(rows) == 8
+
+
+class TestStreamRoutingSingleStateFetch:
+    def test_table_dropped_mid_batch_takes_create_path(self, tmp_path, spark):
+        # r7 advisor: the routing check used three separate state
+        # fetches (exists / is_bucketed / current_manifest); a table
+        # dropped between them made current_manifest() return None and
+        # `.get` raise AttributeError OUTSIDE the CommitConflict retry
+        # loop. The fix derives the whole routing decision from ONE
+        # manifest snapshot — simulate the drop by having the first
+        # manifest fetch observe a bucketed table that is gone by the
+        # time the batch proceeds: no crash, the create path lands.
+        from pyspark.sql import types as T
+
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+        from canvas_data_loader_spark.streaming.ingest import (
+            stream_upsert_to_warehouse,
+        )
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("val", T.StringType()),
+                T.StructField("seq", T.LongType()),
+            ]
+        )
+        wh = Warehouse(spark, str(tmp_path / "whd"))
+        # seed a bucketed table, then arrange for it to be DROPPED the
+        # moment the stream first inspects it (concurrent operator)
+        wh.write(
+            "t",
+            spark.createDataFrame([(9, "old", 0)], schema),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        orig_manifest = wh.current_manifest
+        dropped = {"done": False}
+
+        def dropping_manifest(table):
+            if not dropped["done"]:
+                dropped["done"] = True
+                wh.drop(table)  # concurrent DROP lands first
+            return orig_manifest(table)
+
+        wh.current_manifest = dropping_manifest
+        src = tmp_path / "drops_d"
+        src.mkdir()
+        spark.createDataFrame([(1, "NEW", 1)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = stream_upsert_to_warehouse(
+            stream, wh, "t", key="id", order_col="seq",
+            checkpoint=str(tmp_path / "ckpt_d"),
+        )
+        q.awaitTermination()
+        assert dropped["done"]
+        rows = {r["id"]: r["val"] for r in wh.read("t").collect()}
+        assert rows == {1: "NEW"}  # created fresh after the drop
