@@ -544,6 +544,27 @@ class Warehouse:
             "hive_partitioning=false, union_by_name=true)"
         )
 
+    def _txn_map(self, table: str, txn: tuple[str, int] | None) -> dict:
+        """Manifest fields recording an idempotent-writer epoch (the
+        Delta ``txn`` action shape: {app_id: last committed epoch}).
+        Carries forward every OTHER app's latest recorded epoch from
+        the current manifest, so independent streams into one table
+        don't erase each other's replay horizon. Safe to fetch the
+        current manifest here even under CAS: if a concurrent commit
+        moved the head past the caller's expected_version, the publish
+        conflicts anyway and the stale map is discarded with it."""
+        if txn is None:
+            return {}
+        app_id, epoch = txn
+        base = self.current_manifest(table) or {}
+        return {"txn": {**(base.get("txn") or {}), app_id: epoch}}
+
+    def last_txn_epoch(self, app_id: str, table: str) -> int:
+        """Highest epoch recorded for ``app_id`` on ``table``'s current
+        manifest; -1 if none (the Delta ``txnVersion`` read)."""
+        m = self.current_manifest(table) or {}
+        return int((m.get("txn") or {}).get(app_id, -1))
+
     def write(
         self,
         table: str,
@@ -551,6 +572,7 @@ class Warehouse:
         snapshot: str,
         bucket: tuple[str, int] | None = None,
         expected_version: int | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> str:
         """Write a new immutable snapshot, publish its manifest, prune
         snapshots beyond the retention window. Readers follow the
@@ -593,7 +615,9 @@ class Warehouse:
         if bucket is None:
             df.write.mode("append").parquet(out)
             self._publish(
-                table, {"snapshot": snapshot}, expected_version=expected_version
+                table,
+                {"snapshot": snapshot, **self._txn_map(table, txn)},
+                expected_version=expected_version,
             )
         else:
             key, n = bucket
@@ -610,6 +634,7 @@ class Warehouse:
                     "schema": df.withColumn(
                         BUCKET_COL, bucket_of(F.col(key), n)
                     ).schema.json(),
+                    **self._txn_map(table, txn),
                 },
                 expected_version=expected_version,
             )
@@ -624,6 +649,7 @@ class Warehouse:
         broadcast_keys: bool = True,
         observation: Observation | None = None,
         max_commit_retries: int = 5,
+        txn: tuple[str, int] | None = None,
     ) -> list[int]:
         """Partition-pruned keyed upsert into a bucketed table — the
         pipeline's at-scale default (the managed-table MERGE analog of
@@ -702,6 +728,11 @@ class Warehouse:
                             **{str(k): snapshot for k in affected},
                         },
                         **({"schema": m["schema"]} if m.get("schema") else {}),
+                        **(
+                            {"txn": {**(m.get("txn") or {}), txn[0]: txn[1]}}
+                            if txn is not None
+                            else {}
+                        ),
                     },
                     expected_version=base_version,
                 )

@@ -301,7 +301,9 @@ class TestStreamCreateRacesBucketedCreator:
         raced = {"done": False}
         orig_write = wh.write
 
-        def racing_write(table, df, snapshot, bucket=None, expected_version=None):
+        def racing_write(
+            table, df, snapshot, bucket=None, expected_version=None, **kw
+        ):
             # inject the race exactly once, inside the stream's create
             # attempt: a concurrent batch pipeline creates the table
             # BUCKETED before the stream's publish
@@ -317,7 +319,7 @@ class TestStreamCreateRacesBucketedCreator:
                 )
             return orig_write(
                 table, df, snapshot, bucket=bucket,
-                expected_version=expected_version,
+                expected_version=expected_version, **kw,
             )
 
         wh.write = racing_write
@@ -396,3 +398,106 @@ class TestStreamRoutingSingleStateFetch:
         assert dropped["done"]
         rows = {r["id"]: r["val"] for r in wh.read("t").collect()}
         assert rows == {1: "NEW"}  # created fresh after the drop
+
+
+class TestStreamReplayExactlyOnce:
+    """Round-8: the epoch (txn) guard. Every stream publish records
+    {app_id: batch_id} in the manifest via the same CAS commit as the
+    rows; a replayed delivery of a recorded epoch is skipped — the one
+    case keyed-merge value-idempotence can't cover is an OLD batch
+    re-applied after NEWER batches landed (older values would win)."""
+
+    def _schema(self):
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("val", T.StringType()),
+                T.StructField("seq", T.LongType()),
+            ]
+        )
+
+    def test_replayed_batch_skipped_plain_and_stale_replay_cannot_regress(
+        self, tmp_path, spark
+    ):
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+        from canvas_data_loader_spark.streaming.ingest import apply_stream_batch
+
+        schema = self._schema()
+        wh = Warehouse(spark, str(tmp_path / "wht"))
+        b0 = spark.createDataFrame([(1, "v1@0", 1)], schema)
+        assert apply_stream_batch(wh, "t", ["id"], "seq", "app", b0, 0) is True
+        v_after = wh._current_version("t")
+        assert wh.last_txn_epoch("app", "t") == 0
+
+        # exact replay: same batch id -> skipped, no new commit
+        assert apply_stream_batch(wh, "t", ["id"], "seq", "app", b0, 0) is False
+        assert wh._current_version("t") == v_after
+
+        # newer epoch applies
+        b1 = spark.createDataFrame([(1, "v1@1", 2)], schema)
+        assert apply_stream_batch(wh, "t", ["id"], "seq", "app", b1, 1) is True
+        assert wh.last_txn_epoch("app", "t") == 1
+
+        # OLD epoch replayed after a newer one landed: must be skipped —
+        # a keyed merge would otherwise overwrite v1@1 with v1@0
+        assert apply_stream_batch(wh, "t", ["id"], "seq", "app", b0, 0) is False
+        rows = {r["id"]: r["val"] for r in wh.read("t").collect()}
+        assert rows == {1: "v1@1"}
+
+        # an INDEPENDENT writer (different app_id) is not blocked by
+        # this app's epochs, and both apps' horizons survive in the map
+        b_other = spark.createDataFrame([(2, "w", 1)], schema)
+        assert (
+            apply_stream_batch(wh, "t", ["id"], "seq", "other", b_other, 0)
+            is True
+        )
+        assert wh.last_txn_epoch("app", "t") == 1
+        assert wh.last_txn_epoch("other", "t") == 0
+
+    def test_replayed_batch_skipped_bucketed(self, tmp_path, spark):
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+        from canvas_data_loader_spark.streaming.ingest import apply_stream_batch
+
+        schema = self._schema()
+        wh = Warehouse(spark, str(tmp_path / "whb"))
+        base = spark.createDataFrame(
+            [(i, f"v{i}", 0) for i in range(1, 9)], schema
+        )
+        wh.write("t", base, snapshot="s0", bucket=("id", 4))
+        b0 = spark.createDataFrame([(1, "NEW", 1)], schema)
+        assert apply_stream_batch(wh, "t", ["id"], "seq", "app", b0, 0) is True
+        v_after = wh._current_version("t")
+        assert apply_stream_batch(wh, "t", ["id"], "seq", "app", b0, 0) is False
+        assert wh._current_version("t") == v_after
+        rows = {r["id"]: r["val"] for r in wh.read("t").collect()}
+        assert rows[1] == "NEW" and len(rows) == 8
+        # the epoch map rides the BUCKETED manifest and carries forward
+        # across later merges
+        b1 = spark.createDataFrame([(2, "NEW2", 1)], schema)
+        assert apply_stream_batch(wh, "t", ["id"], "seq", "app", b1, 1) is True
+        assert wh.last_txn_epoch("app", "t") == 1
+
+    def test_stream_end_to_end_records_epochs(self, tmp_path, spark):
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+        from canvas_data_loader_spark.streaming.ingest import (
+            stream_upsert_to_warehouse,
+        )
+
+        schema = self._schema()
+        src = tmp_path / "drops_t"
+        src.mkdir()
+        spark.createDataFrame([(1, "a", 1)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        wh = Warehouse(spark, str(tmp_path / "whs"))
+        ckpt = str(tmp_path / "ckpt_t")
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = stream_upsert_to_warehouse(
+            stream, wh, "t", key="id", order_col="seq", checkpoint=ckpt
+        )
+        q.awaitTermination()
+        # app id defaults to the checkpoint path (batch ids are scoped
+        # to a checkpoint); batch 0 is recorded
+        assert wh.last_txn_epoch(f"stream:{ckpt}", "t") == 0
