@@ -154,25 +154,147 @@ def merge_upsert_bucketed(
     return affected
 
 
+# --- schema evolution (round 8) --------------------------------------------
+#
+# The reference's answer to ANY schema change is a full table reload
+# (main.rs:188-193). At 100 TB that turns a one-column widening into a
+# complete rewrite. Three change classes are data-preserving and need
+# no rewrite at all:
+#   ADD    — old rows read NULL for the new column (backfill semantics);
+#   WIDEN  — byte<short<int<long and float<double: every old value is
+#            exactly representable in the wider type, so casting on
+#            read/merge is lossless;
+#   RENAME — same data, new name; declared via an explicit rename map
+#            (a rename is indistinguishable from drop+add without one).
+# Everything else (narrowing, cross-family changes, true drops where
+# the new name must win) still routes to full reload — those change
+# the MEANING of stored data, not just its extent.
+
+_INT_LADDER = ("byte", "short", "integer", "long")
+_FLOAT_LADDER = ("float", "double")
+
+
+class SchemaEvolutionError(ValueError):
+    """The schema change is NOT one of the data-preserving classes
+    (add / widen / declared rename) — the caller must fall back to the
+    reference's full-reload behavior (main.rs:188-193)."""
+
+
+def widened_type(a, b):
+    """The lossless common supertype of two Spark DataTypes, or None if
+    the pair is not widenable (int family: byte<short<int<long; float
+    family: float<double; no cross-family widening — long->double loses
+    integer precision past 2^53)."""
+    if a == b:
+        return a
+    an, bn = a.typeName(), b.typeName()
+    for ladder in (_INT_LADDER, _FLOAT_LADDER):
+        if an in ladder and bn in ladder:
+            return a if ladder.index(an) >= ladder.index(bn) else b
+    return None
+
+
+def evolved_schema(old_schema, new_schema, renames: dict[str, str] | None = None):
+    """The merge target schema for an evolving upsert: NEW's columns in
+    new order (types widened against old where both sides have the
+    column), then OLD-only columns appended null-padded (symmetric
+    additive — a column the new feed stopped sending keeps its history;
+    dropping it for real is a deliberate volatile reload).
+
+    ``renames`` maps OLD column name -> NEW name (applied to the old
+    side first). Raises ValueError on a non-widenable type change —
+    the caller's signal to fall back to the reference's full reload.
+    """
+    from pyspark.sql import types as T
+
+    renames = renames or {}
+    old_by_name = {renames.get(f.name, f.name): f for f in old_schema.fields}
+    out = []
+    for f in new_schema.fields:
+        prev = old_by_name.get(f.name)
+        if prev is None:
+            out.append(T.StructField(f.name, f.dataType, True))
+            continue
+        w = widened_type(prev.dataType, f.dataType)
+        if w is None:
+            raise SchemaEvolutionError(
+                f"column {f.name!r}: {prev.dataType.simpleString()} -> "
+                f"{f.dataType.simpleString()} is not a lossless widening — "
+                "schema change requires a full reload"
+            )
+        out.append(T.StructField(f.name, w, True))
+    new_names = {f.name for f in new_schema.fields}
+    for name, f in old_by_name.items():
+        if name not in new_names:
+            out.append(T.StructField(name, f.dataType, True))
+    return T.StructType(out)
+
+
+def _chain_renames(
+    prev: dict[str, list[str]], renames: dict[str, str]
+) -> dict[str, list[str]]:
+    """Fold a new rename map (old -> new) into the recorded rename
+    history (current name -> historical names, newest first). Chains
+    collapse: with history {b: [a]} and rename {b: c}, the result is
+    {c: [b, a]} — files on disk may carry ANY historical name and a
+    read must resolve all of them to the current one."""
+    out = {k: list(v) for k, v in prev.items()}
+    for old, new in renames.items():
+        out[new] = [old] + out.pop(old, [])
+    return out
+
+
+def conform_to(
+    df: DataFrame, target, renamed_from: dict[str, list[str]] | None = None
+) -> DataFrame:
+    """Project ``df`` onto ``target`` (a StructType): cast columns the
+    frame has, resolve renamed columns via ``renamed_from`` (target
+    name -> historical names, newest first), null-pad columns it lacks.
+    Pure column expressions — at scale this is a zero-shuffle map over
+    whatever files carry an older schema (the Delta/Iceberg read-time
+    schema-resolution shape; files are never rewritten)."""
+    renamed_from = renamed_from or {}
+    have = set(df.columns)
+    cols = []
+    for f in target.fields:
+        src = f.name if f.name in have else next(
+            (h for h in renamed_from.get(f.name, []) if h in have), None
+        )
+        if src is None:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.col(src).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
 def merge_upsert_evolve(
     old: DataFrame,
     new: DataFrame,
     key: str | list[str],
     order_col: str | None = None,
+    renames: dict[str, str] | None = None,
+    broadcast: bool = True,
 ) -> DataFrame:
-    """Keyed upsert with additive schema evolution: columns present in
-    only one side survive the merge, null-padded on the other (the
-    mergeSchema analog of merge_upsert). The reference's answer to any
-    schema change is a full reload (main.rs:188-193); an additive
-    column does not need one — old rows simply read NULL for the new
-    column, exactly what a warehouse backfill would produce. Column
-    REMOVALS and type changes still route to full reload (they change
-    the meaning of existing data, not just its extent).
-    """
+    """Keyed upsert with schema evolution: ADD (columns present in only
+    one side survive, null-padded on the other), WIDEN (int-family /
+    float-family lossless type widening on either side), and RENAME
+    (``renames``: old name -> new name, applied to the old side). The
+    reference full-reloads on any schema change (main.rs:188-193);
+    none of these three classes needs one. Non-widenable type changes
+    raise ValueError — the caller's cue to fall back to full reload.
+
+    ``broadcast=False`` for batches too large to broadcast their key
+    set (same cutover contract as merge_upsert_large_batch)."""
     keys = [key] if isinstance(key, str) else list(key)
     if order_col is not None:
         new = dedup_latest(new, keys, order_col)
-    survivors = old.join(
-        F.broadcast(new.select(*keys).distinct()), on=keys, how="left_anti"
-    )
-    return survivors.unionByName(new, allowMissingColumns=True)
+    if renames:
+        old = old.withColumnsRenamed(renames)
+    target = evolved_schema(old.schema, new.schema)
+    old_c = conform_to(old, target)
+    new_c = conform_to(new, target)
+    batch_keys = new_c.select(*keys).distinct()
+    if broadcast:
+        batch_keys = F.broadcast(batch_keys)
+    survivors = old_c.join(batch_keys, on=keys, how="left_anti")
+    return survivors.unionByName(new_c)

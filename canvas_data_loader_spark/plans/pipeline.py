@@ -47,11 +47,41 @@ from ..sources.api_client import CanvasDataApiClient, DumpInList
 from ..sources.tsv import read_tsv_shards
 from ..operators.merge import (
     BUCKET_COL,
+    SchemaEvolutionError,
+    _chain_renames,
     bucket_of,
+    conform_to,
     dedup_latest,
+    evolved_schema,
     merge_upsert,
+    merge_upsert_evolve,
     merge_upsert_large_batch,
 )
+
+
+def _duckdb_type(dt) -> str | None:
+    """DuckDB spelling of a Spark scalar type, for the schema-pinned
+    external read projection; None (no cast emitted) for complex types
+    — those rely on union_by_name's own unification."""
+    simple = {
+        "long": "BIGINT",
+        "integer": "INTEGER",
+        "short": "SMALLINT",
+        "byte": "TINYINT",
+        "double": "DOUBLE",
+        "float": "FLOAT",
+        "string": "VARCHAR",
+        "boolean": "BOOLEAN",
+        "date": "DATE",
+        "timestamp": "TIMESTAMP",
+        "timestamp_ntz": "TIMESTAMP",
+        "binary": "BLOB",
+    }.get(dt.typeName())
+    if simple:
+        return simple
+    if dt.typeName() == "decimal":
+        return dt.simpleString().upper()  # DECIMAL(p,s)
+    return None
 
 
 class CommitConflict(Exception):
@@ -89,6 +119,17 @@ class PipelineConfig:
     # are never rewritten (byte-identical across merges, pinned in
     # tests/test_pipeline.py::TestBucketedPipeline).
     bucketed_tables: dict[str, int] = field(default_factory=dict)
+    # Schema evolution (round 8): when the Canvas schema VERSION bumps,
+    # attempt data-preserving evolution per table — ADD (null-backfill),
+    # WIDEN (int-family / float-family), and RENAME (declared below) —
+    # instead of the reference's unconditional full reload
+    # (main.rs:188-193). Non-evolvable changes (narrowing, cross-family
+    # casts, bucket-key type changes) still fall back to the reload,
+    # table by table. False restores reference behavior exactly.
+    schema_evolution: bool = True
+    # table -> {old column name -> new column name}: renames cannot be
+    # inferred (indistinguishable from drop+add), so they are declared.
+    rename_maps: dict[str, dict[str, str]] = field(default_factory=dict)
 
 
 class Warehouse:
@@ -343,6 +384,18 @@ class Warehouse:
             return self.spark.read.parquet(
                 os.path.join(self.root, table, manifest["snapshot"])
             )
+        # Schema-evolved tables: snapshots written before an ADD/WIDEN/
+        # RENAME still carry their ORIGINAL schema on disk (evolution
+        # never rewrites untouched buckets — the point, at 100 TB).
+        # Conform each snapshot's read to the manifest's current schema:
+        # cast widened columns, resolve renamed ones via the recorded
+        # chains, null-pad added ones. Zero-shuffle column projection.
+        target = None
+        if manifest.get("schema"):
+            from pyspark.sql import types as T
+
+            target = T.StructType.fromJson(json.loads(manifest["schema"]))
+        renamed_from = manifest.get("renamed_from") or {}
         by_snap: dict[str, list[int]] = {}
         for b, snap in buckets.items():
             by_snap.setdefault(snap, []).append(int(b))
@@ -357,9 +410,10 @@ class Warehouse:
                 if os.path.isdir(d := os.path.join(base, f"{BUCKET_COL}={k}"))
             ]
             if leaves:
-                parts.append(
-                    self.spark.read.option("basePath", base).parquet(*leaves)
-                )
+                part = self.spark.read.option("basePath", base).parquet(*leaves)
+                if target is not None:
+                    part = conform_to(part, target, renamed_from)
+                parts.append(part)
         if not parts:
             # every referenced bucket is empty (partitionBy writes no
             # directory for an empty partition — e.g. an all-empty
@@ -524,12 +578,13 @@ class Warehouse:
                     f"bucketed manifest of {table!r} references pruned "
                     f"snapshot {snap!r}"
                 )
-        globs = []
+        globs, leaf_dirs = [], []
         for b, snap in sorted(buckets.items(), key=lambda kv: int(kv[0])):
             leaf = os.path.join(self.root, table, snap, f"{BUCKET_COL}={b}")
             if os.path.isdir(leaf):  # empty buckets write no directory
                 lit = (leaf + "/*.parquet").replace("'", "''")
                 globs.append(f"'{lit}'")
+                leaf_dirs.append(leaf)
         if not globs:
             raise FileNotFoundError(
                 f"bucketed table {table!r} has no data files to read "
@@ -537,12 +592,69 @@ class Warehouse:
             )
         # hive_partitioning=false: the bucket id lives only in the
         # directory name, matching Spark-side read()'s drop of the
-        # bucket column; union_by_name tolerates additive schema
-        # evolution across the referenced snapshots
-        return (
-            "SELECT * FROM read_parquet([" + ", ".join(globs) + "], "
+        # bucket column; union_by_name tolerates additive and widening
+        # schema evolution across the referenced snapshots (DuckDB
+        # null-pads added columns and unifies int32/int64, float/double)
+        src = (
+            "read_parquet([" + ", ".join(globs) + "], "
             "hive_partitioning=false, union_by_name=true)"
         )
+        if not man.get("schema"):
+            return f"SELECT * FROM {src}"
+        # Schema-pinned projection: emit the manifest's CURRENT schema
+        # as an explicit select list so the external engine returns the
+        # same columns/types Spark's conformed read does — including
+        # RENAMED columns, which union_by_name alone would surface as
+        # two disjoint half-null columns. COALESCE folds each rename
+        # chain (a file has exactly one of the names), restricted to
+        # names that actually occur in the live files (referencing an
+        # absent column is a binder error).
+        from pyspark.sql import types as T
+
+        target = T.StructType.fromJson(json.loads(man["schema"]))
+        renamed_from = man.get("renamed_from") or {}
+        available = self._sampled_columns(leaf_dirs)
+        exprs = []
+        for f in target.fields:
+            if f.name == BUCKET_COL:
+                continue
+            srcs = [n for n in [f.name, *renamed_from.get(f.name, [])] if n in available]
+            duck_t = _duckdb_type(f.dataType)
+            qname = '"' + f.name.replace('"', '""') + '"'
+            if not srcs:
+                expr = f"CAST(NULL AS {duck_t or 'VARCHAR'})"
+            else:
+                inner = (
+                    f'"{srcs[0]}"'
+                    if len(srcs) == 1
+                    else "COALESCE(" + ", ".join(f'"{s}"' for s in srcs) + ")"
+                )
+                expr = f"CAST({inner} AS {duck_t})" if duck_t else inner
+            exprs.append(f"{expr} AS {qname}")
+        return "SELECT " + ", ".join(exprs) + f" FROM {src}"
+
+    @staticmethod
+    def _sampled_columns(leaf_dirs: list[str]) -> set[str]:
+        """Union of column names across the referenced leaf dirs, from
+        ONE parquet footer per distinct snapshot directory (metadata
+        read, no data IO). Distinct snapshots can carry distinct
+        pre-evolution schemas; within a snapshot all files share one."""
+        import pyarrow.parquet as pq
+
+        seen_snaps: set[str] = set()
+        cols: set[str] = set()
+        for leaf in leaf_dirs:
+            snap = os.path.dirname(leaf)
+            if snap in seen_snaps:
+                continue
+            for f in sorted(os.listdir(leaf)):
+                if f.endswith(".parquet"):
+                    cols.update(
+                        pq.read_schema(os.path.join(leaf, f)).names
+                    )
+                    seen_snaps.add(snap)
+                    break
+        return cols
 
     def _txn_map(self, table: str, txn: tuple[str, int] | None) -> dict:
         """Manifest fields recording an idempotent-writer epoch (the
@@ -650,6 +762,8 @@ class Warehouse:
         observation: Observation | None = None,
         max_commit_retries: int = 5,
         txn: tuple[str, int] | None = None,
+        evolve: bool = False,
+        renames: dict[str, str] | None = None,
     ) -> list[int]:
         """Partition-pruned keyed upsert into a bucketed table — the
         pipeline's at-scale default (the managed-table MERGE analog of
@@ -670,8 +784,21 @@ class Warehouse:
         the new current manifest and retries — optimistic concurrency;
         concurrent merges on disjoint keys both land, serialized.
 
+        ``evolve=True`` additionally applies schema evolution (ADD /
+        WIDEN / declared RENAME via ``renames``: old -> new name)
+        WITHOUT rewriting untouched buckets: only the affected buckets
+        are written with the evolved schema; the published manifest
+        records the new schema + rename chains and reads conform older
+        snapshots on the fly (``_read_manifest``). Two hard refusals,
+        both :class:`SchemaEvolutionError` (caller falls back to full
+        reload): a non-widenable column change, and any type change of
+        the BUCKET KEY — Spark's xxhash64 hashes int32 and int64
+        differently, so a widened key would re-bucket new rows away
+        from their existing ones and silently break the pruned merge.
+
         Returns the affected bucket ids."""
         wanted = snapshot
+        renames = renames or {}
         for attempt in range(1 + max_commit_retries):
             # ONE manifest fetch yields both the CAS base version and
             # the bucket map derived from it — fetching them separately
@@ -690,13 +817,37 @@ class Warehouse:
             # Re-resolved each attempt: the racing winner may have
             # published under exactly this name.
             snapshot = self._fresh_snapshot_name(table, wanted)
-            key, n = m["bucket_key"], int(m["n_buckets"])
+            old_key, n = m["bucket_key"], int(m["n_buckets"])
+            # a declared rename may cover the bucket key itself: the
+            # VALUES (and thus xxhash64 buckets) are unchanged, only
+            # the manifest's recorded key name moves forward
+            key = renames.get(old_key, old_key) if evolve else old_key
             new_b = new.withColumn(BUCKET_COL, bucket_of(F.col(key), n))
             affected = sorted(
                 int(r[BUCKET_COL])
                 for r in new_b.select(BUCKET_COL).distinct().collect()
             )
             old = self.read_buckets(table, affected, manifest=m)
+            target_json, renamed_from = m.get("schema"), m.get("renamed_from")
+            if evolve:
+                if renames:
+                    old = old.withColumnsRenamed(renames)
+                target = evolved_schema(old.schema, new_b.schema)
+                old_kt = old.schema[key].dataType
+                new_kt = new_b.schema[key].dataType
+                if old_kt != new_kt:
+                    raise SchemaEvolutionError(
+                        f"bucket key {key!r} type change "
+                        f"({old_kt.simpleString()} -> "
+                        f"{new_kt.simpleString()}): xxhash64 buckets by "
+                        "physical type, so existing rows would no longer "
+                        "co-locate with new ones — re-bucket via full reload"
+                    )
+                old, new_b = conform_to(old, target), conform_to(new_b, target)
+                target_json = target.json()
+                renamed_from = _chain_renames(
+                    m.get("renamed_from") or {}, renames
+                )
             keys = new_b.select(key).distinct()
             if broadcast_keys:
                 keys = F.broadcast(keys)
@@ -727,7 +878,12 @@ class Warehouse:
                             **m["buckets"],
                             **{str(k): snapshot for k in affected},
                         },
-                        **({"schema": m["schema"]} if m.get("schema") else {}),
+                        **({"schema": target_json} if target_json else {}),
+                        **(
+                            {"renamed_from": renamed_from}
+                            if renamed_from
+                            else {}
+                        ),
                         **(
                             {"txn": {**(m.get("txn") or {}), txn[0]: txn[1]}}
                             if txn is not None
@@ -971,7 +1127,13 @@ class ImportPipeline:
             raise
 
     def _merge(
-        self, old: DataFrame, new: DataFrame, key: str, batch_bytes: int
+        self,
+        old: DataFrame,
+        new: DataFrame,
+        key: str,
+        batch_bytes: int,
+        evolving: bool = False,
+        renames: dict[str, str] | None = None,
     ) -> DataFrame:
         """Pick the merge strategy by incoming-batch size.
 
@@ -984,8 +1146,17 @@ class ImportPipeline:
         runtime size of the key projection. The size signal is the
         staged shard bytes on disk — free to compute, monotone in row
         count, and available before any Spark job runs.
+
+        ``evolving``: route through the schema-evolving upsert (same
+        broadcast cutover); raises SchemaEvolutionError for changes
+        that require the full-reload fallback.
         """
-        if 0 < batch_bytes <= self.config.broadcast_merge_max_bytes:
+        small = 0 < batch_bytes <= self.config.broadcast_merge_max_bytes
+        if evolving:
+            return merge_upsert_evolve(
+                old, new, key, renames=renames, broadcast=small
+            )
+        if small:
             return merge_upsert(old, new, key)
         return merge_upsert_large_batch(old, new, key)
 
@@ -1006,7 +1177,14 @@ class ImportPipeline:
             by_table.setdefault(split.table_name, []).append(p)
 
         result = DumpResult(dump.dump_id, "in_progress")
-        force_volatile = self.config.all_tables_volatile or schema_changed
+        # A schema-version bump forces full reloads ONLY when evolution
+        # is disabled; otherwise each table first attempts the
+        # data-preserving merge and falls back per-table on a
+        # SchemaEvolutionError (see the incremental branches below).
+        evolving = schema_changed and self.config.schema_evolution
+        force_volatile = self.config.all_tables_volatile or (
+            schema_changed and not self.config.schema_evolution
+        )
         for table_name, paths in sorted(by_table.items()):
             tdef = schema.get_table(table_name)
             if tdef is None:
@@ -1047,6 +1225,9 @@ class ImportPipeline:
             # table once per dump purely for this dict, doubling read
             # I/O at scale.
             obs = Observation()
+            renames = (
+                self.config.rename_maps.get(table_name, {}) if evolving else {}
+            )
             if (
                 bucketed
                 and not volatile
@@ -1056,16 +1237,32 @@ class ImportPipeline:
                 # The at-scale default: partition-pruned merge that
                 # reads and rewrites ONLY affected buckets. Small
                 # batches broadcast their key set (same cutover rule
-                # as _merge); big ones let AQE pick the join.
-                self.warehouse.merge_bucketed(
-                    table_name,
-                    df,
-                    snapshot=dump.dump_id,
-                    broadcast_keys=0
-                    < _staged_bytes(paths)
-                    <= self.config.broadcast_merge_max_bytes,
-                    observation=obs,
-                )
+                # as _merge); big ones let AQE pick the join. Under a
+                # schema bump the merge also EVOLVES (add/widen/rename
+                # in place, untouched buckets never rewritten); a
+                # non-evolvable change falls back to the reference's
+                # full reload — which keeps the bucket layout.
+                try:
+                    self.warehouse.merge_bucketed(
+                        table_name,
+                        df,
+                        snapshot=dump.dump_id,
+                        broadcast_keys=0
+                        < _staged_bytes(paths)
+                        <= self.config.broadcast_merge_max_bytes,
+                        observation=obs,
+                        evolve=evolving,
+                        renames=renames,
+                    )
+                except SchemaEvolutionError:
+                    # the raise happens at PLAN time, before the
+                    # Observation is ever attached — safe to reuse it
+                    self.warehouse.write(
+                        table_name,
+                        df.observe(obs, F.count(F.lit(1)).alias("rows")),
+                        snapshot=dump.dump_id,
+                        bucket=(key, n_buckets),
+                    )
             elif volatile:
                 # Overwrite == the reference's drop-then-rebuild pass
                 # (importer.rs:206-228 + per-row INSERTs 331-344), minus
@@ -1094,7 +1291,19 @@ class ImportPipeline:
                         base_version, old = self.warehouse.read_versioned(
                             table_name
                         )
-                        out = self._merge(old, df, key, _staged_bytes(paths))
+                        try:
+                            out = self._merge(
+                                old,
+                                df,
+                                key,
+                                _staged_bytes(paths),
+                                evolving=evolving,
+                                renames=renames,
+                            )
+                        except SchemaEvolutionError:
+                            # non-evolvable change: the reference's full
+                            # reload, as a state-independent replacement
+                            out, base_version = df, None
                     if attempt == 0:  # Observation is single-use
                         out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
                     try:
