@@ -139,6 +139,15 @@ HEADLINE = [
     "q156_blocking_quality",
     "q157_provenance_dedup",
     "q158_exact_auc",
+    # round-8 promotions: heavyweights that previously ran only under
+    # pytest/driver — connected components (iterative star contraction),
+    # TF-IDF / BM25 (df aggregate + per-doc scoring joins), and the
+    # stateful sessionizer (applyInPandasWithState) — so a plan
+    # regression in any of them shows in BENCH, not just correctness
+    "q91_dedup_components",
+    "q96_tfidf_top_terms",
+    "q97_bm25_retrieval",
+    "q70_stateful_sessions",
 ]
 
 

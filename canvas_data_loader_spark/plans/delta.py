@@ -1,0 +1,718 @@
+"""Delta Lake transaction-log Warehouse: the same commit semantics as
+``plans.pipeline.Warehouse`` (CAS publishes, snapshot isolation, time
+travel, partition-pruned MERGE, writer epochs) expressed in the PUBLIC
+Delta Lake protocol format, so the tables this writer produces are
+consumable by any real Delta reader (delta-spark, delta-rs, DuckDB's
+delta extension) — no proprietary manifest format on the read side.
+
+Protocol facts used here (all from the open Delta protocol spec,
+https://github.com/delta-io/delta/blob/master/PROTOCOL.md):
+
+- a table is a directory; its state is the ordered log of JSON commit
+  files ``_delta_log/{version:020d}.json``, each holding one action
+  per line: ``protocol``, ``metaData``, ``add``, ``remove``, ``txn``,
+  ``commitInfo``;
+- commit atomicity = put-if-absent of the next version's file: on a
+  POSIX/HDFS store an exclusive create (``open(..., 'x')``), on S3 a
+  conditional PUT — EXACTLY the mechanism the numbered-manifest
+  warehouse already uses, which is why both impls pass one shared
+  concurrency suite (tests/test_warehouse_contract.py);
+- data files are immutable parquet anywhere under the table dir,
+  referenced by relative ``path``; logical deletion is a ``remove``
+  action (tombstone), physical deletion is VACUUM after a retention
+  window;
+- partition columns are carried in directory names + the add action's
+  ``partitionValues`` (never in the data files);
+- readers bound log replay with a parquet CHECKPOINT
+  (``{v:020d}.checkpoint.parquet`` + ``_last_checkpoint``); without
+  one, replay is O(commits) — ``checkpoint()`` writes them and
+  ``_replay`` consumes them, so metadata stays bounded at 100 TB
+  (a year of hourly merges ≈ 9k commits; checkpoint every 10 keeps
+  replay at ≤ 10 JSON reads + one parquet footer).
+
+The reference analog is A15-A19 (create/drop/upsert,
+src/importer.rs:345-390): this class is the at-scale sink those rows
+target when the warehouse must interop with an external lakehouse.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import BUCKET_COL, bucket_of
+from .pipeline import CommitConflict
+
+_LOG_FMT = "{:020d}.json"
+_CKPT_FMT = "{:020d}.checkpoint.parquet"
+
+
+class DeltaWarehouse:
+    """Delta-log-format warehouse with the same write surface as
+    ``Warehouse``: ``write`` (full replace / create), ``merge_bucketed``
+    (partition-pruned keyed upsert), ``read``/``read_versioned``/
+    ``read_at_version`` (snapshot + time travel), ``compact``,
+    ``vacuum``, ``external_read_sql``, ``last_txn_epoch``.
+
+    Concurrency contract (shared with ``Warehouse`` and pinned by the
+    shared suite): every state-DEPENDENT publish is a compare-and-swap
+    at exactly ``base_version + 1`` — losers get CommitConflict and
+    re-derive; state-independent full replacements retry internally
+    with freshly derived remove-sets (last-writer-wins is then correct
+    because each attempt's tombstones are re-read from the new head).
+    """
+
+    # Delta versions start at 0, so a CAS create races against -1
+    # (shared-contract counterpart of Warehouse.GENESIS_VERSION)
+    GENESIS_VERSION = -1
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        checkpoint_interval: int = 10,
+        vacuum_retention_sec: float = 6 * 3600.0,
+    ):
+        self.spark = spark
+        self.root = root
+        self.checkpoint_interval = checkpoint_interval
+        self.vacuum_retention_sec = vacuum_retention_sec
+        os.makedirs(root, exist_ok=True)
+
+    # -- log primitives -----------------------------------------------------
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _log_dir(self, table: str) -> str:
+        return os.path.join(self.root, table, "_delta_log")
+
+    def _versions_on_disk(self, table: str) -> list[int]:
+        ldir = self._log_dir(table)
+        if not os.path.isdir(ldir):
+            return []
+        return sorted(
+            int(n[:-5])
+            for n in os.listdir(ldir)
+            if n.endswith(".json") and n[:-5].isdigit()
+        )
+
+    def current_version(self, table: str) -> int:
+        """Highest committed version, or -1 (Delta versions start at 0)."""
+        vs = self._versions_on_disk(table)
+        return vs[-1] if vs else -1
+
+    def exists(self, table: str) -> bool:
+        return self.current_version(table) >= 0
+
+    def _commit(self, table: str, version: int, actions: list[dict]) -> None:
+        """Put-if-absent of ``{version:020d}.json`` — the Delta commit.
+        Raises CommitConflict if the version is already taken (the
+        caller's base is superseded; re-derive and retry)."""
+        ldir = self._log_dir(table)
+        os.makedirs(ldir, exist_ok=True)
+        target = os.path.join(ldir, _LOG_FMT.format(version))
+        try:
+            with open(target, "x") as fh:
+                for a in actions:
+                    fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+        except FileExistsError:
+            raise CommitConflict(
+                f"{table}: delta version {version} already committed — "
+                "base state superseded"
+            ) from None
+        if version > 0 and version % self.checkpoint_interval == 0:
+            try:
+                self.checkpoint(table, version)
+            except Exception:
+                pass  # checkpoints are an optimization, never block a commit
+
+    # -- replay -------------------------------------------------------------
+    def _read_last_checkpoint(self, table: str) -> tuple[int, list[dict]] | None:
+        lc = os.path.join(self._log_dir(table), "_last_checkpoint")
+        try:
+            with open(lc) as fh:
+                v = int(json.load(fh)["version"])
+        except (OSError, ValueError, KeyError):
+            return None
+        path = os.path.join(self._log_dir(table), _CKPT_FMT.format(v))
+        if not os.path.isfile(path):
+            return None
+        import pyarrow.parquet as pq
+
+        rows = pq.read_table(path).to_pylist()
+        actions = []
+        for r in rows:
+            for kind in ("protocol", "metaData", "add", "remove", "txn"):
+                if r.get(kind) is not None:
+                    actions.append({kind: r[kind]})
+        return v, actions
+
+    def _replay(
+        self, table: str, upto: int | None = None
+    ) -> tuple[int, dict, dict[str, dict], dict[str, int], dict[str, dict]]:
+        """Reconstruct table state at ``upto`` (default: head).
+
+        Returns (version, metaData, live {path: add}, txn {app: epoch},
+        tombstones {path: remove}). Replay starts from the newest
+        checkpoint at-or-below ``upto`` when one exists, else from 0.
+        """
+        versions = self._versions_on_disk(table)
+        if upto is not None:
+            versions = [v for v in versions if v <= upto]
+        if not versions:
+            raise FileNotFoundError(f"table not in delta warehouse: {table}")
+        if upto is not None and versions[-1] != upto:
+            raise FileNotFoundError(
+                f"delta version {upto} of {table!r} does not exist "
+                f"(have {versions[:3]}..{versions[-1]})"
+            )
+        meta: dict = {}
+        live: dict[str, dict] = {}
+        txn: dict[str, int] = {}
+        dead: dict[str, dict] = {}
+        start = 0
+        ckpt = self._read_last_checkpoint(table)
+        if ckpt is not None and (upto is None or ckpt[0] <= versions[-1]):
+            ckpt_v, actions = ckpt
+            if ckpt_v <= versions[-1]:
+                for a in actions:
+                    self._apply(a, live, dead, txn)
+                    if "metaData" in a:
+                        meta = a["metaData"]
+                start = ckpt_v + 1
+        ldir = self._log_dir(table)
+        for v in versions:
+            if v < start:
+                continue
+            with open(os.path.join(ldir, _LOG_FMT.format(v))) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    self._apply(a, live, dead, txn)
+                    if "metaData" in a:
+                        meta = a["metaData"]
+        return versions[-1], meta, live, txn, dead
+
+    @staticmethod
+    def _apply(a: dict, live: dict, dead: dict, txn: dict) -> None:
+        if "add" in a:
+            live[a["add"]["path"]] = a["add"]
+            dead.pop(a["add"]["path"], None)
+        elif "remove" in a:
+            dead[a["remove"]["path"]] = a["remove"]
+            live.pop(a["remove"]["path"], None)
+        elif "txn" in a:
+            t = a["txn"]
+            txn[t["appId"]] = max(int(t["version"]), txn.get(t["appId"], -1))
+
+    def checkpoint(self, table: str, version: int | None = None) -> str:
+        """Write the reconciled state as ``{v:020d}.checkpoint.parquet``
+        + ``_last_checkpoint`` (the protocol's replay bound). One row
+        per action, standard top-level columns (protocol / metaData /
+        add / remove / txn), written driver-side — the state is
+        metadata-sized (file entries, not data)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        v, meta, live, txn, dead = self._replay(table, upto=version)
+        rows: list[dict] = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": meta},
+        ]
+        rows += [{"txn": {"appId": k, "version": n}} for k, n in sorted(txn.items())]
+        rows += [{"add": a} for _, a in sorted(live.items())]
+        rows += [{"remove": r} for _, r in sorted(dead.items())]
+        cols = ("protocol", "metaData", "add", "remove", "txn")
+
+        def _no_empty(v):
+            # parquet cannot encode zero-field structs; empty maps
+            # ({} partitionValues / options / configuration) become
+            # null in the CHECKPOINT only — replay treats absent as
+            # empty, and the authoritative JSON log keeps the exact
+            # protocol spelling
+            if isinstance(v, dict):
+                return {k: _no_empty(x) for k, x in v.items()} or None
+            return v
+
+        arrow_rows = [{c: _no_empty(r.get(c)) for c in cols} for r in rows]
+        path = os.path.join(self._log_dir(table), _CKPT_FMT.format(v))
+        pq.write_table(pa.Table.from_pylist(arrow_rows), path)
+        with open(os.path.join(self._log_dir(table), "_last_checkpoint"), "w") as fh:
+            json.dump({"version": v, "size": len(arrow_rows)}, fh)
+        return path
+
+    # -- write path ---------------------------------------------------------
+    def _claim_batch_dir(self, table: str, hint: str) -> str:
+        """mkdir-claimed fresh directory for this write's data files
+        (same claim-then-append discipline as Warehouse: names are
+        never reused, Spark writes with mode=append into the claimed
+        empty dir, so no overwrite window exists anywhere)."""
+        n = 0
+        base = f"batch-{hint}"
+        while True:
+            cand = base if n == 0 else f"{base}-{n}"
+            try:
+                os.makedirs(os.path.join(self._table_dir(table), cand))
+                return cand
+            except FileExistsError:
+                n += 1
+
+    def _write_files(
+        self,
+        table: str,
+        df: DataFrame,
+        hint: str,
+        bucket: tuple[str, int] | None,
+    ) -> tuple[list[dict], str, str]:
+        """Write ``df``'s parquet under a claimed batch dir; return the
+        ``add`` actions (relative paths, partitionValues from the
+        directory layout), the schema JSON written, and the claimed
+        batch dir's relative name."""
+        rel = self._claim_batch_dir(table, hint)
+        out = os.path.join(self._table_dir(table), rel)
+        if bucket is None:
+            df.write.mode("append").parquet(out)
+            schema_json = df.schema.json()
+        else:
+            key, n = bucket
+            with_b = df.withColumn(BUCKET_COL, bucket_of(F.col(key), n))
+            with_b.write.mode("append").partitionBy(BUCKET_COL).parquet(out)
+            schema_json = with_b.drop(BUCKET_COL).schema.json()
+        adds = []
+        tdir = self._table_dir(table)
+        for dp, _, fs in os.walk(out):
+            for f in sorted(fs):
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(dp, f)
+                path = os.path.relpath(full, tdir)
+                pv = {}
+                for seg in os.path.relpath(dp, out).split(os.sep):
+                    if "=" in seg:
+                        k, _, val = seg.partition("=")
+                        pv[k] = val
+                adds.append(
+                    {
+                        "path": path,
+                        "partitionValues": pv,
+                        "size": os.path.getsize(full),
+                        "modificationTime": int(os.path.getmtime(full) * 1000),
+                        "dataChange": True,
+                    }
+                )
+        return adds, schema_json, rel
+
+    def _meta_action(
+        self,
+        schema_json: str,
+        bucket: tuple[str, int] | None,
+        existing: dict | None = None,
+    ) -> dict:
+        key_cfg = {}
+        if bucket is not None:
+            # the bucket spec rides metaData.configuration so a merge
+            # can recover (key, n) without a side channel; the physical
+            # partition column is the standard partitionColumns entry
+            key_cfg = {
+                "spark_graft.bucket_key": bucket[0],
+                "spark_graft.n_buckets": str(bucket[1]),
+            }
+        return {
+            "id": (existing or {}).get("id") or str(uuid.uuid4()),
+            "name": None,
+            "description": None,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_json,
+            "partitionColumns": [BUCKET_COL] if bucket is not None else [],
+            "configuration": key_cfg,
+            "createdTime": (existing or {}).get("createdTime")
+            or int(time.time() * 1000),
+        }
+
+    def write(
+        self,
+        table: str,
+        df: DataFrame,
+        snapshot: str = "w",
+        bucket: tuple[str, int] | None = None,
+        expected_version: int | None = None,
+        txn: tuple[str, int] | None = None,
+        max_retries: int = 5,
+    ) -> str:
+        """Full-snapshot replace (or create): add the new files, remove
+        every previously-live file.
+
+        ``expected_version``: commit version the caller derived from
+        (``-1``/0-base create uses ``0`` semantics: pass ``-1`` to CAS
+        the CREATE itself, mirroring Warehouse's CAS-at-commit-1).
+        None = state-independent last-writer-wins; the remove-set is
+        re-derived per attempt so the loser's retry tombstones exactly
+        the winner's files.
+        """
+        adds, schema_json, rel = self._write_files(table, df, snapshot, bucket)
+        for _ in range(1 + max_retries):
+            if expected_version is not None:
+                base = expected_version
+            else:
+                base = self.current_version(table)
+            old_meta, old_live, old_txn = {}, {}, {}
+            if base >= 0:
+                _, old_meta, old_live, old_txn, _ = self._replay(table, upto=base)
+            now = int(time.time() * 1000)
+            actions: list[dict] = []
+            if base < 0:
+                actions.append(
+                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                )
+            actions.append(
+                {"metaData": self._meta_action(schema_json, bucket, old_meta)}
+            )
+            if txn is not None:
+                actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
+            actions += [
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
+                }
+                for p in sorted(old_live)
+            ]
+            actions += [{"add": a} for a in adds]
+            try:
+                self._commit(table, base + 1, actions)
+                return rel
+            except CommitConflict:
+                if expected_version is not None:
+                    raise  # CAS mode: the caller re-derives
+        raise CommitConflict(
+            f"{table}: full-replace lost the commit race {1 + max_retries} times"
+        )
+
+    # -- read path ----------------------------------------------------------
+    def _bucket_spec(self, meta: dict) -> tuple[str, int] | None:
+        cfg = meta.get("configuration") or {}
+        if "spark_graft.bucket_key" in cfg:
+            return cfg["spark_graft.bucket_key"], int(cfg["spark_graft.n_buckets"])
+        return None
+
+    def is_bucketed(self, table: str) -> bool:
+        try:
+            _, meta, _, _, _ = self._replay(table)
+        except FileNotFoundError:
+            return False
+        return self._bucket_spec(meta) is not None
+
+    def _df_for(
+        self, table: str, meta: dict, live: dict[str, dict]
+    ) -> DataFrame:
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        if not live:
+            return self.spark.createDataFrame([], schema)
+        tdir = self._table_dir(table)
+        partitioned = bool(meta.get("partitionColumns"))
+        if not partitioned:
+            files = [os.path.join(tdir, p) for p in sorted(live)]
+            return self.spark.read.schema(schema).parquet(*files)
+        # group files by their batch dir so basePath recovers the
+        # partition column from the path, then union
+        by_base: dict[str, list[str]] = {}
+        for p in sorted(live):
+            base = os.path.join(tdir, p.split(os.sep, 1)[0])
+            by_base.setdefault(base, []).append(os.path.join(tdir, p))
+        parts = [
+            self.spark.read.option("basePath", b).parquet(*fs)
+            for b, fs in sorted(by_base.items())
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read_versioned(self, table: str) -> tuple[int, DataFrame]:
+        v, meta, live, _, _ = self._replay(table)
+        df = self._df_for(table, meta, live)
+        if meta.get("partitionColumns"):
+            df = df.drop(*meta["partitionColumns"])
+        return v, df
+
+    def read(self, table: str) -> DataFrame:
+        return self.read_versioned(table)[1]
+
+    def read_at_version(self, table: str, version: int) -> DataFrame:
+        """Time travel (Delta ``VERSION AS OF``): replay to ``version``.
+        Raises FileNotFoundError if the version never existed or its
+        files were vacuumed."""
+        _, meta, live, _, _ = self._replay(table, upto=version)
+        tdir = self._table_dir(table)
+        missing = [p for p in live if not os.path.isfile(os.path.join(tdir, p))]
+        if missing:
+            raise FileNotFoundError(
+                f"version {version} of {table!r} references vacuumed "
+                f"files (e.g. {missing[0]!r})"
+            )
+        df = self._df_for(table, meta, live)
+        if meta.get("partitionColumns"):
+            df = df.drop(*meta["partitionColumns"])
+        return df
+
+    def last_txn_epoch(self, app_id: str, table: str) -> int:
+        try:
+            _, _, _, txn, _ = self._replay(table)
+        except FileNotFoundError:
+            return -1
+        return txn.get(app_id, -1)
+
+    def routing_info(self, table: str) -> dict | None:
+        """ONE-fetch routing snapshot for stream ingestion (shared
+        spelling with Warehouse.routing_info): None if the table does
+        not exist, else {"bucket_key": key-or-None, "txn": epoch map}
+        from a single log replay."""
+        try:
+            _, meta, _, txn, _ = self._replay(table)
+        except FileNotFoundError:
+            return None
+        spec = self._bucket_spec(meta)
+        return {"bucket_key": spec[0] if spec else None, "txn": txn}
+
+    def external_read_sql(self, table: str, version: int | None = None) -> str:
+        """DuckDB-runnable snapshot read straight off the data files the
+        chosen commit references (files are immutable, so the statement
+        is isolated from concurrent writers exactly like the manifest
+        warehouse's). A DuckDB build with the delta extension could
+        instead ``delta_scan`` the table root — this spelling needs
+        only parquet."""
+        _, meta, live, _, _ = self._replay(table, upto=version)
+        tdir = self._table_dir(table)
+        files = []
+        for p in sorted(live):
+            full = os.path.join(tdir, p)
+            if not os.path.isfile(full):
+                raise FileNotFoundError(
+                    f"{table!r} v{version}: file vacuumed: {p!r}"
+                )
+            files.append("'" + full.replace("'", "''") + "'")
+        if not files:
+            raise FileNotFoundError(
+                f"delta table {table!r} has no data files to read externally"
+            )
+        return (
+            "SELECT * FROM read_parquet([" + ", ".join(files) + "], "
+            "hive_partitioning=false, union_by_name=true)"
+        )
+
+    # -- merge --------------------------------------------------------------
+    def merge_bucketed(
+        self,
+        table: str,
+        new: DataFrame,
+        snapshot: str = "m",
+        broadcast_keys: bool = True,
+        max_commit_retries: int = 5,
+        txn: tuple[str, int] | None = None,
+        observation=None,
+        evolve: bool = False,
+        renames: dict[str, str] | None = None,
+    ) -> list[int]:
+        """Partition-pruned keyed upsert — the Delta MERGE shape: only
+        files in buckets the batch's keys hash to are read, rewritten,
+        and tombstoned; every other live file is untouched (not even
+        mentioned in the commit, which is what makes the commit size
+        O(affected), not O(table)). CAS at base+1; on conflict the
+        whole merge re-derives against the new head.
+
+        ``evolve``/``renames``: this impl does NOT do in-place schema
+        evolution (the manifest warehouse does); a schema change under
+        ``evolve=True`` raises SchemaEvolutionError so the pipeline's
+        shared fallback (full reload with the new schema — the
+        reference behavior) engages. ``observation``: attached to the
+        first attempt's merged frame, same contract as Warehouse."""
+        for attempt in range(1 + max_commit_retries):
+            base, meta, live, _, _ = self._replay(table)
+            spec = self._bucket_spec(meta)
+            if spec is None:
+                raise FileNotFoundError(f"table not bucketed: {table}")
+            key, n = spec
+            new_b = new.withColumn(BUCKET_COL, bucket_of(F.col(key), n))
+            affected = sorted(
+                int(r[BUCKET_COL])
+                for r in new_b.select(BUCKET_COL).distinct().collect()
+            )
+            wanted = {str(b) for b in affected}
+            old_paths = [
+                p
+                for p, a in live.items()
+                if a.get("partitionValues", {}).get(BUCKET_COL) in wanted
+            ]
+            sub_live = {p: live[p] for p in old_paths}
+            old = self._df_for(table, meta, sub_live)
+            if not old_paths:
+                # no existing rows in these buckets: schema-only frame
+                from pyspark.sql import types as T
+
+                schema = T.StructType.fromJson(
+                    json.loads(meta["schemaString"])
+                ).add(BUCKET_COL, "integer")
+                old = self.spark.createDataFrame([], schema)
+            if evolve:
+                from ..operators.merge import SchemaEvolutionError
+
+                old_types = dict(old.drop(BUCKET_COL).dtypes)
+                new_types = dict(new.dtypes)
+                if old_types != new_types:
+                    raise SchemaEvolutionError(
+                        f"delta table {table!r}: schema changed "
+                        f"({old_types} -> {new_types}); this impl evolves "
+                        "by full reload, not in place"
+                    )
+            keys = new_b.select(key).distinct()
+            if broadcast_keys:
+                keys = F.broadcast(keys)
+            merged = old.join(keys, on=key, how="left_anti").unionByName(
+                new_b.select(old.columns)
+            )
+            if observation is not None and attempt == 0:
+                merged = merged.observe(
+                    observation, F.count(F.lit(1)).alias("rows")
+                )
+            adds, _schema_json, _rel = self._write_files(
+                table,
+                merged.drop(BUCKET_COL),
+                f"{snapshot}-{attempt}" if attempt else snapshot,
+                bucket=(key, n),
+            )
+            now = int(time.time() * 1000)
+            actions: list[dict] = []
+            if txn is not None:
+                actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
+            actions += [
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
+                }
+                for p in sorted(old_paths)
+            ]
+            actions += [{"add": a} for a in adds]
+            try:
+                self._commit(table, base + 1, actions)
+                return affected
+            except CommitConflict:
+                # orphaned batch dir is vacuum-swept later; randomized
+                # backoff desynchronizes lockstep re-collisions (same
+                # reasoning as Warehouse.merge_bucketed)
+                import random
+
+                time.sleep(min(0.05 * (attempt + 1), 0.5) * random.random())
+                continue
+        raise CommitConflict(
+            f"{table}: merge lost the commit race {1 + max_commit_retries} "
+            "times — contention too high, back off and retry"
+        )
+
+    # -- maintenance --------------------------------------------------------
+    def compact(self, table: str, target_bytes: int = 128 * 1024 * 1024) -> int:
+        """OPTIMIZE: rewrite the live file set into ~target-size files
+        (per bucket for partitioned tables — one file per non-empty
+        bucket). dataChange=false semantics: the commit replaces files
+        without changing rows, CAS'd against the commit it read so a
+        concurrent merge always wins over a compaction."""
+        for _ in range(6):
+            base, meta, live, _, _ = self._replay(table)
+            spec = self._bucket_spec(meta)
+            df = self._df_for(table, meta, live)
+            if spec is not None:
+                key, n = spec
+                df = df.drop(BUCKET_COL).repartition(
+                    n, bucket_of(F.col(key), n)
+                )
+                adds, _sj, _rel = self._write_files(
+                    table, df, "compact", bucket=(key, n)
+                )
+            else:
+                total = sum(a.get("size", 0) for a in live.values())
+                n_files = max(1, math.ceil(total / target_bytes))
+                adds, _sj, _rel = self._write_files(
+                    table, df.repartition(n_files), "compact", bucket=None
+                )
+            now = int(time.time() * 1000)
+            actions = [
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now,
+                        "dataChange": False,
+                    }
+                }
+                for p in sorted(live)
+            ]
+            actions += [
+                {"add": {**a, "dataChange": False}} for a in adds
+            ]
+            try:
+                self._commit(table, base + 1, actions)
+                return len(adds)
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"{table}: compaction lost the commit race 6 times — "
+            "run it in a quieter window"
+        )
+
+    def vacuum(self, table: str, retention_sec: float | None = None) -> int:
+        """Physically delete tombstoned files older than the retention
+        window, plus batch dirs no action ever referenced (crashed
+        writers) older than the same window. Time-travel to versions
+        whose files are vacuumed then raises — Delta's documented
+        trade. Returns the number of files deleted."""
+        retention = (
+            self.vacuum_retention_sec if retention_sec is None else retention_sec
+        )
+        horizon_ms = (time.time() - retention) * 1000
+        _, _, live, _, dead = self._replay(table)
+        tdir = self._table_dir(table)
+        deleted = 0
+        for p, r in dead.items():
+            if r.get("deletionTimestamp", 0) <= horizon_ms:
+                full = os.path.join(tdir, p)
+                if os.path.isfile(full):
+                    os.remove(full)
+                    deleted += 1
+        # unreferenced files (crashed/conflicted writers): neither live
+        # nor tombstoned, judged by mtime age — same TTL reasoning as
+        # Warehouse._prune's orphan sweep
+        referenced = set(live) | set(dead)
+        horizon_s = time.time() - retention
+        for dp, _, fs in os.walk(tdir):
+            if "_delta_log" in dp:
+                continue
+            for f in fs:
+                full = os.path.join(dp, f)
+                rel = os.path.relpath(full, tdir)
+                if rel in referenced or not f.endswith(".parquet"):
+                    continue
+                try:
+                    if os.path.getmtime(full) < horizon_s:
+                        os.remove(full)
+                        deleted += 1
+                except OSError:
+                    pass
+        return deleted
+
+    def drop(self, table: str) -> None:
+        tdir = self._table_dir(table)
+        if os.path.isdir(tdir):
+            shutil.rmtree(tdir, ignore_errors=True)

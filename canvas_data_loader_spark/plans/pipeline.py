@@ -130,6 +130,13 @@ class PipelineConfig:
     # table -> {old column name -> new column name}: renames cannot be
     # inferred (indistinguishable from drop+add), so they are declared.
     rename_maps: dict[str, dict[str, str]] = field(default_factory=dict)
+    # Commit-log format: "manifest" (numbered-manifest default) or
+    # "delta" (the public Delta Lake transaction-log protocol,
+    # plans/delta.py — tables consumable by external Delta readers).
+    # Both pass the shared contract suite; the delta impl answers
+    # schema bumps with the reference's full reload instead of
+    # in-place evolution.
+    warehouse_format: str = "manifest"
 
 
 class Warehouse:
@@ -159,6 +166,11 @@ class Warehouse:
     (pairs with the q95 snapshot-diff op). Older snapshots are pruned
     on write; a real deployment would prune by age instead.
     """
+
+    # the "no commits yet" version a CAS create races against (commit
+    # numbers start at 1 here; the Delta impl's start at 0, so its
+    # genesis is -1) — lets the shared contract suite drive both
+    GENESIS_VERSION = 0
 
     def __init__(
         self,
@@ -365,6 +377,20 @@ class Warehouse:
         latest = self._latest_commit(table)
         return latest[1] if latest else None
 
+    def routing_info(self, table: str) -> dict | None:
+        """ONE-fetch routing snapshot for stream ingestion (shared
+        spelling with DeltaWarehouse): None if the table doesn't
+        exist, else {"bucket_key": key-or-None, "txn": epoch map}.
+        Derived from a single manifest read so exists/bucketed/epoch
+        can never disagree mid-decision."""
+        m = self.current_manifest(table)
+        if m is None:
+            return None
+        return {
+            "bucket_key": m.get("bucket_key") if m.get("buckets") else None,
+            "txn": m.get("txn") or {},
+        }
+
     def exists(self, table: str) -> bool:
         return self.current_path(table) is not None
 
@@ -517,6 +543,20 @@ class Warehouse:
                 f"(have: {self.versions(table)})"
             )
         return self.spark.read.parquet(path)
+
+    def read_at_version(self, table: str, version: int) -> DataFrame:
+        """Time travel by COMMIT NUMBER (the cross-impl spelling shared
+        with DeltaWarehouse.read_at_version; ``read_at`` remains the
+        snapshot-name spelling). Raises if the commit is pruned."""
+        man = dict(self._commits(table)).get(version)
+        if man is None:
+            raise FileNotFoundError(
+                f"commit {version} of {table!r} not retained"
+            )
+        df = self._read_manifest(table, man)
+        if man.get("buckets"):
+            df = df.drop(BUCKET_COL)
+        return df
 
     def external_read_sql(self, table: str, version: int | None = None) -> str:
         """CROSS-ENGINE snapshot read: a DuckDB-runnable SQL statement
@@ -895,7 +935,14 @@ class Warehouse:
             except CommitConflict:
                 # the attempt's snapshot dir is now an unreferenced
                 # orphan (the retry claims a fresh name; _prune sweeps
-                # the dead dir after orphan_ttl_sec)
+                # the dead dir after orphan_ttl_sec). Randomized
+                # backoff before re-deriving: N writers racing one
+                # head otherwise re-collide in lockstep and can
+                # exhaust the retry budget under contention that a
+                # desynchronized schedule absorbs easily.
+                import random
+
+                time.sleep(min(0.05 * (attempt + 1), 0.5) * random.random())
                 continue
             self._prune(table)
             return affected
@@ -1077,7 +1124,12 @@ class ImportPipeline:
         self.client = client
         self.config = config
         self.ledger = ImportLedger(config.ledger_path)
-        self.warehouse = Warehouse(spark, config.warehouse_dir)
+        if config.warehouse_format == "delta":
+            from .delta import DeltaWarehouse
+
+            self.warehouse = DeltaWarehouse(spark, config.warehouse_dir)
+        else:
+            self.warehouse = Warehouse(spark, config.warehouse_dir)
 
     # -- planning (reference src/main.rs:65-168) ----------------------------
     def plan_dumps(self, dumps: list[DumpInList], latest_version: str) -> list[DumpInList]:
@@ -1285,7 +1337,8 @@ class ImportPipeline:
                 # creator would supersede its whole first import).
                 for attempt in range(6):
                     if not self.warehouse.exists(table_name):
-                        out, base_version = df, 0  # CAS at commit 1
+                        # CAS the CREATE at the impl's genesis version
+                        out, base_version = df, self.warehouse.GENESIS_VERSION
                     else:
                         # one fetch pairs the CAS base with the data read
                         base_version, old = self.warehouse.read_versioned(

@@ -74,16 +74,16 @@ def apply_stream_batch(
     # state is re-inspected from scratch, never re-derived from a
     # stale routing decision.
     for attempt in range(6):
-        m = warehouse.current_manifest(table)
-        if m is not None and int((m.get("txn") or {}).get(app_id, -1)) >= batch_id:
+        m = warehouse.routing_info(table)
+        if m is not None and int(m["txn"].get(app_id, -1)) >= batch_id:
             # replayed epoch: this batch's merge already committed
             # (crash landed between the warehouse publish and the
             # streaming checkpoint commit, or an old checkpoint was
             # restored). Skip — re-applying after LATER batches have
             # landed would overwrite newer values with older ones.
             return False
-        if m is not None and m.get("buckets"):
-            bucket_key = m.get("bucket_key")
+        if m is not None and m["bucket_key"] is not None:
+            bucket_key = m["bucket_key"]
             if len(keys) != 1 or bucket_key != keys[0]:
                 # falling through to the plain path would publish
                 # an UNbucketed manifest — silently destroying the
@@ -116,7 +116,7 @@ def apply_stream_batch(
         # safety by value (re-applied appends duplicate rows) and this
         # function's exactly-once contract documents that refusal.
         if m is None:
-            merged, base_version = new, 0
+            merged, base_version = new, warehouse.GENESIS_VERSION
         else:
             base_version, old = warehouse.read_versioned(table)
             merged = merge_upsert(old, new.select(old.columns), keys)

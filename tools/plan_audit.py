@@ -16,17 +16,34 @@ their own tests):
 - NO_PUSHDOWN: a parquet scan with no PushedFilters while the plan
   contains a Filter directly above it (heuristic).
 
-Usage: python tools/plan_audit.py [sf_dir] [query ...]
+Usage:
+  python tools/plan_audit.py [sf_dir] [query ...]   # report
+  python tools/plan_audit.py --golden [sf_dir]      # write plan_golden.json
+  python tools/plan_audit.py --check [sf_dir]       # diff against golden
+
 Exit code 1 if any hard red flag (PYTHON_UDF outside multimodal,
-unbroadcast CARTESIAN) is found.
+unbroadcast CARTESIAN) is found — or, under --check, if any query's
+plan REGRESSED against tools/plan_golden.json: more scans, more
+exchanges, fewer broadcasts, or a new flag. A future edit that
+un-broadcasts a join or doubles a scan fails CI here instead of
+surfacing as a bench regression a round later. Improvements (fewer
+scans/exchanges, more broadcasts) and brand-new queries are reported
+and require re-running --golden, keeping the golden current on
+purpose. Goldens are taken at the driver's sf0.01 against
+/root/testdata; a testdata regeneration can legitimately flip a
+borderline broadcast decision — re-golden when TESTDATA.md changes.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import re
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+GOLDEN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plan_golden.json")
 
 from canvas_data_loader_spark import queries as Q
 from canvas_data_loader_spark.session import get_spark
@@ -64,11 +81,9 @@ def audit(name: str, df) -> tuple[dict, list[str]]:
     return stats, flags
 
 
-def main() -> None:
-    args = sys.argv[1:]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    only = set(args[1:])
-    spark = get_spark("plan-audit")
+def collect(spark, sf_dir: str, only: set[str]) -> tuple[dict, bool]:
+    """(per-query {stats + flags}, hard_fail) over the batch registry."""
+    out: dict[str, dict] = {}
     hard_fail = False
     for name, fn in Q.SPARK.items():
         if only and name not in only:
@@ -82,16 +97,79 @@ def main() -> None:
             print(f"ERROR {name}: {e}")
             hard_fail = True
             continue
-        status = "FLAG" if flags else "ok"
-        if flags:
-            hard_fail = hard_fail or any(
-                f in ("PYTHON_UDF", "CARTESIAN") for f in flags
-            )
-        print(
-            f"{status:4} {name}: scans={stats['scans']} exch={stats['exchanges']}"
-            f" bcast={stats['broadcasts']} reuse={stats['reused']}"
-            + (f"  flags={','.join(flags)}" if flags else "")
+        hard_fail = hard_fail or any(
+            f in ("PYTHON_UDF", "CARTESIAN") for f in flags
         )
+        out[name] = {**stats, "flags": sorted(flags)}
+    return out, hard_fail
+
+
+def check_against_golden(current: dict) -> list[str]:
+    """Regression report vs the committed golden; empty = clean."""
+    with open(GOLDEN_PATH) as fh:
+        golden = json.load(fh)
+    problems = []
+    for name, cur in current.items():
+        g = golden.get(name)
+        if g is None:
+            problems.append(
+                f"{name}: not in golden — run tools/plan_audit.py --golden"
+            )
+            continue
+        if cur["scans"] > g["scans"]:
+            problems.append(
+                f"{name}: scans {g['scans']} -> {cur['scans']} (scan fan-out)"
+            )
+        if cur["exchanges"] > g["exchanges"]:
+            problems.append(
+                f"{name}: exchanges {g['exchanges']} -> {cur['exchanges']} "
+                "(new shuffle)"
+            )
+        if cur["broadcasts"] < g["broadcasts"]:
+            problems.append(
+                f"{name}: broadcasts {g['broadcasts']} -> "
+                f"{cur['broadcasts']} (join un-broadcast)"
+            )
+        new_flags = set(cur["flags"]) - set(g.get("flags", []))
+        if new_flags:
+            problems.append(f"{name}: new flags {sorted(new_flags)}")
+        improved = (
+            cur["scans"] < g["scans"]
+            or cur["exchanges"] < g["exchanges"]
+            or cur["broadcasts"] > g["broadcasts"]
+        )
+        if improved:
+            print(f"note {name}: plan improved vs golden — re-golden to pin")
+    return problems
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    mode = None
+    if args and args[0] in ("--golden", "--check"):
+        mode = args.pop(0)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    spark = get_spark("plan-audit")
+    current, hard_fail = collect(spark, sf_dir, only)
+    for name, row in current.items():
+        status = "FLAG" if row["flags"] else "ok"
+        print(
+            f"{status:4} {name}: scans={row['scans']} exch={row['exchanges']}"
+            f" bcast={row['broadcasts']} reuse={row['reused']}"
+            + (f"  flags={','.join(row['flags'])}" if row["flags"] else "")
+        )
+    if mode == "--golden":
+        with open(GOLDEN_PATH, "w") as fh:
+            json.dump(current, fh, indent=1, sort_keys=True)
+        print(f"golden written: {GOLDEN_PATH} ({len(current)} queries)")
+    elif mode == "--check":
+        problems = check_against_golden(current)
+        for p in problems:
+            print(f"REGRESSION {p}")
+        if problems:
+            sys.exit(1)
+        print(f"plan check clean vs golden ({len(current)} queries)")
     sys.exit(1 if hard_fail else 0)
 
 

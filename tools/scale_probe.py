@@ -412,6 +412,91 @@ def main_semdedup():
         shutil.rmtree(base_dir, ignore_errors=True)
 
 
+def replicate_documents_disjoint(spark, factor: int, dest: str) -> None:
+    """documents scaled by DISJOINT copies: every token is salted with
+    the copy index, so no shingle is shared across copies. This is the
+    'corpus grows with new content' regime — the df distribution keeps
+    its shape while the corpus multiplies — which is what a set-
+    similarity join's scaling exponent should be measured against.
+    (The near-dup replication in ``replicate_documents`` intentionally
+    creates factor^2 TRUE cross-copy pairs; with that input any exact
+    algorithm is superlinear because the OUTPUT is.)"""
+    d = spark.read.parquet(f"{BASE}/documents.parquet")
+    copies = [
+        d.withColumn("doc_id", F.col("doc_id") + F.lit(i * OFFSET)).withColumn(
+            "text",
+            F.regexp_replace(F.col("text"), r"(^|\s)", f"$1x{i}q"),
+        )
+        for i in range(factor)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big.repartition(32).write.mode("overwrite").parquet(
+        f"{dest}/documents.parquet"
+    )
+
+
+def main_ppjoin():
+    """Scaling probe for the exact set-similarity join (PPJoin prefix
+    filtering, q138's operator). Measured against a disjoint-content
+    scale-up (df shape preserved, output ~linear): the prefix filter's
+    rarest-first candidate buckets should keep the join near-linear —
+    the contract that replaces MinHash-LSH's approximation with exact
+    results. Also reports the candidate-pair count vs the quadratic
+    all-pairs bound, the pruning ratio that must HOLD as the corpus
+    grows. Usage: --ppjoin [factor]."""
+    from canvas_data_loader_spark.operators.dedup import setsim_prefix_join
+
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("scale_probe_ppjoin")
+    dest = tempfile.mkdtemp(prefix="scale_probe_pp_")
+    base_dir = tempfile.mkdtemp(prefix="scale_probe_pp_base_")
+    try:
+        replicate_documents_disjoint(spark, factor, dest)
+        replicate_documents_disjoint(spark, 1, base_dir)
+
+        def probe_dir(d):
+            docs = spark.read.parquet(f"{d}/documents.parquet")
+            fn = lambda: setsim_prefix_join(  # noqa: E731
+                docs, "text", "doc_id", n=3, t_num=3, t_den=5
+            )
+            fn().write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.time()
+            out = fn()
+            out.write.format("noop").mode("overwrite").save()
+            sec = round(time.time() - t0, 3)
+            n_docs = docs.count()
+            pairs = fn().count()
+            return sec, n_docs, pairs
+
+        b_sec, b_docs, b_pairs = probe_dir(base_dir)
+        s_sec, s_docs, s_pairs = probe_dir(dest)
+        report = {
+            "mode": "ppjoin",
+            "factor": factor,
+            "sec_base": b_sec,
+            "sec_scaled": s_sec,
+            "exponent": round(
+                math.log(max(s_sec, 1e-3) / max(b_sec, 1e-3))
+                / math.log(factor),
+                3,
+            ),
+            "docs": [b_docs, s_docs],
+            "result_pairs": [b_pairs, s_pairs],
+            # all-pairs bound n*(n-1)/2: how much work the prefix
+            # filter is avoiding at each scale
+            "allpairs_bound": [
+                b_docs * (b_docs - 1) // 2,
+                s_docs * (s_docs - 1) // 2,
+            ],
+        }
+        print(json.dumps(report))
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
 def main_textops():
     """10x exponents for the round-2 text/packing op family (q110-q114:
     PII redaction, overlapping chunking, token entropy, boilerplate
@@ -648,5 +733,7 @@ if __name__ == "__main__":
         main_textops()
     elif len(sys.argv) > 1 and sys.argv[1] == "--semdedup":
         main_semdedup()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ppjoin":
+        main_ppjoin()
     else:
         main()
