@@ -624,6 +624,15 @@ class DeltaWarehouse:
         )
 
     # -- maintenance --------------------------------------------------------
+    def live_file_count(self, table: str) -> int:
+        """Live (non-tombstoned) data files at the head — the
+        fragmentation signal auto-compaction triggers on."""
+        try:
+            _, _, live, _, _ = self._replay(table)
+        except FileNotFoundError:
+            return 0
+        return len(live)
+
     def compact(self, table: str, target_bytes: int = 128 * 1024 * 1024) -> int:
         """OPTIMIZE: rewrite the live file set into ~target-size files
         (per bucket for partitioned tables — one file per non-empty

@@ -137,6 +137,17 @@ class PipelineConfig:
     # schema bumps with the reference's full reload instead of
     # in-place evolution.
     warehouse_format: str = "manifest"
+    # AUTO-MAINTENANCE: when > 0, after each table's import the
+    # pipeline compacts the table if its live file count exceeds this.
+    # Incremental merges add one file set per batch forever; at scale
+    # the scan becomes file-open-bound long before it is byte-bound,
+    # so maintenance is part of the WRITE path's contract, not an
+    # operator someone must remember to run. The threshold makes it
+    # self-limiting (a fresh compaction drops the count far below it),
+    # and compaction is CAS'd so a concurrent merge always wins; a
+    # compaction that loses its commit race is simply retried by a
+    # later import. 0 (default) = off, preserving round-7 behavior.
+    auto_compact_min_files: int = 0
 
 
 class Warehouse:
@@ -1007,6 +1018,31 @@ class Warehouse:
             except OSError:
                 pass
 
+    def live_file_count(self, table: str) -> int:
+        """Parquet files the CURRENT manifest references — the
+        fragmentation signal auto-compaction triggers on. Counts only
+        live leaves (for bucketed manifests, each bucket's directory in
+        the snapshot that last touched it), so retained-but-superseded
+        snapshots don't inflate it."""
+        m = self.current_manifest(table)
+        if m is None:
+            return 0
+        count = 0
+        if m.get("buckets"):
+            for b, snap in m["buckets"].items():
+                leaf = os.path.join(
+                    self.root, table, snap, f"{BUCKET_COL}={b}"
+                )
+                if os.path.isdir(leaf):
+                    count += sum(
+                        1 for f in os.listdir(leaf) if f.endswith(".parquet")
+                    )
+        else:
+            path = os.path.join(self.root, table, m["snapshot"])
+            for dp, _, fs in os.walk(path):
+                count += sum(1 for f in fs if f.endswith(".parquet"))
+        return count
+
     def compact(self, table: str, target_bytes: int = 128 * 1024 * 1024) -> int:
         """Compact the current snapshot's small files into ~target-size
         files (bin-packing by total bytes). Incremental merges fragment
@@ -1372,7 +1408,23 @@ class ImportPipeline:
                         if attempt == 5:
                             raise
             result.tables[table_name] = obs.get["rows"]
+            self._maybe_compact(table_name)
         return result
+
+    def _maybe_compact(self, table_name: str) -> None:
+        """Threshold-triggered compaction after an import (see
+        PipelineConfig.auto_compact_min_files). Best-effort: a
+        CommitConflict (concurrent merge won every retry) is dropped —
+        the fragmentation signal persists and the next import
+        re-triggers."""
+        threshold = self.config.auto_compact_min_files
+        if not threshold:
+            return
+        try:
+            if self.warehouse.live_file_count(table_name) > threshold:
+                self.warehouse.compact(table_name)
+        except CommitConflict:
+            pass
 
     # -- full run (reference src/main.rs:55-249) ----------------------------
     def run(self) -> list[DumpResult]:

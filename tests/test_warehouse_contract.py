@@ -600,3 +600,154 @@ class TestStreamOverDelta:
 
         with _pytest.raises(ValueError, match="bucketed on"):
             apply_stream_batch(wh2, "t", ["val"], None, "app", b1, 1)
+
+
+class TestAutoMaintenance:
+    """50 imports through the pipeline with auto_compact_min_files set:
+    live file count and commit-log size stay BOUNDED (not O(imports)),
+    contents stay correct, and the trigger fires through both commit-log
+    impls. The write path owns maintenance — nobody has to remember to
+    run OPTIMIZE."""
+
+    @pytest.mark.parametrize("fmt", ["manifest", "delta"])
+    def test_fifty_imports_stay_bounded(self, spark, tmp_path, fmt):
+        import json as _json
+
+        from canvas_data_loader_spark.plans.pipeline import (
+            ImportPipeline,
+            PipelineConfig,
+        )
+        from canvas_data_loader_spark.sources.api_client import (
+            CanvasDataApiClient,
+            LocalDirTransport,
+            gzip_tsv,
+        )
+
+        n_dumps = 50
+        schema_json = {
+            "version": "4.2.0",
+            "schema": {
+                "account_dim": {
+                    "tableName": "account_dim",
+                    "dw_type": "dimension",
+                    "incremental": False,
+                    "columns": [
+                        {"name": "id", "type": "bigint"},
+                        {"name": "name", "type": "varchar"},
+                    ],
+                },
+            },
+        }
+        dumps, files_by_dump, payloads = [], {}, {}
+        for i in range(n_dumps):
+            did = f"d{i:03d}"
+            fname = f"account_dim-00000-{did}.gz"
+            dumps.append(
+                {
+                    "dumpId": did, "sequence": i + 1, "accountId": "self",
+                    "numFiles": 1, "finished": True, "expires": None,
+                    "createdAt": f"2024-01-01T{i // 60:02d}:{i % 60:02d}:00Z",
+                    "updatedAt": f"2024-01-01T{i // 60:02d}:{i % 60:02d}:00Z",
+                    "schemaVersion": "4.2.0",
+                }
+            )
+            files_by_dump[did] = {
+                "dumpId": did,
+                "artifactsByTable": {
+                    "account_dim": {
+                        "partial": False,
+                        "files": [
+                            {"filename": fname, "url": f"u://{did}/{fname}"}
+                        ],
+                    }
+                },
+            }
+            # each dump updates one key and inserts one new key
+            payloads[f"u://{did}/{fname}"] = gzip_tsv(
+                [[1, f"v{i}"], [100 + i, f"new{i}"]]
+            )
+        transport = LocalDirTransport(dumps, schema_json, files_by_dump, payloads)
+        client = CanvasDataApiClient("key", "secret", transport)
+        threshold = 12
+        config = PipelineConfig(
+            stage_dir=str(tmp_path / "stage"),
+            warehouse_dir=str(tmp_path / "wh"),
+            ledger_path=str(tmp_path / "ledger.jsonl"),
+            bucketed_tables={"account_dim": 4},
+            warehouse_format=fmt,
+            auto_compact_min_files=threshold,
+        )
+        p = ImportPipeline(spark, client, config)
+        results = p.run()
+        assert len(results) == n_dumps
+        # contents correct: key 1 carries the LAST dump's value, every
+        # insert survived
+        rows = {r["id"]: r["name"] for r in p.warehouse.read("account_dim").collect()}
+        assert rows[1] == f"v{n_dumps - 1}"
+        assert all(rows[100 + i] == f"new{i}" for i in range(n_dumps))
+        assert len(rows) == 1 + n_dumps
+        # FILE COUNT bounded: a compaction drops to <= n_buckets files,
+        # and at most `threshold` more accumulate before the next one
+        files = p.warehouse.live_file_count("account_dim")
+        assert files <= threshold + 4, f"{fmt}: {files} live files"
+        # COMMIT-LOG size bounded
+        if fmt == "manifest":
+            cdir = os.path.join(config.warehouse_dir, "account_dim", "_commits")
+            n_manifests = len([n for n in os.listdir(cdir) if n.endswith(".json")])
+            assert n_manifests <= 25, f"commit log grew: {n_manifests}"
+        else:
+            # delta keeps the full JSON log but checkpoints bound REPLAY:
+            # a reader processes only the tail past the last checkpoint
+            log = os.path.join(
+                config.warehouse_dir, "account_dim", "_delta_log"
+            )
+            lc = _json.load(open(os.path.join(log, "_last_checkpoint")))
+            head = p.warehouse.current_version("account_dim")
+            assert head - lc["version"] < p.warehouse.checkpoint_interval
+
+
+class TestCompactionVsMergeRace:
+    def test_concurrent_merge_and_compact_both_land(self, spark, wh_factory):
+        # compaction is an optimization and must NEVER revert a merge:
+        # run them concurrently; final state has the merge's rows and
+        # a coherent (compacted or not) layout
+        wh = wh_factory()
+        wh.write(
+            "t",
+            spark.createDataFrame(
+                [(i, "base") for i in range(16)], "id long, v string"
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        for i in (1, 2):  # fragment a little
+            wh.merge_bucketed(
+                "t",
+                spark.createDataFrame([(i, f"f{i}")], "id long, v string"),
+                snapshot=f"f{i}",
+            )
+        errs = []
+
+        def do_merge(w):
+            try:
+                w.merge_bucketed(
+                    "t",
+                    spark.createDataFrame([(3, "MERGED")], "id long, v string"),
+                    snapshot="race-m",
+                    max_commit_retries=25,
+                )
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        def do_compact(w):
+            try:
+                w.compact("t")
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        t1 = threading.Thread(target=do_merge, args=(wh_factory(),))
+        t2 = threading.Thread(target=do_compact, args=(wh_factory(),))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert errs == [], errs
+        got = {r["id"]: r["v"] for r in wh.read("t").collect()}
+        assert got[3] == "MERGED" and got[1] == "f1" and len(got) == 16
