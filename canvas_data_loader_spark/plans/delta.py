@@ -337,6 +337,21 @@ class DeltaWarehouse:
             or int(time.time() * 1000),
         }
 
+    @staticmethod
+    def _commit_info(operation: str, params: dict | None = None) -> dict:
+        """Protocol-standard commitInfo action (informational; readers
+        must ignore unknown/extra actions, and both our replays do)."""
+        return {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": operation,
+                "operationParameters": {
+                    k: str(v) for k, v in (params or {}).items()
+                },
+                "engineInfo": "canvas-data-loader-spark/delta-writer",
+            }
+        }
+
     def write(
         self,
         table: str,
@@ -367,7 +382,12 @@ class DeltaWarehouse:
             if base >= 0:
                 _, old_meta, old_live, old_txn, _ = self._replay(table, upto=base)
             now = int(time.time() * 1000)
-            actions: list[dict] = []
+            actions: list[dict] = [
+                self._commit_info(
+                    "CREATE TABLE AS SELECT" if base < 0 else "WRITE",
+                    {"mode": "Overwrite"},
+                )
+            ]
             if base < 0:
                 actions.append(
                     {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -593,7 +613,11 @@ class DeltaWarehouse:
                 bucket=(key, n),
             )
             now = int(time.time() * 1000)
-            actions: list[dict] = []
+            actions: list[dict] = [
+                self._commit_info(
+                    "MERGE", {"affectedBuckets": len(affected)}
+                )
+            ]
             if txn is not None:
                 actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
             actions += [
@@ -658,7 +682,7 @@ class DeltaWarehouse:
                     table, df.repartition(n_files), "compact", bucket=None
                 )
             now = int(time.time() * 1000)
-            actions = [
+            actions = [self._commit_info("OPTIMIZE", {"files": len(adds)})] + [
                 {
                     "remove": {
                         "path": p,

@@ -312,10 +312,14 @@ class TestDeltaProtocolFormat:
             if line.strip()
         ]
         kinds = [next(iter(a)) for a in actions]
-        assert kinds[0] == "protocol" and kinds[1] == "metaData"
-        proto = actions[0]["protocol"]
+        # commitInfo leads (informational); protocol + metaData follow
+        assert kinds[0] == "commitInfo"
+        ci = actions[0]["commitInfo"]
+        assert ci["operation"] and "timestamp" in ci
+        assert kinds[1] == "protocol" and kinds[2] == "metaData"
+        proto = actions[1]["protocol"]
         assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
-        meta = actions[1]["metaData"]
+        meta = actions[2]["metaData"]
         assert meta["format"] == {"provider": "parquet", "options": {}}
         assert meta["partitionColumns"] == ["__kb"]
         # schemaString parses back to the logical schema
