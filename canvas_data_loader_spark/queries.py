@@ -7928,3 +7928,266 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc_r"),
     )
+
+
+@query(
+    "q159_stratified_split",
+    """
+    -- Stratified train/val/test split: EXACT 80/10/10 proportions
+    -- WITHIN every language stratum (q119's hash split is uniform
+    -- only in expectation and only globally — a small stratum can
+    -- land all-train by chance; evaluation sets need every stratum
+    -- represented at the declared rate). Deterministic shuffle: rank
+    -- docs inside the stratum by salted md5 (then doc_id), assign by
+    -- integer comparison against the stratum size — no floats, no
+    -- randomness, bit-identical on any engine.
+    WITH h AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY MD5('strat-v1:' || CAST(doc_id AS VARCHAR)),
+                            doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN rn * 10 <= n * 8 THEN 'train'
+                WHEN rn * 10 <= n * 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified split with exact per-stratum proportions — the
+    sibling of q119's hash split for the case where every stratum
+    (language, source, domain) must hit the 80/10/10 rate exactly, not
+    just in expectation: a 40-doc language under the uniform hash
+    split has a ~1.3% chance of a completely empty val split; here it
+    gets exactly 4 val docs. The in-stratum order is a salted-md5
+    ranking, so membership is deterministic, engine-reproducible, and
+    re-dealable by salt version. Integer-only assignment:
+    rn*10 <= n*8 is floor(0.8n) without touching floats.
+
+    Scale shape: one hash-partitioned window per stratum (the same
+    shuffle any per-key ranking costs); no global sort, no driver
+    state. A skewed mega-stratum makes a single-partition window — at
+    100 TB pre-split such strata by a salted sub-key and re-join, the
+    standard skew treatment (operators/skew.py)."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("strat-v1:"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    wn = Window.partitionBy("lang")
+    h = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return h.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("rn") * 10 <= F.col("n") * 8, "train")
+        .when(F.col("rn") * 10 <= F.col("n") * 9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "q160_bigram_logprob",
+    f"""
+    -- Bigram-LM perplexity scoring (the CCNet/KenLM quality filter one
+    -- order up from q130's unigram): fit conditional bigram log-probs
+    -- on the corpus with add-one smoothing over the unigram vocab,
+    -- score each document by mean negative log-likelihood of its
+    -- bigrams. Bigrams come from the token ARRAY by index (engine-
+    -- portable; no reliance on UNNEST preserving order).
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t
+        FROM documents
+    ), bi AS (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                   generate_series(1, LEN(t) - 1),
+                   i -> t[i] || ' ' || t[i + 1]
+               )) AS bg
+        FROM toks
+        WHERE LEN(t) >= 2
+    ), big AS (
+        SELECT bg, COUNT(*) AS c12 FROM bi GROUP BY bg
+    ), uni AS (
+        SELECT STRING_SPLIT(bg, ' ')[1] AS w1, SUM(c12) AS c1
+        FROM big GROUP BY 1
+    ), v AS (
+        SELECT COUNT(*) AS vocab FROM uni
+    ), lp AS (
+        SELECT b.bg,
+               LN((b.c12 + 1.0) / (u.c1 + v.vocab)) AS lp
+        FROM big b
+        JOIN uni u ON STRING_SPLIT(b.bg, ' ')[1] = u.w1
+        CROSS JOIN v
+    )
+    SELECT bi.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-lp.lp), 6) AS nll2_r
+    FROM bi JOIN lp USING (bg)
+    GROUP BY bi.doc_id
+    """,
+)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM scoring — q130's CCNet shape one Markov order up,
+    which is where LM-based quality filtering starts to separate
+    fluent text from keyword soup (a unigram model scores a shuffled
+    document identically; a bigram model does not). Conditional
+    probability P(w2|w1) = (c12+1)/(c1+V), add-one smoothed over the
+    left-context vocabulary; documents scored by mean NLL of their
+    bigrams in one explode + broadcast-join + per-doc AVG pass.
+
+    Bigrams are built by ARRAY INDEX (transform over 1..len-1), not by
+    windowing over exploded rows — row order after an explode is not a
+    contract anywhere, array order is. At scale both model tables
+    (bigram + left-context) are vocabulary-sized, fitted map-side-
+    combinable, and broadcast for scoring; production swaps them for a
+    pretrained KenLM exported to rows (the model is data, the dataflow
+    is this). 6dp mean per the float policy; counts integer-exact."""
+    d = load(spark, sf_dir, "documents")
+    t = tokens(normalize_text("text"))
+    # the bigram table feeds the model fit AND the scoring join; an
+    # unpinned plan re-scans + re-explodes the corpus for each use
+    # (4 scans). localCheckpoint(eager=False) computes it once and
+    # serves both consumers from executor-local blocks — the
+    # cache-once-reuse-thrice trade (q156 precedent); at larger scale
+    # the same role is played by writing the bigram table out once.
+    bi = (
+        d.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> concat(t[i - 1], ' ', t[i]))"
+                )
+            ).alias("bg"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    big = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    uni = big.groupBy(w1.alias("w1")).agg(F.sum("c12").alias("c1"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("vocab"))
+    lp = (
+        big.join(F.broadcast(uni), w1 == uni.w1)
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("vocab"))).alias(
+                "lp"
+            ),
+        )
+    )
+    return (
+        bi.join(F.broadcast(lp), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(-F.col("lp")), 6).alias("nll2_r"),
+        )
+    )
+
+
+@query(
+    "q161_zipf_slope",
+    f"""
+    -- Zipf power-law fit of the token frequency distribution: OLS of
+    -- ln(count) on ln(rank) over the top-1000 ranks. Natural corpora
+    -- sit near slope -1; a corpus slice drifting toward 0 (flat:
+    -- boilerplate/templating) or strongly steeper (vocabulary
+    -- collapse) fails the diagnostic. Each ln is rounded to 6dp and
+    -- summed as DECIMAL so every aggregate is exact and associative;
+    -- the final closed-form combination runs in IEEE double on
+    -- identical inputs — deterministic on both engines.
+    WITH vocab AS (
+        SELECT w, COUNT(*) AS c
+        FROM (
+            SELECT UNNEST(STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ')) AS w
+            FROM documents
+        ) GROUP BY w
+    ), top AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS rk
+        FROM vocab
+        ORDER BY c DESC, w ASC
+        LIMIT 1000
+    ), pts AS (
+        SELECT CAST(ROUND(LN(rk), 6) AS DECIMAL(18,6)) AS x,
+               CAST(ROUND(LN(c), 6) AS DECIMAL(18,6)) AS y
+        FROM top
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+               SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+        FROM pts
+    )
+    SELECT n AS n_ranks,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS slope_r,
+           ROUND((CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / n,
+                 6) AS intercept_r
+    FROM s
+    """,
+)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-slope corpus diagnostic: fit ln(count) ~ ln(rank) by
+    closed-form OLS over the top-1000 vocabulary ranks (ties broken by
+    token, so the ranking is total and engine-stable). Natural-language
+    corpora follow Zipf's law with slope near -1; scraped slices
+    dominated by templates/boilerplate flatten toward 0 and
+    vocabulary-collapsed slices steepen — a one-number drift check for
+    a curation pipeline's output (complements q147's KS drift, which
+    needs a reference corpus; this is absolute).
+
+    Scale shape: the vocab agg is map-side combinable; the top-1000 is
+    orderBy+limit — Spark plans a TakeOrdered (per-partition top-k +
+    driver k-merge), NEVER a full sort — and everything after runs on
+    1000 rows. Float policy: ln values rounded to 6dp then summed in
+    DECIMAL (exact, associative — a 1000-term double sum would be
+    order-dependent); only the final scalar combination is IEEE double
+    on bit-identical operands."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(normalize_text("text"))).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        vocab.orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(1000)
+        .select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), F.col("w").asc()))
+            .alias("rk"),
+        )
+    )
+    pts = top.select(
+        F.round(F.log("rk"), 6).cast("decimal(18,6)").alias("x"),
+        F.round(F.log("c"), 6).cast("decimal(18,6)").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.alias("n_ranks"),
+        F.round(slope, 6).alias("slope_r"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept_r"),
+    )
