@@ -54,6 +54,55 @@ _LOG_FMT = "{:020d}.json"
 _CKPT_FMT = "{:020d}.checkpoint.parquet"
 
 
+def _file_stats(path: str) -> str:
+    """Per-file statistics for the add action (the protocol's
+    data-skipping mechanism): numRecords + per-column min/max, read
+    from the parquet FOOTER (metadata only, no data IO). JSON string
+    per the protocol. Columns whose physical min/max aren't scalar
+    JSON (binary, nested) are omitted — readers treat absence as
+    'cannot skip on this column'."""
+    import datetime
+    import decimal
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+
+    def as_json(v):
+        if isinstance(v, (bool, int, float, str)) or v is None:
+            return v
+        if isinstance(v, (bytes, bytearray)):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, decimal.Decimal):
+            return str(v)
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        return None
+
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            name = col.path_in_schema
+            if st is None or not st.has_min_max or "." in name:
+                continue
+            lo, hi = as_json(st.min), as_json(st.max)
+            if lo is None or hi is None:
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return json.dumps(
+        {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs},
+        separators=(",", ":"),
+    )
+
+
 class DeltaWarehouse:
     """Delta-log-format warehouse with the same write surface as
     ``Warehouse``: ``write`` (full replace / create), ``merge_bucketed``
@@ -306,6 +355,7 @@ class DeltaWarehouse:
                         "size": os.path.getsize(full),
                         "modificationTime": int(os.path.getmtime(full) * 1000),
                         "dataChange": True,
+                        "stats": _file_stats(full),
                     }
                 )
         return adds, schema_json, rel
@@ -493,6 +543,53 @@ class DeltaWarehouse:
         except FileNotFoundError:
             return -1
         return txn.get(app_id, -1)
+
+    # -- data skipping ------------------------------------------------------
+    def files_for_range(
+        self, table: str, col: str, lo=None, hi=None
+    ) -> tuple[list[str], int]:
+        """(relative paths of live files whose ``col`` [min,max] can
+        intersect [lo,hi], total live files) — file-level data
+        skipping off the add actions' stats, the scan optimization
+        that matters at 100 TB: a time- or key-range query touches the
+        files that can contain matches, not the table. Files without
+        stats for ``col`` are conservatively kept."""
+        _, _, live, _, _ = self._replay(table)
+        kept = []
+        for p, a in live.items():
+            st = a.get("stats")
+            if st:
+                try:
+                    s = json.loads(st)
+                    fmin = s.get("minValues", {}).get(col)
+                    fmax = s.get("maxValues", {}).get(col)
+                    if fmin is not None and fmax is not None:
+                        if (hi is not None and fmin > hi) or (
+                            lo is not None and fmax < lo
+                        ):
+                            continue  # provably disjoint: skip the file
+                except (ValueError, TypeError):
+                    pass  # malformed stats: keep conservatively
+            kept.append(p)
+        return sorted(kept), len(live)
+
+    def read_where(self, table: str, col: str, lo=None, hi=None) -> DataFrame:
+        """Range read with file-level data skipping: open only the
+        files ``files_for_range`` keeps, then apply the residual
+        filter (stats prune FILES; rows inside a kept file still need
+        the predicate). Equivalent to read().filter(...), minus the
+        skipped IO."""
+        _, meta, live, _, _ = self._replay(table)
+        kept, _total = self.files_for_range(table, col, lo, hi)
+        sub = {p: live[p] for p in kept}
+        df = self._df_for(table, meta, sub)
+        if meta.get("partitionColumns"):
+            df = df.drop(*meta["partitionColumns"])
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
 
     def routing_info(self, table: str) -> dict | None:
         """ONE-fetch routing snapshot for stream ingestion (shared
