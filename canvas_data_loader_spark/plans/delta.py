@@ -167,15 +167,32 @@ class DeltaWarehouse:
         ldir = self._log_dir(table)
         os.makedirs(ldir, exist_ok=True)
         target = os.path.join(ldir, _LOG_FMT.format(version))
+        # Write the body to a hidden temp file, then CLAIM the version
+        # with an atomic hard link. A bare open('x') + write has a
+        # torn-commit window: a crash mid-write leaves a truncated
+        # commit under the claimed number and every later replay
+        # json-fails on it. link-after-write publishes only complete
+        # bodies and keeps the exact put-if-absent semantics (link
+        # fails with FileExistsError if the version is taken; on an
+        # object store the conditional PUT is full-body atomic anyway).
+        tmp = os.path.join(ldir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            with open(target, "x") as fh:
-                for a in actions:
-                    fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+            os.link(tmp, target)
         except FileExistsError:
             raise CommitConflict(
                 f"{table}: delta version {version} already committed — "
                 "base state superseded"
             ) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
         if version > 0 and version % self.checkpoint_interval == 0:
             try:
                 self.checkpoint(table, version)
@@ -821,6 +838,19 @@ class DeltaWarehouse:
                 if os.path.isfile(full):
                     os.remove(full)
                     deleted += 1
+        # crash-leaked commit temp files (.tmp-*, from the link-based
+        # put-if-absent) older than the window
+        ldir = self._log_dir(table)
+        if os.path.isdir(ldir):
+            for f in os.listdir(ldir):
+                if f.startswith(".tmp-"):
+                    full = os.path.join(ldir, f)
+                    try:
+                        if os.path.getmtime(full) < time.time() - retention:
+                            os.remove(full)
+                            deleted += 1
+                    except OSError:
+                        pass
         # unreferenced files (crashed/conflicted writers): neither live
         # nor tombstoned, judged by mtime age — same TTL reasoning as
         # Warehouse._prune's orphan sweep

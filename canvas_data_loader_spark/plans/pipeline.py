@@ -59,6 +59,48 @@ from ..operators.merge import (
 )
 
 
+def _is_missing_file_error(e: Exception) -> bool:
+    """True when a Spark job failure is a missing-input-file error (the
+    signature of reading a snapshot that a concurrent _prune removed).
+    Matched on the JVM exception names Spark raises for this class —
+    conservative: anything else propagates as a real failure."""
+    s = str(e)
+    return (
+        "FileNotFoundException" in s
+        or "FILE_NOT_EXIST" in s
+        or "does not exist" in s
+        or "PATH_NOT_FOUND" in s
+    )
+
+
+def _link_put_if_absent(target: str, manifest: dict) -> bool:
+    """Atomic put-if-absent of a COMPLETE manifest: write the body to
+    a hidden temp file, fsync, then hard-link to the target name.
+    Returns False if the name is taken (the commit-number race). A
+    bare ``open(target, 'x')`` + dump has a torn-commit window — a
+    crash mid-dump leaves a truncated manifest under the claimed
+    number, and every later read of that commit json-fails. The link
+    publishes only complete bodies; on S3/HDFS the analogous
+    conditional PUT is full-body atomic by nature."""
+    import uuid
+
+    tmp = os.path.join(os.path.dirname(target), f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, target)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
 def _duckdb_type(dt) -> str | None:
     """DuckDB spelling of a Spark scalar type, for the schema-pinned
     external read projection; None (no cast emitted) for complex types
@@ -292,14 +334,11 @@ class Warehouse:
         if expected_version is not None:
             version = expected_version + 1
             target = os.path.join(cdir, f"{version:08d}.json")
-            try:
-                with open(target, "x") as fh:
-                    json.dump(manifest, fh)
-            except FileExistsError:
+            if not _link_put_if_absent(target, manifest):
                 raise CommitConflict(
                     f"{table}: commit {version} already exists — manifest "
                     f"was derived from superseded version {expected_version}"
-                ) from None
+                )
             # PRUNED-SLOT GUARD: commit-log pruning frees old numbers,
             # so open('x') succeeding does not by itself prove we are
             # the new head — a long-stalled writer whose base was
@@ -326,12 +365,9 @@ class Warehouse:
         version = self._current_version(table) + 1
         while True:
             target = os.path.join(cdir, f"{version:08d}.json")
-            try:
-                with open(target, "x") as fh:
-                    json.dump(manifest, fh)
+            if _link_put_if_absent(target, manifest):
                 return version
-            except FileExistsError:
-                version += 1
+            version += 1
 
     def current_path(self, table: str) -> str | None:
         latest = self._latest_commit(table)
@@ -775,8 +811,29 @@ class Warehouse:
         reused, so there is never pre-existing data to append onto."""
         snapshot = self._fresh_snapshot_name(table, snapshot)
         out = os.path.join(self.root, table, snapshot)
+
+        def run_write(job):
+            # Under CAS semantics ``df`` derives from warehouse state
+            # at expected_version. If more than ``retain`` commits
+            # landed since, _prune may have removed that state's files
+            # and the job dies with a FileNotFound mid-read —
+            # semantically a LOST RACE, so surface it as the retryable
+            # conflict the caller already handles (re-derive from the
+            # new head), not a crash. State-independent writes
+            # (expected_version None) read no warehouse state, so
+            # their missing-file errors are genuine and propagate.
+            try:
+                job()
+            except Exception as e:  # noqa: BLE001
+                if expected_version is not None and _is_missing_file_error(e):
+                    raise CommitConflict(
+                        f"{table}: base files pruned mid-write — state at "
+                        f"version {expected_version} no longer readable"
+                    ) from None
+                raise
+
         if bucket is None:
-            df.write.mode("append").parquet(out)
+            run_write(lambda: df.write.mode("append").parquet(out))
             self._publish(
                 table,
                 {"snapshot": snapshot, **self._txn_map(table, txn)},
@@ -784,9 +841,12 @@ class Warehouse:
             )
         else:
             key, n = bucket
-            df.withColumn(BUCKET_COL, bucket_of(F.col(key), n)).write.mode(
-                "append"
-            ).partitionBy(BUCKET_COL).parquet(out)
+            run_write(
+                lambda: df.withColumn(BUCKET_COL, bucket_of(F.col(key), n))
+                .write.mode("append")
+                .partitionBy(BUCKET_COL)
+                .parquet(out)
+            )
             self._publish(
                 table,
                 {
@@ -917,7 +977,15 @@ class Warehouse:
             out = os.path.join(self.root, table, snapshot)
             # append into the claimed empty dir — overwrite would delete
             # the claim and reopen the same-name TOCTOU (see write())
-            merged.write.mode("append").partitionBy(BUCKET_COL).parquet(out)
+            try:
+                merged.write.mode("append").partitionBy(BUCKET_COL).parquet(out)
+            except Exception as e:  # noqa: BLE001
+                if _is_missing_file_error(e):
+                    # base files pruned mid-job (>retain commits landed
+                    # since this attempt's manifest fetch): a lost race
+                    # — re-derive from the new head like any conflict
+                    continue
+                raise
             try:
                 self._publish(
                     table,
@@ -964,11 +1032,25 @@ class Warehouse:
 
     def _prune(self, table: str) -> None:
         """Remove snapshots beyond the retention window — but NEVER a
-        directory the current manifest still references (a bucketed
-        manifest can reference arbitrarily old snapshots for buckets
-        no recent batch touched)."""
-        m = self.current_manifest(table) or {}
-        referenced = {m.get("snapshot")} | set((m.get("buckets") or {}).values())
+        directory any of the last ``retain`` manifests reference (a
+        bucketed manifest can reference arbitrarily old snapshots for
+        buckets no recent batch touched).
+
+        Union over the RETAINED manifests, not just the current one:
+        a commit that repoints every bucket at once (compaction, full
+        reload) otherwise makes the previous manifest's directories
+        instantly unreferenced, and pruning them yanks files out from
+        under any reader/merger whose lazily-planned Spark job started
+        from that manifest moments earlier (observed as a mid-job
+        FileNotFound in the merge-vs-compact race). With the union, a
+        reader is safe unless ``retain`` further commits land during
+        its read — and the CAS paths additionally translate that
+        residual case into a retryable conflict (see ``write``)."""
+        commits = self._commits(table)
+        referenced: set[str] = set()
+        for _, man in commits[-self.retain:]:
+            referenced.add(man.get("snapshot"))
+            referenced.update((man.get("buckets") or {}).values())
         names = self.versions(table)
         for nme in names[: -self.retain]:
             if nme in referenced:
@@ -1002,6 +1084,18 @@ class Warehouse:
         # "unreferenced" be read as "dead". Same reasoning as Delta's
         # VACUUM retention; crash-retried dumps therefore leak at most
         # one directory per crash for at most the TTL.
+        # crash-leaked commit temp files (.tmp-*, from the link-based
+        # put-if-absent) older than the TTL
+        cdir = self._commits_dir(table)
+        if os.path.isdir(cdir):
+            for nme in os.listdir(cdir):
+                if nme.startswith(".tmp-"):
+                    full = os.path.join(cdir, nme)
+                    try:
+                        if time.time() - os.path.getmtime(full) > self.orphan_ttl_sec:
+                            os.remove(full)
+                    except OSError:
+                        pass
         ever_referenced: set[str] = set()
         for _, man in commits:
             ever_referenced.add(man.get("snapshot"))

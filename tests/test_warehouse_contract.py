@@ -877,3 +877,106 @@ class TestDeltaDataSkipping:
         assert all(a.get("stats") for a in live.values())
         got = {r["id"]: r["v"] for r in wh.read_where("t", "id", 1, 2).collect()}
         assert got == {1: "m1", 2: "m2"}
+
+
+class TestCommitBodyAtomicity:
+    """Round-8 hardening: commits publish via write-temp + fsync +
+    hard-link (put-if-absent on the link), so a claimed commit number
+    can never hold a truncated body. These tests pin the mechanics."""
+
+    def test_leftover_tmp_does_not_break_reads_and_is_swept(
+        self, spark, wh_factory
+    ):
+        import time as _time
+
+        wh = wh_factory()
+        wh.write(
+            "t", spark.createDataFrame([(1, "a")], "id long, v string"),
+            snapshot="s0",
+        )
+        # simulate a crashed writer's leaked temp body
+        log_dir = os.path.join(
+            wh.root, "t",
+            "_delta_log" if isinstance(wh, DeltaWarehouse) else "_commits",
+        )
+        leak = os.path.join(log_dir, ".tmp-deadbeef")
+        with open(leak, "w") as fh:
+            fh.write('{"partial": ')  # truncated JSON on purpose
+        old = _time.time() - 7 * 24 * 3600
+        os.utime(leak, (old, old))
+        # reads ignore it entirely
+        assert rows_of(wh, "t") == [(1, "a")]
+        # the maintenance sweep removes it once older than the TTL
+        if isinstance(wh, DeltaWarehouse):
+            wh.vacuum("t")
+        else:
+            wh._prune("t")
+        assert not os.path.exists(leak)
+
+    def test_conflict_still_raises_and_leaves_no_tmp(self, spark, wh_factory):
+        a, b = wh_factory(), wh_factory()
+        df = spark.createDataFrame([(1, "a")], "id long, v string")
+        a.write("t", df, snapshot="s1", expected_version=a.GENESIS_VERSION)
+        with pytest.raises(CommitConflict):
+            b.write(
+                "t", df, snapshot="s1b", expected_version=b.GENESIS_VERSION
+            )
+        log_dir = os.path.join(
+            a.root, "t",
+            "_delta_log" if isinstance(a, DeltaWarehouse) else "_commits",
+        )
+        assert not [f for f in os.listdir(log_dir) if f.startswith(".tmp-")]
+
+
+class TestPruneVsInFlightReader:
+    """Round-8 race fix (found by the merge-vs-compact stress): a
+    commit that repoints every bucket at once made the PREVIOUS
+    manifest's directories instantly unreferenced, and _prune deleted
+    them out from under any in-flight reader planned against that
+    manifest. Two-layer fix: retention keeps the union of the last
+    `retain` manifests' references, and CAS writes translate residual
+    mid-job missing-file failures into retryable CommitConflict."""
+
+    def test_retention_keeps_previous_manifests_references(
+        self, spark, tmp_path
+    ):
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        wh.write(
+            "t",
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(8)], "id long, v string"
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        wh.merge_bucketed(
+            "t", spark.createDataFrame([(1, "m")], "id long, v string"),
+            snapshot="m1",
+        )
+        # compaction repoints ALL buckets away from s0/m1 — but both
+        # stay on disk because the previous manifests still reference
+        # them (an in-flight reader may be consuming either)
+        wh.compact("t")
+        assert os.path.isdir(os.path.join(wh.root, "t", "s0"))
+        assert os.path.isdir(os.path.join(wh.root, "t", "m1"))
+
+    def test_stale_cas_write_over_pruned_base_raises_conflict(
+        self, spark, tmp_path
+    ):
+        # retain=1 collapses the safety window to zero, making the
+        # residual race deterministic: the CAS write's job reads files
+        # _prune already removed -> must surface as CommitConflict
+        # (caller re-derives), never a raw Py4J FileNotFound crash
+        wh = Warehouse(spark, str(tmp_path / "wh"), retain=1)
+        wh.write(
+            "t", spark.createDataFrame([(1, "a")], "id long, v string"),
+            snapshot="s0",
+        )
+        base, old = wh.read_versioned("t")
+        wh.write(
+            "t", spark.createDataFrame([(2, "b")], "id long, v string"),
+            snapshot="s1",
+        )  # retain=1: s0's files are pruned here
+        assert not os.path.isdir(os.path.join(wh.root, "t", "s0"))
+        with pytest.raises(CommitConflict):
+            wh.write("t", old, snapshot="s2", expected_version=base)
