@@ -872,6 +872,54 @@ class DeltaWarehouse:
                     pass
         return deleted
 
+    def restore(self, table: str, version: int, max_retries: int = 5) -> int:
+        """Delta RESTORE: publish a new head commit whose live file set
+        (and metaData — schema rollback is part of a restore) equals
+        the table's state at ``version``. History moves forward;
+        nothing is rewound. Writer epochs are untouched by
+        construction (txn folds take the max across ALL commits, and
+        this commit emits none). Files at ``version`` must not be
+        vacuumed. CAS at head; concurrent merges win and the restore
+        re-derives. Returns the new head version."""
+        _, meta_v, live_v, _, _ = self._replay(table, upto=version)
+        tdir = self._table_dir(table)
+        missing = [
+            p for p in live_v if not os.path.isfile(os.path.join(tdir, p))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"version {version} of {table!r} references vacuumed "
+                f"files (e.g. {missing[0]!r})"
+            )
+        for _ in range(1 + max_retries):
+            base, _meta_h, live_h, _, _ = self._replay(table)
+            now = int(time.time() * 1000)
+            actions: list[dict] = [
+                self._commit_info("RESTORE", {"version": version}),
+                {"metaData": meta_v},
+            ]
+            actions += [
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
+                }
+                for p in sorted(set(live_h) - set(live_v))
+            ]
+            actions += [
+                {"add": live_v[p]} for p in sorted(set(live_v) - set(live_h))
+            ]
+            try:
+                self._commit(table, base + 1, actions)
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"{table}: restore lost the commit race {1 + max_retries} times"
+        )
+
     def drop(self, table: str) -> None:
         tdir = self._table_dir(table)
         if os.path.isdir(tdir):

@@ -1208,6 +1208,50 @@ class Warehouse:
             "contention too high, run it in a quieter window"
         )
 
+    def restore(self, table: str, version: int, max_retries: int = 5) -> int:
+        """Roll the table back to a RETAINED commit's state by
+        publishing that commit's manifest as a NEW head commit (the
+        Delta RESTORE shape): history moves forward, nothing is
+        rewound or deleted, and time travel still sees everything in
+        between. The bad-import undo the reference cannot express.
+
+        The current writer-epoch (txn) map is carried forward, NOT
+        restored: epochs are writer progress, not data — rolling them
+        back would make already-applied stream batches re-apply.
+        Publish is a CAS at the current head (a concurrent merge wins
+        and the restore re-derives). Returns the new head version."""
+        man = dict(self._commits(table)).get(version)
+        if man is None:
+            raise FileNotFoundError(
+                f"commit {version} of {table!r} not retained"
+            )
+        refs = {man.get("snapshot")} | set((man.get("buckets") or {}).values())
+        missing = [
+            s
+            for s in refs
+            if s and not os.path.isdir(os.path.join(self.root, table, s))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"commit {version} of {table!r} references pruned "
+                f"snapshots: {missing}"
+            )
+        for _ in range(1 + max_retries):
+            latest = self._latest_commit(table)
+            head, cur = latest if latest else (0, {})
+            new_man = {k: v for k, v in man.items() if k != "txn"}
+            if cur.get("txn"):
+                new_man["txn"] = cur["txn"]
+            try:
+                out = self._publish(table, new_man, expected_version=head)
+            except CommitConflict:
+                continue
+            self._prune(table)
+            return out
+        raise CommitConflict(
+            f"{table}: restore lost the commit race {1 + max_retries} times"
+        )
+
     def drop(self, table: str) -> None:
         """DROP TABLE IF EXISTS analog (reference src/db_client.rs:126-145).
         Removes the whole table directory including its commit log."""

@@ -980,3 +980,94 @@ class TestPruneVsInFlightReader:
         assert not os.path.isdir(os.path.join(wh.root, "t", "s0"))
         with pytest.raises(CommitConflict):
             wh.write("t", old, snapshot="s2", expected_version=base)
+
+
+class TestRebucketAndRestore:
+    """Round-8 ops written against the shared contract: rebucket (one
+    impl serves both warehouses — plans/ops.py) and restore (the
+    forward-history rollback; same name/signature on both impls)."""
+
+    def test_rebucket_changes_layout_and_merges_prune_on_it(
+        self, spark, wh_factory
+    ):
+        from canvas_data_loader_spark.plans.ops import rebucket
+
+        wh = wh_factory()
+        wh.write(
+            "t",
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(32)], "id long, v string"
+            ),
+            snapshot="s0",
+            bucket=("id", 2),
+        )
+        rebucket(wh, "t", 8)
+        assert wh.routing_info("t")["bucket_key"] == "id"
+        assert rows_of(wh, "t") == sorted((i, f"v{i}") for i in range(32))
+        # merges now prune against the 8-bucket layout
+        affected = wh.merge_bucketed(
+            "t", spark.createDataFrame([(1, "X")], "id long, v string"),
+            snapshot="m1",
+        )
+        assert len(affected) == 1
+        got = {r["id"]: r["v"] for r in wh.read("t").collect()}
+        assert got[1] == "X" and len(got) == 32
+
+    def test_rebucket_plain_table_requires_key(self, spark, wh_factory):
+        from canvas_data_loader_spark.plans.ops import rebucket
+
+        wh = wh_factory()
+        wh.write(
+            "t", spark.createDataFrame([(1, "a")], "id long, v string"),
+            snapshot="s0",
+        )
+        with pytest.raises(ValueError, match="pass key="):
+            rebucket(wh, "t", 4)
+        rebucket(wh, "t", 4, key="id")
+        assert wh.is_bucketed("t")
+        assert rows_of(wh, "t") == [(1, "a")]
+
+    def test_restore_rolls_back_data_but_not_history_or_epochs(
+        self, spark, wh_factory
+    ):
+        wh = wh_factory()
+        wh.write(
+            "t",
+            spark.createDataFrame(
+                [(i, "old") for i in range(8)], "id long, v string"
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+            txn=("app", 0),
+        )
+        v_good = head(wh, "t")
+        wh.merge_bucketed(
+            "t", spark.createDataFrame([(1, "BAD")], "id long, v string"),
+            snapshot="bad", txn=("app", 1),
+        )
+        v_bad = head(wh, "t")
+        new_head = wh.restore("t", v_good)
+        assert new_head > v_bad  # history moves FORWARD
+        assert {r["v"] for r in wh.read("t").collect()} == {"old"}
+        # the bad state is still time-travelable (nothing rewound)
+        bad = wh.read_at_version("t", v_bad)
+        assert {r["v"] for r in bad.filter("id = 1").collect()} == {"BAD"}
+        # writer epochs carried forward, NOT rolled back: a replayed
+        # stream batch 1 must still be recognized as seen
+        assert wh.last_txn_epoch("app", "t") == 1
+        # and the table keeps merging normally after the restore
+        wh.merge_bucketed(
+            "t", spark.createDataFrame([(2, "NEW")], "id long, v string"),
+            snapshot="m2",
+        )
+        got = {r["id"]: r["v"] for r in wh.read("t").collect()}
+        assert got[2] == "NEW" and got[1] == "old"
+
+    def test_restore_unknown_version_raises(self, spark, wh_factory):
+        wh = wh_factory()
+        wh.write(
+            "t", spark.createDataFrame([(1, "a")], "id long, v string"),
+            snapshot="s0",
+        )
+        with pytest.raises(FileNotFoundError):
+            wh.restore("t", 9999)
