@@ -49,58 +49,11 @@ from pyspark.sql import functions as F
 
 from ..operators.merge import BUCKET_COL, bucket_of
 from .pipeline import CommitConflict
+from .stats import _file_stats
 
 _LOG_FMT = "{:020d}.json"
 _CKPT_FMT = "{:020d}.checkpoint.parquet"
 
-
-def _file_stats(path: str) -> str:
-    """Per-file statistics for the add action (the protocol's
-    data-skipping mechanism): numRecords + per-column min/max, read
-    from the parquet FOOTER (metadata only, no data IO). JSON string
-    per the protocol. Columns whose physical min/max aren't scalar
-    JSON (binary, nested) are omitted — readers treat absence as
-    'cannot skip on this column'."""
-    import datetime
-    import decimal
-
-    import pyarrow.parquet as pq
-
-    md = pq.ParquetFile(path).metadata
-
-    def as_json(v):
-        if isinstance(v, (bool, int, float, str)) or v is None:
-            return v
-        if isinstance(v, (bytes, bytearray)):
-            try:
-                return v.decode("utf-8")
-            except UnicodeDecodeError:
-                return None
-        if isinstance(v, decimal.Decimal):
-            return str(v)
-        if isinstance(v, (datetime.datetime, datetime.date)):
-            return v.isoformat()
-        return None
-
-    mins: dict = {}
-    maxs: dict = {}
-    for rg in range(md.num_row_groups):
-        g = md.row_group(rg)
-        for ci in range(g.num_columns):
-            col = g.column(ci)
-            st = col.statistics
-            name = col.path_in_schema
-            if st is None or not st.has_min_max or "." in name:
-                continue
-            lo, hi = as_json(st.min), as_json(st.max)
-            if lo is None or hi is None:
-                continue
-            mins[name] = lo if name not in mins else min(mins[name], lo)
-            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-    return json.dumps(
-        {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs},
-        separators=(",", ":"),
-    )
 
 
 class DeltaWarehouse:
@@ -571,23 +524,14 @@ class DeltaWarehouse:
         that matters at 100 TB: a time- or key-range query touches the
         files that can contain matches, not the table. Files without
         stats for ``col`` are conservatively kept."""
+        from .stats import stats_disjoint
+
         _, _, live, _, _ = self._replay(table)
-        kept = []
-        for p, a in live.items():
-            st = a.get("stats")
-            if st:
-                try:
-                    s = json.loads(st)
-                    fmin = s.get("minValues", {}).get(col)
-                    fmax = s.get("maxValues", {}).get(col)
-                    if fmin is not None and fmax is not None:
-                        if (hi is not None and fmin > hi) or (
-                            lo is not None and fmax < lo
-                        ):
-                            continue  # provably disjoint: skip the file
-                except (ValueError, TypeError):
-                    pass  # malformed stats: keep conservatively
-            kept.append(p)
+        kept = [
+            p
+            for p, a in live.items()
+            if not stats_disjoint(a.get("stats"), col, lo, hi)
+        ]
         return sorted(kept), len(live)
 
     def read_where(self, table: str, col: str, lo=None, hi=None) -> DataFrame:

@@ -834,6 +834,7 @@ class Warehouse:
 
         if bucket is None:
             run_write(lambda: df.write.mode("append").parquet(out))
+            self._write_stats_sidecar(out)
             self._publish(
                 table,
                 {"snapshot": snapshot, **self._txn_map(table, txn)},
@@ -847,6 +848,7 @@ class Warehouse:
                 .partitionBy(BUCKET_COL)
                 .parquet(out)
             )
+            self._write_stats_sidecar(out)
             self._publish(
                 table,
                 {
@@ -986,6 +988,7 @@ class Warehouse:
                     # — re-derive from the new head like any conflict
                     continue
                 raise
+            self._write_stats_sidecar(out)
             try:
                 self._publish(
                     table,
@@ -1112,6 +1115,104 @@ class Warehouse:
             except OSError:
                 pass
 
+    def _write_stats_sidecar(self, out_dir: str) -> None:
+        """Per-file footer stats for the snapshot, as an immutable
+        ``_stats.json`` sidecar ({file path relative to the snapshot
+        dir: stats JSON}) written BEFORE the manifest publish — the
+        sidecar is part of the snapshot, so it shares its immutability
+        and retention. Spark/DuckDB readers ignore underscore-prefixed
+        files. Best-effort: stats are an optimization and must never
+        fail a write (files without stats are read, not skipped)."""
+        try:
+            from .stats import _file_stats
+
+            stats = {}
+            for dp, _, fs in os.walk(out_dir):
+                for f in sorted(fs):
+                    if f.endswith(".parquet"):
+                        full = os.path.join(dp, f)
+                        stats[os.path.relpath(full, out_dir)] = _file_stats(full)
+            with open(os.path.join(out_dir, "_stats.json"), "w") as fh:
+                json.dump(stats, fh)
+        except Exception:  # noqa: BLE001
+            pass
+
+    def _sidecar(self, table: str, snapshot: str) -> dict:
+        try:
+            with open(
+                os.path.join(self.root, table, snapshot, "_stats.json")
+            ) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return {}
+
+    def files_for_range(
+        self, table: str, col: str, lo=None, hi=None
+    ) -> tuple[list[str], int]:
+        """(live files — relative to the table dir — whose ``col``
+        [min,max] can intersect [lo,hi], total live files): file-level
+        data skipping off the per-snapshot stats sidecars, the same
+        contract DeltaWarehouse.files_for_range provides off its add
+        actions. Files without stats (pre-sidecar snapshots, exotic
+        types) are conservatively kept. For schema-EVOLVED tables the
+        lookup also resolves the column's recorded rename chain, so a
+        range on the current name prunes files written under an old
+        one."""
+        from .stats import stats_disjoint
+
+        m = self.current_manifest(table)
+        if m is None:
+            raise FileNotFoundError(f"table not in warehouse: {table}")
+        renamed = (m.get("renamed_from") or {}).get(col, [])
+        names = [col, *renamed]
+        kept: list[str] = []
+        total = 0
+        sidecars: dict[str, dict] = {}
+
+        def visit(snapshot: str, sub_dir: str | None) -> None:
+            nonlocal total
+            if snapshot not in sidecars:
+                sidecars[snapshot] = self._sidecar(table, snapshot)
+            sdir = os.path.join(self.root, table, snapshot)
+            scan_dir = os.path.join(sdir, sub_dir) if sub_dir else sdir
+            if not os.path.isdir(scan_dir):
+                return
+            for dp, _, fs in os.walk(scan_dir):
+                for f in sorted(fs):
+                    if not f.endswith(".parquet"):
+                        continue
+                    full = os.path.join(dp, f)
+                    rel_snap = os.path.relpath(full, sdir)
+                    total += 1
+                    st = sidecars[snapshot].get(rel_snap)
+                    # resolve which of (current name, historical names)
+                    # THIS file's stats actually carry, then let that
+                    # one decide — checking absent names would always
+                    # read "can't skip" and defeat the prune
+                    skip = False
+                    if st:
+                        try:
+                            mv = json.loads(st).get("minValues", {})
+                            nm = next((n for n in names if n in mv), None)
+                        except ValueError:
+                            nm = None
+                        if nm is not None:
+                            skip = stats_disjoint(st, nm, lo, hi)
+                    if not skip:
+                        kept.append(
+                            os.path.relpath(
+                                full, os.path.join(self.root, table)
+                            )
+                        )
+
+        buckets = m.get("buckets")
+        if buckets:
+            for b, snap in sorted(buckets.items(), key=lambda kv: int(kv[0])):
+                visit(snap, f"{BUCKET_COL}={b}")
+        else:
+            visit(m["snapshot"], None)
+        return sorted(kept), total
+
     def live_file_count(self, table: str) -> int:
         """Parquet files the CURRENT manifest references — the
         fragmentation signal auto-compaction triggers on. Counts only
@@ -1136,6 +1237,50 @@ class Warehouse:
             for dp, _, fs in os.walk(path):
                 count += sum(1 for f in fs if f.endswith(".parquet"))
         return count
+
+    def read_where(self, table: str, col: str, lo=None, hi=None) -> DataFrame:
+        """Range read with file-level data skipping (the manifest-side
+        counterpart of DeltaWarehouse.read_where): open only the files
+        ``files_for_range`` keeps, conform them to the manifest schema
+        (rename/widen/null-pad, as any read does), then apply the
+        residual row filter. Equivalent to read().filter(...), minus
+        the skipped IO."""
+        kept, _total = self.files_for_range(table, col, lo, hi)
+        m = self.current_manifest(table)
+        target = None
+        if m.get("schema"):
+            from pyspark.sql import types as T
+
+            target = T.StructType.fromJson(json.loads(m["schema"]))
+        renamed_from = m.get("renamed_from") or {}
+        if not kept:
+            out = self.read(table).limit(0)
+        else:
+            by_snap: dict[str, list[str]] = {}
+            for rel in kept:
+                snap = rel.split(os.sep, 1)[0]
+                by_snap.setdefault(snap, []).append(
+                    os.path.join(self.root, table, rel)
+                )
+            parts = []
+            for snap in sorted(by_snap):
+                base = os.path.join(self.root, table, snap)
+                part = self.spark.read.option("basePath", base).parquet(
+                    *by_snap[snap]
+                )
+                if target is not None:
+                    part = conform_to(part, target, renamed_from)
+                parts.append(part)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            if m.get("buckets"):
+                out = out.drop(BUCKET_COL)
+        if lo is not None:
+            out = out.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(F.col(col) <= F.lit(hi))
+        return out
 
     def compact(self, table: str, target_bytes: int = 128 * 1024 * 1024) -> int:
         """Compact the current snapshot's small files into ~target-size

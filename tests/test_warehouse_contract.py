@@ -1071,3 +1071,78 @@ class TestRebucketAndRestore:
         )
         with pytest.raises(FileNotFoundError):
             wh.restore("t", 9999)
+
+
+class TestContractDataSkipping:
+    """files_for_range / read_where are contract surface on BOTH impls
+    (Delta: stats in add actions; manifest: per-snapshot _stats.json
+    sidecars). Same semantics: provably-disjoint files skipped,
+    stat-less files conservatively kept, residual filter applied."""
+
+    def test_range_read_prunes_and_matches_filter(self, spark, wh_factory):
+        wh = wh_factory()
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(400)], "id long, v string"
+        ).repartitionByRange(4, "id")
+        wh.write("t", df, snapshot="s0")
+        kept, total = wh.files_for_range("t", "id", lo=50, hi=60)
+        assert total == 4 and len(kept) == 1, (kept, total)
+        got = sorted(
+            r["id"] for r in wh.read_where("t", "id", 50, 60).collect()
+        )
+        assert got == list(range(50, 61))
+        want = sorted(
+            r["id"]
+            for r in wh.read("t").filter("id between 50 and 60").collect()
+        )
+        assert got == want
+        # unknown column: nothing provable, everything kept
+        kept_all, _ = wh.files_for_range("t", "nope", lo=0, hi=1)
+        assert len(kept_all) == 4
+
+    def test_bucketed_range_read(self, spark, wh_factory):
+        wh = wh_factory()
+        df = spark.createDataFrame(
+            [(i, i * 10) for i in range(64)], "id long, score long"
+        )
+        wh.write("t", df, snapshot="s0", bucket=("id", 4))
+        # score correlates with nothing bucket-wise, so pruning on
+        # score is weak — correctness is what's under test here
+        got = sorted(
+            tuple(r) for r in wh.read_where("t", "score", 100, 200).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in wh.read("t").filter("score between 100 and 200").collect()
+        )
+        assert got == want and len(got) == 11
+
+
+class TestManifestSkippingEvolved:
+    def test_renamed_column_range_prunes_old_files(self, spark, tmp_path):
+        # files written before a RENAME carry the old physical name in
+        # their stats; a range on the CURRENT name must still prune
+        # them via the manifest's rename chain
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        wh.write(
+            "t",
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(64)], "id long, cnt int"
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        batch = spark.createDataFrame(
+            [(1, 999)], "id long, total int"
+        )
+        wh.merge_bucketed(
+            "t", batch, snapshot="m1", evolve=True, renames={"cnt": "total"},
+        )
+        kept, total = wh.files_for_range("t", "total", lo=5000, hi=9000)
+        # every pre-rename file has cnt <= 630 and the merge file holds
+        # 999 — ALL files are provably disjoint from [5000, 9000]
+        assert kept == [] and total >= 4
+        assert wh.read_where("t", "total", 5000, 9000).count() == 0
+        # and an intersecting range still resolves through the chain
+        got = {r["id"]: r["total"] for r in wh.read_where("t", "total", 990, 1000).collect()}
+        assert got == {1: 999}
