@@ -11,6 +11,15 @@ use::
 ``--offline-fixture`` points at a directory of canned JSON fixtures
 (served through LocalDirTransport) for running without network — the
 signing, planning, merge, and ledger code paths are identical.
+
+``maintain`` subcommand (round 8): the warehouse maintenance surface
+— compact / vacuum / rebucket / restore — over either commit-log
+format, so operators don't need a Python session for routine table
+care::
+
+    python -m canvas_data_loader_spark maintain --warehouse-dir DIR \
+        --table T [--format manifest|delta] \
+        (--compact | --vacuum | --rebucket N [--key K] | --restore V)
 """
 
 from __future__ import annotations
@@ -21,7 +30,57 @@ import os
 import sys
 
 
+def _maintain(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(prog="canvas_data_loader_spark maintain")
+    ap.add_argument("--warehouse-dir", required=True)
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--format", choices=("manifest", "delta"), default="manifest")
+    g = ap.add_mutually_exclusive_group(required=True)
+    g.add_argument("--compact", action="store_true")
+    g.add_argument("--vacuum", action="store_true", help="delta format only")
+    g.add_argument("--rebucket", type=int, metavar="N_BUCKETS")
+    g.add_argument("--restore", type=int, metavar="VERSION")
+    ap.add_argument("--key", default=None, help="bucket key for --rebucket")
+    args = ap.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark("cdl-maintain")
+    if args.format == "delta":
+        from .plans.delta import DeltaWarehouse
+
+        wh = DeltaWarehouse(spark, args.warehouse_dir)
+    else:
+        from .plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, args.warehouse_dir)
+    if args.compact:
+        n = wh.compact(args.table)
+        print(f"compacted {args.table}: {n} files")
+    elif args.vacuum:
+        if args.format != "delta":
+            print("--vacuum applies to the delta format (the manifest "
+                  "warehouse prunes automatically on every write)")
+            return 2
+        n = wh.vacuum(args.table)
+        print(f"vacuumed {args.table}: {n} files removed")
+    elif args.rebucket is not None:
+        from .plans.ops import rebucket
+
+        snap = rebucket(wh, args.table, args.rebucket, key=args.key)
+        print(f"rebucketed {args.table} into {args.rebucket} buckets ({snap})")
+    elif args.restore is not None:
+        v = wh.restore(args.table, args.restore)
+        print(f"restored {args.table} to version {args.restore} "
+              f"(new head commit {v})")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "maintain":
+        return _maintain(argv[1:])
     ap = argparse.ArgumentParser(prog="canvas_data_loader_spark")
     ap.add_argument("--config-dir", default="config")
     ap.add_argument("--warehouse-dir", default=None)

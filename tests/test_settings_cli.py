@@ -501,3 +501,56 @@ class TestStreamReplayExactlyOnce:
         # app id defaults to the checkpoint path (batch ids are scoped
         # to a checkpoint); batch 0 is recorded
         assert wh.last_txn_epoch(f"stream:{ckpt}", "t") == 0
+
+
+class TestMaintainCli:
+    def test_compact_rebucket_restore_via_cli(self, tmp_path, spark):
+        from canvas_data_loader_spark.__main__ import main
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh_dir = str(tmp_path / "whm")
+        wh = Warehouse(spark, wh_dir)
+        wh.write(
+            "t",
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(16)], "id long, v string"
+            ),
+            snapshot="s0",
+            bucket=("id", 2),
+        )
+        v_good = wh._current_version("t")
+        wh.merge_bucketed(
+            "t", spark.createDataFrame([(1, "BAD")], "id long, v string"),
+            snapshot="bad",
+        )
+        base = ["maintain", "--warehouse-dir", wh_dir, "--table", "t"]
+        assert main(base + ["--rebucket", "4"]) == 0
+        assert wh.current_manifest("t")["n_buckets"] == 4
+        assert main(base + ["--compact"]) == 0
+        assert main(base + ["--restore", str(v_good)]) == 0
+        rows = {r["id"]: r["v"] for r in wh.read("t").collect()}
+        assert rows[1] == "v1" and len(rows) == 16  # BAD rolled back
+        # vacuum on manifest format: refused with guidance
+        assert main(base + ["--vacuum"]) == 2
+
+    def test_vacuum_via_cli_delta(self, tmp_path, spark):
+        from canvas_data_loader_spark.__main__ import main
+        from canvas_data_loader_spark.plans.delta import DeltaWarehouse
+
+        wh_dir = str(tmp_path / "whd")
+        wh = DeltaWarehouse(spark, wh_dir, vacuum_retention_sec=0)
+        wh.write(
+            "t", spark.createDataFrame([(1, "a")], "id long, v string"),
+            snapshot="s0",
+        )
+        wh.write(
+            "t", spark.createDataFrame([(2, "b")], "id long, v string"),
+            snapshot="s1",
+        )
+        rc = main(
+            ["maintain", "--warehouse-dir", wh_dir, "--table", "t",
+             "--format", "delta", "--vacuum"]
+        )
+        assert rc == 0
+        rows = {r["id"]: r["v"] for r in wh.read("t").collect()}
+        assert rows == {2: "b"}
