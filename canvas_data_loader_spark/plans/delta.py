@@ -816,6 +816,62 @@ class DeltaWarehouse:
                     pass
         return deleted
 
+    def _live_by_bucket(
+        self, live: dict[str, dict]
+    ) -> dict[int, frozenset[str]]:
+        out: dict[int, set[str]] = {}
+        for p, a in live.items():
+            b = a.get("partitionValues", {}).get(BUCKET_COL)
+            if b is not None:
+                out.setdefault(int(b), set()).add(p)
+        return {k: frozenset(v) for k, v in out.items()}
+
+    def changed_buckets(
+        self, table: str, v_from: int, v_to: int
+    ) -> list[int] | None:
+        """Bucket ids whose live FILE SET differs between two versions
+        (the pruning input for plans/ops.py table_changes — files are
+        immutable, so an identical file set proves identical rows).
+        None when pruning is unavailable: either version unbucketed,
+        or the bucket layout changed between them."""
+        _, meta1, live1, _, _ = self._replay(table, upto=v_from)
+        _, meta2, live2, _, _ = self._replay(table, upto=v_to)
+        s1, s2 = self._bucket_spec(meta1), self._bucket_spec(meta2)
+        if s1 is None or s2 is None or s1 != s2:
+            return None
+        b1, b2 = self._live_by_bucket(live1), self._live_by_bucket(live2)
+        return sorted(
+            b
+            for b in set(b1) | set(b2)
+            if b1.get(b, frozenset()) != b2.get(b, frozenset())
+        )
+
+    def read_buckets_at_version(
+        self, table: str, version: int, bucket_ids: list[int]
+    ) -> DataFrame:
+        """Partition-pruned read of specific buckets AS OF a version
+        (the read half of pruned CDC). Files must not be vacuumed."""
+        _, meta, live, _, _ = self._replay(table, upto=version)
+        wanted = {str(b) for b in bucket_ids}
+        sub = {
+            p: a
+            for p, a in live.items()
+            if a.get("partitionValues", {}).get(BUCKET_COL) in wanted
+        }
+        tdir = self._table_dir(table)
+        missing = [p for p in sub if not os.path.isfile(os.path.join(tdir, p))]
+        if missing:
+            raise FileNotFoundError(
+                f"version {version} of {table!r} references vacuumed "
+                f"files (e.g. {missing[0]!r})"
+            )
+        df = self._df_for(table, meta, sub)
+        if not sub:
+            # schema-only: _df_for built from metaData schema (which
+            # excludes the partition column, matching the drop below)
+            return df
+        return df.drop(*meta.get("partitionColumns", []))
+
     def restore(self, table: str, version: int, max_retries: int = 5) -> int:
         """Delta RESTORE: publish a new head commit whose live file set
         (and metaData — schema rollback is part of a restore) equals

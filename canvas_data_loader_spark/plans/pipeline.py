@@ -605,6 +605,48 @@ class Warehouse:
             df = df.drop(BUCKET_COL)
         return df
 
+    def changed_buckets(
+        self, table: str, v_from: int, v_to: int
+    ) -> list[int] | None:
+        """Bucket ids whose backing snapshot DIFFERS between two
+        retained commits — the pruning input for CDC (plans/ops.py
+        table_changes): a daily merge touching b of N buckets yields a
+        change feed computed from b/N of the table, because untouched
+        buckets reference byte-identical directories and provably hold
+        identical rows. None = pruning unavailable (either version
+        unbucketed, or the bucket layout itself changed between them —
+        rebucket/key change — so a full diff is required)."""
+        by_version = dict(self._commits(table))
+        m1, m2 = by_version.get(v_from), by_version.get(v_to)
+        for v, m in ((v_from, m1), (v_to, m2)):
+            if m is None:
+                raise FileNotFoundError(
+                    f"commit {v} of {table!r} not retained"
+                )
+        if not (m1.get("buckets") and m2.get("buckets")):
+            return None
+        if m1.get("bucket_key") != m2.get("bucket_key") or int(
+            m1["n_buckets"]
+        ) != int(m2["n_buckets"]):
+            return None
+        return sorted(
+            int(b)
+            for b in m2["buckets"]
+            if m1["buckets"].get(b) != m2["buckets"][b]
+        )
+
+    def read_buckets_at_version(
+        self, table: str, version: int, bucket_ids: list[int]
+    ) -> DataFrame:
+        """Partition-pruned read of specific buckets AS OF a retained
+        commit (the read half of pruned CDC)."""
+        man = dict(self._commits(table)).get(version)
+        if man is None:
+            raise FileNotFoundError(f"commit {version} of {table!r} not retained")
+        return self.read_buckets(table, bucket_ids, manifest=man).drop(
+            BUCKET_COL
+        )
+
     def external_read_sql(self, table: str, version: int | None = None) -> str:
         """CROSS-ENGINE snapshot read: a DuckDB-runnable SQL statement
         that reads a consistent snapshot of ``table`` straight from the

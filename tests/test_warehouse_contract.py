@@ -1146,3 +1146,105 @@ class TestManifestSkippingEvolved:
         # and an intersecting range still resolves through the chain
         got = {r["id"]: r["total"] for r in wh.read_where("t", "total", 990, 1000).collect()}
         assert got == {1: 999}
+
+
+class TestContractChangeFeed:
+    """table_changes (plans/ops.py): Delta-CDF-shaped change feed
+    between two retained commits, computed on O(changed buckets) via
+    each impl's changed_buckets/read_buckets_at_version primitives."""
+
+    def test_merge_produces_pruned_update_and_insert_feed(
+        self, spark, wh_factory
+    ):
+        from canvas_data_loader_spark.plans.ops import table_changes
+
+        wh = wh_factory()
+        wh.write(
+            "t",
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(32)], "id long, v string"
+            ),
+            snapshot="s0",
+            bucket=("id", 8),
+        )
+        v0 = head(wh, "t")
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame(
+                [(1, "UPD"), (100, "NEW")], "id long, v string"
+            ),
+            snapshot="m1",
+        )
+        v1 = head(wh, "t")
+        # pruning: only the touched buckets differ
+        changed = wh.changed_buckets("t", v0, v1)
+        assert changed is not None and 1 <= len(changed) <= 2
+        feed = table_changes(wh, "t", v0, v1)
+        got = sorted(
+            (r["id"], r["v"], r["_change_type"]) for r in feed.collect()
+        )
+        assert got == [
+            (1, "UPD", "update_postimage"),
+            (1, "v1", "update_preimage"),
+            (100, "NEW", "insert"),
+        ]
+
+    def test_no_change_interval_is_metadata_only_empty(self, spark, wh_factory):
+        from canvas_data_loader_spark.plans.ops import table_changes
+
+        wh = wh_factory()
+        wh.write(
+            "t",
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        v0 = head(wh, "t")
+        feed = table_changes(wh, "t", v0, v0)
+        assert feed.columns == ["id", "v", "_change_type"]
+        assert feed.count() == 0
+
+    def test_restore_shows_deletes(self, spark, wh_factory):
+        from canvas_data_loader_spark.plans.ops import table_changes
+
+        wh = wh_factory()
+        wh.write(
+            "t",
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        v0 = head(wh, "t")
+        wh.merge_bucketed(
+            "t", spark.createDataFrame([(2, "b")], "id long, v string"),
+            snapshot="m1",
+        )
+        v1 = head(wh, "t")
+        wh.restore("t", v0)
+        v2 = head(wh, "t")
+        got = sorted(
+            (r["id"], r["_change_type"])
+            for r in table_changes(wh, "t", v1, v2).collect()
+        )
+        assert got == [(2, "delete")]
+
+    def test_unbucketed_falls_back_to_full_diff(self, spark, wh_factory):
+        from canvas_data_loader_spark.plans.ops import table_changes
+
+        wh = wh_factory()
+        wh.write(
+            "t", spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+            snapshot="s0",
+        )
+        v0 = head(wh, "t")
+        wh.write(
+            "t", spark.createDataFrame([(1, "a"), (3, "c")], "id long, v string"),
+            snapshot="s1",
+        )
+        v1 = head(wh, "t")
+        assert wh.changed_buckets("t", v0, v1) is None
+        got = sorted(
+            (r["id"], r["_change_type"])
+            for r in table_changes(wh, "t", v0, v1, key="id").collect()
+        )
+        assert got == [(2, "delete"), (3, "insert")]
