@@ -143,3 +143,20 @@ def table_changes(
         old = warehouse.read_buckets_at_version(table, v_from, changed)
         new = warehouse.read_buckets_at_version(table, v_to, changed)
     return keyed_changes(old, new, key)
+
+
+def apply_changes(base: DataFrame, feed: DataFrame, key: str) -> DataFrame:
+    """The consumer half of the change feed: apply a ``table_changes``
+    feed to a downstream copy of the FROM-version table, producing the
+    TO-version table (pinned by the reconstruction test in the
+    contract suite). Keys with a delete or update_preimage row are
+    removed, then insert/update_postimage rows are added — one
+    anti-join + union, the same shape as the warehouse merge itself,
+    so a downstream mirror stays O(changes) per sync."""
+    removed = feed.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select(key)
+    added = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).drop("_change_type")
+    return base.join(removed, on=key, how="left_anti").unionByName(added)

@@ -1248,3 +1248,46 @@ class TestContractChangeFeed:
             for r in table_changes(wh, "t", v0, v1, key="id").collect()
         )
         assert got == [(2, "delete"), (3, "insert")]
+
+
+class TestApplyChangesReconstruction:
+    def test_feed_applied_downstream_reproduces_new_version(
+        self, spark, wh_factory
+    ):
+        # the completeness invariant that makes the feed trustworthy:
+        # FROM-version table + feed == TO-version table, exactly
+        from canvas_data_loader_spark.plans.ops import (
+            apply_changes,
+            table_changes,
+        )
+
+        wh = wh_factory()
+        wh.write(
+            "t",
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(24)], "id long, v string"
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        v0 = head(wh, "t")
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame(
+                [(3, "U3"), (7, "U7"), (200, "NEW")], "id long, v string"
+            ),
+            snapshot="m1",
+        )
+        wh.restore("t", v0)  # introduces deletes in the next interval
+        wh.merge_bucketed(
+            "t", spark.createDataFrame([(5, "U5")], "id long, v string"),
+            snapshot="m2",
+        )
+        v_final = head(wh, "t")
+        feed = table_changes(wh, "t", v0, v_final)
+        downstream = apply_changes(
+            wh.read_at_version("t", v0), feed, "id"
+        )
+        assert sorted(tuple(r) for r in downstream.collect()) == sorted(
+            tuple(r) for r in wh.read("t").collect()
+        )
