@@ -40,7 +40,14 @@ def _maintain(argv: list[str]) -> int:
     g.add_argument("--vacuum", action="store_true", help="delta format only")
     g.add_argument("--rebucket", type=int, metavar="N_BUCKETS")
     g.add_argument("--restore", type=int, metavar="VERSION")
-    ap.add_argument("--key", default=None, help="bucket key for --rebucket")
+    g.add_argument(
+        "--changes", nargs=2, type=int, metavar=("V_FROM", "V_TO"),
+        help="write the change feed between two commits as parquet",
+    )
+    ap.add_argument("--key", default=None,
+                    help="bucket key for --rebucket / --changes")
+    ap.add_argument("--out", default=None,
+                    help="output directory for --changes")
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -73,6 +80,29 @@ def _maintain(argv: list[str]) -> int:
         v = wh.restore(args.table, args.restore)
         print(f"restored {args.table} to version {args.restore} "
               f"(new head commit {v})")
+    elif args.changes is not None:
+        if not args.out:
+            print("--changes requires --out DIR")
+            return 2
+        from .plans.ops import table_changes
+
+        v_from, v_to = args.changes
+        feed = table_changes(wh, args.table, v_from, v_to, key=args.key)
+        feed.write.mode("overwrite").parquet(args.out)
+        from pyspark.sql import functions as F
+
+        counts = {
+            r["_change_type"]: r["n"]
+            for r in spark.read.parquet(args.out)
+            .groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        print(
+            f"changes {args.table} v{v_from}->v{v_to}: "
+            + (", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
+               or "none")
+        )
     return 0
 
 

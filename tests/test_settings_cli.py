@@ -554,3 +554,39 @@ class TestMaintainCli:
         assert rc == 0
         rows = {r["id"]: r["v"] for r in wh.read("t").collect()}
         assert rows == {2: "b"}
+
+
+class TestChangesCli:
+    def test_change_feed_export(self, tmp_path, spark):
+        from canvas_data_loader_spark.__main__ import main
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh_dir = str(tmp_path / "whc")
+        wh = Warehouse(spark, wh_dir)
+        wh.write(
+            "t",
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(8)], "id long, v string"
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        v0 = wh._current_version("t")
+        wh.merge_bucketed(
+            "t", spark.createDataFrame([(1, "UPD")], "id long, v string"),
+            snapshot="m1",
+        )
+        v1 = wh._current_version("t")
+        out = str(tmp_path / "feed")
+        rc = main(
+            ["maintain", "--warehouse-dir", wh_dir, "--table", "t",
+             "--changes", str(v0), str(v1), "--out", out]
+        )
+        assert rc == 0
+        feed = {(r["id"], r["_change_type"]) for r in spark.read.parquet(out).collect()}
+        assert feed == {(1, "update_preimage"), (1, "update_postimage")}
+        # missing --out is a usage error
+        assert main(
+            ["maintain", "--warehouse-dir", wh_dir, "--table", "t",
+             "--changes", str(v0), str(v1)]
+        ) == 2
