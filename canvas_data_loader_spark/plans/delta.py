@@ -330,11 +330,17 @@ class DeltaWarehouse:
                 )
         return adds, schema_json, rel
 
+    # configuration keys owned by the engine (bucket routing), never
+    # reported as user properties and always re-derived from the
+    # ``bucket`` argument rather than carried forward
+    _INTERNAL_CFG = ("spark_graft.bucket_key", "spark_graft.n_buckets")
+
     def _meta_action(
         self,
         schema_json: str,
         bucket: tuple[str, int] | None,
         existing: dict | None = None,
+        props: dict | None = None,
     ) -> dict:
         key_cfg = {}
         if bucket is not None:
@@ -345,6 +351,22 @@ class DeltaWarehouse:
                 "spark_graft.bucket_key": bucket[0],
                 "spark_graft.n_buckets": str(bucket[1]),
             }
+        # user properties (TBLPROPERTIES) carry forward across commits
+        # — Delta metaData replaces wholesale, so dropping them here
+        # would silently unset properties on every write; ``props``
+        # overlays on top, a None value unsetting the key (the same
+        # merge rule as Warehouse._props_map, pinned by the contract
+        # suite)
+        cfg = {
+            k: v
+            for k, v in ((existing or {}).get("configuration") or {}).items()
+            if k not in self._INTERNAL_CFG
+        }
+        for k, v in (props or {}).items():
+            if v is None:
+                cfg.pop(k, None)
+            else:
+                cfg[str(k)] = str(v)
         return {
             "id": (existing or {}).get("id") or str(uuid.uuid4()),
             "name": None,
@@ -352,10 +374,58 @@ class DeltaWarehouse:
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_json,
             "partitionColumns": [BUCKET_COL] if bucket is not None else [],
-            "configuration": key_cfg,
+            "configuration": {**cfg, **key_cfg},
             "createdTime": (existing or {}).get("createdTime")
             or int(time.time() * 1000),
         }
+
+    def table_properties(self, table: str) -> dict:
+        """User table properties at the head (SHOW TBLPROPERTIES):
+        metaData.configuration minus the engine's bucket-routing keys.
+        {} for a table with no commits (same leniency as
+        last_txn_epoch and the manifest impl)."""
+        try:
+            _, meta, _, _, _ = self._replay(table)
+        except FileNotFoundError:
+            return {}
+        return {
+            k: v
+            for k, v in (meta.get("configuration") or {}).items()
+            if k not in self._INTERNAL_CFG
+        }
+
+    def set_properties(
+        self, table: str, props: dict, max_retries: int = 5
+    ) -> int:
+        """Metadata-only commit updating table properties (ALTER TABLE
+        SET/UNSET TBLPROPERTIES; None values unset). Emits only a new
+        ``metaData`` action — no add/remove, data untouched — as a CAS
+        at head+1 so a concurrent data commit wins and this re-derives.
+        Returns the new head version."""
+        for _ in range(1 + max_retries):
+            base, meta, _, _, _ = self._replay(table)
+            new_meta = self._meta_action(
+                meta["schemaString"],
+                self._bucket_spec(meta),
+                meta,
+                props=props,
+            )
+            actions = [
+                self._commit_info(
+                    "SET TBLPROPERTIES",
+                    {k: "<unset>" if v is None else v for k, v in props.items()},
+                ),
+                {"metaData": new_meta},
+            ]
+            try:
+                self._commit(table, base + 1, actions)
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"{table}: set_properties lost the commit race "
+            f"{1 + max_retries} times"
+        )
 
     @staticmethod
     def _commit_info(operation: str, params: dict | None = None) -> dict:
@@ -381,6 +451,7 @@ class DeltaWarehouse:
         expected_version: int | None = None,
         txn: tuple[str, int] | None = None,
         max_retries: int = 5,
+        props: dict | None = None,
     ) -> str:
         """Full-snapshot replace (or create): add the new files, remove
         every previously-live file.
@@ -413,7 +484,11 @@ class DeltaWarehouse:
                     {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
                 )
             actions.append(
-                {"metaData": self._meta_action(schema_json, bucket, old_meta)}
+                {
+                    "metaData": self._meta_action(
+                        schema_json, bucket, old_meta, props=props
+                    )
+                }
             )
             if txn is not None:
                 actions.append({"txn": {"appId": txn[0], "version": txn[1]}})

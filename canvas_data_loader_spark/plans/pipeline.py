@@ -806,6 +806,52 @@ class Warehouse:
         m = self.current_manifest(table) or {}
         return int((m.get("txn") or {}).get(app_id, -1))
 
+    def _props_map(self, props: dict | None, base: dict | None) -> dict:
+        """Manifest ``props`` field (the TBLPROPERTIES analog; the
+        DeltaWarehouse twin rides ``metaData.configuration``). Carries
+        the base manifest's properties forward on every commit unless
+        explicitly changed; in ``props``, a None value DELETES the key.
+        Values are stringified — Delta's configuration is
+        map<string,string>, and the contract keeps both impls at the
+        lowest common type."""
+        merged = dict((base or {}).get("props") or {})
+        for k, v in (props or {}).items():
+            if v is None:
+                merged.pop(k, None)
+            else:
+                merged[str(k)] = str(v)
+        return {"props": merged} if merged else {}
+
+    def table_properties(self, table: str) -> dict:
+        """User table properties at the head commit (SHOW TBLPROPERTIES)."""
+        return dict((self.current_manifest(table) or {}).get("props") or {})
+
+    def set_properties(
+        self, table: str, props: dict, max_retries: int = 5
+    ) -> int:
+        """Metadata-only commit updating table properties (ALTER TABLE
+        SET/UNSET TBLPROPERTIES: None values unset). The new manifest
+        reuses the head's data references unchanged, published as a CAS
+        so a concurrent data commit wins and this re-derives on top of
+        it. Returns the new head version."""
+        for _ in range(1 + max_retries):
+            latest = self._latest_commit(table)
+            if latest is None:
+                raise FileNotFoundError(f"table not in warehouse: {table}")
+            head, m = latest
+            new_man = {k: v for k, v in m.items() if k != "props"}
+            new_man.update(self._props_map(props, m))
+            try:
+                out = self._publish(table, new_man, expected_version=head)
+            except CommitConflict:
+                continue
+            self._prune(table)
+            return out
+        raise CommitConflict(
+            f"{table}: set_properties lost the commit race "
+            f"{1 + max_retries} times"
+        )
+
     def write(
         self,
         table: str,
@@ -814,6 +860,7 @@ class Warehouse:
         bucket: tuple[str, int] | None = None,
         expected_version: int | None = None,
         txn: tuple[str, int] | None = None,
+        props: dict | None = None,
     ) -> str:
         """Write a new immutable snapshot, publish its manifest, prune
         snapshots beyond the retention window. Readers follow the
@@ -874,12 +921,20 @@ class Warehouse:
                     ) from None
                 raise
 
+        # ONE base-manifest fetch for the carried-forward props (same
+        # CAS-safety reasoning as _txn_map: a stale fetch can only ride
+        # a publish that conflicts anyway)
+        base_man = self.current_manifest(table)
         if bucket is None:
             run_write(lambda: df.write.mode("append").parquet(out))
             self._write_stats_sidecar(out)
             self._publish(
                 table,
-                {"snapshot": snapshot, **self._txn_map(table, txn)},
+                {
+                    "snapshot": snapshot,
+                    **self._txn_map(table, txn),
+                    **self._props_map(props, base_man),
+                },
                 expected_version=expected_version,
             )
         else:
@@ -902,6 +957,7 @@ class Warehouse:
                         BUCKET_COL, bucket_of(F.col(key), n)
                     ).schema.json(),
                     **self._txn_map(table, txn),
+                    **self._props_map(props, base_man),
                 },
                 expected_version=expected_version,
             )
@@ -1053,6 +1109,7 @@ class Warehouse:
                             if txn is not None
                             else {}
                         ),
+                        **self._props_map(None, m),
                     },
                     expected_version=base_version,
                 )

@@ -1291,3 +1291,81 @@ class TestApplyChangesReconstruction:
         assert sorted(tuple(r) for r in downstream.collect()) == sorted(
             tuple(r) for r in wh.read("t").collect()
         )
+
+
+class TestContractTableProperties:
+    """User table properties (TBLPROPERTIES): manifest ``props`` field
+    vs Delta ``metaData.configuration`` — one merge rule (overlay;
+    None unsets), carried forward across data commits, rolled back by
+    restore, and never leaking the engine's bucket-routing keys."""
+
+    def test_props_written_read_and_carried_through_commits(
+        self, spark, wh_factory
+    ):
+        wh = wh_factory()
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(12)], "id long, v string"
+        )
+        wh.write(
+            "t", df, snapshot="s0", bucket=("id", 4),
+            props={"owner": "etl", "tier": "gold"},
+        )
+        assert wh.table_properties("t") == {"owner": "etl", "tier": "gold"}
+        # survives a merge (which builds its commit independently)
+        wh.merge_bucketed(
+            "t", spark.createDataFrame([(1, "U")], "id long, v string"),
+            snapshot="m1",
+        )
+        assert wh.table_properties("t") == {"owner": "etl", "tier": "gold"}
+        # survives compaction
+        wh.compact("t")
+        assert wh.table_properties("t") == {"owner": "etl", "tier": "gold"}
+        # survives a full replace with no props argument
+        wh.write("t", df, snapshot="s1", bucket=("id", 4))
+        assert wh.table_properties("t") == {"owner": "etl", "tier": "gold"}
+
+    def test_set_properties_overlay_unset_and_cas(self, spark, wh_factory):
+        wh = wh_factory()
+        df = spark.createDataFrame([(1, "a")], "id long, v string")
+        wh.write("t", df, snapshot="s0", props={"a": "1", "b": "2"})
+        v = wh.set_properties("t", {"b": None, "c": "3"})
+        assert wh.table_properties("t") == {"a": "1", "c": "3"}
+        assert head(wh, "t") == v  # metadata-only commit advanced the head
+        # data untouched by the metadata-only commit
+        assert rows_of(wh, "t") == [(1, "a")]
+        # values stringify (Delta configuration is map<string,string>)
+        wh.set_properties("t", {"n": 7})
+        assert wh.table_properties("t")["n"] == "7"
+
+    def test_restore_rolls_back_properties(self, spark, wh_factory):
+        wh = wh_factory()
+        df = spark.createDataFrame([(1, "a")], "id long, v string")
+        wh.write("t", df, snapshot="s0", props={"stage": "raw"})
+        v0 = head(wh, "t")
+        wh.set_properties("t", {"stage": "curated"})
+        assert wh.table_properties("t") == {"stage": "curated"}
+        wh.restore("t", v0)
+        assert wh.table_properties("t") == {"stage": "raw"}
+
+    def test_bucket_routing_keys_never_reported_or_lost(
+        self, spark, wh_factory
+    ):
+        wh = wh_factory()
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id long, v string"
+        )
+        wh.write("t", df, snapshot="s0", bucket=("id", 4), props={"x": "y"})
+        assert "spark_graft.bucket_key" not in wh.table_properties("t")
+        # setting properties must not clobber bucket routing
+        wh.set_properties("t", {"x": "z"})
+        assert wh.is_bucketed("t")
+        assert wh.routing_info("t")["bucket_key"] == "id"
+        wh.merge_bucketed(
+            "t", spark.createDataFrame([(2, "U")], "id long, v string"),
+            snapshot="m1",
+        )
+        assert wh.table_properties("t") == {"x": "z"}
+
+    def test_missing_table_is_empty(self, spark, wh_factory):
+        wh = wh_factory()
+        assert wh.table_properties("nope") == {}
