@@ -19,7 +19,8 @@ care::
 
     python -m canvas_data_loader_spark maintain --warehouse-dir DIR \
         --table T [--format manifest|delta] \
-        (--compact | --vacuum | --rebucket N [--key K] | --restore V)
+        (--compact | --vacuum | --rebucket N [--key K] | --restore V \
+         | --changes V_FROM V_TO --out DIR | --refresh-view)
 """
 
 from __future__ import annotations
@@ -43,6 +44,12 @@ def _maintain(argv: list[str]) -> int:
     g.add_argument(
         "--changes", nargs=2, type=int, metavar=("V_FROM", "V_TO"),
         help="write the change feed between two commits as parquet",
+    )
+    g.add_argument(
+        "--refresh-view", action="store_true",
+        help="advance a materialized rollup view (created with "
+        "plans.ops.create_rollup_view; --table names the VIEW) to its "
+        "source's current version — incremental via the change feed",
     )
     ap.add_argument("--key", default=None,
                     help="bucket key for --rebucket / --changes")
@@ -102,6 +109,14 @@ def _maintain(argv: list[str]) -> int:
             f"changes {args.table} v{v_from}->v{v_to}: "
             + (", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
                or "none")
+        )
+    elif args.refresh_view:
+        from .plans.ops import refresh_rollup_view
+
+        out = refresh_rollup_view(wh, args.table)
+        print(
+            f"refreshed {args.table}: {out['mode']} "
+            f"(source v{out['v_from']} -> v{out['v_to']})"
         )
     return 0
 

@@ -394,6 +394,17 @@ class DeltaWarehouse:
             if k not in self._INTERNAL_CFG
         }
 
+    def table_id(self, table: str) -> str | None:
+        """Stable table identity (``metaData.id``, minted at create and
+        carried across commits): a drop + recreate yields a different
+        id, which incremental consumers use to detect the
+        version-number ABA (shared contract with Warehouse.table_id)."""
+        try:
+            _, meta, _, _, _ = self._replay(table)
+        except FileNotFoundError:
+            return None
+        return meta.get("id")
+
     def set_properties(
         self, table: str, props: dict, max_retries: int = 5
     ) -> int:

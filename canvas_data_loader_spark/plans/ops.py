@@ -160,3 +160,169 @@ def apply_changes(base: DataFrame, feed: DataFrame, key: str) -> DataFrame:
         F.col("_change_type").isin("insert", "update_postimage")
     ).drop("_change_type")
     return base.join(removed, on=key, how="left_anti").unionByName(added)
+
+
+# -- materialized rollup views (change-feed consumers) ----------------------
+
+def _mv_definition(props: dict, view: str) -> tuple[str, str, list, dict]:
+    import json
+
+    if "mv.source" not in props:
+        raise ValueError(
+            f"{view!r} is not a materialized view (no mv.* table "
+            "properties — create it with create_rollup_view)"
+        )
+    return (
+        props["mv.source"],
+        props["mv.source_key"],
+        json.loads(props["mv.group_keys"]),
+        json.loads(props["mv.sum_cols"]),
+    )
+
+
+def create_rollup_view(
+    warehouse,
+    view: str,
+    source: str,
+    group_keys: list[str],
+    sum_cols: dict[str, str],
+    source_key: str | None = None,
+) -> int:
+    """Materialize a grouped rollup (COUNT + exact DECIMAL SUMs per
+    group — operators/ivm.py build_rollup) of ``source`` as its own
+    warehouse table, REFRESHABLE INCREMENTALLY from the change feed:
+    the definition rides the view's table properties and the source
+    commit version it reflects rides the writer-epoch (txn) map — both
+    in the same atomic commit as the rows, so a crash can never leave
+    a view whose recorded watermark disagrees with its contents.
+
+    This is the minimal Delta-Live-Tables/Materialize core on top of
+    the warehouse: at 100 TB, ``refresh_rollup_view`` costs a scan of
+    the CHANGED BUCKETS since the last refresh (b/N of the table for a
+    daily merge, zero files for a no-op interval), never a re-read of
+    the fact table. ``source_key`` defaults to the source's bucket key.
+
+    Returns the source version the view now reflects."""
+    import json
+
+    if source_key is None:
+        info = warehouse.routing_info(source)
+        source_key = info["bucket_key"] if info else None
+        if source_key is None:
+            raise ValueError(
+                f"source {source!r} has no bucket key — pass source_key="
+            )
+    from ..operators.ivm import build_rollup
+
+    v_src, src = warehouse.read_versioned(source)
+    rollup = build_rollup(src, group_keys, sum_cols)
+    warehouse.write(
+        view,
+        rollup,
+        snapshot=f"mv-full-v{v_src}",
+        txn=(f"mv:{source}", v_src),
+        props={
+            "mv.source": source,
+            "mv.source_key": source_key,
+            "mv.group_keys": json.dumps(group_keys),
+            "mv.sum_cols": json.dumps(sum_cols),
+            # source INCARNATION, not just version: a drop + recreate
+            # restarts version numbers, and a watermark compared by
+            # number alone would no-op (or worse, diff) against a
+            # different table (the ABA case in the contract suite)
+            "mv.source_id": warehouse.table_id(source) or "",
+        },
+    )
+    return v_src
+
+
+def refresh_rollup_view(
+    warehouse, view: str, full: bool = False, max_retries: int = 5
+) -> dict:
+    """Advance a ``create_rollup_view`` view to the source's current
+    version. Reads the definition from the view's table properties, so
+    the caller needs only the view name (the CLI lane).
+
+    Paths, cheapest first:
+
+    - **noop** — source version equals the recorded watermark: no job
+      runs at all (one metadata read decides).
+    - **incremental** — ``table_changes(source, last, now)`` is split
+      into applied (insert/update_postimage) and retracted
+      (delete/update_preimage) rows and folded into the current view
+      with operators/ivm.py ``apply_rollup_delta``: O(changed buckets)
+      read + O(|delta| + |view|) combine, fact table untouched. Exact:
+      sums are DECIMAL, so maintained == recomputed is equality, not
+      approximation (pinned by the contract suite).
+    - **full** — rebuild from the source head. Taken when asked
+      (``full=True``), when the change-feed horizon is gone (the
+      last-reflected commit was pruned/vacuumed — FileNotFoundError
+      from the feed), or when the recorded watermark is AHEAD of the
+      source (source dropped and recreated: its versions restarted).
+
+    The publish is a CAS against the view version the refresh read
+    (concurrent refreshers serialize; losers re-derive) and records
+    the new watermark in the same commit as the rows. Returns
+    ``{"mode", "v_from", "v_to"}``."""
+    view_props = warehouse.table_properties(view)
+    source, source_key, group_keys, sum_cols = _mv_definition(
+        view_props, view
+    )
+    from ..operators.ivm import apply_rollup_delta, build_rollup
+
+    app = f"mv:{source}"
+    source_id = warehouse.table_id(source) or ""
+    same_incarnation = source_id == view_props.get("mv.source_id", "")
+    for _ in range(1 + max_retries):
+        view_base, view_df = warehouse.read_versioned(view)
+        last = warehouse.last_txn_epoch(app, view)
+        v_src, src = warehouse.read_versioned(source)
+        if v_src == last and same_incarnation and not full:
+            return {"mode": "noop", "v_from": last, "v_to": v_src}
+        new_rollup, mode = None, "full"
+        if (
+            not full
+            and same_incarnation
+            and warehouse.GENESIS_VERSION < last < v_src
+        ):
+            try:
+                feed = table_changes(
+                    warehouse, source, last, v_src, key=source_key
+                )
+                applied = feed.filter(
+                    F.col("_change_type").isin("insert", "update_postimage")
+                ).drop("_change_type")
+                retracted = feed.filter(
+                    F.col("_change_type").isin("delete", "update_preimage")
+                ).drop("_change_type")
+                new_rollup = apply_rollup_delta(
+                    view_df, applied, retracted, group_keys, sum_cols
+                )
+                mode = "incremental"
+            except FileNotFoundError:
+                # horizon pruned: the version this view reflects is no
+                # longer readable — fall through to a full rebuild
+                new_rollup = None
+        if new_rollup is None:
+            new_rollup, mode = build_rollup(src, group_keys, sum_cols), "full"
+        try:
+            warehouse.write(
+                view,
+                new_rollup,
+                snapshot=f"mv-{mode}-v{v_src}",
+                expected_version=view_base,
+                txn=(app, v_src),
+                # re-bind the watermark to the source's current
+                # incarnation after a rebuild crossed incarnations
+                props=(
+                    None
+                    if same_incarnation
+                    else {"mv.source_id": source_id}
+                ),
+            )
+        except CommitConflict:
+            continue
+        return {"mode": mode, "v_from": last, "v_to": v_src}
+    raise CommitConflict(
+        f"{view}: refresh lost the commit race {1 + max_retries} times"
+    )

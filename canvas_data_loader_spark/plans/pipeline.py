@@ -31,6 +31,7 @@ import math
 import os
 import shutil
 import time
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -826,6 +827,16 @@ class Warehouse:
         """User table properties at the head commit (SHOW TBLPROPERTIES)."""
         return dict((self.current_manifest(table) or {}).get("props") or {})
 
+    def table_id(self, table: str) -> str | None:
+        """Stable identity minted at table creation and carried across
+        every commit (the Delta ``metaData.id`` analog): a drop +
+        recreate yields a DIFFERENT id even if data and version numbers
+        look identical, which is what lets incremental consumers (the
+        materialized views in plans/ops.py) detect that their watermark
+        belongs to a dead incarnation instead of silently no-opping
+        (the version-number ABA). None for pre-table_id commits."""
+        return (self.current_manifest(table) or {}).get("table_id")
+
     def set_properties(
         self, table: str, props: dict, max_retries: int = 5
     ) -> int:
@@ -921,10 +932,11 @@ class Warehouse:
                     ) from None
                 raise
 
-        # ONE base-manifest fetch for the carried-forward props (same
-        # CAS-safety reasoning as _txn_map: a stale fetch can only ride
-        # a publish that conflicts anyway)
+        # ONE base-manifest fetch for the carried-forward props and
+        # table id (same CAS-safety reasoning as _txn_map: a stale
+        # fetch can only ride a publish that conflicts anyway)
         base_man = self.current_manifest(table)
+        tid = (base_man or {}).get("table_id") or str(uuid.uuid4())
         if bucket is None:
             run_write(lambda: df.write.mode("append").parquet(out))
             self._write_stats_sidecar(out)
@@ -932,6 +944,7 @@ class Warehouse:
                 table,
                 {
                     "snapshot": snapshot,
+                    "table_id": tid,
                     **self._txn_map(table, txn),
                     **self._props_map(props, base_man),
                 },
@@ -950,6 +963,7 @@ class Warehouse:
                 table,
                 {
                     "snapshot": snapshot,
+                    "table_id": tid,
                     "bucket_key": key,
                     "n_buckets": n,
                     "buckets": {str(k): snapshot for k in range(n)},
@@ -1110,6 +1124,11 @@ class Warehouse:
                             else {}
                         ),
                         **self._props_map(None, m),
+                        **(
+                            {"table_id": m["table_id"]}
+                            if m.get("table_id")
+                            else {}
+                        ),
                     },
                     expected_version=base_version,
                 )

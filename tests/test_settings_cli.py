@@ -590,3 +590,46 @@ class TestChangesCli:
             ["maintain", "--warehouse-dir", wh_dir, "--table", "t",
              "--changes", str(v0), str(v1)]
         ) == 2
+
+
+class TestRefreshViewCli:
+    def test_refresh_view_via_cli(self, tmp_path, spark):
+        from canvas_data_loader_spark.__main__ import main
+        from canvas_data_loader_spark.operators.ivm import build_rollup
+        from canvas_data_loader_spark.plans.ops import create_rollup_view
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh_dir = str(tmp_path / "whv")
+        wh = Warehouse(spark, wh_dir)
+        wh.write(
+            "facts",
+            spark.createDataFrame(
+                [(i, f"g{i % 3}", i) for i in range(12)],
+                "id long, grp string, amount long",
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        create_rollup_view(
+            wh, "facts_by_grp", "facts", ["grp"], {"total": "amount"}
+        )
+        wh.merge_bucketed(
+            "facts",
+            spark.createDataFrame(
+                [(1, "g9", 1000)], "id long, grp string, amount long"
+            ),
+            snapshot="m1",
+        )
+        rc = main(
+            ["maintain", "--warehouse-dir", wh_dir, "--table",
+             "facts_by_grp", "--refresh-view"]
+        )
+        assert rc == 0
+        assert sorted(
+            tuple(r) for r in wh.read("facts_by_grp").collect()
+        ) == sorted(
+            tuple(r)
+            for r in build_rollup(
+                wh.read("facts"), ["grp"], {"total": "amount"}
+            ).collect()
+        )
