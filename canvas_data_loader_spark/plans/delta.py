@@ -405,6 +405,17 @@ class DeltaWarehouse:
             return None
         return meta.get("id")
 
+    def tables(self) -> list[str]:
+        """All tables with a Delta log under this warehouse root (the
+        catalog LIST; shared contract with Warehouse.tables)."""
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            n
+            for n in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, n, "_delta_log"))
+        )
+
     def set_properties(
         self, table: str, props: dict, max_retries: int = 5
     ) -> int:

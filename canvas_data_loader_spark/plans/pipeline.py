@@ -191,6 +191,15 @@ class PipelineConfig:
     # compaction that loses its commit race is simply retried by a
     # later import. 0 (default) = off, preserving round-7 behavior.
     auto_compact_min_files: int = 0
+    # When True, after each table's import every materialized rollup
+    # view registered on it (plans/ops.py create_rollup_view) is
+    # advanced to the new head — incrementally, from the change feed of
+    # exactly the buckets that import touched. Derived tables stay
+    # current as a property of the WRITE path, the Delta Live Tables
+    # shape, at O(changes) per import instead of O(fact table) per
+    # dashboard refresh. Best-effort like auto-compaction: a refresh
+    # that loses its commit race is picked up by the next import.
+    auto_refresh_views: bool = False
 
 
 class Warehouse:
@@ -836,6 +845,17 @@ class Warehouse:
         belongs to a dead incarnation instead of silently no-opping
         (the version-number ABA). None for pre-table_id commits."""
         return (self.current_manifest(table) or {}).get("table_id")
+
+    def tables(self) -> list[str]:
+        """All tables with a commit log under this warehouse root (the
+        catalog LIST; shared contract with DeltaWarehouse.tables)."""
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            n
+            for n in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, n, "_commits"))
+        )
 
     def set_properties(
         self, table: str, props: dict, max_retries: int = 5
@@ -1810,7 +1830,29 @@ class ImportPipeline:
                             raise
             result.tables[table_name] = obs.get["rows"]
             self._maybe_compact(table_name)
+            self._maybe_refresh_views(table_name)
         return result
+
+    def _maybe_refresh_views(self, table_name: str) -> None:
+        """Advance materialized rollup views registered on the table
+        just imported (PipelineConfig.auto_refresh_views). Views are
+        discovered from table properties — no side registry to drift.
+        Best-effort like _maybe_compact: a lost commit race leaves the
+        view one import behind, and the next import catches it up
+        (refresh always targets the source HEAD, not a fixed delta)."""
+        if not self.config.auto_refresh_views:
+            return
+        from .ops import refresh_rollup_view
+
+        for view in self.warehouse.tables():
+            if (
+                self.warehouse.table_properties(view).get("mv.source")
+                == table_name
+            ):
+                try:
+                    refresh_rollup_view(self.warehouse, view)
+                except CommitConflict:
+                    pass
 
     def _maybe_compact(self, table_name: str) -> None:
         """Threshold-triggered compaction after an import (see

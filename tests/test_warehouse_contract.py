@@ -1520,3 +1520,120 @@ class TestContractMaterializedViews:
         )
         with pytest.raises(ValueError, match="not a materialized view"):
             refresh_rollup_view(wh, "plain")
+
+
+class TestAutoRefreshViews:
+    """auto_refresh_views: the import loop advances registered rollup
+    views as part of the write path — derived tables current at
+    O(changes) per import, with no side registry (views discovered
+    from their own table properties)."""
+
+    @pytest.mark.parametrize("fmt", ["manifest", "delta"])
+    def test_views_track_imports(self, spark, tmp_path, fmt):
+        from canvas_data_loader_spark.operators.ivm import build_rollup
+        from canvas_data_loader_spark.plans.ops import create_rollup_view
+        from canvas_data_loader_spark.plans.pipeline import (
+            ImportPipeline,
+            PipelineConfig,
+        )
+        from canvas_data_loader_spark.sources.api_client import (
+            CanvasDataApiClient,
+            LocalDirTransport,
+            gzip_tsv,
+        )
+
+        schema_json = {
+            "version": "4.2.0",
+            "schema": {
+                "account_dim": {
+                    "tableName": "account_dim",
+                    "dw_type": "dimension",
+                    "incremental": False,
+                    "columns": [
+                        {"name": "id", "type": "bigint"},
+                        {"name": "name", "type": "varchar"},
+                    ],
+                },
+            },
+        }
+
+        def mk_dump(i):
+            did = f"d{i:03d}"
+            fname = f"account_dim-00000-{did}.gz"
+            return (
+                {
+                    "dumpId": did, "sequence": i + 1, "accountId": "self",
+                    "numFiles": 1, "finished": True, "expires": None,
+                    "createdAt": f"2024-01-01T00:{i:02d}:00Z",
+                    "updatedAt": f"2024-01-01T00:{i:02d}:00Z",
+                    "schemaVersion": "4.2.0",
+                },
+                {
+                    "dumpId": did,
+                    "artifactsByTable": {
+                        "account_dim": {
+                            "partial": False,
+                            "files": [{
+                                "filename": fname,
+                                "url": f"u://{did}/{fname}",
+                            }],
+                        }
+                    },
+                },
+                {f"u://{did}/{fname}": gzip_tsv(
+                    [[1, f"v{i}"], [50 + i, f"new{i}"]]
+                )},
+            )
+
+        made = [mk_dump(i) for i in range(5)]
+        config = PipelineConfig(
+            stage_dir=str(tmp_path / "stage"),
+            warehouse_dir=str(tmp_path / "wh"),
+            ledger_path=str(tmp_path / "ledger.jsonl"),
+            bucketed_tables={"account_dim": 4},
+            warehouse_format=fmt,
+            auto_refresh_views=True,
+        )
+
+        def pipeline(upto):
+            dumps = [d for d, _, _ in made[:upto]]
+            files = {d["dumpId"]: f for d, f, _ in made[:upto]}
+            payloads = {}
+            for _, _, p in made[:upto]:
+                payloads.update(p)
+            transport = LocalDirTransport(
+                dumps, schema_json, files, payloads
+            )
+            return ImportPipeline(
+                spark, CanvasDataApiClient("key", "secret", transport), config
+            )
+
+        # first import creates the table; then register the view on it
+        p1 = pipeline(1)
+        p1.run()
+        create_rollup_view(
+            p1.warehouse, "accounts_rollup", "account_dim",
+            ["name"], {"total_id": "id"},
+        )
+        # remaining imports auto-refresh the view after each merge
+        p2 = pipeline(5)
+        p2.run()
+        wh = p2.warehouse
+        assert sorted(
+            tuple(r) for r in wh.read("accounts_rollup").collect()
+        ) == sorted(
+            tuple(r)
+            for r in build_rollup(
+                wh.read("account_dim"), ["name"], {"total_id": "id"}
+            ).collect()
+        )
+        # the watermark rode each refresh commit: view reflects the head
+        head_src = (
+            wh.current_version("account_dim")
+            if hasattr(wh, "current_version")
+            else wh._current_version("account_dim")
+        )
+        assert (
+            wh.last_txn_epoch("mv:account_dim", "accounts_rollup")
+            == head_src
+        )
