@@ -718,6 +718,112 @@ def main_merge():
     )
 
 
+def main_mv():
+    """Measure materialized-view refresh cost as the FACT TABLE scales
+    with the per-interval change batch held fixed — the claim behind
+    plans/ops.py refresh_rollup_view: an incremental refresh reads the
+    changed buckets' feed plus the view (group-sized), never the fact
+    table, so it should be near-FLAT in table size (exponent ~0),
+    while the full rebuild it replaces rescans everything (exponent
+    ~1 by construction). Usage: --mv [factor]."""
+    import tempfile
+
+    from canvas_data_loader_spark.operators.ivm import build_rollup
+    from canvas_data_loader_spark.operators.merge import bucket_of
+    from canvas_data_loader_spark.plans.ops import (
+        create_rollup_view,
+        refresh_rollup_view,
+    )
+    from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    # b/N matters more here than in --merge: the feed reads FULL ROWS
+    # of the changed buckets at two versions, while the rebuild it
+    # competes with scans only the rollup's pruned columns — so the
+    # crossover sits at roughly b/N < pruned-width/row-width. 128
+    # buckets puts the fixed 2-bucket batch at b/N = 1/64, the daily-
+    # dump regime the bucketed default exists for (at 100 TB, N is
+    # thousands and b/N smaller still).
+    n_buckets = 128
+    spark = get_spark("scale_probe_mv")
+    li = spark.read.parquet(f"{BASE}/orders.parquet").withColumnRenamed(
+        "o_orderkey", "k"
+    )
+    # fixed bucket-local batch (same shape as --merge: the daily dump)
+    batch = (
+        li.filter(bucket_of(F.col("k"), n_buckets).isin(0, 1))
+        .limit(256)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .localCheckpoint()
+    )
+    keys, sums = ["o_orderpriority"], {"total_price": "o_totalprice"}
+
+    def table_at(f):
+        big = li
+        for i in range(1, f):
+            big = big.unionByName(
+                li.withColumn("k", F.col("k") + F.lit(i * OFFSET))
+            )
+        return big
+
+    report = {}
+    for f in (1, factor):
+        root = tempfile.mkdtemp(prefix=f"scale_probe_mv_{f}_")
+        try:
+            wh = Warehouse(spark, root)
+            wh.write("t", table_at(f), snapshot="base", bucket=("k", n_buckets))
+            create_rollup_view(wh, "v", "t", keys, sums)
+            wh.merge_bucketed("t", batch, snapshot="m1")
+            t0 = time.time()
+            out = refresh_rollup_view(wh, "v")
+            assert out["mode"] == "incremental", out
+            inc_sec = round(time.time() - t0, 3)
+            # the alternative this replaces: rebuild from the fact table
+            wh.merge_bucketed(
+                "t",
+                batch.withColumn("o_totalprice", F.col("o_totalprice") + 1),
+                snapshot="m2",
+            )
+            t0 = time.time()
+            out = refresh_rollup_view(wh, "v", full=True)
+            assert out["mode"] == "full", out
+            full_sec = round(time.time() - t0, 3)
+            # exactness stays the contract at every scale
+            maintained = sorted(
+                tuple(r) for r in wh.read("v").collect()
+            )
+            recomputed = sorted(
+                tuple(r)
+                for r in build_rollup(wh.read("t"), keys, sums).collect()
+            )
+            assert maintained == recomputed
+            report[f"x{f}"] = {
+                "incremental_sec": inc_sec,
+                "full_rebuild_sec": full_sec,
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    e_i = math.log(
+        max(report[f"x{factor}"]["incremental_sec"], 1e-3)
+        / max(report["x1"]["incremental_sec"], 1e-3)
+    ) / math.log(factor)
+    e_f = math.log(
+        max(report[f"x{factor}"]["full_rebuild_sec"], 1e-3)
+        / max(report["x1"]["full_rebuild_sec"], 1e-3)
+    ) / math.log(factor)
+    print(
+        json.dumps(
+            {
+                "mode": "mv",
+                "factor": factor,
+                "tables": report,
+                "exponent_incremental": round(e_i, 3),
+                "exponent_full_rebuild": round(e_f, 3),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--merge":
         main_merge()
@@ -735,5 +841,7 @@ if __name__ == "__main__":
         main_semdedup()
     elif len(sys.argv) > 1 and sys.argv[1] == "--ppjoin":
         main_ppjoin()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--mv":
+        main_mv()
     else:
         main()
