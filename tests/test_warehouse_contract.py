@@ -1637,3 +1637,76 @@ class TestAutoRefreshViews:
             wh.last_txn_epoch("mv:account_dim", "accounts_rollup")
             == head_src
         )
+
+
+class TestMvRefreshVsMergeRace:
+    def test_concurrent_merges_and_refreshes_converge_exact(
+        self, spark, wh_factory
+    ):
+        """Refreshers race ingest: a writer thread lands 6 keyed merges
+        while a refresher thread advances the view after each one it
+        observes. CAS serializes view commits; watermarks ride the same
+        commits; the final refresh must land EXACTLY on a recompute —
+        not approximately, and with no lost retraction."""
+        from canvas_data_loader_spark.operators.ivm import build_rollup
+        from canvas_data_loader_spark.plans.ops import (
+            create_rollup_view,
+            refresh_rollup_view,
+        )
+
+        wh = wh_factory()
+        wh.write(
+            "facts",
+            spark.createDataFrame(
+                [(i, f"g{i % 4}", i * 10) for i in range(32)],
+                "id long, grp string, amount long",
+            ),
+            snapshot="s0",
+            bucket=("id", 8),
+        )
+        create_rollup_view(
+            wh, "v", "facts", ["grp"], {"total": "amount"}
+        )
+        errors: list[Exception] = []
+        merger = wh_factory()
+
+        def write_side():
+            try:
+                for i in range(6):
+                    merger.merge_bucketed(
+                        "facts",
+                        spark.createDataFrame(
+                            [(i, f"g{i % 4}", 7777 + i), (900 + i, "gX", i)],
+                            "id long, grp string, amount long",
+                        ),
+                        snapshot=f"m{i}",
+                        max_commit_retries=25,
+                    )
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        refresher = wh_factory()
+
+        def refresh_side():
+            try:
+                for _ in range(4):
+                    refresh_rollup_view(refresher, "v", max_retries=25)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=write_side),
+            threading.Thread(target=refresh_side),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert errors == []
+        refresh_rollup_view(wh, "v", max_retries=25)  # catch up to head
+        assert sorted(tuple(r) for r in wh.read("v").collect()) == sorted(
+            tuple(r)
+            for r in build_rollup(
+                wh.read("facts"), ["grp"], {"total": "amount"}
+            ).collect()
+        )
