@@ -51,6 +51,16 @@ def _maintain(argv: list[str]) -> int:
         "plans.ops.create_rollup_view; --table names the VIEW) to its "
         "source's current version — incremental via the change feed",
     )
+    g.add_argument(
+        "--mirror-to", metavar="DST_DIR",
+        help="replicate --table into another warehouse root, "
+        "incrementally via the change feed (clone on first sync); the "
+        "destination commit-log format may differ (--mirror-format)",
+    )
+    ap.add_argument(
+        "--mirror-format", choices=("manifest", "delta"), default="manifest",
+        help="destination format for --mirror-to",
+    )
     ap.add_argument("--key", default=None,
                     help="bucket key for --rebucket / --changes")
     ap.add_argument("--out", default=None,
@@ -116,6 +126,22 @@ def _maintain(argv: list[str]) -> int:
         out = refresh_rollup_view(wh, args.table)
         print(
             f"refreshed {args.table}: {out['mode']} "
+            f"(source v{out['v_from']} -> v{out['v_to']})"
+        )
+    elif args.mirror_to is not None:
+        from .plans.ops import sync_mirror
+
+        if args.mirror_format == "delta":
+            from .plans.delta import DeltaWarehouse
+
+            dst = DeltaWarehouse(spark, args.mirror_to)
+        else:
+            from .plans.pipeline import Warehouse
+
+            dst = Warehouse(spark, args.mirror_to)
+        out = sync_mirror(wh, args.table, dst)
+        print(
+            f"mirrored {args.table} -> {args.mirror_to}: {out['mode']} "
             f"(source v{out['v_from']} -> v{out['v_to']})"
         )
     return 0

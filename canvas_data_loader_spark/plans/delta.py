@@ -659,7 +659,11 @@ class DeltaWarehouse:
         except FileNotFoundError:
             return None
         spec = self._bucket_spec(meta)
-        return {"bucket_key": spec[0] if spec else None, "txn": txn}
+        return {
+            "bucket_key": spec[0] if spec else None,
+            "n_buckets": spec[1] if spec else None,
+            "txn": txn,
+        }
 
     def external_read_sql(self, table: str, version: int | None = None) -> str:
         """DuckDB-runnable snapshot read straight off the data files the

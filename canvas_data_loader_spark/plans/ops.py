@@ -326,3 +326,135 @@ def refresh_rollup_view(
     raise CommitConflict(
         f"{view}: refresh lost the commit race {1 + max_retries} times"
     )
+
+
+# -- cross-warehouse replication (change-feed based) ------------------------
+
+def sync_mirror(
+    src_wh,
+    table: str,
+    dst_wh,
+    mirror: str | None = None,
+    source_key: str | None = None,
+    max_retries: int = 5,
+) -> dict:
+    """Replicate ``table`` from one warehouse into another — the
+    incremental deep-clone / DR-replication shape, written against the
+    SHARED CONTRACT so the two ends may run DIFFERENT commit protocols
+    (manifest -> Delta-log and back both pass the contract suite).
+
+    The mirror records its own watermark (source version + source
+    ``table_id`` incarnation) the same way materialized views do:
+    txn-epoch and table properties in the same atomic commit as the
+    rows. Sync paths, cheapest first:
+
+    - **noop** — mirror already at the source head (metadata only).
+    - **incremental** — the pruned change feed since the watermark,
+      merged into a bucketed mirror via ``merge_bucketed``: only
+      buckets the interval touched are read at the source OR written
+      at the destination (at 100 TB a cross-region sync costs the
+      day's changes, not the table). Taken when the feed carries no
+      deletes — the keyed-upsert pipeline's steady state.
+    - **rewrite** — ``apply_changes`` folded into the mirror under a
+      CAS read-modify-write (feed read stays pruned; the destination
+      write is O(mirror)). Taken when the interval contains deletes
+      (restore/replace at the source), which a keyed merge cannot
+      express.
+    - **clone** — full copy at a pinned source version. Taken on first
+      sync, source incarnation change (drop+recreate, via table_id),
+      pruned feed horizon, schema drift, or a watermark ahead of the
+      source.
+
+    Refuses to overwrite a destination table it did not create (no
+    ``mirror.source`` property). Returns {"mode", "v_from", "v_to"}."""
+    mirror = mirror or table
+    app = f"mirror:{table}"
+    src_id = src_wh.table_id(table) or ""
+    v_src, src_df = src_wh.read_versioned(table)
+    info = src_wh.routing_info(table)
+    if info is None:
+        raise FileNotFoundError(f"source table not in warehouse: {table}")
+    bucket = (
+        (info["bucket_key"], int(info["n_buckets"]))
+        if info.get("bucket_key")
+        else None
+    )
+    key = source_key or info.get("bucket_key")
+
+    def clone(v_from=None):
+        dst_wh.write(
+            mirror,
+            src_df,
+            snapshot=f"mirror-clone-v{v_src}",
+            bucket=bucket,
+            txn=(app, v_src),
+            props={"mirror.source": table, "mirror.source_id": src_id},
+        )
+        return {"mode": "clone", "v_from": v_from, "v_to": v_src}
+
+    if not dst_wh.exists(mirror):
+        return clone()
+    props = dst_wh.table_properties(mirror)
+    if props.get("mirror.source") != table:
+        raise ValueError(
+            f"destination table {mirror!r} exists but was not created by "
+            f"sync_mirror for source {table!r} — refusing to overwrite"
+        )
+    last = dst_wh.last_txn_epoch(app, mirror)
+    if (
+        props.get("mirror.source_id", "") != src_id
+        or not src_wh.GENESIS_VERSION < last
+        or v_src < last
+    ):
+        # ``last`` is a SOURCE version recorded on the destination, so
+        # genesis is judged on the source's numbering
+        return clone(last if last > src_wh.GENESIS_VERSION else None)
+    if v_src == last:
+        return {"mode": "noop", "v_from": last, "v_to": v_src}
+    if key is None:
+        raise ValueError(
+            f"source {table!r} has no bucket key — pass source_key="
+        )
+    if dict(src_df.dtypes) != dict(dst_wh.read(mirror).dtypes):
+        return clone(last)  # schema drift: evolution lands as a re-clone
+    try:
+        feed = table_changes(src_wh, table, last, v_src, key=key)
+    except FileNotFoundError:
+        return clone(last)  # feed horizon pruned at the source
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    has_deletes = counts.get("delete", 0) > 0
+    if bucket is not None and dst_wh.is_bucketed(mirror) and not has_deletes:
+        upserts = feed.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).drop("_change_type")
+        dst_wh.merge_bucketed(
+            mirror,
+            upserts,
+            snapshot=f"mirror-sync-v{v_src}",
+            txn=(app, v_src),
+            max_commit_retries=max_retries,
+        )
+        return {"mode": "incremental", "v_from": last, "v_to": v_src}
+    for _ in range(1 + max_retries):
+        dst_base, dst_df = dst_wh.read_versioned(mirror)
+        new = apply_changes(dst_df, feed, key)
+        try:
+            dst_wh.write(
+                mirror,
+                new,
+                snapshot=f"mirror-rw-v{v_src}",
+                bucket=bucket if dst_wh.is_bucketed(mirror) else None,
+                expected_version=dst_base,
+                txn=(app, v_src),
+            )
+        except CommitConflict:
+            continue
+        return {"mode": "rewrite", "v_from": last, "v_to": v_src}
+    raise CommitConflict(
+        f"{mirror}: sync lost the commit race {1 + max_retries} times"
+    )

@@ -443,8 +443,10 @@ class Warehouse:
         m = self.current_manifest(table)
         if m is None:
             return None
+        bucketed = bool(m.get("buckets"))
         return {
-            "bucket_key": m.get("bucket_key") if m.get("buckets") else None,
+            "bucket_key": m.get("bucket_key") if bucketed else None,
+            "n_buckets": int(m["n_buckets"]) if bucketed else None,
             "txn": m.get("txn") or {},
         }
 

@@ -633,3 +633,34 @@ class TestRefreshViewCli:
                 wh.read("facts"), ["grp"], {"total": "amount"}
             ).collect()
         )
+
+
+class TestMirrorCli:
+    def test_mirror_to_delta_via_cli(self, tmp_path, spark):
+        from canvas_data_loader_spark.__main__ import main
+        from canvas_data_loader_spark.plans.delta import DeltaWarehouse
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        src_dir = str(tmp_path / "src")
+        dst_dir = str(tmp_path / "dst")
+        src = Warehouse(spark, src_dir)
+        src.write(
+            "t",
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(8)], "id long, v string"
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        base = ["maintain", "--warehouse-dir", src_dir, "--table", "t",
+                "--mirror-to", dst_dir, "--mirror-format", "delta"]
+        assert main(base) == 0  # clone
+        src.merge_bucketed(
+            "t", spark.createDataFrame([(1, "UPD")], "id long, v string"),
+            snapshot="m1",
+        )
+        assert main(base) == 0  # incremental
+        dst = DeltaWarehouse(spark, dst_dir)
+        assert sorted(tuple(r) for r in dst.read("t").collect()) == sorted(
+            tuple(r) for r in src.read("t").collect()
+        )

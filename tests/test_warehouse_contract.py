@@ -1710,3 +1710,140 @@ class TestMvRefreshVsMergeRace:
                 wh.read("facts"), ["grp"], {"total": "amount"}
             ).collect()
         )
+
+
+class TestSyncMirror:
+    """sync_mirror (plans/ops.py): incremental cross-warehouse
+    replication off the pruned change feed. Written against the shared
+    contract, so the two ends may run DIFFERENT commit protocols —
+    every test here runs all four (src, dst) format pairs."""
+
+    @staticmethod
+    def _mk_pair(request_kind, tmp_path, spark, pair):
+        def build(kind, name):
+            root = str(tmp_path / f"{kind}-{name}")
+            return (
+                DeltaWarehouse(spark, root)
+                if kind == "delta"
+                else Warehouse(spark, root)
+            )
+
+        s, d = pair.split("->")
+        return build(s, "src"), build(d, "dst")
+
+    @pytest.fixture(
+        params=[
+            "manifest->manifest",
+            "manifest->delta",
+            "delta->manifest",
+            "delta->delta",
+        ]
+    )
+    def pair(self, request, tmp_path, spark):
+        return self._mk_pair(None, tmp_path, spark, request.param)
+
+    def _seed(self, spark, src):
+        src.write(
+            "t",
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(24)], "id long, v string"
+            ),
+            snapshot="s0",
+            bucket=("id", 8),
+        )
+
+    def test_clone_then_incremental_then_noop(self, spark, pair):
+        from canvas_data_loader_spark.plans.ops import sync_mirror
+
+        src, dst = pair
+        self._seed(spark, src)
+        out = sync_mirror(src, "t", dst)
+        assert out["mode"] == "clone"
+        assert rows_of(dst, "t") == rows_of(src, "t")
+        assert dst.is_bucketed("t")  # layout replicated, future syncs prune
+        # keyed upsert at the source -> incremental sync, merged not cloned
+        src.merge_bucketed(
+            "t",
+            spark.createDataFrame(
+                [(1, "UPD"), (100, "NEW")], "id long, v string"
+            ),
+            snapshot="m1",
+        )
+        out = sync_mirror(src, "t", dst)
+        assert out["mode"] == "incremental"
+        assert rows_of(dst, "t") == rows_of(src, "t")
+        # nothing new -> metadata-only noop, destination head unmoved
+        h = head(dst, "t")
+        assert sync_mirror(src, "t", dst)["mode"] == "noop"
+        assert head(dst, "t") == h
+
+    def test_deletes_take_rewrite_path(self, spark, pair):
+        from canvas_data_loader_spark.plans.ops import sync_mirror
+
+        src, dst = pair
+        self._seed(spark, src)
+        sync_mirror(src, "t", dst)
+        # a full replace at the source drops rows: feed carries deletes
+        src.write(
+            "t",
+            spark.createDataFrame(
+                [(i, f"w{i}") for i in range(0, 24, 2)], "id long, v string"
+            ),
+            snapshot="s1",
+            bucket=("id", 8),
+        )
+        out = sync_mirror(src, "t", dst)
+        assert out["mode"] == "rewrite"
+        assert rows_of(dst, "t") == rows_of(src, "t")
+
+    def test_source_recreation_reclones(self, spark, pair):
+        from canvas_data_loader_spark.plans.ops import sync_mirror
+
+        src, dst = pair
+        self._seed(spark, src)
+        sync_mirror(src, "t", dst)
+        src.drop("t")
+        src.write(
+            "t",
+            spark.createDataFrame([(7, "fresh")], "id long, v string"),
+            snapshot="s0",
+            bucket=("id", 8),
+        )
+        out = sync_mirror(src, "t", dst)
+        assert out["mode"] == "clone"
+        assert rows_of(dst, "t") == [(7, "fresh")]
+
+    def test_refuses_foreign_destination(self, spark, pair):
+        from canvas_data_loader_spark.plans.ops import sync_mirror
+
+        src, dst = pair
+        self._seed(spark, src)
+        dst.write(
+            "t",
+            spark.createDataFrame([(1, "mine")], "id long, v string"),
+            snapshot="s0",
+        )
+        with pytest.raises(ValueError, match="refusing to overwrite"):
+            sync_mirror(src, "t", dst)
+
+    def test_incremental_reads_only_changed_buckets(self, spark, pair):
+        from canvas_data_loader_spark.plans.ops import sync_mirror
+
+        src, dst = pair
+        self._seed(spark, src)
+        sync_mirror(src, "t", dst)
+        src.merge_bucketed(
+            "t",
+            spark.createDataFrame([(5, "U5")], "id long, v string"),
+            snapshot="m1",
+        )
+        seen = []
+        orig = src.read_buckets_at_version
+
+        def spy(table, version, bucket_ids):
+            seen.append(sorted(bucket_ids))
+            return orig(table, version, bucket_ids)
+
+        src.read_buckets_at_version = spy
+        assert sync_mirror(src, "t", dst)["mode"] == "incremental"
+        assert seen and all(len(b) == 1 for b in seen)
