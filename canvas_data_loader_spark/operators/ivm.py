@@ -44,7 +44,15 @@ def build_rollup(
     to DECIMAL(28,6) BEFORE summing (exact, associative — see module
     docstring)."""
     aggs = [F.count(F.lit(1)).alias(COUNT_COL)] + [
-        F.sum(F.col(src).cast("decimal(28,6)")).alias(out)
+        # COALESCE pins the all-NULL-group case to 0 on BOTH paths:
+        # the incremental combine necessarily coalesces (a group with
+        # no delta must keep its value), so the full build must too or
+        # maintained == recomputed breaks exactly when every value in
+        # a group is NULL (SUM would give NULL here but 0 there)
+        F.coalesce(
+            F.sum(F.col(src).cast("decimal(28,6)")),
+            F.lit(0).cast("decimal(38,6)"),
+        ).alias(out)
         for out, src in sum_cols.items()
     ]
     return facts.groupBy(*keys).agg(*aggs)

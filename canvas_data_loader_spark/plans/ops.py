@@ -72,6 +72,28 @@ def rebucket(
     )
 
 
+class FeedSchemaDrift(ValueError):
+    """The old version's columns are not a subset of the new version's
+    (a rename/drop crossed the interval): a keyed diff conformed over
+    that gap would fabricate NULL pre-images and mis-type every row as
+    an update. Feed consumers catch this and fall back to a full
+    rebuild/clone, the same way they handle a pruned horizon."""
+
+
+def applied_rows(feed: DataFrame) -> DataFrame:
+    """The rows a feed ADDS: inserts + update post-images."""
+    return feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).drop("_change_type")
+
+
+def retracted_rows(feed: DataFrame) -> DataFrame:
+    """The rows a feed REMOVES: deletes + update pre-images."""
+    return feed.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).drop("_change_type")
+
+
 def keyed_changes(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
     """Delta-CDF-shaped change rows between two keyed snapshots:
     every output row is a table row plus ``_change_type`` in
@@ -80,9 +102,14 @@ def keyed_changes(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
     join on the key, no per-column expression fan-out."""
     cols = new.columns
     if old.columns != cols:
+        if not set(old.columns) <= set(cols):
+            raise FeedSchemaDrift(
+                f"columns dropped/renamed across the interval "
+                f"({sorted(set(old.columns) - set(cols))} not in the "
+                "new version) — a keyed diff cannot represent this"
+            )
         # additive evolution between the versions: null-pad/cast the
-        # old side onto the new schema (declared renames would need
-        # the caller to conform first)
+        # old side onto the new schema
         old = conform_to(old, new.schema)
     o = old.select(key, F.struct(*[F.col(c) for c in cols]).alias("__o"))
     n = new.select(key, F.struct(*[F.col(c) for c in cols]).alias("__n"))
@@ -153,13 +180,10 @@ def apply_changes(base: DataFrame, feed: DataFrame, key: str) -> DataFrame:
     removed, then insert/update_postimage rows are added — one
     anti-join + union, the same shape as the warehouse merge itself,
     so a downstream mirror stays O(changes) per sync."""
-    removed = feed.filter(
-        F.col("_change_type").isin("delete", "update_preimage")
-    ).select(key)
-    added = feed.filter(
-        F.col("_change_type").isin("insert", "update_postimage")
-    ).drop("_change_type")
-    return base.join(removed, on=key, how="left_anti").unionByName(added)
+    removed = retracted_rows(feed).select(key)
+    return base.join(removed, on=key, how="left_anti").unionByName(
+        applied_rows(feed)
+    )
 
 
 # -- materialized rollup views (change-feed consumers) ----------------------
@@ -212,6 +236,14 @@ def create_rollup_view(
             raise ValueError(
                 f"source {source!r} has no bucket key — pass source_key="
             )
+    if warehouse.exists(view) and warehouse.table_properties(view).get(
+        "mv.source"
+    ) != source:
+        raise ValueError(
+            f"{view!r} exists and is not a materialized view of "
+            f"{source!r} — refusing to overwrite (drop it first if the "
+            "replacement is intended)"
+        )
     from ..operators.ivm import build_rollup
 
     v_src, src = warehouse.read_versioned(source)
@@ -255,24 +287,52 @@ def refresh_rollup_view(
       sums are DECIMAL, so maintained == recomputed is equality, not
       approximation (pinned by the contract suite).
     - **full** — rebuild from the source head. Taken when asked
-      (``full=True``), when the change-feed horizon is gone (the
-      last-reflected commit was pruned/vacuumed — FileNotFoundError
-      from the feed), or when the recorded watermark is AHEAD of the
-      source (source dropped and recreated: its versions restarted).
+      (``full=True``); when the change-feed horizon is gone (the
+      last-reflected commit was pruned/vacuumed) or a rename/drop
+      crossed the interval (FeedSchemaDrift); when the recorded
+      watermark is AHEAD of the source (dropped and recreated: its
+      versions restarted); and when the interval repointed most of the
+      table's buckets (compaction/rebucket/full rewrite) — diffing ~all
+      buckets at two versions costs ~2x the rebuild's single pruned
+      scan, so "incremental" would be a false economy there.
 
     The publish is a CAS against the view version the refresh read
     (concurrent refreshers serialize; losers re-derive) and records
-    the new watermark in the same commit as the rows. Returns
-    ``{"mode", "v_from", "v_to"}``."""
+    the new watermark in the same commit as the rows; a moved source
+    bucket key (declared rename) or incarnation is re-bound in the
+    same commit. Returns ``{"mode", "v_from", "v_to"}``."""
     view_props = warehouse.table_properties(view)
-    source, source_key, group_keys, sum_cols = _mv_definition(
+    source, stored_key, group_keys, sum_cols = _mv_definition(
         view_props, view
     )
     from ..operators.ivm import apply_rollup_delta, build_rollup
 
     app = f"mv:{source}"
+    src_info = warehouse.routing_info(source)
+    if src_info is None:
+        raise FileNotFoundError(f"source table not in warehouse: {source}")
     source_id = warehouse.table_id(source) or ""
     same_incarnation = source_id == view_props.get("mv.source_id", "")
+    # the key can move under declared-rename evolution (and any
+    # recreation): prefer the source's CURRENT bucket key over the one
+    # recorded at create time, and persist the re-binding below
+    source_key = src_info.get("bucket_key") or stored_key
+    prop_updates = {}
+    if source_key != stored_key:
+        prop_updates["mv.source_key"] = source_key
+    if not same_incarnation:
+        prop_updates["mv.source_id"] = source_id
+    if (
+        not full
+        and same_incarnation
+        and warehouse.current_version(source)
+        == warehouse.last_txn_epoch(app, view)
+    ):
+        # metadata-only fast path: version counters compare without
+        # constructing a DataFrame (whose eager file listing would make
+        # every no-op poll O(live files))
+        last = warehouse.last_txn_epoch(app, view)
+        return {"mode": "noop", "v_from": last, "v_to": last}
     for _ in range(1 + max_retries):
         view_base, view_df = warehouse.read_versioned(view)
         last = warehouse.last_txn_epoch(app, view)
@@ -286,22 +346,27 @@ def refresh_rollup_view(
             and warehouse.GENESIS_VERSION < last < v_src
         ):
             try:
-                feed = table_changes(
-                    warehouse, source, last, v_src, key=source_key
-                )
-                applied = feed.filter(
-                    F.col("_change_type").isin("insert", "update_postimage")
-                ).drop("_change_type")
-                retracted = feed.filter(
-                    F.col("_change_type").isin("delete", "update_preimage")
-                ).drop("_change_type")
-                new_rollup = apply_rollup_delta(
-                    view_df, applied, retracted, group_keys, sum_cols
-                )
-                mode = "incremental"
-            except FileNotFoundError:
-                # horizon pruned: the version this view reflects is no
-                # longer readable — fall through to a full rebuild
+                changed = warehouse.changed_buckets(source, last, v_src)
+                n_b = src_info.get("n_buckets")
+                if changed is not None and (
+                    not n_b or 2 * len(changed) <= n_b
+                ):
+                    feed = table_changes(
+                        warehouse, source, last, v_src, key=source_key
+                    )
+                    new_rollup = apply_rollup_delta(
+                        view_df,
+                        applied_rows(feed),
+                        retracted_rows(feed),
+                        group_keys,
+                        sum_cols,
+                    )
+                    mode = "incremental"
+                # else: majority of buckets repointed (or pruning
+                # unavailable) — the rebuild's single scan is cheaper
+            except (FileNotFoundError, FeedSchemaDrift):
+                # horizon pruned / rename crossed the interval — the
+                # feed cannot be derived; fall through to the rebuild
                 new_rollup = None
         if new_rollup is None:
             new_rollup, mode = build_rollup(src, group_keys, sum_cols), "full"
@@ -312,13 +377,7 @@ def refresh_rollup_view(
                 snapshot=f"mv-{mode}-v{v_src}",
                 expected_version=view_base,
                 txn=(app, v_src),
-                # re-bind the watermark to the source's current
-                # incarnation after a rebuild crossed incarnations
-                props=(
-                    None
-                    if same_incarnation
-                    else {"mv.source_id": source_id}
-                ),
+                props=prop_updates or None,
             )
         except CommitConflict:
             continue
@@ -365,15 +424,23 @@ def sync_mirror(
       pruned feed horizon, schema drift, or a watermark ahead of the
       source.
 
-    Refuses to overwrite a destination table it did not create (no
-    ``mirror.source`` property). Returns {"mode", "v_from", "v_to"}."""
+    Refuses to overwrite a destination table it did not create:
+    ``mirror.source`` must match the table name AND
+    ``mirror.source_root`` the source warehouse root — without the
+    root check, two DR jobs mirroring same-named tables from DIFFERENT
+    source warehouses into one destination would each read the other's
+    incarnation mismatch as a recreation and ping-pong full clones
+    over each other. A deliberate re-point requires dropping the
+    mirror first. Returns {"mode", "v_from", "v_to"}."""
+    import os
+
     mirror = mirror or table
     app = f"mirror:{table}"
-    src_id = src_wh.table_id(table) or ""
-    v_src, src_df = src_wh.read_versioned(table)
     info = src_wh.routing_info(table)
     if info is None:
         raise FileNotFoundError(f"source table not in warehouse: {table}")
+    src_id = src_wh.table_id(table) or ""
+    src_root = os.path.abspath(getattr(src_wh, "root", "") or "")
     bucket = (
         (info["bucket_key"], int(info["n_buckets"]))
         if info.get("bucket_key")
@@ -382,33 +449,47 @@ def sync_mirror(
     key = source_key or info.get("bucket_key")
 
     def clone(v_from=None):
+        v_src, src_df = src_wh.read_versioned(table)
         dst_wh.write(
             mirror,
             src_df,
             snapshot=f"mirror-clone-v{v_src}",
             bucket=bucket,
             txn=(app, v_src),
-            props={"mirror.source": table, "mirror.source_id": src_id},
+            props={
+                "mirror.source": table,
+                "mirror.source_id": src_id,
+                "mirror.source_root": src_root,
+            },
         )
         return {"mode": "clone", "v_from": v_from, "v_to": v_src}
 
     if not dst_wh.exists(mirror):
         return clone()
     props = dst_wh.table_properties(mirror)
-    if props.get("mirror.source") != table:
+    if props.get("mirror.source") != table or (
+        props.get("mirror.source_root") or src_root
+    ) != src_root:
         raise ValueError(
-            f"destination table {mirror!r} exists but was not created by "
-            f"sync_mirror for source {table!r} — refusing to overwrite"
+            f"destination table {mirror!r} exists but is not this "
+            f"source's mirror (source {table!r} at {src_root!r}) — "
+            "refusing to overwrite; drop the mirror to re-point it"
         )
     last = dst_wh.last_txn_epoch(app, mirror)
     if (
         props.get("mirror.source_id", "") != src_id
         or not src_wh.GENESIS_VERSION < last
-        or v_src < last
     ):
         # ``last`` is a SOURCE version recorded on the destination, so
         # genesis is judged on the source's numbering
         return clone(last if last > src_wh.GENESIS_VERSION else None)
+    if src_wh.current_version(table) == last:
+        # metadata-only fast path: no DataFrame (and its eager file
+        # listing) is built for an in-sync mirror
+        return {"mode": "noop", "v_from": last, "v_to": last}
+    v_src, src_df = src_wh.read_versioned(table)
+    if v_src < last:
+        return clone(last)  # watermark ahead: source history reset
     if v_src == last:
         return {"mode": "noop", "v_from": last, "v_to": v_src}
     if key is None:
@@ -418,43 +499,51 @@ def sync_mirror(
     if dict(src_df.dtypes) != dict(dst_wh.read(mirror).dtypes):
         return clone(last)  # schema drift: evolution lands as a re-clone
     try:
-        feed = table_changes(src_wh, table, last, v_src, key=key)
-    except FileNotFoundError:
-        return clone(last)  # feed horizon pruned at the source
-    counts = {
-        r["_change_type"]: r["n"]
-        for r in feed.groupBy("_change_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    has_deletes = counts.get("delete", 0) > 0
-    if bucket is not None and dst_wh.is_bucketed(mirror) and not has_deletes:
-        upserts = feed.filter(
-            F.col("_change_type").isin("insert", "update_postimage")
-        ).drop("_change_type")
-        dst_wh.merge_bucketed(
-            mirror,
-            upserts,
-            snapshot=f"mirror-sync-v{v_src}",
-            txn=(app, v_src),
-            max_commit_retries=max_retries,
+        changed = src_wh.changed_buckets(table, last, v_src)
+        n_b = info.get("n_buckets")
+        if changed is None or (n_b and 2 * len(changed) > n_b):
+            # the interval repointed most buckets (compaction, rebucket,
+            # full rewrite) or pruning is unavailable: diffing ~all
+            # buckets at two versions costs ~2x a straight re-clone
+            return clone(last)
+        feed = table_changes(src_wh, table, last, v_src, key=key).persist()
+    except (FileNotFoundError, FeedSchemaDrift):
+        return clone(last)  # feed horizon pruned / rename interval
+    try:
+        has_deletes = (
+            feed.filter(F.col("_change_type") == "delete").limit(1).count()
+            > 0
         )
-        return {"mode": "incremental", "v_from": last, "v_to": v_src}
-    for _ in range(1 + max_retries):
-        dst_base, dst_df = dst_wh.read_versioned(mirror)
-        new = apply_changes(dst_df, feed, key)
-        try:
-            dst_wh.write(
+        if (
+            bucket is not None
+            and dst_wh.is_bucketed(mirror)
+            and not has_deletes
+        ):
+            dst_wh.merge_bucketed(
                 mirror,
-                new,
-                snapshot=f"mirror-rw-v{v_src}",
-                bucket=bucket if dst_wh.is_bucketed(mirror) else None,
-                expected_version=dst_base,
+                applied_rows(feed),
+                snapshot=f"mirror-sync-v{v_src}",
                 txn=(app, v_src),
+                max_commit_retries=max_retries,
             )
-        except CommitConflict:
-            continue
-        return {"mode": "rewrite", "v_from": last, "v_to": v_src}
-    raise CommitConflict(
-        f"{mirror}: sync lost the commit race {1 + max_retries} times"
-    )
+            return {"mode": "incremental", "v_from": last, "v_to": v_src}
+        for _ in range(1 + max_retries):
+            dst_base, dst_df = dst_wh.read_versioned(mirror)
+            new = apply_changes(dst_df, feed, key)
+            try:
+                dst_wh.write(
+                    mirror,
+                    new,
+                    snapshot=f"mirror-rw-v{v_src}",
+                    bucket=bucket if dst_wh.is_bucketed(mirror) else None,
+                    expected_version=dst_base,
+                    txn=(app, v_src),
+                )
+            except CommitConflict:
+                continue
+            return {"mode": "rewrite", "v_from": last, "v_to": v_src}
+        raise CommitConflict(
+            f"{mirror}: sync lost the commit race {1 + max_retries} times"
+        )
+    finally:
+        feed.unpersist()

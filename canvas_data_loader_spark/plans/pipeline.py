@@ -30,6 +30,7 @@ import json
 import math
 import os
 import shutil
+import sys
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -310,6 +311,13 @@ class Warehouse:
             return 0
         names = [n for n in os.listdir(cdir) if n.endswith(".json")]
         return max((int(n[:-5]) for n in names), default=0)
+
+    def current_version(self, table: str) -> int:
+        """Head commit number, GENESIS_VERSION (0) for a missing table
+        — the cheap metadata read (shared contract spelling with
+        DeltaWarehouse.current_version; incremental consumers use it to
+        decide noop WITHOUT constructing a DataFrame)."""
+        return self._current_version(table)
 
     def _current_version(self, table: str) -> int:
         latest = self._latest_commit(table)
@@ -797,21 +805,6 @@ class Warehouse:
                     break
         return cols
 
-    def _txn_map(self, table: str, txn: tuple[str, int] | None) -> dict:
-        """Manifest fields recording an idempotent-writer epoch (the
-        Delta ``txn`` action shape: {app_id: last committed epoch}).
-        Carries forward every OTHER app's latest recorded epoch from
-        the current manifest, so independent streams into one table
-        don't erase each other's replay horizon. Safe to fetch the
-        current manifest here even under CAS: if a concurrent commit
-        moved the head past the caller's expected_version, the publish
-        conflicts anyway and the stale map is discarded with it."""
-        if txn is None:
-            return {}
-        app_id, epoch = txn
-        base = self.current_manifest(table) or {}
-        return {"txn": {**(base.get("txn") or {}), app_id: epoch}}
-
     def last_txn_epoch(self, app_id: str, table: str) -> int:
         """Highest epoch recorded for ``app_id`` on ``table``'s current
         manifest; -1 if none (the Delta ``txnVersion`` read)."""
@@ -954,24 +947,9 @@ class Warehouse:
                     ) from None
                 raise
 
-        # ONE base-manifest fetch for the carried-forward props and
-        # table id (same CAS-safety reasoning as _txn_map: a stale
-        # fetch can only ride a publish that conflicts anyway)
-        base_man = self.current_manifest(table)
-        tid = (base_man or {}).get("table_id") or str(uuid.uuid4())
         if bucket is None:
             run_write(lambda: df.write.mode("append").parquet(out))
-            self._write_stats_sidecar(out)
-            self._publish(
-                table,
-                {
-                    "snapshot": snapshot,
-                    "table_id": tid,
-                    **self._txn_map(table, txn),
-                    **self._props_map(props, base_man),
-                },
-                expected_version=expected_version,
-            )
+            body = {"snapshot": snapshot}
         else:
             key, n = bucket
             run_write(
@@ -980,25 +958,78 @@ class Warehouse:
                 .partitionBy(BUCKET_COL)
                 .parquet(out)
             )
-            self._write_stats_sidecar(out)
-            self._publish(
-                table,
-                {
-                    "snapshot": snapshot,
-                    "table_id": tid,
-                    "bucket_key": key,
-                    "n_buckets": n,
-                    "buckets": {str(k): snapshot for k in range(n)},
-                    "schema": df.withColumn(
-                        BUCKET_COL, bucket_of(F.col(key), n)
-                    ).schema.json(),
-                    **self._txn_map(table, txn),
-                    **self._props_map(props, base_man),
-                },
-                expected_version=expected_version,
+            body = {
+                "snapshot": snapshot,
+                "bucket_key": key,
+                "n_buckets": n,
+                "buckets": {str(k): snapshot for k in range(n)},
+                "schema": df.withColumn(
+                    BUCKET_COL, bucket_of(F.col(key), n)
+                ).schema.json(),
+            }
+        self._write_stats_sidecar(out)
+
+        def manifest_for(base_man: dict | None) -> dict:
+            # carried-forward metadata is derived from the manifest the
+            # publish actually lands on top of — see _publish_replace
+            m = dict(body)
+            m["table_id"] = (base_man or {}).get("table_id") or str(
+                uuid.uuid4()
             )
+            if txn is not None:
+                m["txn"] = {
+                    **((base_man or {}).get("txn") or {}),
+                    txn[0]: txn[1],
+                }
+            m.update(self._props_map(props, base_man))
+            return m
+
+        self._publish_replace(table, manifest_for, expected_version)
         self._prune(table)
         return snapshot
+
+    def _publish_replace(
+        self,
+        table: str,
+        manifest_for,
+        expected_version: int | None,
+        max_retries: int = 5,
+    ) -> int:
+        """Publish a full-replacement manifest built by
+        ``manifest_for(base_manifest)``.
+
+        CAS mode (``expected_version`` given): one shot against the
+        caller's declared base — conflicts raise to the caller, who
+        re-derives data AND metadata together.
+
+        LWW mode: the DATA is state-independent, but the carried-
+        forward metadata (props / table_id / txn map) is not — a
+        manifest built from the pre-job head would silently erase a
+        set_properties (or a racing creator's table_id) that landed
+        during the potentially long parquet write. So the publish is
+        an internal CAS at the CURRENT head, re-deriving the carried
+        metadata per attempt — exactly how the Delta impl re-replays
+        the log per attempt, keeping both protocols equivalent on the
+        carry-forward contract the shared suite pins."""
+        if expected_version is not None:
+            return self._publish(
+                table,
+                manifest_for(self.current_manifest(table)),
+                expected_version=expected_version,
+            )
+        for _ in range(1 + max_retries):
+            latest = self._latest_commit(table)
+            head, base_man = latest if latest else (self.GENESIS_VERSION, None)
+            try:
+                return self._publish(
+                    table, manifest_for(base_man), expected_version=head
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"{table}: full-replace lost the commit race "
+            f"{1 + max_retries} times"
+        )
 
     def merge_bucketed(
         self,
@@ -1853,8 +1884,17 @@ class ImportPipeline:
             ):
                 try:
                     refresh_rollup_view(self.warehouse, view)
-                except CommitConflict:
-                    pass
+                except Exception as e:  # noqa: BLE001
+                    # genuinely best-effort: the data merge has already
+                    # committed, and a broken VIEW (corrupted mv.*
+                    # props, a mid-job vacuum, a lost commit race) must
+                    # not hold the source table's ingest hostage — the
+                    # view stays behind and the next import (or a
+                    # manual --refresh-view, which DOES raise) retries
+                    print(
+                        f"auto-refresh of view {view!r} skipped: {e}",
+                        file=sys.stderr,
+                    )
 
     def _maybe_compact(self, table_name: str) -> None:
         """Threshold-triggered compaction after an import (see

@@ -1782,8 +1782,33 @@ class TestSyncMirror:
 
         src, dst = pair
         self._seed(spark, src)
+        v0 = head(src, "t")
         sync_mirror(src, "t", dst)
-        # a full replace at the source drops rows: feed carries deletes
+        # a merge then a restore creates a PARTIAL-delete interval (one
+        # bucket's key vanishes) — the shape a keyed merge cannot
+        # express, without repointing the whole table
+        src.merge_bucketed(
+            "t",
+            spark.createDataFrame([(100, "NEW")], "id long, v string"),
+            snapshot="m1",
+        )
+        sync_mirror(src, "t", dst)
+        src.restore("t", v0)  # key 100 deleted in the next interval
+        out = sync_mirror(src, "t", dst)
+        assert out["mode"] == "rewrite"
+        assert rows_of(dst, "t") == rows_of(src, "t")
+
+    def test_full_replace_interval_takes_clone_not_double_diff(
+        self, spark, pair
+    ):
+        from canvas_data_loader_spark.plans.ops import sync_mirror
+
+        src, dst = pair
+        self._seed(spark, src)
+        sync_mirror(src, "t", dst)
+        # a full replace repoints every bucket: diffing ~all buckets at
+        # two versions would cost ~2x a straight re-clone, so the sync
+        # must choose the clone
         src.write(
             "t",
             spark.createDataFrame(
@@ -1793,8 +1818,30 @@ class TestSyncMirror:
             bucket=("id", 8),
         )
         out = sync_mirror(src, "t", dst)
-        assert out["mode"] == "rewrite"
+        assert out["mode"] == "clone"
         assert rows_of(dst, "t") == rows_of(src, "t")
+
+    def test_refuses_same_name_from_different_source_warehouse(
+        self, spark, pair, tmp_path
+    ):
+        from canvas_data_loader_spark.plans.ops import sync_mirror
+
+        src, dst = pair
+        self._seed(spark, src)
+        sync_mirror(src, "t", dst)
+        other = (
+            DeltaWarehouse(spark, str(tmp_path / "other-src"))
+            if isinstance(src, DeltaWarehouse)
+            else Warehouse(spark, str(tmp_path / "other-src"))
+        )
+        self._seed(spark, other)
+        # same table NAME, different source warehouse: an id mismatch
+        # here is NOT a recreation — without the root check two DR jobs
+        # would ping-pong clones over each other's mirror
+        with pytest.raises(ValueError, match="refusing to overwrite"):
+            sync_mirror(other, "t", dst)
+        # the original pairing still syncs
+        assert sync_mirror(src, "t", dst)["mode"] == "noop"
 
     def test_source_recreation_reclones(self, spark, pair):
         from canvas_data_loader_spark.plans.ops import sync_mirror
@@ -1847,3 +1894,220 @@ class TestSyncMirror:
         src.read_buckets_at_version = spy
         assert sync_mirror(src, "t", dst)["mode"] == "incremental"
         assert seen and all(len(b) == 1 for b in seen)
+
+
+class TestMvReviewRegressions:
+    """Regression lanes for the round-8 review findings on the MV /
+    properties / replication surface."""
+
+    def test_compaction_interval_prefers_full_rebuild(
+        self, spark, wh_factory
+    ):
+        # a compaction repoints every bucket; diffing ~all buckets at
+        # two versions costs ~2x the rebuild's single pruned scan, so
+        # the refresh must choose mode=full (auto_compact +
+        # auto_refresh hit this combination on every auto-compaction)
+        from canvas_data_loader_spark.operators.ivm import build_rollup
+        from canvas_data_loader_spark.plans.ops import (
+            create_rollup_view,
+            refresh_rollup_view,
+        )
+
+        wh = wh_factory()
+        wh.write(
+            "facts",
+            spark.createDataFrame(
+                [(i, f"g{i % 4}", i * 10) for i in range(32)],
+                "id long, grp string, amount long",
+            ),
+            snapshot="s0",
+            bucket=("id", 8),
+        )
+        create_rollup_view(
+            wh, "v", "facts", ["grp"], {"total": "amount"}
+        )
+        wh.merge_bucketed(
+            "facts",
+            spark.createDataFrame(
+                [(1, "g1", 777)], "id long, grp string, amount long"
+            ),
+            snapshot="m1",
+        )
+        wh.compact("facts")
+        out = refresh_rollup_view(wh, "v")
+        assert out["mode"] == "full"
+        assert sorted(tuple(r) for r in wh.read("v").collect()) == sorted(
+            tuple(r)
+            for r in build_rollup(
+                wh.read("facts"), ["grp"], {"total": "amount"}
+            ).collect()
+        )
+
+    def test_all_null_group_maintained_equals_recomputed(
+        self, spark, wh_factory
+    ):
+        # SUM over an all-NULL group: the incremental combine pins it
+        # to 0, so the full build must too — maintained == recomputed
+        # stays an exact equality, not a NULL-vs-0 flicker between
+        # refresh modes
+        from canvas_data_loader_spark.operators.ivm import build_rollup
+        from canvas_data_loader_spark.plans.ops import (
+            create_rollup_view,
+            refresh_rollup_view,
+        )
+
+        wh = wh_factory()
+        wh.write(
+            "facts",
+            spark.createDataFrame(
+                [(i, f"g{i % 2}", i) for i in range(8)],
+                "id long, grp string, amount long",
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        create_rollup_view(wh, "v", "facts", ["grp"], {"total": "amount"})
+        # a brand-new group whose every amount is NULL
+        wh.merge_bucketed(
+            "facts",
+            spark.createDataFrame(
+                [(100, "gNull", None), (101, "gNull", None)],
+                "id long, grp string, amount long",
+            ),
+            snapshot="m1",
+        )
+        out = refresh_rollup_view(wh, "v")
+        assert out["mode"] == "incremental"
+        maintained = sorted(tuple(r) for r in wh.read("v").collect())
+        recomputed = sorted(
+            tuple(r)
+            for r in build_rollup(
+                wh.read("facts"), ["grp"], {"total": "amount"}
+            ).collect()
+        )
+        assert maintained == recomputed
+
+    def test_create_refuses_to_clobber_non_view(self, spark, wh_factory):
+        from canvas_data_loader_spark.plans.ops import create_rollup_view
+
+        wh = wh_factory()
+        wh.write(
+            "facts",
+            spark.createDataFrame(
+                [(1, "g0", 10)], "id long, grp string, amount long"
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        with pytest.raises(ValueError, match="refusing to overwrite"):
+            create_rollup_view(
+                wh, "facts", "facts", ["grp"], {"total": "amount"}
+            )
+        assert {r["id"] for r in wh.read("facts").collect()} == {1}
+
+    def test_renamed_bucket_key_rebinds_and_keeps_refreshing(
+        self, spark, tmp_path
+    ):
+        # declared-rename evolution moves the bucket key: the refresh
+        # must re-bind mv.source_key (and survive the rename interval
+        # via the FeedSchemaDrift full-rebuild lane), then return to
+        # incremental refreshes under the NEW key (manifest impl only —
+        # the delta impl answers renames by full reload, a recreation)
+        from canvas_data_loader_spark.operators.ivm import build_rollup
+        from canvas_data_loader_spark.plans.ops import (
+            create_rollup_view,
+            refresh_rollup_view,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh-rename"))
+        wh.write(
+            "facts",
+            spark.createDataFrame(
+                [(i, f"g{i % 3}", i) for i in range(12)],
+                "id long, grp string, amount long",
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        create_rollup_view(wh, "v", "facts", ["grp"], {"total": "amount"})
+        wh.merge_bucketed(
+            "facts",
+            spark.createDataFrame(
+                [(1, "g1", 999)], "doc_id long, grp string, amount long"
+            ).withColumnRenamed("doc_id", "id"),
+            snapshot="m0",
+        )
+        refresh_rollup_view(wh, "v")
+        # rename the bucket key id -> row_id
+        wh.merge_bucketed(
+            "facts",
+            spark.createDataFrame(
+                [(2, "g2", 555)], "row_id long, grp string, amount long"
+            ),
+            snapshot="m1",
+            evolve=True,
+            renames={"id": "row_id"},
+        )
+        out = refresh_rollup_view(wh, "v")
+        assert out["mode"] == "full"  # rename interval: feed undefined
+        assert wh.table_properties("v")["mv.source_key"] == "row_id"
+        # and the NEXT change refreshes incrementally under the new key
+        wh.merge_bucketed(
+            "facts",
+            spark.createDataFrame(
+                [(3, "g0", 111)], "row_id long, grp string, amount long"
+            ),
+            snapshot="m2",
+        )
+        out = refresh_rollup_view(wh, "v")
+        assert out["mode"] == "incremental"
+        assert sorted(tuple(r) for r in wh.read("v").collect()) == sorted(
+            tuple(r)
+            for r in build_rollup(
+                wh.read("facts"), ["grp"], {"total": "amount"}
+            ).collect()
+        )
+
+    def test_lww_write_does_not_erase_racing_set_properties(
+        self, spark, wh_factory
+    ):
+        # the LWW metadata lost-update: a set_properties landing while
+        # a plain full-replace write is in flight must survive — the
+        # publish re-derives carried metadata against the head it
+        # actually lands on
+        wh = wh_factory()
+        df = spark.createDataFrame([(1, "a")], "id long, v string")
+        wh.write("t", df, snapshot="s0", props={"owner": "etl"})
+        tid0 = wh.table_id("t")
+
+        orig_write = (
+            wh._publish_replace if hasattr(wh, "_publish_replace") else None
+        )
+        if orig_write is not None:
+            # inject the race deterministically: a metadata commit lands
+            # between the parquet job and the publish
+            def delayed(table, manifest_for, expected_version, **kw):
+                wh.set_properties("t", {"tier": "gold"})
+                wh._publish_replace = orig_write
+                return orig_write(
+                    table, manifest_for, expected_version, **kw
+                )
+
+            wh._publish_replace = delayed
+            wh.write("t", df, snapshot="s1")
+        else:
+            # delta: same interleaving via the commit primitive
+            orig_commit = wh._commit
+            injected = {"done": False}
+
+            def delayed_commit(table, version, actions):
+                if not injected["done"]:
+                    injected["done"] = True
+                    wh.set_properties("t", {"tier": "gold"})
+                return orig_commit(table, version, actions)
+
+            wh._commit = delayed_commit
+            wh.write("t", df, snapshot="s1")
+            wh._commit = orig_commit
+        assert wh.table_properties("t") == {"owner": "etl", "tier": "gold"}
+        assert wh.table_id("t") == tid0
