@@ -63,6 +63,15 @@ def _maintain(argv: list[str]) -> int:
     )
     ap.add_argument("--key", default=None,
                     help="bucket key for --rebucket / --changes")
+    ap.add_argument(
+        "--cluster-by", default=None, metavar="COL[,COL...]",
+        help="cluster the --compact rewrite on these columns "
+        "(range-partition + sort: restores per-file data skipping)",
+    )
+    ap.add_argument(
+        "--target-bytes", type=int, default=128 * 1024 * 1024,
+        help="target output file size for --compact",
+    )
     ap.add_argument("--out", default=None,
                     help="output directory for --changes")
     args = ap.parse_args(argv)
@@ -79,8 +88,18 @@ def _maintain(argv: list[str]) -> int:
 
         wh = Warehouse(spark, args.warehouse_dir)
     if args.compact:
-        n = wh.compact(args.table)
-        print(f"compacted {args.table}: {n} files")
+        cluster = (
+            [c.strip() for c in args.cluster_by.split(",") if c.strip()]
+            if args.cluster_by
+            else None
+        )
+        n = wh.compact(
+            args.table, target_bytes=args.target_bytes, order_by=cluster
+        )
+        print(
+            f"compacted {args.table}: {n} files"
+            + (f" (clustered by {','.join(cluster)})" if cluster else "")
+        )
     elif args.vacuum:
         if args.format != "delta":
             print("--vacuum applies to the delta format (the manifest "

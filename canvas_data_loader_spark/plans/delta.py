@@ -816,12 +816,23 @@ class DeltaWarehouse:
             return 0
         return len(live)
 
-    def compact(self, table: str, target_bytes: int = 128 * 1024 * 1024) -> int:
+    def compact(
+        self,
+        table: str,
+        target_bytes: int = 128 * 1024 * 1024,
+        order_by: list[str] | None = None,
+    ) -> int:
         """OPTIMIZE: rewrite the live file set into ~target-size files
         (per bucket for partitioned tables — one file per non-empty
         bucket). dataChange=false semantics: the commit replaces files
         without changing rows, CAS'd against the commit it read so a
-        concurrent merge always wins over a compaction."""
+        concurrent merge always wins over a compaction.
+
+        ``order_by`` clusters the rewrite (OPTIMIZE ... ZORDER done as
+        range-clustering, same contract as Warehouse.compact):
+        unbucketed tables get disjoint per-file value ranges so the
+        add-action stats skip to ~1 file per range predicate; bucketed
+        tables keep their layout and sort within each bucket file."""
         for _ in range(6):
             base, meta, live, _, _ = self._replay(table)
             spec = self._bucket_spec(meta)
@@ -831,14 +842,22 @@ class DeltaWarehouse:
                 df = df.drop(BUCKET_COL).repartition(
                     n, bucket_of(F.col(key), n)
                 )
+                if order_by:
+                    df = df.sortWithinPartitions(*order_by)
                 adds, _sj, _rel = self._write_files(
                     table, df, "compact", bucket=(key, n)
                 )
             else:
                 total = sum(a.get("size", 0) for a in live.values())
                 n_files = max(1, math.ceil(total / target_bytes))
+                if order_by:
+                    df = df.repartitionByRange(
+                        n_files, *order_by
+                    ).sortWithinPartitions(*order_by)
+                else:
+                    df = df.repartition(n_files)
                 adds, _sj, _rel = self._write_files(
-                    table, df.repartition(n_files), "compact", bucket=None
+                    table, df, "compact", bucket=None
                 )
             now = int(time.time() * 1000)
             actions = [self._commit_info("OPTIMIZE", {"files": len(adds)})] + [

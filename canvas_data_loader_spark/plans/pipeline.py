@@ -1453,7 +1453,12 @@ class Warehouse:
             out = out.filter(F.col(col) <= F.lit(hi))
         return out
 
-    def compact(self, table: str, target_bytes: int = 128 * 1024 * 1024) -> int:
+    def compact(
+        self,
+        table: str,
+        target_bytes: int = 128 * 1024 * 1024,
+        order_by: list[str] | None = None,
+    ) -> int:
         """Compact the current snapshot's small files into ~target-size
         files (bin-packing by total bytes). Incremental merges fragment
         a table into one file set per batch; at scale the scan cost
@@ -1462,6 +1467,18 @@ class Warehouse:
         Delta/Iceberg OPTIMIZE analog). Rewrites as a new snapshot via
         the same atomic pointer swap; time travel still sees the
         pre-compaction snapshot. Returns the new file count.
+
+        ``order_by`` CLUSTERS the rewrite (the OPTIMIZE ... ZORDER
+        motivation, done as range-clustering): unbucketed tables are
+        range-partitioned then sorted on the columns, so each output
+        file covers a disjoint value range and ``files_for_range`` /
+        ``read_where`` (the stats-sidecar data skipping) open ~1 file
+        for a point/range predicate instead of every file — maintenance
+        is what makes skipping EFFECTIVE, because merge output files
+        each span the whole value range. Bucketed tables keep their
+        bucket layout (one file per bucket, every file must exist) and
+        sort WITHIN each bucket file, which tightens parquet row-group
+        pruning rather than file pruning.
 
         Compaction is a READ-MODIFY-WRITE (it republishes rows derived
         from the commit it read), so its publish is a CAS against that
@@ -1485,9 +1502,14 @@ class Warehouse:
                     # every bucket
                     df = self._read_manifest(table, m).drop(BUCKET_COL)
                     n = int(m["n_buckets"])
+                    out_df = df.repartition(
+                        n, bucket_of(F.col(m["bucket_key"]), n)
+                    )
+                    if order_by:
+                        out_df = out_df.sortWithinPartitions(*order_by)
                     written = self.write(
                         table,
-                        df.repartition(n, bucket_of(F.col(m["bucket_key"]), n)),
+                        out_df,
                         snapshot="compact-bucketed",  # write() resolves collisions
                         bucket=(m["bucket_key"], n),
                         expected_version=base_version,
@@ -1502,9 +1524,17 @@ class Warehouse:
                     )
                     n_files = max(1, math.ceil(total / target_bytes))
                     df = self.spark.read.parquet(path)
+                    if order_by:
+                        # disjoint value ranges per file: the layout that
+                        # makes per-file min/max skipping effective
+                        out_df = df.repartitionByRange(
+                            n_files, *order_by
+                        ).sortWithinPartitions(*order_by)
+                    else:
+                        out_df = df.repartition(n_files)
                     written = self.write(
                         table,
-                        df.repartition(n_files),
+                        out_df,
                         snapshot=f"compact-{n_files}",  # write() resolves collisions
                         expected_version=base_version,
                     )

@@ -664,3 +664,27 @@ class TestMirrorCli:
         assert sorted(tuple(r) for r in dst.read("t").collect()) == sorted(
             tuple(r) for r in src.read("t").collect()
         )
+
+
+class TestClusterByCli:
+    def test_compact_cluster_by_via_cli(self, tmp_path, spark):
+        from canvas_data_loader_spark.__main__ import main
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh_dir = str(tmp_path / "whcb")
+        wh = Warehouse(spark, wh_dir)
+        wh.write(
+            "t",
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(2400)], "id long, x long"
+            ).repartition(6),
+            snapshot="s0",
+        )
+        rc = main(
+            ["maintain", "--warehouse-dir", wh_dir, "--table", "t",
+             "--compact", "--cluster-by", "x",
+             "--target-bytes", str(4 * 1024)]
+        )
+        assert rc == 0
+        kept, total = wh.files_for_range("t", "x", 100, 200)
+        assert total >= 2 and len(kept) <= max(1, total // 2)

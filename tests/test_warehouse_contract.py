@@ -2111,3 +2111,60 @@ class TestMvReviewRegressions:
             wh._commit = orig_commit
         assert wh.table_properties("t") == {"owner": "etl", "tier": "gold"}
         assert wh.table_id("t") == tid0
+
+
+class TestClusteredCompaction:
+    """compact(order_by=...): OPTIMIZE-with-clustering. Merge output
+    files each span the whole value range, so per-file min/max skipping
+    degenerates to open-everything; a clustered rewrite gives each file
+    a disjoint range and restores skipping's value — maintenance and
+    data skipping are one feature, not two."""
+
+    def test_clustered_compact_restores_file_skipping(
+        self, spark, wh_factory
+    ):
+        wh = wh_factory()
+        # 6 round-robin files: every file spans ~the full value range
+        df = spark.createDataFrame(
+            [(i, i * 10) for i in range(2400)], "id long, x long"
+        ).repartition(6)
+        wh.write("t", df, snapshot="s0")
+        kept0, total0 = wh.files_for_range("t", "x", 100, 200)
+        assert total0 >= 4 and len(kept0) == total0  # skipping useless
+        n = wh.compact("t", target_bytes=4 * 1024, order_by=["x"])
+        assert n >= 3  # still a multi-file table
+        kept1, total1 = wh.files_for_range("t", "x", 100, 200)
+        assert total1 == n
+        assert len(kept1) <= max(1, total1 // 2), (
+            f"clustering did not tighten skipping: {len(kept1)}/{total1}"
+        )
+        # correctness unchanged
+        got = sorted(
+            r["id"] for r in wh.read_where("t", "x", 100, 200).collect()
+            if 100 <= r["x"] <= 200
+        )
+        assert got == [i for i in range(2400) if 100 <= i * 10 <= 200]
+        assert rows_of(wh, "t") == sorted((i, i * 10) for i in range(2400))
+
+    def test_bucketed_clustered_compact_keeps_layout(self, spark, wh_factory):
+        wh = wh_factory()
+        wh.write(
+            "t",
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(64)], "id long, v string"
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        before = rows_of(wh, "t")
+        wh.compact("t", order_by=["id"])
+        assert wh.is_bucketed("t")
+        assert rows_of(wh, "t") == before
+        # merges still prune on the preserved layout
+        wh.merge_bucketed(
+            "t", spark.createDataFrame([(3, "U")], "id long, v string"),
+            snapshot="m1",
+        )
+        assert {r["v"] for r in wh.read("t").collect() if r["id"] == 3} == {
+            "U"
+        }
