@@ -143,6 +143,7 @@ def stream_upsert_to_warehouse(
     order_col: str | None = None,
     checkpoint: str | None = None,
     app_id: str | None = None,
+    refresh_views: bool = False,
 ):
     """Continuously merge a stream into ``warehouse.table`` by key.
 
@@ -158,6 +159,15 @@ def stream_upsert_to_warehouse(
     a checkpoint — two queries sharing a checkpoint are the same
     logical writer resumed, two distinct checkpoints are independent
     writers whose epochs must not collide.
+
+    ``refresh_views=True`` advances every materialized rollup view
+    registered on ``table`` (plans/ops.py create_rollup_view) after
+    each micro-batch's merge commits — the streaming twin of
+    PipelineConfig.auto_refresh_views, incremental off the batch's
+    changed buckets, and best-effort the same way: a view failure is
+    logged and skipped (the stream's exactly-once data path must not
+    be held hostage by a derived table; the view catches up on the
+    next batch).
     """
     keys = [key] if isinstance(key, str) else list(key)
     ckpt = checkpoint or tempfile.mkdtemp(prefix="ingest_ckpt_")
@@ -167,6 +177,24 @@ def stream_upsert_to_warehouse(
         apply_stream_batch(
             warehouse, table, keys, order_col, writer_id, batch_df, batch_id
         )
+        if refresh_views:
+            import sys
+
+            from ..plans.ops import refresh_rollup_view
+
+            for view in warehouse.tables():
+                if (
+                    warehouse.table_properties(view).get("mv.source")
+                    == table
+                ):
+                    try:
+                        refresh_rollup_view(warehouse, view)
+                    except Exception as e:  # noqa: BLE001
+                        print(
+                            f"stream auto-refresh of view {view!r} "
+                            f"skipped: {e}",
+                            file=sys.stderr,
+                        )
 
     return (
         stream_df.writeStream.foreachBatch(apply_batch)

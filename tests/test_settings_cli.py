@@ -688,3 +688,55 @@ class TestClusterByCli:
         assert rc == 0
         kept, total = wh.files_for_range("t", "x", 100, 200)
         assert total >= 2 and len(kept) <= max(1, total // 2)
+
+
+class TestStreamAutoRefreshViews:
+    def test_stream_batches_advance_registered_views(self, tmp_path, spark):
+        from pyspark.sql import types as T
+
+        from canvas_data_loader_spark.operators.ivm import build_rollup
+        from canvas_data_loader_spark.plans.ops import create_rollup_view
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+        from canvas_data_loader_spark.streaming.ingest import (
+            stream_upsert_to_warehouse,
+        )
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("grp", T.StringType()),
+                T.StructField("amount", T.LongType()),
+                T.StructField("seq", T.LongType()),
+            ]
+        )
+        wh = Warehouse(spark, str(tmp_path / "whrv"))
+        wh.write(
+            "facts",
+            spark.createDataFrame(
+                [(i, f"g{i % 3}", i * 10, 0) for i in range(12)], schema
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        create_rollup_view(
+            wh, "facts_by_grp", "facts", ["grp"], {"total": "amount"}
+        )
+        src = tmp_path / "drops_rv"
+        src.mkdir()
+        spark.createDataFrame(
+            [(1, "g1", 9999, 1), (100, "gZ", 7, 1)], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = stream_upsert_to_warehouse(
+            stream, wh, "facts", key="id", order_col="seq",
+            checkpoint=str(tmp_path / "ckpt_rv"), refresh_views=True,
+        )
+        q.awaitTermination()
+        assert sorted(
+            tuple(r) for r in wh.read("facts_by_grp").collect()
+        ) == sorted(
+            tuple(r)
+            for r in build_rollup(
+                wh.read("facts"), ["grp"], {"total": "amount"}
+            ).collect()
+        )
