@@ -405,6 +405,54 @@ class DeltaWarehouse:
             return None
         return meta.get("id")
 
+    def rows_changed(self, table: str, v_from: int, v_to: int) -> bool | None:
+        """Could any ROW differ between two versions? False only when
+        every commit in (v_from, v_to] carries no action with
+        ``dataChange`` true — the protocol's own marker (OPTIMIZE and
+        metadata/txn-only commits qualify). Lets change-feed consumers
+        advance their watermark across maintenance traffic without
+        reading data. None = unknown (a commit file in the interval is
+        gone): treat as changed. Shared contract with
+        Warehouse.rows_changed."""
+        if v_to <= v_from:
+            return False
+        ldir = self._log_dir(table)
+        for v in range(v_from + 1, v_to + 1):
+            path = os.path.join(ldir, _LOG_FMT.format(v))
+            if not os.path.isfile(path):
+                return None
+            with open(path) as fh:
+                for line in fh:
+                    a = json.loads(line)
+                    body = a.get("add") or a.get("remove")
+                    if body is not None and body.get("dataChange", True):
+                        return True
+        return False
+
+    def record_txn(
+        self, table: str, app_id: str, epoch: int, max_retries: int = 5
+    ) -> int:
+        """Txn-action-only commit recording a writer epoch (data files
+        untouched; every action is dataChange-free, so rows_changed
+        stays False across it). Shared contract with
+        Warehouse.record_txn."""
+        for _ in range(1 + max_retries):
+            base = self.current_version(table)
+            if base < 0:
+                raise FileNotFoundError(f"table not in warehouse: {table}")
+            actions = [
+                self._commit_info("TXN", {"appId": app_id, "epoch": epoch}),
+                {"txn": {"appId": app_id, "version": epoch}},
+            ]
+            try:
+                self._commit(table, base + 1, actions)
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"{table}: record_txn lost the commit race {1 + max_retries} times"
+        )
+
     def tables(self) -> list[str]:
         """All tables with a Delta log under this warehouse root (the
         catalog LIST; shared contract with Warehouse.tables)."""
@@ -474,6 +522,7 @@ class DeltaWarehouse:
         txn: tuple[str, int] | None = None,
         max_retries: int = 5,
         props: dict | None = None,
+        data_change: bool = True,
     ) -> str:
         """Full-snapshot replace (or create): add the new files, remove
         every previously-live file.
@@ -486,7 +535,7 @@ class DeltaWarehouse:
         the winner's files.
         """
         adds, schema_json, rel = self._write_files(table, df, snapshot, bucket)
-        for _ in range(1 + max_retries):
+        for _attempt in range(1 + max_retries):
             if expected_version is not None:
                 base = expected_version
             else:
@@ -519,18 +568,28 @@ class DeltaWarehouse:
                     "remove": {
                         "path": p,
                         "deletionTimestamp": now,
-                        "dataChange": True,
+                        "dataChange": data_change,
                     }
                 }
                 for p in sorted(old_live)
             ]
-            actions += [{"add": a} for a in adds]
+            actions += [
+                {"add": {**a, "dataChange": data_change} if not data_change else a}
+                for a in adds
+            ]
             try:
                 self._commit(table, base + 1, actions)
                 return rel
             except CommitConflict:
                 if expected_version is not None:
                     raise  # CAS mode: the caller re-derives
+                # randomized backoff: lockstep re-collisions under
+                # N-writer contention (same reasoning as merge_bucketed)
+                import random
+
+                time.sleep(
+                    min(0.05 * (_attempt + 1), 0.5) * random.random()
+                )
         raise CommitConflict(
             f"{table}: full-replace lost the commit race {1 + max_retries} times"
         )

@@ -63,6 +63,7 @@ def rebucket(
                 snapshot=f"rebucket-{n_buckets}",
                 bucket=(use_key, n_buckets),
                 expected_version=base,
+                data_change=False,  # layout change, rows identical
             )
         except CommitConflict:
             continue
@@ -101,15 +102,20 @@ def keyed_changes(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
     detected by whole-row null-safe struct comparison — one full-outer
     join on the key, no per-column expression fan-out."""
     cols = new.columns
-    if old.columns != cols:
+    # compare (name, type) pairs, not names: a WIDEN evolution across
+    # the interval changes types with identical column lists, and the
+    # un-cast old side must still be conformed before the struct diff
+    if [(f.name, f.dataType) for f in old.schema] != [
+        (f.name, f.dataType) for f in new.schema
+    ]:
         if not set(old.columns) <= set(cols):
             raise FeedSchemaDrift(
                 f"columns dropped/renamed across the interval "
                 f"({sorted(set(old.columns) - set(cols))} not in the "
                 "new version) — a keyed diff cannot represent this"
             )
-        # additive evolution between the versions: null-pad/cast the
-        # old side onto the new schema
+        # additive/widening evolution between the versions: null-pad/
+        # cast the old side onto the new schema
         old = conform_to(old, new.schema)
     o = old.select(key, F.struct(*[F.col(c) for c in cols]).alias("__o"))
     n = new.select(key, F.struct(*[F.col(c) for c in cols]).alias("__n"))
@@ -135,7 +141,12 @@ def keyed_changes(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
 
 
 def table_changes(
-    warehouse, table: str, v_from: int, v_to: int, key: str | None = None
+    warehouse,
+    table: str,
+    v_from: int,
+    v_to: int,
+    key: str | None = None,
+    changed: list[int] | None | str = "unresolved",
 ) -> DataFrame:
     """Change feed between two retained commits — the Delta CHANGE DATA
     FEED shape, computed on O(changed buckets), not O(table), for
@@ -149,8 +160,13 @@ def table_changes(
     This is what downstream incremental consumers poll instead of
     re-reading the table: at 100 TB a daily merge's change feed costs
     b/N of a scan, and a no-op interval costs nothing but metadata.
+
+    ``changed``: pass a precomputed ``changed_buckets`` result to
+    skip recomputing it (the Delta impl's is a log replay; consumers
+    that already fetched it for their own-path heuristics hand it in).
     """
-    changed = warehouse.changed_buckets(table, v_from, v_to)
+    if changed == "unresolved":
+        changed = warehouse.changed_buckets(table, v_from, v_to)
     if key is None:
         info = warehouse.routing_info(table)
         key = info["bucket_key"] if info else None
@@ -313,15 +329,6 @@ def refresh_rollup_view(
         raise FileNotFoundError(f"source table not in warehouse: {source}")
     source_id = warehouse.table_id(source) or ""
     same_incarnation = source_id == view_props.get("mv.source_id", "")
-    # the key can move under declared-rename evolution (and any
-    # recreation): prefer the source's CURRENT bucket key over the one
-    # recorded at create time, and persist the re-binding below
-    source_key = src_info.get("bucket_key") or stored_key
-    prop_updates = {}
-    if source_key != stored_key:
-        prop_updates["mv.source_key"] = source_key
-    if not same_incarnation:
-        prop_updates["mv.source_id"] = source_id
     if (
         not full
         and same_incarnation
@@ -337,14 +344,35 @@ def refresh_rollup_view(
         view_base, view_df = warehouse.read_versioned(view)
         last = warehouse.last_txn_epoch(app, view)
         v_src, src = warehouse.read_versioned(source)
-        if v_src == last and same_incarnation and not full:
-            return {"mode": "noop", "v_from": last, "v_to": v_src}
-        new_rollup, mode = None, "full"
-        if (
+        live = (
             not full
             and same_incarnation
             and warehouse.GENESIS_VERSION < last < v_src
-        ):
+        )
+        if v_src == last and same_incarnation and not full:
+            return {"mode": "noop", "v_from": last, "v_to": v_src}
+        if live and warehouse.rows_changed(source, last, v_src) is False:
+            # maintenance-only interval (compaction / rebucket /
+            # metadata commits): rows provably identical — advance the
+            # watermark with a txn-only commit, touch no data at all
+            warehouse.record_txn(view, app, v_src)
+            return {"mode": "advance", "v_from": last, "v_to": v_src}
+        # the recorded key wins while it still exists (an explicit
+        # source_key= at create time is a contract, not a cache); only
+        # when evolution/recreation removed it does the source's
+        # CURRENT bucket key take over, re-bound in the same commit
+        use_key = (
+            stored_key
+            if stored_key in src.columns
+            else src_info.get("bucket_key")
+        )
+        prop_updates = {}
+        if use_key and use_key != stored_key:
+            prop_updates["mv.source_key"] = use_key
+        if not same_incarnation:
+            prop_updates["mv.source_id"] = source_id
+        new_rollup, mode, feed = None, "full", None
+        if live and use_key:
             try:
                 changed = warehouse.changed_buckets(source, last, v_src)
                 n_b = src_info.get("n_buckets")
@@ -352,8 +380,13 @@ def refresh_rollup_view(
                     not n_b or 2 * len(changed) <= n_b
                 ):
                     feed = table_changes(
-                        warehouse, source, last, v_src, key=source_key
-                    )
+                        warehouse,
+                        source,
+                        last,
+                        v_src,
+                        key=use_key,
+                        changed=changed,
+                    ).persist()
                     new_rollup = apply_rollup_delta(
                         view_df,
                         applied_rows(feed),
@@ -371,20 +404,46 @@ def refresh_rollup_view(
         if new_rollup is None:
             new_rollup, mode = build_rollup(src, group_keys, sum_cols), "full"
         try:
-            warehouse.write(
-                view,
-                new_rollup,
-                snapshot=f"mv-{mode}-v{v_src}",
-                expected_version=view_base,
-                txn=(app, v_src),
-                props=prop_updates or None,
-            )
-        except CommitConflict:
-            continue
-        return {"mode": mode, "v_from": last, "v_to": v_src}
+            try:
+                warehouse.write(
+                    view,
+                    new_rollup,
+                    snapshot=f"mv-{mode}-v{v_src}",
+                    expected_version=view_base,
+                    txn=(app, v_src),
+                    props=prop_updates or None,
+                )
+            except CommitConflict:
+                continue
+            return {"mode": mode, "v_from": last, "v_to": v_src}
+        finally:
+            if feed is not None:
+                feed.unpersist()
     raise CommitConflict(
         f"{view}: refresh lost the commit race {1 + max_retries} times"
     )
+
+
+def refresh_views_of(warehouse, table: str) -> None:
+    """Best-effort advance of every materialized rollup view registered
+    on ``table`` (shared by the import loop's auto_refresh_views and
+    the streaming ingest's refresh_views): views are discovered from
+    their own table properties — no side registry to drift — and a
+    failing view is logged and skipped, never holding the source
+    table's ingest hostage (the data commit has already landed; the
+    view stays one interval behind and the next call catches it up,
+    because refresh always targets the source HEAD)."""
+    import sys
+
+    for view in warehouse.tables():
+        if warehouse.table_properties(view).get("mv.source") == table:
+            try:
+                refresh_rollup_view(warehouse, view)
+            except Exception as e:  # noqa: BLE001
+                print(
+                    f"auto-refresh of view {view!r} skipped: {e}",
+                    file=sys.stderr,
+                )
 
 
 # -- cross-warehouse replication (change-feed based) ------------------------
@@ -492,6 +551,14 @@ def sync_mirror(
         return clone(last)  # watermark ahead: source history reset
     if v_src == last:
         return {"mode": "noop", "v_from": last, "v_to": v_src}
+    if src_wh.rows_changed(table, last, v_src) is False:
+        # maintenance-only interval at the source (nightly OPTIMIZE
+        # repoints every bucket but changes zero rows): advance the
+        # watermark with a txn-only commit — at 100 TB this is the
+        # difference between a metadata write and a full re-clone
+        # after every auto-compaction
+        dst_wh.record_txn(mirror, app, v_src)
+        return {"mode": "advance", "v_from": last, "v_to": v_src}
     if key is None:
         raise ValueError(
             f"source {table!r} has no bucket key — pass source_key="
@@ -502,11 +569,14 @@ def sync_mirror(
         changed = src_wh.changed_buckets(table, last, v_src)
         n_b = info.get("n_buckets")
         if changed is None or (n_b and 2 * len(changed) > n_b):
-            # the interval repointed most buckets (compaction, rebucket,
-            # full rewrite) or pruning is unavailable: diffing ~all
-            # buckets at two versions costs ~2x a straight re-clone
+            # the interval repointed most buckets (a genuine full
+            # rewrite — row-preserving rewrites were already handled
+            # above) or pruning is unavailable: diffing ~all buckets
+            # at two versions costs ~2x a straight re-clone
             return clone(last)
-        feed = table_changes(src_wh, table, last, v_src, key=key).persist()
+        feed = table_changes(
+            src_wh, table, last, v_src, key=key, changed=changed
+        ).persist()
     except (FileNotFoundError, FeedSchemaDrift):
         return clone(last)  # feed horizon pruned / rename interval
     try:

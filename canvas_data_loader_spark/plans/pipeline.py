@@ -30,7 +30,6 @@ import json
 import math
 import os
 import shutil
-import sys
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -841,6 +840,54 @@ class Warehouse:
         (the version-number ABA). None for pre-table_id commits."""
         return (self.current_manifest(table) or {}).get("table_id")
 
+    def rows_changed(self, table: str, v_from: int, v_to: int) -> bool | None:
+        """Could any ROW differ between two commits? False only when
+        every commit in (v_from, v_to] is marked row-preserving
+        (``data_change: false`` — compaction, rebucket, metadata-only
+        commits), which lets change-feed consumers advance their
+        watermark across maintenance traffic WITHOUT reading anything:
+        a compaction repoints every bucket, so bucket-identity pruning
+        alone would see "everything changed" and a 100 TB mirror would
+        re-clone after each nightly OPTIMIZE. None = unknown (a commit
+        in the interval is pruned): treat as changed."""
+        if v_to <= v_from:
+            return False
+        by_version = dict(self._commits(table))
+        for v in range(v_from + 1, v_to + 1):
+            man = by_version.get(v)
+            if man is None:
+                return None
+            if man.get("data_change", True):
+                return True
+        return False
+
+    def record_txn(
+        self, table: str, app_id: str, epoch: int, max_retries: int = 5
+    ) -> int:
+        """Metadata-only commit recording a writer epoch — data
+        references untouched (the Delta txn-action-only commit).
+        Change-feed consumers use this to advance their watermark over
+        a row-identical interval without rewriting anything. CAS'd at
+        the head; a concurrent data commit wins and this re-derives.
+        Returns the new head version."""
+        for _ in range(1 + max_retries):
+            latest = self._latest_commit(table)
+            if latest is None:
+                raise FileNotFoundError(f"table not in warehouse: {table}")
+            head, m = latest
+            new_man = dict(m)
+            new_man["txn"] = {**(m.get("txn") or {}), app_id: epoch}
+            new_man["data_change"] = False
+            try:
+                out = self._publish(table, new_man, expected_version=head)
+            except CommitConflict:
+                continue
+            self._prune(table)
+            return out
+        raise CommitConflict(
+            f"{table}: record_txn lost the commit race {1 + max_retries} times"
+        )
+
     def tables(self) -> list[str]:
         """All tables with a commit log under this warehouse root (the
         catalog LIST; shared contract with DeltaWarehouse.tables)."""
@@ -867,6 +914,7 @@ class Warehouse:
             head, m = latest
             new_man = {k: v for k, v in m.items() if k != "props"}
             new_man.update(self._props_map(props, m))
+            new_man["data_change"] = False  # metadata-only, rows untouched
             try:
                 out = self._publish(table, new_man, expected_version=head)
             except CommitConflict:
@@ -887,6 +935,7 @@ class Warehouse:
         expected_version: int | None = None,
         txn: tuple[str, int] | None = None,
         props: dict | None = None,
+        data_change: bool = True,
     ) -> str:
         """Write a new immutable snapshot, publish its manifest, prune
         snapshots beyond the retention window. Readers follow the
@@ -976,6 +1025,12 @@ class Warehouse:
             m["table_id"] = (base_man or {}).get("table_id") or str(
                 uuid.uuid4()
             )
+            if not data_change:
+                # row-preserving rewrite (compaction/rebucket): lets
+                # rows_changed() prove the interval row-identical so
+                # change-feed consumers advance their watermark without
+                # touching data (the Delta dataChange=false analog)
+                m["data_change"] = False
             if txn is not None:
                 m["txn"] = {
                     **((base_man or {}).get("txn") or {}),
@@ -993,7 +1048,7 @@ class Warehouse:
         table: str,
         manifest_for,
         expected_version: int | None,
-        max_retries: int = 5,
+        max_retries: int = 9,
     ) -> int:
         """Publish a full-replacement manifest built by
         ``manifest_for(base_manifest)``.
@@ -1017,7 +1072,7 @@ class Warehouse:
                 manifest_for(self.current_manifest(table)),
                 expected_version=expected_version,
             )
-        for _ in range(1 + max_retries):
+        for attempt in range(1 + max_retries):
             latest = self._latest_commit(table)
             head, base_man = latest if latest else (self.GENESIS_VERSION, None)
             try:
@@ -1025,6 +1080,12 @@ class Warehouse:
                     table, manifest_for(base_man), expected_version=head
                 )
             except CommitConflict:
+                # randomized backoff: N state-independent writers racing
+                # one head re-collide in lockstep otherwise (same
+                # reasoning as merge_bucketed's conflict path)
+                import random
+
+                time.sleep(min(0.05 * (attempt + 1), 0.5) * random.random())
                 continue
         raise CommitConflict(
             f"{table}: full-replace lost the commit race "
@@ -1513,6 +1574,7 @@ class Warehouse:
                         snapshot="compact-bucketed",  # write() resolves collisions
                         bucket=(m["bucket_key"], n),
                         expected_version=base_version,
+                        data_change=False,
                     )
                 else:
                     path = os.path.join(self.root, table, m["snapshot"])
@@ -1537,6 +1599,7 @@ class Warehouse:
                         out_df,
                         snapshot=f"compact-{n_files}",  # write() resolves collisions
                         expected_version=base_version,
+                        data_change=False,
                     )
             except CommitConflict:
                 continue
@@ -1585,7 +1648,14 @@ class Warehouse:
         for _ in range(1 + max_retries):
             latest = self._latest_commit(table)
             head, cur = latest if latest else (0, {})
-            new_man = {k: v for k, v in man.items() if k != "txn"}
+            # strip txn (writer progress, not data) AND data_change (a
+            # restore CHANGES rows even if the republished manifest was
+            # itself a row-preserving compaction's)
+            new_man = {
+                k: v
+                for k, v in man.items()
+                if k not in ("txn", "data_change")
+            }
             if cur.get("txn"):
                 new_man["txn"] = cur["txn"]
             try:
@@ -1905,26 +1975,9 @@ class ImportPipeline:
         (refresh always targets the source HEAD, not a fixed delta)."""
         if not self.config.auto_refresh_views:
             return
-        from .ops import refresh_rollup_view
+        from .ops import refresh_views_of
 
-        for view in self.warehouse.tables():
-            if (
-                self.warehouse.table_properties(view).get("mv.source")
-                == table_name
-            ):
-                try:
-                    refresh_rollup_view(self.warehouse, view)
-                except Exception as e:  # noqa: BLE001
-                    # genuinely best-effort: the data merge has already
-                    # committed, and a broken VIEW (corrupted mv.*
-                    # props, a mid-job vacuum, a lost commit race) must
-                    # not hold the source table's ingest hostage — the
-                    # view stays behind and the next import (or a
-                    # manual --refresh-view, which DOES raise) retries
-                    print(
-                        f"auto-refresh of view {view!r} skipped: {e}",
-                        file=sys.stderr,
-                    )
+        refresh_views_of(self.warehouse, table_name)
 
     def _maybe_compact(self, table_name: str) -> None:
         """Threshold-triggered compaction after an import (see

@@ -178,23 +178,9 @@ def stream_upsert_to_warehouse(
             warehouse, table, keys, order_col, writer_id, batch_df, batch_id
         )
         if refresh_views:
-            import sys
+            from ..plans.ops import refresh_views_of
 
-            from ..plans.ops import refresh_rollup_view
-
-            for view in warehouse.tables():
-                if (
-                    warehouse.table_properties(view).get("mv.source")
-                    == table
-                ):
-                    try:
-                        refresh_rollup_view(warehouse, view)
-                    except Exception as e:  # noqa: BLE001
-                        print(
-                            f"stream auto-refresh of view {view!r} "
-                            f"skipped: {e}",
-                            file=sys.stderr,
-                        )
+            refresh_views_of(warehouse, table)
 
     return (
         stream_df.writeStream.foreachBatch(apply_batch)

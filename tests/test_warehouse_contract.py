@@ -2168,3 +2168,148 @@ class TestClusteredCompaction:
         assert {r["v"] for r in wh.read("t").collect() if r["id"] == 3} == {
             "U"
         }
+
+
+class TestRowsChangedAndAdvance:
+    """rows_changed / record_txn (both impls) and the consumers'
+    'advance' lane: maintenance traffic (compaction, rebucket,
+    metadata commits) provably changes zero rows, so change-feed
+    consumers move their watermark with a txn-only commit instead of
+    re-reading — the difference between a metadata write and a full
+    re-clone after every nightly OPTIMIZE."""
+
+    def test_rows_changed_truth_table(self, spark, wh_factory):
+        wh = wh_factory()
+        wh.write(
+            "t",
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(16)], "id long, v string"
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        v0 = head(wh, "t")
+        wh.merge_bucketed(
+            "t", spark.createDataFrame([(1, "U")], "id long, v string"),
+            snapshot="m1",
+        )
+        v1 = head(wh, "t")
+        assert wh.rows_changed("t", v0, v1) is True  # merge = data
+        wh.compact("t")
+        v2 = head(wh, "t")
+        assert wh.rows_changed("t", v1, v2) is False  # OPTIMIZE = layout
+        wh.set_properties("t", {"x": "y"})
+        v3 = head(wh, "t")
+        assert wh.rows_changed("t", v2, v3) is False  # metadata only
+        wh.record_txn("t", "some-app", 7)
+        v4 = head(wh, "t")
+        assert wh.rows_changed("t", v3, v4) is False  # txn only
+        assert wh.last_txn_epoch("some-app", "t") == 7
+        wh.restore("t", v0)
+        v5 = head(wh, "t")
+        assert wh.rows_changed("t", v4, v5) is True  # restore = data
+        # composite interval: any data commit poisons the whole span
+        assert wh.rows_changed("t", v0, v5) is True
+        assert wh.rows_changed("t", v1, v4) is False
+
+    def test_rebucket_is_row_preserving(self, spark, wh_factory):
+        from canvas_data_loader_spark.plans.ops import rebucket
+
+        wh = wh_factory()
+        wh.write(
+            "t",
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(16)], "id long, v string"
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        v0 = head(wh, "t")
+        rebucket(wh, "t", 8)
+        assert wh.rows_changed("t", v0, head(wh, "t")) is False
+
+    def test_mirror_advances_over_compaction_without_data_io(
+        self, spark, wh_factory
+    ):
+        from canvas_data_loader_spark.plans.ops import sync_mirror
+
+        src, dst = wh_factory("src"), wh_factory("dst")
+        src.write(
+            "t",
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(24)], "id long, v string"
+            ),
+            snapshot="s0",
+            bucket=("id", 8),
+        )
+        sync_mirror(src, "t", dst)
+        src.compact("t")  # repoints every bucket, changes zero rows
+        dst_files_before = md5s(dst.root)
+        out = sync_mirror(src, "t", dst)
+        assert out["mode"] == "advance"
+        assert md5s(dst.root) == dst_files_before  # no data written
+        # watermark moved: the next sync is a plain noop
+        assert sync_mirror(src, "t", dst)["mode"] == "noop"
+        # and a later real change still syncs incrementally
+        src.merge_bucketed(
+            "t", spark.createDataFrame([(1, "U")], "id long, v string"),
+            snapshot="m1",
+        )
+        assert sync_mirror(src, "t", dst)["mode"] == "incremental"
+        assert rows_of(dst, "t") == rows_of(src, "t")
+
+    def test_view_advances_over_compaction(self, spark, wh_factory):
+        from canvas_data_loader_spark.plans.ops import (
+            create_rollup_view,
+            refresh_rollup_view,
+        )
+
+        wh = wh_factory()
+        wh.write(
+            "facts",
+            spark.createDataFrame(
+                [(i, f"g{i % 3}", i) for i in range(12)],
+                "id long, grp string, amount long",
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        create_rollup_view(wh, "v", "facts", ["grp"], {"total": "amount"})
+        wh.compact("facts")
+        out = refresh_rollup_view(wh, "v")
+        assert out["mode"] == "advance"
+        assert refresh_rollup_view(wh, "v")["mode"] == "noop"
+
+    def test_explicit_source_key_is_preserved(self, spark, wh_factory):
+        # an explicit source_key= at create is a contract: refresh must
+        # not silently swap it for the bucket key while it still exists
+        from canvas_data_loader_spark.plans.ops import (
+            create_rollup_view,
+            refresh_rollup_view,
+        )
+
+        wh = wh_factory()
+        wh.write(
+            "facts",
+            spark.createDataFrame(
+                [(i, 1000 + i, f"g{i % 2}", i) for i in range(8)],
+                "id long, alt_key long, grp string, amount long",
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        create_rollup_view(
+            wh, "v", "facts", ["grp"], {"total": "amount"},
+            source_key="alt_key",
+        )
+        wh.merge_bucketed(
+            "facts",
+            spark.createDataFrame(
+                [(1, 1001, "g1", 999)],
+                "id long, alt_key long, grp string, amount long",
+            ),
+            snapshot="m1",
+        )
+        out = refresh_rollup_view(wh, "v")
+        assert out["mode"] == "incremental"
+        assert wh.table_properties("v")["mv.source_key"] == "alt_key"
