@@ -824,6 +824,96 @@ def main_mv():
     )
 
 
+def main_mirror():
+    """Measure cross-warehouse sync cost as the SOURCE TABLE scales
+    with the per-interval change batch held fixed — the claims behind
+    plans/ops.py sync_mirror: an incremental sync moves the changed
+    buckets' feed (near-flat in table size), a maintenance-only
+    interval is watermark-advance (metadata, ~constant), and the
+    initial clone is O(table) by construction (the thing the other two
+    modes exist to avoid). Usage: --mirror [factor]."""
+    import tempfile
+
+    from canvas_data_loader_spark.operators.merge import bucket_of
+    from canvas_data_loader_spark.plans.ops import sync_mirror
+    from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    n_buckets = 128
+    spark = get_spark("scale_probe_mirror")
+    li = spark.read.parquet(f"{BASE}/orders.parquet").withColumnRenamed(
+        "o_orderkey", "k"
+    )
+    batch = (
+        li.filter(bucket_of(F.col("k"), n_buckets).isin(0, 1))
+        .limit(256)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .localCheckpoint()
+    )
+
+    def table_at(f):
+        big = li
+        for i in range(1, f):
+            big = big.unionByName(
+                li.withColumn("k", F.col("k") + F.lit(i * OFFSET))
+            )
+        return big
+
+    report = {}
+    for f in (1, factor):
+        root = tempfile.mkdtemp(prefix=f"scale_probe_mirror_{f}_")
+        try:
+            src = Warehouse(spark, os.path.join(root, "src"))
+            dst = Warehouse(spark, os.path.join(root, "dst"))
+            src.write(
+                "t", table_at(f), snapshot="base", bucket=("k", n_buckets)
+            )
+            t0 = time.time()
+            out = sync_mirror(src, "t", dst)
+            assert out["mode"] == "clone", out
+            clone_sec = round(time.time() - t0, 3)
+            src.merge_bucketed("t", batch, snapshot="m1")
+            t0 = time.time()
+            out = sync_mirror(src, "t", dst)
+            assert out["mode"] == "incremental", out
+            inc_sec = round(time.time() - t0, 3)
+            src.compact("t")
+            t0 = time.time()
+            out = sync_mirror(src, "t", dst)
+            assert out["mode"] == "advance", out
+            adv_sec = round(time.time() - t0, 3)
+            report[f"x{f}"] = {
+                "clone_sec": clone_sec,
+                "incremental_sec": inc_sec,
+                "advance_sec": adv_sec,
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    def expo(key):
+        return round(
+            math.log(
+                max(report[f"x{factor}"][key], 1e-3)
+                / max(report["x1"][key], 1e-3)
+            )
+            / math.log(factor),
+            3,
+        )
+
+    print(
+        json.dumps(
+            {
+                "mode": "mirror",
+                "factor": factor,
+                "tables": report,
+                "exponent_clone": expo("clone_sec"),
+                "exponent_incremental": expo("incremental_sec"),
+                "exponent_advance": expo("advance_sec"),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--merge":
         main_merge()
@@ -843,5 +933,7 @@ if __name__ == "__main__":
         main_ppjoin()
     elif len(sys.argv) > 1 and sys.argv[1] == "--mv":
         main_mv()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--mirror":
+        main_mirror()
     else:
         main()
