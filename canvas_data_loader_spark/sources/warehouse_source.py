@@ -1,0 +1,740 @@
+"""Warehouse tables as a registered Spark data source (``cdl_warehouse``)
+via the PySpark Python Data Source API (SPARK-44076, pyspark>=4.0).
+
+Two consumption modes, matching what Delta Lake exposes for its tables:
+
+  batch snapshot          spark.read.format("cdl_warehouse")
+                               .option("root", ...).option("table", ...)
+                               [.option("version", N)].load()
+  batch change feed       ... .option("feed", "true")
+                              .option("startingVersion", v | "earliest")
+                              [.option("endingVersion", N)].load()
+  streaming change feed   spark.readStream.format("cdl_warehouse")
+                               .option("root", ...).option("table", ...)
+                               .option("feed", "true")
+                               [.option("startingVersion", v | "earliest")]
+                               .load()
+
+The stream's OFFSETS ARE COMMIT VERSIONS: ``latestOffset`` is one
+commit-log LIST (no data IO), each micro-batch delivers the
+Delta-CDF-shaped rows (``_change_type`` in insert/delete/
+update_preimage/update_postimage plus ``_commit_version``) for the
+version range it was planned over, and Spark's checkpoint makes the
+version cursor exactly-once. Both commit protocols are served — the
+numbered-manifest :class:`~..plans.pipeline.Warehouse` and the Delta
+:class:`~..plans.delta.DeltaWarehouse` — through their Spark-free
+metadata paths (the reader workers have no SparkSession).
+
+Scale shape (the reason this exists): a downstream consumer of a
+100 TB table polls ONE metadata listing per trigger, and a micro-batch
+over a merge that touched b of N buckets plans one input partition per
+CHANGED bucket — the same b/N pruning contract as
+``plans.ops.table_changes`` (whose Spark-side diff semantics the
+executor-side Arrow diff replicates; the equivalence test in
+tests/test_stream_source.py pins them row-for-row). A no-op interval
+(rows unchanged, e.g. maintenance commits) plans zero data partitions.
+Unbucketed tables fall back to a single full-diff partition, guarded by
+``maxDiffBytes`` so a table that should have been bucketed fails
+descriptively instead of silently serializing through one worker.
+
+Reference analog: the Rust loader's downstream consumers re-poll whole
+tables between hourly runs (``src/main.rs:119-138``'s skip rule exists
+precisely because re-imports are expensive); this source gives Spark
+consumers the incremental tail the reference never had.
+
+Cluster deployment note: the data source class is resolved by module
+import inside Spark's Python workers — ship the package to executors
+(``--py-files`` / pip-installed image), the standard requirement for
+any Python UDF/data-source code.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+SOURCE_NAME = "cdl_warehouse"
+CDF_COLS = ("_change_type", "_commit_version")
+
+from canvas_data_loader_spark.operators.merge import BUCKET_COL as _BUCKET_COL
+
+
+class FeedReconstructionError(RuntimeError):
+    """The requested version interval can no longer be replayed (a
+    commit the stream had not yet consumed was pruned/vacuumed).
+    The stream must be restarted from a fresh startingVersion — the
+    same failure mode as a Delta stream reading past VACUUM."""
+
+
+# --------------------------------------------------------------------------
+# Spark-free metadata over either commit protocol
+# --------------------------------------------------------------------------
+
+
+class _Meta:
+    """File/metadata resolution for one table, no SparkSession.
+
+    Wraps the two warehouse impls' pure-filesystem paths (``_commits``
+    / ``_replay`` / ``changed_buckets``) so the data source planner and
+    executors resolve exactly what the Spark-side readers resolve —
+    one implementation of the commit protocols, not a re-derivation.
+    """
+
+    def __init__(self, root: str, table: str, protocol: str | None = None):
+        self.root, self.table = root, table
+        if protocol is None:
+            if os.path.isdir(os.path.join(root, table, "_delta_log")):
+                protocol = "delta"
+            else:
+                protocol = "manifest"
+        self.protocol = protocol
+        if protocol == "delta":
+            from canvas_data_loader_spark.plans.delta import DeltaWarehouse
+
+            self.wh = DeltaWarehouse(None, root)
+            self.genesis = -1
+        else:
+            from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+            self.wh = Warehouse(None, root)
+            self.genesis = 0
+
+    def current_version(self) -> int:
+        return self.wh.current_version(self.table)
+
+    def retained_versions(self) -> list[int]:
+        if self.protocol == "delta":
+            return self.wh._versions_on_disk(self.table)
+        return [v for v, _ in self.wh._commits(self.table)]
+
+    def changed_buckets(self, v_from: int, v_to: int) -> list[int] | None:
+        return self.wh.changed_buckets(self.table, v_from, v_to)
+
+    def _manifest_at(self, version: int) -> dict:
+        m = dict(self.wh._commits(self.table)).get(version)
+        if m is None:
+            raise FeedReconstructionError(
+                f"commit {version} of {self.table!r} is not retained"
+            )
+        return m
+
+    def spark_schema(self, version: int | None = None) -> StructType:
+        """The table's LOGICAL schema at a version — from the commit
+        log when recorded there (exact Spark types, survives
+        evolution), falling back to a live parquet file's arrow
+        schema (pre-evolution unbucketed manifests carry none)."""
+        def drop_bucket(st: StructType) -> StructType:
+            # the internal bucket partition column never reaches
+            # readers (both impls drop it) — nor this source
+            return StructType(
+                [f for f in st.fields if f.name != _BUCKET_COL]
+            )
+
+        if version is None:
+            version = self.current_version()
+        if self.protocol == "delta":
+            _, meta, _, _, _ = self.wh._replay(self.table, upto=version)
+            return drop_bucket(
+                StructType.fromJson(json.loads(meta["schemaString"]))
+            )
+        m = self._manifest_at(version)
+        if m.get("schema"):
+            return drop_bucket(StructType.fromJson(json.loads(m["schema"])))
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        files = [f for fl in self.files_by_bucket(version).values() for f in fl]
+        if not files:
+            raise FileNotFoundError(
+                f"table {self.table!r} v{version} has no data files and "
+                "its manifest carries no schema"
+            )
+        return from_arrow_schema(pq.read_schema(files[0]))
+
+    def bucket_key(self, version: int | None = None) -> str | None:
+        if version is None:
+            version = self.current_version()
+        if self.protocol == "delta":
+            _, meta, _, _, _ = self.wh._replay(self.table, upto=version)
+            spec = self.wh._bucket_spec(meta)
+            return spec[0] if spec else None
+        return self._manifest_at(version).get("bucket_key")
+
+    def renamed_from(self, version: int) -> dict:
+        """Rename chains recorded at a version (manifest protocol only;
+        the Delta impl's evolution path never renames, so drift there
+        is always a hard mismatch)."""
+        if self.protocol == "delta":
+            return {}
+        return self._manifest_at(version).get("renamed_from") or {}
+
+    def files_by_bucket(self, version: int) -> dict[int | None, list[str]]:
+        """{bucket_id: [abs parquet paths]} at a version; {None: [...]}
+        for unbucketed. Empty buckets are absent (no directory is ever
+        written for them). Pure listing — no file is opened."""
+        tdir = os.path.join(self.root, self.table)
+        if self.protocol == "delta":
+            _, meta, live, _, _ = self.wh._replay(self.table, upto=version)
+            out: dict[int | None, list[str]] = {}
+            for p, a in live.items():
+                b = (a.get("partitionValues") or {}).get(_BUCKET_COL)
+                key = int(b) if b is not None else None
+                out.setdefault(key, []).append(os.path.join(tdir, p))
+            for fl in out.values():
+                fl.sort()
+            return out
+        m = self._manifest_at(version)
+        if m.get("buckets"):
+            out = {}
+            for b, snap in m["buckets"].items():
+                d = os.path.join(tdir, snap, f"{_BUCKET_COL}={int(b)}")
+                if os.path.isdir(d):
+                    out[int(b)] = sorted(
+                        os.path.join(d, n)
+                        for n in os.listdir(d)
+                        if n.endswith(".parquet")
+                    )
+            return out
+        snap_dir = os.path.join(tdir, m["snapshot"])
+        files = []
+        for dirp, _, names in os.walk(snap_dir):
+            files += [
+                os.path.join(dirp, n) for n in names if n.endswith(".parquet")
+            ]
+        return {None: sorted(files)}
+
+
+# --------------------------------------------------------------------------
+# shared feed planning (batch CDF + streaming share this)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class FeedPartition(InputPartition):
+    v_from: int  # base version (may equal genesis: empty base)
+    v_to: int  # _commit_version stamped on every emitted row
+    key: str | None
+    old_files: list[str] = field(default_factory=list)
+    new_files: list[str] = field(default_factory=list)
+    insert_only: bool = False
+    old_renames: dict = field(default_factory=dict)
+    new_renames: dict = field(default_factory=dict)
+
+
+def _plan_step(
+    meta: _Meta,
+    base: int | None,
+    v: int,
+    key: str | None,
+    max_diff_bytes: int,
+) -> list[FeedPartition]:
+    """Input partitions for ONE version step. ``base=None`` = empty
+    base (full snapshot of ``v`` delivered as inserts, one partition
+    per FILE — no diff, so no reason to coalesce a bucket). Otherwise
+    one partition per CHANGED bucket (the b/N pruning), or a single
+    guarded full-diff partition when pruning is unavailable."""
+    new_renames = meta.renamed_from(v)
+    if base is None:
+        return [
+            FeedPartition(
+                v_from=meta.genesis,
+                v_to=v,
+                key=key,
+                new_files=[f],
+                insert_only=True,
+                new_renames=new_renames,
+            )
+            for fl in meta.files_by_bucket(v).values()
+            for f in fl
+        ]
+    changed = meta.changed_buckets(base, v)
+    if changed is not None and not changed:
+        return []
+    if key is None:
+        raise ValueError(
+            f"table {meta.table!r} has no bucket key and no 'key' option "
+            "was given — a keyed change feed needs one"
+        )
+    old_renames = meta.renamed_from(base)
+    parts: list[FeedPartition] = []
+    if changed is None:
+        old = [f for fl in meta.files_by_bucket(base).values() for f in fl]
+        new = [f for fl in meta.files_by_bucket(v).values() for f in fl]
+        parts.append(
+            FeedPartition(
+                v_from=base,
+                v_to=v,
+                key=key,
+                old_files=old,
+                new_files=new,
+                old_renames=old_renames,
+                new_renames=new_renames,
+            )
+        )
+    else:
+        old_map = meta.files_by_bucket(base)
+        new_map = meta.files_by_bucket(v)
+        for b in changed:
+            parts.append(
+                FeedPartition(
+                    v_from=base,
+                    v_to=v,
+                    key=key,
+                    old_files=old_map.get(b, []),
+                    new_files=new_map.get(b, []),
+                    old_renames=old_renames,
+                    new_renames=new_renames,
+                )
+            )
+    for p in parts:
+        try:
+            size = sum(
+                os.path.getsize(f) for f in (*p.old_files, *p.new_files)
+            )
+        except FileNotFoundError as e:
+            # delta keeps every commit ENTRY but vacuum removes files:
+            # a log-visible version whose data is gone is the same
+            # unreconstructable gap as a pruned manifest
+            raise FeedReconstructionError(
+                f"version {p.v_from} or {p.v_to} of {meta.table!r} "
+                f"references vacuumed data files ({e.filename!r}) — "
+                "restart the stream from a fresh startingVersion"
+            ) from e
+        if size > max_diff_bytes:
+            raise ValueError(
+                f"change-feed partition for {meta.table!r} "
+                f"v{p.v_from}->v{p.v_to} spans {size} bytes "
+                f"(> maxDiffBytes={max_diff_bytes}): bucket the table so "
+                "diffs prune to changed buckets, or raise the option"
+            )
+    return parts
+
+
+def _plan_range(
+    meta: _Meta,
+    start_v: int,
+    end_v: int,
+    key: str | None,
+    max_diff_bytes: int,
+) -> list[FeedPartition]:
+    """Partitions for (start_v, end_v], stepping through the RETAINED
+    versions so every emitted row's ``_commit_version`` names a real
+    commit. A gap below the first step is only legal from genesis
+    (full-snapshot catch-up); a gap past a version the consumer
+    already reached means pruned, unreconstructable increments."""
+    if end_v <= start_v:
+        return []
+    retained = [v for v in meta.retained_versions() if v > meta.genesis]
+    steps = [v for v in retained if start_v < v <= end_v]
+    if not steps:
+        return []
+    parts: list[FeedPartition] = []
+    prev = start_v
+    for v in steps:
+        if prev == meta.genesis:
+            base = None
+        elif prev in retained:
+            base = prev
+        else:
+            raise FeedReconstructionError(
+                f"versions ({prev}..{v}) of {meta.table!r} were pruned "
+                "before this stream consumed them — the change feed "
+                "cannot be reconstructed; restart from a fresh "
+                "startingVersion"
+            )
+        parts.extend(_plan_step(meta, base, v, key, max_diff_bytes))
+        prev = v
+    return parts
+
+
+# --------------------------------------------------------------------------
+# executor-side Arrow diff (replicates plans.ops.keyed_changes)
+# --------------------------------------------------------------------------
+
+
+def _canon(v):
+    """Canonical comparable form for one cell of an object column —
+    null-safe, NaN-safe, nested-safe (mirrors eqNullSafe on a struct:
+    null==null and NaN==NaN are both matches)."""
+    import numpy as np
+
+    if v is None:
+        return ("\0null",)
+    if isinstance(v, float):
+        return ("\0nan",) if v != v else v
+    if isinstance(v, np.ndarray):
+        return tuple(_canon(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    try:
+        if v != v:  # pandas NaT, Decimal('NaN')
+            return ("\0nan",)
+    except TypeError:
+        pass
+    return v
+
+
+def _null_safe_neq(a, b):
+    """Vectorized per-column null-safe INEQUALITY over two aligned
+    pandas Series (null==null, NaN==NaN)."""
+    import numpy as np
+    import pandas as pd
+
+    if a.dtype == object or b.dtype == object:
+        ca = pd.Series([_canon(x) for x in a], dtype=object)
+        cb = pd.Series([_canon(x) for x in b], dtype=object)
+        return (ca != cb).to_numpy(dtype=bool)
+    eq = (a.to_numpy() == b.to_numpy()) | (
+        a.isna().to_numpy() & b.isna().to_numpy()
+    )
+    return ~np.asarray(eq, dtype=bool)
+
+
+def _conform_arrow(t, target, renames: dict):
+    """Cast a parquet-read arrow table onto the declared data schema:
+    widened types cast, added columns null-padded, renamed columns
+    resolved via the recorded chains — the Arrow twin of
+    operators.merge.conform_to. Columns in the FILE that the declared
+    schema cannot place mean the table evolved past the running
+    stream's schema: fail with the restart instruction rather than
+    silently dropping data."""
+    import pyarrow as pa
+
+    have = set(t.schema.names)
+    placed: set[str] = set()
+    arrays = []
+    for f in target:
+        src = f.name if f.name in have else next(
+            (h for h in renames.get(f.name, []) if h in have), None
+        )
+        if src is None:
+            arrays.append(pa.nulls(len(t), f.type))
+        else:
+            arrays.append(t.column(src).cast(f.type))
+            placed.add(src)
+    extra = have - placed - set(target.names)
+    if extra:
+        raise FeedReconstructionError(
+            f"data files carry columns {sorted(extra)} not in this "
+            "reader's schema — the table evolved after the stream "
+            "started; restart the stream to pick up the new schema"
+        )
+    return pa.Table.from_arrays(arrays, schema=target)
+
+
+def _read_conformed(files: list[str], target, renames: dict):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not files:
+        return target.empty_table()
+    return pa.concat_tables(
+        _conform_arrow(pq.read_table(f), target, renames) for f in files
+    )
+
+
+def _emit(t, change_type: str, version: int, full_schema):
+    """Append the CDF metadata columns and yield record batches."""
+    import pyarrow as pa
+
+    if len(t) == 0:
+        return
+    t = t.append_column(
+        "_change_type", pa.array([change_type] * len(t), pa.string())
+    ).append_column(
+        "_commit_version", pa.array([version] * len(t), pa.int64())
+    )
+    yield from t.cast(full_schema).to_batches()
+
+
+def _read_feed_partition(p: FeedPartition, full_schema):
+    """The executor half: diff one partition's old/new file sets into
+    CDF rows. Output rows are TAKEN from the original arrow tables by
+    index (pandas is used only to build the key join and the equality
+    mask), so values never round-trip through pandas."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    data_schema = pa.schema(
+        [f for f in full_schema if f.name not in CDF_COLS]
+    )
+    new = _read_conformed(p.new_files, data_schema, p.new_renames)
+    if p.insert_only:
+        yield from _emit(new, "insert", p.v_to, full_schema)
+        return
+    old = _read_conformed(p.old_files, data_schema, p.old_renames)
+    k = p.key
+    jo = pd.DataFrame(
+        {"k": old.column(k).to_pandas(), "io": np.arange(len(old))}
+    )
+    jn = pd.DataFrame(
+        {"k": new.column(k).to_pandas(), "ii": np.arange(len(new))}
+    )
+    m = jo.merge(jn, on="k", how="outer", indicator=True)
+    ins = m.loc[m["_merge"] == "right_only", "ii"].to_numpy(dtype=np.int64)
+    dels = m.loc[m["_merge"] == "left_only", "io"].to_numpy(dtype=np.int64)
+    both = m[m["_merge"] == "both"]
+    io = both["io"].to_numpy(dtype=np.int64)
+    ii = both["ii"].to_numpy(dtype=np.int64)
+    neq = np.zeros(len(both), dtype=bool)
+    for name in data_schema.names:
+        if name == k or neq.all():
+            continue
+        co = old.column(name).take(pa.array(io)).to_pandas()
+        cn = new.column(name).take(pa.array(ii)).to_pandas()
+        neq |= _null_safe_neq(co, cn)
+    yield from _emit(new.take(pa.array(ins)), "insert", p.v_to, full_schema)
+    yield from _emit(old.take(pa.array(dels)), "delete", p.v_to, full_schema)
+    yield from _emit(
+        old.take(pa.array(io[neq])), "update_preimage", p.v_to, full_schema
+    )
+    yield from _emit(
+        new.take(pa.array(ii[neq])), "update_postimage", p.v_to, full_schema
+    )
+
+
+# --------------------------------------------------------------------------
+# the data source
+# --------------------------------------------------------------------------
+
+
+def _opt_bool(options, name: str, default: bool = False) -> bool:
+    v = options.get(name)
+    return default if v is None else str(v).lower() in ("true", "1", "yes")
+
+
+def _required(options, name: str) -> str:
+    v = options.get(name)
+    if not v:
+        raise ValueError(f"cdl_warehouse: option {name!r} is required")
+    return v
+
+
+def _arrow_full_schema(schema: StructType):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(schema)
+
+
+def _resolve_start(
+    meta: _Meta, starting: str | None, *, default_latest: bool
+) -> int:
+    """Map the startingVersion option to the initial offset (= last
+    version considered consumed). 'earliest' consumes the full history
+    (first delivery = the earliest retained snapshot as inserts);
+    an integer v delivers changes FROM v on (Delta's inclusive
+    semantics), requiring v-1 retained or genesis."""
+    if starting is None:
+        return meta.current_version() if default_latest else meta.genesis
+    if str(starting).lower() == "earliest":
+        return meta.genesis
+    v = int(starting)
+    prev = v - 1
+    if prev != meta.genesis and prev not in meta.retained_versions():
+        raise FeedReconstructionError(
+            f"startingVersion={v} needs commit {prev} of "
+            f"{meta.table!r} as the diff base, but it is not retained "
+            "— use startingVersion='earliest' for a full-snapshot start"
+        )
+    return prev
+
+
+class WarehouseStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options):
+        self.root = _required(options, "root")
+        self.table = _required(options, "table")
+        self.protocol = options.get("protocol")
+        self.key_opt = options.get("key")
+        self.max_diff_bytes = int(
+            options.get("maxDiffBytes", 4 * 1024 * 1024 * 1024)
+        )
+        self.full_schema = _arrow_full_schema(schema)
+        meta = self._meta()
+        self.key = self.key_opt or meta.bucket_key()
+        self.start_v = _resolve_start(
+            meta, options.get("startingVersion"), default_latest=True
+        )
+
+    def _meta(self) -> _Meta:
+        return _Meta(self.root, self.table, self.protocol)
+
+    def initialOffset(self):
+        return {"version": self.start_v}
+
+    def latestOffset(self):
+        # one commit-log LIST — the no-op-trigger cost at any scale
+        return {"version": self._meta().current_version()}
+
+    def partitions(self, start, end):
+        parts = _plan_range(
+            self._meta(),
+            int(start["version"]),
+            int(end["version"]),
+            self.key,
+            self.max_diff_bytes,
+        )
+        # Spark requires >=1 partition per planned batch; a rows-
+        # unchanged interval plans one no-op partition (zero files)
+        return parts or [
+            FeedPartition(
+                v_from=int(start["version"]),
+                v_to=int(end["version"]),
+                key=self.key,
+                insert_only=True,
+            )
+        ]
+
+    def read(self, partition: FeedPartition):
+        yield from _read_feed_partition(partition, self.full_schema)
+
+    def commit(self, end):
+        pass
+
+
+class WarehouseFeedBatchReader(DataSourceReader):
+    """Batch CDF (Delta's ``readChangeFeed`` shape): all changes in
+    (startingVersion-1, endingVersion] as one bounded read."""
+
+    def __init__(self, schema: StructType, options):
+        meta = _Meta(
+            _required(options, "root"),
+            _required(options, "table"),
+            options.get("protocol"),
+        )
+        self.full_schema = _arrow_full_schema(schema)
+        start_v = _resolve_start(
+            meta, _required(options, "startingVersion"), default_latest=False
+        )
+        end_v = int(options.get("endingVersion", meta.current_version()))
+        key = options.get("key") or meta.bucket_key()
+        self._parts = _plan_range(
+            meta,
+            start_v,
+            end_v,
+            key,
+            int(options.get("maxDiffBytes", 4 * 1024 * 1024 * 1024)),
+        )
+
+    def partitions(self):
+        return self._parts or [
+            FeedPartition(v_from=0, v_to=0, key=None, insert_only=True)
+        ]
+
+    def read(self, partition: FeedPartition):
+        yield from _read_feed_partition(partition, self.full_schema)
+
+
+@dataclass
+class SnapshotPartition(InputPartition):
+    file: str
+    renames: dict
+
+
+class WarehouseSnapshotReader(DataSourceReader):
+    """Batch snapshot read (optionally AS OF a retained version), one
+    input partition per live data file."""
+
+    def __init__(self, schema: StructType, options):
+        meta = _Meta(
+            _required(options, "root"),
+            _required(options, "table"),
+            options.get("protocol"),
+        )
+        self.arrow_schema = _arrow_full_schema(schema)
+        v = options.get("version")
+        version = int(v) if v is not None else meta.current_version()
+        renames = meta.renamed_from(version)
+        self._parts = [
+            SnapshotPartition(file=f, renames=renames)
+            for fl in meta.files_by_bucket(version).values()
+            for f in fl
+        ]
+
+    def partitions(self):
+        return self._parts or [SnapshotPartition(file="", renames={})]
+
+    def read(self, partition: SnapshotPartition):
+        import pyarrow.parquet as pq
+
+        if not partition.file:
+            return
+        t = _conform_arrow(
+            pq.read_table(partition.file), self.arrow_schema,
+            partition.renames,
+        )
+        yield from t.to_batches()
+
+
+class WarehouseDataSource(DataSource):
+    """``cdl_warehouse``: snapshot + change-feed reads of warehouse
+    tables (both commit protocols) without a Warehouse object — the
+    path an external Spark job on a cluster takes. Register once per
+    session: ``spark.dataSource.register(WarehouseDataSource)``."""
+
+    @classmethod
+    def name(cls):
+        return SOURCE_NAME
+
+    def schema(self):
+        meta = _Meta(
+            _required(self.options, "root"),
+            _required(self.options, "table"),
+            self.options.get("protocol"),
+        )
+        if _opt_bool(self.options, "feed"):
+            v = self.options.get("endingVersion")
+            base = meta.spark_schema(int(v) if v is not None else None)
+            return StructType(
+                list(base.fields)
+                + [
+                    StructField("_change_type", StringType(), False),
+                    StructField("_commit_version", LongType(), False),
+                ]
+            )
+        v = self.options.get("version")
+        return meta.spark_schema(int(v) if v is not None else None)
+
+    def reader(self, schema: StructType):
+        if _opt_bool(self.options, "feed"):
+            return WarehouseFeedBatchReader(schema, self.options)
+        return WarehouseSnapshotReader(schema, self.options)
+
+    def streamReader(self, schema: StructType):
+        if not _opt_bool(self.options, "feed"):
+            raise ValueError(
+                "cdl_warehouse streaming is a change feed — pass "
+                ".option('feed', 'true') (snapshot semantics have no "
+                "streaming meaning for merge-updated tables)"
+            )
+        return WarehouseStreamReader(schema, self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the source on a session."""
+    spark.dataSource.register(WarehouseDataSource)
+
+
+def read_changes_stream(spark, root: str, table: str, **options):
+    """Convenience: a streaming CDF DataFrame over a warehouse table."""
+    register(spark)
+    r = (
+        spark.readStream.format(SOURCE_NAME)
+        .option("root", root)
+        .option("table", table)
+        .option("feed", "true")
+    )
+    for k, v in options.items():
+        r = r.option(k, str(v))
+    return r.load()
