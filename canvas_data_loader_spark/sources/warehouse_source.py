@@ -560,28 +560,53 @@ class WarehouseStreamReader(DataSourceStreamReader):
         self.max_diff_bytes = int(
             options.get("maxDiffBytes", 4 * 1024 * 1024 * 1024)
         )
+        self.max_versions = int(options.get("maxVersionsPerTrigger", 0))
         self.full_schema = _arrow_full_schema(schema)
-        meta = self._meta()
-        self.key = self.key_opt or meta.bucket_key()
-        self.start_v = _resolve_start(
-            meta, options.get("startingVersion"), default_latest=True
-        )
+        self.starting = options.get("startingVersion")
+        self.key = self.key_opt or self._meta().bucket_key()
+        # highest version this reader has planned a batch through —
+        # the rate-limit floor. Seeded SOFTLY at construction (Spark
+        # may ask for latestOffset before initialOffset, e.g. the
+        # AvailableNow fallback freezing its end target): a fresh
+        # stream seeds from startingVersion, but a RESTART long after
+        # the named base was pruned must not fail construction — the
+        # checkpointed offset governs then, and the floor falls back
+        # to the current head (first recovered trigger may be
+        # unclamped: bounded staleness, never lost data).
+        try:
+            self._planned_through = _resolve_start(
+                self._meta(), self.starting, default_latest=True
+            )
+        except FeedReconstructionError:
+            self._planned_through = self._meta().current_version()
 
     def _meta(self) -> _Meta:
         return _Meta(self.root, self.table, self.protocol)
 
     def initialOffset(self):
-        return {"version": self.start_v}
+        # only called for a FRESH stream (no checkpoint) — the one
+        # place the startingVersion option is resolved and validated
+        v = _resolve_start(self._meta(), self.starting, default_latest=True)
+        self._planned_through = v  # rate-limit floor known from birth
+        return {"version": v}
 
     def latestOffset(self):
         # one commit-log LIST — the no-op-trigger cost at any scale
-        return {"version": self._meta().current_version()}
+        head = self._meta().current_version()
+        if self.max_versions > 0:
+            # bound catch-up bursts: at most N versions per micro-batch
+            head = min(head, self._planned_through + self.max_versions)
+        return {"version": head}
 
     def partitions(self, start, end):
+        start_v, end_v = int(start["version"]), int(end["version"])
+        # NEVER clamp here: ``end`` is already in the offset log, so
+        # planning less than it would mark undelivered data consumed
+        self._planned_through = max(self._planned_through, end_v)
         parts = _plan_range(
             self._meta(),
-            int(start["version"]),
-            int(end["version"]),
+            start_v,
+            end_v,
             self.key,
             self.max_diff_bytes,
         )

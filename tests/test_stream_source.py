@@ -260,6 +260,70 @@ class TestStreamingFeed:
         )
         assert canon(got) == canon(exp)
 
+    def test_restart_survives_pruned_starting_version_base(
+        self, spark, wh_factory, tmp_path
+    ):
+        """A checkpointed stream must restart even after the commit its
+        startingVersion option named has been pruned: the checkpoint
+        offset supersedes the option, so reader CONSTRUCTION must not
+        validate it (the round-8 review fix)."""
+        wh = wh_factory()
+        build_history(spark, wh)
+        vs = [
+            v for v in _Meta(wh.root, "t").retained_versions()
+            if v > genesis_of(wh)
+        ]
+        start_at = vs[1]
+        ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+        first = run_stream(
+            spark, wh.root, "t", ckpt, out, startingVersion=start_at
+        )
+        n_first = first.count()
+        assert n_first > 0
+        # churn commits until start_at-1 (the option's diff base) and
+        # start_at itself are pruned from the manifest log
+        for i in range(8):
+            wh.merge_bucketed(
+                "t",
+                spark.createDataFrame(
+                    [(5, f"churn{i}", float(i))],
+                    "id long, v string, x double",
+                ),
+                snapshot=f"pr{i}",
+            )
+        retained_now = _Meta(wh.root, "t").retained_versions()
+        if start_at - 1 in retained_now:
+            assert wh_factory.kind == "delta"
+            pytest.skip("delta log retains all commit entries")
+        got = run_stream(spark, wh.root, "t", ckpt, out,
+                         startingVersion=start_at)
+        assert got.count() > n_first  # restarted and delivered the tail
+
+    def test_max_versions_per_trigger_paces_catchup(
+        self, spark, wh_factory, tmp_path
+    ):
+        wh = wh_factory()
+        build_history(spark, wh)  # >= 3 data versions pending
+        ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+        got = run_stream(
+            spark, wh.root, "t", ckpt, out,
+            startingVersion="earliest", maxVersionsPerTrigger=1,
+        )
+        # single-batch execution + 1-version clamp: only the FIRST
+        # version's changes land in the first run
+        assert [
+            r["_commit_version"]
+            for r in got.select("_commit_version").distinct().collect()
+        ] == [min(
+            v for v in _Meta(wh.root, "t").retained_versions()
+            if v > genesis_of(wh)
+        )]
+        # each further run advances exactly one version until caught up
+        for _ in range(4):
+            got = run_stream(spark, wh.root, "t", ckpt, out,
+                             maxVersionsPerTrigger=1)
+        assert canon(got) == canon(expected_feed(spark, wh, "t"))
+
     def test_unbucketed_full_diff_with_explicit_key(
         self, spark, wh_factory, tmp_path
     ):
