@@ -226,8 +226,13 @@ class FeedPartition(InputPartition):
     old_files: list[str] = field(default_factory=list)
     new_files: list[str] = field(default_factory=list)
     insert_only: bool = False
-    old_renames: dict = field(default_factory=dict)
-    new_renames: dict = field(default_factory=dict)
+    # rename chains of the DECLARED schema's version (cumulative), not
+    # of each step's own version: every file — from any older step —
+    # conforms onto the one declared schema, and only the latest
+    # chains can place columns renamed after that step. (This is where
+    # the source EXCEEDS plans.ops.table_changes, which raises
+    # FeedSchemaDrift on rename-crossing intervals.)
+    renames: dict = field(default_factory=dict)
 
 
 def _plan_step(
@@ -236,13 +241,13 @@ def _plan_step(
     v: int,
     key: str | None,
     max_diff_bytes: int,
+    renames: dict,
 ) -> list[FeedPartition]:
     """Input partitions for ONE version step. ``base=None`` = empty
     base (full snapshot of ``v`` delivered as inserts, one partition
     per FILE — no diff, so no reason to coalesce a bucket). Otherwise
     one partition per CHANGED bucket (the b/N pruning), or a single
     guarded full-diff partition when pruning is unavailable."""
-    new_renames = meta.renamed_from(v)
     if base is None:
         return [
             FeedPartition(
@@ -251,7 +256,7 @@ def _plan_step(
                 key=key,
                 new_files=[f],
                 insert_only=True,
-                new_renames=new_renames,
+                renames=renames,
             )
             for fl in meta.files_by_bucket(v).values()
             for f in fl
@@ -264,7 +269,6 @@ def _plan_step(
             f"table {meta.table!r} has no bucket key and no 'key' option "
             "was given — a keyed change feed needs one"
         )
-    old_renames = meta.renamed_from(base)
     parts: list[FeedPartition] = []
     if changed is None:
         old = [f for fl in meta.files_by_bucket(base).values() for f in fl]
@@ -276,8 +280,7 @@ def _plan_step(
                 key=key,
                 old_files=old,
                 new_files=new,
-                old_renames=old_renames,
-                new_renames=new_renames,
+                renames=renames,
             )
         )
     else:
@@ -291,8 +294,7 @@ def _plan_step(
                     key=key,
                     old_files=old_map.get(b, []),
                     new_files=new_map.get(b, []),
-                    old_renames=old_renames,
-                    new_renames=new_renames,
+                    renames=renames,
                 )
             )
     for p in parts:
@@ -325,6 +327,7 @@ def _plan_range(
     end_v: int,
     key: str | None,
     max_diff_bytes: int,
+    renames: dict | None = None,
 ) -> list[FeedPartition]:
     """Partitions for (start_v, end_v], stepping through the RETAINED
     versions so every emitted row's ``_commit_version`` names a real
@@ -351,7 +354,9 @@ def _plan_range(
                 "cannot be reconstructed; restart from a fresh "
                 "startingVersion"
             )
-        parts.extend(_plan_step(meta, base, v, key, max_diff_bytes))
+        parts.extend(
+            _plan_step(meta, base, v, key, max_diff_bytes, renames or {})
+        )
         prev = v
     return parts
 
@@ -470,11 +475,11 @@ def _read_feed_partition(p: FeedPartition, full_schema):
     data_schema = pa.schema(
         [f for f in full_schema if f.name not in CDF_COLS]
     )
-    new = _read_conformed(p.new_files, data_schema, p.new_renames)
+    new = _read_conformed(p.new_files, data_schema, p.renames)
     if p.insert_only:
         yield from _emit(new, "insert", p.v_to, full_schema)
         return
-    old = _read_conformed(p.old_files, data_schema, p.old_renames)
+    old = _read_conformed(p.old_files, data_schema, p.renames)
     k = p.key
     jo = pd.DataFrame(
         {"k": old.column(k).to_pandas(), "io": np.arange(len(old))}
@@ -563,7 +568,11 @@ class WarehouseStreamReader(DataSourceStreamReader):
         self.max_versions = int(options.get("maxVersionsPerTrigger", 0))
         self.full_schema = _arrow_full_schema(schema)
         self.starting = options.get("startingVersion")
-        self.key = self.key_opt or self._meta().bucket_key()
+        meta0 = self._meta()
+        self.key = self.key_opt or meta0.bucket_key()
+        # the declared schema was resolved against the current head;
+        # its cumulative rename chains place every older file's columns
+        self.renames = meta0.renamed_from(meta0.current_version())
         # highest version this reader has planned a batch through —
         # the rate-limit floor. Seeded SOFTLY at construction (Spark
         # may ask for latestOffset before initialOffset, e.g. the
@@ -609,6 +618,7 @@ class WarehouseStreamReader(DataSourceStreamReader):
             end_v,
             self.key,
             self.max_diff_bytes,
+            self.renames,
         )
         # Spark requires >=1 partition per planned batch; a rows-
         # unchanged interval plans one no-op partition (zero files)
@@ -650,6 +660,7 @@ class WarehouseFeedBatchReader(DataSourceReader):
             end_v,
             key,
             int(options.get("maxDiffBytes", 4 * 1024 * 1024 * 1024)),
+            meta.renamed_from(end_v),
         )
 
     def partitions(self):

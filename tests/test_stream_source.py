@@ -454,6 +454,42 @@ class TestGuardsAndEvolution:
         )
         assert canon(got) == canon(expected_feed(spark, wh, "t"))
 
+    def test_rename_evolution_resolves_via_declared_chains(
+        self, spark, wh_factory, tmp_path
+    ):
+        """Files written BEFORE a rename conform onto the declared
+        (post-rename) schema through the head manifest's cumulative
+        chains — where the source EXCEEDS plans.ops.table_changes,
+        which raises FeedSchemaDrift on rename-crossing intervals."""
+        if wh_factory.kind == "delta":
+            pytest.skip("delta impl evolution path has no rename lane")
+        wh = wh_factory()
+        base = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1, 9)], "id long, v string"
+        )
+        wh.write("t", base, snapshot="s0", bucket=("id", 4))
+        batch = spark.createDataFrame([(1, "NEW")], "id long, w string")
+        wh.merge_bucketed(
+            "t", batch, snapshot="m1", evolve=True, renames={"v": "w"}
+        )
+        got = run_stream(
+            spark, wh.root, "t",
+            str(tmp_path / "ckpt"), str(tmp_path / "out"),
+            startingVersion="earliest",
+        )
+        assert "w" in got.columns and "v" not in got.columns
+        # v1 snapshot rows (written under the OLD name) arrive under
+        # the new name; the v2 update shows old->new value under "w"
+        inserts = {
+            r["id"]: r["w"]
+            for r in got.filter(F.col("_change_type") == "insert").collect()
+        }
+        assert inserts == {i: f"v{i}" for i in range(1, 9)}
+        post = got.filter(
+            F.col("_change_type") == "update_postimage"
+        ).collect()
+        assert [(r["id"], r["w"]) for r in post] == [(1, "NEW")]
+
     def test_maintenance_commit_yields_no_rows(
         self, spark, wh_factory, tmp_path
     ):
