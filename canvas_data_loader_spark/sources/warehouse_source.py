@@ -261,6 +261,13 @@ def _plan_step(
             for fl in meta.files_by_bucket(v).values()
             for f in fl
         ]
+    if meta.wh.rows_changed(meta.table, base, v) is False:
+        # interval provably row-identical (compaction / rebucket /
+        # properties / txn-only commits carry data_change=false):
+        # advance with ZERO data IO — without this, a nightly OPTIMIZE
+        # repointing every bucket would cost the stream a full-table
+        # diff to discover nothing changed
+        return []
     changed = meta.changed_buckets(base, v)
     if changed is not None and not changed:
         return []

@@ -454,6 +454,28 @@ class TestGuardsAndEvolution:
         )
         assert canon(got) == canon(expected_feed(spark, wh, "t"))
 
+    def test_compaction_interval_advances_with_zero_partitions(
+        self, spark, wh_factory, tmp_path
+    ):
+        """OPTIMIZE repoints every bucket's files without changing
+        rows; the data_change=false marker must let the stream advance
+        past it with ZERO planned data partitions, not a full diff."""
+        wh = wh_factory()
+        build_history(spark, wh)
+        v_before = wh.current_version("t")
+        wh.compact("t")
+        meta = _Meta(wh.root, "t")
+        v_after = meta.current_version()
+        assert v_after > v_before
+        assert _plan_range(meta, v_before, v_after, "id", 1 << 40) == []
+        # and end-to-end: a stream pinned at v_before delivers nothing
+        got = run_stream(
+            spark, wh.root, "t",
+            str(tmp_path / "ckpt"), str(tmp_path / "out"),
+            startingVersion=v_before + 1,
+        )
+        assert got.count() == 0
+
     def test_rename_evolution_resolves_via_declared_chains(
         self, spark, wh_factory, tmp_path
     ):
