@@ -367,6 +367,103 @@ class TestStreamingFeed:
             )
 
 
+class TestStreamingReplication:
+    def test_feed_drives_a_live_mirror(self, spark, wh_factory, tmp_path):
+        """Composition: the change-feed SOURCE + foreachBatch + the
+        warehouse merge = streaming replication. An upsert-only
+        workload's feed, applied per micro-batch in commit order,
+        leaves the mirror equal to the source head — the streaming
+        twin of plans.ops.sync_mirror's incremental mode, built
+        entirely from public pieces of this stack."""
+        from canvas_data_loader_spark.plans.ops import applied_rows
+
+        wh = wh_factory()
+        base = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1, 17)], "id long, v string"
+        )
+        wh.write("src", base, snapshot="s0", bucket=("id", 4))
+        for i in range(3):
+            wh.merge_bucketed(
+                "src",
+                spark.createDataFrame(
+                    [(i + 1, f"m{i}"), (16 + i, f"n{i}")],
+                    "id long, v string",
+                ),
+                snapshot=f"m{i}",
+            )
+        dst = wh_factory("dst")
+
+        def apply_batch(batch_df, batch_id):
+            # one delivered batch may span several commits (catch-up):
+            # apply in commit order so a key updated twice lands on
+            # its latest value, never on a same-batch race
+            batch_df = batch_df.localCheckpoint()
+            versions = sorted(
+                r["_commit_version"]
+                for r in batch_df.select("_commit_version")
+                .distinct()
+                .collect()
+            )
+            for i, v in enumerate(versions):
+                rows = applied_rows(
+                    batch_df.filter(
+                        F.col("_commit_version") == v
+                    ).drop("_commit_version")
+                )
+                if rows.isEmpty():
+                    continue
+                if not dst.exists("mirror"):
+                    dst.write("mirror", rows, snapshot="init",
+                              bucket=("id", 4))
+                else:
+                    dst.merge_bucketed("mirror", rows,
+                                       snapshot=f"b{batch_id}-{i}")
+
+        feed = read_changes_stream(
+            spark, wh.root, "src", startingVersion="earliest"
+        )
+        q = (
+            feed.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert canon(dst.read("mirror")) == canon(wh.read("src"))
+
+
+class TestDeltaCheckpointReplay:
+    def test_feed_reads_through_log_checkpoint(
+        self, spark, wh_factory, tmp_path
+    ):
+        """Past the checkpoint interval the delta log replays from the
+        parquet checkpoint + tail commits; the source's metadata path
+        must resolve files/changed-buckets identically through it."""
+        if wh_factory.kind != "delta":
+            pytest.skip("log checkpoints are delta-specific")
+        wh = wh_factory()
+        build_history(spark, wh)
+        # cross the checkpoint_interval (10) so _last_checkpoint exists
+        for i in range(12):
+            wh.merge_bucketed(
+                "t",
+                spark.createDataFrame(
+                    [(i % 5 + 1, f"ck{i}", float(i))],
+                    "id long, v string, x double",
+                ),
+                snapshot=f"ck{i}",
+            )
+        assert os.path.isfile(
+            os.path.join(wh.root, "t", "_delta_log", "_last_checkpoint")
+        )
+        got = run_stream(
+            spark, wh.root, "t",
+            str(tmp_path / "ckpt"), str(tmp_path / "out"),
+            startingVersion="earliest",
+        )
+        assert canon(got) == canon(expected_feed(spark, wh, "t"))
+
+
 class TestGuardsAndEvolution:
     def test_max_diff_bytes_guard(self, spark, wh_factory, tmp_path):
         wh = wh_factory()

@@ -914,6 +914,134 @@ def main_mirror():
     )
 
 
+def main_feedsource():
+    """Measure the cdl_warehouse streaming source's per-trigger cost as
+    the TABLE scales with the per-interval change batch held fixed —
+    the claims behind sources/warehouse_source.py: planning is
+    metadata-only (~constant), a changed-bucket micro-batch reads b/N
+    of the table (near-flat in table size), and a maintenance interval
+    advances with zero data IO. The stream machinery is exercised
+    directly (offset resolution + _plan_range + the executor Arrow
+    diff), which is exactly what a trigger executes minus Spark's
+    fixed scheduling overhead. Usage: --feedsource [factor]."""
+    import tempfile
+
+    from canvas_data_loader_spark.operators.merge import bucket_of
+    from canvas_data_loader_spark.plans.pipeline import Warehouse
+    from canvas_data_loader_spark.sources.warehouse_source import (
+        _Meta,
+        _plan_range,
+        _read_feed_partition,
+    )
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("scale_probe_feedsource")
+    li = spark.read.parquet(f"{BASE}/orders.parquet").withColumnRenamed(
+        "o_orderkey", "k"
+    )
+
+    def table_at(f):
+        big = li
+        for i in range(1, f):
+            big = big.unionByName(
+                li.withColumn("k", F.col("k") + F.lit(i * OFFSET))
+            )
+        return big
+
+    report = {}
+    for f in (1, factor):
+        # bucket count scales WITH the table (constant bytes/bucket) —
+        # how a 100 TB table is actually laid out; the contract under
+        # test is "micro-batch cost ∝ changed-bucket BYTES, not table
+        # size". With n_buckets held fixed instead, the same probe
+        # measures ∝ b/N of the table (exponent ~0.7 observed), which
+        # is the documented behavior, not a bug.
+        n_buckets = 128 * f
+        batch = (
+            li.filter(bucket_of(F.col("k"), n_buckets).isin(0, 1))
+            .limit(256)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+            .localCheckpoint()
+        )
+        root = tempfile.mkdtemp(prefix=f"scale_probe_feed_{f}_")
+        try:
+            wh = Warehouse(spark, root)
+            wh.write(
+                "t", table_at(f), snapshot="base", bucket=("k", n_buckets)
+            )
+            wh.merge_bucketed("t", batch, snapshot="m1")
+            meta = _Meta(root, "t")
+            full_schema = to_arrow_schema(
+                StructType(
+                    list(meta.spark_schema().fields)
+                    + [
+                        StructField("_change_type", StringType(), False),
+                        StructField("_commit_version", LongType(), False),
+                    ]
+                )
+            )
+            vs = meta.retained_versions()
+            # per-trigger planning cost (metadata only)
+            t0 = time.time()
+            parts = _plan_range(meta, vs[-2], vs[-1], "k", 1 << 40)
+            plan_sec = round(time.time() - t0, 3)
+            # changed-bucket micro-batch: plan + executor diff
+            t0 = time.time()
+            rows = sum(
+                sum(len(b) for b in _read_feed_partition(p, full_schema))
+                for p in parts
+            )
+            diff_sec = round(time.time() - t0, 3)
+            assert rows > 0 and len(parts) <= 2, (rows, len(parts))
+            # maintenance interval: compaction -> zero-partition advance
+            wh.compact("t")
+            meta = _Meta(root, "t")
+            vs = meta.retained_versions()
+            t0 = time.time()
+            adv = _plan_range(meta, vs[-2], vs[-1], "k", 1 << 40)
+            adv_sec = round(time.time() - t0, 3)
+            assert adv == []
+            report[f"x{f}"] = {
+                "plan_sec": plan_sec,
+                "diff_sec": diff_sec,
+                "advance_sec": adv_sec,
+                "feed_rows": rows,
+                "partitions": len(parts),
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    def expo(key):
+        return round(
+            math.log(
+                max(report[f"x{factor}"][key], 1e-3)
+                / max(report["x1"][key], 1e-3)
+            )
+            / math.log(factor),
+            3,
+        )
+
+    print(
+        json.dumps(
+            {
+                "mode": "feedsource",
+                "factor": factor,
+                "tables": report,
+                "exponent_plan": expo("plan_sec"),
+                "exponent_diff": expo("diff_sec"),
+                "exponent_advance": expo("advance_sec"),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--merge":
         main_merge()
@@ -935,5 +1063,7 @@ if __name__ == "__main__":
         main_mv()
     elif len(sys.argv) > 1 and sys.argv[1] == "--mirror":
         main_mirror()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--feedsource":
+        main_feedsource()
     else:
         main()
