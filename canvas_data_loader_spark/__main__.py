@@ -20,7 +20,8 @@ care::
     python -m canvas_data_loader_spark maintain --warehouse-dir DIR \
         --table T [--format manifest|delta] \
         (--compact | --vacuum | --rebucket N [--key K] | --restore V \
-         | --changes V_FROM V_TO --out DIR | --refresh-view)
+         | --changes V_FROM V_TO --out DIR | --refresh-view \
+         | --delete-where SQL [--delete-mode auto|mor|cow])
 """
 
 from __future__ import annotations
@@ -52,6 +53,12 @@ def _maintain(argv: list[str]) -> int:
         "source's current version — incremental via the change feed",
     )
     g.add_argument(
+        "--delete-where", metavar="SQL_PREDICATE",
+        help="row-level DELETE: rows matching the SQL predicate are "
+        "removed — merge-on-read (deletion vectors) or copy-on-write "
+        "per --delete-mode; the next --compact materializes vectors",
+    )
+    g.add_argument(
         "--mirror-to", metavar="DST_DIR",
         help="replicate --table into another warehouse root, "
         "incrementally via the change feed (clone on first sync); the "
@@ -74,6 +81,11 @@ def _maintain(argv: list[str]) -> int:
     )
     ap.add_argument("--out", default=None,
                     help="output directory for --changes")
+    ap.add_argument(
+        "--delete-mode", choices=("auto", "mor", "cow"), default="auto",
+        help="storage lane for --delete-where (auto: deletion vectors "
+        "while the matched fraction stays small, else pruned rewrite)",
+    )
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -146,6 +158,12 @@ def _maintain(argv: list[str]) -> int:
         print(
             f"refreshed {args.table}: {out['mode']} "
             f"(source v{out['v_from']} -> v{out['v_to']})"
+        )
+    elif args.delete_where is not None:
+        n = wh.delete_where(args.table, args.delete_where, mode=args.delete_mode)
+        print(
+            f"deleted {n} rows from {args.table} "
+            f"(where {args.delete_where}, mode={args.delete_mode})"
         )
     elif args.mirror_to is not None:
         from .plans.ops import sync_mirror

@@ -245,14 +245,21 @@ def _chain_renames(
 
 
 def conform_to(
-    df: DataFrame, target, renamed_from: dict[str, list[str]] | None = None
+    df: DataFrame,
+    target,
+    renamed_from: dict[str, list[str]] | None = None,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Project ``df`` onto ``target`` (a StructType): cast columns the
     frame has, resolve renamed columns via ``renamed_from`` (target
     name -> historical names, newest first), null-pad columns it lacks.
     Pure column expressions — at scale this is a zero-shuffle map over
     whatever files carry an older schema (the Delta/Iceberg read-time
-    schema-resolution shape; files are never rewritten)."""
+    schema-resolution shape; files are never rewritten).
+
+    ``keep``: extra column names carried through unchanged when the
+    frame has them (the deletion-vector read path threads its file/
+    row-position columns past the conforming projection this way)."""
     renamed_from = renamed_from or {}
     have = set(df.columns)
     cols = []
@@ -264,6 +271,7 @@ def conform_to(
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         else:
             cols.append(F.col(src).cast(f.dataType).alias(f.name))
+    cols += [F.col(k) for k in keep if k in have and k not in target.names]
     return df.select(*cols)
 
 

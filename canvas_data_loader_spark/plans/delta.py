@@ -242,8 +242,18 @@ class DeltaWarehouse:
         import pyarrow.parquet as pq
 
         v, meta, live, txn, dead = self._replay(table, upto=version)
+        # tables with live deletion vectors need the DV feature gate in
+        # the checkpoint's protocol row (a DV-free state checkpoints
+        # the base protocol — our readers ignore protocol rows, and a
+        # real Delta reader only needs the gate while DVs are live;
+        # note a real writer would never downgrade, documented trade)
+        proto = (
+            dict(self._DV_PROTOCOL)
+            if any(a.get("deletionVector") for a in live.values())
+            else {"minReaderVersion": 1, "minWriterVersion": 2}
+        )
         rows: list[dict] = [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"protocol": proto},
             {"metaData": meta},
         ]
         rows += [{"txn": {"appId": k, "version": n}} for k, n in sorted(txn.items())]
@@ -609,31 +619,61 @@ class DeltaWarehouse:
         return self._bucket_spec(meta) is not None
 
     def _df_for(
-        self, table: str, meta: dict, live: dict[str, dict]
+        self,
+        table: str,
+        meta: dict,
+        live: dict[str, dict],
+        with_location: bool = False,
     ) -> DataFrame:
+        from .dv import FILE_COL, POS_COL, apply_dv, decode_inline_dv, locate_columns
+
         from pyspark.sql import types as T
 
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        # add actions carrying a deletionVector descriptor (merge-on-
+        # read deletes): decode the inline bitmaps driver-side (their
+        # total size is bounded by delete_where's inline cap) and
+        # anti-join the (file, row-position) pairs out — broadcast,
+        # no shuffle, same mechanism as the manifest warehouse
+        dv_rows = [
+            (p, int(pos))
+            for p, a in live.items()
+            if a.get("deletionVector")
+            for pos in decode_inline_dv(a["deletionVector"])
+        ]
+        need_loc = with_location or bool(dv_rows)
         if not live:
+            if with_location:
+                schema = schema.add(FILE_COL, "string").add(POS_COL, "long")
             return self.spark.createDataFrame([], schema)
         tdir = self._table_dir(table)
         partitioned = bool(meta.get("partitionColumns"))
         if not partitioned:
             files = [os.path.join(tdir, p) for p in sorted(live)]
-            return self.spark.read.schema(schema).parquet(*files)
-        # group files by their batch dir so basePath recovers the
-        # partition column from the path, then union
-        by_base: dict[str, list[str]] = {}
-        for p in sorted(live):
-            base = os.path.join(tdir, p.split(os.sep, 1)[0])
-            by_base.setdefault(base, []).append(os.path.join(tdir, p))
-        parts = [
-            self.spark.read.option("basePath", b).parquet(*fs)
-            for b, fs in sorted(by_base.items())
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+            out = self.spark.read.schema(schema).parquet(*files)
+            if need_loc:
+                out = locate_columns(out, tdir)
+        else:
+            # group files by their batch dir so basePath recovers the
+            # partition column from the path, then union
+            by_base: dict[str, list[str]] = {}
+            for p in sorted(live):
+                base = os.path.join(tdir, p.split(os.sep, 1)[0])
+                by_base.setdefault(base, []).append(os.path.join(tdir, p))
+            parts = []
+            for b, fs in sorted(by_base.items()):
+                part = self.spark.read.option("basePath", b).parquet(*fs)
+                if need_loc:
+                    part = locate_columns(part, tdir)
+                parts.append(part)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        if dv_rows:
+            dv_df = self.spark.createDataFrame(dv_rows, "file string, pos long")
+            out = apply_dv(out, dv_df)
+        if need_loc and not with_location:
+            out = out.drop(FILE_COL, POS_COL)
         return out
 
     def read_versioned(self, table: str) -> tuple[int, DataFrame]:
@@ -731,6 +771,8 @@ class DeltaWarehouse:
         warehouse's). A DuckDB build with the delta extension could
         instead ``delta_scan`` the table root — this spelling needs
         only parquet."""
+        from .dv import decode_inline_dv
+
         _, meta, live, _, _ = self._replay(table, upto=version)
         tdir = self._table_dir(table)
         files = []
@@ -745,9 +787,37 @@ class DeltaWarehouse:
             raise FileNotFoundError(
                 f"delta table {table!r} has no data files to read externally"
             )
+        # live deletion vectors: inline the (absolute file, position)
+        # pairs as a VALUES anti-join — bounded by the inline-DV cap,
+        # and the positions are already decoded driver-side anyway
+        dv_values = [
+            (os.path.join(tdir, p), pos)
+            for p, a in sorted(live.items())
+            if a.get("deletionVector")
+            for pos in decode_inline_dv(a["deletionVector"])
+        ]
+        if len(dv_values) > 200_000:
+            raise ValueError(
+                f"{table!r} carries {len(dv_values)} inline-DV deleted "
+                "positions — too many to inline in a portable SQL "
+                "statement; compact() the table to materialize them first"
+            )
+        src = (
+            "read_parquet([" + ", ".join(files) + "], "
+            "hive_partitioning=false, union_by_name=true"
+            + (", filename=true, file_row_number=true" if dv_values else "")
+            + ")"
+        )
+        if not dv_values:
+            return f"SELECT * FROM {src}"
+        vals = ", ".join(
+            "('" + f.replace("'", "''") + "', " + str(int(pos)) + ")"
+            for f, pos in dv_values
+        )
         return (
-            "SELECT * FROM read_parquet([" + ", ".join(files) + "], "
-            "hive_partitioning=false, union_by_name=true)"
+            f"SELECT * EXCLUDE (filename, file_row_number) FROM {src} r "
+            f"WHERE NOT EXISTS (SELECT 1 FROM (VALUES {vals}) d(file, pos) "
+            "WHERE d.file = r.filename AND d.pos = r.file_row_number)"
         )
 
     # -- merge --------------------------------------------------------------
@@ -864,6 +934,175 @@ class DeltaWarehouse:
             f"{table}: merge lost the commit race {1 + max_commit_retries} "
             "times — contention too high, back off and retry"
         )
+
+    # -- row-level delete ----------------------------------------------------
+    # protocol feature gate for deletion vectors (PROTOCOL.md: DV
+    # tables require reader 3 / writer 7 with the named feature)
+    _DV_PROTOCOL = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
+
+    def delete_where(
+        self,
+        table: str,
+        condition,
+        mode: str = "auto",
+        dv_max_fraction: float = 0.2,
+        txn: tuple[str, int] | None = None,
+        max_commit_retries: int = 5,
+        dv_inline_max_rows: int = 100_000,
+    ) -> int:
+        """Row-level DELETE with the same surface and semantics as
+        ``Warehouse.delete_where`` (the shared contract suite pins the
+        two), expressed in Delta protocol actions:
+
+        - merge-on-read (``mor``): each affected file's ``add`` action
+          is re-committed (remove + add of the same path) carrying a
+          ``deletionVector`` descriptor — inline storage, Base85-
+          encoded RoaringBitmapArray (plans/dv.py). No data file is
+          rewritten; the commit is O(deleted positions). The first DV
+          commit also emits the protocol upgrade the spec requires
+          (reader 3 / writer 7 + the deletionVectors feature).
+        - copy-on-write (``cow``): FILE-granular rewrite — only files
+          containing matches are tombstoned and rewritten without the
+          matching rows (the manifest impl's granularity is the
+          bucket; files are this impl's unit of backing identity).
+        - ``auto``: mor while the matched fraction stays within
+          ``dv_max_fraction`` AND the positions fit the inline cap
+          (``dv_inline_max_rows`` — inline DVs ride the commit JSON,
+          so they must stay log-line-sized; a delete too big to
+          inline is by definition dense enough to rewrite).
+
+        Returns the number of rows deleted."""
+        if mode not in ("auto", "mor", "cow"):
+            raise ValueError(f"delete_where mode {mode!r}")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        keep_cond = ~F.coalesce(cond.cast("boolean"), F.lit(False))
+        from .dv import FILE_COL, POS_COL, merge_inline_dv
+
+        for attempt in range(1 + max_commit_retries):
+            base, meta, live, _, _ = self._replay(table)
+            located = self._df_for(table, meta, live, with_location=True)
+            matched = located.filter(cond).localCheckpoint(eager=True)
+            n_deleted = matched.count()
+            if n_deleted == 0:
+                return 0
+            chosen = mode
+            if mode == "auto":
+                total = self._approx_live_rows(live)
+                if total is None:
+                    total = located.count()
+                chosen = (
+                    "mor"
+                    if total
+                    and n_deleted / total <= dv_max_fraction
+                    and n_deleted <= dv_inline_max_rows
+                    else "cow"
+                )
+            if chosen == "mor" and n_deleted > dv_inline_max_rows:
+                raise ValueError(
+                    f"{n_deleted} deleted rows exceed the inline "
+                    f"deletion-vector cap ({dv_inline_max_rows}); a "
+                    "delete this dense should rewrite — use mode='cow' "
+                    "(or 'auto')"
+                )
+            now = int(time.time() * 1000)
+            actions: list[dict] = [
+                self._commit_info("DELETE", {"mode": chosen})
+            ]
+            if txn is not None:
+                actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
+            if chosen == "mor":
+                by_file: dict[str, list[int]] = {}
+                for r in matched.select(FILE_COL, POS_COL).collect():
+                    by_file.setdefault(r[0], []).append(int(r[1]))
+                # idempotent protocol upgrade rides every DV commit
+                # (later protocol actions replace earlier ones)
+                actions.insert(1, {"protocol": dict(self._DV_PROTOCOL)})
+                for p in sorted(by_file):
+                    old_add = live[p]
+                    actions.append(
+                        {
+                            "remove": {
+                                "path": p,
+                                "deletionTimestamp": now,
+                                "dataChange": True,
+                            }
+                        }
+                    )
+                    actions.append(
+                        {
+                            "add": {
+                                **old_add,
+                                "deletionVector": merge_inline_dv(
+                                    old_add.get("deletionVector"),
+                                    by_file[p],
+                                ),
+                                "dataChange": True,
+                            }
+                        }
+                    )
+            else:
+                affected = sorted(
+                    r[0]
+                    for r in matched.select(FILE_COL).distinct().collect()
+                )
+                sub_live = {p: live[p] for p in affected}
+                kept = self._df_for(table, meta, sub_live).filter(keep_cond)
+                spec = self._bucket_spec(meta)
+                if spec is not None:
+                    kept = kept.drop(BUCKET_COL)
+                adds, _sj, _rel = self._write_files(
+                    table,
+                    kept,
+                    f"delete-cow-{attempt}" if attempt else "delete-cow",
+                    bucket=spec,
+                )
+                actions += [
+                    {
+                        "remove": {
+                            "path": p,
+                            "deletionTimestamp": now,
+                            "dataChange": True,
+                        }
+                    }
+                    for p in affected
+                ]
+                actions += [{"add": a} for a in adds]
+            try:
+                self._commit(table, base + 1, actions)
+                return n_deleted
+            except CommitConflict:
+                import random
+
+                time.sleep(min(0.05 * (attempt + 1), 0.5) * random.random())
+                continue
+        raise CommitConflict(
+            f"{table}: delete lost the commit race {1 + max_commit_retries} "
+            "times — contention too high, back off and retry"
+        )
+
+    @staticmethod
+    def _approx_live_rows(live: dict[str, dict]) -> int | None:
+        """Live row count from the add actions' stats minus recorded
+        DV cardinalities — metadata only; None when any file lacks
+        stats (caller falls back to a count)."""
+        total = 0
+        for a in live.values():
+            st = a.get("stats")
+            if not st:
+                return None
+            try:
+                total += int(json.loads(st)["numRecords"])
+            except (ValueError, KeyError, TypeError):
+                return None
+            dv = a.get("deletionVector")
+            if dv:
+                total -= int(dv.get("cardinality", 0))
+        return total
 
     # -- maintenance --------------------------------------------------------
     def live_file_count(self, table: str) -> int:
@@ -997,12 +1236,18 @@ class DeltaWarehouse:
 
     def _live_by_bucket(
         self, live: dict[str, dict]
-    ) -> dict[int, frozenset[str]]:
-        out: dict[int, set[str]] = {}
+    ) -> dict[int, frozenset[tuple]]:
+        out: dict[int, set[tuple]] = {}
         for p, a in live.items():
             b = a.get("partitionValues", {}).get(BUCKET_COL)
             if b is not None:
-                out.setdefault(int(b), set()).add(p)
+                # a file's row identity = (path, deletion-vector): a
+                # merge-on-read delete changes rows without changing
+                # any path, so the DV payload is part of the identity
+                dv = a.get("deletionVector") or {}
+                out.setdefault(int(b), set()).add(
+                    (p, dv.get("pathOrInlineDv"))
+                )
         return {k: frozenset(v) for k, v in out.items()}
 
     def changed_buckets(
@@ -1087,9 +1332,23 @@ class DeltaWarehouse:
                 }
                 for p in sorted(set(live_h) - set(live_v))
             ]
-            actions += [
-                {"add": live_v[p]} for p in sorted(set(live_v) - set(live_h))
+            # re-added: paths absent at head, PLUS paths live at both
+            # versions whose deletion vector differs (a restore across
+            # a merge-on-read delete must restore the row visibility,
+            # not just the file set — replay keys adds by path, so
+            # re-adding overwrites the head's descriptor)
+            readd = [
+                p
+                for p in live_v
+                if p not in live_h
+                or (live_h[p].get("deletionVector") or {}).get(
+                    "pathOrInlineDv"
+                )
+                != (live_v[p].get("deletionVector") or {}).get(
+                    "pathOrInlineDv"
+                )
             ]
+            actions += [{"add": live_v[p]} for p in sorted(readd)]
             try:
                 self._commit(table, base + 1, actions)
                 return base + 1

@@ -102,6 +102,34 @@ def _link_put_if_absent(target: str, manifest: dict) -> bool:
             pass
 
 
+def _dv_surviving_rewrite(m: dict, affected: list[int]) -> list[dict]:
+    """Deletion-vector entries still live after ``affected`` buckets
+    are rewritten: an entry whose covered buckets all got new backing
+    directories references only dead files (reads anti-join on exact
+    file paths, so stale entries are inert — this drop is hygiene that
+    keeps the broadcast DV set from accumulating forever). Entries
+    covering any untouched bucket are kept whole: extra rows for dead
+    files can never match a read."""
+    out = []
+    for e in m.get("dv") or []:
+        bs = e.get("buckets")
+        if bs is not None and not (set(int(b) for b in bs) - set(affected)):
+            continue
+        out.append(e)
+    return out
+
+
+def _dv_dirs_of(m: dict) -> set[str]:
+    """First path component (the snapshot-like claimed directory) of
+    every DV sidecar a manifest references — retention must protect
+    these exactly like data snapshot directories."""
+    return {
+        e["dir"].split(os.sep, 1)[0]
+        for e in (m.get("dv") or [])
+        if e.get("dir")
+    }
+
+
 def _duckdb_type(dt) -> str | None:
     """DuckDB spelling of a Spark scalar type, for the schema-pinned
     external read projection; None (no cast emitted) for complex types
@@ -464,18 +492,47 @@ class Warehouse:
         m = self.current_manifest(table)
         return bool(m and m.get("buckets"))
 
-    def _read_manifest(self, table: str, manifest: dict) -> DataFrame:
+    def _read_manifest(
+        self, table: str, manifest: dict, with_location: bool = False
+    ) -> DataFrame:
         """Assemble a table from a manifest. Bucketed manifests map each
         bucket id to the snapshot whose write last touched it (the
         Delta/Iceberg file-reuse shape: a merge publishes a manifest
         referencing new directories for affected buckets and the OLD
         directories for everything else). One read per referenced
-        snapshot (<= retain), each listing only its buckets."""
+        snapshot (<= retain), each listing only its buckets.
+
+        Manifests carrying deletion vectors (``dv`` entries, written by
+        ``delete_where``'s merge-on-read lane) get the deleted (file,
+        position) pairs anti-joined out — a broadcast hash join over
+        the scan, no shuffle; the DV set is small by contract because
+        compaction materializes it. ``with_location=True`` keeps the
+        per-row ``__cdl_file``/``__cdl_pos`` columns on the result (the
+        delete path computes new DVs from them)."""
+        from .dv import FILE_COL, POS_COL, apply_dv, locate_columns
+
+        dv_entries = manifest.get("dv") or []
+        need_loc = with_location or bool(dv_entries)
+        table_dir = os.path.join(self.root, table)
+
+        def finish(df: DataFrame) -> DataFrame:
+            if dv_entries:
+                dv_df = self.spark.read.parquet(
+                    *(os.path.join(table_dir, e["dir"]) for e in dv_entries)
+                )
+                df = apply_dv(df, dv_df)
+            if need_loc and not with_location:
+                df = df.drop(FILE_COL, POS_COL)
+            return df
+
         buckets = manifest.get("buckets")
         if not buckets:
-            return self.spark.read.parquet(
-                os.path.join(self.root, table, manifest["snapshot"])
+            part = self.spark.read.parquet(
+                os.path.join(table_dir, manifest["snapshot"])
             )
+            if need_loc:
+                part = locate_columns(part, table_dir)
+            return finish(part)
         # Schema-evolved tables: snapshots written before an ADD/WIDEN/
         # RENAME still carry their ORIGINAL schema on disk (evolution
         # never rewrites untouched buckets — the point, at 100 TB).
@@ -503,8 +560,17 @@ class Warehouse:
             ]
             if leaves:
                 part = self.spark.read.option("basePath", base).parquet(*leaves)
+                if need_loc:
+                    # on the raw scan, before any projection drops
+                    # _metadata; conform_to threads the columns through
+                    part = locate_columns(part, table_dir)
                 if target is not None:
-                    part = conform_to(part, target, renamed_from)
+                    part = conform_to(
+                        part,
+                        target,
+                        renamed_from,
+                        keep=(BUCKET_COL, FILE_COL, POS_COL),
+                    )
                 parts.append(part)
         if not parts:
             # every referenced bucket is empty (partitionBy writes no
@@ -519,13 +585,14 @@ class Warehouse:
                 )
             from pyspark.sql import types as T
 
-            return self.spark.createDataFrame(
-                [], T.StructType.fromJson(json.loads(schema_json))
-            )
+            st = T.StructType.fromJson(json.loads(schema_json))
+            if with_location:
+                st = st.add(FILE_COL, "string").add(POS_COL, "long")
+            return self.spark.createDataFrame([], st)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        return finish(out)
 
     def read(self, table: str) -> DataFrame:
         return self.read_versioned(table)[1]
@@ -592,7 +659,7 @@ class Warehouse:
                 if m.get("buckets"):
                     missing = [
                         s
-                        for s in set(m["buckets"].values())
+                        for s in set(m["buckets"].values()) | _dv_dirs_of(m)
                         if not os.path.isdir(os.path.join(self.root, table, s))
                     ]
                     if missing:
@@ -601,7 +668,20 @@ class Warehouse:
                             f"retained (pruned: {missing})"
                         )
                     return self._read_manifest(table, m).drop(BUCKET_COL)
-                break
+                # unbucketed: read through the manifest too, so its
+                # deletion vectors apply (a raw directory read would
+                # resurrect merge-on-read-deleted rows)
+                missing_dv = [
+                    d
+                    for d in _dv_dirs_of(m)
+                    if not os.path.isdir(os.path.join(self.root, table, d))
+                ]
+                if missing_dv:
+                    raise FileNotFoundError(
+                        f"snapshot {snapshot!r} of {table!r} references "
+                        f"pruned deletion vectors: {missing_dv}"
+                    )
+                return self._read_manifest(table, m)
         path = os.path.join(self.root, table, snapshot)
         if not os.path.isdir(path):
             raise FileNotFoundError(
@@ -648,10 +728,23 @@ class Warehouse:
             m1["n_buckets"]
         ) != int(m2["n_buckets"]):
             return None
+
+        def dv_cover(man: dict, b: str) -> tuple:
+            # the DV entries applying to a bucket are part of its row
+            # identity: a merge-on-read delete changes rows without
+            # repointing any directory
+            return tuple(
+                e["dir"]
+                for e in man.get("dv") or []
+                if e.get("buckets") is not None
+                and int(b) in {int(x) for x in e["buckets"]}
+            )
+
         return sorted(
             int(b)
             for b in m2["buckets"]
             if m1["buckets"].get(b) != m2["buckets"][b]
+            or dv_cover(m1, b) != dv_cover(m2, b)
         )
 
     def read_buckets_at_version(
@@ -697,6 +790,49 @@ class Warehouse:
                     f"commit {version} of {table!r} not retained "
                     f"(have: {sorted(by_version)})"
                 )
+        # deletion vectors (merge-on-read deletes): the emitted text
+        # anti-joins the DV sidecar parquet on (filename,
+        # file_row_number) — DuckDB's spelling of the same (file,
+        # row-position) identity Spark reads via _metadata. Sidecars
+        # are plain parquet, so the statement stays engine-portable.
+        dv_entries = man.get("dv") or []
+        table_dir = os.path.join(self.root, table)
+        for e in dv_entries:
+            if not os.path.isdir(os.path.join(table_dir, e["dir"])):
+                raise FileNotFoundError(
+                    f"manifest of {table!r} references pruned deletion "
+                    f"vector {e['dir']!r}"
+                )
+
+        def _dv_wrap(src: str, select_list: str | None) -> str:
+            """SELECT <cols> FROM <src> minus DV-deleted rows; when
+            ``select_list`` is None the data columns pass through and
+            the location pseudo-columns are EXCLUDEd."""
+            if not dv_entries:
+                cols = select_list or "*"
+                return f"SELECT {cols} FROM {src}"
+            dv_globs = ", ".join(
+                "'"
+                + os.path.join(table_dir, e["dir"], "*.parquet").replace(
+                    "'", "''"
+                )
+                + "'"
+                for e in dv_entries
+            )
+            prefix = (table_dir.rstrip("/") + "/").replace("'", "''")
+            cols = select_list or "* EXCLUDE (filename, file_row_number)"
+            return (
+                f"SELECT {cols} FROM {src} r WHERE NOT EXISTS ("
+                f"SELECT 1 FROM read_parquet([{dv_globs}]) d "
+                f"WHERE d.pos = r.file_row_number "
+                f"AND '{prefix}' || d.file = r.filename)"
+            )
+
+        # read_parquet options shared by both layouts: the location
+        # pseudo-columns are only materialized when a DV needs them
+        loc_opts = (
+            ", filename=true, file_row_number=true" if dv_entries else ""
+        )
         buckets = man.get("buckets")
         if not buckets:
             path = os.path.join(self.root, table, man["snapshot"])
@@ -719,7 +855,7 @@ class Warehouse:
             # terminate the SQL string literal (or inject into whatever
             # engine runs the emitted text)
             lit = (path + "/*.parquet").replace("'", "''")
-            return f"SELECT * FROM read_parquet('{lit}')"
+            return _dv_wrap(f"read_parquet('{lit}'{loc_opts})", None)
         for snap in set(buckets.values()):
             if not os.path.isdir(os.path.join(self.root, table, snap)):
                 raise FileNotFoundError(
@@ -745,10 +881,10 @@ class Warehouse:
         # null-pads added columns and unifies int32/int64, float/double)
         src = (
             "read_parquet([" + ", ".join(globs) + "], "
-            "hive_partitioning=false, union_by_name=true)"
+            "hive_partitioning=false, union_by_name=true" + loc_opts + ")"
         )
         if not man.get("schema"):
-            return f"SELECT * FROM {src}"
+            return _dv_wrap(src, None)
         # Schema-pinned projection: emit the manifest's CURRENT schema
         # as an explicit select list so the external engine returns the
         # same columns/types Spark's conformed read does — including
@@ -779,7 +915,7 @@ class Warehouse:
                 )
                 expr = f"CAST({inner} AS {duck_t})" if duck_t else inner
             exprs.append(f"{expr} AS {qname}")
-        return "SELECT " + ", ".join(exprs) + f" FROM {src}"
+        return _dv_wrap(src, ", ".join(exprs))
 
     @staticmethod
     def _sampled_columns(leaf_dirs: list[str]) -> set[str]:
@@ -1226,6 +1362,14 @@ class Warehouse:
                             **m["buckets"],
                             **{str(k): snapshot for k in affected},
                         },
+                        # deletion vectors on UNTOUCHED buckets stay in
+                        # force; entries fully covered by the rewritten
+                        # buckets are dropped (their files left the map)
+                        **(
+                            {"dv": dv_kept}
+                            if (dv_kept := _dv_surviving_rewrite(m, affected))
+                            else {}
+                        ),
                         **({"schema": target_json} if target_json else {}),
                         **(
                             {"renamed_from": renamed_from}
@@ -1265,6 +1409,209 @@ class Warehouse:
             "times — contention too high, back off and retry"
         )
 
+    def delete_where(
+        self,
+        table: str,
+        condition,
+        mode: str = "auto",
+        dv_max_fraction: float = 0.2,
+        txn: tuple[str, int] | None = None,
+        max_commit_retries: int = 5,
+    ) -> int:
+        """Row-level DELETE (``DELETE FROM table WHERE condition``) —
+        the generalization of the reference's per-row keyed DELETE
+        (src/importer.rs:363-375) to arbitrary predicates, with the
+        at-scale storage decision made explicit:
+
+        - ``mode="mor"`` (merge-on-read): the commit writes ONLY the
+          deleted rows' (file, row-position) pairs as a parquet
+          deletion-vector sidecar; no data file is rewritten. Readers
+          anti-join the DV out (broadcast, no shuffle); the next
+          compaction materializes it. This is what makes a 0.01%
+          scattered delete affordable on a 100 TB table — O(deleted)
+          written instead of O(table) rewritten.
+        - ``mode="cow"`` (copy-on-write): rewrite the affected BUCKETS
+          without the matching rows (partition-pruned — untouched
+          buckets keep their directories); on an unbucketed table this
+          rewrites the snapshot. Right when the delete is dense.
+        - ``mode="auto"``: mor while the matched fraction stays at or
+          under ``dv_max_fraction``, else cow — the accumulating-DV
+          guard (a reader's anti-join build side must stay broadcast-
+          small).
+
+        ``condition``: SQL boolean expression string or a Column over
+        the table's logical (conformed) schema. Publish is a CAS at
+        the commit the matched rows were computed from; concurrent
+        merges win and the delete re-derives (a row changed by the
+        concurrent merge is re-evaluated against the predicate, never
+        deleted from a stale read). Returns the number of rows
+        deleted."""
+        if mode not in ("auto", "mor", "cow"):
+            raise ValueError(f"delete_where mode {mode!r}")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        # SQL DELETE semantics: a row is deleted iff the predicate is
+        # TRUE; NULL keeps the row. filter(cond) already implements the
+        # TRUE side; the copy-on-write KEEP side must therefore be
+        # NOT(cond IS TRUE), not ~cond (which drops NULL rows too).
+        keep_cond = ~F.coalesce(cond.cast("boolean"), F.lit(False))
+        from .dv import FILE_COL, POS_COL
+
+        for attempt in range(1 + max_commit_retries):
+            latest = self._latest_commit(table)
+            if latest is None:
+                raise FileNotFoundError(f"table not in warehouse: {table}")
+            base_version, m = latest
+            try:
+                located = self._read_manifest(table, m, with_location=True)
+                matched = located.filter(cond).localCheckpoint(eager=True)
+                n_deleted = matched.count()
+                if n_deleted == 0:
+                    return 0
+                chosen = mode
+                if mode == "auto":
+                    total = self._approx_live_rows(table, m)
+                    if total is None:
+                        total = located.count()
+                    chosen = (
+                        "mor"
+                        if total and n_deleted / total <= dv_max_fraction
+                        else "cow"
+                    )
+                bucketed = bool(m.get("buckets"))
+                affected = (
+                    sorted(
+                        int(r[BUCKET_COL])
+                        for r in matched.select(BUCKET_COL)
+                        .distinct()
+                        .collect()
+                    )
+                    if bucketed
+                    else None
+                )
+                if chosen == "mor":
+                    dvsnap = self._fresh_snapshot_name(table, "delete")
+                    # deliberately NOT underscore-prefixed: Spark's
+                    # file index treats _-prefixed paths as hidden
+                    # (reads them only under a warning), and nothing
+                    # ever lists this claimed directory as table data
+                    dv_rel = os.path.join(dvsnap, "dv")
+                    matched.select(
+                        F.col(FILE_COL).alias("file"),
+                        F.col(POS_COL).alias("pos"),
+                    ).write.mode("append").parquet(
+                        os.path.join(self.root, table, dv_rel)
+                    )
+                    new_man = dict(m)
+                    new_man["dv"] = [
+                        *(m.get("dv") or []),
+                        {
+                            "dir": dv_rel,
+                            "buckets": affected,
+                            "cardinality": n_deleted,
+                        },
+                    ]
+                else:
+                    drop_cols = [FILE_COL, POS_COL]
+                    if bucketed:
+                        snap = self._fresh_snapshot_name(table, "delete-cow")
+                        out = os.path.join(self.root, table, snap)
+                        kept = (
+                            located.filter(
+                                F.col(BUCKET_COL).isin(affected)
+                            )
+                            .filter(keep_cond)
+                            .drop(*drop_cols)
+                        )
+                        kept.write.mode("append").partitionBy(
+                            BUCKET_COL
+                        ).parquet(out)
+                        self._write_stats_sidecar(out)
+                        new_man = dict(m)
+                        new_man["snapshot"] = snap
+                        new_man["buckets"] = {
+                            **m["buckets"],
+                            **{str(k): snap for k in affected},
+                        }
+                        kept_dv = _dv_surviving_rewrite(m, affected)
+                        if kept_dv:
+                            new_man["dv"] = kept_dv
+                        else:
+                            new_man.pop("dv", None)
+                    else:
+                        snap = self._fresh_snapshot_name(table, "delete-cow")
+                        out = os.path.join(self.root, table, snap)
+                        located.filter(keep_cond).drop(*drop_cols).write.mode(
+                            "append"
+                        ).parquet(out)
+                        self._write_stats_sidecar(out)
+                        new_man = dict(m)
+                        new_man["snapshot"] = snap
+                        new_man.pop("dv", None)
+                # a delete CHANGES rows even when the base manifest was
+                # a row-preserving commit's (record_txn copies carry
+                # data_change=false)
+                new_man.pop("data_change", None)
+                if txn is not None:
+                    new_man["txn"] = {**(m.get("txn") or {}), txn[0]: txn[1]}
+                self._publish(table, new_man, expected_version=base_version)
+            except CommitConflict:
+                import random
+
+                time.sleep(min(0.05 * (attempt + 1), 0.5) * random.random())
+                continue
+            except Exception as e:  # noqa: BLE001
+                if _is_missing_file_error(e):
+                    # base files pruned mid-job: a lost race, re-derive
+                    continue
+                raise
+            self._prune(table)
+            return n_deleted
+        raise CommitConflict(
+            f"{table}: delete lost the commit race {1 + max_commit_retries} "
+            "times — contention too high, back off and retry"
+        )
+
+    def _approx_live_rows(self, table: str, m: dict) -> int | None:
+        """Live row count from stats sidecars (numRecords sums minus
+        recorded DV cardinalities) — metadata only; None when any
+        referenced file lacks stats (caller falls back to a count)."""
+        total = 0
+        sidecars: dict[str, dict] = {}
+        files: list[tuple[str, str]] = []  # (snapshot, rel-in-snapshot)
+        if m.get("buckets"):
+            for b, snap in m["buckets"].items():
+                leaf = os.path.join(
+                    self.root, table, snap, f"{BUCKET_COL}={int(b)}"
+                )
+                if not os.path.isdir(leaf):
+                    continue
+                files += [
+                    (snap, os.path.join(f"{BUCKET_COL}={int(b)}", f))
+                    for f in os.listdir(leaf)
+                    if f.endswith(".parquet")
+                ]
+        else:
+            sdir = os.path.join(self.root, table, m["snapshot"])
+            for dp, _, fs in os.walk(sdir):
+                files += [
+                    (m["snapshot"], os.path.relpath(os.path.join(dp, f), sdir))
+                    for f in fs
+                    if f.endswith(".parquet")
+                ]
+        for snap, rel in files:
+            if snap not in sidecars:
+                sidecars[snap] = self._sidecar(table, snap)
+            st = sidecars[snap].get(rel)
+            if not st:
+                return None
+            try:
+                total += int(json.loads(st)["numRecords"])
+            except (ValueError, KeyError, TypeError):
+                return None
+        return total - sum(
+            int(e.get("cardinality", 0)) for e in (m.get("dv") or [])
+        )
+
     def _prune(self, table: str) -> None:
         """Remove snapshots beyond the retention window — but NEVER a
         directory any of the last ``retain`` manifests reference (a
@@ -1286,6 +1633,7 @@ class Warehouse:
         for _, man in commits[-self.retain:]:
             referenced.add(man.get("snapshot"))
             referenced.update((man.get("buckets") or {}).values())
+            referenced.update(_dv_dirs_of(man))
         names = self.versions(table)
         for nme in names[: -self.retain]:
             if nme in referenced:
@@ -1335,6 +1683,7 @@ class Warehouse:
         for _, man in commits:
             ever_referenced.add(man.get("snapshot"))
             ever_referenced.update((man.get("buckets") or {}).values())
+            ever_referenced.update(_dv_dirs_of(man))
         tdir = os.path.join(self.root, table)
         now = time.time()
         for nme in os.listdir(tdir):
@@ -1488,6 +1837,10 @@ class Warehouse:
         if not kept:
             out = self.read(table).limit(0)
         else:
+            from .dv import FILE_COL, POS_COL, apply_dv, locate_columns
+
+            dv_entries = m.get("dv") or []
+            table_dir = os.path.join(self.root, table)
             by_snap: dict[str, list[str]] = {}
             for rel in kept:
                 snap = rel.split(os.sep, 1)[0]
@@ -1500,12 +1853,24 @@ class Warehouse:
                 part = self.spark.read.option("basePath", base).parquet(
                     *by_snap[snap]
                 )
+                if dv_entries:
+                    part = locate_columns(part, table_dir)
                 if target is not None:
-                    part = conform_to(part, target, renamed_from)
+                    part = conform_to(
+                        part,
+                        target,
+                        renamed_from,
+                        keep=(BUCKET_COL, FILE_COL, POS_COL),
+                    )
                 parts.append(part)
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
+            if dv_entries:
+                dv_df = self.spark.read.parquet(
+                    *(os.path.join(table_dir, e["dir"]) for e in dv_entries)
+                )
+                out = apply_dv(out, dv_df).drop(FILE_COL, POS_COL)
             if m.get("buckets"):
                 out = out.drop(BUCKET_COL)
         if lo is not None:
@@ -1585,7 +1950,11 @@ class Warehouse:
                         if f.endswith(".parquet")
                     )
                     n_files = max(1, math.ceil(total / target_bytes))
-                    df = self.spark.read.parquet(path)
+                    # manifest-aware read, NOT a raw directory read:
+                    # live deletion vectors must be applied so the
+                    # rewrite MATERIALIZES them (the compacted manifest
+                    # carries no dv — deleted rows are physically gone)
+                    df = self._read_manifest(table, m)
                     if order_by:
                         # disjoint value ranges per file: the layout that
                         # makes per-file min/max skipping effective
@@ -1634,7 +2003,11 @@ class Warehouse:
             raise FileNotFoundError(
                 f"commit {version} of {table!r} not retained"
             )
-        refs = {man.get("snapshot")} | set((man.get("buckets") or {}).values())
+        refs = (
+            {man.get("snapshot")}
+            | set((man.get("buckets") or {}).values())
+            | _dv_dirs_of(man)
+        )
         missing = [
             s
             for s in refs

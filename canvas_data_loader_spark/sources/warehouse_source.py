@@ -177,6 +177,47 @@ class _Meta:
             return {}
         return self._manifest_at(version).get("renamed_from") or {}
 
+    def dv_by_file(self, version: int) -> dict[str, list[int]]:
+        """{abs parquet path: sorted deleted row positions} for every
+        file a merge-on-read DELETE touched, at a version. Empty when
+        the version carries no deletion vectors (the common case —
+        planning then adds zero payload to the partitions). Driver-
+        side metadata read: inline descriptors from the Delta log, or
+        the manifest's small DV sidecar parquet."""
+        tdir = os.path.join(self.root, self.table)
+        if self.protocol == "delta":
+            from ..plans.dv import decode_inline_dv
+
+            _, _, live, _, _ = self.wh._replay(self.table, upto=version)
+            return {
+                os.path.join(tdir, p): decode_inline_dv(a["deletionVector"])
+                for p, a in live.items()
+                if a.get("deletionVector")
+            }
+        m = self._manifest_at(version)
+        entries = m.get("dv") or []
+        if not entries:
+            return {}
+        import pyarrow.parquet as pq
+
+        out: dict[str, list[int]] = {}
+        for e in entries:
+            d = os.path.join(tdir, e["dir"])
+            if not os.path.isdir(d):
+                raise FeedReconstructionError(
+                    f"version {version} of {self.table!r} references a "
+                    f"pruned deletion vector ({e['dir']!r}) — restart the "
+                    "stream from a fresh startingVersion"
+                )
+            t = pq.read_table(d)
+            for f, pos in zip(
+                t.column("file").to_pylist(), t.column("pos").to_pylist()
+            ):
+                out.setdefault(os.path.join(tdir, f), []).append(int(pos))
+        for v in out.values():
+            v.sort()
+        return out
+
     def files_by_bucket(self, version: int) -> dict[int | None, list[str]]:
         """{bucket_id: [abs parquet paths]} at a version; {None: [...]}
         for unbucketed. Empty buckets are absent (no directory is ever
@@ -233,6 +274,12 @@ class FeedPartition(InputPartition):
     # the source EXCEEDS plans.ops.table_changes, which raises
     # FeedSchemaDrift on rename-crossing intervals.)
     renames: dict = field(default_factory=dict)
+    # deletion-vector positions per file at each side of the step
+    # ({abs path: [row positions]}, only this partition's files) — the
+    # executor masks them out before diffing, so a merge-on-read
+    # DELETE interval feeds exactly its deleted rows
+    old_dv: dict = field(default_factory=dict)
+    new_dv: dict = field(default_factory=dict)
 
 
 def _plan_step(
@@ -249,6 +296,7 @@ def _plan_step(
     one partition per CHANGED bucket (the b/N pruning), or a single
     guarded full-diff partition when pruning is unavailable."""
     if base is None:
+        dv_all = meta.dv_by_file(v)
         return [
             FeedPartition(
                 v_from=meta.genesis,
@@ -257,6 +305,7 @@ def _plan_step(
                 new_files=[f],
                 insert_only=True,
                 renames=renames,
+                new_dv={f: dv_all[f]} if f in dv_all else {},
             )
             for fl in meta.files_by_bucket(v).values()
             for f in fl
@@ -277,6 +326,12 @@ def _plan_step(
             "was given — a keyed change feed needs one"
         )
     parts: list[FeedPartition] = []
+    old_dv_all = meta.dv_by_file(base)
+    new_dv_all = meta.dv_by_file(v)
+
+    def dv_for(files: list[str], dv_all: dict) -> dict:
+        return {f: dv_all[f] for f in files if f in dv_all}
+
     if changed is None:
         old = [f for fl in meta.files_by_bucket(base).values() for f in fl]
         new = [f for fl in meta.files_by_bucket(v).values() for f in fl]
@@ -288,6 +343,8 @@ def _plan_step(
                 old_files=old,
                 new_files=new,
                 renames=renames,
+                old_dv=dv_for(old, old_dv_all),
+                new_dv=dv_for(new, new_dv_all),
             )
         )
     else:
@@ -302,6 +359,8 @@ def _plan_step(
                     old_files=old_map.get(b, []),
                     new_files=new_map.get(b, []),
                     renames=renames,
+                    old_dv=dv_for(old_map.get(b, []), old_dv_all),
+                    new_dv=dv_for(new_map.get(b, []), new_dv_all),
                 )
             )
     for p in parts:
@@ -445,15 +504,28 @@ def _conform_arrow(t, target, renames: dict):
     return pa.Table.from_arrays(arrays, schema=target)
 
 
-def _read_conformed(files: list[str], target, renames: dict):
+def _read_conformed(
+    files: list[str], target, renames: dict, dv: dict | None = None
+):
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     if not files:
         return target.empty_table()
-    return pa.concat_tables(
-        _conform_arrow(pq.read_table(f), target, renames) for f in files
-    )
+
+    def one(f: str):
+        t = pq.read_table(f)
+        pos = (dv or {}).get(f)
+        if pos:
+            # deletion-vector positions are PHYSICAL row indexes in
+            # this file — mask before anything else touches rows
+            mask = np.ones(len(t), dtype=bool)
+            mask[[p for p in pos if p < len(t)]] = False
+            t = t.filter(pa.array(mask))
+        return _conform_arrow(t, target, renames)
+
+    return pa.concat_tables(one(f) for f in files)
 
 
 def _emit(t, change_type: str, version: int, full_schema):
@@ -482,11 +554,11 @@ def _read_feed_partition(p: FeedPartition, full_schema):
     data_schema = pa.schema(
         [f for f in full_schema if f.name not in CDF_COLS]
     )
-    new = _read_conformed(p.new_files, data_schema, p.renames)
+    new = _read_conformed(p.new_files, data_schema, p.renames, p.new_dv)
     if p.insert_only:
         yield from _emit(new, "insert", p.v_to, full_schema)
         return
-    old = _read_conformed(p.old_files, data_schema, p.renames)
+    old = _read_conformed(p.old_files, data_schema, p.renames, p.old_dv)
     k = p.key
     jo = pd.DataFrame(
         {"k": old.column(k).to_pandas(), "io": np.arange(len(old))}
@@ -683,6 +755,7 @@ class WarehouseFeedBatchReader(DataSourceReader):
 class SnapshotPartition(InputPartition):
     file: str
     renames: dict
+    dv: tuple = ()  # deleted row positions in this file (merge-on-read)
 
 
 class WarehouseSnapshotReader(DataSourceReader):
@@ -699,8 +772,11 @@ class WarehouseSnapshotReader(DataSourceReader):
         v = options.get("version")
         version = int(v) if v is not None else meta.current_version()
         renames = meta.renamed_from(version)
+        dv_all = meta.dv_by_file(version)
         self._parts = [
-            SnapshotPartition(file=f, renames=renames)
+            SnapshotPartition(
+                file=f, renames=renames, dv=tuple(dv_all.get(f, ()))
+            )
             for fl in meta.files_by_bucket(version).values()
             for f in fl
         ]
@@ -713,10 +789,15 @@ class WarehouseSnapshotReader(DataSourceReader):
 
         if not partition.file:
             return
-        t = _conform_arrow(
-            pq.read_table(partition.file), self.arrow_schema,
-            partition.renames,
-        )
+        t = pq.read_table(partition.file)
+        if partition.dv:
+            import numpy as np
+            import pyarrow as pa
+
+            mask = np.ones(len(t), dtype=bool)
+            mask[[p for p in partition.dv if p < len(t)]] = False
+            t = t.filter(pa.array(mask))
+        t = _conform_arrow(t, self.arrow_schema, partition.renames)
         yield from t.to_batches()
 
 

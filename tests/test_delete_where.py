@@ -1,0 +1,514 @@
+"""Row-level DELETE contract: ONE suite, BOTH commit-log impls.
+
+``delete_where`` is the engine's generalization of the reference's
+per-row keyed DELETE (src/importer.rs:363-375) to predicate deletes,
+with two storage lanes whose semantics must be indistinguishable:
+
+- merge-on-read (deletion vectors — manifest: parquet sidecars;
+  delta: inline ``deletionVector`` descriptors per PROTOCOL.md), and
+- copy-on-write (pruned rewrite: buckets on the manifest impl, files
+  on the delta impl).
+
+Every consumer surface is pinned against deletes: snapshot reads,
+time travel, RESTORE, compaction (materialization), the change feed
+(table_changes + the cdl_warehouse source), external DuckDB reads,
+merges landing after a delete, materialized-view refresh, and
+concurrent writers.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from canvas_data_loader_spark.plans.delta import DeltaWarehouse
+from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+
+@pytest.fixture(params=["manifest", "delta"])
+def wh_factory(request, tmp_path, spark):
+    def build(name="wh"):
+        root = str(tmp_path / f"{request.param}-{name}")
+        if request.param == "delta":
+            return DeltaWarehouse(spark, root)
+        return Warehouse(spark, root)
+
+    build.kind = request.param
+    return build
+
+
+def base_df(spark, n=100):
+    return spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+
+
+def make_table(spark, wh, name="t", bucket=("k", 8), n=100):
+    wh.write(name, base_df(spark, n), "s0", bucket=bucket)
+
+
+def keys_of(wh, table="t"):
+    return sorted(r.k for r in wh.read(table).collect())
+
+
+def has_live_dv(wh, table="t") -> bool:
+    if isinstance(wh, DeltaWarehouse):
+        _, _, live, _, _ = wh._replay(table)
+        return any(a.get("deletionVector") for a in live.values())
+    return bool((wh.current_manifest(table) or {}).get("dv"))
+
+
+def surviving(n, *dropped_vs):
+    return [i for i in range(n) if i % 7 not in dropped_vs]
+
+
+class TestDeleteBasics:
+    def test_mor_delete_and_count(self, spark, wh_factory):
+        wh = wh_factory()
+        make_table(spark, wh)
+        n = wh.delete_where("t", "v = 3", mode="mor")
+        assert n == sum(1 for i in range(100) if i % 7 == 3)
+        assert keys_of(wh) == surviving(100, 3)
+        assert has_live_dv(wh)
+
+    def test_cow_delete_leaves_no_dv(self, spark, wh_factory):
+        wh = wh_factory()
+        make_table(spark, wh)
+        n = wh.delete_where("t", "v = 3", mode="cow")
+        assert n == sum(1 for i in range(100) if i % 7 == 3)
+        assert keys_of(wh) == surviving(100, 3)
+        assert not has_live_dv(wh)
+
+    def test_no_match_is_noop_commit_free(self, spark, wh_factory):
+        wh = wh_factory()
+        make_table(spark, wh)
+        head = wh.current_version("t")
+        assert wh.delete_where("t", "v = 999") == 0
+        assert wh.current_version("t") == head
+
+    def test_column_condition_accepted(self, spark, wh_factory):
+        wh = wh_factory()
+        make_table(spark, wh)
+        assert wh.delete_where("t", F.col("k") == 5, mode="mor") == 1
+        assert 5 not in keys_of(wh)
+
+    def test_null_predicate_keeps_rows(self, spark, wh_factory):
+        # SQL DELETE: a NULL predicate result KEEPS the row, on both
+        # storage lanes
+        for mode in ("mor", "cow"):
+            wh = wh_factory(f"null-{mode}")
+            df = spark.createDataFrame(
+                [(1, None), (2, 5), (3, 5)], "k long, v long"
+            )
+            wh.write("t", df, "s0", bucket=("k", 4))
+            assert wh.delete_where("t", "v = 5", mode=mode) == 2
+            assert keys_of(wh) == [1]
+
+    def test_bad_mode_raises(self, spark, wh_factory):
+        wh = wh_factory()
+        make_table(spark, wh)
+        with pytest.raises(ValueError, match="mode"):
+            wh.delete_where("t", "v = 1", mode="nope")
+
+    def test_missing_table_raises(self, spark, wh_factory):
+        wh = wh_factory()
+        with pytest.raises(FileNotFoundError):
+            wh.delete_where("ghost", "v = 1")
+
+    def test_unbucketed_both_lanes(self, spark, wh_factory):
+        wh = wh_factory()
+        wh.write("u", base_df(spark), "s0")
+        n1 = wh.delete_where("u", "v = 0", mode="mor")
+        assert sorted(r.k for r in wh.read("u").collect()) == surviving(
+            100, 0
+        )
+        n2 = wh.delete_where("u", "v = 2", mode="cow")
+        assert n1 and n2
+        assert sorted(r.k for r in wh.read("u").collect()) == surviving(
+            100, 0, 2
+        )
+
+
+class TestDeleteModes:
+    def test_auto_sparse_picks_mor(self, spark, wh_factory):
+        wh = wh_factory()
+        make_table(spark, wh)
+        wh.delete_where("t", "k = 5", mode="auto")
+        assert has_live_dv(wh)
+
+    def test_auto_dense_picks_cow(self, spark, wh_factory):
+        wh = wh_factory()
+        make_table(spark, wh)
+        wh.delete_where("t", "v >= 3", mode="auto")  # ~4/7 of rows
+        assert not has_live_dv(wh)
+        assert keys_of(wh) == [i for i in range(100) if i % 7 < 3]
+
+    def test_delta_mor_above_inline_cap_raises(self, spark, tmp_path):
+        wh = DeltaWarehouse(spark, str(tmp_path / "cap"))
+        make_table(spark, wh)
+        with pytest.raises(ValueError, match="inline"):
+            wh.delete_where("t", "v >= 0", mode="mor", dv_inline_max_rows=10)
+
+    def test_delta_auto_respects_inline_cap(self, spark, tmp_path):
+        # sparse by fraction but above the inline cap -> cow, not a crash
+        wh = DeltaWarehouse(spark, str(tmp_path / "cap2"))
+        make_table(spark, wh, n=200)
+        wh.delete_where(
+            "t", "v = 3", mode="auto", dv_max_fraction=0.5,
+            dv_inline_max_rows=5,
+        )
+        assert not has_live_dv(wh)
+        assert keys_of(wh) == [i for i in range(200) if i % 7 != 3]
+
+
+class TestDvAccumulationAndMerge:
+    def test_two_mor_deletes_accumulate(self, spark, wh_factory):
+        wh = wh_factory()
+        make_table(spark, wh)
+        wh.delete_where("t", "v = 3", mode="mor")
+        wh.delete_where("t", "v = 5", mode="mor")
+        assert keys_of(wh) == surviving(100, 3, 5)
+
+    def test_merge_after_delete_no_resurrection(self, spark, wh_factory):
+        wh = wh_factory()
+        make_table(spark, wh)
+        wh.delete_where("t", "v = 3", mode="mor")
+        new = spark.createDataFrame([(3, 99), (200, 0)], "k long, v long")
+        wh.merge_bucketed("t", new, "m1")
+        rows = {r.k: r.v for r in wh.read("t").collect()}
+        assert rows.get(3) == 99  # re-inserted by the merge
+        assert rows.get(200) == 0
+        assert 10 not in rows  # 10 % 7 == 3: still deleted
+        # a second merge of untouched keys must also not resurrect
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(201, 1)], "k long, v long"),
+            "m2",
+        )
+        assert 10 not in {r.k for r in wh.read("t").collect()}
+
+    def test_rewriting_every_covered_bucket_clears_the_entry(
+        self, spark, wh_factory
+    ):
+        # merge every key -> every bucket rewritten -> no DV survives
+        wh = wh_factory()
+        make_table(spark, wh)
+        wh.delete_where("t", "v = 3", mode="mor")
+        kept = wh.read("t")
+        wh.merge_bucketed(
+            "t", kept.withColumn("v", F.col("v") + 100), "rewrite-all"
+        )
+        assert not has_live_dv(wh)
+        assert sorted(r.k for r in wh.read("t").collect()) == surviving(
+            100, 3
+        )
+
+
+class TestDvTimeTravelRestoreCompaction:
+    def test_time_travel_sees_pre_delete_rows(self, spark, wh_factory):
+        wh = wh_factory()
+        make_table(spark, wh)
+        v0 = wh.current_version("t")
+        wh.delete_where("t", "v = 3", mode="mor")
+        assert wh.read_at_version("t", v0).count() == 100
+        assert wh.read("t").count() == len(surviving(100, 3))
+
+    def test_restore_across_delete_and_forward(self, spark, wh_factory):
+        wh = wh_factory()
+        make_table(spark, wh)
+        v0 = wh.current_version("t")
+        wh.delete_where("t", "v = 3", mode="mor")
+        v_del = wh.current_version("t")
+        wh.restore("t", v0)
+        assert wh.read("t").count() == 100
+        wh.restore("t", v_del)
+        assert keys_of(wh) == surviving(100, 3)
+
+    def test_compact_materializes_and_clears_dv(self, spark, wh_factory):
+        wh = wh_factory()
+        make_table(spark, wh)
+        wh.delete_where("t", "v = 3", mode="mor")
+        before = keys_of(wh)
+        wh.compact("t")
+        assert not has_live_dv(wh)
+        assert keys_of(wh) == before
+
+    def test_compact_materializes_unbucketed(self, spark, wh_factory):
+        wh = wh_factory()
+        wh.write("u", base_df(spark), "s0")
+        wh.delete_where("u", "v = 3", mode="mor")
+        before = sorted(r.k for r in wh.read("u").collect())
+        wh.compact("u")
+        assert not has_live_dv(wh, "u")
+        assert sorted(r.k for r in wh.read("u").collect()) == before
+
+
+class TestDvExternalRead:
+    @pytest.mark.parametrize("bucket", [("k", 8), None])
+    def test_duckdb_matches_spark_with_live_dv(
+        self, spark, wh_factory, bucket
+    ):
+        import duckdb
+
+        wh = wh_factory(f"ext-{'b' if bucket else 'u'}")
+        wh.write("t", base_df(spark), "s0", bucket=bucket)
+        wh.delete_where("t", "v = 3", mode="mor")
+        wh.delete_where("t", "v = 5", mode="mor")
+        duck = duckdb.sql(wh.external_read_sql("t")).df()
+        sp = wh.read("t").toPandas()
+        assert len(duck) == len(sp)
+        assert sorted(duck["k"]) == sorted(sp["k"])
+        assert set(duck.columns) == set(sp.columns)
+
+
+class TestDvChangeFeed:
+    def test_feed_emits_exactly_the_deletes(self, spark, wh_factory):
+        from canvas_data_loader_spark.plans.ops import (
+            apply_changes,
+            table_changes,
+        )
+
+        wh = wh_factory()
+        make_table(spark, wh)
+        v0 = wh.current_version("t")
+        wh.delete_where("t", "v = 3", mode="mor")
+        v1 = wh.current_version("t")
+        feed = table_changes(wh, "t", v0, v1)
+        rows = feed.collect()
+        assert {r["_change_type"] for r in rows} == {"delete"}
+        assert sorted(r.k for r in rows) == [
+            i for i in range(100) if i % 7 == 3
+        ]
+        rec = apply_changes(wh.read_at_version("t", v0), feed, "k")
+        assert sorted(r.k for r in rec.collect()) == keys_of(wh)
+
+    def test_changed_buckets_sees_dv_only_commit(self, spark, wh_factory):
+        wh = wh_factory()
+        make_table(spark, wh)
+        v0 = wh.current_version("t")
+        wh.delete_where("t", "k = 5", mode="mor")
+        v1 = wh.current_version("t")
+        changed = wh.changed_buckets("t", v0, v1)
+        assert changed  # the bucket holding k=5, proven without data IO
+        assert len(changed) == 1
+
+    def test_rows_changed_true_over_delete(self, spark, wh_factory):
+        wh = wh_factory()
+        make_table(spark, wh)
+        v0 = wh.current_version("t")
+        wh.delete_where("t", "k = 5", mode="mor")
+        assert wh.rows_changed("t", v0, wh.current_version("t")) is True
+
+    def test_source_snapshot_and_cdf_over_delete(self, spark, wh_factory):
+        from canvas_data_loader_spark.sources.warehouse_source import (
+            SOURCE_NAME,
+            register,
+        )
+
+        register(spark)
+        wh = wh_factory()
+        make_table(spark, wh)
+        v0 = wh.current_version("t")
+        wh.delete_where("t", "v = 3", mode="mor")
+        v1 = wh.current_version("t")
+        opts = {"root": wh.root, "table": "t"}
+        snap = spark.read.format(SOURCE_NAME).options(**opts).load()
+        assert sorted(r.k for r in snap.collect()) == surviving(100, 3)
+        asof = (
+            spark.read.format(SOURCE_NAME)
+            .options(**opts)
+            .option("version", str(v0))
+            .load()
+        )
+        assert asof.count() == 100
+        feed = (
+            spark.read.format(SOURCE_NAME)
+            .options(**opts)
+            .option("feed", "true")
+            .option("startingVersion", str(v0 + 1))
+            .option("endingVersion", str(v1))
+            .load()
+        )
+        rows = feed.collect()
+        assert {r._change_type for r in rows} == {"delete"}
+        assert sorted(r.k for r in rows) == [
+            i for i in range(100) if i % 7 == 3
+        ]
+
+    def test_rollup_view_refresh_over_delete(self, spark, wh_factory):
+        from canvas_data_loader_spark.plans.ops import (
+            create_rollup_view,
+            refresh_rollup_view,
+        )
+
+        wh = wh_factory()
+        make_table(spark, wh)
+        create_rollup_view(
+            wh, "t_by_v", "t", group_keys=["v"], sum_cols={"sum_k": "k"}
+        )
+        wh.delete_where("t", "v = 3", mode="mor")
+        refresh_rollup_view(wh, "t_by_v")
+        got = {
+            r.v: (r.n_rows, int(r.sum_k))
+            for r in wh.read("t_by_v").collect()
+            if r.n_rows > 0
+        }
+        exp = {
+            v: (
+                len([i for i in range(100) if i % 7 == v]),
+                sum(i for i in range(100) if i % 7 == v),
+            )
+            for v in range(7)
+            if v != 3
+        }
+        assert got == exp
+
+
+class TestDvRetention:
+    def test_dv_sidecar_survives_pruning_while_referenced(
+        self, spark, tmp_path
+    ):
+        wh = Warehouse(spark, str(tmp_path / "ret"), retain=2)
+        make_table(spark, wh)
+        wh.delete_where("t", "v = 3", mode="mor")
+        dv_dirs = [
+            e["dir"] for e in wh.current_manifest("t").get("dv") or []
+        ]
+        assert dv_dirs
+        # merges on other keys carry the dv forward; pruning runs after
+        # each — the sidecar must survive as long as a retained
+        # manifest references it
+        for i in range(4):
+            wh.merge_bucketed(
+                "t",
+                spark.createDataFrame([(1000 + i, 0)], "k long, v long"),
+                f"m{i}",
+            )
+        for d in dv_dirs:
+            assert os.path.isdir(os.path.join(wh.root, "t", d))
+        assert keys_of(wh) == surviving(100, 3) + [1000, 1001, 1002, 1003]
+
+    def test_delta_vacuum_keeps_dv_correct(self, spark, tmp_path):
+        wh = DeltaWarehouse(spark, str(tmp_path / "vac"))
+        make_table(spark, wh)
+        wh.delete_where("t", "v = 3", mode="mor")
+        wh.merge_bucketed(
+            "t", spark.createDataFrame([(1, 50)], "k long, v long"), "m"
+        )
+        wh.vacuum("t", retention_sec=0)
+        assert sorted(r.k for r in wh.read("t").collect()) == surviving(
+            100, 3
+        )
+
+
+class TestDeltaDvProtocol:
+    def test_protocol_upgrade_and_descriptor_shape(self, spark, tmp_path):
+        import json
+
+        wh = DeltaWarehouse(spark, str(tmp_path / "proto"))
+        make_table(spark, wh)
+        v = wh.current_version("t")
+        wh.delete_where("t", "k = 5", mode="mor")
+        log = os.path.join(
+            wh.root, "t", "_delta_log", f"{v + 1:020d}.json"
+        )
+        actions = [json.loads(l) for l in open(log) if l.strip()]
+        protos = [a["protocol"] for a in actions if "protocol" in a]
+        assert protos and protos[0]["minReaderVersion"] == 3
+        assert "deletionVectors" in protos[0]["readerFeatures"]
+        adds = [a["add"] for a in actions if "add" in a]
+        dvs = [a["deletionVector"] for a in adds if a.get("deletionVector")]
+        assert len(dvs) == 1
+        assert dvs[0]["storageType"] == "i"
+        assert dvs[0]["cardinality"] == 1
+        assert dvs[0]["sizeInBytes"] > 0
+        # remove+add pair for the same path (the protocol's spelling of
+        # "this file's visibility changed")
+        removes = [a["remove"]["path"] for a in actions if "remove" in a]
+        assert removes == [a["path"] for a in adds]
+
+    def test_checkpoint_replay_with_live_dv(self, spark, tmp_path):
+        wh = DeltaWarehouse(spark, str(tmp_path / "ckpt"))
+        make_table(spark, wh)
+        wh.delete_where("t", "v = 3", mode="mor")
+        wh.checkpoint("t")
+        # fresh handle replays from the checkpoint
+        wh2 = DeltaWarehouse(spark, wh.root)
+        assert sorted(r.k for r in wh2.read("t").collect()) == surviving(
+            100, 3
+        )
+        # and the checkpoint's protocol row carries the feature gate
+        import pyarrow.parquet as pq
+
+        ckpt = [
+            f
+            for f in os.listdir(os.path.join(wh.root, "t", "_delta_log"))
+            if f.endswith(".checkpoint.parquet")
+        ]
+        t = pq.read_table(
+            os.path.join(wh.root, "t", "_delta_log", ckpt[0])
+        ).to_pylist()
+        protos = [r["protocol"] for r in t if r.get("protocol")]
+        assert protos[0]["minReaderVersion"] == 3
+
+
+class TestDeleteConcurrency:
+    def test_delete_racing_merges_no_lost_updates(self, spark, wh_factory):
+        wh = wh_factory()
+        make_table(spark, wh)
+        errs = []
+
+        def do_delete():
+            try:
+                wh_factory()  # no-op: keep factory parity
+                wh.delete_where("t", "v = 3", mode="mor")
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        def do_merge(i):
+            try:
+                wh.merge_bucketed(
+                    "t",
+                    spark.createDataFrame(
+                        [(2000 + i, 1)], "k long, v long"
+                    ),
+                    f"race-{i}",
+                )
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [threading.Thread(target=do_delete)] + [
+            threading.Thread(target=do_merge, args=(i,)) for i in range(3)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        got = keys_of(wh)
+        assert got == surviving(100, 3) + [2000, 2001, 2002]
+
+    def test_two_concurrent_deletes_both_land(self, spark, wh_factory):
+        wh = wh_factory()
+        make_table(spark, wh)
+        errs = []
+
+        def d(pred):
+            try:
+                wh.delete_where("t", pred, mode="mor")
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        ts = [
+            threading.Thread(target=d, args=("v = 3",)),
+            threading.Thread(target=d, args=("v = 5",)),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
+        assert keys_of(wh) == surviving(100, 3, 5)

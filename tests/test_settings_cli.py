@@ -533,6 +533,32 @@ class TestMaintainCli:
         # vacuum on manifest format: refused with guidance
         assert main(base + ["--vacuum"]) == 2
 
+    def test_delete_where_via_cli(self, tmp_path, spark):
+        from canvas_data_loader_spark.__main__ import main
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh_dir = str(tmp_path / "whdel")
+        wh = Warehouse(spark, wh_dir)
+        wh.write(
+            "t",
+            spark.createDataFrame(
+                [(i, i % 3) for i in range(30)], "id long, v long"
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        base = ["maintain", "--warehouse-dir", wh_dir, "--table", "t"]
+        # merge-on-read delete, then compact materializes the vectors
+        assert main(base + ["--delete-where", "v = 1",
+                            "--delete-mode", "mor"]) == 0
+        assert bool(wh.current_manifest("t").get("dv"))
+        assert sorted(r.id for r in wh.read("t").collect()) == [
+            i for i in range(30) if i % 3 != 1
+        ]
+        assert main(base + ["--compact"]) == 0
+        assert not wh.current_manifest("t").get("dv")
+        assert wh.read("t").count() == 20
+
     def test_vacuum_via_cli_delta(self, tmp_path, spark):
         from canvas_data_loader_spark.__main__ import main
         from canvas_data_loader_spark.plans.delta import DeltaWarehouse

@@ -367,6 +367,50 @@ class TestStreamingFeed:
             )
 
 
+class TestStreamingDeleteFeed:
+    def test_mor_delete_interval_streams_its_deletes(
+        self, spark, wh_factory, tmp_path
+    ):
+        """A merge-on-read DELETE (deletion vectors — no directory or
+        file-path change on the manifest impl, descriptor-only add
+        actions on delta) must still feed the stream: planning sees the
+        DV identity change, the executor masks the deleted positions,
+        and the emitted step is pure deletes pinned row-for-row to
+        table_changes."""
+        wh = wh_factory()
+        build_history(spark, wh)
+        wh.delete_where("t", "id % 2 = 0", mode="mor")
+        v_del = wh.current_version("t")
+        got = run_stream(
+            spark, wh.root, "t",
+            str(tmp_path / "ckpt"), str(tmp_path / "out"),
+            startingVersion="earliest",
+        )
+        assert canon(got) == canon(expected_feed(spark, wh, "t"))
+        step = got.filter(F.col("_commit_version") == v_del)
+        assert {r["_change_type"] for r in step.collect()} == {"delete"}
+        assert sorted(r.id for r in step.collect()) == sorted(
+            r.id
+            for r in wh.read_at_version("t", v_del - 1)
+            .filter("id % 2 = 0")
+            .collect()
+        )
+        # feed applied step-by-step reconstructs the post-delete head
+        state = wh.read("t").limit(0)
+        for v in sorted(
+            r["_commit_version"]
+            for r in got.select("_commit_version").distinct().collect()
+        ):
+            state = apply_changes(
+                state,
+                got.filter(F.col("_commit_version") == v).drop(
+                    "_commit_version"
+                ),
+                "id",
+            )
+        assert canon(state) == canon(wh.read("t"))
+
+
 class TestStreamingReplication:
     def test_feed_drives_a_live_mirror(self, spark, wh_factory, tmp_path):
         """Composition: the change-feed SOURCE + foreachBatch + the

@@ -1042,6 +1042,98 @@ def main_feedsource():
     )
 
 
+def main_delete():
+    """Measure row-level DELETE cost as the table scales with the
+    deleted row set held fixed and SCATTERED (256 keys spread across
+    every bucket — the GDPR-style shape where partition pruning cannot
+    help and copy-on-write is at its worst). The claim behind
+    delete_where's merge-on-read lane: the mor commit WRITES O(deleted
+    positions) — its cost is one predicate scan — while copy-on-write
+    rewrites every affected bucket, which for scattered keys means the
+    whole table (exponent ~1 with a write-sized constant). The probe
+    reports both exponents and the cow/mor ratio at scale; compaction
+    (which eventually materializes the vectors) is a separate,
+    schedulable cost, not part of the delete. Usage: --delete
+    [factor]."""
+    import tempfile
+
+    from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    n_buckets = 32
+    spark = get_spark("scale_probe_delete")
+    li = spark.read.parquet(f"{BASE}/orders.parquet").withColumnRenamed(
+        "o_orderkey", "k"
+    )
+    # fixed scattered key set: every 101st key — lands in ~every bucket
+    victim_keys = [r.k for r in li.select("k").limit(25856).collect()][::101]
+
+    def table_at(f):
+        big = li
+        for i in range(1, f):
+            big = big.unionByName(
+                li.withColumn("k", F.col("k") + F.lit(i * OFFSET))
+            )
+        return big
+
+    # warmup: a throwaway delete on a 1x table so JVM/codegen warmup
+    # doesn't pollute the x1 timing (same protocol as BASELINE.md's
+    # bench-context note)
+    warm_root = tempfile.mkdtemp(prefix="scale_probe_delete_warm_")
+    try:
+        wh = Warehouse(spark, warm_root)
+        wh.write("t", table_at(1), snapshot="base", bucket=("k", n_buckets))
+        wh.delete_where("t", F.col("k").isin(victim_keys[:8]), mode="mor")
+        wh.delete_where("t", F.col("k").isin(victim_keys[8:16]), mode="cow")
+    finally:
+        shutil.rmtree(warm_root, ignore_errors=True)
+
+    report = {}
+    for f in (1, factor):
+        root = tempfile.mkdtemp(prefix=f"scale_probe_delete_{f}_")
+        try:
+            wh = Warehouse(spark, root)
+            wh.write("t", table_at(f), snapshot="base", bucket=("k", n_buckets))
+            cond = F.col("k").isin(victim_keys)
+            t0 = time.time()
+            n_mor = wh.delete_where("t", cond, mode="mor")
+            mor_sec = round(time.time() - t0, 3)
+
+            wh.write("tc", table_at(f), snapshot="base", bucket=("k", n_buckets))
+            t0 = time.time()
+            n_cow = wh.delete_where("tc", cond, mode="cow")
+            cow_sec = round(time.time() - t0, 3)
+            assert n_mor == n_cow == len(victim_keys), (n_mor, n_cow)
+            report[f"x{f}"] = {"mor_sec": mor_sec, "cow_sec": cow_sec,
+                               "deleted": n_mor}
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    e_mor = math.log(
+        max(report[f"x{factor}"]["mor_sec"], 1e-3)
+        / max(report["x1"]["mor_sec"], 1e-3)
+    ) / math.log(factor)
+    e_cow = math.log(
+        max(report[f"x{factor}"]["cow_sec"], 1e-3)
+        / max(report["x1"]["cow_sec"], 1e-3)
+    ) / math.log(factor)
+    print(
+        json.dumps(
+            {
+                "mode": "delete",
+                "factor": factor,
+                "tables": report,
+                "exponent_mor": round(e_mor, 3),
+                "exponent_cow": round(e_cow, 3),
+                "cow_over_mor_at_scale": round(
+                    report[f"x{factor}"]["cow_sec"]
+                    / max(report[f"x{factor}"]["mor_sec"], 1e-3),
+                    2,
+                ),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--merge":
         main_merge()
@@ -1065,5 +1157,7 @@ if __name__ == "__main__":
         main_mirror()
     elif len(sys.argv) > 1 and sys.argv[1] == "--feedsource":
         main_feedsource()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--delete":
+        main_delete()
     else:
         main()
