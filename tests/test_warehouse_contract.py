@@ -812,6 +812,50 @@ class TestIndependentDeltaReader:
             tuple(r) for r in wh.read_at_version("t", 0).collect()
         )
 
+    def test_independent_reader_decodes_deletion_vectors(
+        self, spark, tmp_path
+    ):
+        """The independent reader must also decode the writer's inline
+        deletion vectors (Base85 + roaring bitmap) FROM THE DOCUMENTED
+        FORMAT — a second decode implementation, so the DV bytes are
+        proven against the format description, not merely against the
+        writer's own reader."""
+        import sys
+
+        import duckdb
+
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "tools"))
+        import delta_reader
+
+        wh = DeltaWarehouse(spark, str(tmp_path / "dv"))
+        wh.write(
+            "t",
+            spark.createDataFrame(
+                [(i, i % 3) for i in range(30)], "id long, v long"
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        wh.delete_where("t", "v = 1", mode="mor")
+        wh.delete_where("t", "id = 0", mode="mor")  # accumulates
+        tdir = os.path.join(wh.root, "t")
+        state = delta_reader.replay(tdir)
+        assert state["protocol"]["minReaderVersion"] == 3
+        positions = [
+            p
+            for a in state["files"].values()
+            if a.get("deletionVector")
+            for p in delta_reader.decode_deletion_vector(a["deletionVector"])
+        ]
+        assert len(positions) == 11  # 10 with v==1, plus id 0
+        got = sorted(
+            tuple(r)
+            for r in duckdb.sql(delta_reader.duckdb_sql(tdir)).fetchall()
+        )
+        assert got == rows_of(wh, "t")
+        assert all(v != 1 for _, v in got) and (0, 0) not in got
+
 
 class TestDeltaDataSkipping:
     """add-action stats (numRecords / per-column min-max from parquet

@@ -11,7 +11,10 @@ Replay rules implemented (the reader half of the protocol):
 - if ``_delta_log/_last_checkpoint`` exists, load the parquet
   checkpoint it names and fold only the JSON commits AFTER it;
 - a ``VERSION AS OF v`` read folds commits ``0..v`` (ignoring any
-  checkpoint newer than v).
+  checkpoint newer than v);
+- an ``add`` carrying a ``deletionVector`` descriptor (inline storage)
+  has those row positions logically deleted — the emitted SQL
+  anti-joins the independently-decoded (file, position) pairs.
 
 Usage:
   python tools/delta_reader.py <table_dir>            # print live files
@@ -110,14 +113,92 @@ def live_files(table_dir: str, version: int | None = None) -> list[str]:
     ]
 
 
+def decode_deletion_vector(descriptor: dict) -> list[int]:
+    """Deleted row positions from an INLINE ``deletionVector``
+    descriptor — an independent decode, written from the documented
+    format (Base85 blob = 64-bit RoaringBitmapArray + big-endian CRC32;
+    the array = int32 magic, int64 bitmap count, then per bitmap an
+    int32 high key + a standard portable 32-bit roaring bitmap: cookie
+    12346, descriptive headers, offsets, array/bitmap containers).
+    Shares no code with plans/dv.py — same reasoning as the rest of
+    this file."""
+    import base64
+    import struct
+    import zlib
+
+    if descriptor.get("storageType") != "i":
+        raise ValueError(
+            f"unsupported DV storageType {descriptor.get('storageType')!r}"
+        )
+    blob = base64.b85decode(descriptor["pathOrInlineDv"])
+    data, crc = blob[:-4], struct.unpack(">I", blob[-4:])[0]
+    if zlib.crc32(data) != crc:
+        raise ValueError("deletion vector failed its CRC32 check")
+    magic, n_bitmaps = struct.unpack_from("<iq", data, 0)
+    if magic != 1681511377:
+        raise ValueError(f"bad RoaringBitmapArray magic {magic}")
+    pos = 12
+    out: list[int] = []
+    for _ in range(n_bitmaps):
+        (high,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        cookie, n_containers = struct.unpack_from("<ii", data, pos)
+        if cookie != 12346:
+            raise ValueError(f"unsupported roaring cookie {cookie}")
+        headers = [
+            struct.unpack_from("<HH", data, pos + 8 + 4 * i)
+            for i in range(n_containers)
+        ]
+        body = pos + 8 + 4 * n_containers + 4 * n_containers  # skip offsets
+        for key, card_m1 in headers:
+            card = card_m1 + 1
+            base = (high << 32) | (key << 16)
+            if card <= 4096:
+                lows = struct.unpack_from(f"<{card}H", data, body)
+                body += 2 * card
+            else:
+                words = struct.unpack_from("<1024Q", data, body)
+                body += 8192
+                lows = [
+                    (wi << 6) | b
+                    for wi, w in enumerate(words)
+                    if w
+                    for b in range(64)
+                    if w >> b & 1
+                ]
+            out.extend(base | lo for lo in lows)
+        pos = body
+    return sorted(out)
+
+
 def duckdb_sql(table_dir: str, version: int | None = None) -> str:
-    files = live_files(table_dir, version)
+    state = replay(table_dir, version)
+    files = [os.path.join(table_dir, p) for p in sorted(state["files"])]
     if not files:
         raise FileNotFoundError(f"no live files in {table_dir}")
     lits = ", ".join("'" + f.replace("'", "''") + "'" for f in files)
+    # deletion vectors: anti-join the decoded (file, position) pairs
+    dv_values = [
+        (os.path.join(table_dir, p), pos)
+        for p, a in sorted(state["files"].items())
+        if a.get("deletionVector")
+        for pos in decode_deletion_vector(a["deletionVector"])
+    ]
+    if not dv_values:
+        return (
+            f"SELECT * FROM read_parquet([{lits}], "
+            "hive_partitioning=false, union_by_name=true)"
+        )
+    vals = ", ".join(
+        "('" + f.replace("'", "''") + "', " + str(pos) + ")"
+        for f, pos in dv_values
+    )
     return (
-        f"SELECT * FROM read_parquet([{lits}], "
-        "hive_partitioning=false, union_by_name=true)"
+        "SELECT * EXCLUDE (filename, file_row_number) FROM "
+        f"read_parquet([{lits}], hive_partitioning=false, "
+        "union_by_name=true, filename=true, file_row_number=true) r "
+        f"WHERE NOT EXISTS (SELECT 1 FROM (VALUES {vals}) d(file, pos) "
+        "WHERE d.file = r.filename AND d.pos = r.file_row_number)"
     )
 
 
