@@ -21,7 +21,8 @@ care::
         --table T [--format manifest|delta] \
         (--compact | --vacuum | --rebucket N [--key K] | --restore V \
          | --changes V_FROM V_TO --out DIR | --refresh-view \
-         | --delete-where SQL [--delete-mode auto|mor|cow])
+         | --delete-where SQL [--delete-mode auto|mor|cow] \
+         | --update-where SQL --set COL=EXPR [--set ...])
 """
 
 from __future__ import annotations
@@ -59,6 +60,12 @@ def _maintain(argv: list[str]) -> int:
         "per --delete-mode; the next --compact materializes vectors",
     )
     g.add_argument(
+        "--update-where", metavar="SQL_PREDICATE",
+        help="row-level UPDATE: rows matching the SQL predicate get "
+        "the --set assignments applied (old-row semantics) — "
+        "merge-on-read on delta, bucket-pruned rewrite on manifest",
+    )
+    g.add_argument(
         "--mirror-to", metavar="DST_DIR",
         help="replicate --table into another warehouse root, "
         "incrementally via the change feed (clone on first sync); the "
@@ -83,8 +90,13 @@ def _maintain(argv: list[str]) -> int:
                     help="output directory for --changes")
     ap.add_argument(
         "--delete-mode", choices=("auto", "mor", "cow"), default="auto",
-        help="storage lane for --delete-where (auto: deletion vectors "
-        "while the matched fraction stays small, else pruned rewrite)",
+        help="storage lane for --delete-where / --update-where (auto: "
+        "deletion vectors while the matched fraction stays small, "
+        "else pruned rewrite)",
+    )
+    ap.add_argument(
+        "--set", action="append", default=[], metavar="COL=SQL_EXPR",
+        help="assignment for --update-where (repeatable)",
     )
     args = ap.parse_args(argv)
 
@@ -164,6 +176,24 @@ def _maintain(argv: list[str]) -> int:
         print(
             f"deleted {n} rows from {args.table} "
             f"(where {args.delete_where}, mode={args.delete_mode})"
+        )
+    elif args.update_where is not None:
+        if not args.set:
+            print("--update-where requires at least one --set COL=SQL_EXPR")
+            return 2
+        set_map = {}
+        for a in args.set:
+            col, sep, expr = a.partition("=")
+            if not sep or not col.strip() or not expr.strip():
+                print(f"malformed --set {a!r} (want COL=SQL_EXPR)")
+                return 2
+            set_map[col.strip()] = expr.strip()
+        n = wh.update_where(
+            args.table, set_map, args.update_where, mode=args.delete_mode
+        )
+        print(
+            f"updated {n} rows in {args.table} "
+            f"(where {args.update_where}, set {set_map})"
         )
     elif args.mirror_to is not None:
         from .plans.ops import sync_mirror

@@ -1085,6 +1085,169 @@ class DeltaWarehouse:
             "times — contention too high, back off and retry"
         )
 
+    def update_where(
+        self,
+        table: str,
+        set_map: dict,
+        condition,
+        mode: str = "auto",
+        dv_max_fraction: float = 0.2,
+        txn: tuple[str, int] | None = None,
+        max_commit_retries: int = 5,
+        dv_inline_max_rows: int = 100_000,
+    ) -> int:
+        """Predicate UPDATE (``UPDATE t SET ... WHERE ...``) — with the
+        keyed MERGE this completes the DML triad the reference spells
+        as one DELETE + one INSERT per row (src/importer.rs:363-389).
+
+        ``set_map``: column -> new-value expression (SQL string or
+        Column), evaluated against the OLD row — all assignments see
+        pre-update values simultaneously, standard SQL UPDATE
+        semantics. The bucket key cannot be updated (its value routes
+        the row's bucket; changing it is a delete+insert, i.e. a
+        MERGE).
+
+        - merge-on-read (``mor``): ONE commit carrying a deletion
+          vector on each matched file's old positions PLUS new data
+          files with the updated rows — O(updated) written, no
+          matched file rewritten.
+        - copy-on-write (``cow``): FILE-granular rewrite of matched
+          files with the assignments applied.
+        - ``auto``: mor within ``dv_max_fraction`` and the inline cap,
+          else cow.
+
+        Returns the number of rows updated."""
+        if mode not in ("auto", "mor", "cow"):
+            raise ValueError(f"update_where mode {mode!r}")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        keep_cond = ~F.coalesce(cond.cast("boolean"), F.lit(False))
+        assigns = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in set_map.items()
+        }
+        from .dv import FILE_COL, POS_COL, merge_inline_dv
+
+        for attempt in range(1 + max_commit_retries):
+            base, meta, live, _, _ = self._replay(table)
+            spec = self._bucket_spec(meta)
+            if spec is not None and spec[0] in assigns:
+                raise ValueError(
+                    f"update of bucket key {spec[0]!r} would re-route rows "
+                    "across buckets — that is a delete+insert; use the "
+                    "keyed MERGE instead"
+                )
+            bad = [c for c in assigns if c == BUCKET_COL]
+            if bad:
+                raise ValueError(f"cannot update internal column {bad}")
+            located = self._df_for(table, meta, live, with_location=True)
+            matched = located.filter(cond).localCheckpoint(eager=True)
+            n_updated = matched.count()
+            if n_updated == 0:
+                return 0
+            chosen = mode
+            if mode == "auto":
+                total = self._approx_live_rows(live)
+                if total is None:
+                    total = located.count()
+                chosen = (
+                    "mor"
+                    if total
+                    and n_updated / total <= dv_max_fraction
+                    and n_updated <= dv_inline_max_rows
+                    else "cow"
+                )
+            if chosen == "mor" and n_updated > dv_inline_max_rows:
+                raise ValueError(
+                    f"{n_updated} updated rows exceed the inline "
+                    f"deletion-vector cap ({dv_inline_max_rows}); use "
+                    "mode='cow' (or 'auto')"
+                )
+            # assignments see OLD values: withColumns applies the full
+            # map against the pre-update row in one projection
+            updated = matched.withColumns(assigns).drop(FILE_COL, POS_COL)
+            if BUCKET_COL in updated.columns:
+                updated = updated.drop(BUCKET_COL)
+            now = int(time.time() * 1000)
+            actions: list[dict] = [
+                self._commit_info("UPDATE", {"mode": chosen})
+            ]
+            if txn is not None:
+                actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
+            if chosen == "mor":
+                by_file: dict[str, list[int]] = {}
+                for r in matched.select(FILE_COL, POS_COL).collect():
+                    by_file.setdefault(r[0], []).append(int(r[1]))
+                actions.insert(1, {"protocol": dict(self._DV_PROTOCOL)})
+                for p in sorted(by_file):
+                    old_add = live[p]
+                    actions.append(
+                        {
+                            "remove": {
+                                "path": p,
+                                "deletionTimestamp": now,
+                                "dataChange": True,
+                            }
+                        }
+                    )
+                    actions.append(
+                        {
+                            "add": {
+                                **old_add,
+                                "deletionVector": merge_inline_dv(
+                                    old_add.get("deletionVector"),
+                                    by_file[p],
+                                ),
+                                "dataChange": True,
+                            }
+                        }
+                    )
+                adds, _sj, _rel = self._write_files(
+                    table,
+                    updated,
+                    f"update-{attempt}" if attempt else "update",
+                    bucket=spec,
+                )
+                actions += [{"add": a} for a in adds]
+            else:
+                affected = sorted(
+                    r[0]
+                    for r in matched.select(FILE_COL).distinct().collect()
+                )
+                sub_live = {p: live[p] for p in affected}
+                src = self._df_for(table, meta, sub_live)
+                if spec is not None:
+                    src = src.drop(BUCKET_COL)
+                rewritten = src.filter(keep_cond).unionByName(updated)
+                adds, _sj, _rel = self._write_files(
+                    table,
+                    rewritten,
+                    f"update-cow-{attempt}" if attempt else "update-cow",
+                    bucket=spec,
+                )
+                actions += [
+                    {
+                        "remove": {
+                            "path": p,
+                            "deletionTimestamp": now,
+                            "dataChange": True,
+                        }
+                    }
+                    for p in affected
+                ]
+                actions += [{"add": a} for a in adds]
+            try:
+                self._commit(table, base + 1, actions)
+                return n_updated
+            except CommitConflict:
+                import random
+
+                time.sleep(min(0.05 * (attempt + 1), 0.5) * random.random())
+                continue
+        raise CommitConflict(
+            f"{table}: update lost the commit race {1 + max_commit_retries} "
+            "times — contention too high, back off and retry"
+        )
+
     @staticmethod
     def _approx_live_rows(live: dict[str, dict]) -> int | None:
         """Live row count from the add actions' stats minus recorded

@@ -1571,6 +1571,130 @@ class Warehouse:
             "times — contention too high, back off and retry"
         )
 
+    def update_where(
+        self,
+        table: str,
+        set_map: dict,
+        condition,
+        mode: str = "auto",
+        txn: tuple[str, int] | None = None,
+        max_commit_retries: int = 5,
+    ) -> int:
+        """Predicate UPDATE (``UPDATE t SET ... WHERE ...``) — with the
+        keyed MERGE this completes the DML triad the reference spells
+        as one DELETE + one INSERT per row (src/importer.rs:363-389).
+
+        ``set_map``: column -> new-value expression (SQL string or
+        Column), evaluated against the OLD row (all assignments see
+        pre-update values — standard SQL UPDATE semantics). The bucket
+        key cannot be updated: its value routes the row's bucket, so
+        changing it is a delete+insert — the keyed MERGE's job.
+
+        Storage: copy-on-write at this impl's backing granularity, the
+        BUCKET — only buckets containing matches are rewritten
+        (b/N of the table), untouched buckets keep their directories.
+        A merge-on-read update needs somewhere to put the new row
+        versions without repointing the bucket; this manifest maps
+        each bucket to exactly ONE directory, so that lane exists only
+        on the Delta impl (file-granular adds) — ``mode="mor"`` raises
+        with this explanation, ``auto`` resolves to cow. Deletion
+        vectors covering untouched buckets stay in force.
+
+        Returns the number of rows updated."""
+        if mode not in ("auto", "mor", "cow"):
+            raise ValueError(f"update_where mode {mode!r}")
+        if mode == "mor":
+            raise ValueError(
+                "merge-on-read UPDATE is not expressible on the "
+                "numbered-manifest layout (a bucket backs onto exactly "
+                "one directory, so updated row versions have no home "
+                "without rewriting it) — use mode='auto'/'cow' here, or "
+                "the Delta impl for file-granular mor updates"
+            )
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        keep_cond = ~F.coalesce(cond.cast("boolean"), F.lit(False))
+        assigns = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in set_map.items()
+        }
+        if BUCKET_COL in assigns:
+            raise ValueError(f"cannot update internal column {BUCKET_COL!r}")
+        from .dv import FILE_COL, POS_COL
+
+        for attempt in range(1 + max_commit_retries):
+            latest = self._latest_commit(table)
+            if latest is None:
+                raise FileNotFoundError(f"table not in warehouse: {table}")
+            base_version, m = latest
+            if m.get("bucket_key") in assigns:
+                raise ValueError(
+                    f"update of bucket key {m['bucket_key']!r} would "
+                    "re-route rows across buckets — that is a "
+                    "delete+insert; use the keyed MERGE instead"
+                )
+            try:
+                located = self._read_manifest(table, m, with_location=True)
+                matched = located.filter(cond).localCheckpoint(eager=True)
+                n_updated = matched.count()
+                if n_updated == 0:
+                    return 0
+                updated = matched.withColumns(assigns).drop(
+                    FILE_COL, POS_COL
+                )
+                bucketed = bool(m.get("buckets"))
+                snap = self._fresh_snapshot_name(table, "update-cow")
+                out = os.path.join(self.root, table, snap)
+                new_man = dict(m)
+                if bucketed:
+                    affected = sorted(
+                        int(r[BUCKET_COL])
+                        for r in matched.select(BUCKET_COL)
+                        .distinct()
+                        .collect()
+                    )
+                    kept = located.filter(
+                        F.col(BUCKET_COL).isin(affected)
+                    ).filter(keep_cond).drop(FILE_COL, POS_COL)
+                    kept.unionByName(updated).write.mode(
+                        "append"
+                    ).partitionBy(BUCKET_COL).parquet(out)
+                    new_man["snapshot"] = snap
+                    new_man["buckets"] = {
+                        **m["buckets"],
+                        **{str(k): snap for k in affected},
+                    }
+                    kept_dv = _dv_surviving_rewrite(m, affected)
+                    if kept_dv:
+                        new_man["dv"] = kept_dv
+                    else:
+                        new_man.pop("dv", None)
+                else:
+                    located.filter(keep_cond).drop(
+                        FILE_COL, POS_COL
+                    ).unionByName(updated).write.mode("append").parquet(out)
+                    new_man["snapshot"] = snap
+                    new_man.pop("dv", None)
+                self._write_stats_sidecar(out)
+                new_man.pop("data_change", None)
+                if txn is not None:
+                    new_man["txn"] = {**(m.get("txn") or {}), txn[0]: txn[1]}
+                self._publish(table, new_man, expected_version=base_version)
+            except CommitConflict:
+                import random
+
+                time.sleep(min(0.05 * (attempt + 1), 0.5) * random.random())
+                continue
+            except Exception as e:  # noqa: BLE001
+                if _is_missing_file_error(e):
+                    continue
+                raise
+            self._prune(table)
+            return n_updated
+        raise CommitConflict(
+            f"{table}: update lost the commit race {1 + max_commit_retries} "
+            "times — contention too high, back off and retry"
+        )
+
     def _approx_live_rows(self, table: str, m: dict) -> int | None:
         """Live row count from stats sidecars (numRecords sums minus
         recorded DV cardinalities) — metadata only; None when any

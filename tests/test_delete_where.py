@@ -455,6 +455,170 @@ class TestDeltaDvProtocol:
         assert protos[0]["minReaderVersion"] == 3
 
 
+class TestUpdateWhere:
+    """Predicate UPDATE — the third leg of the DML triad (the
+    reference spells every update as DELETE+INSERT per row,
+    src/importer.rs:363-389). Delta: merge-on-read (one commit = DV on
+    old positions + new data files) or file-granular cow; manifest:
+    bucket-granular cow (mor refused with the layout reason)."""
+
+    def test_basic_update(self, spark, wh_factory):
+        wh = wh_factory()
+        make_table(spark, wh)
+        n = wh.update_where("t", {"v": "v + 100"}, "v = 3")
+        assert n == sum(1 for i in range(100) if i % 7 == 3)
+        rows = {r.k: r.v for r in wh.read("t").collect()}
+        assert len(rows) == 100
+        assert all(rows[i] == 103 for i in range(100) if i % 7 == 3)
+        assert all(rows[i] == i % 7 for i in range(100) if i % 7 != 3)
+
+    def test_assignments_see_old_row_simultaneously(
+        self, spark, wh_factory
+    ):
+        wh = wh_factory()
+        df = spark.createDataFrame([(1, 10, 20)], "k long, a long, b long")
+        wh.write("t", df, "s0", bucket=("k", 2))
+        wh.update_where("t", {"a": "b", "b": "a"}, "k = 1")
+        r = wh.read("t").collect()[0]
+        assert (r.a, r.b) == (20, 10)  # swap, not a=b then b=a
+
+    def test_null_predicate_rows_unchanged(self, spark, wh_factory):
+        wh = wh_factory()
+        df = spark.createDataFrame([(1, None), (2, 5)], "k long, v long")
+        wh.write("t", df, "s0", bucket=("k", 2))
+        assert wh.update_where("t", {"v": "0"}, "v = 5") == 1
+        rows = {r.k: r.v for r in wh.read("t").collect()}
+        assert rows == {1: None, 2: 0}
+
+    def test_bucket_key_update_refused(self, spark, wh_factory):
+        wh = wh_factory()
+        make_table(spark, wh)
+        with pytest.raises(ValueError, match="bucket key"):
+            wh.update_where("t", {"k": "k + 1"}, "v = 0")
+
+    def test_no_match_is_noop(self, spark, wh_factory):
+        wh = wh_factory()
+        make_table(spark, wh)
+        head = wh.current_version("t")
+        assert wh.update_where("t", {"v": "0"}, "v = 999") == 0
+        assert wh.current_version("t") == head
+
+    def test_feed_emits_update_pre_and_post(self, spark, wh_factory):
+        from canvas_data_loader_spark.plans.ops import (
+            apply_changes,
+            table_changes,
+        )
+
+        wh = wh_factory()
+        make_table(spark, wh)
+        v0 = wh.current_version("t")
+        wh.update_where("t", {"v": "v + 100"}, "v = 3")
+        feed = table_changes(wh, "t", v0, wh.current_version("t"))
+        rows = feed.collect()
+        kinds = {r["_change_type"] for r in rows}
+        assert kinds == {"update_preimage", "update_postimage"}
+        post = {r.k: r.v for r in rows if r["_change_type"] == "update_postimage"}
+        assert all(v == 103 for v in post.values()) and len(post) == 14
+        rec = apply_changes(wh.read_at_version("t", v0), feed, "k")
+        assert sorted(tuple(r) for r in rec.collect()) == sorted(
+            tuple(r) for r in wh.read("t").collect()
+        )
+
+    def test_manifest_mor_refused_with_reason(self, spark, tmp_path):
+        wh = Warehouse(spark, str(tmp_path / "mmor"))
+        make_table(spark, wh)
+        with pytest.raises(ValueError, match="merge-on-read UPDATE"):
+            wh.update_where("t", {"v": "0"}, "v = 1", mode="mor")
+
+    def test_delta_mor_update_single_commit_dv_plus_adds(
+        self, spark, tmp_path
+    ):
+        import json
+
+        wh = DeltaWarehouse(spark, str(tmp_path / "dmor"))
+        make_table(spark, wh)
+        v0 = wh.current_version("t")
+        wh.update_where("t", {"v": "v + 100"}, "v = 3", mode="mor")
+        assert wh.current_version("t") == v0 + 1  # ONE commit
+        log = os.path.join(
+            wh.root, "t", "_delta_log", f"{v0 + 1:020d}.json"
+        )
+        actions = [json.loads(l) for l in open(log) if l.strip()]
+        adds = [a["add"] for a in actions if "add" in a]
+        assert any(a.get("deletionVector") for a in adds)  # old positions
+        assert any(not a.get("deletionVector") for a in adds)  # new rows
+        # time travel still sees the pre-update values
+        assert wh.read_at_version("t", v0).filter("v = 3").count() == 14
+        assert wh.read("t").filter("v = 103").count() == 14
+        # compaction materializes
+        wh.compact("t")
+        assert wh.read("t").filter("v = 103").count() == 14
+
+    def test_delta_cow_update_file_granular(self, spark, tmp_path):
+        wh = DeltaWarehouse(spark, str(tmp_path / "dcow"))
+        make_table(spark, wh)
+        wh.update_where("t", {"v": "v + 100"}, "v = 3", mode="cow")
+        assert not has_live_dv(wh)
+        assert wh.read("t").filter("v = 103").count() == 14
+
+    def test_update_after_mor_delete_no_resurrection(
+        self, spark, wh_factory
+    ):
+        wh = wh_factory()
+        make_table(spark, wh)
+        wh.delete_where("t", "v = 3", mode="mor")
+        wh.update_where("t", {"v": "v + 100"}, "v = 5")
+        rows = {r.k: r.v for r in wh.read("t").collect()}
+        assert len(rows) == len(surviving(100, 3))
+        assert all(rows[i] == 105 for i in range(100) if i % 7 == 5)
+        assert all(i not in rows for i in range(100) if i % 7 == 3)
+
+    def test_external_read_after_update(self, spark, wh_factory):
+        import duckdb
+
+        wh = wh_factory()
+        make_table(spark, wh)
+        wh.update_where("t", {"v": "v + 100"}, "v = 3")
+        duck = duckdb.sql(wh.external_read_sql("t")).df()
+        sp = wh.read("t").toPandas()
+        assert sorted(zip(duck.k, duck.v)) == sorted(zip(sp.k, sp.v))
+
+    def test_update_racing_merge(self, spark, wh_factory):
+        wh = wh_factory()
+        make_table(spark, wh)
+        errs = []
+
+        def do_update():
+            try:
+                wh.update_where("t", {"v": "v + 100"}, "v = 3")
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        def do_merge(i):
+            try:
+                wh.merge_bucketed(
+                    "t",
+                    spark.createDataFrame(
+                        [(3000 + i, 1)], "k long, v long"
+                    ),
+                    f"urace-{i}",
+                )
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        ts = [threading.Thread(target=do_update)] + [
+            threading.Thread(target=do_merge, args=(i,)) for i in range(3)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
+        rows = {r.k: r.v for r in wh.read("t").collect()}
+        assert all(rows[i] == 103 for i in range(100) if i % 7 == 3)
+        assert all(rows[3000 + i] == 1 for i in range(3))
+
+
 class TestDeleteConcurrency:
     def test_delete_racing_merges_no_lost_updates(self, spark, wh_factory):
         wh = wh_factory()

@@ -559,6 +559,29 @@ class TestMaintainCli:
         assert not wh.current_manifest("t").get("dv")
         assert wh.read("t").count() == 20
 
+    def test_update_where_via_cli(self, tmp_path, spark):
+        from canvas_data_loader_spark.__main__ import main
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh_dir = str(tmp_path / "whupd")
+        wh = Warehouse(spark, wh_dir)
+        wh.write(
+            "t",
+            spark.createDataFrame(
+                [(i, i % 3) for i in range(30)], "id long, v long"
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        base = ["maintain", "--warehouse-dir", wh_dir, "--table", "t"]
+        assert main(base + ["--update-where", "v = 1",
+                            "--set", "v = v + 100"]) == 0
+        rows = {r.id: r.v for r in wh.read("t").collect()}
+        assert all(rows[i] == 101 for i in range(30) if i % 3 == 1)
+        assert all(rows[i] == i % 3 for i in range(30) if i % 3 != 1)
+        # missing --set is a usage error, not a crash
+        assert main(base + ["--update-where", "v = 0"]) == 2
+
     def test_vacuum_via_cli_delta(self, tmp_path, spark):
         from canvas_data_loader_spark.__main__ import main
         from canvas_data_loader_spark.plans.delta import DeltaWarehouse
