@@ -86,6 +86,11 @@ def _maintain(argv: list[str]) -> int:
         "--target-bytes", type=int, default=128 * 1024 * 1024,
         help="target output file size for --compact",
     )
+    ap.add_argument(
+        "--zorder", action="store_true",
+        help="make --cluster-by multi-dimensional (Z-order): stats "
+        "skipping works on every listed column, not just the first",
+    )
     ap.add_argument("--out", default=None,
                     help="output directory for --changes")
     ap.add_argument(
@@ -118,11 +123,17 @@ def _maintain(argv: list[str]) -> int:
             else None
         )
         n = wh.compact(
-            args.table, target_bytes=args.target_bytes, order_by=cluster
+            args.table, target_bytes=args.target_bytes, order_by=cluster,
+            zorder=args.zorder,
         )
         print(
             f"compacted {args.table}: {n} files"
-            + (f" (clustered by {','.join(cluster)})" if cluster else "")
+            + (
+                f" ({'z-ordered' if args.zorder else 'clustered'} by "
+                f"{','.join(cluster)})"
+                if cluster
+                else ""
+            )
         )
     elif args.vacuum:
         if args.format != "delta":

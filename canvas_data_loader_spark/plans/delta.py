@@ -1248,6 +1248,27 @@ class DeltaWarehouse:
             "times — contention too high, back off and retry"
         )
 
+    def dv_stats(self, table: str) -> dict:
+        """Deletion-vector load at the head (shared spelling with
+        Warehouse.dv_stats): {positions, entries, fraction} from the
+        live adds' descriptors — exact, since dead adds' DVs leave the
+        state with their files."""
+        try:
+            _, _, live, _, _ = self._replay(table)
+        except FileNotFoundError:
+            return {"positions": 0, "entries": 0, "fraction": None}
+        dvs = [a["deletionVector"] for a in live.values()
+               if a.get("deletionVector")]
+        positions = sum(int(d.get("cardinality", 0)) for d in dvs)
+        out = {"positions": positions, "entries": len(dvs),
+               "fraction": None}
+        if positions:
+            rows = self._approx_live_rows(live)
+            if rows:
+                # _approx_live_rows already subtracts DV cardinality
+                out["fraction"] = positions / (positions + rows)
+        return out
+
     @staticmethod
     def _approx_live_rows(live: dict[str, dict]) -> int | None:
         """Live row count from the add actions' stats minus recorded
@@ -1282,6 +1303,7 @@ class DeltaWarehouse:
         table: str,
         target_bytes: int = 128 * 1024 * 1024,
         order_by: list[str] | None = None,
+        zorder: bool = False,
     ) -> int:
         """OPTIMIZE: rewrite the live file set into ~target-size files
         (per bucket for partitioned tables — one file per non-empty
@@ -1293,17 +1315,27 @@ class DeltaWarehouse:
         range-clustering, same contract as Warehouse.compact):
         unbucketed tables get disjoint per-file value ranges so the
         add-action stats skip to ~1 file per range predicate; bucketed
-        tables keep their layout and sort within each bucket file."""
+        tables keep their layout and sort within each bucket file.
+        ``zorder=True`` interleaves the listed columns' quantile ranks
+        (plans/cluster.py) so skipping works on every listed column,
+        not just the first."""
         for _ in range(6):
             base, meta, live, _, _ = self._replay(table)
             spec = self._bucket_spec(meta)
             df = self._df_for(table, meta, live)
             if spec is not None:
                 key, n = spec
-                df = df.drop(BUCKET_COL).repartition(
-                    n, bucket_of(F.col(key), n)
-                )
-                if order_by:
+                flat = df.drop(BUCKET_COL)
+                df = flat.repartition(n, bucket_of(F.col(key), n))
+                if order_by and zorder:
+                    from .cluster import zorder_value
+
+                    df = (
+                        df.withColumn("__cdl_z", zorder_value(flat, order_by))
+                        .sortWithinPartitions("__cdl_z")
+                        .drop("__cdl_z")
+                    )
+                elif order_by:
                     df = df.sortWithinPartitions(*order_by)
                 adds, _sj, _rel = self._write_files(
                     table, df, "compact", bucket=(key, n)
@@ -1312,9 +1344,9 @@ class DeltaWarehouse:
                 total = sum(a.get("size", 0) for a in live.values())
                 n_files = max(1, math.ceil(total / target_bytes))
                 if order_by:
-                    df = df.repartitionByRange(
-                        n_files, *order_by
-                    ).sortWithinPartitions(*order_by)
+                    from .cluster import cluster_for_write
+
+                    df = cluster_for_write(df, order_by, n_files, zorder)
                 else:
                     df = df.repartition(n_files)
                 adds, _sj, _rel = self._write_files(

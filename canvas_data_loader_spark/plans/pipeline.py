@@ -219,6 +219,14 @@ class PipelineConfig:
     # compaction that loses its commit race is simply retried by a
     # later import. 0 (default) = off, preserving round-7 behavior.
     auto_compact_min_files: int = 0
+    # Second auto-compaction trigger: when > 0, a table whose live
+    # deletion-vector fraction (deleted positions over total rows —
+    # Warehouse.dv_stats) exceeds this is compacted after its import,
+    # materializing the vectors. Merge-on-read deletes/updates are
+    # cheap to WRITE precisely because the read side pays a broadcast
+    # anti-join until maintenance catches up; this bound keeps that
+    # debt self-limiting. 0 (default) = off.
+    auto_compact_dv_fraction: float = 0.0
     # When True, after each table's import every materialized rollup
     # view registered on it (plans/ops.py create_rollup_view) is
     # advanced to the new head — incrementally, from the change feed of
@@ -1695,6 +1703,27 @@ class Warehouse:
             "times — contention too high, back off and retry"
         )
 
+    def dv_stats(self, table: str) -> dict:
+        """Deletion-vector load at the head: {positions, entries,
+        fraction} — ``fraction`` = deleted positions over stats-derived
+        live rows (None without stats). The maintenance signal: readers
+        pay the DV anti-join until a compaction materializes it, so a
+        growing fraction means OPTIMIZE is due (auto-compaction's
+        second trigger, PipelineConfig.auto_compact_dv_fraction).
+        Metadata only — no file is opened. Entries referencing files
+        that later rewrites retired may overcount ``positions``
+        slightly; the signal errs toward compacting, never away."""
+        m = self.current_manifest(table)
+        entries = (m or {}).get("dv") or []
+        positions = sum(int(e.get("cardinality", 0)) for e in entries)
+        out = {"positions": positions, "entries": len(entries),
+               "fraction": None}
+        if positions and m is not None:
+            live = self._approx_live_rows(table, m)
+            if live:
+                out["fraction"] = positions / (positions + live)
+        return out
+
     def _approx_live_rows(self, table: str, m: dict) -> int | None:
         """Live row count from stats sidecars (numRecords sums minus
         recorded DV cardinalities) — metadata only; None when any
@@ -2008,6 +2037,7 @@ class Warehouse:
         table: str,
         target_bytes: int = 128 * 1024 * 1024,
         order_by: list[str] | None = None,
+        zorder: bool = False,
     ) -> int:
         """Compact the current snapshot's small files into ~target-size
         files (bin-packing by total bytes). Incremental merges fragment
@@ -2029,6 +2059,13 @@ class Warehouse:
         bucket layout (one file per bucket, every file must exist) and
         sort WITHIN each bucket file, which tightens parquet row-group
         pruning rather than file pruning.
+
+        ``zorder=True`` makes the clustering MULTI-DIMENSIONAL
+        (OPTIMIZE ... ZORDER BY): files cover small rectangles in
+        ``order_by`` space instead of disjoint ranges of the leading
+        column, so stats skipping works on EVERY listed column, not
+        just the first (plans/cluster.py — bit-interleaved quantile
+        ranks, pure JVM expressions, no window over a total order).
 
         Compaction is a READ-MODIFY-WRITE (it republishes rows derived
         from the commit it read), so its publish is a CAS against that
@@ -2055,7 +2092,17 @@ class Warehouse:
                     out_df = df.repartition(
                         n, bucket_of(F.col(m["bucket_key"]), n)
                     )
-                    if order_by:
+                    if order_by and zorder:
+                        from .cluster import zorder_value
+
+                        out_df = (
+                            out_df.withColumn(
+                                "__cdl_z", zorder_value(df, order_by)
+                            )
+                            .sortWithinPartitions("__cdl_z")
+                            .drop("__cdl_z")
+                        )
+                    elif order_by:
                         out_df = out_df.sortWithinPartitions(*order_by)
                     written = self.write(
                         table,
@@ -2080,11 +2127,14 @@ class Warehouse:
                     # carries no dv — deleted rows are physically gone)
                     df = self._read_manifest(table, m)
                     if order_by:
-                        # disjoint value ranges per file: the layout that
-                        # makes per-file min/max skipping effective
-                        out_df = df.repartitionByRange(
-                            n_files, *order_by
-                        ).sortWithinPartitions(*order_by)
+                        # disjoint value ranges (or z-rectangles) per
+                        # file: the layout that makes per-file min/max
+                        # skipping effective
+                        from .cluster import cluster_for_write
+
+                        out_df = cluster_for_write(
+                            df, order_by, n_files, zorder
+                        )
                     else:
                         out_df = df.repartition(n_files)
                     written = self.write(
@@ -2482,11 +2532,19 @@ class ImportPipeline:
         CommitConflict (concurrent merge won every retry) is dropped —
         the fragmentation signal persists and the next import
         re-triggers."""
-        threshold = self.config.auto_compact_min_files
-        if not threshold:
+        files_thr = self.config.auto_compact_min_files
+        dv_thr = self.config.auto_compact_dv_fraction
+        if not files_thr and not dv_thr:
             return
         try:
-            if self.warehouse.live_file_count(table_name) > threshold:
+            due = bool(
+                files_thr
+                and self.warehouse.live_file_count(table_name) > files_thr
+            )
+            if not due and dv_thr:
+                frac = self.warehouse.dv_stats(table_name)["fraction"]
+                due = frac is not None and frac > dv_thr
+            if due:
                 self.warehouse.compact(table_name)
         except CommitConflict:
             pass

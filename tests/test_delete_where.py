@@ -619,6 +619,51 @@ class TestUpdateWhere:
         assert all(rows[3000 + i] == 1 for i in range(3))
 
 
+class TestDvMaintenance:
+    def test_dv_stats_both_impls(self, spark, wh_factory):
+        wh = wh_factory()
+        make_table(spark, wh)
+        assert wh.dv_stats("t") == {
+            "positions": 0, "entries": 0, "fraction": None
+        }
+        wh.delete_where("t", "v = 3", mode="mor")
+        st = wh.dv_stats("t")
+        assert st["positions"] == 14 and st["entries"] >= 1
+        assert st["fraction"] == pytest.approx(14 / 100)
+        wh.compact("t")
+        assert wh.dv_stats("t")["positions"] == 0
+
+    def test_pipeline_dv_fraction_trigger(self, spark, tmp_path):
+        """auto_compact_dv_fraction: a DV-heavy table gets its vectors
+        materialized by the pipeline's post-import maintenance hook —
+        merge-on-read debt stays self-limiting without anyone running
+        OPTIMIZE by hand."""
+        from canvas_data_loader_spark.plans.pipeline import (
+            ImportPipeline,
+            PipelineConfig,
+        )
+
+        cfg = PipelineConfig(
+            stage_dir=str(tmp_path / "stage"),
+            warehouse_dir=str(tmp_path / "wh"),
+            ledger_path=str(tmp_path / "ledger.jsonl"),
+            auto_compact_dv_fraction=0.05,
+        )
+        p = ImportPipeline(spark, client=None, config=cfg)
+        make_table(spark, p.warehouse)
+        p.warehouse.delete_where("t", "v = 3", mode="mor")  # 14% > 5%
+        assert p.warehouse.dv_stats("t")["positions"] == 14
+        p._maybe_compact("t")
+        assert p.warehouse.dv_stats("t")["positions"] == 0
+        assert sorted(r.k for r in p.warehouse.read("t").collect()) == (
+            surviving(100, 3)
+        )
+        # below the bound: vectors are left alone (the cheap path)
+        p.warehouse.delete_where("t", "k = 5", mode="mor")  # ~1%
+        p._maybe_compact("t")
+        assert p.warehouse.dv_stats("t")["positions"] == 1
+
+
 class TestDeleteConcurrency:
     def test_delete_racing_merges_no_lost_updates(self, spark, wh_factory):
         wh = wh_factory()
