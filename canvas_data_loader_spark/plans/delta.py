@@ -832,6 +832,7 @@ class DeltaWarehouse:
         observation=None,
         evolve: bool = False,
         renames: dict[str, str] | None = None,
+        delete_keys: DataFrame | None = None,
     ) -> list[int]:
         """Partition-pruned keyed upsert — the Delta MERGE shape: only
         files in buckets the batch's keys hash to are read, rewritten,
@@ -845,7 +846,10 @@ class DeltaWarehouse:
         ``evolve=True`` raises SchemaEvolutionError so the pipeline's
         shared fallback (full reload with the new schema — the
         reference behavior) engages. ``observation``: attached to the
-        first attempt's merged frame, same contract as Warehouse."""
+        first attempt's merged frame, same contract as Warehouse.
+        ``delete_keys``: key rows to REMOVE in the same atomic commit
+        (the CDC apply — upserts + deletes, one commit, exactly-once
+        under ``txn``; a key in both frames lands on the upsert)."""
         for attempt in range(1 + max_commit_retries):
             base, meta, live, _, _ = self._replay(table)
             spec = self._bucket_spec(meta)
@@ -853,9 +857,15 @@ class DeltaWarehouse:
                 raise FileNotFoundError(f"table not bucketed: {table}")
             key, n = spec
             new_b = new.withColumn(BUCKET_COL, bucket_of(F.col(key), n))
+            touched = new_b.select(BUCKET_COL)
+            if delete_keys is not None:
+                touched = touched.unionByName(
+                    delete_keys.select(
+                        bucket_of(F.col(key), n).alias(BUCKET_COL)
+                    )
+                )
             affected = sorted(
-                int(r[BUCKET_COL])
-                for r in new_b.select(BUCKET_COL).distinct().collect()
+                int(r[BUCKET_COL]) for r in touched.distinct().collect()
             )
             wanted = {str(b) for b in affected}
             old_paths = [
@@ -884,7 +894,10 @@ class DeltaWarehouse:
                         f"({old_types} -> {new_types}); this impl evolves "
                         "by full reload, not in place"
                     )
-            keys = new_b.select(key).distinct()
+            keys = new_b.select(key)
+            if delete_keys is not None:
+                keys = keys.unionByName(delete_keys.select(key))
+            keys = keys.distinct()
             if broadcast_keys:
                 keys = F.broadcast(keys)
             merged = old.join(keys, on=key, how="left_anti").unionByName(

@@ -448,6 +448,66 @@ def refresh_views_of(warehouse, table: str) -> None:
 
 # -- cross-warehouse replication (change-feed based) ------------------------
 
+def apply_feed_batch(
+    dst_wh,
+    mirror: str,
+    batch_df,
+    key: str,
+    bucket: tuple[str, int] | None,
+    app_id: str,
+) -> list[int]:
+    """The canonical ``foreachBatch`` body for STREAMING replication
+    off the ``cdl_warehouse`` change feed: apply one delivered batch of
+    CDF rows (possibly spanning several source commits, in catch-up)
+    to a destination table, exactly once per SOURCE VERSION.
+
+    Per version, ascending: retracted keys and applied rows land in
+    ONE atomic ``merge_bucketed`` commit (``delete_keys`` lane), with
+    the source version recorded as the writer epoch in that same
+    commit. A replayed delivery — foreachBatch restart, restored
+    checkpoint — skips versions at or below the recorded epoch, which
+    is what makes the apply safe even when NEWER versions already
+    landed (value-idempotence alone would regress them). Deletes from
+    a source ``delete_where``/restore replicate exactly; the mirror
+    stays O(changed buckets) per batch.
+
+    Returns the source versions applied (skipped replays excluded)."""
+    batch_df = batch_df.localCheckpoint()
+    versions = sorted(
+        r["_commit_version"]
+        for r in batch_df.select("_commit_version").distinct().collect()
+    )
+    applied = []
+    for v in versions:
+        if (
+            dst_wh.exists(mirror)
+            and dst_wh.last_txn_epoch(app_id, mirror) >= v
+        ):
+            continue  # replayed delivery: this version already landed
+        step = batch_df.filter(
+            F.col("_commit_version") == v
+        ).drop("_commit_version")
+        rows = applied_rows(step)
+        if not dst_wh.exists(mirror):
+            dst_wh.write(
+                mirror,
+                rows,
+                snapshot=f"feed-v{v}",
+                bucket=bucket,
+                txn=(app_id, int(v)),
+            )
+        else:
+            dst_wh.merge_bucketed(
+                mirror,
+                rows,
+                snapshot=f"feed-v{v}",
+                txn=(app_id, int(v)),
+                delete_keys=retracted_rows(step).select(key),
+            )
+        applied.append(int(v))
+    return applied
+
+
 def sync_mirror(
     src_wh,
     table: str,
@@ -471,13 +531,13 @@ def sync_mirror(
       merged into a bucketed mirror via ``merge_bucketed``: only
       buckets the interval touched are read at the source OR written
       at the destination (at 100 TB a cross-region sync costs the
-      day's changes, not the table). Taken when the feed carries no
-      deletes — the keyed-upsert pipeline's steady state.
+      day's changes, not the table). Deletes in the feed ride the
+      same atomic commit (``merge_bucketed(delete_keys=...)``), so a
+      source restore or row-level DELETE still syncs incrementally.
     - **rewrite** — ``apply_changes`` folded into the mirror under a
       CAS read-modify-write (feed read stays pruned; the destination
-      write is O(mirror)). Taken when the interval contains deletes
-      (restore/replace at the source), which a keyed merge cannot
-      express.
+      write is O(mirror)). Taken only for UNBUCKETED mirrors, whose
+      single-snapshot backing has no partial-rewrite unit.
     - **clone** — full copy at a pinned source version. Taken on first
       sync, source incarnation change (drop+recreate, via table_id),
       pruned feed horizon, schema drift, or a watermark ahead of the
@@ -580,21 +640,20 @@ def sync_mirror(
     except (FileNotFoundError, FeedSchemaDrift):
         return clone(last)  # feed horizon pruned / rename interval
     try:
-        has_deletes = (
-            feed.filter(F.col("_change_type") == "delete").limit(1).count()
-            > 0
-        )
-        if (
-            bucket is not None
-            and dst_wh.is_bucketed(mirror)
-            and not has_deletes
-        ):
+        if bucket is not None and dst_wh.is_bucketed(mirror):
+            # deletes ride the SAME atomic merge commit as upserts
+            # (merge_bucketed delete_keys): a restore or row-level
+            # DELETE at the source still syncs at O(changed buckets),
+            # not O(mirror) — the rewrite lane below remains only for
+            # unbucketed mirrors
+            removed = retracted_rows(feed).select(key)
             dst_wh.merge_bucketed(
                 mirror,
                 applied_rows(feed),
                 snapshot=f"mirror-sync-v{v_src}",
                 txn=(app, v_src),
                 max_commit_retries=max_retries,
+                delete_keys=removed,
             )
             return {"mode": "incremental", "v_from": last, "v_to": v_src}
         for _ in range(1 + max_retries):

@@ -1247,6 +1247,7 @@ class Warehouse:
         txn: tuple[str, int] | None = None,
         evolve: bool = False,
         renames: dict[str, str] | None = None,
+        delete_keys: DataFrame | None = None,
     ) -> list[int]:
         """Partition-pruned keyed upsert into a bucketed table — the
         pipeline's at-scale default (the managed-table MERGE analog of
@@ -1279,6 +1280,14 @@ class Warehouse:
         differently, so a widened key would re-bucket new rows away
         from their existing ones and silently break the pruned merge.
 
+        ``delete_keys``: a frame carrying the bucket-key column whose
+        rows should be REMOVED in the same atomic commit (the CDC
+        apply: a change-feed batch is upserts + deletes applied
+        together — one commit, exactly-once under ``txn``). A key in
+        both frames lands on the upsert (the new version wins,
+        matching apply_changes). Deleted keys' buckets join the
+        affected set, so partition pruning still holds.
+
         Returns the affected bucket ids."""
         wanted = snapshot
         renames = renames or {}
@@ -1306,9 +1315,16 @@ class Warehouse:
             # the manifest's recorded key name moves forward
             key = renames.get(old_key, old_key) if evolve else old_key
             new_b = new.withColumn(BUCKET_COL, bucket_of(F.col(key), n))
+            touched = new_b.select(BUCKET_COL)
+            if delete_keys is not None:
+                touched = touched.unionByName(
+                    delete_keys.select(
+                        bucket_of(F.col(key), n).alias(BUCKET_COL)
+                    )
+                )
             affected = sorted(
                 int(r[BUCKET_COL])
-                for r in new_b.select(BUCKET_COL).distinct().collect()
+                for r in touched.distinct().collect()
             )
             old = self.read_buckets(table, affected, manifest=m)
             target_json, renamed_from = m.get("schema"), m.get("renamed_from")
@@ -1331,7 +1347,12 @@ class Warehouse:
                 renamed_from = _chain_renames(
                     m.get("renamed_from") or {}, renames
                 )
-            keys = new_b.select(key).distinct()
+            keys = new_b.select(key)
+            if delete_keys is not None:
+                # deleted keys join the anti set with NO replacement
+                # row — removal and upsert land in one commit
+                keys = keys.unionByName(delete_keys.select(key))
+            keys = keys.distinct()
             if broadcast_keys:
                 keys = F.broadcast(keys)
             merged = old.join(keys, on=key, how="left_anti").unionByName(

@@ -619,6 +619,57 @@ class TestUpdateWhere:
         assert all(rows[3000 + i] == 1 for i in range(3))
 
 
+class TestMergeDeleteKeys:
+    """merge_bucketed(delete_keys=...): upserts + deletes in ONE
+    atomic commit — the CDC-apply primitive streaming replication and
+    sync_mirror's incremental mode build on."""
+
+    def test_upserts_and_deletes_one_commit(self, spark, wh_factory):
+        wh = wh_factory()
+        make_table(spark, wh)
+        head = wh.current_version("t")
+        new = spark.createDataFrame([(0, 99), (200, 1)], "k long, v long")
+        dels = spark.createDataFrame([(5,), (10,)], "k long")
+        wh.merge_bucketed("t", new, "cdc", delete_keys=dels)
+        assert wh.current_version("t") == head + 1
+        rows = {r.k: r.v for r in wh.read("t").collect()}
+        assert rows[0] == 99 and rows[200] == 1
+        assert 5 not in rows and 10 not in rows
+        assert len(rows) == 100 - 2 + 1
+
+    def test_key_in_both_frames_lands_on_upsert(self, spark, wh_factory):
+        wh = wh_factory()
+        make_table(spark, wh)
+        new = spark.createDataFrame([(7, 777)], "k long, v long")
+        dels = spark.createDataFrame([(7,)], "k long")
+        wh.merge_bucketed("t", new, "both", delete_keys=dels)
+        rows = {r.k: r.v for r in wh.read("t").collect()}
+        assert rows[7] == 777 and len(rows) == 100
+
+    def test_delete_only_batch(self, spark, wh_factory):
+        wh = wh_factory()
+        make_table(spark, wh)
+        empty = spark.createDataFrame([], "k long, v long")
+        dels = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+        affected = wh.merge_bucketed("t", empty, "delonly",
+                                     delete_keys=dels)
+        assert affected  # deleted keys' buckets count as affected
+        rows = {r.k for r in wh.read("t").collect()}
+        assert rows == set(range(100)) - {1, 2, 3}
+
+    def test_deletes_prune_to_their_buckets(self, spark, wh_factory):
+        # a single deleted key must not repoint unrelated buckets
+        wh = wh_factory()
+        make_table(spark, wh)
+        v0 = wh.current_version("t")
+        empty = spark.createDataFrame([], "k long, v long")
+        dels = spark.createDataFrame([(5,)], "k long")
+        affected = wh.merge_bucketed("t", empty, "one", delete_keys=dels)
+        assert len(affected) == 1
+        changed = wh.changed_buckets("t", v0, wh.current_version("t"))
+        assert changed == affected
+
+
 class TestDvMaintenance:
     def test_dv_stats_both_impls(self, spark, wh_factory):
         wh = wh_factory()

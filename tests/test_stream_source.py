@@ -476,6 +476,112 @@ class TestStreamingReplication:
         assert canon(dst.read("mirror")) == canon(wh.read("src"))
 
 
+class TestStreamingReplicationWithDeletes:
+    def _source_with_deletes(self, spark, wh):
+        wh.write(
+            "src",
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(1, 17)], "id long, v string"
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        wh.merge_bucketed(
+            "src",
+            spark.createDataFrame(
+                [(1, "UPD"), (17, "n17")], "id long, v string"
+            ),
+            snapshot="m1",
+        )
+        wh.delete_where("src", "id % 4 = 2", mode="mor")
+        wh.update_where("src", {"v": "upper(v)"}, "id = 3")
+
+    def test_feed_with_deletes_drives_mirror(
+        self, spark, wh_factory, tmp_path
+    ):
+        """plans.ops.apply_feed_batch as the foreachBatch body: a
+        history containing merges, a merge-on-read DELETE, and an
+        UPDATE replicates exactly — deletes ride the same atomic merge
+        commit as upserts (delete_keys), one commit per source
+        version, epochs recorded alongside."""
+        from canvas_data_loader_spark.plans.ops import apply_feed_batch
+
+        wh = wh_factory()
+        self._source_with_deletes(spark, wh)
+        dst = wh_factory("dst")
+
+        def body(batch_df, batch_id):
+            apply_feed_batch(
+                dst, "mirror", batch_df, "id", ("id", 4), "repl"
+            )
+
+        feed = read_changes_stream(
+            spark, wh.root, "src", startingVersion="earliest"
+        )
+        q = (
+            feed.writeStream.foreachBatch(body)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert canon(dst.read("mirror")) == canon(wh.read("src"))
+        assert not any(
+            r.id % 4 == 2 for r in dst.read("mirror").collect()
+        )
+        # continue the stream after MORE source commits (incl. another
+        # delete): same checkpoint, converges again
+        wh.delete_where("src", "id = 7", mode="mor")
+        wh.merge_bucketed(
+            "src",
+            spark.createDataFrame([(18, "n18")], "id long, v string"),
+            snapshot="m2",
+        )
+        q = (
+            read_changes_stream(spark, wh.root, "src")
+            .writeStream.foreachBatch(body)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert canon(dst.read("mirror")) == canon(wh.read("src"))
+
+    def test_replayed_delivery_skips_applied_versions(
+        self, spark, wh_factory, tmp_path
+    ):
+        """Exactly-once under replay: delivering the same CDF batch
+        twice — even AFTER newer versions landed — changes nothing
+        (epoch-guarded per source version, not value-idempotence)."""
+        from canvas_data_loader_spark.plans.ops import (
+            apply_feed_batch,
+            table_changes,
+        )
+
+        wh = wh_factory()
+        self._source_with_deletes(spark, wh)
+        dst = wh_factory("dst")
+        head = wh.current_version("src")
+        # full history as one batch (what a catch-up delivery looks like)
+        batch = expected_feed(spark, wh, "src")
+        applied = apply_feed_batch(
+            dst, "mirror", batch, "id", ("id", 4), "repl"
+        )
+        assert applied and max(applied) == head
+        assert canon(dst.read("mirror")) == canon(wh.read("src"))
+        v_before = dst.current_version("mirror")
+        # replay an OLD slice (first two versions) after everything
+        # landed: zero new commits, zero changes
+        old_slice = batch.filter(
+            F.col("_commit_version") <= sorted(applied)[1]
+        )
+        assert apply_feed_batch(
+            dst, "mirror", old_slice, "id", ("id", 4), "repl"
+        ) == []
+        assert dst.current_version("mirror") == v_before
+        assert canon(dst.read("mirror")) == canon(wh.read("src"))
+
+
 class TestDeltaCheckpointReplay:
     def test_feed_reads_through_log_checkpoint(
         self, spark, wh_factory, tmp_path

@@ -1821,16 +1821,19 @@ class TestSyncMirror:
         assert sync_mirror(src, "t", dst)["mode"] == "noop"
         assert head(dst, "t") == h
 
-    def test_deletes_take_rewrite_path(self, spark, pair):
+    def test_deletes_stay_incremental(self, spark, pair):
+        """A partial-delete interval (merge then restore: one bucket's
+        key vanishes) syncs INCREMENTALLY — the deletes ride the same
+        atomic merge commit as the upserts (merge_bucketed
+        delete_keys), O(changed buckets) at the destination. This was
+        the rewrite lane's last bucketed trigger; rewrite now serves
+        only unbucketed mirrors."""
         from canvas_data_loader_spark.plans.ops import sync_mirror
 
         src, dst = pair
         self._seed(spark, src)
         v0 = head(src, "t")
         sync_mirror(src, "t", dst)
-        # a merge then a restore creates a PARTIAL-delete interval (one
-        # bucket's key vanishes) — the shape a keyed merge cannot
-        # express, without repointing the whole table
         src.merge_bucketed(
             "t",
             spark.createDataFrame([(100, "NEW")], "id long, v string"),
@@ -1839,8 +1842,23 @@ class TestSyncMirror:
         sync_mirror(src, "t", dst)
         src.restore("t", v0)  # key 100 deleted in the next interval
         out = sync_mirror(src, "t", dst)
-        assert out["mode"] == "rewrite"
+        assert out["mode"] == "incremental"
         assert rows_of(dst, "t") == rows_of(src, "t")
+
+    def test_row_level_delete_syncs_incrementally(self, spark, pair):
+        """delete_where at the source (merge-on-read) reaches the
+        mirror as an incremental sync — the DV interval's feed is pure
+        deletes, applied via the merge's delete_keys lane."""
+        from canvas_data_loader_spark.plans.ops import sync_mirror
+
+        src, dst = pair
+        self._seed(spark, src)
+        sync_mirror(src, "t", dst)
+        src.delete_where("t", "id % 3 = 0", mode="mor")
+        out = sync_mirror(src, "t", dst)
+        assert out["mode"] == "incremental"
+        assert rows_of(dst, "t") == rows_of(src, "t")
+        assert all(r[0] % 3 != 0 for r in rows_of(dst, "t"))
 
     def test_full_replace_interval_takes_clone_not_double_diff(
         self, spark, pair
