@@ -34,20 +34,24 @@ from pyspark.sql import functions as F
 RANK_BITS = 6
 MAX_COLS = 4
 
-_NUMERIC_PREFIXES = (
-    "tinyint", "smallint", "int", "bigint", "float", "double",
-    "decimal", "date", "timestamp",
-)
+_NUMERIC_EXACT = {
+    "tinyint", "smallint", "int", "bigint", "float", "double", "date",
+}
+# parameterized numeric types match by prefix — but NEVER bare "int",
+# which would startswith-match "interval day to second" and defeat
+# this guard's whole purpose (a clear error instead of a cryptic
+# approxQuantile failure)
+_NUMERIC_PREFIXES = ("decimal", "timestamp")
 
 
 def _rankable(df: DataFrame, col: str) -> Column:
     """The column as a quantile-rankable double (dates/timestamps via
     their numeric representation). Raises for types approxQuantile
-    cannot rank (strings, binaries, nested)."""
+    cannot rank (strings, binaries, intervals, nested)."""
     dt = dict(df.dtypes).get(col)
     if dt is None:
         raise ValueError(f"zorder column {col!r} not in the table")
-    if not dt.startswith(_NUMERIC_PREFIXES):
+    if dt not in _NUMERIC_EXACT and not dt.startswith(_NUMERIC_PREFIXES):
         raise ValueError(
             f"zorder column {col!r} has type {dt}: rank boundaries come "
             "from approxQuantile, which needs an orderable numeric "

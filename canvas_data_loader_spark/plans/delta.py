@@ -1152,6 +1152,23 @@ class DeltaWarehouse:
             bad = [c for c in assigns if c == BUCKET_COL]
             if bad:
                 raise ValueError(f"cannot update internal column {bad}")
+            # validate BEFORE writing anything: withColumns silently
+            # ADDS an unknown assignment column, and a committed
+            # extra-column file bricks every later read of a bucketed
+            # table (NUM_COLUMNS_MISMATCH on the part union)
+            from pyspark.sql import types as T
+
+            table_cols = set(
+                T.StructType.fromJson(
+                    json.loads(meta["schemaString"])
+                ).names
+            )
+            unknown = sorted(set(assigns) - table_cols)
+            if unknown:
+                raise ValueError(
+                    f"update_where assignments reference columns not in "
+                    f"{table!r}: {unknown} (have: {sorted(table_cols)})"
+                )
             located = self._df_for(table, meta, live, with_location=True)
             matched = located.filter(cond).localCheckpoint(eager=True)
             n_updated = matched.count()

@@ -20,7 +20,8 @@ Two storage spellings, one semantics:
   ``external_read_sql`` emits;
 - the Delta warehouse stores the protocol's ``deletionVector``
   descriptor on the ``add`` action, inline (``storageType "i"``):
-  Base85-encoded serialized RoaringBitmapArray, per PROTOCOL.md's
+  Z85-encoded (ZeroMQ Base85 — the alphabet the protocol names, NOT
+  RFC 1924) serialized RoaringBitmapArray, per PROTOCOL.md's
   deletion-vector format. The bitmap serialization below follows the
   public RoaringFormatSpec (portable 32-bit format: cookie 12346,
   array + bitmap containers) wrapped in the 64-bit RoaringBitmapArray
@@ -44,12 +45,53 @@ merge-on-read lane is what makes them affordable at scale.
 
 from __future__ import annotations
 
-import base64
 import struct
 import zlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Z85 (ZeroMQ RFC 32) — the Base85 variant the Delta protocol uses for
+# deletion-vector encodings. NOT Python's base64.b85* (RFC 1924): the
+# two alphabets differ, and an external Delta reader decodes with Z85.
+_Z85 = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INV = {c: i for i, c in enumerate(_Z85)}
+
+
+def z85encode(data: bytes) -> str:
+    """Z85-encode, zero-padding to a 4-byte multiple (the descriptor's
+    ``sizeInBytes`` carries the true length, so decoders trim)."""
+    if len(data) % 4:
+        data = data + b"\x00" * (4 - len(data) % 4)
+    out = []
+    for i in range(0, len(data), 4):
+        (word,) = struct.unpack(">I", data[i : i + 4])
+        chunk = []
+        for _ in range(5):
+            word, rem = divmod(word, 85)
+            chunk.append(_Z85[rem])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85decode(text: str) -> bytes:
+    if len(text) % 5:
+        raise ValueError(f"Z85 text length {len(text)} not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        word = 0
+        for c in text[i : i + 5]:
+            try:
+                word = word * 85 + _Z85_INV[c]
+            except KeyError:
+                raise ValueError(f"invalid Z85 character {c!r}") from None
+        if word > 0xFFFFFFFF:
+            raise ValueError("Z85 group overflows 32 bits")
+        out += struct.pack(">I", word)
+    return bytes(out)
 
 # column names carried through located reads (never user-visible: both
 # warehouses drop them before returning frames to callers)
@@ -169,31 +211,46 @@ def deserialize_rba(buf: bytes) -> list[int]:
 
 def encode_inline_dv(positions: list[int]) -> dict:
     """Delta ``deletionVector`` descriptor, inline storage: the
-    serialized RoaringBitmapArray with a CRC32 suffix, Base85-encoded
-    (RFC 1924 alphabet — Python's ``base64.b85encode``)."""
+    serialized RoaringBitmapArray, Z85-encoded, with ``sizeInBytes``
+    naming the true (pre-padding) bitmap length per the spec. A CRC32
+    (big-endian) of the bitmap rides AFTER ``sizeInBytes`` bytes — a
+    spec-pure reader trims at ``sizeInBytes`` and never sees it; our
+    decoder verifies it when present."""
     data = serialize_rba(positions)
     blob = data + struct.pack(">I", zlib.crc32(data))
     return {
         "storageType": "i",
-        "pathOrInlineDv": base64.b85encode(blob).decode("ascii"),
+        "pathOrInlineDv": z85encode(blob),
         "sizeInBytes": len(data),
         "cardinality": len(set(int(p) for p in positions)),
     }
 
 
 def decode_inline_dv(descriptor: dict) -> list[int]:
-    """Positions from an inline ``deletionVector`` descriptor (with
-    checksum verification)."""
+    """Positions from an inline ``deletionVector`` descriptor. The
+    bitmap is the first ``sizeInBytes`` bytes of the Z85-decoded blob
+    (the rest is zero padding, plus — for descriptors this module
+    wrote — a trailing CRC32 that is verified when the blob is long
+    enough to carry one)."""
     st = descriptor.get("storageType")
     if st != "i":
         raise ValueError(
             f"unsupported deletionVector storageType {st!r} (this reader "
             "implements inline DVs; on-disk DV files are not written here)"
         )
-    blob = base64.b85decode(descriptor["pathOrInlineDv"])
-    data, crc = blob[:-4], struct.unpack(">I", blob[-4:])[0]
-    if zlib.crc32(data) != crc:
-        raise ValueError("deletionVector inline payload failed CRC32 check")
+    blob = z85decode(descriptor["pathOrInlineDv"])
+    size = int(descriptor["sizeInBytes"])
+    if size > len(blob):
+        raise ValueError(
+            f"deletionVector sizeInBytes {size} exceeds payload {len(blob)}"
+        )
+    data = blob[:size]
+    if len(blob) >= size + 4:
+        (crc,) = struct.unpack(">I", blob[size : size + 4])
+        if zlib.crc32(data) != crc:
+            raise ValueError(
+                "deletionVector inline payload failed CRC32 check"
+            )
     return deserialize_rba(data)
 
 
@@ -228,10 +285,20 @@ def apply_dv(df: DataFrame, dv_df: DataFrame) -> DataFrame:
     """Drop rows whose (``__cdl_file``, ``__cdl_pos``) appear in
     ``dv_df`` (columns ``file``, ``pos``). ``df`` must already carry
     the location columns (``locate_columns``). Broadcast anti-join:
-    the DV set is small by contract (compaction materializes it), so
-    this never shuffles the table side."""
+    the DV set is small by contract (compaction materializes it, and
+    the delete paths cap it), so this never shuffles the table side.
+
+    The DV frame's columns are renamed onto the reserved ``__cdl_``
+    namespace before the join — joining on bare ``file``/``pos`` would
+    make any table with a user column of either name unreadable
+    (AMBIGUOUS_REFERENCE) the moment a merge-on-read delete landed."""
+    dv = dv_df.select(
+        F.col("file").alias("__cdl_dv_file"),
+        F.col("pos").alias("__cdl_dv_pos"),
+    )
     return df.join(
-        F.broadcast(dv_df.select("file", "pos")),
-        (F.col(FILE_COL) == F.col("file")) & (F.col(POS_COL) == F.col("pos")),
+        F.broadcast(dv),
+        (F.col(FILE_COL) == F.col("__cdl_dv_file"))
+        & (F.col(POS_COL) == F.col("__cdl_dv_pos")),
         "left_anti",
     )

@@ -477,12 +477,20 @@ def apply_feed_batch(
         r["_commit_version"]
         for r in batch_df.select("_commit_version").distinct().collect()
     )
+    # ONE epoch fetch per delivery, not per version: on the Delta impl
+    # last_txn_epoch is a full log replay, and a catch-up batch
+    # spanning V versions would otherwise cost V replays (O(V^2) in
+    # log reads) just to test the skip condition. Each apply below
+    # records its version as the new epoch, so the local watermark
+    # stays exact without re-reading.
+    last = (
+        dst_wh.last_txn_epoch(app_id, mirror)
+        if dst_wh.exists(mirror)
+        else None
+    )
     applied = []
     for v in versions:
-        if (
-            dst_wh.exists(mirror)
-            and dst_wh.last_txn_epoch(app_id, mirror) >= v
-        ):
+        if last is not None and last >= v:
             continue  # replayed delivery: this version already landed
         step = batch_df.filter(
             F.col("_commit_version") == v
@@ -504,6 +512,7 @@ def apply_feed_batch(
                 txn=(app_id, int(v)),
                 delete_keys=retracted_rows(step).select(key),
             )
+        last = int(v)
         applied.append(int(v))
     return applied
 

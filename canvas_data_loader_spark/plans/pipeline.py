@@ -1446,6 +1446,7 @@ class Warehouse:
         dv_max_fraction: float = 0.2,
         txn: tuple[str, int] | None = None,
         max_commit_retries: int = 5,
+        dv_max_rows: int = 1_000_000,
     ) -> int:
         """Row-level DELETE (``DELETE FROM table WHERE condition``) —
         the generalization of the reference's per-row keyed DELETE
@@ -1464,9 +1465,15 @@ class Warehouse:
           buckets keep their directories); on an unbucketed table this
           rewrites the snapshot. Right when the delete is dense.
         - ``mode="auto"``: mor while the matched fraction stays at or
-          under ``dv_max_fraction``, else cow — the accumulating-DV
-          guard (a reader's anti-join build side must stay broadcast-
-          small).
+          under ``dv_max_fraction`` AND the matched count within
+          ``dv_max_rows``, else cow — the accumulating-DV guard:
+          every reader broadcasts the DV set for its anti-join, so it
+          must stay broadcast-small in ABSOLUTE terms too (0.2 of a
+          10-billion-row table is not a broadcast). An explicit
+          ``mode="mor"`` above the cap raises; a delete that big is
+          dense enough to rewrite. (A shuffle-anti-join read path
+          would lift the cap at the cost of shuffling every read —
+          compaction cadence is the better lever.)
 
         ``condition``: SQL boolean expression string or a Column over
         the table's logical (conformed) schema. Publish is a CAS at
@@ -1503,8 +1510,17 @@ class Warehouse:
                         total = located.count()
                     chosen = (
                         "mor"
-                        if total and n_deleted / total <= dv_max_fraction
+                        if total
+                        and n_deleted / total <= dv_max_fraction
+                        and n_deleted <= dv_max_rows
                         else "cow"
+                    )
+                if chosen == "mor" and n_deleted > dv_max_rows:
+                    raise ValueError(
+                        f"{n_deleted} deleted rows exceed the deletion-"
+                        f"vector cap ({dv_max_rows}): every reader "
+                        "broadcasts the DV set, so it must stay "
+                        "broadcast-small — use mode='cow' (or 'auto')"
                     )
                 bucketed = bool(m.get("buckets"))
                 affected = (
@@ -1663,6 +1679,19 @@ class Warehouse:
                 )
             try:
                 located = self._read_manifest(table, m, with_location=True)
+                # validate BEFORE writing: withColumns silently ADDS an
+                # unknown assignment column (same guard as the Delta
+                # impl — the shared contract)
+                table_cols = set(located.columns) - {
+                    FILE_COL, POS_COL, BUCKET_COL
+                }
+                unknown = sorted(set(assigns) - table_cols)
+                if unknown:
+                    raise ValueError(
+                        f"update_where assignments reference columns not "
+                        f"in {table!r}: {unknown} "
+                        f"(have: {sorted(table_cols)})"
+                    )
                 matched = located.filter(cond).localCheckpoint(eager=True)
                 n_updated = matched.count()
                 if n_updated == 0:

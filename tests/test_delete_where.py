@@ -670,6 +670,77 @@ class TestMergeDeleteKeys:
         assert changed == affected
 
 
+class TestReviewRegressions:
+    """Pinned fixes from the round-8 review of the DML surface."""
+
+    def test_user_columns_named_file_and_pos_survive_mor_delete(
+        self, spark, wh_factory
+    ):
+        # the DV anti-join must live in the reserved __cdl_ namespace:
+        # joining on bare file/pos bricked any table with either
+        # column the moment a merge-on-read delete landed
+        wh = wh_factory()
+        df = spark.createDataFrame(
+            [(i, f"f{i}", i * 10) for i in range(20)],
+            "k long, file string, pos long",
+        )
+        wh.write("t", df, "s0", bucket=("k", 4))
+        n = wh.delete_where("t", "pos >= 150", mode="mor")
+        assert n == 5
+        rows = sorted(r.k for r in wh.read("t").collect())
+        assert rows == list(range(15))
+        wh.compact("t")  # the repair path must work too
+        assert wh.read("t").count() == 15
+
+    def test_update_unknown_column_rejected_before_commit(
+        self, spark, wh_factory
+    ):
+        # withColumns silently ADDS unknown columns; committed
+        # extra-column files brick bucketed reads — validate up front
+        wh = wh_factory()
+        make_table(spark, wh)
+        head = wh.current_version("t")
+        with pytest.raises(ValueError, match="typo_col"):
+            wh.update_where("t", {"typo_col": "v + 1"}, "k = 3")
+        assert wh.current_version("t") == head
+        assert wh.read("t").count() == 100
+
+    def test_manifest_mor_above_absolute_cap(self, spark, tmp_path):
+        # fraction alone is not a broadcast bound: 20% of a huge table
+        # is not a broadcast — the manifest impl needs the same
+        # absolute cap the delta impl's inline limit provides
+        wh = Warehouse(spark, str(tmp_path / "cap"))
+        make_table(spark, wh)
+        with pytest.raises(ValueError, match="broadcast"):
+            wh.delete_where("t", "v = 3", mode="mor", dv_max_rows=5)
+        # auto above the cap falls to cow instead of raising
+        wh.delete_where(
+            "t", "v = 3", mode="auto", dv_max_fraction=0.9, dv_max_rows=5
+        )
+        assert not has_live_dv(wh)
+        assert keys_of(wh) == surviving(100, 3)
+
+    def test_z85_alphabet_is_the_spec_alphabet(self):
+        # ZeroMQ RFC 32's own test vector — proves the alphabet choice
+        # (Python's base64.b85 RFC 1924 alphabet encodes this
+        # differently), which is what an external Delta reader decodes
+        from canvas_data_loader_spark.plans.dv import z85decode, z85encode
+
+        vector = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+        assert z85encode(vector) == "HelloWorld"
+        assert z85decode("HelloWorld") == vector
+
+    def test_zorder_interval_type_guarded(self, spark):
+        from canvas_data_loader_spark.plans.cluster import zorder_value
+
+        df = spark.range(3).select(
+            F.col("id"), F.expr("make_dt_interval(id)").alias("dur")
+        )
+        assert dict(df.dtypes)["dur"].startswith("interval")
+        with pytest.raises(ValueError, match="approxQuantile"):
+            zorder_value(df, ["dur"])
+
+
 class TestDvMaintenance:
     def test_dv_stats_both_impls(self, spark, wh_factory):
         wh = wh_factory()

@@ -96,14 +96,31 @@ class TestInlineDescriptor:
         assert decode_inline_dv(d) == [3, 7, 99]
 
     def test_crc_detects_corruption(self):
-        import base64
+        from canvas_data_loader_spark.plans.dv import z85decode, z85encode
 
         d = encode_inline_dv([1, 2, 3])
-        blob = bytearray(base64.b85decode(d["pathOrInlineDv"]))
+        blob = bytearray(z85decode(d["pathOrInlineDv"]))
         blob[4] ^= 0xFF
-        d["pathOrInlineDv"] = base64.b85encode(bytes(blob)).decode()
+        d["pathOrInlineDv"] = z85encode(bytes(blob))
         with pytest.raises(ValueError, match="CRC32"):
             decode_inline_dv(d)
+
+    def test_spec_pure_descriptor_without_crc_accepted(self):
+        # a descriptor written by a spec-pure writer carries only the
+        # bitmap (padded): sizeInBytes trims it and no CRC is expected
+        from canvas_data_loader_spark.plans.dv import (
+            serialize_rba,
+            z85encode,
+        )
+
+        data = serialize_rba([5, 9])
+        d = {
+            "storageType": "i",
+            "pathOrInlineDv": z85encode(data),
+            "sizeInBytes": len(data),
+            "cardinality": 2,
+        }
+        assert decode_inline_dv(d) == [5, 9]
 
     def test_unsupported_storage_type(self):
         with pytest.raises(ValueError, match="storageType"):

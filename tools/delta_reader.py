@@ -116,13 +116,13 @@ def live_files(table_dir: str, version: int | None = None) -> list[str]:
 def decode_deletion_vector(descriptor: dict) -> list[int]:
     """Deleted row positions from an INLINE ``deletionVector``
     descriptor — an independent decode, written from the documented
-    format (Base85 blob = 64-bit RoaringBitmapArray + big-endian CRC32;
-    the array = int32 magic, int64 bitmap count, then per bitmap an
-    int32 high key + a standard portable 32-bit roaring bitmap: cookie
-    12346, descriptive headers, offsets, array/bitmap containers).
+    format (Z85-encoded blob, trimmed to ``sizeInBytes``; the bitmap =
+    int32 magic, int64 bitmap count, then per bitmap an int32 high key
+    + a standard portable 32-bit roaring bitmap: cookie 12346,
+    descriptive headers, offsets, array/bitmap containers; a trailing
+    big-endian CRC32 after ``sizeInBytes`` is verified when present).
     Shares no code with plans/dv.py — same reasoning as the rest of
     this file."""
-    import base64
     import struct
     import zlib
 
@@ -130,10 +130,26 @@ def decode_deletion_vector(descriptor: dict) -> list[int]:
         raise ValueError(
             f"unsupported DV storageType {descriptor.get('storageType')!r}"
         )
-    blob = base64.b85decode(descriptor["pathOrInlineDv"])
-    data, crc = blob[:-4], struct.unpack(">I", blob[-4:])[0]
-    if zlib.crc32(data) != crc:
-        raise ValueError("deletion vector failed its CRC32 check")
+    z85 = (
+        "0123456789abcdefghijklmnopqrstuvwxyz"
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+    )
+    inv = {c: i for i, c in enumerate(z85)}
+    text = descriptor["pathOrInlineDv"]
+    if len(text) % 5:
+        raise ValueError("Z85 payload length not a multiple of 5")
+    blob = bytearray()
+    for i in range(0, len(text), 5):
+        word = 0
+        for c in text[i : i + 5]:
+            word = word * 85 + inv[c]
+        blob += struct.pack(">I", word)
+    size = int(descriptor["sizeInBytes"])
+    data = bytes(blob[:size])
+    if len(blob) >= size + 4:
+        (crc,) = struct.unpack(">I", bytes(blob[size : size + 4]))
+        if zlib.crc32(data) != crc:
+            raise ValueError("deletion vector failed its CRC32 check")
     magic, n_bitmaps = struct.unpack_from("<iq", data, 0)
     if magic != 1681511377:
         raise ValueError(f"bad RoaringBitmapArray magic {magic}")
