@@ -703,6 +703,57 @@ class DeltaWarehouse:
             df = df.drop(*meta["partitionColumns"])
         return df
 
+    def version_at_timestamp(self, table: str, ts) -> int:
+        """The commit AS OF a wall-clock time (shared contract with
+        Warehouse.version_at_timestamp): greatest on-disk version whose
+        commitInfo ``timestamp`` (ms — every commit path here writes
+        one first) is at or before ``ts``; commit-file mtime is the
+        fallback for foreign commits without one. MAX qualifying
+        version, monotone in version number."""
+        from .pipeline import _to_epoch_seconds
+
+        bound = _to_epoch_seconds(ts)
+        versions = self._versions_on_disk(table)
+        if not versions:
+            raise FileNotFoundError(f"table not in delta warehouse: {table}")
+        ldir = self._log_dir(table)
+        best = None
+        for v in versions:
+            path = os.path.join(ldir, _LOG_FMT.format(v))
+            t = None
+            try:
+                with open(path) as fh:
+                    for line in fh:
+                        if not line.strip():
+                            continue
+                        a = json.loads(line)
+                        if "commitInfo" in a:
+                            t = a["commitInfo"].get("timestamp")
+                            if t is not None:
+                                t = t / 1000.0
+                            break
+            except OSError:
+                continue
+            if t is None:
+                try:
+                    t = os.path.getmtime(path)
+                except OSError:
+                    continue
+            if t <= bound:
+                best = v if best is None else max(best, v)
+        if best is None:
+            raise FileNotFoundError(
+                f"no commit of {table!r} at or before {ts!r} "
+                f"(oldest: version {versions[0]})"
+            )
+        return best
+
+    def read_at_timestamp(self, table: str, ts) -> DataFrame:
+        """Time travel by WALL-CLOCK time (Delta TIMESTAMP AS OF)."""
+        return self.read_at_version(
+            table, self.version_at_timestamp(table, ts)
+        )
+
     def last_txn_epoch(self, app_id: str, table: str) -> int:
         try:
             _, _, _, txn, _ = self._replay(table)

@@ -102,6 +102,23 @@ def _link_put_if_absent(target: str, manifest: dict) -> bool:
             pass
 
 
+def _to_epoch_seconds(ts) -> float:
+    """Accept an epoch-seconds number, a ``datetime``, or an ISO-8601
+    string for the TIMESTAMP AS OF surface (naive datetimes/strings are
+    taken as UTC — commit stamps are machine clocks, documented)."""
+    import datetime as _dt
+
+    if isinstance(ts, (int, float)):
+        return float(ts)
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    if isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return ts.timestamp()
+    raise TypeError(f"unsupported timestamp {ts!r}")
+
+
 def _dv_surviving_rewrite(m: dict, affected: list[int]) -> list[dict]:
     """Deletion-vector entries still live after ``affected`` buckets
     are rewritten: an entry whose covered buckets all got new backing
@@ -382,6 +399,10 @@ class Warehouse:
           commit-protocol shape, emulated locally with ``open('x')``
           and on S3/HDFS by the same single put-if-absent.
         """
+        # every commit is stamped at the publish choke point (restore /
+        # record_txn copy older manifests, and the COPY's commit time is
+        # now, not then) — the TIMESTAMP AS OF resolution input
+        manifest = {**manifest, "committed_at": time.time()}
         cdir = self._commits_dir(table)
         os.makedirs(cdir, exist_ok=True)
         if expected_version is not None:
@@ -697,6 +718,46 @@ class Warehouse:
                 f"(have: {self.versions(table)})"
             )
         return self.spark.read.parquet(path)
+
+    def version_at_timestamp(self, table: str, ts) -> int:
+        """The commit AS OF a wall-clock time: greatest retained
+        version whose publish stamp is at or before ``ts`` (epoch
+        seconds, datetime, or ISO string — the Delta TIMESTAMP AS OF
+        shape). Stamps are writer clocks taken at the publish
+        choke point; racing writers can interleave within clock skew,
+        so resolution picks the MAX qualifying version (monotone in
+        version number, the protocol-standard adjustment). Pre-stamp
+        commits (older trees) fall back to the commit file's mtime.
+        Raises if ``ts`` predates the oldest retained commit."""
+        bound = _to_epoch_seconds(ts)
+        commits = self._commits(table)
+        if not commits:
+            raise FileNotFoundError(f"table not in warehouse: {table}")
+        best = None
+        for v, man in commits:
+            t = man.get("committed_at")
+            if t is None:
+                try:
+                    t = os.path.getmtime(
+                        os.path.join(self._commits_dir(table), f"{v:08d}.json")
+                    )
+                except OSError:
+                    continue
+            if t <= bound:
+                best = v if best is None else max(best, v)
+        if best is None:
+            raise FileNotFoundError(
+                f"no retained commit of {table!r} at or before {ts!r} "
+                f"(oldest retained: version {commits[0][0]})"
+            )
+        return best
+
+    def read_at_timestamp(self, table: str, ts) -> DataFrame:
+        """Time travel by WALL-CLOCK time (TIMESTAMP AS OF):
+        ``read_at_version`` at ``version_at_timestamp``."""
+        return self.read_at_version(
+            table, self.version_at_timestamp(table, ts)
+        )
 
     def read_at_version(self, table: str, version: int) -> DataFrame:
         """Time travel by COMMIT NUMBER (the cross-impl spelling shared

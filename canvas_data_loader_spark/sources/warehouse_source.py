@@ -770,7 +770,21 @@ class WarehouseSnapshotReader(DataSourceReader):
         )
         self.arrow_schema = _arrow_full_schema(schema)
         v = options.get("version")
-        version = int(v) if v is not None else meta.current_version()
+        ts = options.get("timestamp")
+        if v is not None and ts is not None:
+            raise ValueError(
+                "pass either 'version' (VERSION AS OF) or 'timestamp' "
+                "(TIMESTAMP AS OF), not both"
+            )
+        if ts is not None:
+            # epoch seconds or ISO-8601 (option values arrive as strings)
+            try:
+                ts = float(ts)
+            except ValueError:
+                pass
+            version = meta.wh.version_at_timestamp(meta.table, ts)
+        else:
+            version = int(v) if v is not None else meta.current_version()
         renames = meta.renamed_from(version)
         dv_all = meta.dv_by_file(version)
         self._parts = [
@@ -828,6 +842,15 @@ class WarehouseDataSource(DataSource):
                 ]
             )
         v = self.options.get("version")
+        ts = self.options.get("timestamp")
+        if ts is not None and v is None:
+            try:
+                ts = float(ts)
+            except ValueError:
+                pass
+            return meta.spark_schema(
+                meta.wh.version_at_timestamp(meta.table, ts)
+            )
         return meta.spark_schema(int(v) if v is not None else None)
 
     def reader(self, schema: StructType):

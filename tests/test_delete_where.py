@@ -786,6 +786,69 @@ class TestDvMaintenance:
         assert p.warehouse.dv_stats("t")["positions"] == 1
 
 
+class TestDmlMatrixHoles:
+    """DML x evolution x maintenance cross-lanes."""
+
+    def test_delete_on_schema_evolved_table(self, spark, tmp_path):
+        # mor delete with the predicate on a RENAMED column: old files
+        # carry the old name; the located read conforms before the
+        # predicate, and positions stay physical
+        wh = Warehouse(spark, str(tmp_path / "evo"))
+        old = spark.createDataFrame(
+            [(i, i % 5) for i in range(50)], "k long, val int"
+        )
+        wh.write("t", old, "s0", bucket=("k", 4))
+        new = spark.createDataFrame(
+            [(100, 1), (101, 2)], "k long, v long"  # renamed + widened
+        )
+        wh.merge_bucketed(
+            "t", new, "evo", evolve=True, renames={"val": "v"}
+        )
+        n = wh.delete_where("t", "v = 2", mode="mor")
+        assert n == 10 + 1  # 10 old rows with val=2, plus k=101
+        rows = {r.k for r in wh.read("t").collect()}
+        assert 101 not in rows and 2 not in rows and 100 in rows
+        # update over the same evolved table
+        wh.update_where("t", {"v": "v + 50"}, "v = 1")
+        got = {r.k: r.v for r in wh.read("t").collect()}
+        assert got[100] == 51
+        assert all(v == 51 for k, v in got.items() if k % 5 == 1 and k < 50)
+
+    def test_rebucket_materializes_dv(self, spark, wh_factory):
+        from canvas_data_loader_spark.plans.ops import rebucket
+
+        wh = wh_factory()
+        make_table(spark, wh)
+        wh.delete_where("t", "v = 3", mode="mor")
+        before = keys_of(wh)
+        rebucket(wh, "t", 16)
+        assert wh.dv_stats("t")["positions"] == 0
+        assert keys_of(wh) == before
+        assert wh.routing_info("t")["n_buckets"] == 16
+
+    def test_unbucketed_update_both_impls(self, spark, wh_factory):
+        wh = wh_factory()
+        wh.write("u", base_df(spark), "s0")  # no bucket
+        n = wh.update_where("u", {"v": "v * 10"}, "v = 2")
+        assert n == sum(1 for i in range(100) if i % 7 == 2)
+        rows = {r.k: r.v for r in wh.read("u").collect()}
+        assert all(rows[i] == 20 for i in range(100) if i % 7 == 2)
+        assert len(rows) == 100
+
+    def test_delete_then_restore_then_delete_again(self, spark, wh_factory):
+        # DV state machine through a rollback: restore revives rows, a
+        # fresh delete on the restored head works from clean state
+        wh = wh_factory()
+        make_table(spark, wh)
+        v0 = wh.current_version("t")
+        wh.delete_where("t", "v = 3", mode="mor")
+        wh.restore("t", v0)
+        assert wh.read("t").count() == 100
+        n = wh.delete_where("t", "v = 5", mode="mor")
+        assert n == 14
+        assert keys_of(wh) == surviving(100, 5)
+
+
 class TestDeleteConcurrency:
     def test_delete_racing_merges_no_lost_updates(self, spark, wh_factory):
         wh = wh_factory()

@@ -140,6 +140,51 @@ class TestSnapshotReader:
         assert canon(got) == canon(wh.read_at_version("t", v_first))
 
 
+class TestSnapshotTimestampOption:
+    def test_timestamp_as_of_via_source(self, spark, wh_factory):
+        import time as _time
+
+        from canvas_data_loader_spark.sources.warehouse_source import (
+            SOURCE_NAME,
+            register,
+        )
+
+        register(spark)
+        wh = wh_factory()
+        wh.write(
+            "t",
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            snapshot="s0",
+            bucket=("id", 2),
+        )
+        _time.sleep(0.05)
+        t_between = _time.time()
+        _time.sleep(0.05)
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(2, "b")], "id long, v string"),
+            snapshot="m1",
+        )
+        old = (
+            spark.read.format(SOURCE_NAME)
+            .option("root", wh.root)
+            .option("table", "t")
+            .option("timestamp", str(t_between))
+            .load()
+        )
+        assert sorted(tuple(r) for r in old.collect()) == [(1, "a")]
+        with pytest.raises(Exception, match="not both"):
+            (
+                spark.read.format(SOURCE_NAME)
+                .option("root", wh.root)
+                .option("table", "t")
+                .option("timestamp", str(t_between))
+                .option("version", "1")
+                .load()
+                .collect()
+            )
+
+
 class TestBatchFeed:
     def test_full_history_matches_spark_feed(self, spark, wh_factory):
         wh = wh_factory()

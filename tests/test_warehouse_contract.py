@@ -252,6 +252,81 @@ class TestContractTimeTravelAndExternal:
         assert fresh[1] == "X"
 
 
+class TestContractTimestampTravel:
+    def test_timestamp_as_of_resolves_between_commits(
+        self, spark, wh_factory
+    ):
+        import time as _time
+
+        wh = wh_factory()
+        wh.write(
+            "t",
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            snapshot="s0",
+            bucket=("id", 2),
+        )
+        v1 = head(wh, "t")
+        _time.sleep(0.05)
+        t_between = _time.time()
+        _time.sleep(0.05)
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(1, "b"), (2, "c")], "id long, v string"),
+            snapshot="m1",
+        )
+        v2 = head(wh, "t")
+        assert wh.version_at_timestamp("t", t_between) == v1
+        assert wh.version_at_timestamp("t", _time.time()) == v2
+        assert rows_of(wh, "t") != [(1, "a")]
+        assert sorted(
+            tuple(r) for r in wh.read_at_timestamp("t", t_between).collect()
+        ) == [(1, "a")]
+        # datetime and ISO-string spellings resolve identically
+        import datetime as _dt
+
+        dt = _dt.datetime.fromtimestamp(t_between, _dt.timezone.utc)
+        assert wh.version_at_timestamp("t", dt) == v1
+        assert wh.version_at_timestamp("t", dt.isoformat()) == v1
+
+    def test_timestamp_before_history_raises(self, spark, wh_factory):
+        wh = wh_factory()
+        wh.write(
+            "t",
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            snapshot="s0",
+        )
+        with pytest.raises(FileNotFoundError, match="at or before"):
+            wh.version_at_timestamp("t", 1.0)  # 1970
+
+    def test_restore_commit_carries_its_own_time(self, spark, wh_factory):
+        # a restore republishes OLD state, but AS OF after-the-restore
+        # must resolve to the restore commit (its publish time is now,
+        # not the original's)
+        import time as _time
+
+        wh = wh_factory()
+        wh.write(
+            "t",
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            snapshot="s0",
+            bucket=("id", 2),
+        )
+        v0 = head(wh, "t")
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(1, "BAD")], "id long, v string"),
+            snapshot="bad",
+        )
+        _time.sleep(0.05)
+        wh.restore("t", v0)
+        v_restore = head(wh, "t")
+        assert wh.version_at_timestamp("t", _time.time()) == v_restore
+        assert sorted(
+            tuple(r)
+            for r in wh.read_at_timestamp("t", _time.time()).collect()
+        ) == [(1, "a")]
+
+
 class TestContractTxnEpochs:
     def test_epoch_recorded_and_read_back(self, spark, wh_factory):
         wh = wh_factory()
