@@ -54,6 +54,11 @@ def _maintain(argv: list[str]) -> int:
         "source's current version — incremental via the change feed",
     )
     g.add_argument(
+        "--stats", action="store_true",
+        help="print table health: head version, live files, "
+        "deletion-vector load, writer epochs",
+    )
+    g.add_argument(
         "--delete-where", metavar="SQL_PREDICATE",
         help="row-level DELETE: rows matching the SQL predicate are "
         "removed — merge-on-read (deletion vectors) or copy-on-write "
@@ -182,6 +187,24 @@ def _maintain(argv: list[str]) -> int:
             f"refreshed {args.table}: {out['mode']} "
             f"(source v{out['v_from']} -> v{out['v_to']})"
         )
+    elif args.stats:
+        import json as _json
+
+        info = wh.routing_info(args.table)
+        if info is None:
+            print(f"table {args.table!r} not in warehouse")
+            return 2
+        out = {
+            "table": args.table,
+            "version": wh.current_version(args.table),
+            "live_files": wh.live_file_count(args.table),
+            "bucket_key": info.get("bucket_key"),
+            "n_buckets": info.get("n_buckets"),
+            "dv": wh.dv_stats(args.table),
+            "txn": info.get("txn") or {},
+            "properties": wh.table_properties(args.table),
+        }
+        print(_json.dumps(out, indent=2, default=str))
     elif args.delete_where is not None:
         n = wh.delete_where(args.table, args.delete_where, mode=args.delete_mode)
         print(

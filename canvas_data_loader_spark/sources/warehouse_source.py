@@ -612,6 +612,30 @@ def _arrow_full_schema(schema: StructType):
     return to_arrow_schema(schema)
 
 
+def _starting_option(meta: _Meta, options) -> str | None:
+    """The effective startingVersion, honoring ``startingTimestamp``
+    (Delta CDF semantics: changes committed AT OR AFTER the time).
+    Resolution: the max version at-or-before the timestamp, plus one —
+    inclusive delivery then starts at the first later commit; a
+    timestamp predating all history means 'earliest'."""
+    sv = options.get("startingVersion")
+    ts = options.get("startingTimestamp")
+    if ts is None:
+        return sv
+    if sv is not None:
+        raise ValueError(
+            "pass either 'startingVersion' or 'startingTimestamp', not both"
+        )
+    try:
+        ts_v = float(ts)
+    except ValueError:
+        ts_v = ts
+    try:
+        return str(meta.wh.version_at_timestamp(meta.table, ts_v) + 1)
+    except FileNotFoundError:
+        return "earliest"
+
+
 def _resolve_start(
     meta: _Meta, starting: str | None, *, default_latest: bool
 ) -> int:
@@ -646,8 +670,8 @@ class WarehouseStreamReader(DataSourceStreamReader):
         )
         self.max_versions = int(options.get("maxVersionsPerTrigger", 0))
         self.full_schema = _arrow_full_schema(schema)
-        self.starting = options.get("startingVersion")
         meta0 = self._meta()
+        self.starting = _starting_option(meta0, options)
         self.key = self.key_opt or meta0.bucket_key()
         # the declared schema was resolved against the current head;
         # its cumulative rename chains place every older file's columns
@@ -728,9 +752,12 @@ class WarehouseFeedBatchReader(DataSourceReader):
             options.get("protocol"),
         )
         self.full_schema = _arrow_full_schema(schema)
-        start_v = _resolve_start(
-            meta, _required(options, "startingVersion"), default_latest=False
-        )
+        starting = _starting_option(meta, options)
+        if starting is None:
+            raise ValueError(
+                "batch CDF needs 'startingVersion' or 'startingTimestamp'"
+            )
+        start_v = _resolve_start(meta, starting, default_latest=False)
         end_v = int(options.get("endingVersion", meta.current_version()))
         key = options.get("key") or meta.bucket_key()
         self._parts = _plan_range(

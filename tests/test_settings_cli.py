@@ -582,6 +582,37 @@ class TestMaintainCli:
         # missing --set is a usage error, not a crash
         assert main(base + ["--update-where", "v = 0"]) == 2
 
+    def test_stats_via_cli(self, tmp_path, spark, capsys):
+        import json as _json
+
+        from canvas_data_loader_spark.__main__ import main
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh_dir = str(tmp_path / "whst")
+        wh = Warehouse(spark, wh_dir)
+        wh.write(
+            "t",
+            spark.createDataFrame(
+                [(i, i % 3) for i in range(30)], "id long, v long"
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        wh.delete_where("t", "v = 1", mode="mor")
+        assert main(
+            ["maintain", "--warehouse-dir", wh_dir, "--table", "t",
+             "--stats"]
+        ) == 0
+        out = _json.loads(capsys.readouterr().out)
+        assert out["bucket_key"] == "id" and out["n_buckets"] == 4
+        assert out["dv"]["positions"] == 10
+        assert out["live_files"] >= 4
+        # missing table: usage error, not a crash
+        assert main(
+            ["maintain", "--warehouse-dir", wh_dir, "--table", "ghost",
+             "--stats"]
+        ) == 2
+
     def test_vacuum_via_cli_delta(self, tmp_path, spark):
         from canvas_data_loader_spark.__main__ import main
         from canvas_data_loader_spark.plans.delta import DeltaWarehouse

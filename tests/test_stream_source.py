@@ -185,6 +185,59 @@ class TestSnapshotTimestampOption:
             )
 
 
+class TestStartingTimestamp:
+    def test_feed_starts_at_or_after_the_time(self, spark, wh_factory):
+        import time as _time
+
+        from canvas_data_loader_spark.sources.warehouse_source import (
+            SOURCE_NAME,
+            register,
+        )
+
+        register(spark)
+        wh = wh_factory()
+        wh.write(
+            "t",
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            snapshot="s0",
+            bucket=("id", 2),
+        )
+        _time.sleep(0.05)
+        t_mid = _time.time()
+        _time.sleep(0.05)
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(2, "b")], "id long, v string"),
+            snapshot="m1",
+        )
+        head = wh.current_version("t")
+        feed = (
+            spark.read.format(SOURCE_NAME)
+            .option("root", wh.root)
+            .option("table", "t")
+            .option("feed", "true")
+            .option("startingTimestamp", str(t_mid))
+            .option("endingVersion", str(head))
+            .load()
+        )
+        rows = feed.collect()
+        # only the post-timestamp commit's changes
+        assert sorted((r.id, r._change_type) for r in rows) == [
+            (2, "insert")
+        ]
+        # a timestamp predating history = earliest (full snapshot first)
+        full = (
+            spark.read.format(SOURCE_NAME)
+            .option("root", wh.root)
+            .option("table", "t")
+            .option("feed", "true")
+            .option("startingTimestamp", "1.0")
+            .option("endingVersion", str(head))
+            .load()
+        )
+        assert full.count() == 2  # both rows, as inserts across steps
+
+
 class TestBatchFeed:
     def test_full_history_matches_spark_feed(self, spark, wh_factory):
         wh = wh_factory()
