@@ -264,6 +264,30 @@ class TestDvExternalRead:
         assert set(duck.columns) == set(sp.columns)
 
 
+    def test_evolved_schema_plus_dv_external_read(self, spark, tmp_path):
+        # the schema-pinned (COALESCE-folded renames) projection and
+        # the DV anti-join compose in one emitted statement
+        import duckdb
+
+        wh = Warehouse(spark, str(tmp_path / "evodv"))
+        old = spark.createDataFrame(
+            [(i, i % 5) for i in range(50)], "k long, val int"
+        )
+        wh.write("t", old, "s0", bucket=("k", 4))
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(100, 1)], "k long, v long"),
+            "evo",
+            evolve=True,
+            renames={"val": "v"},
+        )
+        wh.delete_where("t", "v = 2", mode="mor")
+        duck = duckdb.sql(wh.external_read_sql("t")).df()
+        sp = wh.read("t").toPandas()
+        assert sorted(duck.k) == sorted(sp.k)
+        assert list(duck.columns) == list(sp.columns)
+
+
 class TestDvChangeFeed:
     def test_feed_emits_exactly_the_deletes(self, spark, wh_factory):
         from canvas_data_loader_spark.plans.ops import (
