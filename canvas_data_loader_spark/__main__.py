@@ -190,6 +190,9 @@ def _maintain(argv: list[str]) -> int:
     elif args.stats:
         import json as _json
 
+        # each field below re-derives state (on delta: a log replay per
+        # call) — acceptable for a hand-run health probe; a hot path
+        # would want a single-replay stats method on the contract
         info = wh.routing_info(args.table)
         if info is None:
             print(f"table {args.table!r} not in warehouse")

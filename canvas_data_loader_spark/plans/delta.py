@@ -703,12 +703,13 @@ class DeltaWarehouse:
             df = df.drop(*meta["partitionColumns"])
         return df
 
-    def version_at_timestamp(self, table: str, ts) -> int:
+    def version_at_timestamp(self, table: str, ts, strict: bool = False) -> int:
         """The commit AS OF a wall-clock time (shared contract with
         Warehouse.version_at_timestamp): greatest on-disk version whose
         commitInfo ``timestamp`` (ms — every commit path here writes
-        one first) is at or before ``ts``; commit-file mtime is the
-        fallback for foreign commits without one. MAX qualifying
+        one first) is at or before ``ts`` (STRICTLY before with
+        ``strict=True`` — the feed-start spelling); commit-file mtime
+        is the fallback for foreign commits without one. MAX qualifying
         version, monotone in version number."""
         from .pipeline import _to_epoch_seconds
 
@@ -739,11 +740,12 @@ class DeltaWarehouse:
                     t = os.path.getmtime(path)
                 except OSError:
                     continue
-            if t <= bound:
+            if (t < bound) if strict else (t <= bound):
                 best = v if best is None else max(best, v)
         if best is None:
             raise FileNotFoundError(
-                f"no commit of {table!r} at or before {ts!r} "
+                f"no commit of {table!r} "
+                f"{'before' if strict else 'at or before'} {ts!r} "
                 f"(oldest: version {versions[0]})"
             )
         return best
@@ -1054,6 +1056,13 @@ class DeltaWarehouse:
             n_deleted = matched.count()
             if n_deleted == 0:
                 return 0
+            # the cap bounds the CUMULATIVE live DV set (readers
+            # broadcast it), not just this commit's contribution
+            dv_after = n_deleted + sum(
+                int(a["deletionVector"].get("cardinality", 0))
+                for a in live.values()
+                if a.get("deletionVector")
+            )
             chosen = mode
             if mode == "auto":
                 total = self._approx_live_rows(live)
@@ -1063,15 +1072,15 @@ class DeltaWarehouse:
                     "mor"
                     if total
                     and n_deleted / total <= dv_max_fraction
-                    and n_deleted <= dv_inline_max_rows
+                    and dv_after <= dv_inline_max_rows
                     else "cow"
                 )
-            if chosen == "mor" and n_deleted > dv_inline_max_rows:
+            if chosen == "mor" and dv_after > dv_inline_max_rows:
                 raise ValueError(
-                    f"{n_deleted} deleted rows exceed the inline "
-                    f"deletion-vector cap ({dv_inline_max_rows}); a "
-                    "delete this dense should rewrite — use mode='cow' "
-                    "(or 'auto')"
+                    f"live deletion vectors would reach {dv_after} "
+                    f"positions (cap {dv_inline_max_rows}): compact() to "
+                    "materialize the backlog, or use mode='cow' (or "
+                    "'auto')"
                 )
             now = int(time.time() * 1000)
             actions: list[dict] = [
@@ -1225,6 +1234,11 @@ class DeltaWarehouse:
             n_updated = matched.count()
             if n_updated == 0:
                 return 0
+            dv_after = n_updated + sum(
+                int(a["deletionVector"].get("cardinality", 0))
+                for a in live.values()
+                if a.get("deletionVector")
+            )
             chosen = mode
             if mode == "auto":
                 total = self._approx_live_rows(live)
@@ -1234,14 +1248,15 @@ class DeltaWarehouse:
                     "mor"
                     if total
                     and n_updated / total <= dv_max_fraction
-                    and n_updated <= dv_inline_max_rows
+                    and dv_after <= dv_inline_max_rows
                     else "cow"
                 )
-            if chosen == "mor" and n_updated > dv_inline_max_rows:
+            if chosen == "mor" and dv_after > dv_inline_max_rows:
                 raise ValueError(
-                    f"{n_updated} updated rows exceed the inline "
-                    f"deletion-vector cap ({dv_inline_max_rows}); use "
-                    "mode='cow' (or 'auto')"
+                    f"live deletion vectors would reach {dv_after} "
+                    f"positions (cap {dv_inline_max_rows}): compact() to "
+                    "materialize the backlog, or use mode='cow' (or "
+                    "'auto')"
                 )
             # assignments see OLD values: withColumns applies the full
             # map against the pre-update row in one projection

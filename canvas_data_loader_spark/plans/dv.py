@@ -238,20 +238,37 @@ def decode_inline_dv(descriptor: dict) -> list[int]:
             f"unsupported deletionVector storageType {st!r} (this reader "
             "implements inline DVs; on-disk DV files are not written here)"
         )
-    blob = z85decode(descriptor["pathOrInlineDv"])
+    import base64
+
     size = int(descriptor["sizeInBytes"])
-    if size > len(blob):
-        raise ValueError(
-            f"deletionVector sizeInBytes {size} exceeds payload {len(blob)}"
-        )
-    data = blob[:size]
-    if len(blob) >= size + 4:
-        (crc,) = struct.unpack(">I", blob[size : size + 4])
-        if zlib.crc32(data) != crc:
-            raise ValueError(
-                "deletionVector inline payload failed CRC32 check"
-            )
-    return deserialize_rba(data)
+    last_err: Exception | None = None
+    # Z85 first (the spec alphabet); Python's RFC 1924 base85 second —
+    # a migration shim for descriptors written before the Z85 fix. A
+    # string valid in BOTH alphabets decodes to different bytes under
+    # each, so the full validation chain (size bound, CRC when
+    # present, bitmap magic) disambiguates.
+    for decoder in (z85decode, lambda t: base64.b85decode(t)):
+        try:
+            blob = decoder(descriptor["pathOrInlineDv"])
+            if size > len(blob):
+                raise ValueError(
+                    f"deletionVector sizeInBytes {size} exceeds "
+                    f"payload {len(blob)}"
+                )
+            data = blob[:size]
+            if len(blob) >= size + 4:
+                (crc,) = struct.unpack(">I", blob[size : size + 4])
+                if zlib.crc32(data) != crc:
+                    raise ValueError(
+                        "deletionVector inline payload failed CRC32 check"
+                    )
+            return deserialize_rba(data)
+        except ValueError as e:
+            # report the SPEC attempt's error (the Z85 one) when both
+            # alphabets fail — the shim's failure is never the story
+            if last_err is None:
+                last_err = e
+    raise last_err
 
 
 def merge_inline_dv(old: dict | None, new_positions: list[int]) -> dict:

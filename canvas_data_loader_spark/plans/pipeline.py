@@ -111,7 +111,11 @@ def _to_epoch_seconds(ts) -> float:
     if isinstance(ts, (int, float)):
         return float(ts)
     if isinstance(ts, str):
-        ts = _dt.datetime.fromisoformat(ts)
+        # numeric strings are epoch seconds (the CLI/option spelling)
+        try:
+            return float(ts)
+        except ValueError:
+            ts = _dt.datetime.fromisoformat(ts)
     if isinstance(ts, _dt.datetime):
         if ts.tzinfo is None:
             ts = ts.replace(tzinfo=_dt.timezone.utc)
@@ -719,7 +723,7 @@ class Warehouse:
             )
         return self.spark.read.parquet(path)
 
-    def version_at_timestamp(self, table: str, ts) -> int:
+    def version_at_timestamp(self, table: str, ts, strict: bool = False) -> int:
         """The commit AS OF a wall-clock time: greatest retained
         version whose publish stamp is at or before ``ts`` (epoch
         seconds, datetime, or ISO string — the Delta TIMESTAMP AS OF
@@ -728,7 +732,11 @@ class Warehouse:
         so resolution picks the MAX qualifying version (monotone in
         version number, the protocol-standard adjustment). Pre-stamp
         commits (older trees) fall back to the commit file's mtime.
-        Raises if ``ts`` predates the oldest retained commit."""
+        Raises if ``ts`` predates the oldest retained commit.
+
+        ``strict=True`` compares STRICTLY BEFORE ``ts`` — the feed's
+        ``startingTimestamp`` resolution needs it so a commit stamped
+        exactly at the given time is delivered, not skipped."""
         bound = _to_epoch_seconds(ts)
         commits = self._commits(table)
         if not commits:
@@ -743,11 +751,12 @@ class Warehouse:
                     )
                 except OSError:
                     continue
-            if t <= bound:
+            if (t < bound) if strict else (t <= bound):
                 best = v if best is None else max(best, v)
         if best is None:
             raise FileNotFoundError(
-                f"no retained commit of {table!r} at or before {ts!r} "
+                f"no retained commit of {table!r} "
+                f"{'before' if strict else 'at or before'} {ts!r} "
                 f"(oldest retained: version {commits[0][0]})"
             )
         return best
@@ -1564,6 +1573,13 @@ class Warehouse:
                 n_deleted = matched.count()
                 if n_deleted == 0:
                     return 0
+                # the cap bounds the CUMULATIVE live DV set, not just
+                # this operation: fifty under-cap deletes otherwise
+                # accumulate a broadcast the invariant forbids
+                dv_after = n_deleted + sum(
+                    int(e.get("cardinality", 0))
+                    for e in (m.get("dv") or [])
+                )
                 chosen = mode
                 if mode == "auto":
                     total = self._approx_live_rows(table, m)
@@ -1573,15 +1589,16 @@ class Warehouse:
                         "mor"
                         if total
                         and n_deleted / total <= dv_max_fraction
-                        and n_deleted <= dv_max_rows
+                        and dv_after <= dv_max_rows
                         else "cow"
                     )
-                if chosen == "mor" and n_deleted > dv_max_rows:
+                if chosen == "mor" and dv_after > dv_max_rows:
                     raise ValueError(
-                        f"{n_deleted} deleted rows exceed the deletion-"
-                        f"vector cap ({dv_max_rows}): every reader "
+                        f"live deletion vectors would reach {dv_after} "
+                        f"positions (cap {dv_max_rows}): every reader "
                         "broadcasts the DV set, so it must stay "
-                        "broadcast-small — use mode='cow' (or 'auto')"
+                        "broadcast-small — compact() to materialize the "
+                        "backlog, or use mode='cow' (or 'auto')"
                     )
                 bucketed = bool(m.get("buckets"))
                 affected = (

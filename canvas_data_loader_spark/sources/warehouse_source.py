@@ -612,12 +612,36 @@ def _arrow_full_schema(schema: StructType):
     return to_arrow_schema(schema)
 
 
+def _snapshot_version(meta: _Meta, options) -> int:
+    """The snapshot read's pinned version from the ``version`` /
+    ``timestamp`` options (mutually exclusive). ``timestamp`` is
+    resolved ONCE per load — the DataSource pins the resolved version
+    into the options it hands the reader, so the schema and the data
+    cannot resolve to DIFFERENT versions when a commit lands between
+    the two calls (post-evolution files read against a pre-evolution
+    schema)."""
+    v = options.get("version")
+    ts = options.get("timestamp")
+    if v is not None and ts is not None:
+        raise ValueError(
+            "pass either 'version' (VERSION AS OF) or 'timestamp' "
+            "(TIMESTAMP AS OF), not both"
+        )
+    if ts is not None:
+        return meta.wh.version_at_timestamp(meta.table, ts)
+    return int(v) if v is not None else meta.current_version()
+
+
 def _starting_option(meta: _Meta, options) -> str | None:
     """The effective startingVersion, honoring ``startingTimestamp``
     (Delta CDF semantics: changes committed AT OR AFTER the time).
-    Resolution: the max version at-or-before the timestamp, plus one —
-    inclusive delivery then starts at the first later commit; a
-    timestamp predating all history means 'earliest'."""
+    Resolution: the max version STRICTLY BEFORE the timestamp, plus
+    one — a commit stamped exactly at the given time is therefore
+    DELIVERED (a consumer restarting from a stamp it read off
+    maintain --stats or commitInfo must not lose that commit's
+    changes). A timestamp predating all history means 'earliest'; a
+    MISSING table raises (mapping it to 'earliest' would make a typo'd
+    table name read as an empty feed)."""
     sv = options.get("startingVersion")
     ts = options.get("startingTimestamp")
     if ts is None:
@@ -626,14 +650,16 @@ def _starting_option(meta: _Meta, options) -> str | None:
         raise ValueError(
             "pass either 'startingVersion' or 'startingTimestamp', not both"
         )
+    if not meta.wh.exists(meta.table):
+        raise FileNotFoundError(
+            f"table {meta.table!r} not in warehouse {meta.root!r}"
+        )
     try:
-        ts_v = float(ts)
-    except ValueError:
-        ts_v = ts
-    try:
-        return str(meta.wh.version_at_timestamp(meta.table, ts_v) + 1)
+        return str(
+            meta.wh.version_at_timestamp(meta.table, ts, strict=True) + 1
+        )
     except FileNotFoundError:
-        return "earliest"
+        return "earliest"  # ts predates the whole retained history
 
 
 def _resolve_start(
@@ -757,6 +783,20 @@ class WarehouseFeedBatchReader(DataSourceReader):
             raise ValueError(
                 "batch CDF needs 'startingVersion' or 'startingTimestamp'"
             )
+        if (
+            options.get("startingTimestamp") is not None
+            and str(starting).lower() != "earliest"
+            and int(starting) > meta.current_version()
+        ):
+            # batch semantics (Delta's too): a start time past the last
+            # commit is an error, not an empty frame — streaming is the
+            # spelling for "tail from now on"
+            raise ValueError(
+                f"startingTimestamp {options['startingTimestamp']!r} is "
+                f"after {meta.table!r}'s last commit "
+                f"(v{meta.current_version()}) — nothing to read; use a "
+                "STREAMING feed to tail future commits"
+            )
         start_v = _resolve_start(meta, starting, default_latest=False)
         end_v = int(options.get("endingVersion", meta.current_version()))
         key = options.get("key") or meta.bucket_key()
@@ -796,22 +836,7 @@ class WarehouseSnapshotReader(DataSourceReader):
             options.get("protocol"),
         )
         self.arrow_schema = _arrow_full_schema(schema)
-        v = options.get("version")
-        ts = options.get("timestamp")
-        if v is not None and ts is not None:
-            raise ValueError(
-                "pass either 'version' (VERSION AS OF) or 'timestamp' "
-                "(TIMESTAMP AS OF), not both"
-            )
-        if ts is not None:
-            # epoch seconds or ISO-8601 (option values arrive as strings)
-            try:
-                ts = float(ts)
-            except ValueError:
-                pass
-            version = meta.wh.version_at_timestamp(meta.table, ts)
-        else:
-            version = int(v) if v is not None else meta.current_version()
+        version = _snapshot_version(meta, options)
         renames = meta.renamed_from(version)
         dv_all = meta.dv_by_file(version)
         self._parts = [
@@ -871,19 +896,26 @@ class WarehouseDataSource(DataSource):
         v = self.options.get("version")
         ts = self.options.get("timestamp")
         if ts is not None and v is None:
-            try:
-                ts = float(ts)
-            except ValueError:
-                pass
-            return meta.spark_schema(
-                meta.wh.version_at_timestamp(meta.table, ts)
-            )
+            # resolve ONCE and pin: reader() reads the version this
+            # schema was resolved at, never a head that moved between
+            # the two calls (see _snapshot_version)
+            pinned = meta.wh.version_at_timestamp(meta.table, ts)
+            self._pinned_ts_version = pinned
+            return meta.spark_schema(pinned)
         return meta.spark_schema(int(v) if v is not None else None)
 
     def reader(self, schema: StructType):
         if _opt_bool(self.options, "feed"):
             return WarehouseFeedBatchReader(schema, self.options)
-        return WarehouseSnapshotReader(schema, self.options)
+        opts = self.options
+        pinned = getattr(self, "_pinned_ts_version", None)
+        if pinned is not None:
+            # hand the reader the version schema() resolved, not the
+            # timestamp (which a fresh commit could re-resolve)
+            opts = dict(opts)
+            opts.pop("timestamp", None)
+            opts["version"] = str(pinned)
+        return WarehouseSnapshotReader(schema, opts)
 
     def streamReader(self, schema: StructType):
         if not _opt_bool(self.options, "feed"):

@@ -149,7 +149,7 @@ class TestDeleteModes:
     def test_delta_mor_above_inline_cap_raises(self, spark, tmp_path):
         wh = DeltaWarehouse(spark, str(tmp_path / "cap"))
         make_table(spark, wh)
-        with pytest.raises(ValueError, match="inline"):
+        with pytest.raises(ValueError, match="cap"):
             wh.delete_where("t", "v >= 0", mode="mor", dv_inline_max_rows=10)
 
     def test_delta_auto_respects_inline_cap(self, spark, tmp_path):
@@ -743,6 +743,51 @@ class TestReviewRegressions:
         )
         assert not has_live_dv(wh)
         assert keys_of(wh) == surviving(100, 3)
+
+    def test_cumulative_dv_cap_enforced(self, spark, wh_factory):
+        # the broadcast-size invariant bounds the LIVE DV set, not a
+        # single operation: repeated under-cap deletes must trip it
+        wh = wh_factory()
+        make_table(spark, wh)
+        kw = (
+            {"dv_max_rows": 20}
+            if wh_factory.kind == "manifest"
+            else {"dv_inline_max_rows": 20}
+        )
+        wh.delete_where("t", "v = 3", mode="mor", **kw)  # 14 <= 20
+        with pytest.raises(ValueError, match="compact"):
+            wh.delete_where("t", "v = 5", mode="mor", **kw)  # 28 > 20
+        # auto falls to cow instead; rows still correct
+        wh.delete_where(
+            "t", "v = 5", mode="auto", dv_max_fraction=0.9, **kw
+        )
+        assert keys_of(wh) == surviving(100, 3, 5)
+        # compaction clears the backlog; mor works again
+        wh.compact("t")
+        wh.delete_where("t", "v = 1", mode="mor", **kw)
+        assert keys_of(wh) == surviving(100, 3, 5, 1)
+
+    def test_pre_z85_descriptor_still_decodes(self):
+        # migration shim: descriptors written with the RFC 1924
+        # alphabet (pre-fix) decode via the fallback, CRC-verified
+        import base64
+        import struct
+        import zlib
+
+        from canvas_data_loader_spark.plans.dv import (
+            decode_inline_dv,
+            serialize_rba,
+        )
+
+        data = serialize_rba([3, 8, 100])
+        blob = data + struct.pack(">I", zlib.crc32(data))
+        legacy = {
+            "storageType": "i",
+            "pathOrInlineDv": base64.b85encode(blob).decode("ascii"),
+            "sizeInBytes": len(data),
+            "cardinality": 3,
+        }
+        assert decode_inline_dv(legacy) == [3, 8, 100]
 
     def test_z85_alphabet_is_the_spec_alphabet(self):
         # ZeroMQ RFC 32's own test vector — proves the alphabet choice

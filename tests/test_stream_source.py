@@ -237,6 +237,112 @@ class TestStartingTimestamp:
         )
         assert full.count() == 2  # both rows, as inserts across steps
 
+    def test_commit_stamped_exactly_at_the_time_is_delivered(
+        self, spark, wh_factory
+    ):
+        """AT OR AFTER semantics: restarting from a stamp read off the
+        commit itself must re-deliver that commit, not skip it."""
+        from canvas_data_loader_spark.sources.warehouse_source import (
+            SOURCE_NAME,
+            register,
+        )
+
+        register(spark)
+        wh = wh_factory()
+        wh.write(
+            "t",
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            snapshot="s0",
+            bucket=("id", 2),
+        )
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(2, "b")], "id long, v string"),
+            snapshot="m1",
+        )
+        head = wh.current_version("t")
+        # the head commit's own stamp
+        if wh_factory.kind == "delta":
+            import json as _json
+            import os as _os
+
+            log = _os.path.join(
+                wh.root, "t", "_delta_log", f"{head:020d}.json"
+            )
+            stamp = next(
+                a["commitInfo"]["timestamp"] / 1000.0
+                for a in (_json.loads(l) for l in open(log) if l.strip())
+                if "commitInfo" in a
+            )
+        else:
+            stamp = dict(wh._commits("t"))[head]["committed_at"]
+        feed = (
+            spark.read.format(SOURCE_NAME)
+            .option("root", wh.root)
+            .option("table", "t")
+            .option("feed", "true")
+            .option("startingTimestamp", repr(stamp))
+            .option("endingVersion", str(head))
+            .load()
+        )
+        assert sorted(r.id for r in feed.collect()) == [2]
+
+    def test_missing_table_raises_not_empty(self, spark, wh_factory):
+        from canvas_data_loader_spark.sources.warehouse_source import (
+            SOURCE_NAME,
+            register,
+        )
+
+        register(spark)
+        wh = wh_factory()
+        wh.write(
+            "t",
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            snapshot="s0",
+        )
+        # a typo'd table must error (schema resolution or the
+        # timestamp-start guard — either is loud), never read as an
+        # empty feed
+        with pytest.raises(Exception, match="typo"):
+            (
+                spark.read.format(SOURCE_NAME)
+                .option("root", wh.root)
+                .option("table", "typo")
+                .option("feed", "true")
+                .option("startingTimestamp", "1.0")
+                .load()
+                .collect()
+            )
+
+    def test_timestamp_after_head_raises_for_batch(
+        self, spark, wh_factory
+    ):
+        import time as _time
+
+        from canvas_data_loader_spark.sources.warehouse_source import (
+            SOURCE_NAME,
+            register,
+        )
+
+        register(spark)
+        wh = wh_factory()
+        wh.write(
+            "t",
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            snapshot="s0",
+        )
+        _time.sleep(0.05)
+        with pytest.raises(Exception, match="after"):
+            (
+                spark.read.format(SOURCE_NAME)
+                .option("root", wh.root)
+                .option("table", "t")
+                .option("feed", "true")
+                .option("startingTimestamp", str(_time.time()))
+                .load()
+                .collect()
+            )
+
 
 class TestBatchFeed:
     def test_full_history_matches_spark_feed(self, spark, wh_factory):

@@ -142,7 +142,11 @@ def decode_deletion_vector(descriptor: dict) -> list[int]:
     for i in range(0, len(text), 5):
         word = 0
         for c in text[i : i + 5]:
+            if c not in inv:
+                raise ValueError(f"invalid Z85 character {c!r}")
             word = word * 85 + inv[c]
+        if word > 0xFFFFFFFF:
+            raise ValueError("Z85 group overflows 32 bits")
         blob += struct.pack(">I", word)
     size = int(descriptor["sizeInBytes"])
     data = bytes(blob[:size])
