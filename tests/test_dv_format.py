@@ -87,6 +87,36 @@ class TestRoaringBitmapArray:
         assert deserialize_rba(serialize_rba(list(values))) == sorted(values)
 
 
+class TestZ85:
+    @given(st.binary(max_size=200))
+    @settings(max_examples=80, deadline=None)
+    def test_roundtrip_with_size_trim(self, data):
+        from canvas_data_loader_spark.plans.dv import z85decode, z85encode
+
+        decoded = z85decode(z85encode(data))
+        assert decoded[: len(data)] == data
+        assert len(decoded) % 4 == 0
+        assert all(b == 0 for b in decoded[len(data):])  # zero padding
+
+    def test_invalid_character_raises(self):
+        from canvas_data_loader_spark.plans.dv import z85decode
+
+        with pytest.raises(ValueError, match="Z85"):
+            z85decode('He"lo')  # '"' is not in the Z85 alphabet
+
+    def test_bad_length_raises(self):
+        from canvas_data_loader_spark.plans.dv import z85decode
+
+        with pytest.raises(ValueError, match="multiple of 5"):
+            z85decode("abcd")
+
+    def test_overflow_group_raises(self):
+        from canvas_data_loader_spark.plans.dv import z85decode
+
+        with pytest.raises(ValueError, match="overflows"):
+            z85decode("#####")  # 84 repeated: exceeds 2^32-1
+
+
 class TestInlineDescriptor:
     def test_roundtrip(self):
         d = encode_inline_dv([7, 3, 3, 99])
