@@ -54,6 +54,31 @@ from .stats import _file_stats
 _LOG_FMT = "{:020d}.json"
 _CKPT_FMT = "{:020d}.checkpoint.parquet"
 
+# Column mapping (PROTOCOL.md §column-mapping): the rename lane. With
+# ``delta.columnMapping.mode = name`` the schemaString's field metadata
+# carries a stable ``physicalName`` (the name actually stored in every
+# parquet file) plus a unique ``id``; a RENAME changes only the
+# LOGICAL field name in schemaString — no data file is touched, which
+# at 100 TB is the whole point. Upgrading an existing table assigns
+# physicalName = the current (on-disk) name per field, so every file
+# already written stays readable.
+_CM_MODE = "delta.columnMapping.mode"
+_CM_MAX_ID = "delta.columnMapping.maxColumnId"
+_CM_ID = "delta.columnMapping.id"
+_CM_PHYS = "delta.columnMapping.physicalName"
+
+
+def _cm_mapping(meta: dict) -> dict[str, str] | None:
+    """{logical name -> physical name} when the table uses column
+    mapping (mode=name), else None (physical == logical everywhere)."""
+    if (meta.get("configuration") or {}).get(_CM_MODE) != "name":
+        return None
+    sch = json.loads(meta["schemaString"])
+    return {
+        f["name"]: (f.get("metadata") or {}).get(_CM_PHYS, f["name"])
+        for f in sch["fields"]
+    }
+
 
 
 class DeltaWarehouse:
@@ -242,18 +267,15 @@ class DeltaWarehouse:
         import pyarrow.parquet as pq
 
         v, meta, live, txn, dead = self._replay(table, upto=version)
-        # tables with live deletion vectors need the DV feature gate in
-        # the checkpoint's protocol row (a DV-free state checkpoints
+        # the protocol row matches the features live IN this state:
+        # deletionVectors while DVs are live, columnMapping while the
+        # metaData declares mode=name (a feature-free state checkpoints
         # the base protocol — our readers ignore protocol rows, and a
-        # real Delta reader only needs the gate while DVs are live;
-        # note a real writer would never downgrade, documented trade)
-        proto = (
-            dict(self._DV_PROTOCOL)
-            if any(a.get("deletionVector") for a in live.values())
-            else {"minReaderVersion": 1, "minWriterVersion": 2}
-        )
+        # real Delta reader only needs the gate while the feature is
+        # in play; note a real writer would never downgrade, documented
+        # trade)
         rows: list[dict] = [
-            {"protocol": proto},
+            self._protocol_action(meta, live),
             {"metaData": meta},
         ]
         rows += [{"txn": {"appId": k, "version": n}} for k, n in sorted(txn.items())]
@@ -300,20 +322,38 @@ class DeltaWarehouse:
         df: DataFrame,
         hint: str,
         bucket: tuple[str, int] | None,
+        mapping: dict[str, str] | None = None,
     ) -> tuple[list[dict], str, str]:
         """Write ``df``'s parquet under a claimed batch dir; return the
         ``add`` actions (relative paths, partitionValues from the
         directory layout), the schema JSON written, and the claimed
-        batch dir's relative name."""
+        batch dir's relative name.
+
+        ``df`` arrives with LOGICAL column names; ``mapping`` (from
+        ``_cm_mapping``) renames them to the table's stable PHYSICAL
+        names just before the write — files always store physical
+        names, readers always surface logical ones. The bucket key in
+        ``bucket`` is logical (the bucket expression is bound before
+        the rename)."""
         rel = self._claim_batch_dir(table, hint)
         out = os.path.join(self._table_dir(table), rel)
+
+        def to_physical(frame: DataFrame) -> DataFrame:
+            if not mapping:
+                return frame
+            return frame.withColumnsRenamed(
+                {lg: ph for lg, ph in mapping.items() if lg != ph}
+            )
+
         if bucket is None:
-            df.write.mode("append").parquet(out)
+            to_physical(df).write.mode("append").parquet(out)
             schema_json = df.schema.json()
         else:
             key, n = bucket
             with_b = df.withColumn(BUCKET_COL, bucket_of(F.col(key), n))
-            with_b.write.mode("append").partitionBy(BUCKET_COL).parquet(out)
+            to_physical(with_b).write.mode("append").partitionBy(
+                BUCKET_COL
+            ).parquet(out)
             schema_json = with_b.drop(BUCKET_COL).schema.json()
         adds = []
         tdir = self._table_dir(table)
@@ -387,6 +427,86 @@ class DeltaWarehouse:
             "configuration": {**cfg, **key_cfg},
             "createdTime": (existing or {}).get("createdTime")
             or int(time.time() * 1000),
+        }
+
+    def _evolved_schema_string(
+        self,
+        old_meta: dict,
+        target,
+        renames: dict[str, str] | None,
+    ) -> tuple[str, dict, dict[str, str] | None]:
+        """Build the metaData pieces for an in-place schema evolution:
+        (schemaString JSON, configuration updates, logical->physical
+        mapping for the accompanying file writes).
+
+        - Already-mapped table: every surviving field keeps its
+          ``columnMapping.id`` + ``physicalName`` (a RENAME moves only
+          the logical name); new fields get fresh ids and ``col-uuid``
+          physical names, per the protocol's assignment rule.
+        - Unmapped table + renames: UPGRADE to ``mode = name`` —
+          existing fields' physicalName = their PRE-rename (on-disk)
+          name so every already-written file stays readable; ids are
+          assigned in field order.
+        - Unmapped, no renames (pure ADD/WIDEN): stays unmapped; the
+          schemaString alone evolves ({} config updates, None mapping).
+        """
+        renames = renames or {}
+        old_sch = json.loads(old_meta["schemaString"])
+        old_fields = {f["name"]: f for f in old_sch["fields"]}
+        mapped = (old_meta.get("configuration") or {}).get(_CM_MODE) == "name"
+        enable = mapped or bool(renames)
+        inv = {new: old for old, new in renames.items()}
+        max_id = int((old_meta.get("configuration") or {}).get(_CM_MAX_ID, 0))
+        fields = []
+        mapping: dict[str, str] = {}
+        # name/type/nullable spellings straight from Spark's own JSON
+        # (identical to Delta's schema serialization for flat types)
+        target_json = json.loads(target.json())["fields"]
+        for tf in target_json:
+            old_name = inv.get(tf["name"], tf["name"])
+            prev = old_fields.get(old_name)
+            fmeta = dict((prev or {}).get("metadata") or {})
+            if enable:
+                if _CM_PHYS not in fmeta:
+                    max_id += 1
+                    fmeta[_CM_ID] = max_id
+                    # physical name: for a field that already has data
+                    # on disk, the name those files carry (its pre-
+                    # rename logical name); for a brand-new field, a
+                    # fresh opaque name
+                    fmeta[_CM_PHYS] = (
+                        old_name if prev is not None else f"col-{uuid.uuid4()}"
+                    )
+                mapping[tf["name"]] = fmeta[_CM_PHYS]
+            fields.append({**tf, "metadata": fmeta})
+        schema_json = json.dumps(
+            {"type": "struct", "fields": fields}, separators=(",", ":")
+        )
+        cfg = {_CM_MODE: "name", _CM_MAX_ID: str(max_id)} if enable else {}
+        return schema_json, cfg, (mapping if enable else None)
+
+    def _protocol_action(
+        self, meta: dict, live: dict, force_dv: bool = False
+    ) -> dict:
+        """The protocol row matching the table's CURRENT feature set:
+        base (1/2) when neither feature is in play, else the table-
+        features form with columnMapping and/or deletionVectors.
+        ``force_dv``: the commit being assembled ADDS deletion vectors
+        (the pre-commit live set can't show them yet)."""
+        feats = []
+        if (meta.get("configuration") or {}).get(_CM_MODE) == "name":
+            feats.append("columnMapping")
+        if force_dv or any(a.get("deletionVector") for a in live.values()):
+            feats.append("deletionVectors")
+        if not feats:
+            return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        return {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": feats,
+                "writerFeatures": feats,
+            }
         }
 
     def table_properties(self, table: str) -> dict:
@@ -544,7 +664,28 @@ class DeltaWarehouse:
         re-derived per attempt so the loser's retry tombstones exactly
         the winner's files.
         """
-        adds, schema_json, rel = self._write_files(table, df, snapshot, bucket)
+        # A full replace of a COLUMN-MAPPED table keeps the mapping:
+        # the protocol forbids dropping mode=name once enabled, and
+        # preserving each surviving column's id/physicalName keeps old
+        # log versions and the new head mutually consistent. Same-name
+        # columns reuse their mapping entry; new columns get fresh ids.
+        cm_cfg: dict = {}
+        mapping = None
+        try:
+            _, head_meta, _, _, _ = self._replay(table)
+        except FileNotFoundError:
+            head_meta = None
+        if head_meta is not None and _cm_mapping(head_meta) is not None:
+            schema_str, cm_cfg, mapping = self._evolved_schema_string(
+                head_meta, df.schema, renames=None
+            )
+        else:
+            schema_str = None
+        adds, schema_json, rel = self._write_files(
+            table, df, snapshot, bucket, mapping=mapping
+        )
+        if schema_str is not None:
+            schema_json = schema_str
         for _attempt in range(1 + max_retries):
             if expected_version is not None:
                 base = expected_version
@@ -567,7 +708,10 @@ class DeltaWarehouse:
             actions.append(
                 {
                     "metaData": self._meta_action(
-                        schema_json, bucket, old_meta, props=props
+                        schema_json,
+                        bucket,
+                        old_meta,
+                        props={**cm_cfg, **(props or {})} if cm_cfg else props,
                     )
                 }
             )
@@ -630,6 +774,23 @@ class DeltaWarehouse:
         from pyspark.sql import types as T
 
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        # Column mapping: files store PHYSICAL names; read with the
+        # physical twin of the declared schema, rename back to logical
+        # after the scan. When the table is unmapped the two schemas
+        # are identical and this is a no-op. Declaring the schema
+        # explicitly (rather than inferring) also makes every read
+        # conform older files to the head schema in one pass: files
+        # written before an ADD null-pad the missing column, files
+        # written before a WIDEN read through the parquet reader's
+        # lossless type promotion (int family / float family).
+        mapping = _cm_mapping(meta) or {}
+        phys_schema = T.StructType(
+            [
+                T.StructField(mapping.get(f.name, f.name), f.dataType, True)
+                for f in schema.fields
+            ]
+        )
+        to_logical = {ph: lg for lg, ph in mapping.items() if lg != ph}
         # add actions carrying a deletionVector descriptor (merge-on-
         # read deletes): decode the inline bitmaps driver-side (their
         # total size is bounded by delete_where's inline cap) and
@@ -650,25 +811,34 @@ class DeltaWarehouse:
         partitioned = bool(meta.get("partitionColumns"))
         if not partitioned:
             files = [os.path.join(tdir, p) for p in sorted(live)]
-            out = self.spark.read.schema(schema).parquet(*files)
+            out = self.spark.read.schema(phys_schema).parquet(*files)
             if need_loc:
                 out = locate_columns(out, tdir)
         else:
             # group files by their batch dir so basePath recovers the
             # partition column from the path, then union
+            part_schema = T.StructType(
+                [*phys_schema.fields, T.StructField(BUCKET_COL, T.IntegerType())]
+            )
             by_base: dict[str, list[str]] = {}
             for p in sorted(live):
                 base = os.path.join(tdir, p.split(os.sep, 1)[0])
                 by_base.setdefault(base, []).append(os.path.join(tdir, p))
             parts = []
             for b, fs in sorted(by_base.items()):
-                part = self.spark.read.option("basePath", b).parquet(*fs)
+                part = (
+                    self.spark.read.schema(part_schema)
+                    .option("basePath", b)
+                    .parquet(*fs)
+                )
                 if need_loc:
                     part = locate_columns(part, tdir)
                 parts.append(part)
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
+        if to_logical:
+            out = out.withColumnsRenamed(to_logical)
         if dv_rows:
             dv_df = self.spark.createDataFrame(dv_rows, "file string, pos long")
             out = apply_dv(out, dv_df)
@@ -775,11 +945,16 @@ class DeltaWarehouse:
         stats for ``col`` are conservatively kept."""
         from .stats import stats_disjoint
 
-        _, _, live, _, _ = self._replay(table)
+        _, meta, live, _, _ = self._replay(table)
+        # add-action stats are keyed by the PHYSICAL column name (the
+        # name in the file) — identical to the logical name except
+        # under column mapping, where a renamed column's stats live
+        # under its stable physical name in every era's files
+        pcol = (_cm_mapping(meta) or {}).get(col, col)
         kept = [
             p
             for p, a in live.items()
-            if not stats_disjoint(a.get("stats"), col, lo, hi)
+            if not stats_disjoint(a.get("stats"), pcol, lo, hi)
         ]
         return sorted(kept), len(live)
 
@@ -861,14 +1036,58 @@ class DeltaWarehouse:
             + (", filename=true, file_row_number=true" if dv_values else "")
             + ")"
         )
+        # Schema-pinned projection off schemaString, exactly like the
+        # manifest impl's: declared order and types regardless of file
+        # era (pre-ADD files null-pad via union_by_name, pre-WIDEN
+        # files CAST up), and — under column mapping — the stored
+        # PHYSICAL name aliased back to the logical one. Physical
+        # names absent from every referenced file (an added column no
+        # live file carries yet) fall back to typed NULL rather than a
+        # binder error.
+        from pyspark.sql import types as T
+
+        from .pipeline import _duckdb_type
+
+        mapping = _cm_mapping(meta) or {}
+        target = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        available: set[str] = set()
+        import pyarrow.parquet as pq
+
+        # one footer per batch dir (files within a batch share one
+        # write's schema), same metadata-only sampling discipline as
+        # Warehouse._sampled_columns
+        seen_batches: set[str] = set()
+        for p in sorted(live):
+            batch = p.split(os.sep, 1)[0]
+            if batch in seen_batches:
+                continue
+            seen_batches.add(batch)
+            try:
+                available |= set(
+                    pq.read_schema(os.path.join(tdir, p)).names
+                )
+            except OSError:
+                pass
+        exprs = []
+        for f in target.fields:
+            phys = mapping.get(f.name, f.name)
+            duck_t = _duckdb_type(f.dataType)
+            qname = '"' + f.name.replace('"', '""') + '"'
+            if phys not in available:
+                expr = f"CAST(NULL AS {duck_t or 'VARCHAR'})"
+            else:
+                qphys = '"' + phys.replace('"', '""') + '"'
+                expr = f"CAST({qphys} AS {duck_t})" if duck_t else qphys
+            exprs.append(f"{expr} AS {qname}")
+        proj = ", ".join(exprs)
         if not dv_values:
-            return f"SELECT * FROM {src}"
+            return f"SELECT {proj} FROM {src}"
         vals = ", ".join(
             "('" + f.replace("'", "''") + "', " + str(int(pos)) + ")"
             for f, pos in dv_values
         )
         return (
-            f"SELECT * EXCLUDE (filename, file_row_number) FROM {src} r "
+            f"SELECT {proj} FROM {src} r "
             f"WHERE NOT EXISTS (SELECT 1 FROM (VALUES {vals}) d(file, pos) "
             "WHERE d.file = r.filename AND d.pos = r.file_row_number)"
         )
@@ -894,21 +1113,33 @@ class DeltaWarehouse:
         O(affected), not O(table)). CAS at base+1; on conflict the
         whole merge re-derives against the new head.
 
-        ``evolve``/``renames``: this impl does NOT do in-place schema
-        evolution (the manifest warehouse does); a schema change under
-        ``evolve=True`` raises SchemaEvolutionError so the pipeline's
-        shared fallback (full reload with the new schema — the
-        reference behavior) engages. ``observation``: attached to the
+        ``evolve=True`` applies in-place schema evolution for the
+        three data-preserving classes — ADD (null-padded on old
+        files), WIDEN (int/float-family lossless promotion), and
+        declared RENAME via ``renames`` (old -> new name), carried by
+        the protocol's COLUMN MAPPING (mode=name: stable physical
+        names in field metadata; a rename edits only schemaString, no
+        file is rewritten). A non-widenable change still raises
+        SchemaEvolutionError so the pipeline's shared fallback (full
+        reload with the new schema — the reference behavior,
+        src/main.rs:188-193) engages. ``observation``: attached to the
         first attempt's merged frame, same contract as Warehouse.
         ``delete_keys``: key rows to REMOVE in the same atomic commit
         (the CDC apply — upserts + deletes, one commit, exactly-once
         under ``txn``; a key in both frames lands on the upsert)."""
+        from ..operators.merge import SchemaEvolutionError, conform_to, evolved_schema
+
         for attempt in range(1 + max_commit_retries):
             base, meta, live, _, _ = self._replay(table)
             spec = self._bucket_spec(meta)
             if spec is None:
                 raise FileNotFoundError(f"table not bucketed: {table}")
-            key, n = spec
+            old_key, n = spec
+            # a declared rename may cover the bucket key itself: the
+            # VALUES (and thus xxhash64 buckets) are unchanged, only
+            # the recorded key name moves forward (same rule as the
+            # manifest impl)
+            key = (renames or {}).get(old_key, old_key) if evolve else old_key
             new_b = new.withColumn(BUCKET_COL, bucket_of(F.col(key), n))
             touched = new_b.select(BUCKET_COL)
             if delete_keys is not None:
@@ -936,17 +1167,50 @@ class DeltaWarehouse:
                     json.loads(meta["schemaString"])
                 ).add(BUCKET_COL, "integer")
                 old = self.spark.createDataFrame([], schema)
+            mapping = _cm_mapping(meta)
+            meta_actions: list[dict] = []
             if evolve:
-                from ..operators.merge import SchemaEvolutionError
+                from pyspark.sql import types as T
 
-                old_types = dict(old.drop(BUCKET_COL).dtypes)
-                new_types = dict(new.dtypes)
-                if old_types != new_types:
+                if renames:
+                    old = old.withColumnsRenamed(renames)
+                target = evolved_schema(old.schema, new_b.schema)
+                old_kt = old.schema[key].dataType
+                new_kt = new_b.schema[key].dataType
+                if old_kt != new_kt:
                     raise SchemaEvolutionError(
-                        f"delta table {table!r}: schema changed "
-                        f"({old_types} -> {new_types}); this impl evolves "
-                        "by full reload, not in place"
+                        f"bucket key {key!r} type change "
+                        f"({old_kt.simpleString()} -> "
+                        f"{new_kt.simpleString()}): xxhash64 buckets by "
+                        "physical type, so existing rows would no longer "
+                        "co-locate with new ones — re-bucket via full reload"
                     )
+                data_target = T.StructType(
+                    [f for f in target.fields if f.name != BUCKET_COL]
+                )
+                declared = T.StructType.fromJson(
+                    json.loads(meta["schemaString"])
+                )
+                shape = lambda st: [(f.name, f.dataType) for f in st.fields]  # noqa: E731
+                if renames or shape(data_target) != shape(declared):
+                    old = conform_to(old, target)
+                    new_b = conform_to(new_b, target)
+                    schema_json, cm_cfg, mapping = self._evolved_schema_string(
+                        meta, data_target, renames
+                    )
+                    newly_mapped = (
+                        cm_cfg
+                        and (meta.get("configuration") or {}).get(_CM_MODE)
+                        != "name"
+                    )
+                    new_meta = self._meta_action(
+                        schema_json, (key, n), meta, props=cm_cfg or None
+                    )
+                    if newly_mapped:
+                        meta_actions.append(
+                            self._protocol_action(new_meta, live)
+                        )
+                    meta_actions.append({"metaData": new_meta})
             keys = new_b.select(key)
             if delete_keys is not None:
                 keys = keys.unionByName(delete_keys.select(key))
@@ -965,12 +1229,14 @@ class DeltaWarehouse:
                 merged.drop(BUCKET_COL),
                 f"{snapshot}-{attempt}" if attempt else snapshot,
                 bucket=(key, n),
+                mapping=mapping,
             )
             now = int(time.time() * 1000)
             actions: list[dict] = [
                 self._commit_info(
                     "MERGE", {"affectedBuckets": len(affected)}
-                )
+                ),
+                *meta_actions,
             ]
             if txn is not None:
                 actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
@@ -1003,13 +1269,9 @@ class DeltaWarehouse:
 
     # -- row-level delete ----------------------------------------------------
     # protocol feature gate for deletion vectors (PROTOCOL.md: DV
-    # tables require reader 3 / writer 7 with the named feature)
-    _DV_PROTOCOL = {
-        "minReaderVersion": 3,
-        "minWriterVersion": 7,
-        "readerFeatures": ["deletionVectors"],
-        "writerFeatures": ["deletionVectors"],
-    }
+    # tables require reader 3 / writer 7 with the named feature) —
+    # emitted via _protocol_action(force_dv=True) so a mapped table's
+    # columnMapping feature rides the same protocol row
 
     def delete_where(
         self,
@@ -1094,7 +1356,9 @@ class DeltaWarehouse:
                     by_file.setdefault(r[0], []).append(int(r[1]))
                 # idempotent protocol upgrade rides every DV commit
                 # (later protocol actions replace earlier ones)
-                actions.insert(1, {"protocol": dict(self._DV_PROTOCOL)})
+                actions.insert(
+                    1, self._protocol_action(meta, live, force_dv=True)
+                )
                 for p in sorted(by_file):
                     old_add = live[p]
                     actions.append(
@@ -1133,6 +1397,7 @@ class DeltaWarehouse:
                     kept,
                     f"delete-cow-{attempt}" if attempt else "delete-cow",
                     bucket=spec,
+                    mapping=_cm_mapping(meta),
                 )
                 actions += [
                     {
@@ -1273,7 +1538,9 @@ class DeltaWarehouse:
                 by_file: dict[str, list[int]] = {}
                 for r in matched.select(FILE_COL, POS_COL).collect():
                     by_file.setdefault(r[0], []).append(int(r[1]))
-                actions.insert(1, {"protocol": dict(self._DV_PROTOCOL)})
+                actions.insert(
+                    1, self._protocol_action(meta, live, force_dv=True)
+                )
                 for p in sorted(by_file):
                     old_add = live[p]
                     actions.append(
@@ -1302,6 +1569,7 @@ class DeltaWarehouse:
                     updated,
                     f"update-{attempt}" if attempt else "update",
                     bucket=spec,
+                    mapping=_cm_mapping(meta),
                 )
                 actions += [{"add": a} for a in adds]
             else:
@@ -1319,6 +1587,7 @@ class DeltaWarehouse:
                     rewritten,
                     f"update-cow-{attempt}" if attempt else "update-cow",
                     bucket=spec,
+                    mapping=_cm_mapping(meta),
                 )
                 actions += [
                     {
@@ -1434,7 +1703,8 @@ class DeltaWarehouse:
                 elif order_by:
                     df = df.sortWithinPartitions(*order_by)
                 adds, _sj, _rel = self._write_files(
-                    table, df, "compact", bucket=(key, n)
+                    table, df, "compact", bucket=(key, n),
+                    mapping=_cm_mapping(meta),
                 )
             else:
                 total = sum(a.get("size", 0) for a in live.values())
@@ -1446,7 +1716,8 @@ class DeltaWarehouse:
                 else:
                     df = df.repartition(n_files)
                 adds, _sj, _rel = self._write_files(
-                    table, df, "compact", bucket=None
+                    table, df, "compact", bucket=None,
+                    mapping=_cm_mapping(meta),
                 )
             now = int(time.time() * 1000)
             actions = [self._commit_info("OPTIMIZE", {"files": len(adds)})] + [

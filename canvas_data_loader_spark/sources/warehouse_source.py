@@ -143,8 +143,18 @@ class _Meta:
             version = self.current_version()
         if self.protocol == "delta":
             _, meta, _, _, _ = self.wh._replay(self.table, upto=version)
+            st = StructType.fromJson(json.loads(meta["schemaString"]))
+            # drop field metadata (column-mapping ids/physical names)
+            # — the stream's output schema is purely logical
+            from pyspark.sql.types import StructField
+
             return drop_bucket(
-                StructType.fromJson(json.loads(meta["schemaString"]))
+                StructType(
+                    [
+                        StructField(f.name, f.dataType, f.nullable)
+                        for f in st.fields
+                    ]
+                )
             )
         m = self._manifest_at(version)
         if m.get("schema"):
@@ -170,11 +180,22 @@ class _Meta:
         return self._manifest_at(version).get("bucket_key")
 
     def renamed_from(self, version: int) -> dict:
-        """Rename chains recorded at a version (manifest protocol only;
-        the Delta impl's evolution path never renames, so drift there
-        is always a hard mismatch)."""
+        """{current logical name: historical on-disk names} at a
+        version — the chains `_conform_arrow` resolves when a FILE
+        carries an older spelling of a column. Manifest protocol:
+        the manifest's recorded rename chains. Delta protocol: the
+        column mapping (mode=name) — every file stores the stable
+        PHYSICAL name, so a renamed column's single historical
+        spelling is its physicalName."""
         if self.protocol == "delta":
-            return {}
+            from ..plans.delta import _cm_mapping
+
+            _, meta, _, _, _ = self.wh._replay(self.table, upto=version)
+            return {
+                logical: [phys]
+                for logical, phys in (_cm_mapping(meta) or {}).items()
+                if phys != logical
+            }
         return self._manifest_at(version).get("renamed_from") or {}
 
     def dv_by_file(self, version: int) -> dict[str, list[int]]:

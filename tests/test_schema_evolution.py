@@ -482,3 +482,240 @@ class TestPipelineEvolution:
         rows = sorted(tuple(r) for r in p2.warehouse.read("account_dim").collect())
         # full reload: pre-bump rows are gone (main.rs:188-193)
         assert rows == [(2, "B2", 99, "x"), (4, "d", 40, None)]
+
+
+class TestDeltaBucketedEvolve:
+    """The SAME evolution matrix on the Delta-protocol warehouse —
+    ADD / WIDEN / declared RENAME in place, with the rename carried by
+    protocol column mapping (mode=name: stable physicalName in field
+    metadata; PROTOCOL.md §column-mapping) instead of manifest rename
+    chains. Untouched buckets are never rewritten; old files resolve
+    through their stable physical names."""
+
+    def _seed(self, spark, tmp_path, n=12, buckets=8):
+        from canvas_data_loader_spark.plans.delta import DeltaWarehouse
+
+        wh = DeltaWarehouse(spark, str(tmp_path / "dwh"))
+        base = spark.createDataFrame(
+            [(i, f"n{i}", i * 10) for i in range(1, n + 1)],
+            "id long, name string, cnt int",
+        )
+        wh.write("t", base, snapshot="s0", bucket=("id", buckets))
+        return wh
+
+    def _md5s(self, root):
+        import hashlib
+        import os
+
+        out = {}
+        for dp, _, fs in os.walk(root):
+            if "_delta_log" in dp:
+                continue
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dp, f)
+                    out[p] = hashlib.md5(open(p, "rb").read()).hexdigest()
+        return out
+
+    def test_evolve_merge_add_widen_rename_no_bucket_rewrite(
+        self, spark, tmp_path
+    ):
+        from canvas_data_loader_spark.plans.delta import _cm_mapping
+
+        wh = self._seed(spark, tmp_path)
+        before = self._md5s(wh._table_dir("t"))
+        batch = spark.createDataFrame(
+            [(1, "N1", 999, "x")],
+            "id long, display_name string, cnt long, extra string",
+        )
+        affected = wh.merge_bucketed(
+            "t",
+            batch,
+            snapshot="m1",
+            evolve=True,
+            renames={"name": "display_name"},
+        )
+        _, meta, _, _, _ = wh._replay("t")
+        # the upgrade recorded mode=name and the renamed column kept
+        # its on-disk physical name
+        assert meta["configuration"]["delta.columnMapping.mode"] == "name"
+        m = _cm_mapping(meta)
+        assert m["display_name"] == "name"
+        assert m["id"] == "id" and m["cnt"] == "cnt"
+        assert m["extra"].startswith("col-")
+        df = wh.read("t")
+        assert dict(df.dtypes) == {
+            "id": "bigint",
+            "display_name": "string",
+            "cnt": "bigint",
+            "extra": "string",
+        }
+        rows = {
+            r["id"]: (r["display_name"], r["cnt"], r["extra"])
+            for r in df.collect()
+        }
+        assert rows[1] == ("N1", 999, "x")
+        assert rows[2] == ("n2", 20, None)
+        assert len(rows) == 12
+        # untouched buckets: byte-identical files (only the affected
+        # buckets' files were tombstoned + rewritten)
+        after = self._md5s(wh._table_dir("t"))
+        touched = {str(b) for b in affected}
+        for p, h in before.items():
+            if any(f"__kb={b}" in p for b in touched):
+                continue
+            assert after.get(p) == h, f"rewritten: {p}"
+
+    def test_external_read_matches_spark_after_evolution(
+        self, spark, tmp_path
+    ):
+        import duckdb
+
+        wh = self._seed(spark, tmp_path)
+        batch = spark.createDataFrame(
+            [(1, "N1", 999, "x")],
+            "id long, display_name string, cnt long, extra string",
+        )
+        wh.merge_bucketed(
+            "t", batch, snapshot="m1", evolve=True,
+            renames={"name": "display_name"},
+        )
+        duck = duckdb.sql(wh.external_read_sql("t"))
+        assert duck.columns == ["id", "display_name", "cnt", "extra"]
+        got = sorted(tuple(r) for r in duck.fetchall())
+        want = sorted(
+            tuple(r)
+            for r in wh.read("t")
+            .select("id", "display_name", "cnt", "extra")
+            .collect()
+        )
+        assert got == want
+        assert [str(t) for t in duck.types][2] == "BIGINT"
+
+    def test_chained_rename_reads_oldest_files(self, spark, tmp_path):
+        from canvas_data_loader_spark.plans.delta import _cm_mapping
+
+        wh = self._seed(spark, tmp_path)
+        b1 = spark.createDataFrame(
+            [(1, "N1", 10)], "id long, display_name string, cnt int"
+        )
+        wh.merge_bucketed(
+            "t", b1, snapshot="m1", evolve=True,
+            renames={"name": "display_name"},
+        )
+        b2 = spark.createDataFrame(
+            [(2, "T2", 20)], "id long, title string, cnt int"
+        )
+        wh.merge_bucketed(
+            "t", b2, snapshot="m2", evolve=True,
+            renames={"display_name": "title"},
+        )
+        _, meta, _, _, _ = wh._replay("t")
+        # chains COLLAPSE under mapping: the physical name is assigned
+        # once (the original on-disk spelling) and never moves again
+        assert _cm_mapping(meta)["title"] == "name"
+        rows = {r["id"]: r["title"] for r in wh.read("t").collect()}
+        assert rows[1] == "N1" and rows[2] == "T2" and rows[3] == "n3"
+
+    def test_bucket_key_type_change_refused(self, spark, tmp_path):
+        wh = self._seed(spark, tmp_path)
+        batch = spark.createDataFrame(
+            [(1, "x", 1)], "id int, name string, cnt int"
+        )
+        with pytest.raises(SchemaEvolutionError, match="bucket key"):
+            wh.merge_bucketed("t", batch, snapshot="m1", evolve=True)
+
+    def test_bucket_key_rename_keeps_pruning(self, spark, tmp_path):
+        wh = self._seed(spark, tmp_path)
+        batch = spark.createDataFrame(
+            [(1, "N1", 999)], "account_id long, name string, cnt int"
+        )
+        affected = wh.merge_bucketed(
+            "t", batch, snapshot="m1", evolve=True,
+            renames={"id": "account_id"},
+        )
+        _, meta, _, _, _ = wh._replay("t")
+        assert meta["configuration"]["spark_graft.bucket_key"] == "account_id"
+        assert len(affected) == 1
+        rows = {
+            r["account_id"]: r["cnt"] for r in wh.read("t").collect()
+        }
+        assert rows[1] == 999 and rows[2] == 20 and len(rows) == 12
+        # data skipping answers on the RENAMED key: stats of old files
+        # live under the stable physical name
+        kept, total = wh.files_for_range("t", "account_id", 1, 1)
+        assert 0 < len(kept) < total
+
+    def test_evolve_merge_idempotent_reapply(self, spark, tmp_path):
+        wh = self._seed(spark, tmp_path)
+        batch = spark.createDataFrame(
+            [(1, "N1", 999, "x")],
+            "id long, display_name string, cnt long, extra string",
+        )
+        for snap in ("m1", "m2"):
+            wh.merge_bucketed(
+                "t", batch, snapshot=snap, evolve=True,
+                renames={"name": "display_name"},
+            )
+        rows = sorted(tuple(r) for r in wh.read("t").collect())
+        assert len(rows) == 12
+        assert rows[0] == (1, "N1", 999, "x")
+
+    def test_time_travel_sees_pre_evolution_schema(self, spark, tmp_path):
+        wh = self._seed(spark, tmp_path)
+        batch = spark.createDataFrame(
+            [(1, "N1", 999, "x")],
+            "id long, display_name string, cnt long, extra string",
+        )
+        wh.merge_bucketed(
+            "t", batch, snapshot="m1", evolve=True,
+            renames={"name": "display_name"},
+        )
+        old = wh.read_at_version("t", 0)
+        assert old.columns == ["id", "name", "cnt"]
+        assert old.count() == 12
+
+    def test_full_replace_preserves_mapping(self, spark, tmp_path):
+        """The protocol forbids un-mapping a table: a volatile full
+        reload after an upgrade keeps mode=name, reuses surviving
+        columns' physical names, and assigns fresh ids to new ones."""
+        from canvas_data_loader_spark.plans.delta import _cm_mapping
+
+        wh = self._seed(spark, tmp_path)
+        batch = spark.createDataFrame(
+            [(1, "N1", 999)], "id long, display_name string, cnt int"
+        )
+        wh.merge_bucketed(
+            "t", batch, snapshot="m1", evolve=True,
+            renames={"name": "display_name"},
+        )
+        _, meta1, _, _, _ = wh._replay("t")
+        reload = spark.createDataFrame(
+            [(1, "R1", 7, True)],
+            "id long, display_name string, cnt int, flag boolean",
+        )
+        wh.write("t", reload, snapshot="s1", bucket=("id", 8))
+        _, meta2, _, _, _ = wh._replay("t")
+        m1, m2 = _cm_mapping(meta1), _cm_mapping(meta2)
+        assert meta2["configuration"]["delta.columnMapping.mode"] == "name"
+        assert m2["display_name"] == m1["display_name"] == "name"
+        assert m2["flag"].startswith("col-")
+        got = wh.read("t").collect()
+        assert len(got) == 1 and got[0]["flag"] is True
+
+    def test_dv_delete_then_rename_keeps_visibility(self, spark, tmp_path):
+        """Merge-on-read deletion vectors survive a later rename
+        evolution: DV positions key by FILE, mapping renames only the
+        schema."""
+        wh = self._seed(spark, tmp_path)
+        n = wh.delete_where("t", "cnt = 30", mode="mor")
+        assert n == 1
+        batch = spark.createDataFrame(
+            [(1, "N1", 999)], "id long, display_name string, cnt int"
+        )
+        wh.merge_bucketed(
+            "t", batch, snapshot="m1", evolve=True,
+            renames={"name": "display_name"},
+        )
+        rows = {r["id"]: r["display_name"] for r in wh.read("t").collect()}
+        assert 3 not in rows and rows[1] == "N1" and len(rows) == 11

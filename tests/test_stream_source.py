@@ -886,9 +886,6 @@ class TestGuardsAndEvolution:
     def test_additive_evolution_conforms_old_side(
         self, spark, wh_factory, tmp_path
     ):
-        if wh_factory.kind == "delta":
-            pytest.skip("delta impl evolution path has no rename lane; "
-                        "additive evolution covered on manifest impl")
         wh = wh_factory()
         base = spark.createDataFrame(
             [(i, f"v{i}") for i in range(1, 9)], "id long, v string"
@@ -934,8 +931,6 @@ class TestGuardsAndEvolution:
         (post-rename) schema through the head manifest's cumulative
         chains — where the source EXCEEDS plans.ops.table_changes,
         which raises FeedSchemaDrift on rename-crossing intervals."""
-        if wh_factory.kind == "delta":
-            pytest.skip("delta impl evolution path has no rename lane")
         wh = wh_factory()
         base = spark.createDataFrame(
             [(i, f"v{i}") for i in range(1, 9)], "id long, v string"

@@ -191,12 +191,62 @@ def decode_deletion_vector(descriptor: dict) -> list[int]:
     return sorted(out)
 
 
+# Delta schema-serialization primitive type -> DuckDB type (from
+# PROTOCOL.md's Schema Serialization Format table). None = emit no
+# cast (complex types ride union_by_name's own unification).
+_DUCK_TYPES = {
+    "long": "BIGINT",
+    "integer": "INTEGER",
+    "short": "SMALLINT",
+    "byte": "TINYINT",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "binary": "BLOB",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP WITH TIME ZONE",
+    "timestamp_ntz": "TIMESTAMP",
+}
+
+
+def schema_projection(state: dict) -> str | None:
+    """The SELECT list the metaData's schemaString pins: declared
+    column order and types, and — when the table uses column mapping
+    (``delta.columnMapping.mode = name``) — each field's stored
+    PHYSICAL name (field metadata ``delta.columnMapping.physicalName``)
+    aliased back to its logical name. None when the table carries no
+    metaData (pre-protocol test dirs)."""
+    meta = state.get("metaData")
+    if not meta or not meta.get("schemaString"):
+        return None
+    mapped = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    ) == "name"
+    exprs = []
+    for f in json.loads(meta["schemaString"])["fields"]:
+        phys = f["name"]
+        if mapped:
+            phys = (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", phys
+            )
+        qname = '"' + f["name"].replace('"', '""') + '"'
+        qphys = '"' + phys.replace('"', '""') + '"'
+        duck_t = (
+            _DUCK_TYPES.get(f["type"]) if isinstance(f["type"], str) else None
+        )
+        expr = f"CAST({qphys} AS {duck_t})" if duck_t else qphys
+        exprs.append(f"{expr} AS {qname}")
+    return ", ".join(exprs)
+
+
 def duckdb_sql(table_dir: str, version: int | None = None) -> str:
     state = replay(table_dir, version)
     files = [os.path.join(table_dir, p) for p in sorted(state["files"])]
     if not files:
         raise FileNotFoundError(f"no live files in {table_dir}")
     lits = ", ".join("'" + f.replace("'", "''") + "'" for f in files)
+    proj = schema_projection(state) or "*"
     # deletion vectors: anti-join the decoded (file, position) pairs
     dv_values = [
         (os.path.join(table_dir, p), pos)
@@ -206,15 +256,17 @@ def duckdb_sql(table_dir: str, version: int | None = None) -> str:
     ]
     if not dv_values:
         return (
-            f"SELECT * FROM read_parquet([{lits}], "
+            f"SELECT {proj} FROM read_parquet([{lits}], "
             "hive_partitioning=false, union_by_name=true)"
         )
     vals = ", ".join(
         "('" + f.replace("'", "''") + "', " + str(pos) + ")"
         for f, pos in dv_values
     )
+    if proj == "*":
+        proj = "* EXCLUDE (filename, file_row_number)"
     return (
-        "SELECT * EXCLUDE (filename, file_row_number) FROM "
+        f"SELECT {proj} FROM "
         f"read_parquet([{lits}], hive_partitioning=false, "
         "union_by_name=true, filename=true, file_row_number=true) r "
         f"WHERE NOT EXISTS (SELECT 1 FROM (VALUES {vals}) d(file, pos) "
