@@ -27,15 +27,107 @@ from canvas_data_loader_spark.plans.pipeline import CommitConflict, Warehouse
 def wh_factory(request, tmp_path, spark):
     """Factory returning a fresh warehouse of the parametrized impl;
     calling it twice with the same name yields two handles on the SAME
-    store (the concurrent-writer setup)."""
+    store (the concurrent-writer setup).
+
+    Post-condition (delta impl): after the test body, every table's
+    final state is decoded by the INDEPENDENT protocol reader
+    (tools/delta_reader.py — log replay, checkpoints, column mapping,
+    Z85/roaring deletion vectors, shares no code with the writer) and
+    compared row-for-row with the writer's own read. Every commit
+    shape the suite produces must be consumable by a from-spec
+    reader — self-confirmation is not conformance."""
+    built = []
+
     def build(name="wh"):
         root = str(tmp_path / f"{request.param}-{name}")
         if request.param == "delta":
-            return DeltaWarehouse(spark, root)
-        return Warehouse(spark, root)
+            wh = DeltaWarehouse(spark, root)
+        else:
+            wh = Warehouse(spark, root)
+        built.append(wh)
+        return wh
 
     build.kind = request.param
-    return build
+    yield build
+    if request.param == "delta":
+        for root in {w.root for w in built}:
+            _assert_independent_reader_agrees(spark, root)
+
+
+def _reader_canon(v):
+    import datetime
+    import decimal
+    import math
+
+    if v is None:
+        return "\0null"
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return format(v, "f")
+    if isinstance(v, float):
+        return "\0nan" if math.isnan(v) else repr(v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, (list, tuple)):
+        return tuple(_reader_canon(x) for x in v)
+    return str(v)
+
+
+def _assert_independent_reader_agrees(spark, root):
+    """Decode every delta table under ``root`` with the independent
+    reader and pin its rows to the writer's own read (columns matched
+    by name; both sides canonicalized)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        import delta_reader
+    finally:
+        sys.path.pop(0)
+
+    if not os.path.isdir(root):
+        return
+    wh = DeltaWarehouse(spark, root)
+    for table in sorted(os.listdir(root)):
+        if not os.path.isdir(os.path.join(root, table, "_delta_log")):
+            continue
+        ours = wh.read(table)
+        try:
+            sql = delta_reader.duckdb_sql(os.path.join(root, table))
+        except FileNotFoundError:
+            # no live files: the reader has nothing to scan — the
+            # writer's read must agree the table is empty
+            assert ours.count() == 0, (
+                f"{table}: writer sees rows but the independent reader "
+                "resolves no live files"
+            )
+            continue
+        rel = duckdb.sql(sql)
+        cols = sorted(ours.columns)
+        assert sorted(rel.columns) == cols, (
+            f"{table}: column sets diverge "
+            f"(writer {sorted(ours.columns)}, reader {sorted(rel.columns)})"
+        )
+        idx = [rel.columns.index(c) for c in cols]
+        theirs = sorted(
+            tuple(_reader_canon(row[i]) for i in idx)
+            for row in rel.fetchall()
+        )
+        mine = sorted(
+            tuple(_reader_canon(r[c]) for c in cols)
+            for r in ours.collect()
+        )
+        assert mine == theirs, (
+            f"{table}: independent-reader rows diverge from the "
+            f"writer's read ({len(mine)} vs {len(theirs)} rows; first "
+            f"difference: "
+            f"{next((a, b) for a, b in zip(mine + [None], theirs + [None]) if a != b)})"
+        )
 
 
 def head(wh, table):
