@@ -1255,6 +1255,19 @@ class DeltaWarehouse:
                 self._commit(table, base + 1, actions)
                 return affected
             except CommitConflict:
+                # LOGICAL CONFLICT DETECTION (the Delta winning-commit
+                # reconciliation shape): when every intervening commit
+                # touched only buckets DISJOINT from ours, the derived
+                # files are exactly as valid against the new head —
+                # re-publish them directly instead of re-reading and
+                # re-writing the buckets. Physical conflicts (same
+                # bucket, compaction, restore, schema/property change)
+                # fall through to the full re-derive.
+                if (
+                    self._reconcile_merge_commit(table, base, affected, actions)
+                    is not None
+                ):
+                    return affected
                 # orphaned batch dir is vacuum-swept later; randomized
                 # backoff desynchronizes lockstep re-collisions (same
                 # reasoning as Warehouse.merge_bucketed)
@@ -1266,6 +1279,81 @@ class DeltaWarehouse:
             f"{table}: merge lost the commit race {1 + max_commit_retries} "
             "times — contention too high, back off and retry"
         )
+
+    def _reconcile_merge_commit(
+        self,
+        table: str,
+        base_version: int,
+        affected: list[int],
+        actions: list[dict],
+        max_attempts: int = 5,
+    ) -> int | None:
+        """CAS-loss reconciliation for a bucketed MERGE: if every
+        action in the commits between our base and the current head is
+        bucket-disjoint from ``affected`` (and none is a metaData /
+        unknown action), our already-written files and action list are
+        still exactly correct — re-commit them at head+1 with a fresh
+        commitInfo. Returns the committed version, or None when the
+        conflict is physical (overlapping bucket, compaction/restore
+        repointing, schema or property change) and the caller must
+        re-derive. At hourly imports × auto-compaction × MV refresh ×
+        mirror sync this is what keeps disjoint writers from
+        serializing through wasted re-derives."""
+        import re
+
+        aff = {int(b) for b in affected}
+        tail = [a for a in actions if "commitInfo" not in a]
+
+        def bucket_of_path(p: str) -> int | None:
+            mt = re.search(rf"(?:^|/){re.escape(BUCKET_COL)}=(\d+)/", p)
+            return int(mt.group(1)) if mt else None
+
+        for _ in range(max_attempts):
+            head = self.current_version(table)
+            if head <= base_version:
+                return None
+            ldir = self._log_dir(table)
+            for v in range(base_version + 1, head + 1):
+                try:
+                    with open(os.path.join(ldir, _LOG_FMT.format(v))) as fh:
+                        lines = [ln for ln in fh if ln.strip()]
+                except OSError:
+                    return None
+                for ln in lines:
+                    a = json.loads(ln)
+                    if "commitInfo" in a or "txn" in a or "protocol" in a:
+                        # informational / epoch / feature-gate rows
+                        # never invalidate a disjoint merge
+                        continue
+                    if "metaData" in a:
+                        # schema, bucket spec, or properties moved —
+                        # our (possibly evolve-derived) metadata and
+                        # conformed frames may be stale: re-derive
+                        return None
+                    act = a.get("add") or a.get("remove")
+                    if act is None:
+                        return None  # unknown action: conservative
+                    pv = (a.get("add") or {}).get("partitionValues") or {}
+                    b = (
+                        int(pv[BUCKET_COL])
+                        if pv.get(BUCKET_COL) is not None
+                        else bucket_of_path(act.get("path", ""))
+                    )
+                    if b is None or b in aff:
+                        return None
+            fresh = [
+                self._commit_info(
+                    "MERGE",
+                    {"affectedBuckets": len(affected), "reconciled": True},
+                ),
+                *tail,
+            ]
+            try:
+                self._commit(table, head + 1, fresh)
+                return head + 1
+            except CommitConflict:
+                continue  # another winner landed: re-check against it
+        return None
 
     # -- row-level delete ----------------------------------------------------
     # protocol feature gate for deletion vectors (PROTOCOL.md: DV

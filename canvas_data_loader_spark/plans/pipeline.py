@@ -140,6 +140,22 @@ def _dv_surviving_rewrite(m: dict, affected: list[int]) -> list[dict]:
     return out
 
 
+def _dv_touching(m: dict, affected: list[int]) -> list[dict]:
+    """The deletion-vector entries whose cover can intersect
+    ``affected`` buckets (entries without recorded bucket cover are
+    conservatively included) — the part of a manifest's DV state a
+    bucketed merge's read depends on. Two manifests agreeing on this
+    list agree on the row visibility of every file the merge read
+    (reconciliation's safety input)."""
+    aff = {int(b) for b in affected}
+    out = []
+    for e in m.get("dv") or []:
+        bs = e.get("buckets")
+        if bs is None or ({int(b) for b in bs} & aff):
+            out.append(e)
+    return sorted(out, key=lambda e: json.dumps(e, sort_keys=True))
+
+
 def _dv_dirs_of(m: dict) -> set[str]:
     """First path component (the snapshot-like claimed directory) of
     every DV sidecar a manifest references — retention must protect
@@ -1490,6 +1506,30 @@ class Warehouse:
                     expected_version=base_version,
                 )
             except CommitConflict:
+                # LOGICAL CONFLICT DETECTION: when the intervening
+                # commits left our affected buckets' backing (pointer
+                # + DV cover), the schema, and the layout untouched,
+                # the files we already wrote are exactly as valid
+                # against the new head — overlay them on ITS manifest
+                # and publish, zero re-derive. Physical conflicts
+                # (overlapping bucket, compaction/restore repoint,
+                # concurrent evolution) fall through to the re-derive.
+                if (
+                    self._reconcile_merge_publish(
+                        table,
+                        m,
+                        affected,
+                        snapshot,
+                        key,
+                        n,
+                        target_json,
+                        renamed_from,
+                        txn,
+                    )
+                    is not None
+                ):
+                    self._prune(table)
+                    return affected
                 # the attempt's snapshot dir is now an unreferenced
                 # orphan (the retry claims a fresh name; _prune sweeps
                 # the dead dir after orphan_ttl_sec). Randomized
@@ -1507,6 +1547,80 @@ class Warehouse:
             f"{table}: merge lost the commit race {1 + max_commit_retries} "
             "times — contention too high, back off and retry"
         )
+
+    def _reconcile_merge_publish(
+        self,
+        table: str,
+        base_m: dict,
+        affected: list[int],
+        snapshot: str,
+        key: str,
+        n: int,
+        target_json,
+        renamed_from,
+        txn: tuple[str, int] | None,
+        max_attempts: int = 5,
+    ) -> int | None:
+        """CAS-loss reconciliation for a bucketed MERGE (the Delta
+        winning-commit-reconciliation shape on the manifest protocol):
+        our merge read buckets ``affected`` from ``base_m`` and already
+        wrote their replacements under ``snapshot``. If the current
+        head still backs those buckets with the SAME directories and
+        the SAME deletion-vector cover, and neither the bucket layout
+        nor the schema moved, our files are exactly as valid against
+        the head — publish a manifest derived from the HEAD's bucket
+        map (so the winners' disjoint changes are preserved) with our
+        buckets overlaid. Returns the committed version, or None when
+        the conflict is physical and the caller must re-derive."""
+        aff_keys = [str(b) for b in affected]
+        for _ in range(max_attempts):
+            latest = self._latest_commit(table)
+            if latest is None:
+                return None
+            v2, m2 = latest
+            if (
+                not m2.get("buckets")
+                or m2.get("bucket_key") != base_m.get("bucket_key")
+                or int(m2.get("n_buckets", -1)) != int(base_m["n_buckets"])
+                or m2.get("schema") != base_m.get("schema")
+                or (m2.get("renamed_from") or {})
+                != (base_m.get("renamed_from") or {})
+                or m2.get("table_id") != base_m.get("table_id")
+                or any(
+                    m2["buckets"].get(k) != base_m["buckets"].get(k)
+                    for k in aff_keys
+                )
+                or _dv_touching(m2, affected) != _dv_touching(base_m, affected)
+            ):
+                return None
+            manifest = {
+                "snapshot": snapshot,
+                "bucket_key": key,
+                "n_buckets": n,
+                "buckets": {
+                    **m2["buckets"],
+                    **{k: snapshot for k in aff_keys},
+                },
+                **(
+                    {"dv": dv_kept}
+                    if (dv_kept := _dv_surviving_rewrite(m2, affected))
+                    else {}
+                ),
+                **({"schema": target_json} if target_json else {}),
+                **({"renamed_from": renamed_from} if renamed_from else {}),
+                **(
+                    {"txn": {**(m2.get("txn") or {}), txn[0]: txn[1]}}
+                    if txn is not None
+                    else {}
+                ),
+                **self._props_map(None, m2),
+                **({"table_id": m2["table_id"]} if m2.get("table_id") else {}),
+            }
+            try:
+                return self._publish(table, manifest, expected_version=v2)
+            except CommitConflict:
+                continue  # another winner landed: re-check against it
+        return None
 
     def delete_where(
         self,

@@ -1239,10 +1239,17 @@ class TestOptimisticConcurrency:
         class AlwaysRaced(Warehouse):
             def read_buckets(self, table, bucket_ids, manifest=None):
                 n["i"] += 1
+                # the contender hits the SAME key — a physical
+                # conflict every round, so reconciliation correctly
+                # refuses and the retry budget must exhaust (a
+                # disjoint-bucket contender would now reconcile and
+                # commit instead; that lane is pinned in
+                # tests/test_warehouse_contract.py
+                # TestConflictReconciliation)
                 contender.merge_bucketed(
                     "t",
                     spark.createDataFrame(
-                        [(3, f"c{n['i']}")], "id long, val string"
+                        [(2, f"c{n['i']}")], "id long, val string"
                     ),
                     snapshot=f"c{n['i']}",
                 )

@@ -2542,3 +2542,235 @@ class TestRowsChangedAndAdvance:
         out = refresh_rollup_view(wh, "v")
         assert out["mode"] == "incremental"
         assert wh.table_properties("v")["mv.source_key"] == "alt_key"
+
+
+class TestConflictReconciliation:
+    """Logical conflict detection: a CAS-lost bucketed MERGE whose
+    competing commit touched DISJOINT buckets re-publishes its
+    already-written files directly (zero re-derives, zero re-written
+    parquet); overlapping buckets — and anything that moves schema,
+    layout, or the affected buckets' DV cover — still re-derive. Both
+    commit protocols. (Without this, hourly imports × auto-compaction
+    × MV refresh × mirror sync serialize through wasted re-derives —
+    the multi-writer bottleneck at scale.)"""
+
+    N_BUCKETS = 8
+
+    def _seed(self, spark, wh):
+        rows = [(i, f"v{i}") for i in range(1, 17)]
+        wh.write(
+            "t",
+            spark.createDataFrame(rows, "id long, v string"),
+            snapshot="s0",
+            bucket=("id", self.N_BUCKETS),
+        )
+
+    def _bucket(self, spark, key: int) -> int:
+        from pyspark.sql import functions as F
+
+        return (
+            spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(key).cast("long")), F.lit(self.N_BUCKETS))
+                .cast("int")
+                .alias("b")
+            )
+            .collect()[0]["b"]
+        )
+
+    def _keys_disjoint_overlapping(self, spark):
+        """(key_a, key_b_disjoint, key_b_same_bucket) — two keys in
+        different buckets and one sharing key_a's bucket."""
+        b_of = {k: self._bucket(spark, k) for k in range(1, 17)}
+        key_a = 1
+        disjoint = next(k for k in range(2, 17) if b_of[k] != b_of[key_a])
+        same = next(
+            (k for k in range(2, 17) if b_of[k] == b_of[key_a]), None
+        )
+        return key_a, disjoint, same
+
+    def _race(self, spark, wh, wh2, key_mine: int, key_theirs: int):
+        """Deterministically lose the first CAS: just before our merge
+        publishes, the competing merge (through a second handle on the
+        same store) lands first."""
+        fired = {"done": False}
+        batch_theirs = spark.createDataFrame(
+            [(key_theirs, "THEIRS")], "id long, v string"
+        )
+        if isinstance(wh, DeltaWarehouse):
+            orig = wh._commit
+
+            def racing(table, version, actions):
+                if not fired["done"]:
+                    fired["done"] = True
+                    wh2.merge_bucketed("t", batch_theirs, snapshot="mB")
+                return orig(table, version, actions)
+
+            wh._commit = racing
+        else:
+            orig = wh._publish
+
+            def racing(table, manifest, expected_version=None):
+                if not fired["done"]:
+                    fired["done"] = True
+                    wh2.merge_bucketed("t", batch_theirs, snapshot="mB")
+                return orig(table, manifest, expected_version)
+
+            wh._publish = racing
+        batch_mine = spark.createDataFrame(
+            [(key_mine, "MINE")], "id long, v string"
+        )
+        try:
+            wh.merge_bucketed("t", batch_mine, snapshot="mA")
+        finally:
+            if isinstance(wh, DeltaWarehouse):
+                wh._commit = orig
+            else:
+                wh._publish = orig
+
+    def _derive_dirs(self, wh):
+        """Data directories on disk whose name marks a merge RETRY
+        attempt (manifest: '-v<N>' suffix; delta: 'batch-mA-<n>')."""
+        import re
+
+        out = []
+        for d in os.listdir(os.path.join(wh.root, "t")):
+            if re.search(r"-v\d+$", d) or re.fullmatch(r"batch-mA-\d+", d):
+                out.append(d)
+        return out
+
+    def test_disjoint_buckets_commit_without_rederive(
+        self, spark, wh_factory
+    ):
+        wh, wh2 = wh_factory(), wh_factory()
+        self._seed(spark, wh)
+        base = head(wh, "t")
+        key_a, key_disjoint, _ = self._keys_disjoint_overlapping(spark)
+        self._race(spark, wh, wh2, key_a, key_disjoint)
+        # both merges landed, exactly one commit each
+        assert head(wh, "t") == base + 2
+        rows = {r["id"]: r["v"] for r in wh.read("t").collect()}
+        assert rows[key_a] == "MINE" and rows[key_disjoint] == "THEIRS"
+        assert len(rows) == 16
+        # ZERO re-derives: no retry-suffixed data directory exists
+        assert self._derive_dirs(wh) == []
+
+    def test_overlapping_buckets_still_rederive(self, spark, wh_factory):
+        wh, wh2 = wh_factory(), wh_factory()
+        self._seed(spark, wh)
+        key_a, _, key_same = self._keys_disjoint_overlapping(spark)
+        if key_same is None:
+            pytest.skip("no same-bucket key pair at this layout")
+        base = head(wh, "t")
+        self._race(spark, wh, wh2, key_a, key_same)
+        assert head(wh, "t") == base + 2
+        # correctness first: both writers' rows survive the retry
+        rows = {r["id"]: r["v"] for r in wh.read("t").collect()}
+        assert rows[key_a] == "MINE" and rows[key_same] == "THEIRS"
+        assert len(rows) == 16
+        # and the loser really did re-derive (retry-named data dir)
+        assert self._derive_dirs(wh) != []
+
+    def test_concurrent_compaction_forces_rederive(self, spark, wh_factory):
+        """OPTIMIZE repoints EVERY bucket — a merge that lost to it
+        must re-derive (its read set was globally invalidated), never
+        reconcile."""
+        wh, wh2 = wh_factory(), wh_factory()
+        self._seed(spark, wh)
+        key_a, _, _ = self._keys_disjoint_overlapping(spark)
+        fired = {"done": False}
+        if isinstance(wh, DeltaWarehouse):
+            orig = wh._commit
+
+            def racing(table, version, actions):
+                if not fired["done"]:
+                    fired["done"] = True
+                    wh2.compact("t")
+                return orig(table, version, actions)
+
+            wh._commit = racing
+        else:
+            orig = wh._publish
+
+            def racing(table, manifest, expected_version=None):
+                if not fired["done"]:
+                    fired["done"] = True
+                    wh2.compact("t")
+                return orig(table, manifest, expected_version)
+
+            wh._publish = racing
+        try:
+            wh.merge_bucketed(
+                "t",
+                spark.createDataFrame([(key_a, "MINE")], "id long, v string"),
+                snapshot="mA",
+            )
+        finally:
+            if isinstance(wh, DeltaWarehouse):
+                wh._commit = orig
+            else:
+                wh._publish = orig
+        rows = {r["id"]: r["v"] for r in wh.read("t").collect()}
+        assert rows[key_a] == "MINE" and len(rows) == 16
+        assert self._derive_dirs(wh) != []
+
+    def test_reconciled_commit_carries_epoch_and_dv(
+        self, spark, wh_factory
+    ):
+        """The reconciled publish preserves BOTH sides' invariants:
+        our txn epoch lands, and a pre-existing DV on an untouched
+        bucket keeps suppressing its row."""
+        wh, wh2 = wh_factory(), wh_factory()
+        self._seed(spark, wh)
+        # merge-on-read delete on some row far from key_a's bucket
+        key_a, key_disjoint, _ = self._keys_disjoint_overlapping(spark)
+        victim = next(
+            k
+            for k in range(1, 17)
+            if k not in (key_a, key_disjoint)
+            and self._bucket(spark, k)
+            not in (self._bucket(spark, key_a), self._bucket(spark, key_disjoint))
+        )
+        assert wh.delete_where("t", f"id = {victim}", mode="mor") == 1
+        fired = {"done": False}
+        batch_theirs = spark.createDataFrame(
+            [(key_disjoint, "THEIRS")], "id long, v string"
+        )
+        if isinstance(wh, DeltaWarehouse):
+            orig = wh._commit
+
+            def racing(table, version, actions):
+                if not fired["done"]:
+                    fired["done"] = True
+                    wh2.merge_bucketed("t", batch_theirs, snapshot="mB")
+                return orig(table, version, actions)
+
+            wh._commit = racing
+        else:
+            orig = wh._publish
+
+            def racing(table, manifest, expected_version=None):
+                if not fired["done"]:
+                    fired["done"] = True
+                    wh2.merge_bucketed("t", batch_theirs, snapshot="mB")
+                return orig(table, manifest, expected_version)
+
+            wh._publish = racing
+        try:
+            wh.merge_bucketed(
+                "t",
+                spark.createDataFrame([(key_a, "MINE")], "id long, v string"),
+                snapshot="mA",
+                txn=("app1", 7),
+            )
+        finally:
+            if isinstance(wh, DeltaWarehouse):
+                wh._commit = orig
+            else:
+                wh._publish = orig
+        assert self._derive_dirs(wh) == []
+        assert wh.last_txn_epoch("app1", "t") == 7
+        rows = {r["id"]: r["v"] for r in wh.read("t").collect()}
+        assert victim not in rows
+        assert rows[key_a] == "MINE" and rows[key_disjoint] == "THEIRS"
+        assert len(rows) == 15
