@@ -251,11 +251,47 @@ def _maintain(argv: list[str]) -> int:
     return 0
 
 
+def _sql(argv: list[str]) -> int:
+    """``sql`` subcommand: one DML statement (DELETE FROM / UPDATE ...
+    SET / MERGE INTO) against a warehouse table, either commit format.
+    Every warehouse table is pre-registered as a temp view, so a MERGE
+    source can be a subquery over them or a direct file scan
+    (``parquet.`/path```)::
+
+        python -m canvas_data_loader_spark sql --warehouse-dir DIR \
+            [--format manifest|delta] --stmt "DELETE FROM t WHERE ..."
+    """
+    ap = argparse.ArgumentParser(prog="canvas_data_loader_spark sql")
+    ap.add_argument("--warehouse-dir", required=True)
+    ap.add_argument("--format", choices=("manifest", "delta"), default="manifest")
+    ap.add_argument("--stmt", required=True, help="the DML statement")
+    args = ap.parse_args(argv)
+
+    from .session import get_spark
+    from .sql import execute_dml, register_warehouse_views
+
+    spark = get_spark("cdl-sql")
+    if args.format == "delta":
+        from .plans.delta import DeltaWarehouse
+
+        wh = DeltaWarehouse(spark, args.warehouse_dir)
+    else:
+        from .plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, args.warehouse_dir)
+    register_warehouse_views(spark, wh)
+    out = execute_dml(wh, args.stmt)
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
     if argv and argv[0] == "maintain":
         return _maintain(argv[1:])
+    if argv and argv[0] == "sql":
+        return _sql(argv[1:])
     ap = argparse.ArgumentParser(prog="canvas_data_loader_spark")
     ap.add_argument("--config-dir", default="config")
     ap.add_argument("--warehouse-dir", default=None)

@@ -33,3 +33,338 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     nanos-safe reader)."""
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def register_warehouse_views(spark: SparkSession, wh, prefix: str = "") -> None:
+    """Register every warehouse table (either commit protocol) as a
+    temp view, so the READ surface of a managed warehouse is reachable
+    from ``spark.sql`` alongside the fixtures."""
+    for t in wh.tables():
+        wh.read(t).createOrReplaceTempView(prefix + t)
+
+
+# ---------------------------------------------------------------------------
+# SQL DML front-end: DELETE FROM / UPDATE ... SET / MERGE INTO over
+# warehouse tables (both commit protocols). The reference's write path
+# is row-at-a-time SQL (src/importer.rs:345-390: DELETE by key +
+# INSERT per row); this surface accepts the STATEMENT spelling and
+# routes it to the warehouse's set-oriented DML (delete_where /
+# update_where / merge_bucketed) so the SQL capability matches the
+# Python capability. Statement results are pinned equal to the Python
+# API's by tests/test_sql_surface.py.
+# ---------------------------------------------------------------------------
+
+
+class SqlDmlError(ValueError):
+    """The statement is not one of the supported DML shapes (the error
+    message says which shapes are)."""
+
+
+def _scan_top_level(stmt: str):
+    """Yield (index, char, depth, in_quote) for a SQL string, tracking
+    single/double quotes (with '' escape) and parenthesis depth — the
+    primitive under keyword search and comma splitting."""
+    depth = 0
+    quote = None
+    i = 0
+    while i < len(stmt):
+        c = stmt[i]
+        if quote is not None:
+            if c == quote:
+                if i + 1 < len(stmt) and stmt[i + 1] == quote:
+                    i += 2
+                    continue
+                quote = None
+        elif c in "'\"":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        yield i, c, depth, quote is not None
+        i += 1
+
+
+def _find_keyword(stmt: str, keyword: str, start: int = 0) -> int:
+    """Index of the first depth-0, unquoted, word-boundary occurrence
+    of ``keyword`` (case-insensitive) at or after ``start``; -1 if
+    absent."""
+    kw = keyword.upper()
+    n = len(kw)
+    up = stmt.upper()
+    for i, _c, depth, quoted in _scan_top_level(stmt):
+        if i < start or depth != 0 or quoted:
+            continue
+        if up[i : i + n] != kw:
+            continue
+        before_ok = i == 0 or not (up[i - 1].isalnum() or up[i - 1] == "_")
+        j = i + n
+        after_ok = j >= len(up) or not (up[j].isalnum() or up[j] == "_")
+        if before_ok and after_ok:
+            return i
+    return -1
+
+
+def _split_top_level(stmt: str, sep: str = ",") -> list[str]:
+    """Split on depth-0 unquoted ``sep`` characters."""
+    parts, last = [], 0
+    for i, c, depth, quoted in _scan_top_level(stmt):
+        if c == sep and depth == 0 and not quoted:
+            parts.append(stmt[last:i])
+            last = i + 1
+    parts.append(stmt[last:])
+    return [p.strip() for p in parts]
+
+
+def _ident(tok: str) -> str:
+    tok = tok.strip()
+    if tok.startswith('"') and tok.endswith('"'):
+        return tok[1:-1].replace('""', '"')
+    if tok.startswith("`") and tok.endswith("`"):
+        return tok[1:-1]
+    return tok
+
+
+def _parse_delete(stmt: str):
+    import re
+
+    m = re.match(r"\s*DELETE\s+FROM\s+(\S+)\s*(.*)$", stmt, re.I | re.S)
+    if not m:
+        raise SqlDmlError("malformed DELETE FROM statement")
+    table, rest = _ident(m.group(1)), m.group(2).strip()
+    if not rest:
+        return table, "true"
+    mw = re.match(r"WHERE\s+(.*)$", rest, re.I | re.S)
+    if not mw:
+        raise SqlDmlError(f"unexpected tokens after DELETE FROM: {rest[:40]!r}")
+    return table, mw.group(1).strip()
+
+
+def _parse_update(stmt: str):
+    import re
+
+    m = re.match(r"\s*UPDATE\s+(\S+)\s+SET\s+", stmt, re.I)
+    if not m:
+        raise SqlDmlError("malformed UPDATE statement")
+    table = _ident(m.group(1))
+    body = stmt[m.end():]
+    w = _find_keyword(body, "WHERE")
+    set_part, cond = (
+        (body[:w], body[w + 5 :].strip()) if w >= 0 else (body, "true")
+    )
+    assigns = {}
+    for item in _split_top_level(set_part):
+        if not item:
+            continue
+        eq = item.find("=")
+        if eq <= 0:
+            raise SqlDmlError(f"malformed SET assignment {item!r}")
+        assigns[_ident(item[:eq])] = item[eq + 1 :].strip()
+    if not assigns:
+        raise SqlDmlError("UPDATE with empty SET list")
+    return table, assigns, cond
+
+
+def _parse_merge(stmt: str):
+    """Supported MERGE shapes (the warehouse's keyed CDC semantics):
+
+        MERGE INTO t [AS a] USING <view | (subquery)> [AS b]
+            ON t.<key> = b.<key>                  (equality on the key)
+        [WHEN MATCHED AND <cond> THEN DELETE]
+        [WHEN MATCHED THEN DELETE]                (unconditional)
+        [WHEN MATCHED THEN UPDATE SET *]
+        [WHEN NOT MATCHED THEN INSERT *]
+
+    UPDATE SET * / INSERT * only — column-level assignment in MERGE is
+    the row-replacement the keyed upsert already performs; use UPDATE
+    ... SET for column surgery."""
+    import re
+
+    m = re.match(r"\s*MERGE\s+INTO\s+(\S+)(?:\s+AS\s+(\w+))?\s+USING\s+",
+                 stmt, re.I)
+    if not m:
+        raise SqlDmlError("malformed MERGE INTO statement")
+    table = _ident(m.group(1))
+    t_alias = m.group(2) or table
+    rest = stmt[m.end():]
+    if rest.lstrip().startswith("("):
+        # (subquery) [AS alias]
+        rest_l = rest.lstrip()
+        end = None
+        for i, c, depth_i, quoted in _scan_top_level(rest_l):
+            if quoted:
+                continue
+            if c == ")" and depth_i == 0:
+                end = i
+                break
+        if end is None:
+            raise SqlDmlError("unbalanced parentheses in MERGE source")
+        source = ("subquery", rest_l[1:end])
+        rest = rest_l[end + 1 :]
+    else:
+        ms = re.match(r"(\S+)", rest)
+        source = ("view", _ident(ms.group(1)))
+        rest = rest[ms.end():]
+    on_at = _find_keyword(rest, "ON")
+    if on_at < 0:
+        raise SqlDmlError("MERGE requires an ON clause")
+    alias_part = rest[:on_at].strip()
+    s_alias = None
+    if alias_part:
+        mal = re.fullmatch(r"(?:AS\s+)?(\w+)", alias_part, re.I)
+        if not mal:
+            raise SqlDmlError(f"unexpected tokens before ON: {alias_part!r}")
+        s_alias = mal.group(1)
+    rest = rest[on_at + 2 :]
+    when_at = _find_keyword(rest, "WHEN")
+    if when_at < 0:
+        raise SqlDmlError("MERGE requires at least one WHEN clause")
+    on_expr = rest[:when_at].strip()
+    clauses_text = rest[when_at:]
+    # ON must be a bare equality between the two sides' key column
+    me = re.fullmatch(
+        r"(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)", on_expr
+    )
+    if not me:
+        raise SqlDmlError(
+            f"MERGE ON must be a single key equality, got {on_expr!r}"
+        )
+    q1, c1, q2, c2 = me.groups()
+    if c1 != c2:
+        raise SqlDmlError(
+            f"MERGE ON must equate the same key column on both sides "
+            f"(got {c1!r} = {c2!r})"
+        )
+    for q in (q1, q2):
+        if q is not None and q not in (t_alias, s_alias, table, source[1]):
+            raise SqlDmlError(f"unknown qualifier {q!r} in MERGE ON")
+    key = c1
+    # WHEN clauses
+    delete_cond = None
+    has_delete = has_update = has_insert = False
+    pat = re.compile(
+        r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+"
+        r"(DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*)\s*",
+        re.I | re.S,
+    )
+    pos = 0
+    while pos < len(clauses_text):
+        mc = pat.match(clauses_text, pos)
+        if not mc:
+            if clauses_text[pos:].strip():
+                raise SqlDmlError(
+                    "unsupported MERGE clause at: "
+                    f"{clauses_text[pos:pos + 60]!r} (supported: WHEN "
+                    "MATCHED [AND c] THEN DELETE / WHEN MATCHED THEN "
+                    "UPDATE SET * / WHEN NOT MATCHED THEN INSERT *)"
+                )
+            break
+        is_not, cond, action = mc.group(1), mc.group(2), mc.group(3).upper()
+        action = " ".join(action.split())
+        if is_not:
+            if action != "INSERT *" or cond:
+                raise SqlDmlError(
+                    "WHEN NOT MATCHED supports only THEN INSERT *"
+                )
+            has_insert = True
+        elif action == "DELETE":
+            has_delete = True
+            delete_cond = cond.strip() if cond else None
+        elif action == "UPDATE SET *":
+            if cond:
+                raise SqlDmlError(
+                    "WHEN MATCHED AND ... THEN UPDATE SET * is not "
+                    "supported (conditional update = UPDATE ... SET)"
+                )
+            has_update = True
+        else:
+            raise SqlDmlError(f"unsupported MERGE action {action!r}")
+        pos = mc.end()
+    if not (has_delete or has_update or has_insert):
+        raise SqlDmlError("MERGE requires at least one WHEN clause")
+    return {
+        "table": table,
+        "source": source,
+        "key": key,
+        "s_alias": s_alias,
+        "delete": has_delete,
+        "delete_cond": delete_cond,
+        "update": has_update,
+        "insert": has_insert,
+    }
+
+
+def execute_dml(wh, stmt: str) -> dict:
+    """Execute one DML statement against a warehouse (either commit
+    protocol). Returns {"operation": ..., "rows"/"buckets": ...};
+    raises SqlDmlError for unsupported shapes. Semantics are EXACTLY
+    the Python API's — delete_where / update_where / merge_bucketed
+    (with delete_keys for the DELETE clause) do the work, so every
+    guarantee (CAS publish, pruned buckets, DV policy, epochs) carries
+    over verbatim."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    head = re.match(r"\s*(\w+)", stmt)
+    verb = (head.group(1) if head else "").upper()
+    if verb == "DELETE":
+        table, cond = _parse_delete(stmt)
+        n = wh.delete_where(table, cond)
+        return {"operation": "DELETE", "rows": n}
+    if verb == "UPDATE":
+        table, assigns, cond = _parse_update(stmt)
+        n = wh.update_where(table, assigns, cond)
+        return {"operation": "UPDATE", "rows": n}
+    if verb == "MERGE":
+        p = _parse_merge(stmt)
+        spark = wh.spark
+        kind, ref = p["source"]
+        src = spark.sql(ref) if kind == "subquery" else spark.table(ref)
+        info = wh.routing_info(p["table"])
+        if info is None:
+            raise SqlDmlError(f"unknown warehouse table {p['table']!r}")
+        if info.get("bucket_key") != p["key"]:
+            raise SqlDmlError(
+                f"MERGE ON key {p['key']!r} must be the table's bucket "
+                f"key ({info.get('bucket_key')!r}) — the keyed upsert "
+                "routes by it"
+            )
+        key = p["key"]
+        delete_keys = None
+        if p["delete"]:
+            matched = src
+            if p["delete_cond"] is not None:
+                cond_txt = p["delete_cond"]
+                if p["s_alias"]:
+                    cond_txt = re.sub(
+                        rf"\b{re.escape(p['s_alias'])}\.", "", cond_txt
+                    )
+                cond_col = F.expr(cond_txt)
+                matched = src.filter(cond_col)
+                # NULL-safe complement: a NULL condition keeps the row
+                # on the upsert side (SQL's WHEN MATCHED falls through)
+                src = src.filter(~F.coalesce(cond_col, F.lit(False)))
+            else:
+                src = src.limit(0)
+            delete_keys = matched.select(key)
+        upserts = src
+        if not (p["update"] and p["insert"]):
+            existing = F.broadcast(wh.read(p["table"]).select(key).distinct())
+            if p["update"] and not p["insert"]:
+                upserts = upserts.join(existing, on=key, how="left_semi")
+            elif p["insert"] and not p["update"]:
+                upserts = upserts.join(existing, on=key, how="left_anti")
+            elif p["delete"]:
+                upserts = upserts.limit(0)
+        affected = wh.merge_bucketed(
+            p["table"],
+            upserts,
+            snapshot="sql-merge",
+            delete_keys=delete_keys,
+        )
+        return {"operation": "MERGE", "buckets": affected}
+    raise SqlDmlError(
+        f"unsupported statement {verb!r} (supported: DELETE FROM, "
+        "UPDATE ... SET, MERGE INTO)"
+    )

@@ -820,3 +820,59 @@ class TestStreamAutoRefreshViews:
                 wh.read("facts"), ["grp"], {"total": "amount"}
             ).collect()
         )
+
+
+class TestSqlCli:
+    def test_sql_subcommand_dml_roundtrip(self, tmp_path, spark, capsys):
+        """`sql --stmt` runs DELETE / UPDATE / MERGE through the same
+        warehouse DML the Python API exposes; warehouse tables are
+        pre-registered as views so a MERGE source can be a subquery
+        over them."""
+        import json as _json
+
+        from canvas_data_loader_spark.__main__ import main
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh_dir = str(tmp_path / "whsql")
+        wh = Warehouse(spark, wh_dir)
+        wh.write(
+            "t",
+            spark.createDataFrame(
+                [(i, f"v{i}", i * 10) for i in range(1, 9)],
+                "id long, v string, cnt long",
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        wh.write(
+            "staged",
+            spark.createDataFrame(
+                [(2, "UP", 999), (20, "NEW", 1)],
+                "id long, v string, cnt long",
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        base = ["sql", "--warehouse-dir", wh_dir]
+        assert main(base + ["--stmt", "DELETE FROM t WHERE cnt > 70"]) == 0
+        assert _json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == {
+            "operation": "DELETE",
+            "rows": 1,
+        }
+        assert main(
+            base + ["--stmt", "UPDATE t SET v = upper(v) WHERE id = 1"]
+        ) == 0
+        assert main(
+            base
+            + [
+                "--stmt",
+                "MERGE INTO t USING (SELECT * FROM staged) AS s "
+                "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *",
+            ]
+        ) == 0
+        rows = {r["id"]: (r["v"], r["cnt"]) for r in wh.read("t").collect()}
+        assert rows[1] == ("V1", 10)      # UPDATE applied
+        assert 8 not in rows              # DELETE applied
+        assert rows[2] == ("UP", 999)     # MERGE update
+        assert rows[20] == ("NEW", 1)     # MERGE insert
