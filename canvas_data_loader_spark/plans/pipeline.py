@@ -2086,7 +2086,23 @@ class Warehouse:
             if nme == "_commits" or nme in ever_referenced or not os.path.isdir(full):
                 continue
             try:
-                if now - os.path.getmtime(full) > self.orphan_ttl_sec:
+                # age = the NEWEST mtime in the tree, not the top dir's:
+                # a long-lived container (.stream-stage/<appId>, or a
+                # slow backfill's claimed snapshot dir) keeps an old
+                # top-level mtime while fresh in-flight files sit
+                # inside — judging by the top dir alone would rmtree an
+                # active stage mid-batch once the container outlives
+                # the TTL
+                newest = os.path.getmtime(full)
+                for dp, _, fs in os.walk(full):
+                    for f in fs:
+                        try:
+                            newest = max(
+                                newest, os.path.getmtime(os.path.join(dp, f))
+                            )
+                        except OSError:
+                            pass
+                if now - newest > self.orphan_ttl_sec:
                     shutil.rmtree(full, ignore_errors=True)
             except OSError:
                 pass

@@ -58,7 +58,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -946,6 +948,138 @@ class WarehouseDataSource(DataSource):
                 "streaming meaning for merge-updated tables)"
             )
         return WarehouseStreamReader(schema, self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return WarehouseStreamWriter(schema, self.options, overwrite)
+
+
+# --------------------------------------------------------------------------
+# streaming WRITE: writeStream.format("cdl_warehouse")
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _StagedFiles(WriterCommitMessage):
+    files: list[str] = field(default_factory=list)
+
+
+class WarehouseStreamWriter(DataSourceStreamWriter):
+    """Exactly-once streaming upsert INTO a warehouse table — the
+    writer half of the data source, so consumers no longer hand-roll
+    foreachBatch around ``streaming.ingest.apply_stream_batch``::
+
+        df.writeStream.format("cdl_warehouse")
+          .option("root", ...).option("table", ...)
+          .option("key", "id")[.option("orderCol", "seq")]
+          .option("appId", <stable writer id>)
+          .option("checkpointLocation", ...).start()
+
+    Protocol: executors STAGE each partition's rows as parquet under
+    ``<table>/.stream-stage/<appId>/`` (claimed fresh file names, a
+    directory no commit ever references — the vacuum/orphan TTL sweep
+    reclaims crashed stages); the driver-side ``commit(batchId)``
+    reads the staged files back and applies ONE keyed merge via
+    ``apply_stream_batch``, which records the ``(appId, batchId)``
+    epoch in the SAME CAS commit as the rows. A crash after the
+    warehouse commit but before Spark's checkpoint commit replays the
+    batch; the epoch check skips it — rows and bookkeeping can never
+    diverge (the Delta ``txn`` shape, both commit protocols).
+
+    ``appId`` is REQUIRED and must be stable for the lifetime of one
+    checkpoint (batch ids are scoped to a checkpoint: two queries
+    sharing an appId but not a checkpoint would skip each other's
+    epochs). The reader half's convention applies: name it after the
+    checkpoint."""
+
+    def __init__(self, schema: StructType, options, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "cdl_warehouse streaming write is merge-only (keyed "
+                "upsert); outputMode('complete') has no meaning here"
+            )
+        self.schema = schema
+        self.root = _required(options, "root")
+        self.table = _required(options, "table")
+        self.app_id = options.get("appId")
+        if not self.app_id:
+            raise ValueError(
+                "cdl_warehouse streaming write requires .option('appId', "
+                "<stable writer id>) — epochs are recorded under it; "
+                "keep it 1:1 with the checkpoint location"
+            )
+        keys = _required(options, "key")
+        self.keys = [k.strip() for k in keys.split(",") if k.strip()]
+        self.order_col = options.get("orderCol")
+        self.protocol = options.get("protocol")
+
+    def _stage_dir(self) -> str:
+        return os.path.join(self.root, self.table, ".stream-stage", self.app_id)
+
+    def write(self, iterator):
+        """Executor-side: stage this partition's rows as one parquet
+        file (no warehouse state is touched — commit() owns that)."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        rows = [r.asDict(recursive=True) for r in iterator]
+        if not rows:
+            return _StagedFiles()
+        stage = self._stage_dir()
+        os.makedirs(stage, exist_ok=True)
+        path = os.path.join(stage, f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=to_arrow_schema(self.schema)),
+            path,
+        )
+        return _StagedFiles(files=[path])
+
+    def commit(self, messages, batchId: int):
+        """Driver-side per-batch commit. Runs in the data source's
+        Python worker process, which has NO SparkSession (SPARK-44076
+        architecture: the JVM spawns a plain worker for the writer's
+        lifecycle hooks) — so the keyed merge goes through the
+        Spark-free pyarrow lane (plans/arrow_dml.py), which publishes
+        through the SAME CAS commit protocols with the SAME
+        ``(appId, batchId)`` epoch rule as streaming.ingest."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from canvas_data_loader_spark.plans.arrow_dml import (
+            apply_stream_batch_arrow,
+        )
+
+        files = [f for m in messages if m is not None for f in m.files]
+        if files:
+            batch = pa.concat_tables([pq.read_table(f) for f in files])
+            apply_stream_batch_arrow(
+                self.root,
+                self.table,
+                self.keys,
+                self.order_col,
+                self.app_id,
+                batch,
+                batchId,
+                protocol=self.protocol,
+            )
+        # staged files served their purpose (the merge wrote real data
+        # files); reclaim eagerly — a crash between the merge commit
+        # and here leaves orphans for the TTL sweep
+        for f in files:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+
+    def abort(self, messages, batchId: int):
+        for m in messages or []:
+            for f in getattr(m, "files", None) or []:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
 
 
 def register(spark) -> None:

@@ -949,6 +949,38 @@ class TestHttpTransportLoopback:
         dirs = sorted(os.listdir(tmp_path / "who" / "t"))
         assert "_commits" in dirs and wh.read("t").count() == 4
 
+    def test_orphan_age_is_newest_inner_mtime_not_container(
+        self, spark, tmp_path
+    ):
+        # A long-lived unreferenced CONTAINER (.stream-stage/<appId> is
+        # the canonical one: the stream writer stages every batch's
+        # parquet there for seconds) keeps an ancient top-level mtime
+        # while fresh in-flight files sit inside. The sweep must judge
+        # age by the NEWEST mtime in the tree, or it rmtree's an active
+        # stage mid-batch the moment the container outlives the TTL.
+        import os
+        import time as _t
+
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "whs"), orphan_ttl_sec=3600.0)
+        wh.write("t", spark.range(3), snapshot="d1")
+        stage = tmp_path / "whs" / "t" / ".stream-stage" / "app"
+        stage.mkdir(parents=True)
+        staged = stage / "part-live.parquet"
+        staged.write_bytes(b"in-flight")  # fresh mtime
+        old = _t.time() - 7200
+        os.utime(stage, (old, old))
+        os.utime(stage.parent, (old, old))
+        wh.write("t", spark.range(4), snapshot="d2")  # triggers _prune
+        assert staged.exists()  # survived: inner file is young
+        # once EVERYTHING inside is past the TTL, the container goes
+        os.utime(staged, (old, old))
+        os.utime(stage, (old, old))
+        os.utime(stage.parent, (old, old))
+        wh.write("t", spark.range(5), snapshot="d3")
+        assert not (tmp_path / "whs" / "t" / ".stream-stage").exists()
+
 
 class TestRetryingTransport:
     """Retry/backoff decorator over the transport seam — the WAN

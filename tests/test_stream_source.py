@@ -969,3 +969,142 @@ class TestGuardsAndEvolution:
         wh.set_properties("t", {"owner": "feed-test"})
         got = run_stream(spark, wh.root, "t", ckpt, out)
         assert got.count() == before
+
+
+class TestStreamWriter:
+    """writeStream.format('cdl_warehouse'): the writer half of the
+    data source. Executors stage parquet; the driver commit applies
+    ONE keyed merge per micro-batch with the (appId, batchId) epoch in
+    the same CAS commit — so a replayed batch (crash between warehouse
+    commit and Spark checkpoint commit) is skipped, both protocols."""
+
+    SCHEMA = "id long, v string, seq long"
+
+    def _start(self, spark, src_dir, wh, ckpt):
+        from pyspark.sql.types import _parse_datatype_string
+
+        stream = (
+            spark.readStream.schema(_parse_datatype_string(self.SCHEMA))
+            .parquet(src_dir)
+        )
+        return (
+            stream.writeStream.format("cdl_warehouse")
+            .option("root", wh.root)
+            .option("table", "t")
+            .option("key", "id")
+            .option("orderCol", "seq")
+            .option("appId", "w1")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def test_e2e_upsert_and_replay_skip(self, spark, wh_factory, tmp_path):
+        import glob
+
+        from canvas_data_loader_spark.sources.warehouse_source import register
+
+        register(spark)
+        wh = wh_factory()
+        base = spark.createDataFrame(
+            [(i, f"v{i}", 0) for i in range(1, 9)], self.SCHEMA
+        )
+        wh.write("t", base, snapshot="s0", bucket=("id", 4))
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [(1, "b0", 1), (1, "b0-newer", 2), (20, "NEW", 1)], self.SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        q = self._start(spark, src, wh, ckpt)
+        q.awaitTermination(120)
+        rows = {r["id"]: r["v"] for r in wh.read("t").collect()}
+        # in-batch dups collapse to latest by orderCol; new key inserts
+        assert rows[1] == "b0-newer" and rows[20] == "NEW" and len(rows) == 9
+        assert wh.last_txn_epoch("w1", "t") == 0
+        # second batch through the SAME checkpoint
+        spark.createDataFrame(
+            [(2, "b1", 3)], self.SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        q = self._start(spark, src, wh, ckpt)
+        q.awaitTermination(120)
+        rows = {r["id"]: r["v"] for r in wh.read("t").collect()}
+        assert rows[2] == "b1" and len(rows) == 9
+        assert wh.last_txn_epoch("w1", "t") == 1
+        v_before = wh.current_version("t")
+        # REPLAY: drop the checkpoint's last commit marker — Spark
+        # re-runs batch 1; the epoch guard must skip it (no new
+        # warehouse commit, same rows)
+        commits = sorted(glob.glob(os.path.join(ckpt, "commits", "[0-9]*")))
+        os.remove(commits[-1])
+        crc = os.path.join(
+            os.path.dirname(commits[-1]),
+            f".{os.path.basename(commits[-1])}.crc",
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+        q = self._start(spark, src, wh, ckpt)
+        q.awaitTermination(120)
+        assert wh.current_version("t") == v_before
+        rows2 = {r["id"]: r["v"] for r in wh.read("t").collect()}
+        assert rows2 == rows
+        # staging reclaimed
+        stage = os.path.join(wh.root, "t", ".stream-stage", "w1")
+        leftovers = glob.glob(os.path.join(stage, "*.parquet"))
+        assert leftovers == []
+
+    def test_writer_requires_app_id_and_key(self, spark, wh_factory, tmp_path):
+        from canvas_data_loader_spark.sources.warehouse_source import (
+            WarehouseStreamWriter,
+        )
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(self.SCHEMA)
+        with pytest.raises(ValueError, match="appId"):
+            WarehouseStreamWriter(
+                schema, {"root": "/x", "table": "t", "key": "id"}, False
+            )
+        with pytest.raises(Exception, match="key"):
+            WarehouseStreamWriter(
+                schema, {"root": "/x", "table": "t", "appId": "a"}, False
+            )
+        with pytest.raises(ValueError, match="merge-only"):
+            WarehouseStreamWriter(
+                schema,
+                {"root": "/x", "table": "t", "key": "id", "appId": "a"},
+                True,
+            )
+
+    def test_writer_refuses_wrong_key_on_bucketed(self, spark, wh_factory, tmp_path):
+        from canvas_data_loader_spark.sources.warehouse_source import register
+
+        register(spark)
+        wh = wh_factory()
+        base = spark.createDataFrame(
+            [(i, f"v{i}", 0) for i in range(1, 5)], self.SCHEMA
+        )
+        wh.write("t", base, snapshot="s0", bucket=("id", 4))
+        src = str(tmp_path / "srcbad")
+        spark.createDataFrame([(1, "x", 1)], self.SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        from pyspark.sql.types import _parse_datatype_string
+
+        stream = (
+            spark.readStream.schema(_parse_datatype_string(self.SCHEMA))
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.format("cdl_warehouse")
+            .option("root", wh.root)
+            .option("table", "t")
+            .option("key", "v")  # not the bucket key
+            .option("appId", "w2")
+            .option("checkpointLocation", str(tmp_path / "ckptbad"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        from pyspark.errors.exceptions.base import PySparkException
+
+        with pytest.raises(Exception) as ei:
+            q.awaitTermination(120)
+        assert "bucketed on" in str(ei.value)
