@@ -180,9 +180,9 @@ def _maintain(argv: list[str]) -> int:
                or "none")
         )
     elif args.refresh_view:
-        from .plans.ops import refresh_rollup_view
+        from .plans.ops import refresh_view
 
-        out = refresh_rollup_view(wh, args.table)
+        out = refresh_view(wh, args.table)
         print(
             f"refreshed {args.table}: {out['mode']} "
             f"(source v{out['v_from']} -> v{out['v_to']})"

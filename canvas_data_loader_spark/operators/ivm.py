@@ -22,9 +22,17 @@ equality (pinned in tests and by the q128 oracle).
 
 Only distributive/algebraic aggregates maintain this way (COUNT, SUM,
 and AVG = SUM/COUNT at read time). MIN/MAX are NOT retractable — a
-deleted minimum needs a rescan of its group; production systems keep
-per-group sketches or mark such groups dirty. Out of scope here,
-stated rather than half-built.
+deleted minimum needs a rescan of its group. The production answer is
+to keep partial aggregates at a granularity you can cheaply rescan;
+here that granularity already exists: the warehouse's hash buckets.
+``build_minmax_partials`` keeps per-(bucket, group) partials; a
+refresh rescans ONLY the buckets the change feed says moved (b/N of
+the fact table), swaps those buckets' partial rows, and re-finalizes
+from the partials (|partials| <= n_buckets x |groups| — combine-sized,
+never fact-sized). Deleting a group's minimum is exact: the deleted
+row's bucket is by definition a changed bucket, so its partial is
+recomputed from surviving rows, and the finalize takes the min/max
+across buckets.
 """
 
 from __future__ import annotations
@@ -94,3 +102,49 @@ def apply_rollup_delta(
         for c in out_cols
     ]
     return merged.select(*exprs).filter(F.col(COUNT_COL) > 0)
+
+
+# -- MIN/MAX via per-bucket partials -----------------------------------------
+
+BUCKET_ID_COL = "__mvb"
+
+
+def build_minmax_partials(
+    facts: DataFrame,
+    bucket_key: str,
+    n_buckets: int,
+    keys: list[str],
+    agg_cols: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Per-(bucket, group) partial aggregates: COUNT plus one MIN or
+    MAX per output column. ``agg_cols`` maps output column ->
+    (source column, "min"|"max"). The bucket id is COMPUTED from the
+    bucket key (pmod(xxhash64(key), n) — operators/merge.py
+    bucket_of), not read from storage, so partials can be rebuilt for
+    any subset of rows and always agree with the warehouse's routing."""
+    from .merge import bucket_of
+
+    aggs = [F.count(F.lit(1)).alias(COUNT_COL)]
+    for out, (src, fn) in agg_cols.items():
+        if fn not in ("min", "max"):
+            raise ValueError(f"{out}: unsupported aggregate {fn!r}")
+        aggs.append((F.min if fn == "min" else F.max)(F.col(src)).alias(out))
+    return (
+        facts.withColumn(BUCKET_ID_COL, bucket_of(F.col(bucket_key), n_buckets))
+        .groupBy(BUCKET_ID_COL, *keys)
+        .agg(*aggs)
+    )
+
+
+def finalize_minmax(
+    partials: DataFrame,
+    keys: list[str],
+    agg_cols: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Fold per-bucket partials into the user-facing view: min of
+    mins / max of maxes, counts add (MIN/MAX are distributive, so the
+    two-level aggregation is exact). One combine-sized job."""
+    aggs = [F.sum(COUNT_COL).cast("long").alias(COUNT_COL)]
+    for out, (_src, fn) in agg_cols.items():
+        aggs.append((F.min if fn == "min" else F.max)(F.col(out)).alias(out))
+    return partials.groupBy(*keys).agg(*aggs)

@@ -424,6 +424,252 @@ def refresh_rollup_view(
     )
 
 
+def _minmax_partials_table(view: str) -> str:
+    return f"{view}__partials"
+
+
+def create_minmax_view(
+    warehouse,
+    view: str,
+    source: str,
+    group_keys: list[str],
+    agg_cols: dict[str, tuple[str, str] | list],
+    source_key: str | None = None,
+) -> int:
+    """Materialize a grouped MIN/MAX rollup (COUNT + per-column MIN or
+    MAX; ``agg_cols`` maps output -> (source column, "min"|"max")) of
+    ``source``, REFRESHABLE AT O(changed buckets) — the aggregate
+    class ``create_rollup_view`` refuses because it is not retractable
+    under deletes.
+
+    The trick is a SIDECAR table ``<view>__partials`` holding
+    per-(bucket, group) partial aggregates (operators/ivm.py
+    ``build_minmax_partials``; bucket id COMPUTED from the bucket key,
+    so it always agrees with the warehouse routing). A refresh rescans
+    only the buckets the commit log says moved since the watermark
+    (``changed_buckets`` — b/N of the fact table for a daily merge),
+    swaps those buckets' partial rows, and re-finalizes the view from
+    the partials (min of mins / max of maxes — distributive, so the
+    two-level fold is exact). Deleting a group's minimum is exact by
+    construction: the deleted row's bucket IS a changed bucket, so its
+    partial is recomputed from the surviving rows.
+
+    Two commits (partials, then view), each carrying the source
+    watermark in its writer-epoch map. Not atomic ACROSS the pair —
+    a crash between them leaves the partials ahead of the view, which
+    the next refresh detects (partials watermark > view watermark) and
+    heals with a finalize-only publish; the partials are always
+    derivable state, never the source of truth.
+
+    The source must be BUCKETED (the partials' granularity is the
+    bucket; an unbucketed source has no pruned-change unit — use
+    ``full=True`` rebuilds or bucket the source). Returns the source
+    version the view now reflects."""
+    import json
+
+    from ..operators.ivm import build_minmax_partials, finalize_minmax
+
+    info = warehouse.routing_info(source)
+    if info is None:
+        raise FileNotFoundError(f"source table not in warehouse: {source}")
+    if source_key is None:
+        source_key = info["bucket_key"]
+    if source_key is None or info.get("bucket_key") != source_key:
+        raise ValueError(
+            f"min/max views need a BUCKETED source (partials are "
+            f"per-bucket); {source!r} bucket key is "
+            f"{info.get('bucket_key')!r}, requested {source_key!r}"
+        )
+    agg_cols = {k: tuple(v) for k, v in agg_cols.items()}
+    for tbl in (view, _minmax_partials_table(view)):
+        if warehouse.exists(tbl) and warehouse.table_properties(tbl).get(
+            "mv.source"
+        ) not in (None, source):
+            raise ValueError(
+                f"{tbl!r} exists and is not a materialized view of "
+                f"{source!r} — refusing to overwrite"
+            )
+    app = f"mv:{source}"
+    pt = _minmax_partials_table(view)
+    v_src, src = warehouse.read_versioned(source)
+    partials = build_minmax_partials(
+        src, source_key, int(info["n_buckets"]), group_keys, agg_cols
+    )
+    warehouse.write(
+        pt,
+        partials,
+        snapshot=f"mvp-full-v{v_src}",
+        txn=(app, v_src),
+        props={"mv.parent": view, "mv.source": source},
+    )
+    # finalize from the WRITTEN partials, not the lineage — one fact
+    # scan total, and the view provably equals fold(partials-on-disk)
+    warehouse.write(
+        view,
+        finalize_minmax(warehouse.read(pt), group_keys, agg_cols),
+        snapshot=f"mv-full-v{v_src}",
+        txn=(app, v_src),
+        props={
+            "mv.kind": "minmax",
+            "mv.source": source,
+            "mv.source_key": source_key,
+            "mv.group_keys": json.dumps(group_keys),
+            "mv.agg_cols": json.dumps({k: list(v) for k, v in agg_cols.items()}),
+            "mv.source_id": warehouse.table_id(source) or "",
+        },
+    )
+    return v_src
+
+
+def refresh_minmax_view(
+    warehouse, view: str, full: bool = False, max_retries: int = 5
+) -> dict:
+    """Advance a ``create_minmax_view`` view to the source head.
+
+    Paths, cheapest first: **noop** (metadata compare), **advance**
+    (rows provably identical across the interval — txn-only commits,
+    zero IO), **incremental** (rescan changed buckets at the head,
+    swap their partial rows, re-finalize — O(b/N fact scan +
+    |partials|)), **full** (rebuild partials from the head; taken on
+    request, when pruning is unavailable — rebucket / key change /
+    horizon pruned — when the source was dropped and recreated, or
+    when most buckets repointed). A partials commit that landed
+    without its view commit (crash between the pair) is healed first
+    with a finalize-only publish. Returns ``{"mode","v_from","v_to"}``."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from ..operators.ivm import (
+        BUCKET_ID_COL,
+        build_minmax_partials,
+        finalize_minmax,
+    )
+
+    props = warehouse.table_properties(view)
+    if props.get("mv.kind") != "minmax":
+        raise ValueError(f"{view!r} is not a min/max materialized view")
+    source = props["mv.source"]
+    group_keys = json.loads(props["mv.group_keys"])
+    agg_cols = {
+        k: tuple(v) for k, v in json.loads(props["mv.agg_cols"]).items()
+    }
+    pt = _minmax_partials_table(view)
+    app = f"mv:{source}"
+    src_info = warehouse.routing_info(source)
+    if src_info is None:
+        raise FileNotFoundError(f"source table not in warehouse: {source}")
+    source_id = warehouse.table_id(source) or ""
+    same_incarnation = source_id == props.get("mv.source_id", "")
+    view_last = warehouse.last_txn_epoch(app, view)
+    if (
+        not full
+        and same_incarnation
+        and warehouse.current_version(source) == view_last
+        and warehouse.last_txn_epoch(app, pt) == view_last
+    ):
+        return {"mode": "noop", "v_from": view_last, "v_to": view_last}
+    for _ in range(1 + max_retries):
+        v_src, src = warehouse.read_versioned(source)
+        p_base, partials_df = warehouse.read_versioned(pt)
+        p_last = warehouse.last_txn_epoch(app, pt)
+        mode = "full"
+        live = (
+            not full
+            and same_incarnation
+            and warehouse.GENESIS_VERSION < p_last <= v_src
+        )
+        if live and p_last == v_src:
+            mode = "heal"  # partials current; only the view lags
+        elif (
+            live
+            and warehouse.rows_changed(source, p_last, v_src) is False
+        ):
+            # maintenance-only interval: advance both watermarks, no IO
+            warehouse.record_txn(pt, app, v_src)
+            warehouse.record_txn(view, app, v_src)
+            return {"mode": "advance", "v_from": p_last, "v_to": v_src}
+        else:
+            new_partials = None
+            if live:
+                try:
+                    changed = warehouse.changed_buckets(source, p_last, v_src)
+                    n_b = src_info.get("n_buckets")
+                    if changed is not None and (
+                        not n_b or 2 * len(changed) <= n_b
+                    ):
+                        sub = warehouse.read_buckets_at_version(
+                            source, v_src, changed
+                        )
+                        new_partials = partials_df.filter(
+                            ~F.col(BUCKET_ID_COL).isin(
+                                [int(b) for b in changed]
+                            )
+                        ).unionByName(
+                            build_minmax_partials(
+                                sub,
+                                props["mv.source_key"],
+                                int(n_b),
+                                group_keys,
+                                agg_cols,
+                            )
+                        )
+                        mode = "incremental"
+                except FileNotFoundError:
+                    new_partials = None  # horizon pruned: rebuild
+            if new_partials is None:
+                key = src_info.get("bucket_key")
+                if key is None:
+                    raise ValueError(
+                        f"source {source!r} is no longer bucketed — "
+                        "min/max partials have no change unit; drop and "
+                        "re-create the view if this is intended"
+                    )
+                new_partials = build_minmax_partials(
+                    src, key, int(src_info["n_buckets"]), group_keys, agg_cols
+                )
+                mode = "full"
+            try:
+                warehouse.write(
+                    pt,
+                    new_partials,
+                    snapshot=f"mvp-{mode}-v{v_src}",
+                    expected_version=p_base,
+                    txn=(app, v_src),
+                )
+            except CommitConflict:
+                continue
+        view_base = warehouse.current_version(view)
+        prop_updates = (
+            {"mv.source_id": source_id} if not same_incarnation else None
+        )
+        try:
+            warehouse.write(
+                view,
+                finalize_minmax(warehouse.read(pt), group_keys, agg_cols),
+                snapshot=f"mv-{mode}-v{v_src}",
+                expected_version=view_base,
+                txn=(app, v_src),
+                props=prop_updates,
+            )
+        except CommitConflict:
+            continue
+        return {"mode": mode, "v_from": p_last, "v_to": v_src}
+    raise CommitConflict(
+        f"{view}: refresh lost the commit race {1 + max_retries} times"
+    )
+
+
+def refresh_view(warehouse, view: str, full: bool = False) -> dict:
+    """Refresh dispatcher: routes to the view's maintenance lane by
+    its recorded kind (rollup = count/sum delta-propagation, minmax =
+    per-bucket partials). The CLI and auto-refresh go through here."""
+    kind = warehouse.table_properties(view).get("mv.kind", "rollup")
+    if kind == "minmax":
+        return refresh_minmax_view(warehouse, view, full=full)
+    return refresh_rollup_view(warehouse, view, full=full)
+
+
 def refresh_views_of(warehouse, table: str) -> None:
     """Best-effort advance of every materialized rollup view registered
     on ``table`` (shared by the import loop's auto_refresh_views and
@@ -436,9 +682,12 @@ def refresh_views_of(warehouse, table: str) -> None:
     import sys
 
     for view in warehouse.tables():
-        if warehouse.table_properties(view).get("mv.source") == table:
+        props = warehouse.table_properties(view)
+        # partials sidecars carry mv.source for the ownership guard but
+        # are refreshed BY their parent view's lane, never directly
+        if props.get("mv.source") == table and "mv.parent" not in props:
             try:
-                refresh_rollup_view(warehouse, view)
+                refresh_view(warehouse, view)
             except Exception as e:  # noqa: BLE001
                 print(
                     f"auto-refresh of view {view!r} skipped: {e}",

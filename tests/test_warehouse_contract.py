@@ -18,6 +18,7 @@ import os
 import threading
 
 import pytest
+from pyspark.sql import functions as F
 
 from canvas_data_loader_spark.plans.delta import DeltaWarehouse
 from canvas_data_loader_spark.plans.pipeline import CommitConflict, Warehouse
@@ -1731,6 +1732,213 @@ class TestContractMaterializedViews:
         )
         with pytest.raises(ValueError, match="not a materialized view"):
             refresh_rollup_view(wh, "plain")
+
+
+class TestContractMinMaxViews:
+    """create_minmax_view / refresh_minmax_view (plans/ops.py):
+    MIN/MAX — the aggregates the rollup lane refuses as
+    non-retractable — maintained at O(changed buckets) through a
+    per-(bucket, group) partials sidecar. The exactness bar is the
+    same equality: maintained == rebuilt-from-head after EVERY kind of
+    change, including deleting a group's minimum (the case delta
+    propagation cannot express and the reason the sidecar exists)."""
+
+    @staticmethod
+    def _facts(spark, n=32):
+        return spark.createDataFrame(
+            [(i, f"g{i % 4}", i * 10) for i in range(n)],
+            "id long, grp string, amount long",
+        )
+
+    AGGS = {"lo": ("amount", "min"), "hi": ("amount", "max")}
+
+    def _recompute(self, wh, source="facts"):
+        src = wh.read(source)
+        return sorted(
+            tuple(r)
+            for r in src.groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min("amount").alias("lo"),
+                F.max("amount").alias("hi"),
+            )
+            .collect()
+        )
+
+    def _view(self, wh):
+        return sorted(tuple(r) for r in wh.read("mm").collect())
+
+    def _mk(self, spark, wh):
+        from canvas_data_loader_spark.plans.ops import create_minmax_view
+
+        wh.write("facts", self._facts(spark), snapshot="s0", bucket=("id", 8))
+        create_minmax_view(wh, "mm", "facts", ["grp"], self.AGGS)
+
+    def test_create_matches_full_recompute(self, spark, wh_factory):
+        wh = wh_factory()
+        self._mk(spark, wh)
+        assert self._view(wh) == self._recompute(wh)
+
+    def test_unbucketed_source_refused(self, spark, wh_factory):
+        from canvas_data_loader_spark.plans.ops import create_minmax_view
+
+        wh = wh_factory()
+        wh.write("plainsrc", self._facts(spark), snapshot="s0")
+        with pytest.raises(ValueError, match="BUCKETED"):
+            create_minmax_view(wh, "mm", "plainsrc", ["grp"], self.AGGS)
+
+    def test_maintained_through_update_insert_delete(
+        self, spark, wh_factory
+    ):
+        """The full change matrix, each step refreshed incrementally
+        and pinned equal to a rebuild — including the non-retractable
+        case: deleting the row that WAS a group's minimum must surface
+        the next-smallest survivor, and deleting a whole group must
+        drop its view row."""
+        from canvas_data_loader_spark.plans.ops import refresh_minmax_view
+
+        wh = wh_factory()
+        self._mk(spark, wh)
+        # update: raise one row, lower another (max and min both move)
+        wh.merge_bucketed(
+            "facts",
+            spark.createDataFrame(
+                [(1, "g1", 99999), (2, "g2", -5), (500, "g0", 7)],
+                "id long, grp string, amount long",
+            ),
+            snapshot="m1",
+        )
+        out = refresh_minmax_view(wh, "mm")
+        assert out["mode"] == "incremental"
+        assert self._view(wh) == self._recompute(wh)
+        # delete the CURRENT MINIMUM of g2 (id=2, amount=-5, mor DV):
+        # the view must recover the next-smallest from surviving rows
+        wh.delete_where("facts", F.col("id") == 2, mode="mor")
+        out = refresh_minmax_view(wh, "mm")
+        assert out["mode"] == "incremental"
+        assert self._view(wh) == self._recompute(wh)
+        assert all(r[0] != -5 for r in self._view(wh))
+        # delete an entire group: its row disappears from the view
+        wh.delete_where("facts", F.col("grp") == "g3")
+        refresh_minmax_view(wh, "mm")
+        assert self._view(wh) == self._recompute(wh)
+        assert not any(r[0] == "g3" for r in self._view(wh))
+
+    def test_noop_and_maintenance_advance(self, spark, wh_factory):
+        from canvas_data_loader_spark.plans.ops import refresh_minmax_view
+
+        wh = wh_factory()
+        self._mk(spark, wh)
+        head_before = head(wh, "mm")
+        assert refresh_minmax_view(wh, "mm")["mode"] == "noop"
+        assert head(wh, "mm") == head_before
+        # compaction repoints buckets without changing rows: the
+        # refresh advances watermarks with txn-only commits, zero IO
+        wh.compact("facts")
+        out = refresh_minmax_view(wh, "mm")
+        assert out["mode"] == "advance"
+        assert self._view(wh) == self._recompute(wh)
+        assert refresh_minmax_view(wh, "mm")["mode"] == "noop"
+
+    def test_refresh_reads_only_changed_buckets(self, spark, wh_factory):
+        from canvas_data_loader_spark.plans.ops import refresh_minmax_view
+
+        wh = wh_factory()
+        self._mk(spark, wh)
+        wh.merge_bucketed(
+            "facts",
+            spark.createDataFrame(
+                [(3, "g3", 1234)], "id long, grp string, amount long"
+            ),
+            snapshot="m1",
+        )
+        seen = []
+        orig = wh.read_buckets_at_version
+
+        def spy(table, version, bucket_ids):
+            seen.append((table, sorted(bucket_ids)))
+            return orig(table, version, bucket_ids)
+
+        wh.read_buckets_at_version = spy
+        assert refresh_minmax_view(wh, "mm")["mode"] == "incremental"
+        # exactly the one bucket id=3 hashes to, never the fact table
+        assert seen and all(len(b) == 1 for _, b in seen)
+
+    def test_crash_between_partials_and_view_heals(self, spark, wh_factory):
+        """Partials committed, view commit never landed (crash between
+        the pair): the next refresh detects the partials watermark
+        ahead of the view's and re-finalizes WITHOUT touching the
+        fact table."""
+        from canvas_data_loader_spark.plans.ops import refresh_minmax_view
+
+        wh = wh_factory()
+        self._mk(spark, wh)
+        wh.merge_bucketed(
+            "facts",
+            spark.createDataFrame(
+                [(7, "g3", -777)], "id long, grp string, amount long"
+            ),
+            snapshot="m1",
+        )
+        # crash injection: the view publish (2nd write) dies
+        orig_write = wh.write
+        calls = {"n": 0}
+
+        def dying_write(table, *a, **kw):
+            if table == "mm":
+                raise RuntimeError("injected crash before view publish")
+            return orig_write(table, *a, **kw)
+
+        wh.write = dying_write
+        with pytest.raises(RuntimeError, match="injected crash"):
+            refresh_minmax_view(wh, "mm")
+        wh.write = orig_write
+        # partials ahead, view behind — heal without a source rescan
+        orig_rbav = wh.read_buckets_at_version
+
+        def no_source_read(table, version, bucket_ids):
+            raise AssertionError("heal must not rescan the source")
+
+        wh.read_buckets_at_version = no_source_read
+        out = refresh_minmax_view(wh, "mm")
+        wh.read_buckets_at_version = orig_rbav
+        assert out["mode"] == "heal"
+        assert self._view(wh) == self._recompute(wh)
+
+    def test_source_recreated_rebuilds(self, spark, wh_factory):
+        from canvas_data_loader_spark.plans.ops import refresh_minmax_view
+
+        wh = wh_factory()
+        self._mk(spark, wh)
+        wh.drop("facts")
+        wh.write(
+            "facts", self._facts(spark, n=8), snapshot="s0", bucket=("id", 8)
+        )
+        out = refresh_minmax_view(wh, "mm")
+        assert out["mode"] == "full"
+        assert self._view(wh) == self._recompute(wh)
+
+    def test_refresh_dispatcher_routes_by_kind(self, spark, wh_factory):
+        from canvas_data_loader_spark.plans.ops import (
+            create_rollup_view,
+            refresh_view,
+        )
+
+        wh = wh_factory()
+        self._mk(spark, wh)
+        create_rollup_view(
+            wh, "facts_by_grp", "facts", ["grp"], {"total": "amount"}
+        )
+        wh.merge_bucketed(
+            "facts",
+            spark.createDataFrame(
+                [(9, "g1", 5)], "id long, grp string, amount long"
+            ),
+            snapshot="m1",
+        )
+        assert refresh_view(wh, "mm")["mode"] == "incremental"
+        assert refresh_view(wh, "facts_by_grp")["mode"] == "incremental"
+        assert self._view(wh) == self._recompute(wh)
 
 
 class TestAutoRefreshViews:
