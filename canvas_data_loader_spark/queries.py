@@ -8191,3 +8191,302 @@ def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope_r"),
         F.round((sy - slope * sx) / n, 6).alias("intercept_r"),
     )
+
+
+@query(
+    "q162_tokenizer_fertility",
+    f"""
+    -- Tokenizer fertility by language: BPE tokens per word and
+    -- chars/bytes per BPE token, the data-mix diagnostic multilingual
+    -- tokenizer pipelines watch (a language whose fertility is 2x
+    -- another's pays 2x the context budget for the same text). The
+    -- BPE count is functions/bpe.py's generated REPLACE chain — the
+    -- IDENTICAL merge table on both engines — and the ratios are
+    -- integer micro-units (exact DIV arithmetic, no float drift).
+    WITH t AS (
+        SELECT lang,
+               {_NORM_SQL.format(c='text')} AS nm,
+               CAST({_BPE_COUNT_QC} AS BIGINT) AS n_bpe
+        FROM documents
+    ), g AS (
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(LEN(STRING_SPLIT(nm, ' '))) AS total_words,
+               SUM(n_bpe) AS total_bpe,
+               SUM(LENGTH(nm)) AS total_chars,
+               SUM(STRLEN(nm)) AS total_bytes
+        FROM t GROUP BY lang
+        HAVING SUM(n_bpe) > 0 AND SUM(LEN(STRING_SPLIT(nm, ' '))) > 0
+    )
+    SELECT lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_words AS BIGINT) AS total_words,
+           CAST(total_bpe AS BIGINT) AS total_bpe,
+           CAST(total_chars AS BIGINT) AS total_chars,
+           CAST(total_bytes AS BIGINT) AS total_bytes,
+           CAST(total_bpe * 1000000 // total_words AS BIGINT)
+               AS fertility_ppm,
+           CAST(total_chars * 1000000 // total_bpe AS BIGINT)
+               AS chars_per_tok_ppm,
+           CAST(total_bytes * 1000000 // total_bpe AS BIGINT)
+               AS bytes_per_tok_ppm
+    FROM g
+    """,
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language (VERDICT r8 item 9): per-lang
+    BPE-tokens-per-word (the classic fertility metric — how many
+    subwords the tokenizer splits a word into) plus chars-per-token
+    and bytes-per-token, over the same deterministic BPE merge chain
+    as q122 (functions/bpe.py, oracle-checked bit-exactly). This is
+    the metric a data-mix owner reads to see which languages are
+    token-expensive under the current vocabulary.
+
+    Scale shape: one scan, per-row expression work (the REPLACE chain
+    is pure JVM codegen), then a map-side-combinable groupBy(lang) of
+    five integer sums — |langs| rows out. Ratios are integer DIV in
+    parts-per-million so the comparison is exact arithmetic on both
+    engines, never an order-dependent float."""
+    d = load(spark, sf_dir, "documents")
+    nm = normalize_text("text")
+    per_doc = d.select(
+        "lang",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_ws"),
+        F.expr(count_expr_spark("text")).cast("bigint").alias("n_bpe"),
+        F.length(nm).cast("bigint").alias("n_chars"),
+        F.octet_length(nm).cast("bigint").alias("n_bytes"),
+    )
+    g = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_ws").cast("bigint").alias("total_words"),
+        F.sum("n_bpe").cast("bigint").alias("total_bpe"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+    )
+    return g.filter(
+        (F.col("total_bpe") > 0) & (F.col("total_words") > 0)
+    ).select(
+        "lang",
+        "n_docs",
+        "total_words",
+        "total_bpe",
+        "total_chars",
+        "total_bytes",
+        F.expr("total_bpe * 1000000 DIV total_words").alias("fertility_ppm"),
+        F.expr("total_chars * 1000000 DIV total_bpe").alias(
+            "chars_per_tok_ppm"
+        ),
+        F.expr("total_bytes * 1000000 DIV total_bpe").alias(
+            "bytes_per_tok_ppm"
+        ),
+    )
+
+
+@query(
+    "q163_embedding_drift",
+    """
+    -- Embedding-space drift vs a reference corpus: split the vectors
+    -- into a deterministic reference half (even vec_id) and candidate
+    -- half (odd), then per label report the centroid SHIFT (L2 between
+    -- the halves' mean vectors) and the VARIANCE RATIO (candidate
+    -- dispersion / reference dispersion). Complements q147's
+    -- univariate KS: this is the multivariate first/second-moment
+    -- check an embedding-pipeline owner runs when the encoder or the
+    -- upstream mix changes. Float policy: per-(label,dim) moments are
+    -- rounded to 6dp and the cross-dimension folds run in DECIMAL
+    -- (exact, associative); only the final sqrt/divide is IEEE double
+    -- on bit-identical operands.
+    WITH pos AS (
+        SELECT label, vec_id % 2 AS side, CAST(i AS INTEGER) AS pos,
+               CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(RANGE(1, LEN(embedding) + 1)) AS r(i)
+        WHERE label IS NOT NULL
+    ), moments AS (
+        SELECT label, pos,
+               CAST(ROUND(AVG(CASE WHEN side = 0 THEN x END), 6)
+                    AS DECIMAL(18,6)) AS mu_r,
+               CAST(ROUND(AVG(CASE WHEN side = 1 THEN x END), 6)
+                    AS DECIMAL(18,6)) AS mu_c,
+               CAST(ROUND(VAR_POP(CASE WHEN side = 0 THEN x END), 6)
+                    AS DECIMAL(18,6)) AS var_r,
+               CAST(ROUND(VAR_POP(CASE WHEN side = 1 THEN x END), 6)
+                    AS DECIMAL(18,6)) AS var_c
+        FROM pos GROUP BY label, pos
+    ), folded AS (
+        SELECT label,
+               SUM(CAST((mu_c - mu_r) * (mu_c - mu_r) AS DECIMAL(38,12)))
+                   AS ss,
+               SUM(CAST(var_r AS DECIMAL(38,12))) AS svr,
+               SUM(CAST(var_c AS DECIMAL(38,12))) AS svc
+        FROM moments GROUP BY label
+    ), counts AS (
+        SELECT label,
+               SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_ref,
+               SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n_cur
+        FROM embeddings WHERE label IS NOT NULL GROUP BY label
+    )
+    SELECT f.label,
+           CAST(c.n_ref AS BIGINT) AS n_ref,
+           CAST(c.n_cur AS BIGINT) AS n_cur,
+           ROUND(SQRT(CAST(f.ss AS DOUBLE)), 6) AS centroid_shift_r,
+           ROUND(CAST(f.svc AS DOUBLE) / CAST(f.svr AS DOUBLE), 6)
+               AS var_ratio_r
+    FROM folded f JOIN counts c ON c.label = f.label
+    WHERE f.svr > 0
+    """,
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift vs a reference corpus (VERDICT r8 item
+    9): per-label centroid shift (L2 between the reference and
+    candidate halves' mean vectors) + variance ratio — the
+    multivariate moment check that catches encoder swaps and upstream
+    mix changes q147's univariate KS can miss. The halves split
+    deterministically on vec_id parity so the oracle sees identical
+    inputs; in production the reference is last month's snapshot.
+
+    Scale shape: posexplode to (label, side, dim) narrow rows — ONE
+    shuffle on (label, dim), map-side combined (conditional AVG /
+    VAR_POP fold per side in the same agg, so the corpus is scanned
+    once); the fold to per-label scalars runs on |labels| x dims rows.
+    Float policy: q161's — per-cell moments rounded to 6dp, then
+    DECIMAL sums across dims (exact), final sqrt/ratio in double on
+    bit-identical operands."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
+    pos = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("side"),
+        F.posexplode("embedding").alias("pos0", "x0"),
+    ).select(
+        "label", "side", (F.col("pos0") + 1).alias("pos"),
+        F.col("x0").cast("double").alias("x"),
+    )
+    ref = F.when(F.col("side") == 0, F.col("x"))
+    cur = F.when(F.col("side") == 1, F.col("x"))
+    moments = pos.groupBy("label", "pos").agg(
+        F.round(F.avg(ref), 6).cast("decimal(18,6)").alias("mu_r"),
+        F.round(F.avg(cur), 6).cast("decimal(18,6)").alias("mu_c"),
+        F.round(F.var_pop(ref), 6).cast("decimal(18,6)").alias("var_r"),
+        F.round(F.var_pop(cur), 6).cast("decimal(18,6)").alias("var_c"),
+    )
+    diff2 = (F.col("mu_c") - F.col("mu_r")) * (F.col("mu_c") - F.col("mu_r"))
+    folded = moments.groupBy("label").agg(
+        F.sum(diff2.cast("decimal(38,12)")).alias("ss"),
+        F.sum(F.col("var_r").cast("decimal(38,12)")).alias("svr"),
+        F.sum(F.col("var_c").cast("decimal(38,12)")).alias("svc"),
+    )
+    counts = e.groupBy("label").agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("long"))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum((F.col("vec_id") % 2 == 1).cast("long"))
+        .cast("bigint")
+        .alias("n_cur"),
+    )
+    return (
+        folded.join(counts, "label")
+        .filter(F.col("svr") > 0)
+        .select(
+            "label",
+            "n_ref",
+            "n_cur",
+            F.round(F.sqrt(F.col("ss").cast("double")), 6).alias(
+                "centroid_shift_r"
+            ),
+            F.round(
+                F.col("svc").cast("double") / F.col("svr").cast("double"), 6
+            ).alias("var_ratio_r"),
+        )
+    )
+
+
+@query(
+    "q164_decontamination_cut",
+    f"""
+    -- The actionable half of q94 (the way q145 operationalized q141):
+    -- CUT every token of a training document covered by a 3-gram that
+    -- also occurs in the held-out eval sources, and fingerprint the
+    -- surviving text — the rewrite a decontamination pass applies
+    -- before pretraining, not just the overlap report.
+    WITH toks AS (
+        SELECT doc_id, source, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, source, i, MD5(ARRAY_TO_STRING(t[i : i + 2], ' ')) AS g
+        FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS r(i)
+        WHERE LEN(t) >= 3
+    ), eval_g AS (
+        SELECT DISTINCT g FROM grams WHERE source IN ('src0','src1','src2')
+    ), covered AS (
+        SELECT DISTINCT gr.doc_id, p.j
+        FROM grams gr JOIN eval_g e ON e.g = gr.g,
+             UNNEST(RANGE(gr.i, gr.i + 3)) AS p(j)
+        WHERE gr.source NOT IN ('src0','src1','src2')
+    ), kept AS (
+        SELECT tk.doc_id, tk.i, tk.w
+        FROM (SELECT doc_id, i, t[i] AS w
+              FROM toks, UNNEST(RANGE(1, LEN(t) + 1)) AS r(i)
+              WHERE source NOT IN ('src0','src1','src2')) tk
+        ANTI JOIN covered c ON c.doc_id = tk.doc_id AND c.j = tk.i
+    )
+    SELECT b.doc_id,
+           CAST(LEN(b.t) AS BIGINT) AS n_tokens,
+           CAST(LEN(b.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           MD5(COALESCE(k.clean, '')) AS clean_md5
+    FROM (SELECT doc_id, t FROM toks
+          WHERE source NOT IN ('src0','src1','src2')) b
+    LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               STRING_AGG(w, ' ' ORDER BY i) AS clean
+        FROM kept GROUP BY doc_id
+    ) k ON k.doc_id = b.doc_id
+    """,
+)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination REWRITE (VERDICT r8 item 9 — q94's detection
+    turned actionable, the way q145 operationalized q141): remove
+    every training-doc token covered by a 3-gram shingle that occurs
+    anywhere in the held-out eval sources, and emit the md5 of the
+    surviving text plus cut counts. This is the pass that actually
+    protects the benchmark: q94 tells you HOW contaminated a doc is,
+    this produces the decontaminated corpus.
+
+    Scale shape: same positional-gram machinery as q145
+    (operators/dedup.py exactsubstr_grams at n=3 — md5-hashed grams,
+    the shuffle never carries word strings). The eval gram set is
+    eval-corpus-sized (small by construction — benchmarks are MBs,
+    training data is TBs), so the hit join is a broadcast/semi join at
+    scale; covered positions explode only from HIT gram positions
+    (span-bounded); the rewrite is q145's single array-native
+    positional filter — no per-token corpus explode, no re-sort."""
+    d = load(spark, sf_dir, "documents")
+    eval_srcs = ("src0", "src1", "src2")
+    toks = d.select("doc_id", "source", tokens(F.col("text")).alias("t"))
+    train = toks.filter(~F.col("source").isin(*eval_srcs)).select(
+        "doc_id", "t"
+    )
+    evald = toks.filter(F.col("source").isin(*eval_srcs)).select("doc_id", "t")
+    eval_g = D.exactsubstr_grams(evald, n=3).select("g").distinct()
+    covered = (
+        D.exactsubstr_grams(train, n=3)
+        .join(eval_g, "g")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + 2)).alias("j"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("j").alias("cov"))
+    )
+    j = train.join(covered, "doc_id", "left").withColumn(
+        "cov", F.coalesce("cov", F.array().cast("array<bigint>"))
+    )
+    kept_arr = F.filter(
+        F.col("t"),
+        lambda x, i: ~F.array_contains(F.col("cov"), (i + 1).cast("bigint")),
+    )
+    return j.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        (F.size("t") - F.size(kept_arr)).cast("bigint").alias("n_removed"),
+        F.md5(F.concat_ws(" ", kept_arr)).alias("clean_md5"),
+    )
