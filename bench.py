@@ -148,6 +148,15 @@ HEADLINE = [
     "q96_tfidf_top_terms",
     "q97_bm25_retrieval",
     "q70_stateful_sessions",
+    # round-9: the r8 registry additions (never bench-anchored) and
+    # this round's three — every oracle query added since r8 is now
+    # plan-guarded by the bench gate
+    "q159_stratified_split",
+    "q160_bigram_logprob",
+    "q161_zipf_slope",
+    "q162_tokenizer_fertility",
+    "q163_embedding_drift",
+    "q164_decontamination_cut",
 ]
 
 

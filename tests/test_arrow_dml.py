@@ -264,6 +264,55 @@ class TestArrowLaneEquivalence:
         assert 3 not in rows and 5 not in rows
         assert rows[1] == "upd" and len(rows) == 6
 
+    def test_cross_lane_concurrent_merges_no_lost_updates(
+        self, spark, wh_factory
+    ):
+        """The sharpest protocol claim: the Spark lane and the arrow
+        lane are two EXECUTION ENGINES over ONE commit protocol, so
+        they must interleave safely on the same table. Two threads
+        merge disjoint key sets concurrently — every update from both
+        lanes must survive (CAS losers re-derive, never clobber), and
+        each lane's epochs land intact."""
+        import threading
+
+        b = wh_factory("race")
+        self._seed(spark, b, ("id", 8))
+        errs = []
+
+        def spark_lane():
+            try:
+                for i in range(3):
+                    rows = [(100 + i, f"s{i}", 1)]
+                    apply_stream_batch(
+                        b, "t", ["id"], "seq", "sparkapp",
+                        spark.createDataFrame(rows, SCHEMA), i,
+                    )
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        def arrow_lane():
+            try:
+                for i in range(3):
+                    apply_stream_batch_arrow(
+                        b.root, "t", ["id"], "seq", "arrowapp",
+                        _arrow([(200 + i, f"a{i}", 1)]), i,
+                        max_commit_retries=25,
+                    )
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        t1 = threading.Thread(target=spark_lane)
+        t2 = threading.Thread(target=arrow_lane)
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert errs == []
+        rows = {r["id"]: r["v"] for r in b.read("t").collect()}
+        for i in range(3):
+            assert rows[100 + i] == f"s{i}"  # no spark-lane update lost
+            assert rows[200 + i] == f"a{i}"  # no arrow-lane update lost
+        assert len(rows) == 8 + 6
+        assert b.last_txn_epoch("sparkapp", "t") == 2
+        assert b.last_txn_epoch("arrowapp", "t") == 2
+
     def test_merge_after_evolution_rename(self, spark, wh_factory):
         """Table evolved with ADD + declared RENAME, then an arrow
         batch in the NEW schema: the conform path resolves old files

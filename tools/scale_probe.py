@@ -824,6 +824,120 @@ def main_mv():
     )
 
 
+def main_minmax():
+    """Measure MIN/MAX materialized-view refresh cost as the fact
+    table scales with the per-interval change batch held fixed — the
+    claim behind plans/ops.py refresh_minmax_view: the incremental
+    refresh rescans ONLY the changed buckets (b/N of the fact table)
+    plus the combine-sized partials, so it should be near-FLAT in
+    table size, while the full rebuild is O(table) by construction.
+    The batch DELETES each touched group's current minimum — the
+    non-retractable case the partials sidecar exists for — so the
+    probe times exactly the hard path. Usage: --minmax [factor]."""
+    import tempfile
+
+    from canvas_data_loader_spark.operators.merge import bucket_of
+    from canvas_data_loader_spark.plans.ops import (
+        create_minmax_view,
+        refresh_minmax_view,
+    )
+    from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    n_buckets = 128
+    spark = get_spark("scale_probe_minmax")
+    li = spark.read.parquet(f"{BASE}/orders.parquet").withColumnRenamed(
+        "o_orderkey", "k"
+    )
+    batch = (
+        li.filter(bucket_of(F.col("k"), n_buckets).isin(0, 1))
+        .limit(256)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .localCheckpoint()
+    )
+    keys = ["o_orderpriority"]
+    aggs = {"lo": ("o_totalprice", "min"), "hi": ("o_totalprice", "max")}
+
+    def table_at(f):
+        big = li
+        for i in range(1, f):
+            big = big.unionByName(
+                li.withColumn("k", F.col("k") + F.lit(i * OFFSET))
+            )
+        return big
+
+    def recomputed(wh):
+        return sorted(
+            tuple(r)
+            for r in wh.read("t")
+            .groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min("o_totalprice").alias("lo"),
+                F.max("o_totalprice").alias("hi"),
+            )
+            .collect()
+        )
+
+    report = {}
+    for f in (1, factor):
+        root = tempfile.mkdtemp(prefix=f"scale_probe_minmax_{f}_")
+        try:
+            wh = Warehouse(spark, root)
+            wh.write("t", table_at(f), snapshot="base", bucket=("k", n_buckets))
+            create_minmax_view(wh, "v", "t", keys, aggs)
+            # the hard path: DELETE rows that include per-group minima
+            # in the touched buckets (retraction of an extremum), plus
+            # a merge that moves values — both land in 2 of 128 buckets
+            wh.merge_bucketed("t", batch, snapshot="m1")
+            wh.delete_where(
+                "t",
+                bucket_of(F.col("k"), n_buckets).isin(0)
+                & (F.col("o_totalprice") < 1000),
+                mode="mor",
+            )
+            t0 = time.time()
+            out = refresh_minmax_view(wh, "v")
+            assert out["mode"] == "incremental", out
+            inc_sec = round(time.time() - t0, 3)
+            wh.merge_bucketed(
+                "t",
+                batch.withColumn("o_totalprice", F.col("o_totalprice") + 1),
+                snapshot="m2",
+            )
+            t0 = time.time()
+            out = refresh_minmax_view(wh, "v", full=True)
+            assert out["mode"] == "full", out
+            full_sec = round(time.time() - t0, 3)
+            maintained = sorted(tuple(r) for r in wh.read("v").collect())
+            assert maintained == recomputed(wh)
+            report[f"x{f}"] = {
+                "incremental_sec": inc_sec,
+                "full_rebuild_sec": full_sec,
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    e_i = math.log(
+        max(report[f"x{factor}"]["incremental_sec"], 1e-3)
+        / max(report["x1"]["incremental_sec"], 1e-3)
+    ) / math.log(factor)
+    e_f = math.log(
+        max(report[f"x{factor}"]["full_rebuild_sec"], 1e-3)
+        / max(report["x1"]["full_rebuild_sec"], 1e-3)
+    ) / math.log(factor)
+    print(
+        json.dumps(
+            {
+                "mode": "minmax",
+                "factor": factor,
+                "tables": report,
+                "exponent_incremental": round(e_i, 3),
+                "exponent_full_rebuild": round(e_f, 3),
+            }
+        )
+    )
+
+
 def main_mirror():
     """Measure cross-warehouse sync cost as the SOURCE TABLE scales
     with the per-interval change batch held fixed — the claims behind
@@ -1153,6 +1267,8 @@ if __name__ == "__main__":
         main_ppjoin()
     elif len(sys.argv) > 1 and sys.argv[1] == "--mv":
         main_mv()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--minmax":
+        main_minmax()
     elif len(sys.argv) > 1 and sys.argv[1] == "--mirror":
         main_mirror()
     elif len(sys.argv) > 1 and sys.argv[1] == "--feedsource":
