@@ -294,6 +294,90 @@ def _parse_merge(stmt: str):
     }
 
 
+def _parse_create_mv(stmt: str):
+    """Parse the restricted materialized-view DDL::
+
+        CREATE MATERIALIZED VIEW v AS
+          SELECT g1, g2, COUNT(*) AS n_rows,
+                 SUM(x) AS total_x | MIN(y) AS lo, MAX(y) AS hi
+          FROM source GROUP BY g1, g2
+
+    Returns (view, source, group_keys, sums, minmax) where exactly one
+    of sums/minmax is non-empty — the two maintenance lanes
+    (plans/ops.py create_rollup_view / create_minmax_view) carry
+    different state, so a view is one or the other; mixing SUM with
+    MIN/MAX raises with that explanation."""
+    import re
+
+    m = re.match(
+        r"\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\S+)\s+AS\s+(.*)$",
+        stmt,
+        re.I | re.S,
+    )
+    if not m:
+        raise SqlDmlError("malformed CREATE MATERIALIZED VIEW statement")
+    view, body = _ident(m.group(1)), m.group(2).strip()
+    ms = re.match(r"SELECT\s+", body, re.I)
+    if not ms:
+        raise SqlDmlError("CREATE MATERIALIZED VIEW body must be a SELECT")
+    i_from = _find_keyword(body, "FROM")
+    if i_from < 0:
+        raise SqlDmlError("CREATE MATERIALIZED VIEW: missing FROM")
+    select_list = body[ms.end() : i_from]
+    tail = body[i_from + len("FROM") :].strip()
+    mt = re.match(r"(\S+)\s+GROUP\s+BY\s+(.*)$", tail, re.I | re.S)
+    if not mt:
+        raise SqlDmlError(
+            "CREATE MATERIALIZED VIEW: expected FROM <table> GROUP BY "
+            "<cols> (incrementally-maintained views are grouped rollups)"
+        )
+    source = _ident(mt.group(1))
+    group_keys = [_ident(t) for t in _split_top_level(mt.group(2))]
+    sums: dict[str, str] = {}
+    minmax: dict[str, tuple[str, str]] = {}
+    seen_keys: list[str] = []
+    for item in _split_top_level(select_list):
+        ma = re.match(
+            r"(COUNT\s*\(\s*\*\s*\)|(SUM|MIN|MAX)\s*\(\s*([^)]+?)\s*\))"
+            r"\s+AS\s+(\S+)\s*$",
+            item,
+            re.I,
+        )
+        if ma:
+            alias = _ident(ma.group(4))
+            fn = (ma.group(2) or "COUNT").upper()
+            if fn == "COUNT":
+                if alias != "n_rows":
+                    raise SqlDmlError(
+                        "COUNT(*) must be aliased AS n_rows — the "
+                        "maintenance lanes name the maintained count "
+                        "column n_rows"
+                    )
+            elif fn == "SUM":
+                sums[alias] = _ident(ma.group(3))
+            else:
+                minmax[alias] = (_ident(ma.group(3)), fn.lower())
+        else:
+            seen_keys.append(_ident(item))
+    if sums and minmax:
+        raise SqlDmlError(
+            "a materialized view is either a SUM/COUNT rollup "
+            "(delta-maintained) or a MIN/MAX view (partials-maintained) "
+            "— create two views instead of mixing aggregate classes"
+        )
+    if not sums and not minmax:
+        raise SqlDmlError(
+            "CREATE MATERIALIZED VIEW needs at least one SUM(col) or "
+            "MIN/MAX(col) AS alias item"
+        )
+    if seen_keys != group_keys:
+        raise SqlDmlError(
+            f"non-aggregate SELECT items {seen_keys!r} must equal the "
+            f"GROUP BY list {group_keys!r}, in order"
+        )
+    return view, source, group_keys, sums, minmax
+
+
 def execute_dml(wh, stmt: str) -> dict:
     """Execute one DML statement against a warehouse (either commit
     protocol). Returns {"operation": ..., "rows"/"buckets": ...};
@@ -364,7 +448,54 @@ def execute_dml(wh, stmt: str) -> dict:
             delete_keys=delete_keys,
         )
         return {"operation": "MERGE", "buckets": affected}
+    if verb == "CREATE":
+        from .plans.ops import create_minmax_view, create_rollup_view
+
+        view, source, keys, sums, minmax = _parse_create_mv(stmt)
+        if minmax:
+            v_src = create_minmax_view(wh, view, source, keys, minmax)
+        else:
+            v_src = create_rollup_view(wh, view, source, keys, sums)
+        return {
+            "operation": "CREATE MATERIALIZED VIEW",
+            "view": view,
+            "source_version": v_src,
+        }
+    if verb == "REFRESH":
+        from .plans.ops import refresh_view
+
+        m = re.match(
+            r"\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\S+?)(\s+FULL)?\s*$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise SqlDmlError("malformed REFRESH MATERIALIZED VIEW statement")
+        out = refresh_view(wh, _ident(m.group(1)), full=bool(m.group(2)))
+        return {"operation": "REFRESH MATERIALIZED VIEW", **out}
+    if verb == "DROP":
+        m = re.match(
+            r"\s*DROP\s+MATERIALIZED\s+VIEW\s+(\S+)\s*$", stmt, re.I
+        )
+        if not m:
+            raise SqlDmlError("malformed DROP MATERIALIZED VIEW statement")
+        view = _ident(m.group(1))
+        props = wh.table_properties(view)
+        if "mv.source" not in props or "mv.parent" in props:
+            raise SqlDmlError(
+                f"{view!r} is not a materialized view — refusing to drop "
+                "(use the warehouse drop API for plain tables)"
+            )
+        wh.drop(view)
+        # a minmax view's partials sidecar dies with its parent
+        from .plans.ops import _minmax_partials_table
+
+        pt = _minmax_partials_table(view)
+        if wh.exists(pt) and wh.table_properties(pt).get("mv.parent") == view:
+            wh.drop(pt)
+        return {"operation": "DROP MATERIALIZED VIEW", "view": view}
     raise SqlDmlError(
         f"unsupported statement {verb!r} (supported: DELETE FROM, "
-        "UPDATE ... SET, MERGE INTO)"
+        "UPDATE ... SET, MERGE INTO, CREATE/REFRESH/DROP MATERIALIZED "
+        "VIEW)"
     )

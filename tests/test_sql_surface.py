@@ -5,6 +5,7 @@ this pins that the engine's capabilities are SQL-reachable)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from canvas_data_loader_spark import queries as Q
 from canvas_data_loader_spark.sql import register_views
@@ -307,3 +308,105 @@ class TestSqlDml:
         out = execute_dml(wh, "DELETE FROM t")
         assert out["rows"] == 8
         assert wh.read("t").count() == 0
+
+
+class TestSqlMvDdl:
+    """Materialized-view DDL surface == Python API surface, both commit
+    protocols: CREATE/REFRESH/DROP MATERIALIZED VIEW dispatch onto
+    create_rollup_view / create_minmax_view / refresh_view, so the SQL
+    statement's end state is pinned equal to the API call's."""
+
+    def test_create_rollup_equals_api(self, spark, dml_wh):
+        from canvas_data_loader_spark.plans.ops import create_rollup_view
+        from canvas_data_loader_spark.sql import execute_dml
+
+        wh = dml_wh()
+        _seed(spark, wh, "t")
+        out = execute_dml(
+            wh,
+            "CREATE MATERIALIZED VIEW v_sql AS "
+            "SELECT v, COUNT(*) AS n_rows, SUM(cnt) AS total "
+            "FROM t GROUP BY v",
+        )
+        v_api = create_rollup_view(wh, "v_api", "t", ["v"], {"total": "cnt"})
+        assert out == {
+            "operation": "CREATE MATERIALIZED VIEW",
+            "view": "v_sql",
+            "source_version": v_api,
+        }
+        assert rows(wh.read("v_sql")) == rows(wh.read("v_api"))
+        assert wh.table_properties("v_sql").get("mv.source") == "t"
+
+    def test_create_minmax_equals_api_and_refresh(self, spark, dml_wh):
+        from canvas_data_loader_spark.plans.ops import create_minmax_view
+        from canvas_data_loader_spark.sql import execute_dml
+
+        wh = dml_wh()
+        _seed(spark, wh, "t")
+        execute_dml(
+            wh,
+            "CREATE MATERIALIZED VIEW mm_sql AS "
+            "SELECT v, COUNT(*) AS n_rows, MIN(cnt) AS lo, MAX(cnt) AS hi "
+            "FROM t GROUP BY v",
+        )
+        create_minmax_view(
+            wh, "mm_api", "t", ["v"],
+            {"lo": ("cnt", "min"), "hi": ("cnt", "max")},
+        )
+        assert rows(wh.read("mm_sql")) == rows(wh.read("mm_api"))
+        # change the source THROUGH SQL DML, refresh THROUGH SQL —
+        # deleting a current minimum (the non-retractable case)
+        execute_dml(wh, "DELETE FROM t WHERE cnt <= 20")
+        out = execute_dml(wh, "REFRESH MATERIALIZED VIEW mm_sql")
+        assert out["operation"] == "REFRESH MATERIALIZED VIEW"
+        assert out["mode"] == "incremental"
+        expected = rows(
+            wh.read("t").groupBy("v").agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min("cnt").alias("lo"),
+                F.max("cnt").alias("hi"),
+            )
+        )
+        assert rows(wh.read("mm_sql")) == expected
+
+    def test_drop_mv_removes_partials_and_guards(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import SqlDmlError, execute_dml
+
+        wh = dml_wh()
+        _seed(spark, wh, "t")
+        execute_dml(
+            wh,
+            "CREATE MATERIALIZED VIEW mm AS "
+            "SELECT v, MIN(cnt) AS lo FROM t GROUP BY v",
+        )
+        assert wh.exists("mm__partials")
+        out = execute_dml(wh, "DROP MATERIALIZED VIEW mm")
+        assert out == {"operation": "DROP MATERIALIZED VIEW", "view": "mm"}
+        assert not wh.exists("mm") and not wh.exists("mm__partials")
+        # plain tables and partials sidecars are refused
+        with pytest.raises(SqlDmlError, match="not a materialized view"):
+            execute_dml(wh, "DROP MATERIALIZED VIEW t")
+
+    def test_mixed_aggregate_classes_refused(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import SqlDmlError, execute_dml
+
+        wh = dml_wh()
+        _seed(spark, wh, "t")
+        with pytest.raises(SqlDmlError, match="mixing aggregate classes"):
+            execute_dml(
+                wh,
+                "CREATE MATERIALIZED VIEW bad AS "
+                "SELECT v, SUM(cnt) AS s, MIN(cnt) AS lo FROM t GROUP BY v",
+            )
+        with pytest.raises(SqlDmlError, match="n_rows"):
+            execute_dml(
+                wh,
+                "CREATE MATERIALIZED VIEW bad AS "
+                "SELECT v, COUNT(*) AS c, SUM(cnt) AS s FROM t GROUP BY v",
+            )
+        with pytest.raises(SqlDmlError, match="must equal the"):
+            execute_dml(
+                wh,
+                "CREATE MATERIALIZED VIEW bad AS "
+                "SELECT id, SUM(cnt) AS s FROM t GROUP BY v",
+            )
