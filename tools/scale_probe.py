@@ -437,6 +437,47 @@ def replicate_documents_disjoint(spark, factor: int, dest: str) -> None:
     )
 
 
+def main_decontam():
+    """Scaling probe for the decontamination rewrite (q164): corpus
+    scaled by DISJOINT copies (no shingle shared across copies — the
+    'corpus grows with new content' regime), with the eval sources
+    replicating ALONGSIDE the training docs. That is deliberately the
+    HARSHER regime: production eval sets are fixed-size benchmarks, so
+    the gram hit-join's probe side would stay constant there; here it
+    grows with the corpus and the exponent still should stay ~linear
+    (hash join on md5 grams, span-bounded position explode — nothing
+    pairwise). Usage: --decontam [factor]."""
+    from canvas_data_loader_spark.queries import SPARK
+
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("scale_probe_decontam")
+    report = {}
+    for f in (1, factor):
+        dest = tempfile.mkdtemp(prefix=f"scale_probe_decontam_{f}_")
+        try:
+            replicate_documents_disjoint(spark, f, dest)
+            q = SPARK["q164_decontamination_cut"]
+            q(spark, dest).write.format("noop").mode("overwrite").save()
+            t0 = time.time()
+            q(spark, dest).write.format("noop").mode("overwrite").save()
+            report[f"x{f}"] = round(time.time() - t0, 3)
+        finally:
+            shutil.rmtree(dest, ignore_errors=True)
+    e = math.log(
+        max(report[f"x{factor}"], 1e-3) / max(report["x1"], 1e-3)
+    ) / math.log(factor)
+    print(
+        json.dumps(
+            {
+                "mode": "decontam",
+                "factor": factor,
+                "sec": report,
+                "exponent": round(e, 3),
+            }
+        )
+    )
+
+
 def main_ppjoin():
     """Scaling probe for the exact set-similarity join (PPJoin prefix
     filtering, q138's operator). Measured against a disjoint-content
@@ -1265,6 +1306,8 @@ if __name__ == "__main__":
         main_semdedup()
     elif len(sys.argv) > 1 and sys.argv[1] == "--ppjoin":
         main_ppjoin()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--decontam":
+        main_decontam()
     elif len(sys.argv) > 1 and sys.argv[1] == "--mv":
         main_mv()
     elif len(sys.argv) > 1 and sys.argv[1] == "--minmax":
