@@ -952,6 +952,14 @@ class WarehouseDataSource(DataSource):
     def streamWriter(self, schema: StructType, overwrite: bool):
         return WarehouseStreamWriter(schema, self.options, overwrite)
 
+    # No batch writer() on purpose: the Python Data Source write path
+    # funnels every partition's rows through staging + a single
+    # session-less commit process, which is the right trade for a
+    # micro-batch (bounded by the trigger) but an anti-feature for
+    # batch loads — Warehouse.write / merge_bucketed already run the
+    # batch path DISTRIBUTED (Spark executors write the parquet,
+    # the driver only publishes the commit). Batch writes belong there.
+
 
 # --------------------------------------------------------------------------
 # streaming WRITE: writeStream.format("cdl_warehouse")

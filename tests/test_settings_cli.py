@@ -714,6 +714,49 @@ class TestRefreshViewCli:
             ).collect()
         )
 
+    def test_refresh_minmax_view_via_cli(self, tmp_path, spark):
+        """--refresh-view dispatches by mv.kind: a minmax view routes
+        through the partials lane, including after a delete of a
+        group's current minimum."""
+        from pyspark.sql import functions as F
+
+        from canvas_data_loader_spark.__main__ import main
+        from canvas_data_loader_spark.plans.ops import create_minmax_view
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh_dir = str(tmp_path / "whmm")
+        wh = Warehouse(spark, wh_dir)
+        wh.write(
+            "facts",
+            spark.createDataFrame(
+                [(i, f"g{i % 3}", i) for i in range(12)],
+                "id long, grp string, amount long",
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        create_minmax_view(
+            wh, "mm", "facts", ["grp"], {"lo": ("amount", "min")}
+        )
+        wh.delete_where("facts", F.col("amount") < 3, mode="mor")
+        rc = main(
+            ["maintain", "--warehouse-dir", wh_dir, "--table", "mm",
+             "--refresh-view"]
+        )
+        assert rc == 0
+        assert sorted(
+            tuple(r) for r in wh.read("mm").collect()
+        ) == sorted(
+            tuple(r)
+            for r in wh.read("facts")
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min("amount").alias("lo"),
+            )
+            .collect()
+        )
+
 
 class TestMirrorCli:
     def test_mirror_to_delta_via_cli(self, tmp_path, spark):

@@ -1052,6 +1052,43 @@ class TestStreamWriter:
         leftovers = glob.glob(os.path.join(stage, "*.parquet"))
         assert leftovers == []
 
+    def test_multi_key_plain_table_upsert(self, spark, wh_factory, tmp_path):
+        """Composite-key merge on an UNbucketed table through the
+        writer (key='id,v'): rows replace only when BOTH key parts
+        match — the plain-table lane of the arrow merge."""
+        from canvas_data_loader_spark.sources.warehouse_source import register
+
+        register(spark)
+        wh = wh_factory()
+        base = spark.createDataFrame(
+            [(1, "a", 0), (1, "b", 0), (2, "a", 0)], self.SCHEMA
+        )
+        wh.write("t", base, snapshot="s0")  # plain, no bucket
+        src = str(tmp_path / "srcmk")
+        spark.createDataFrame(
+            [(1, "a", 5), (3, "c", 5)], self.SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        from pyspark.sql.types import _parse_datatype_string
+
+        stream = (
+            spark.readStream.schema(_parse_datatype_string(self.SCHEMA))
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.format("cdl_warehouse")
+            .option("root", wh.root)
+            .option("table", "t")
+            .option("key", "id,v")
+            .option("appId", "wmk")
+            .option("checkpointLocation", str(tmp_path / "ckptmk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {(r["id"], r["v"]): r["seq"] for r in wh.read("t").collect()}
+        # (1,'a') replaced; (1,'b') and (2,'a') untouched; (3,'c') new
+        assert rows == {(1, "a"): 5, (1, "b"): 0, (2, "a"): 0, (3, "c"): 5}
+
     def test_writer_requires_app_id_and_key(self, spark, wh_factory, tmp_path):
         from canvas_data_loader_spark.sources.warehouse_source import (
             WarehouseStreamWriter,
