@@ -590,8 +590,18 @@ def refresh_minmax_view(
             warehouse.record_txn(view, app, v_src)
             return {"mode": "advance", "v_from": p_last, "v_to": v_src}
         else:
+            # the recorded key wins while it still exists (rollup-lane
+            # rule: an explicit source_key is a contract); only when
+            # evolution renamed/removed it does the source's CURRENT
+            # bucket key take over, re-bound in the same commit
+            stored_key = props.get("mv.source_key")
+            use_key = (
+                stored_key
+                if stored_key in src.columns
+                else src_info.get("bucket_key")
+            )
             new_partials = None
-            if live:
+            if live and use_key:
                 try:
                     changed = warehouse.changed_buckets(source, p_last, v_src)
                     n_b = src_info.get("n_buckets")
@@ -608,7 +618,7 @@ def refresh_minmax_view(
                         ).unionByName(
                             build_minmax_partials(
                                 sub,
-                                props["mv.source_key"],
+                                use_key,
                                 int(n_b),
                                 group_keys,
                                 agg_cols,
@@ -618,15 +628,15 @@ def refresh_minmax_view(
                 except FileNotFoundError:
                     new_partials = None  # horizon pruned: rebuild
             if new_partials is None:
-                key = src_info.get("bucket_key")
-                if key is None:
+                if use_key is None:
                     raise ValueError(
                         f"source {source!r} is no longer bucketed — "
                         "min/max partials have no change unit; drop and "
                         "re-create the view if this is intended"
                     )
                 new_partials = build_minmax_partials(
-                    src, key, int(src_info["n_buckets"]), group_keys, agg_cols
+                    src, use_key, int(src_info["n_buckets"]),
+                    group_keys, agg_cols,
                 )
                 mode = "full"
             try:
@@ -640,9 +650,17 @@ def refresh_minmax_view(
             except CommitConflict:
                 continue
         view_base = warehouse.current_version(view)
-        prop_updates = (
-            {"mv.source_id": source_id} if not same_incarnation else None
-        )
+        prop_updates = {}
+        if not same_incarnation:
+            prop_updates["mv.source_id"] = source_id
+        if mode in ("incremental", "full"):
+            bound_key = (
+                props.get("mv.source_key")
+                if props.get("mv.source_key") in src.columns
+                else src_info.get("bucket_key")
+            )
+            if bound_key and bound_key != props.get("mv.source_key"):
+                prop_updates["mv.source_key"] = bound_key
         try:
             warehouse.write(
                 view,
@@ -650,7 +668,7 @@ def refresh_minmax_view(
                 snapshot=f"mv-{mode}-v{v_src}",
                 expected_version=view_base,
                 txn=(app, v_src),
-                props=prop_updates,
+                props=prop_updates or None,
             )
         except CommitConflict:
             continue

@@ -1905,6 +1905,38 @@ class TestContractMinMaxViews:
         assert out["mode"] == "heal"
         assert self._view(wh) == self._recompute(wh)
 
+    def test_source_bucket_key_rename_rebinds(self, spark, wh_factory):
+        """Declared RENAME of the source's bucket key: the stored key
+        no longer exists, so the refresh re-binds to the source's
+        current bucket key in the same commit and stays exact
+        (the rollup lane's rule, applied to the partials lane)."""
+        from canvas_data_loader_spark.plans.ops import refresh_minmax_view
+
+        wh = wh_factory()
+        self._mk(spark, wh)
+        batch = spark.createDataFrame(
+            [(77, "g1", 5)], "fact_id long, grp string, amount long"
+        )
+        wh.merge_bucketed(
+            "facts", batch, snapshot="m1", evolve=True,
+            renames={"id": "fact_id"},
+        )
+        out = refresh_minmax_view(wh, "mm")
+        assert out["mode"] in ("incremental", "full")
+        assert self._view(wh) == self._recompute(wh)
+        assert wh.table_properties("mm")["mv.source_key"] == "fact_id"
+        # and the NEXT refresh runs on the re-bound key
+        wh.merge_bucketed(
+            "facts",
+            spark.createDataFrame(
+                [(78, "g2", -9)], "fact_id long, grp string, amount long"
+            ),
+            snapshot="m2",
+        )
+        out = refresh_minmax_view(wh, "mm")
+        assert out["mode"] == "incremental"
+        assert self._view(wh) == self._recompute(wh)
+
     def test_source_recreated_rebuilds(self, spark, wh_factory):
         from canvas_data_loader_spark.plans.ops import refresh_minmax_view
 
