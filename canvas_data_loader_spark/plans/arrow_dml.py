@@ -270,11 +270,21 @@ def apply_stream_batch_arrow(
 
     from ..sources.warehouse_source import _Meta, _read_conformed
 
+    has_delta = os.path.isdir(os.path.join(root, table, "_delta_log"))
+    has_manifest = os.path.isdir(os.path.join(root, table, "_commits"))
     if protocol is None:
-        protocol = (
-            "delta"
-            if os.path.isdir(os.path.join(root, table, "_delta_log"))
-            else "manifest"
+        protocol = "delta" if has_delta else "manifest"
+    elif (protocol == "manifest" and has_delta and not has_manifest) or (
+        protocol == "delta" and has_manifest and not has_delta
+    ):
+        # an explicit wrong protocol option must not CAS-create a
+        # SECOND commit log inside an existing table directory — the
+        # auto-detecting readers would keep following the original one
+        # and every streamed row would be silently invisible
+        raise ValueError(
+            f"table {table!r} already exists under the "
+            f"{'delta' if has_delta else 'manifest'} protocol; "
+            f"refusing to write it as {protocol!r}"
         )
     batch = _dedup_latest_arrow(batch, keys, order_col)
 
@@ -352,10 +362,12 @@ def _merge_bucketed_arrow(
         mine = batch_c.take(by_bucket[b])
         out_tables[b] = pa.concat_tables([kept, mine])
     if protocol == "manifest":
+        from ..operators.merge import BUCKET_COL
         from .pipeline import (
             CommitConflict,
             Warehouse,
             _dv_surviving_rewrite,
+            _txn_overlay,
         )
 
         wh = Warehouse(None, root)
@@ -367,7 +379,7 @@ def _merge_bucketed_arrow(
         out_dir = os.path.join(root, table, snapshot)
         for b, t in out_tables.items():
             _write_parquet(
-                t, os.path.join(out_dir, f"__kb={b}", "part-00000.parquet")
+                t, os.path.join(out_dir, f"{BUCKET_COL}={b}", "part-00000.parquet")
             )
         wh._write_stats_sidecar(out_dir)
         manifest = {
@@ -389,7 +401,7 @@ def _merge_bucketed_arrow(
                 if m.get("renamed_from")
                 else {}
             ),
-            "txn": {**(m.get("txn") or {}), app_id: batch_id},
+            "txn": _txn_overlay(m.get("txn"), (app_id, batch_id)),
             **wh._props_map(None, m),
             **({"table_id": m["table_id"]} if m.get("table_id") else {}),
         }
@@ -422,7 +434,7 @@ def _merge_plain_arrow(
     )
     merged = pa.concat_tables([_anti_join(old, batch_c, keys), batch_c])
     if protocol == "manifest":
-        from .pipeline import CommitConflict, Warehouse
+        from .pipeline import CommitConflict, Warehouse, _txn_overlay
 
         wh = Warehouse(None, root)
         latest = wh._latest_commit(table)
@@ -435,7 +447,7 @@ def _merge_plain_arrow(
         wh._write_stats_sidecar(out_dir)
         manifest = {
             "snapshot": snapshot,
-            "txn": {**(m.get("txn") or {}), app_id: batch_id},
+            "txn": _txn_overlay(m.get("txn"), (app_id, batch_id)),
             **wh._props_map(None, m),
             **({"table_id": m["table_id"]} if m.get("table_id") else {}),
         }

@@ -1130,10 +1130,16 @@ class DeltaWarehouse:
         from ..operators.merge import SchemaEvolutionError, conform_to, evolved_schema
 
         for attempt in range(1 + max_commit_retries):
-            base, meta, live, _, _ = self._replay(table)
+            base, meta, live, head_txn, _ = self._replay(table)
             spec = self._bucket_spec(meta)
             if spec is None:
                 raise FileNotFoundError(f"table not bucketed: {table}")
+            if txn is not None and head_txn.get(txn[0], -1) >= int(txn[1]):
+                # this epoch (or newer) already folded into the log — a
+                # replay or split-brain race; re-publishing the stale
+                # batch's buckets would overwrite newer data (same rule
+                # as the manifest impl's head-epoch check)
+                return []
             old_key, n = spec
             # a declared rename may cover the bucket key itself: the
             # VALUES (and thus xxhash64 buckets) are unchanged, only
@@ -1303,6 +1309,14 @@ class DeltaWarehouse:
 
         aff = {int(b) for b in affected}
         tail = [a for a in actions if "commitInfo" not in a]
+        # our own epoch claims: an intervening commit recording the
+        # SAME app at an equal-or-newer version means this merge is a
+        # replay / split-brain loser, not a disjoint writer
+        own_txn = {
+            a["txn"]["appId"]: int(a["txn"]["version"])
+            for a in tail
+            if "txn" in a
+        }
 
         def bucket_of_path(p: str) -> int | None:
             mt = re.search(rf"(?:^|/){re.escape(BUCKET_COL)}=(\d+)/", p)
@@ -1321,9 +1335,21 @@ class DeltaWarehouse:
                     return None
                 for ln in lines:
                     a = json.loads(ln)
-                    if "commitInfo" in a or "txn" in a or "protocol" in a:
-                        # informational / epoch / feature-gate rows
-                        # never invalidate a disjoint merge
+                    if "txn" in a:
+                        t = a["txn"]
+                        if (
+                            t["appId"] in own_txn
+                            and int(t["version"]) >= own_txn[t["appId"]]
+                        ):
+                            # epoch conflict: the winner already
+                            # recorded our app at >= our version —
+                            # re-derive (the merge loop's head-epoch
+                            # check then skips the stale batch)
+                            return None
+                        continue  # other apps' epochs: informational
+                    if "commitInfo" in a or "protocol" in a:
+                        # informational / feature-gate rows never
+                        # invalidate a disjoint merge
                         continue
                     if "metaData" in a:
                         # schema, bucket spec, or properties moved —

@@ -482,12 +482,17 @@ def create_minmax_view(
         )
     agg_cols = {k: tuple(v) for k, v in agg_cols.items()}
     for tbl in (view, _minmax_partials_table(view)):
+        # rollup-lane rule: an existing table qualifies for replacement
+        # ONLY if it already declares itself a view of this source — a
+        # plain table (mv.source absent) is someone's data, never
+        # silently full-replaced
         if warehouse.exists(tbl) and warehouse.table_properties(tbl).get(
             "mv.source"
-        ) not in (None, source):
+        ) != source:
             raise ValueError(
                 f"{tbl!r} exists and is not a materialized view of "
-                f"{source!r} — refusing to overwrite"
+                f"{source!r} — refusing to overwrite (drop it first if "
+                "the replacement is intended)"
             )
     app = f"mv:{source}"
     pt = _minmax_partials_table(view)
@@ -579,6 +584,16 @@ def refresh_minmax_view(
             and same_incarnation
             and warehouse.GENESIS_VERSION < p_last <= v_src
         )
+        # the recorded key wins while it still exists (rollup-lane
+        # rule: an explicit source_key is a contract); only when
+        # evolution renamed/removed it does the source's CURRENT
+        # bucket key take over, re-bound in the same commit
+        stored_key = props.get("mv.source_key")
+        use_key = (
+            stored_key
+            if stored_key in src.columns
+            else src_info.get("bucket_key")
+        )
         if live and p_last == v_src:
             mode = "heal"  # partials current; only the view lags
         elif (
@@ -590,16 +605,6 @@ def refresh_minmax_view(
             warehouse.record_txn(view, app, v_src)
             return {"mode": "advance", "v_from": p_last, "v_to": v_src}
         else:
-            # the recorded key wins while it still exists (rollup-lane
-            # rule: an explicit source_key is a contract); only when
-            # evolution renamed/removed it does the source's CURRENT
-            # bucket key take over, re-bound in the same commit
-            stored_key = props.get("mv.source_key")
-            use_key = (
-                stored_key
-                if stored_key in src.columns
-                else src_info.get("bucket_key")
-            )
             new_partials = None
             if live and use_key:
                 try:
@@ -628,7 +633,10 @@ def refresh_minmax_view(
                 except FileNotFoundError:
                     new_partials = None  # horizon pruned: rebuild
             if new_partials is None:
-                if use_key is None:
+                if use_key is None or src_info.get("n_buckets") is None:
+                    # bucket key gone OR the table was rewritten
+                    # unbucketed (key column may still exist): either
+                    # way the partials have no change unit
                     raise ValueError(
                         f"source {source!r} is no longer bucketed — "
                         "min/max partials have no change unit; drop and "
@@ -654,13 +662,8 @@ def refresh_minmax_view(
         if not same_incarnation:
             prop_updates["mv.source_id"] = source_id
         if mode in ("incremental", "full"):
-            bound_key = (
-                props.get("mv.source_key")
-                if props.get("mv.source_key") in src.columns
-                else src_info.get("bucket_key")
-            )
-            if bound_key and bound_key != props.get("mv.source_key"):
-                prop_updates["mv.source_key"] = bound_key
+            if use_key and use_key != stored_key:
+                prop_updates["mv.source_key"] = use_key
         try:
             warehouse.write(
                 view,

@@ -123,6 +123,23 @@ def _to_epoch_seconds(ts) -> float:
     raise TypeError(f"unsupported timestamp {ts!r}")
 
 
+def _txn_overlay(
+    base_map: dict | None, txn: tuple[str, int] | None
+) -> dict:
+    """Writer-epoch map for a new manifest: the base's map carried
+    forward — epochs survive EVERY commit, matching the Delta read
+    side, which max-folds txn actions across the whole log — with
+    ``txn`` overlaid monotonically (max), so a racing replay can never
+    move a watermark backward. Dropping the carried map (the round-9
+    review finding) let one txn-less batch merge erase a streaming
+    writer's exactly-once state and un-skip its replayed batches."""
+    out = {str(k): int(v) for k, v in (base_map or {}).items()}
+    if txn is not None:
+        app, v = str(txn[0]), int(txn[1])
+        out[app] = max(v, out.get(app, -1))
+    return out
+
+
 def _dv_surviving_rewrite(m: dict, affected: list[int]) -> list[dict]:
     """Deletion-vector entries still live after ``affected`` buckets
     are rewritten: an entry whose covered buckets all got new backing
@@ -1106,7 +1123,7 @@ class Warehouse:
                 raise FileNotFoundError(f"table not in warehouse: {table}")
             head, m = latest
             new_man = dict(m)
-            new_man["txn"] = {**(m.get("txn") or {}), app_id: epoch}
+            new_man["txn"] = _txn_overlay(m.get("txn"), (app_id, epoch))
             new_man["data_change"] = False
             try:
                 out = self._publish(table, new_man, expected_version=head)
@@ -1261,11 +1278,13 @@ class Warehouse:
                 # change-feed consumers advance their watermark without
                 # touching data (the Delta dataChange=false analog)
                 m["data_change"] = False
-            if txn is not None:
-                m["txn"] = {
-                    **((base_man or {}).get("txn") or {}),
-                    txn[0]: txn[1],
-                }
+            # epochs survive a full replace (Delta max-folds txn
+            # actions across the whole log; the manifest materializes
+            # the same semantics at write time) — dropping them would
+            # un-skip a streaming writer's replayed batches
+            t = _txn_overlay((base_man or {}).get("txn"), txn)
+            if t:
+                m["txn"] = t
             m.update(self._props_map(props, base_man))
             return m
 
@@ -1388,6 +1407,17 @@ class Warehouse:
             if m is None or not m.get("buckets"):
                 raise FileNotFoundError(f"table not bucketed: {table}")
             base_version = latest[0]
+            if (
+                txn is not None
+                and int((m.get("txn") or {}).get(txn[0], -1)) >= int(txn[1])
+            ):
+                # this epoch (or a newer one) is already recorded ON THE
+                # HEAD — a replay, or a split-brain race where a newer
+                # writer instance's batches landed while this merge was
+                # in flight (the CAS retry would otherwise re-derive and
+                # publish the STALE batch's rows over the newer ones,
+                # with the epoch map papering over the regression)
+                return []
             # a replayed batch (e.g. foreachBatch restart after publish
             # but before the streaming checkpoint committed) would
             # otherwise mode=overwrite the very directory the current
@@ -1492,8 +1522,8 @@ class Warehouse:
                             else {}
                         ),
                         **(
-                            {"txn": {**(m.get("txn") or {}), txn[0]: txn[1]}}
-                            if txn is not None
+                            {"txn": t}
+                            if (t := _txn_overlay(m.get("txn"), txn))
                             else {}
                         ),
                         **self._props_map(None, m),
@@ -1579,6 +1609,18 @@ class Warehouse:
                 return None
             v2, m2 = latest
             if (
+                txn is not None
+                and int((m2.get("txn") or {}).get(txn[0], -1)) >= int(txn[1])
+            ):
+                # an intervening commit already recorded this epoch (or
+                # a newer one) for our app — a split-brain/replay race,
+                # not a disjoint writer: publishing our stale batch's
+                # buckets over the newer data would be a regression the
+                # monotone epoch map would then hide. Physical-conflict
+                # path: the caller re-derives, and the merge loop's
+                # head-epoch check skips the batch.
+                return None
+            if (
                 not m2.get("buckets")
                 or m2.get("bucket_key") != base_m.get("bucket_key")
                 or int(m2.get("n_buckets", -1)) != int(base_m["n_buckets"])
@@ -1609,8 +1651,8 @@ class Warehouse:
                 **({"schema": target_json} if target_json else {}),
                 **({"renamed_from": renamed_from} if renamed_from else {}),
                 **(
-                    {"txn": {**(m2.get("txn") or {}), txn[0]: txn[1]}}
-                    if txn is not None
+                    {"txn": t}
+                    if (t := _txn_overlay(m2.get("txn"), txn))
                     else {}
                 ),
                 **self._props_map(None, m2),
@@ -1789,7 +1831,7 @@ class Warehouse:
                 # data_change=false)
                 new_man.pop("data_change", None)
                 if txn is not None:
-                    new_man["txn"] = {**(m.get("txn") or {}), txn[0]: txn[1]}
+                    new_man["txn"] = _txn_overlay(m.get("txn"), txn)
                 self._publish(table, new_man, expected_version=base_version)
             except CommitConflict:
                 import random
@@ -1927,7 +1969,7 @@ class Warehouse:
                 self._write_stats_sidecar(out)
                 new_man.pop("data_change", None)
                 if txn is not None:
-                    new_man["txn"] = {**(m.get("txn") or {}), txn[0]: txn[1]}
+                    new_man["txn"] = _txn_overlay(m.get("txn"), txn)
                 self._publish(table, new_man, expected_version=base_version)
             except CommitConflict:
                 import random

@@ -110,6 +110,21 @@ class _Meta:
             self.wh = Warehouse(None, root)
             self.genesis = 0
 
+    def _replayed(self, version: int):
+        """Memoized Delta log replay at a FIXED version — the commit
+        log is immutable below a retained version, and one _Meta
+        instance serves one planning/commit pass, so the memo turns
+        the ~5 accessor replays per streaming commit (schema, renames,
+        files, DVs) into one log read. Never used for head resolution
+        (current_version stays live)."""
+        if not hasattr(self, "_replay_memo"):
+            self._replay_memo: dict = {}
+        if version not in self._replay_memo:
+            self._replay_memo[version] = self.wh._replay(
+                self.table, upto=version
+            )
+        return self._replay_memo[version]
+
     def current_version(self) -> int:
         return self.wh.current_version(self.table)
 
@@ -144,7 +159,7 @@ class _Meta:
         if version is None:
             version = self.current_version()
         if self.protocol == "delta":
-            _, meta, _, _, _ = self.wh._replay(self.table, upto=version)
+            _, meta, _, _, _ = self._replayed(version)
             st = StructType.fromJson(json.loads(meta["schemaString"]))
             # drop field metadata (column-mapping ids/physical names)
             # — the stream's output schema is purely logical
@@ -176,7 +191,7 @@ class _Meta:
         if version is None:
             version = self.current_version()
         if self.protocol == "delta":
-            _, meta, _, _, _ = self.wh._replay(self.table, upto=version)
+            _, meta, _, _, _ = self._replayed(version)
             spec = self.wh._bucket_spec(meta)
             return spec[0] if spec else None
         return self._manifest_at(version).get("bucket_key")
@@ -192,7 +207,7 @@ class _Meta:
         if self.protocol == "delta":
             from ..plans.delta import _cm_mapping
 
-            _, meta, _, _, _ = self.wh._replay(self.table, upto=version)
+            _, meta, _, _, _ = self._replayed(version)
             return {
                 logical: [phys]
                 for logical, phys in (_cm_mapping(meta) or {}).items()
@@ -211,7 +226,7 @@ class _Meta:
         if self.protocol == "delta":
             from ..plans.dv import decode_inline_dv
 
-            _, _, live, _, _ = self.wh._replay(self.table, upto=version)
+            _, _, live, _, _ = self._replayed(version)
             return {
                 os.path.join(tdir, p): decode_inline_dv(a["deletionVector"])
                 for p, a in live.items()
@@ -247,7 +262,7 @@ class _Meta:
         written for them). Pure listing — no file is opened."""
         tdir = os.path.join(self.root, self.table)
         if self.protocol == "delta":
-            _, meta, live, _, _ = self.wh._replay(self.table, upto=version)
+            _, meta, live, _, _ = self._replayed(version)
             out: dict[int | None, list[str]] = {}
             for p, a in live.items():
                 b = (a.get("partitionValues") or {}).get(_BUCKET_COL)

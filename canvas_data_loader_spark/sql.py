@@ -416,31 +416,41 @@ def execute_dml(wh, stmt: str) -> dict:
             )
         key = p["key"]
         delete_keys = None
+        upserts = src
+        existing = None
+        if p["delete"] or not (p["update"] and p["insert"]):
+            # target key set: a column-pruned scan, deliberately NOT
+            # broadcast-hinted — the TARGET is the big side at scale
+            # (broadcasting a 100 TB table's distinct keys kills the
+            # statement); AQE picks the strategy, and bucketed layouts
+            # co-locate the join
+            existing = wh.read(p["table"]).select(key).distinct()
         if p["delete"]:
-            matched = src
+            # SQL MERGE routes each source row to its first matching
+            # WHEN clause: DELETE consumes only MATCHED rows passing
+            # its condition; matched rows failing it fall through to
+            # UPDATE, and NOT-matched rows fall through to INSERT —
+            # they must never be swallowed by the delete branch
+            matched = src.join(existing, on=key, how="left_semi")
             if p["delete_cond"] is not None:
                 cond_txt = p["delete_cond"]
                 if p["s_alias"]:
                     cond_txt = re.sub(
                         rf"\b{re.escape(p['s_alias'])}\.", "", cond_txt
                     )
-                cond_col = F.expr(cond_txt)
-                matched = src.filter(cond_col)
-                # NULL-safe complement: a NULL condition keeps the row
-                # on the upsert side (SQL's WHEN MATCHED falls through)
-                src = src.filter(~F.coalesce(cond_col, F.lit(False)))
-            else:
-                src = src.limit(0)
+                # NULL condition = not deleted (falls through), per
+                # SQL's three-valued WHEN MATCHED AND <cond>
+                matched = matched.filter(F.expr(cond_txt))
             delete_keys = matched.select(key)
-        upserts = src
-        if not (p["update"] and p["insert"]):
-            existing = F.broadcast(wh.read(p["table"]).select(key).distinct())
-            if p["update"] and not p["insert"]:
-                upserts = upserts.join(existing, on=key, how="left_semi")
-            elif p["insert"] and not p["update"]:
-                upserts = upserts.join(existing, on=key, how="left_anti")
-            elif p["delete"]:
-                upserts = upserts.limit(0)
+            upserts = upserts.join(
+                delete_keys.distinct(), on=key, how="left_anti"
+            )
+        if p["update"] and not p["insert"]:
+            upserts = upserts.join(existing, on=key, how="left_semi")
+        elif p["insert"] and not p["update"]:
+            upserts = upserts.join(existing, on=key, how="left_anti")
+        elif not p["update"] and not p["insert"]:
+            upserts = upserts.limit(0)  # delete-only statement
         affected = wh.merge_bucketed(
             p["table"],
             upserts,

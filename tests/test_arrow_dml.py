@@ -241,6 +241,22 @@ class TestArrowLaneEquivalence:
         assert rows == {1: "b0-newer", 20: "new20"}
         assert b.last_txn_epoch("app", "t") == 0
 
+    def test_wrong_protocol_on_existing_table_refused(
+        self, spark, wh_factory
+    ):
+        """An explicit wrong protocol option must not CAS-create a
+        SECOND commit log inside an existing table directory (round-9
+        review finding: auto-detecting readers would keep following
+        the original log and every streamed row would be invisible)."""
+        b = wh_factory("proto")
+        self._seed(spark, b, ("id", 4))
+        wrong = "manifest" if wh_factory.kind == "delta" else "delta"
+        with pytest.raises(ValueError, match="refusing to write"):
+            apply_stream_batch_arrow(
+                b.root, "t", ["id"], "seq", "app", _arrow(BATCHES[0]), 0,
+                protocol=wrong,
+            )
+
     def test_wrong_key_on_bucketed_refused(self, spark, wh_factory):
         b = wh_factory("wrongkey")
         self._seed(spark, b, ("id", 4))

@@ -244,6 +244,45 @@ class TestSqlDml:
         assert got_a == got_b
         assert 3 not in got_a and got_a[2] == ("UP", 999) and got_a[20] == ("NEW", 1)
 
+    def test_merge_delete_plus_insert_routes_unmatched(self, spark, dml_wh):
+        """SQL MERGE clause routing (round-9 review finding): DELETE
+        consumes only MATCHED rows; NOT-matched rows must reach the
+        INSERT clause — with an unconditional DELETE, and with a
+        conditional DELETE whose condition an unmatched row happens to
+        satisfy."""
+        from canvas_data_loader_spark.sql import execute_dml
+
+        wh = dml_wh()
+        _seed(spark, wh, "a")
+        spark.createDataFrame(
+            [(2, "gone", 0), (30, "NEW", 1)], "id long, v string, cnt long"
+        ).createOrReplaceTempView("di_src")
+        execute_dml(
+            wh,
+            "MERGE INTO a USING di_src AS s ON a.id = s.id "
+            "WHEN MATCHED THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+        got = {r["id"]: r["v"] for r in wh.read("a").collect()}
+        assert 2 not in got          # matched: deleted
+        assert got[30] == "NEW"      # unmatched: inserted, not swallowed
+        assert len(got) == 8         # 8 seed - 1 + 1
+        # conditional: an UNMATCHED row satisfying the delete condition
+        # still inserts (the condition gates only MATCHED rows)
+        _seed(spark, wh, "b")
+        spark.createDataFrame(
+            [(3, "x", 0, True), (40, "NEW40", 1, True)],
+            "id long, v string, cnt long, deleted boolean",
+        ).createOrReplaceTempView("di_src2")
+        execute_dml(
+            wh,
+            "MERGE INTO b USING di_src2 AS s ON b.id = s.id "
+            "WHEN MATCHED AND s.deleted THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+        got = {r["id"]: r["v"] for r in wh.read("b").collect()}
+        assert 3 not in got and got[40] == "NEW40" and len(got) == 8
+
     def test_merge_update_only_and_insert_only(self, spark, dml_wh):
         from canvas_data_loader_spark.sql import execute_dml
 

@@ -1734,6 +1734,84 @@ class TestContractMaterializedViews:
             refresh_rollup_view(wh, "plain")
 
 
+class TestWriterEpochDurability:
+    """Round-9 review findings: writer epochs (the txn map) must
+    survive EVERY commit — the Delta read side max-folds txn actions
+    across the whole log, so the manifest impl must materialize the
+    same semantics at write time — and a stale epoch can never
+    regress a watermark or republish its batch's data."""
+
+    SCHEMA = "id long, v string, seq long"
+
+    def _mk(self, spark, wh):
+        wh.write(
+            "t",
+            spark.createDataFrame(
+                [(i, f"v{i}", 0) for i in range(1, 9)], self.SCHEMA
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(1, "b7", 7)], self.SCHEMA),
+            snapshot="m7",
+            txn=("app", 7),
+        )
+        assert wh.last_txn_epoch("app", "t") == 7
+
+    def test_epochs_survive_txnless_merge(self, spark, wh_factory):
+        wh = wh_factory()
+        self._mk(spark, wh)
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(2, "etl", 0)], self.SCHEMA),
+            snapshot="etl",
+        )
+        assert wh.last_txn_epoch("app", "t") == 7
+
+    def test_epochs_survive_txnless_full_write(self, spark, wh_factory):
+        wh = wh_factory()
+        self._mk(spark, wh)
+        wh.write(
+            "t",
+            spark.createDataFrame([(9, "re", 0)], self.SCHEMA),
+            snapshot="rewrite",
+            bucket=("id", 4),
+        )
+        assert wh.last_txn_epoch("app", "t") == 7
+
+    def test_stale_epoch_merge_skipped_entirely(self, spark, wh_factory):
+        """A merge carrying an epoch <= the recorded one is a replay /
+        split-brain loser: it must publish NOTHING (no commit, no data
+        change) — the CAS retry loop must not re-derive it over newer
+        data."""
+        wh = wh_factory()
+        self._mk(spark, wh)
+        head = head_of(wh, "t")
+        out = wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(1, "STALE", 5)], self.SCHEMA),
+            snapshot="stale",
+            txn=("app", 5),
+        )
+        assert out == []
+        assert head_of(wh, "t") == head
+        assert wh.last_txn_epoch("app", "t") == 7
+        rows = {r["id"]: r["v"] for r in wh.read("t").collect()}
+        assert rows[1] == "b7"  # the newer batch's value survived
+
+    def test_record_txn_never_regresses(self, spark, wh_factory):
+        wh = wh_factory()
+        self._mk(spark, wh)
+        wh.record_txn("t", "app", 5)  # stale watermark advance
+        assert wh.last_txn_epoch("app", "t") == 7
+
+
+def head_of(wh, table):
+    return wh.current_version(table)
+
+
 class TestContractMinMaxViews:
     """create_minmax_view / refresh_minmax_view (plans/ops.py):
     MIN/MAX — the aggregates the rollup lane refuses as
@@ -1786,6 +1864,37 @@ class TestContractMinMaxViews:
         wh.write("plainsrc", self._facts(spark), snapshot="s0")
         with pytest.raises(ValueError, match="BUCKETED"):
             create_minmax_view(wh, "mm", "plainsrc", ["grp"], self.AGGS)
+
+    def test_create_refuses_to_clobber_non_view(self, spark, wh_factory):
+        """A plain table under the view's (or the partials sidecar's)
+        name is someone's DATA — never silently full-replaced
+        (round-9 review finding: the guard let mv.source=None pass)."""
+        from canvas_data_loader_spark.plans.ops import create_minmax_view
+
+        wh = wh_factory()
+        wh.write("facts", self._facts(spark), snapshot="s0", bucket=("id", 8))
+        wh.write("mm", spark.range(3), snapshot="s0")
+        with pytest.raises(ValueError, match="refusing to overwrite"):
+            create_minmax_view(wh, "mm", "facts", ["grp"], self.AGGS)
+        wh.write("mm2__partials", spark.range(3), snapshot="s0")
+        with pytest.raises(ValueError, match="refusing to overwrite"):
+            create_minmax_view(wh, "mm2", "facts", ["grp"], self.AGGS)
+        assert wh.read("mm").count() == 3  # untouched
+
+    def test_source_rewritten_unbucketed_raises_cleanly(
+        self, spark, wh_factory
+    ):
+        """Source fully replaced WITHOUT bucketing while the key
+        column still exists: the refresh must raise its documented
+        no-change-unit error, not TypeError int(None) (round-9
+        review finding)."""
+        from canvas_data_loader_spark.plans.ops import refresh_minmax_view
+
+        wh = wh_factory()
+        self._mk(spark, wh)
+        wh.write("facts", self._facts(spark, n=6), snapshot="flat")  # unbucketed
+        with pytest.raises(ValueError, match="no longer bucketed"):
+            refresh_minmax_view(wh, "mm")
 
     def test_maintained_through_update_insert_delete(
         self, spark, wh_factory
