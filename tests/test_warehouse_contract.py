@@ -2272,6 +2272,152 @@ class TestMvRefreshVsMergeRace:
         )
 
 
+class TestMultiWriterChaos:
+    """Three writers with different jobs race on ONE table — a
+    streaming upserter carrying epochs, a txn-less batch ETL that also
+    deletes, and a maintenance thread compacting and refreshing two
+    materialized views (rollup + minmax). This is the round-9
+    epoch/reconciliation surface under real contention, on both commit
+    protocols: no lost update, no lost retraction, epochs monotone and
+    SURVIVING the txn-less writers' commits, a stale replay a no-op,
+    and both views exactly equal to a recompute at the end."""
+
+    R = 3
+
+    def test_chaos_converges(self, spark, wh_factory):
+        from canvas_data_loader_spark.plans.ops import (
+            create_minmax_view,
+            create_rollup_view,
+            refresh_view,
+        )
+
+        wh = wh_factory()
+        wh.write(
+            "facts",
+            spark.createDataFrame(
+                [(i, f"g{i % 4}", i * 10) for i in range(32)],
+                "id long, grp string, amount long",
+            ),
+            snapshot="s0",
+            bucket=("id", 8),
+        )
+        create_rollup_view(wh, "v_sum", "facts", ["grp"], {"total": "amount"})
+        create_minmax_view(
+            wh, "v_mm", "facts", ["grp"],
+            {"lo": ("amount", "min"), "hi": ("amount", "max")},
+        )
+        errors: list[Exception] = []
+        R = self.R
+        sch = "id long, grp string, amount long"
+
+        stream_wh = wh_factory()
+
+        def stream_side():
+            try:
+                for i in range(R):
+                    stream_wh.merge_bucketed(
+                        "facts",
+                        spark.createDataFrame(
+                            [(100 + k, "gS", 1000 * i + k) for k in range(4)],
+                            sch,
+                        ),
+                        snapshot=f"s{i}",
+                        txn=("stream", i),
+                        max_commit_retries=25,
+                    )
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        etl_wh = wh_factory()
+
+        def etl_side():
+            try:
+                for i in range(R):
+                    etl_wh.merge_bucketed(
+                        "facts",
+                        spark.createDataFrame(
+                            [(200 + k, "gE", -(10 * i) - k) for k in range(4)],
+                            sch,
+                        ),
+                        snapshot=f"e{i}",
+                        max_commit_retries=25,
+                    )
+                # retract the row that IS gE's minimum (id=203 carries
+                # the smallest amount) — the minmax view must recover
+                # the next-smallest from survivors
+                etl_wh.delete_where(
+                    "facts", F.col("id") == 203, max_commit_retries=25
+                )
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        maint_wh = wh_factory()
+
+        def maint_side():
+            for _ in range(R):
+                # maintenance losing a race is acceptable (re-runnable);
+                # anything else is a real failure
+                try:
+                    maint_wh.compact("facts")
+                    refresh_view(maint_wh, "v_sum")
+                    refresh_view(maint_wh, "v_mm")
+                except CommitConflict:
+                    pass
+                except Exception as e:  # noqa: BLE001
+                    errors.append(e)
+
+        threads = [
+            threading.Thread(target=f)
+            for f in (stream_side, etl_side, maint_side)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert errors == []
+        rows = {r["id"]: r["amount"] for r in wh.read("facts").collect()}
+        for k in range(4):  # every stream-lane last value survived
+            assert rows[100 + k] == 1000 * (R - 1) + k
+        assert 203 not in rows  # the retraction survived
+        for k in (0, 1, 2):  # every ETL-lane last value survived
+            assert rows[200 + k] == -(10 * (R - 1)) - k
+        # epochs survived the txn-less ETL + maintenance commits
+        assert wh.last_txn_epoch("stream", "facts") == R - 1
+        # a stale replay (split-brain loser) publishes nothing
+        assert (
+            stream_wh.merge_bucketed(
+                "facts",
+                spark.createDataFrame([(100, "gS", -999)], sch),
+                snapshot="replay",
+                txn=("stream", 0),
+            )
+            == []
+        )
+        assert rows[100] == 1000 * (R - 1)
+        # both views converge EXACTLY on a recompute
+        refresh_view(wh, "v_sum")
+        refresh_view(wh, "v_mm")
+        facts = wh.read("facts")
+        from canvas_data_loader_spark.operators.ivm import build_rollup
+
+        assert sorted(tuple(r) for r in wh.read("v_sum").collect()) == sorted(
+            tuple(r)
+            for r in build_rollup(
+                facts, ["grp"], {"total": "amount"}
+            ).collect()
+        )
+        assert sorted(tuple(r) for r in wh.read("v_mm").collect()) == sorted(
+            tuple(r)
+            for r in facts.groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min("amount").alias("lo"),
+                F.max("amount").alias("hi"),
+            )
+            .collect()
+        )
+
+
 class TestSyncMirror:
     """sync_mirror (plans/ops.py): incremental cross-warehouse
     replication off the pruned change feed. Written against the shared
