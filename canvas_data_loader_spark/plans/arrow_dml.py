@@ -329,6 +329,18 @@ def apply_stream_batch_arrow(
     )
 
 
+
+def _enforce_arrow_constraints(meta, table: str, batch_c) -> None:
+    """CHECK constraints on the session-less lane: the writer contract
+    (plans/constraints.py) holds here too — DuckDB evaluates the same
+    expressions over the conformed arrow batch, so a constrained table
+    refuses a violating micro-batch BEFORE any file is written."""
+    from .constraints import constraints_of, enforce_arrow
+
+    cons = constraints_of(meta.wh.table_properties(table))
+    enforce_arrow(batch_c, cons, table)
+
+
 def _spark_type_of(struct, col: str) -> str:
     return struct[col].dataType.simpleString()
 
@@ -341,6 +353,7 @@ def _merge_bucketed_arrow(
     from ..sources.warehouse_source import _read_conformed
 
     batch_c, data_schema, struct = _conform_batch(batch, meta, base)
+    _enforce_arrow_constraints(meta, table, batch_c)
     ktype = _spark_type_of(struct, key)
     kvals = batch_c.column(key).to_pylist()
     buckets = [bucket_of_value(v, ktype, n) for v in kvals]
@@ -425,6 +438,7 @@ def _merge_plain_arrow(
     from ..sources.warehouse_source import _read_conformed
 
     batch_c, data_schema, _struct = _conform_batch(batch, meta, base)
+    _enforce_arrow_constraints(meta, table, batch_c)
     files_map = meta.files_by_bucket(base)
     files = [f for fl in files_map.values() for f in fl]
     dv_all = meta.dv_by_file(base)

@@ -675,6 +675,15 @@ class DeltaWarehouse:
             _, head_meta, _, _, _ = self._replay(table)
         except FileNotFoundError:
             head_meta = None
+        # CHECK constraints gate every data-adding write; reuses the
+        # head replay above (no extra log read for unconstrained tables)
+        from .constraints import constraints_of, enforce_spark
+
+        enforce_spark(
+            df,
+            constraints_of((head_meta or {}).get("configuration") or {}),
+            table,
+        )
         if head_meta is not None and _cm_mapping(head_meta) is not None:
             schema_str, cm_cfg, mapping = self._evolved_schema_string(
                 head_meta, df.schema, renames=None
@@ -1128,9 +1137,21 @@ class DeltaWarehouse:
         (the CDC apply — upserts + deletes, one commit, exactly-once
         under ``txn``; a key in both frames lands on the upsert)."""
         from ..operators.merge import SchemaEvolutionError, conform_to, evolved_schema
+        from .constraints import constraints_of, enforce_spark
 
+        checked = False
         for attempt in range(1 + max_commit_retries):
             base, meta, live, head_txn, _ = self._replay(table)
+            if not checked:
+                # CHECK constraints gate the batch once, from the first
+                # attempt's replay (no extra log read; retries re-derive
+                # state, not the already-validated batch)
+                enforce_spark(
+                    new,
+                    constraints_of(meta.get("configuration") or {}),
+                    table,
+                )
+                checked = True
             spec = self._bucket_spec(meta)
             if spec is None:
                 raise FileNotFoundError(f"table not bucketed: {table}")
@@ -1642,6 +1663,13 @@ class DeltaWarehouse:
             updated = matched.withColumns(assigns).drop(FILE_COL, POS_COL)
             if BUCKET_COL in updated.columns:
                 updated = updated.drop(BUCKET_COL)
+            from .constraints import constraints_of, enforce_spark
+
+            enforce_spark(
+                updated,
+                constraints_of(meta.get("configuration") or {}),
+                table,
+            )
             now = int(time.time() * 1000)
             actions: list[dict] = [
                 self._commit_info("UPDATE", {"mode": chosen})

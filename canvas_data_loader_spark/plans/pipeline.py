@@ -1220,6 +1220,11 @@ class Warehouse:
         window and both would write into one directory). Append into
         an empty claimed dir has create semantics; names are never
         reused, so there is never pre-existing data to append onto."""
+        from .constraints import constraints_of, enforce_spark
+
+        enforce_spark(
+            df, constraints_of(self.table_properties(table)), table
+        )
         snapshot = self._fresh_snapshot_name(table, snapshot)
         out = os.path.join(self.root, table, snapshot)
 
@@ -1394,8 +1399,11 @@ class Warehouse:
         affected set, so partition pruning still holds.
 
         Returns the affected bucket ids."""
+        from .constraints import constraints_of, enforce_spark
+
         wanted = snapshot
         renames = renames or {}
+        checked = False
         for attempt in range(1 + max_commit_retries):
             # ONE manifest fetch yields both the CAS base version and
             # the bucket map derived from it — fetching them separately
@@ -1407,6 +1415,14 @@ class Warehouse:
             if m is None or not m.get("buckets"):
                 raise FileNotFoundError(f"table not bucketed: {table}")
             base_version = latest[0]
+            if not checked:
+                # CHECK constraints gate the batch once, from the first
+                # attempt's manifest (retries re-derive state, not the
+                # already-validated batch)
+                enforce_spark(
+                    new, constraints_of(m.get("props") or {}), table
+                )
+                checked = True
             if (
                 txn is not None
                 and int((m.get("txn") or {}).get(txn[0], -1)) >= int(txn[1])
@@ -1932,6 +1948,13 @@ class Warehouse:
                     return 0
                 updated = matched.withColumns(assigns).drop(
                     FILE_COL, POS_COL
+                )
+                from .constraints import constraints_of, enforce_spark
+
+                enforce_spark(
+                    updated.drop(BUCKET_COL),
+                    constraints_of(m.get("props") or {}),
+                    table,
                 )
                 bucketed = bool(m.get("buckets"))
                 snap = self._fresh_snapshot_name(table, "update-cow")

@@ -458,6 +458,44 @@ def execute_dml(wh, stmt: str) -> dict:
             delete_keys=delete_keys,
         )
         return {"operation": "MERGE", "buckets": affected}
+    if verb == "ALTER":
+        from .plans.constraints import add_constraint, drop_constraint
+
+        m = re.match(
+            r"\s*ALTER\s+TABLE\s+(\S+)\s+ADD\s+CONSTRAINT\s+(\S+)\s+"
+            r"CHECK\s*\((.+)\)\s*$",
+            stmt,
+            re.I | re.S,
+        )
+        if m:
+            table, name = _ident(m.group(1)), _ident(m.group(2))
+            add_constraint(wh, table, name, m.group(3).strip())
+            return {
+                "operation": "ADD CONSTRAINT",
+                "table": table,
+                "name": name,
+            }
+        m = re.match(
+            r"\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+CONSTRAINT"
+            r"(\s+IF\s+EXISTS)?\s+(\S+)\s*$",
+            stmt,
+            re.I,
+        )
+        if m:
+            table, name = _ident(m.group(1)), _ident(m.group(3))
+            dropped = drop_constraint(
+                wh, table, name, if_exists=bool(m.group(2))
+            )
+            return {
+                "operation": "DROP CONSTRAINT",
+                "table": table,
+                "name": name,
+                "dropped": dropped,
+            }
+        raise SqlDmlError(
+            "malformed ALTER TABLE (supported: ADD CONSTRAINT <name> "
+            "CHECK (<expr>), DROP CONSTRAINT [IF EXISTS] <name>)"
+        )
     if verb == "CREATE":
         from .plans.ops import create_minmax_view, create_rollup_view
 
@@ -507,5 +545,5 @@ def execute_dml(wh, stmt: str) -> dict:
     raise SqlDmlError(
         f"unsupported statement {verb!r} (supported: DELETE FROM, "
         "UPDATE ... SET, MERGE INTO, CREATE/REFRESH/DROP MATERIALIZED "
-        "VIEW)"
+        "VIEW, ALTER TABLE ADD/DROP CONSTRAINT)"
     )

@@ -241,6 +241,31 @@ class TestArrowLaneEquivalence:
         assert rows == {1: "b0-newer", 20: "new20"}
         assert b.last_txn_epoch("app", "t") == 0
 
+    def test_check_constraint_enforced_sessionless(self, spark, wh_factory):
+        """A CHECK-constrained table refuses a violating micro-batch on
+        the session-less lane too (DuckDB evaluates the same
+        expression): nothing committed, nothing written; a passing
+        batch then merges normally."""
+        from canvas_data_loader_spark.plans.constraints import (
+            ConstraintViolation,
+            add_constraint,
+        )
+
+        b = wh_factory("constr")
+        self._seed(spark, b, ("id", 4))
+        add_constraint(b, "t", "seq_nonneg", "seq >= 0")
+        head = b.current_version("t")
+        with pytest.raises(ConstraintViolation, match="seq_nonneg"):
+            apply_stream_batch_arrow(
+                b.root, "t", ["id"], "seq", "app",
+                _arrow([(1, "bad", -1)]), 0,
+            )
+        assert b.current_version("t") == head
+        assert apply_stream_batch_arrow(
+            b.root, "t", ["id"], "seq", "app", _arrow([(1, "ok", 3)]), 0
+        )
+        assert {r["id"]: r["v"] for r in b.read("t").collect()}[1] == "ok"
+
     def test_wrong_protocol_on_existing_table_refused(
         self, spark, wh_factory
     ):

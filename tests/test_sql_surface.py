@@ -449,3 +449,49 @@ class TestSqlMvDdl:
                 "CREATE MATERIALIZED VIEW bad AS "
                 "SELECT id, SUM(cnt) AS s FROM t GROUP BY v",
             )
+
+
+class TestSqlConstraints:
+    """ALTER TABLE ADD/DROP CONSTRAINT through the statement surface ==
+    the Python API, both protocols; enforcement then guards the other
+    SQL statements too."""
+
+    def test_alter_table_constraint_lifecycle(self, spark, dml_wh):
+        from canvas_data_loader_spark.plans.constraints import (
+            ConstraintViolation,
+        )
+        from canvas_data_loader_spark.sql import SqlDmlError, execute_dml
+
+        wh = dml_wh()
+        _seed(spark, wh, "t")
+        out = execute_dml(
+            wh, "ALTER TABLE t ADD CONSTRAINT cnt_pos CHECK (cnt > 0)"
+        )
+        assert out == {
+            "operation": "ADD CONSTRAINT", "table": "t", "name": "cnt_pos",
+        }
+        # a violating UPDATE through SQL is refused by the same gate
+        with pytest.raises(ConstraintViolation, match="cnt_pos"):
+            execute_dml(wh, "UPDATE t SET cnt = -5 WHERE id = 1")
+        assert {r["id"]: r["cnt"] for r in wh.read("t").collect()}[1] == 10
+        # and a violating MERGE
+        spark.createDataFrame(
+            [(1, "x", -1)], "id long, v string, cnt long"
+        ).createOrReplaceTempView("viol_src")
+        with pytest.raises(ConstraintViolation, match="cnt_pos"):
+            execute_dml(
+                wh,
+                "MERGE INTO t USING viol_src AS s ON t.id = s.id "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *",
+            )
+        out = execute_dml(wh, "ALTER TABLE t DROP CONSTRAINT cnt_pos")
+        assert out["dropped"] is True
+        execute_dml(wh, "UPDATE t SET cnt = -5 WHERE id = 1")  # re-allowed
+        assert {r["id"]: r["cnt"] for r in wh.read("t").collect()}[1] == -5
+        out = execute_dml(
+            wh, "ALTER TABLE t DROP CONSTRAINT IF EXISTS cnt_pos"
+        )
+        assert out["dropped"] is False
+        with pytest.raises(SqlDmlError, match="malformed ALTER"):
+            execute_dml(wh, "ALTER TABLE t RENAME TO u")

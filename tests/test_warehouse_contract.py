@@ -2272,6 +2272,160 @@ class TestMvRefreshVsMergeRace:
         )
 
 
+class TestCheckConstraints:
+    """CHECK constraints (plans/constraints.py) — the public Delta
+    spelling (``delta.constraints.<name>`` table property), enforced
+    by every data-adding writer path on BOTH commit protocols BEFORE
+    any file is written: a violating batch leaves the table untouched
+    (head version unchanged — stricter than Delta's mid-job abort).
+    SQL CHECK null rule throughout: only expr IS FALSE violates."""
+
+    SCHEMA = "id long, v string, amount long"
+
+    def _mk(self, spark, wh):
+        from canvas_data_loader_spark.plans.constraints import add_constraint
+
+        wh.write(
+            "t",
+            spark.createDataFrame(
+                [(i, f"v{i}", i * 10) for i in range(1, 9)], self.SCHEMA
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        add_constraint(wh, "t", "amount_nonneg", "amount >= 0")
+
+    def test_add_validates_existing_rows(self, spark, wh_factory):
+        from canvas_data_loader_spark.plans.constraints import (
+            ConstraintViolation,
+            add_constraint,
+        )
+
+        wh = wh_factory()
+        wh.write(
+            "t",
+            spark.createDataFrame([(1, "a", -5)], self.SCHEMA),
+            snapshot="s0",
+        )
+        with pytest.raises(ConstraintViolation, match="amount_nonneg"):
+            add_constraint(wh, "t", "amount_nonneg", "amount >= 0")
+        # refused ADD left no property behind
+        assert wh.table_properties("t") == {}
+
+    def test_violating_write_and_merge_refused_atomically(
+        self, spark, wh_factory
+    ):
+        from canvas_data_loader_spark.plans.constraints import (
+            ConstraintViolation,
+        )
+
+        wh = wh_factory()
+        self._mk(spark, wh)
+        head = wh.current_version("t")
+        with pytest.raises(ConstraintViolation, match="amount_nonneg"):
+            wh.merge_bucketed(
+                "t",
+                spark.createDataFrame([(1, "bad", -1)], self.SCHEMA),
+                snapshot="m-bad",
+            )
+        with pytest.raises(ConstraintViolation, match="amount_nonneg"):
+            wh.write(
+                "t",
+                spark.createDataFrame([(9, "bad", -1)], self.SCHEMA),
+                snapshot="w-bad",
+                bucket=("id", 4),
+            )
+        assert wh.current_version("t") == head  # nothing committed
+        # passing rows (and the NULL rule: NULL amount is not FALSE)
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(1, "ok", 5), (9, "nul", None)], self.SCHEMA),
+            snapshot="m-ok",
+        )
+        rows = {r["id"]: r["amount"] for r in wh.read("t").collect()}
+        assert rows[1] == 5 and rows[9] is None
+
+    def test_update_enforced_on_assigned_rows(self, spark, wh_factory):
+        from canvas_data_loader_spark.plans.constraints import (
+            ConstraintViolation,
+        )
+
+        wh = wh_factory()
+        self._mk(spark, wh)
+        with pytest.raises(ConstraintViolation, match="amount_nonneg"):
+            wh.update_where("t", {"amount": "amount - 1000"}, "id = 1")
+        assert {r["id"]: r["amount"] for r in wh.read("t").collect()}[1] == 10
+        n = wh.update_where("t", {"amount": "amount + 1"}, "id = 1")
+        assert n == 1
+        # deletes cannot violate CHECK and pass through unchecked
+        wh.delete_where("t", F.col("id") == 2)
+        assert wh.read("t").filter("id = 2").count() == 0
+
+    def test_survives_commits_and_restore_rolls_back(
+        self, spark, wh_factory
+    ):
+        from canvas_data_loader_spark.plans.constraints import (
+            ConstraintViolation,
+        )
+
+        wh = wh_factory()
+        self._mk(spark, wh)
+        v_with = wh.current_version("t")
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(3, "x", 1)], self.SCHEMA),
+            snapshot="m1",
+        )
+        # still enforced after unrelated commits (property carried)
+        with pytest.raises(ConstraintViolation):
+            wh.merge_bucketed(
+                "t",
+                spark.createDataFrame([(3, "y", -1)], self.SCHEMA),
+                snapshot="m2",
+            )
+        # RESTORE to the PRE-constraint state removes it (properties
+        # are part of the restored state)
+        pre = v_with - 1
+        wh.restore("t", pre)
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(3, "neg-ok", -1)], self.SCHEMA),
+            snapshot="m3",
+        )
+        assert {r["id"]: r["amount"] for r in wh.read("t").collect()}[3] == -1
+
+    def test_drop_and_duplicate_guards(self, spark, wh_factory):
+        from canvas_data_loader_spark.plans.constraints import (
+            add_constraint,
+            drop_constraint,
+        )
+
+        wh = wh_factory()
+        self._mk(spark, wh)
+        with pytest.raises(ValueError, match="already exists"):
+            add_constraint(wh, "t", "amount_nonneg", "amount >= -1")
+        assert drop_constraint(wh, "t", "amount_nonneg") is True
+        wh.merge_bucketed(  # re-allowed
+            "t",
+            spark.createDataFrame([(1, "neg", -1)], self.SCHEMA),
+            snapshot="m-neg",
+        )
+        with pytest.raises(ValueError, match="no constraint"):
+            drop_constraint(wh, "t", "amount_nonneg")
+        assert drop_constraint(wh, "t", "amount_nonneg", if_exists=True) is False
+
+    def test_cross_engine_expression_gate(self, spark, wh_factory):
+        """A Spark-only spelling must fail at ADD time — the arrow
+        lane enforces with DuckDB, and a constraint only one engine
+        can evaluate would brick the stream writer later."""
+        from canvas_data_loader_spark.plans.constraints import add_constraint
+
+        wh = wh_factory()
+        self._mk(spark, wh)
+        with pytest.raises(ValueError, match="arrow lane"):
+            add_constraint(wh, "t", "sparkonly", "v rlike '^v'")
+
+
 class TestMultiWriterChaos:
     """Three writers with different jobs race on ONE table — a
     streaming upserter carrying epochs, a txn-less batch ETL that also
