@@ -330,15 +330,26 @@ def apply_stream_batch_arrow(
 
 
 
-def _enforce_arrow_constraints(meta, table: str, batch_c) -> None:
+def _enforce_arrow_constraints(meta, table: str, batch_c, base: int) -> None:
     """CHECK constraints on the session-less lane: the writer contract
     (plans/constraints.py) holds here too — DuckDB evaluates the same
     expressions over the conformed arrow batch, so a constrained table
-    refuses a violating micro-batch BEFORE any file is written."""
+    refuses a violating micro-batch BEFORE any file is written.
+    Properties come from the merge's BASE metadata (the manifest /
+    memoized log replay already fetched for this attempt — no second
+    log read, and the check is consistent with the state the merge
+    derives from)."""
     from .constraints import constraints_of, enforce_arrow
 
-    cons = constraints_of(meta.wh.table_properties(table))
-    enforce_arrow(batch_c, cons, table)
+    if meta.protocol == "delta":
+        _, m, _, _, _ = meta._replayed(base)
+        props = {
+            k: v
+            for k, v in (m.get("configuration") or {}).items()
+        }
+    else:
+        props = meta._manifest_at(base).get("props") or {}
+    enforce_arrow(batch_c, constraints_of(props), table)
 
 
 def _spark_type_of(struct, col: str) -> str:
@@ -353,7 +364,7 @@ def _merge_bucketed_arrow(
     from ..sources.warehouse_source import _read_conformed
 
     batch_c, data_schema, struct = _conform_batch(batch, meta, base)
-    _enforce_arrow_constraints(meta, table, batch_c)
+    _enforce_arrow_constraints(meta, table, batch_c, base)
     ktype = _spark_type_of(struct, key)
     kvals = batch_c.column(key).to_pylist()
     buckets = [bucket_of_value(v, ktype, n) for v in kvals]
@@ -438,7 +449,7 @@ def _merge_plain_arrow(
     from ..sources.warehouse_source import _read_conformed
 
     batch_c, data_schema, _struct = _conform_batch(batch, meta, base)
-    _enforce_arrow_constraints(meta, table, batch_c)
+    _enforce_arrow_constraints(meta, table, batch_c, base)
     files_map = meta.files_by_bucket(base)
     files = [f for fl in files_map.values() for f in fl]
     dv_all = meta.dv_by_file(base)

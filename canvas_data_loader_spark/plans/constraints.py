@@ -63,11 +63,27 @@ def validate_name(name: str) -> None:
         )
 
 
+def _raise_violation(
+    bad: dict[str, int], constraints: dict[str, str], table: str
+) -> None:
+    detail = ", ".join(
+        f"{n} CHECK ({constraints[n]}): {c} row(s)"
+        for n, c in sorted(bad.items())
+    )
+    raise ConstraintViolation(
+        f"{table}: batch violates CHECK constraint(s) — {detail}; "
+        "nothing was committed"
+    )
+
+
 def enforce_spark(df, constraints: dict[str, str], table: str) -> None:
     """Refuse ``df`` if any row violates any constraint. ALL
     constraints fold into ONE aggregate job (a violation count per
     constraint — the error names the offenders and their counts).
-    SQL CHECK null rule: only expr IS FALSE violates."""
+    SQL CHECK null rule: only expr IS FALSE violates. An expression
+    that no longer resolves against the schema (e.g. smuggled past
+    add_constraint via raw set_properties) surfaces as a descriptive
+    ValueError naming the constraint, not a bare AnalysisException."""
     if not constraints:
         return
     from pyspark.sql import functions as F
@@ -83,49 +99,94 @@ def enforce_spark(df, constraints: dict[str, str], table: str) -> None:
         .alias(name)
         for name, expr in constraints.items()
     ]
-    row = df.agg(*aggs).collect()[0]
+    try:
+        row = df.agg(*aggs).collect()[0]
+    except ConstraintViolation:
+        raise
+    except Exception as e:  # noqa: BLE001
+        raise ValueError(
+            f"{table}: a CHECK constraint expression no longer evaluates "
+            f"against the batch schema ({constraints}): {e} — drop the "
+            "constraint (or fix the expression) before writing"
+        ) from e
     bad = {n: int(row[n] or 0) for n in constraints if (row[n] or 0) > 0}
     if bad:
-        detail = ", ".join(
-            f"{n} CHECK ({constraints[n]}): {c} row(s)"
-            for n, c in sorted(bad.items())
-        )
-        raise ConstraintViolation(
-            f"{table}: batch violates CHECK constraint(s) — {detail}; "
-            "nothing was committed"
-        )
+        _raise_violation(bad, constraints, table)
 
 
 def enforce_arrow(batch, constraints: dict[str, str], table: str) -> None:
     """The session-less twin (the stream writer's commit hook has no
     SparkSession): DuckDB evaluates the SAME expressions over the
-    arrow batch. ``WHERE NOT (expr)`` matches only expr IS FALSE rows
-    — identical null semantics to the Spark lane."""
+    arrow batch, all constraints folded into ONE scan (FILTER
+    aggregates). ``NOT (expr)`` matches only expr IS FALSE rows —
+    identical null semantics to the Spark lane. A value-dependent
+    engine divergence (an expression DuckDB cannot evaluate on these
+    rows even though the Spark lane could) surfaces as a descriptive
+    error naming the constraint — the documented reason add_constraint
+    restricts expressions to the shared ANSI subset."""
     if not constraints or batch.num_rows == 0:
         return
     import duckdb
 
+    names = list(constraints)
+    selects = ", ".join(
+        f"count(*) FILTER (WHERE NOT ({constraints[n]})) AS c{i}"
+        for i, n in enumerate(names)
+    )
     con = duckdb.connect()
     try:
         con.register("__cdl_batch", batch)
-        bad = {}
-        for name, expr in constraints.items():
-            cnt = con.execute(
-                f"SELECT count(*) FROM __cdl_batch WHERE NOT ({expr})"
-            ).fetchone()[0]
-            if cnt:
-                bad[name] = int(cnt)
+        try:
+            row = con.execute(
+                f"SELECT {selects} FROM __cdl_batch"
+            ).fetchone()
+        except Exception as e:  # noqa: BLE001
+            raise ValueError(
+                f"{table}: a CHECK constraint could not be evaluated on "
+                f"the session-less (DuckDB) lane over this batch "
+                f"({constraints}): {e} — keep constraint expressions in "
+                "the shared ANSI subset both engines evaluate identically"
+            ) from e
+        bad = {
+            n: int(row[i]) for i, n in enumerate(names) if row[i]
+        }
         if bad:
-            detail = ", ".join(
-                f"{n} CHECK ({constraints[n]}): {c} row(s)"
-                for n, c in sorted(bad.items())
-            )
-            raise ConstraintViolation(
-                f"{table}: batch violates CHECK constraint(s) — {detail}; "
-                "nothing was committed"
-            )
+            _raise_violation(bad, constraints, table)
     finally:
         con.close()
+
+
+def guard_renames(
+    constraints: dict[str, str], renames: dict[str, str], table: str
+) -> None:
+    """Refuse a declared RENAME of a column a CHECK constraint
+    references (Delta's rule, for the same reason): the stored
+    expression keeps the OLD name, so every subsequent write would die
+    unresolved. Conservative word-boundary match — a false positive
+    (the name inside a string literal) errs on the safe side; drop the
+    constraint first if the rename is intended."""
+    for old_name in renames or {}:
+        hits = [
+            n
+            for n, e in constraints.items()
+            if re.search(rf"\b{re.escape(old_name)}\b", e)
+        ]
+        if hits:
+            raise ValueError(
+                f"{table}: cannot rename column {old_name!r} — it is "
+                f"referenced by CHECK constraint(s) {sorted(hits)}; drop "
+                "them first and re-add against the new name"
+            )
+
+
+def validate_constraint_props(props: dict | None) -> None:
+    """Name-format gate for constraint keys arriving through the raw
+    property surface (``set_properties`` / ``write(props=...)``) —
+    full validation (existing rows + dual-engine parse) is
+    ``add_constraint``'s job, but a malformed NAME must never land."""
+    for k, v in (props or {}).items():
+        if k.startswith(CONSTRAINT_PREFIX) and v is not None:
+            validate_name(k[len(CONSTRAINT_PREFIX):])
 
 
 def add_constraint(warehouse, table: str, name: str, expr: str) -> None:

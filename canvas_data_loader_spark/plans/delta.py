@@ -602,6 +602,9 @@ class DeltaWarehouse:
         ``metaData`` action — no add/remove, data untouched — as a CAS
         at head+1 so a concurrent data commit wins and this re-derives.
         Returns the new head version."""
+        from .constraints import validate_constraint_props
+
+        validate_constraint_props(props)
         for _ in range(1 + max_retries):
             base, meta, _, _, _ = self._replay(table)
             new_meta = self._meta_action(
@@ -675,15 +678,30 @@ class DeltaWarehouse:
             _, head_meta, _, _, _ = self._replay(table)
         except FileNotFoundError:
             head_meta = None
-        # CHECK constraints gate every data-adding write; reuses the
-        # head replay above (no extra log read for unconstrained tables)
-        from .constraints import constraints_of, enforce_spark
-
-        enforce_spark(
-            df,
-            constraints_of((head_meta or {}).get("configuration") or {}),
-            table,
+        # CHECK constraints gate every data-adding write against the
+        # EFFECTIVE post-commit property set (carried configuration
+        # overlaid with this write's ``props``) — a table cannot be
+        # born (or become) constrained while already violating via
+        # property smuggling. Reuses the head replay above (no extra
+        # log read for unconstrained tables).
+        from .constraints import (
+            constraints_of,
+            enforce_spark,
+            validate_constraint_props,
         )
+
+        validate_constraint_props(props)
+        eff = {
+            k: v
+            for k, v in ((head_meta or {}).get("configuration") or {}).items()
+            if k not in self._INTERNAL_CFG
+        }
+        for k, v in (props or {}).items():
+            if v is None:
+                eff.pop(k, None)
+            else:
+                eff[str(k)] = str(v)
+        enforce_spark(df, constraints_of(eff), table)
         if head_meta is not None and _cm_mapping(head_meta) is not None:
             schema_str, cm_cfg, mapping = self._evolved_schema_string(
                 head_meta, df.schema, renames=None
@@ -1137,21 +1155,11 @@ class DeltaWarehouse:
         (the CDC apply — upserts + deletes, one commit, exactly-once
         under ``txn``; a key in both frames lands on the upsert)."""
         from ..operators.merge import SchemaEvolutionError, conform_to, evolved_schema
-        from .constraints import constraints_of, enforce_spark
+        from .constraints import constraints_of, enforce_spark, guard_renames
 
-        checked = False
+        checked_cons: dict | None = None
         for attempt in range(1 + max_commit_retries):
             base, meta, live, head_txn, _ = self._replay(table)
-            if not checked:
-                # CHECK constraints gate the batch once, from the first
-                # attempt's replay (no extra log read; retries re-derive
-                # state, not the already-validated batch)
-                enforce_spark(
-                    new,
-                    constraints_of(meta.get("configuration") or {}),
-                    table,
-                )
-                checked = True
             spec = self._bucket_spec(meta)
             if spec is None:
                 raise FileNotFoundError(f"table not bucketed: {table}")
@@ -1238,6 +1246,20 @@ class DeltaWarehouse:
                             self._protocol_action(new_meta, live)
                         )
                     meta_actions.append({"metaData": new_meta})
+            # CHECK constraints gate the batch POST-conform (an evolve
+            # batch missing a constrained column is null-padded — NULL
+            # passes, per SQL CHECK) and AFTER the epoch skip above (a
+            # replayed batch is a contracted no-op, never an error).
+            # Re-checked only when the constraint SET changed between
+            # CAS attempts (a concurrent ADD CONSTRAINT must gate the
+            # batch that commits after it). Same rules as the manifest
+            # impl.
+            cons = constraints_of(meta.get("configuration") or {})
+            if evolve and renames:
+                guard_renames(cons, renames, table)
+            if cons != checked_cons:
+                enforce_spark(new_b.drop(BUCKET_COL), cons, table)
+                checked_cons = cons
             keys = new_b.select(key)
             if delete_keys is not None:
                 keys = keys.unionByName(delete_keys.select(key))

@@ -1154,6 +1154,9 @@ class Warehouse:
         reuses the head's data references unchanged, published as a CAS
         so a concurrent data commit wins and this re-derives on top of
         it. Returns the new head version."""
+        from .constraints import validate_constraint_props
+
+        validate_constraint_props(props)
         for _ in range(1 + max_retries):
             latest = self._latest_commit(table)
             if latest is None:
@@ -1220,11 +1223,24 @@ class Warehouse:
         window and both would write into one directory). Append into
         an empty claimed dir has create semantics; names are never
         reused, so there is never pre-existing data to append onto."""
-        from .constraints import constraints_of, enforce_spark
-
-        enforce_spark(
-            df, constraints_of(self.table_properties(table)), table
+        from .constraints import (
+            constraints_of,
+            enforce_spark,
+            validate_constraint_props,
         )
+
+        # CHECK constraints gate the EFFECTIVE post-commit property set
+        # — carried properties overlaid with this write's ``props`` —
+        # so a table cannot be born (or become) constrained while
+        # already violating via property smuggling
+        validate_constraint_props(props)
+        eff = dict(self.table_properties(table))
+        for k, v in (props or {}).items():
+            if v is None:
+                eff.pop(k, None)
+            else:
+                eff[str(k)] = str(v)
+        enforce_spark(df, constraints_of(eff), table)
         snapshot = self._fresh_snapshot_name(table, snapshot)
         out = os.path.join(self.root, table, snapshot)
 
@@ -1399,11 +1415,11 @@ class Warehouse:
         affected set, so partition pruning still holds.
 
         Returns the affected bucket ids."""
-        from .constraints import constraints_of, enforce_spark
+        from .constraints import constraints_of, enforce_spark, guard_renames
 
         wanted = snapshot
         renames = renames or {}
-        checked = False
+        checked_cons: dict | None = None
         for attempt in range(1 + max_commit_retries):
             # ONE manifest fetch yields both the CAS base version and
             # the bucket map derived from it — fetching them separately
@@ -1415,14 +1431,6 @@ class Warehouse:
             if m is None or not m.get("buckets"):
                 raise FileNotFoundError(f"table not bucketed: {table}")
             base_version = latest[0]
-            if not checked:
-                # CHECK constraints gate the batch once, from the first
-                # attempt's manifest (retries re-derive state, not the
-                # already-validated batch)
-                enforce_spark(
-                    new, constraints_of(m.get("props") or {}), table
-                )
-                checked = True
             if (
                 txn is not None
                 and int((m.get("txn") or {}).get(txn[0], -1)) >= int(txn[1])
@@ -1479,6 +1487,19 @@ class Warehouse:
                 renamed_from = _chain_renames(
                     m.get("renamed_from") or {}, renames
                 )
+            # CHECK constraints gate the batch POST-conform (an evolve
+            # batch missing a constrained column is null-padded — and
+            # NULL passes, per SQL CHECK) and AFTER the epoch skip (a
+            # replayed batch is a contracted no-op, never an error).
+            # Re-checked only when the constraint SET changed between
+            # CAS attempts (a concurrent ADD CONSTRAINT must gate the
+            # batch that commits after it).
+            cons = constraints_of(m.get("props") or {})
+            if evolve and renames:
+                guard_renames(cons, renames, table)
+            if cons != checked_cons:
+                enforce_spark(new_b.drop(BUCKET_COL), cons, table)
+                checked_cons = cons
             keys = new_b.select(key)
             if delete_keys is not None:
                 # deleted keys join the anti set with NO replacement

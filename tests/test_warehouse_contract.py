@@ -2414,6 +2414,119 @@ class TestCheckConstraints:
             drop_constraint(wh, "t", "amount_nonneg")
         assert drop_constraint(wh, "t", "amount_nonneg", if_exists=True) is False
 
+    def test_evolve_batch_missing_constrained_column_null_passes(
+        self, spark, wh_factory
+    ):
+        """Enforcement runs POST-conform: an evolve batch that omits
+        the constrained column is null-padded, and NULL passes per SQL
+        CHECK — it must not die unresolved (round-9 second-review
+        finding)."""
+        wh = wh_factory()
+        self._mk(spark, wh)
+        batch = spark.createDataFrame(
+            [(30, "new-col-only", "x")], "id long, v string, extra string"
+        )
+        affected = wh.merge_bucketed("t", batch, snapshot="ev", evolve=True)
+        assert affected
+        got = {r["id"]: (r["amount"], r["extra"]) for r in wh.read("t").collect()}
+        assert got[30] == (None, "x")
+
+    def test_replayed_epoch_skips_even_when_batch_violates(
+        self, spark, wh_factory
+    ):
+        """Epoch skip precedes enforcement: a replayed batch is the
+        contracted silent no-op even if it would violate a constraint
+        added since — never an error (round-9 second-review finding)."""
+        wh = wh_factory()
+        self._mk(spark, wh)
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(1, "e7", 7)], self.SCHEMA),
+            snapshot="m7",
+            txn=("app", 7),
+        )
+        out = wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(1, "stale", -1)], self.SCHEMA),
+            snapshot="replay",
+            txn=("app", 7),
+        )
+        assert out == []
+        assert {r["id"]: r["v"] for r in wh.read("t").collect()}[1] == "e7"
+
+    def test_write_props_cannot_smuggle_violating_constraint(
+        self, spark, wh_factory
+    ):
+        """write(props={constraint}) enforces the EFFECTIVE post-commit
+        set: a table cannot be born constrained while already
+        violating; a valid birth IS constrained from commit one."""
+        from canvas_data_loader_spark.plans.constraints import (
+            ConstraintViolation,
+        )
+
+        wh = wh_factory()
+        key = "delta.constraints.amount_nonneg"
+        with pytest.raises(ConstraintViolation, match="amount_nonneg"):
+            wh.write(
+                "t2",
+                spark.createDataFrame([(1, "a", -5)], self.SCHEMA),
+                snapshot="s0",
+                props={key: "amount >= 0"},
+            )
+        assert not wh.exists("t2")
+        wh.write(
+            "t2",
+            spark.createDataFrame([(1, "a", 5)], self.SCHEMA),
+            snapshot="s0",
+            props={key: "amount >= 0"},
+        )
+        with pytest.raises(ConstraintViolation):
+            wh.write(
+                "t2",
+                spark.createDataFrame([(2, "b", -1)], self.SCHEMA),
+                snapshot="s1",
+            )
+
+    def test_smuggled_bad_expression_fails_descriptively(
+        self, spark, wh_factory
+    ):
+        """set_properties validates constraint NAMES; an expression
+        smuggled past add_constraint that no longer resolves surfaces
+        at write time as a descriptive ValueError naming the
+        constraint set, never a bare AnalysisException."""
+        wh = wh_factory()
+        self._mk(spark, wh)
+        with pytest.raises(ValueError, match="invalid constraint name"):
+            wh.set_properties("t", {"delta.constraints.bad name!": "1 = 1"})
+        wh.set_properties(
+            "t", {"delta.constraints.ghost": "no_such_col > 0"}
+        )
+        with pytest.raises(ValueError, match="no longer evaluates"):
+            wh.merge_bucketed(
+                "t",
+                spark.createDataFrame([(1, "x", 1)], self.SCHEMA),
+                snapshot="m",
+            )
+
+    def test_rename_of_constrained_column_refused(self, spark, wh_factory):
+        """Delta's rule: a declared RENAME of a column a CHECK
+        constraint references is refused (the stored expression keeps
+        the old name and would brick every subsequent write) — drop
+        the constraint first."""
+        wh = wh_factory()
+        self._mk(spark, wh)
+        batch = spark.createDataFrame(
+            [(1, "r", 5)], "id long, v string, amt long"
+        )
+        with pytest.raises(ValueError, match="referenced by CHECK"):
+            wh.merge_bucketed(
+                "t",
+                batch,
+                snapshot="ren",
+                evolve=True,
+                renames={"amount": "amt"},
+            )
+
     def test_cross_engine_expression_gate(self, spark, wh_factory):
         """A Spark-only spelling must fail at ADD time — the arrow
         lane enforces with DuckDB, and a constraint only one engine
