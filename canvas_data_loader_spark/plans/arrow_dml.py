@@ -343,10 +343,7 @@ def _enforce_arrow_constraints(meta, table: str, batch_c, base: int) -> None:
 
     if meta.protocol == "delta":
         _, m, _, _, _ = meta._replayed(base)
-        props = {
-            k: v
-            for k, v in (m.get("configuration") or {}).items()
-        }
+        props = m.get("configuration") or {}
     else:
         props = meta._manifest_at(base).get("props") or {}
     enforce_arrow(batch_c, constraints_of(props), table)

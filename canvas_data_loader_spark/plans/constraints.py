@@ -86,24 +86,29 @@ def enforce_spark(df, constraints: dict[str, str], table: str) -> None:
     ValueError naming the constraint, not a bare AnalysisException."""
     if not constraints:
         return
+    from pyspark.errors import AnalysisException, ParseException
     from pyspark.sql import functions as F
 
-    aggs = [
-        F.sum(
-            F.when(
-                ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)),
-                F.lit(1),
-            ).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias(name)
-        for name, expr in constraints.items()
-    ]
     try:
+        # F.expr parses EAGERLY — construction belongs inside the try
+        # so a syntactically invalid smuggled expression gets the
+        # descriptive error, not a bare ParseException. The catch is
+        # NARROW (analysis/parse only): a runtime failure of the
+        # aggregate job (executor loss, pruned base files) must
+        # propagate as itself, not as drop-the-constraint advice.
+        aggs = [
+            F.sum(
+                F.when(
+                    ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias(name)
+            for name, expr in constraints.items()
+        ]
         row = df.agg(*aggs).collect()[0]
-    except ConstraintViolation:
-        raise
-    except Exception as e:  # noqa: BLE001
+    except (AnalysisException, ParseException) as e:
         raise ValueError(
             f"{table}: a CHECK constraint expression no longer evaluates "
             f"against the batch schema ({constraints}): {e} — drop the "

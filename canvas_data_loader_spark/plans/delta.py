@@ -68,6 +68,27 @@ _CM_ID = "delta.columnMapping.id"
 _CM_PHYS = "delta.columnMapping.physicalName"
 
 
+def _overlay_user_cfg(
+    existing_cfg: dict | None, props: dict | None, internal
+) -> dict:
+    """ONE property-merge rule for metaData.configuration (the
+    _props_map twin): carried user keys minus the engine's internal
+    routing keys, overlaid with ``props`` (None unsets, values
+    stringified). Shared by _meta_action and the write-path constraint
+    gate so the checked set can never drift from the committed one."""
+    cfg = {
+        k: v
+        for k, v in (existing_cfg or {}).items()
+        if k not in internal
+    }
+    for k, v in (props or {}).items():
+        if v is None:
+            cfg.pop(k, None)
+        else:
+            cfg[str(k)] = str(v)
+    return cfg
+
+
 def _cm_mapping(meta: dict) -> dict[str, str] | None:
     """{logical name -> physical name} when the table uses column
     mapping (mode=name), else None (physical == logical everywhere)."""
@@ -407,16 +428,9 @@ class DeltaWarehouse:
         # overlays on top, a None value unsetting the key (the same
         # merge rule as Warehouse._props_map, pinned by the contract
         # suite)
-        cfg = {
-            k: v
-            for k, v in ((existing or {}).get("configuration") or {}).items()
-            if k not in self._INTERNAL_CFG
-        }
-        for k, v in (props or {}).items():
-            if v is None:
-                cfg.pop(k, None)
-            else:
-                cfg[str(k)] = str(v)
+        cfg = _overlay_user_cfg(
+            (existing or {}).get("configuration"), props, self._INTERNAL_CFG
+        )
         return {
             "id": (existing or {}).get("id") or str(uuid.uuid4()),
             "name": None,
@@ -691,17 +705,14 @@ class DeltaWarehouse:
         )
 
         validate_constraint_props(props)
-        eff = {
-            k: v
-            for k, v in ((head_meta or {}).get("configuration") or {}).items()
-            if k not in self._INTERNAL_CFG
-        }
-        for k, v in (props or {}).items():
-            if v is None:
-                eff.pop(k, None)
-            else:
-                eff[str(k)] = str(v)
-        enforce_spark(df, constraints_of(eff), table)
+        checked_cons = constraints_of(
+            _overlay_user_cfg(
+                (head_meta or {}).get("configuration"),
+                props,
+                self._INTERNAL_CFG,
+            )
+        )
+        enforce_spark(df, checked_cons, table)
         if head_meta is not None and _cm_mapping(head_meta) is not None:
             schema_str, cm_cfg, mapping = self._evolved_schema_string(
                 head_meta, df.schema, renames=None
@@ -721,6 +732,20 @@ class DeltaWarehouse:
             old_meta, old_live, old_txn = {}, {}, {}
             if base >= 0:
                 _, old_meta, old_live, old_txn, _ = self._replay(table, upto=base)
+            # a constraint ADDED while this write was running arrives
+            # through the carried configuration: re-gate the batch
+            # before this attempt commits it into the constrained
+            # table (same rule as merge_bucketed's per-attempt check)
+            cons_now = constraints_of(
+                _overlay_user_cfg(
+                    (old_meta or {}).get("configuration"),
+                    props,
+                    self._INTERNAL_CFG,
+                )
+            )
+            if cons_now != checked_cons:
+                enforce_spark(df, cons_now, table)
+                checked_cons = cons_now
             now = int(time.time() * 1000)
             actions: list[dict] = [
                 self._commit_info(
@@ -1227,9 +1252,18 @@ class DeltaWarehouse:
                     json.loads(meta["schemaString"])
                 )
                 shape = lambda st: [(f.name, f.dataType) for f in st.fields]  # noqa: E731
-                if renames or shape(data_target) != shape(declared):
-                    old = conform_to(old, target)
+                # frames conform to the target WHENEVER they differ
+                # from it — a SUBSET batch (fewer columns, no adds, no
+                # renames) leaves the declared schema untouched but
+                # still needs its missing columns null-padded, or the
+                # union/select below (and the constraint gate) would
+                # die unresolved; the manifest impl conforms
+                # unconditionally, and the two must agree
+                if shape(new_b.schema) != shape(target):
                     new_b = conform_to(new_b, target)
+                if shape(old.schema) != shape(target):
+                    old = conform_to(old, target)
+                if renames or shape(data_target) != shape(declared):
                     schema_json, cm_cfg, mapping = self._evolved_schema_string(
                         meta, data_target, renames
                     )

@@ -1230,17 +1230,18 @@ class Warehouse:
         )
 
         # CHECK constraints gate the EFFECTIVE post-commit property set
-        # — carried properties overlaid with this write's ``props`` —
-        # so a table cannot be born (or become) constrained while
-        # already violating via property smuggling
+        # — carried properties overlaid with this write's ``props``
+        # (the same _props_map merge the publish itself uses) — so a
+        # table cannot be born (or become) constrained while already
+        # violating via property smuggling
         validate_constraint_props(props)
-        eff = dict(self.table_properties(table))
-        for k, v in (props or {}).items():
-            if v is None:
-                eff.pop(k, None)
-            else:
-                eff[str(k)] = str(v)
-        enforce_spark(df, constraints_of(eff), table)
+        checked_cons = constraints_of(
+            self._props_map(props, self.current_manifest(table)).get(
+                "props"
+            )
+            or {}
+        )
+        enforce_spark(df, checked_cons, table)
         snapshot = self._fresh_snapshot_name(table, snapshot)
         out = os.path.join(self.root, table, snapshot)
 
@@ -1289,10 +1290,22 @@ class Warehouse:
         def manifest_for(base_man: dict | None) -> dict:
             # carried-forward metadata is derived from the manifest the
             # publish actually lands on top of — see _publish_replace
+            nonlocal checked_cons
             m = dict(body)
             m["table_id"] = (base_man or {}).get("table_id") or str(
                 uuid.uuid4()
             )
+            # a constraint ADDED while this write was running arrives
+            # through the carried properties: re-gate the batch before
+            # this attempt publishes it into the constrained table (a
+            # violation here orphans the written files — TTL-swept —
+            # but never commits them)
+            cons_now = constraints_of(
+                self._props_map(props, base_man).get("props") or {}
+            )
+            if cons_now != checked_cons:
+                enforce_spark(df, cons_now, table)
+                checked_cons = cons_now
             if not data_change:
                 # row-preserving rewrite (compaction/rebucket): lets
                 # rows_changed() prove the interval row-identical so
@@ -1665,6 +1678,13 @@ class Warehouse:
                 or (m2.get("renamed_from") or {})
                 != (base_m.get("renamed_from") or {})
                 or m2.get("table_id") != base_m.get("table_id")
+                # a PROPS change is a logical conflict too (the delta
+                # twin refuses on any metaData action): a concurrent
+                # ADD CONSTRAINT is metadata-only — same buckets, same
+                # schema — and re-publishing our pre-validated files
+                # under it would commit unchecked rows into a
+                # constrained table
+                or (m2.get("props") or {}) != (base_m.get("props") or {})
                 or any(
                     m2["buckets"].get(k) != base_m["buckets"].get(k)
                     for k in aff_keys

@@ -2431,6 +2431,138 @@ class TestCheckConstraints:
         got = {r["id"]: (r["amount"], r["extra"]) for r in wh.read("t").collect()}
         assert got[30] == (None, "x")
 
+    def test_evolve_subset_batch_conforms_and_null_passes(
+        self, spark, wh_factory
+    ):
+        """The SUBSET case (third-review finding): an evolve batch
+        with FEWER columns and no additions leaves the declared schema
+        untouched, yet must still null-pad — on BOTH impls (the delta
+        impl skipped conform when the declared schema didn't change)."""
+        wh = wh_factory()
+        self._mk(spark, wh)
+        batch = spark.createDataFrame([(31, "subset")], "id long, v string")
+        affected = wh.merge_bucketed("t", batch, snapshot="sub", evolve=True)
+        assert affected
+        got = {r["id"]: r["amount"] for r in wh.read("t").collect()}
+        assert got[31] is None and len(got) == 9
+
+    def test_concurrent_add_constraint_gates_inflight_write_and_merge(
+        self, spark, wh_factory
+    ):
+        """A constraint added WHILE a violating write/merge is running
+        (after its entry check, before its commit) must still gate it:
+        the publish path re-checks the effective constraint set per
+        attempt (third-review finding — the checked-once flag let the
+        violating batch land in the same commit that carried the
+        constraint forward)."""
+        from canvas_data_loader_spark.plans.constraints import (
+            ConstraintViolation,
+            add_constraint,
+        )
+
+        wh = wh_factory()
+        wh.write(
+            "t",
+            spark.createDataFrame(
+                [(i, f"v{i}", i * 10) for i in range(1, 9)], self.SCHEMA
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        adder = wh_factory()  # second handle over the same root
+
+        # WRITE lane: inject the ADD between the entry check and the
+        # file write (manifest: snapshot claim; delta: file staging)
+        injected = {"done": False}
+        if hasattr(wh, "_fresh_snapshot_name"):
+            orig = wh._fresh_snapshot_name
+
+            def hook(table_, wanted):
+                if table_ == "t" and not injected["done"]:
+                    injected["done"] = True
+                    add_constraint(adder, "t", "amount_nonneg", "amount >= 0")
+                return orig(table_, wanted)
+
+            wh._fresh_snapshot_name = hook
+        else:
+            orig = wh._write_files
+
+            def hook(*a, **kw):
+                if not injected["done"]:
+                    injected["done"] = True
+                    add_constraint(adder, "t", "amount_nonneg", "amount >= 0")
+                return orig(*a, **kw)
+
+            wh._write_files = hook
+        try:
+            with pytest.raises(ConstraintViolation, match="amount_nonneg"):
+                wh.write(
+                    "t",
+                    spark.createDataFrame([(1, "bad", -1)], self.SCHEMA),
+                    snapshot="s1",
+                    bucket=("id", 4),
+                )
+        finally:
+            if hasattr(wh, "_fresh_snapshot_name") and injected["done"]:
+                wh._fresh_snapshot_name = orig
+            elif hasattr(wh, "_write_files"):
+                wh._write_files = orig
+        # the violating write never landed under the new constraint
+        rows = {r["id"]: r["v"] for r in wh.read("t").collect()}
+        assert rows[1] == "v1" and len(rows) == 8
+
+    def test_concurrent_add_constraint_gates_merge_retry(
+        self, spark, wh_factory
+    ):
+        """MERGE lane of the same race: the ADD lands as the commit
+        that makes the merge's CAS lose — the retry must re-check the
+        new constraint set and refuse the batch (and the manifest
+        reconcile path must treat the props change as a conflict, not
+        fast-path the pre-validated files through)."""
+        from canvas_data_loader_spark.plans.constraints import (
+            ConstraintViolation,
+            add_constraint,
+        )
+        from canvas_data_loader_spark.plans.pipeline import CommitConflict
+
+        wh = wh_factory()
+        wh.write(
+            "t",
+            spark.createDataFrame(
+                [(i, f"v{i}", i * 10) for i in range(1, 9)], self.SCHEMA
+            ),
+            snapshot="s0",
+            bucket=("id", 4),
+        )
+        adder = wh_factory()
+        injected = {"done": False}
+        commit_attr = (
+            "_publish" if hasattr(wh, "_publish") else "_commit"
+        )
+        orig = getattr(wh, commit_attr)
+
+        def hook(*a, **kw):
+            if not injected["done"]:
+                injected["done"] = True
+                # the winner: a metadata-only ADD CONSTRAINT — then
+                # force this merge's publish to lose its CAS
+                add_constraint(adder, "t", "amount_nonneg", "amount >= 0")
+                raise CommitConflict("injected CAS loss")
+            return orig(*a, **kw)
+
+        setattr(wh, commit_attr, hook)
+        try:
+            with pytest.raises(ConstraintViolation, match="amount_nonneg"):
+                wh.merge_bucketed(
+                    "t",
+                    spark.createDataFrame([(1, "bad", -1)], self.SCHEMA),
+                    snapshot="m-bad",
+                )
+        finally:
+            setattr(wh, commit_attr, orig)
+        rows = {r["id"]: r["v"] for r in wh.read("t").collect()}
+        assert rows[1] == "v1" and len(rows) == 8
+
     def test_replayed_epoch_skips_even_when_batch_violates(
         self, spark, wh_factory
     ):
