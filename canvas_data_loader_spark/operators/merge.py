@@ -244,6 +244,45 @@ def _chain_renames(
     return out
 
 
+def rename_simultaneous(df: DataFrame, renames: dict[str, str]) -> DataFrame:
+    """Rename columns in ONE projection. ``withColumnsRenamed`` applies
+    its map name-by-name, so a chain-shaped map ({a -> b, c -> a}: a
+    renamed-away name re-used by another column) transiently duplicates
+    a name and the second rename hits BOTH columns; a single select
+    with per-position aliases is simultaneous and collision-free."""
+    if not renames or all(renames.get(c, c) == c for c in df.columns):
+        return df
+    return df.select(*[df[c].alias(renames.get(c, c)) for c in df.columns])
+
+
+def guard_reused_names(
+    renamed_from: dict[str, list[str]], target, table: str
+) -> None:
+    """Refuse a manifest-lane evolve whose target re-uses a column
+    name that some OTHER column's rename history consumed: the
+    manifest protocol stores files by LOGICAL name, so old files
+    physically carry the consumed name with the renamed column's
+    values and no read could tell the two columns apart (the delta
+    protocol disambiguates via columnMapping physical names; the
+    manifest protocol has no such indirection). Rename-back of the
+    SAME column (a -> b -> a) stays legal — its own chain is not a
+    conflict."""
+    for f in target.fields:
+        hits = sorted(
+            n
+            for n, hist in (renamed_from or {}).items()
+            if n != f.name and f.name in hist
+        )
+        if hits:
+            raise ValueError(
+                f"{table}: cannot add column {f.name!r} — the name was "
+                f"consumed by the rename history of {hits} and files on "
+                "disk still carry it with that column's values; pick a "
+                "different name (the delta protocol supports re-use via "
+                "column mapping)"
+            )
+
+
 def conform_to(
     df: DataFrame,
     target,
@@ -262,9 +301,18 @@ def conform_to(
     row-position columns past the conforming projection this way)."""
     renamed_from = renamed_from or {}
     have = set(df.columns)
+    # a name in ANOTHER field's chain is that field's historical
+    # on-disk spelling: exact-name matching it would alias the
+    # renamed-away column's values into a same-named new column
+    # (mirrors _conform_arrow; the manifest lane additionally REJECTS
+    # creating this shape — guard_reused_names — but reads stay
+    # defensive for delta-lane tables where it is legal)
+    consumed = {
+        h for n, hist in renamed_from.items() for h in hist if h != n
+    }
     cols = []
     for f in target.fields:
-        src = f.name if f.name in have else next(
+        src = f.name if (f.name in have and f.name not in consumed) else next(
             (h for h in renamed_from.get(f.name, []) if h in have), None
         )
         if src is None:

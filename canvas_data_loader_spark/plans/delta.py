@@ -47,7 +47,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.merge import BUCKET_COL, bucket_of
+from ..operators.merge import BUCKET_COL, bucket_of, rename_simultaneous
 from .pipeline import CommitConflict
 from .stats import _file_stats
 
@@ -360,10 +360,12 @@ class DeltaWarehouse:
         out = os.path.join(self._table_dir(table), rel)
 
         def to_physical(frame: DataFrame) -> DataFrame:
-            if not mapping:
-                return frame
-            return frame.withColumnsRenamed(
-                {lg: ph for lg, ph in mapping.items() if lg != ph}
+            # simultaneous rename: a re-used logical name's map is
+            # chain-shaped ({name_old -> name, name -> col-uuid}) and
+            # withColumnsRenamed would collide mid-way
+            return rename_simultaneous(
+                frame,
+                {lg: ph for lg, ph in (mapping or {}).items() if lg != ph},
             )
 
         if bucket is None:
@@ -479,6 +481,19 @@ class DeltaWarehouse:
         for tf in target_json:
             old_name = inv.get(tf["name"], tf["name"])
             prev = old_fields.get(old_name)
+            if (
+                prev is not None
+                and old_name in renames
+                and renames[old_name] != tf["name"]
+            ):
+                # old_name was CONSUMED by a rename in this same
+                # evolve (a -> a_old) and this field merely re-uses
+                # the freed-up logical name: it is a brand-new column,
+                # not the renamed one — without this, both fields
+                # would inherit the same physicalName and the commit
+                # would either die (COLUMN_ALREADY_EXISTS) or alias
+                # old values into the new column on old files
+                prev = None
             fmeta = dict((prev or {}).get("metadata") or {})
             if enable:
                 if _CM_PHYS not in fmeta:
@@ -890,7 +905,13 @@ class DeltaWarehouse:
             for p in parts[1:]:
                 out = out.unionByName(p)
         if to_logical:
-            out = out.withColumnsRenamed(to_logical)
+            # one simultaneous projection, NOT withColumnsRenamed: the
+            # latter renames name-by-name, so a map like {name ->
+            # name_old, col-uuid -> name} (rename + re-used logical
+            # name) transiently creates two columns called name_old
+            out = out.select(
+                *[out[c].alias(to_logical.get(c, c)) for c in out.columns]
+            )
         if dv_rows:
             dv_df = self.spark.createDataFrame(dv_rows, "file string, pos long")
             out = apply_dv(out, dv_df)
@@ -1233,7 +1254,7 @@ class DeltaWarehouse:
                 from pyspark.sql import types as T
 
                 if renames:
-                    old = old.withColumnsRenamed(renames)
+                    old = rename_simultaneous(old, renames)
                 target = evolved_schema(old.schema, new_b.schema)
                 old_kt = old.schema[key].dataType
                 new_kt = new_b.schema[key].dataType
@@ -1386,6 +1407,13 @@ class DeltaWarehouse:
 
         aff = {int(b) for b in affected}
         tail = [a for a in actions if "commitInfo" not in a]
+        if any("protocol" in a or "metaData" in a for a in tail):
+            # our tail was assembled against BASE's live state: a
+            # verbatim re-commit of its protocol row would last-wins
+            # downgrade a feature gate an intervening commit added
+            # (e.g. a disjoint delete_where enabling deletionVectors),
+            # and a metaData row may be stale the same way — re-derive
+            return None
         # our own epoch claims: an intervening commit recording the
         # SAME app at an equal-or-newer version means this merge is a
         # replay / split-brain loser, not a disjoint writer

@@ -54,6 +54,8 @@ from ..operators.merge import (
     conform_to,
     dedup_latest,
     evolved_schema,
+    guard_reused_names,
+    rename_simultaneous,
     merge_upsert,
     merge_upsert_evolve,
     merge_upsert_large_batch,
@@ -1483,7 +1485,7 @@ class Warehouse:
             target_json, renamed_from = m.get("schema"), m.get("renamed_from")
             if evolve:
                 if renames:
-                    old = old.withColumnsRenamed(renames)
+                    old = rename_simultaneous(old, renames)
                 target = evolved_schema(old.schema, new_b.schema)
                 old_kt = old.schema[key].dataType
                 new_kt = new_b.schema[key].dataType
@@ -1500,6 +1502,10 @@ class Warehouse:
                 renamed_from = _chain_renames(
                     m.get("renamed_from") or {}, renames
                 )
+                # a target column whose name some OTHER column's
+                # rename history consumed is un-readable on this
+                # protocol (files store logical names) — reject now
+                guard_reused_names(renamed_from, target, table)
             # CHECK constraints gate the batch POST-conform (an evolve
             # batch missing a constrained column is null-padded — and
             # NULL passes, per SQL CHECK) and AFTER the epoch skip (a

@@ -48,6 +48,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the cdl_warehouse batch reader implements
+        # DataSourceReader.pushFilters (bucket + stats file pruning);
+        # Spark refuses such a reader outright when this conf is off,
+        # so the engine session enables it (sessions built elsewhere
+        # either set it too or read with .option("pushdown", "false"))
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Local-mode split sizing: the test fixtures are single ~20 MB
         # parquet files, which at the default 128 MB split = ONE scan
         # task on a 32-core box (measured by tools/scale_probe.py: 10x

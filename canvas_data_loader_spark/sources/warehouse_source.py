@@ -256,6 +256,40 @@ class _Meta:
             v.sort()
         return out
 
+    def bucket_spec(self, version: int) -> tuple[str, int] | None:
+        """(bucket key, n_buckets) at a version, or None for an
+        unbucketed table — the routing the batch reader's filter
+        pushdown prunes partitions with."""
+        if self.protocol == "delta":
+            _, meta, _, _, _ = self._replayed(version)
+            return self.wh._bucket_spec(meta)
+        m = self._manifest_at(version)
+        if m.get("bucket_key") and m.get("n_buckets"):
+            return (m["bucket_key"], int(m["n_buckets"]))
+        return None
+
+    def stats_by_file(self, version: int) -> dict[str, str | None]:
+        """{abs parquet path: per-file stats JSON (or None)} at a
+        version — delta: off the add actions; manifest: off the
+        per-snapshot ``_stats.json`` sidecars. Metadata-only (no
+        parquet footer is opened here)."""
+        tdir = os.path.join(self.root, self.table)
+        if self.protocol == "delta":
+            _, _, live, _, _ = self._replayed(version)
+            return {
+                os.path.join(tdir, p): a.get("stats")
+                for p, a in live.items()
+            }
+        m = self._manifest_at(version)
+        snaps = (
+            set(m["buckets"].values()) if m.get("buckets") else {m["snapshot"]}
+        )
+        out: dict[str, str | None] = {}
+        for snap in sorted(snaps):
+            for rel, st in self.wh._sidecar(self.table, snap).items():
+                out[os.path.join(tdir, snap, rel)] = st
+        return out
+
     def files_by_bucket(self, version: int) -> dict[int | None, list[str]]:
         """{bucket_id: [abs parquet paths]} at a version; {None: [...]}
         for unbucketed. Empty buckets are absent (no directory is ever
@@ -522,9 +556,21 @@ def _conform_arrow(t, target, renames: dict):
 
     have = set(t.schema.names)
     placed: set[str] = set()
+    # a name appearing in ANOTHER field's rename chain is that field's
+    # historical on-disk spelling — an exact-name match on it would
+    # alias the renamed-away column's values into a same-named new
+    # column (delta lane: new field a after rename a -> a_old; old
+    # files physically carry 'a' for a_old's data, while new 'a' lives
+    # under its fresh col-uuid physical name)
+    consumed = {
+        h
+        for name, hist in renames.items()
+        for h in hist
+        if h != name
+    }
     arrays = []
     for f in target:
-        src = f.name if f.name in have else next(
+        src = f.name if (f.name in have and f.name not in consumed) else next(
             (h for h in renames.get(f.name, []) if h in have), None
         )
         if src is None:
@@ -863,9 +909,53 @@ class SnapshotPartition(InputPartition):
     dv: tuple = ()  # deleted row positions in this file (merge-on-read)
 
 
+def _push_canon(v):
+    """Canonicalize a pushed-filter value for comparison against the
+    per-file stats JSON (which stores dates/timestamps as isoformat
+    strings and decimals as strings — plans/stats.py as_json). None
+    means 'cannot use this value for pruning'."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool) or isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
 class WarehouseSnapshotReader(DataSourceReader):
     """Batch snapshot read (optionally AS OF a retained version), one
-    input partition per live data file."""
+    input partition per live data file. This base class plans every
+    live file; the default reader is WarehousePushdownSnapshotReader
+    below, which adds filter pushdown (this class remains the
+    ``.option("pushdown", "false")`` escape hatch for sessions where
+    ``spark.sql.python.filterPushdown.enabled`` cannot be turned on —
+    Spark refuses a pushFilters-implementing reader under that conf
+    rather than silently ignoring it).
+
+    - equality / IN on the bucket key prunes whole BUCKETS: the
+      routing hash (pmod(xxhash64(key), n) — plans/arrow_dml.py, the
+      Spark-bit-exact port) is recomputed driver-side, so a point
+      lookup plans O(files-in-one-bucket) partitions, not the table;
+    - comparison / IN predicates on any stats-covered column skip
+      FILES whose footer min/max provably cannot match (the same
+      contract as Warehouse.files_for_range, rename-chain-aware).
+
+    Both prunes are conservative — a file is dropped only on PROOF of
+    emptiness, files without usable stats are kept — and every filter
+    is returned as residual so Spark re-applies the exact predicate to
+    surviving rows: pushdown changes IO, never semantics. At 100 TB
+    this is the difference between a selective read through
+    ``spark.read.format("cdl_warehouse")`` scanning one bucket and
+    scanning the table."""
 
     def __init__(self, schema: StructType, options):
         meta = _Meta(
@@ -875,18 +965,100 @@ class WarehouseSnapshotReader(DataSourceReader):
         )
         self.arrow_schema = _arrow_full_schema(schema)
         version = _snapshot_version(meta, options)
-        renames = meta.renamed_from(version)
-        dv_all = meta.dv_by_file(version)
-        self._parts = [
-            SnapshotPartition(
-                file=f, renames=renames, dv=tuple(dv_all.get(f, ()))
+        self._renames = meta.renamed_from(version)
+        self._dv_all = meta.dv_by_file(version)
+        self._files_by_bucket = meta.files_by_bucket(version)
+        self._stats = meta.stats_by_file(version)
+        self._spec = meta.bucket_spec(version)
+        self._key_dtype = None
+        if self._spec is not None:
+            fld = next(
+                (f for f in schema.fields if f.name == self._spec[0]), None
             )
-            for fl in meta.files_by_bucket(version).values()
-            for f in fl
-        ]
+            if fld is not None:
+                self._key_dtype = fld.dataType.simpleString()
+        # pushdown state (empty until pushFilters runs)
+        self._allowed_buckets: set[int] | None = None
+        self._bounds: dict[str, tuple] = {}
+        self._in_vals: dict[str, tuple] = {}
+        # observability: tests and the scale probe read this after
+        # planning ({buckets pruned to, files skipped/planned/total})
+        self.pushed: dict = {"filters": []}
+
+    def _stat_name(self, stats_json: str, col: str) -> str | None:
+        """Which recorded name (current or a rename-chain historical/
+        physical one) THIS file's stats carry for ``col`` — checking an
+        absent name always reads 'cannot skip' and defeats the prune."""
+        try:
+            mv = json.loads(stats_json).get("minValues", {})
+        except (ValueError, AttributeError):
+            return None
+        return next(
+            (
+                n
+                for n in (col, *self._renames.get(col, []))
+                if n in mv
+            ),
+            None,
+        )
+
+    def _file_pruned(self, path: str) -> bool:
+        from ..plans.stats import stats_disjoint
+
+        st = self._stats.get(path)
+        if not st:
+            return False
+        for col, (lo, hi) in self._bounds.items():
+            nm = self._stat_name(st, col)
+            if nm is not None and stats_disjoint(st, nm, lo, hi):
+                return True
+        for col, vals in self._in_vals.items():
+            if not vals:
+                continue
+            nm = self._stat_name(st, col)
+            if nm is not None and all(
+                stats_disjoint(st, nm, v, v) for v in vals
+            ):
+                return True
+        return False
 
     def partitions(self):
-        return self._parts or [SnapshotPartition(file="", renames={})]
+        parts = []
+        skipped = 0
+        for b, fl in sorted(
+            self._files_by_bucket.items(),
+            key=lambda kv: (-1 if kv[0] is None else kv[0]),
+        ):
+            if (
+                self._allowed_buckets is not None
+                and b is not None
+                and b not in self._allowed_buckets
+            ):
+                skipped += len(fl)
+                continue
+            for f in fl:
+                if self._file_pruned(f):
+                    skipped += 1
+                    continue
+                parts.append(
+                    SnapshotPartition(
+                        file=f,
+                        renames=self._renames,
+                        dv=tuple(self._dv_all.get(f, ())),
+                    )
+                )
+        self.pushed.update(
+            {
+                "buckets": (
+                    sorted(self._allowed_buckets)
+                    if self._allowed_buckets is not None
+                    else None
+                ),
+                "files_planned": len(parts),
+                "files_skipped": skipped,
+            }
+        )
+        return parts or [SnapshotPartition(file="", renames={})]
 
     def read(self, partition: SnapshotPartition):
         import pyarrow.parquet as pq
@@ -903,6 +1075,108 @@ class WarehouseSnapshotReader(DataSourceReader):
             t = t.filter(pa.array(mask))
         t = _conform_arrow(t, self.arrow_schema, partition.renames)
         yield from t.to_batches()
+
+
+class WarehousePushdownSnapshotReader(WarehouseSnapshotReader):
+    """The DEFAULT batch reader: WarehouseSnapshotReader + FILTER
+    PUSHDOWN (``DataSourceReader.pushFilters``, Spark ≥ 4.1 with
+    ``spark.sql.python.filterPushdown.enabled`` — get_spark sets it):
+
+    - equality / IN on the bucket key prunes whole BUCKETS: the
+      routing hash (pmod(xxhash64(key), n) — plans/arrow_dml.py, the
+      Spark-bit-exact port) is recomputed driver-side, so a point
+      lookup plans O(files-in-one-bucket) partitions, not the table;
+    - comparison / IN predicates on any stats-covered column skip
+      FILES whose footer min/max provably cannot match (the same
+      contract as Warehouse.files_for_range, rename-chain-aware).
+
+    Both prunes are conservative — a file is dropped only on PROOF of
+    emptiness, files without usable stats are kept — and every filter
+    is returned as residual so Spark re-applies the exact predicate to
+    surviving rows: pushdown changes IO, never semantics. At 100 TB
+    this is the difference between a selective read through
+    ``spark.read.format("cdl_warehouse")`` scanning one bucket and
+    scanning the table."""
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        key = self._spec[0] if self._spec is not None else None
+        key_vals: set | None = None
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue
+            col = attr[0]
+            if isinstance(f, In):
+                vals = tuple(
+                    c
+                    for c in (_push_canon(v) for v in f.value)
+                    if c is not None
+                )
+                if not vals or len(vals) != len(f.value):
+                    continue  # un-canonicalizable member: no pruning
+                prev = self._in_vals.get(col)
+                self._in_vals[col] = (
+                    vals
+                    if prev is None
+                    else tuple(v for v in vals if v in set(prev))
+                )
+                if col == key:
+                    s = set(vals)
+                    key_vals = s if key_vals is None else (key_vals & s)
+                self.pushed["filters"].append(f)
+                continue
+            if not isinstance(
+                f,
+                (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+                 LessThanOrEqual),
+            ):
+                continue
+            v = _push_canon(f.value)
+            if v is None:
+                continue
+            if isinstance(f, EqualTo):
+                nlo, nhi = v, v
+                if col == key:
+                    key_vals = (
+                        {v} if key_vals is None else (key_vals & {v})
+                    )
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                # strict vs inclusive doesn't matter for file PRUNING:
+                # lo=v inclusive keeps a superset, the residual filter
+                # drops the boundary rows
+                nlo, nhi = v, None
+            else:
+                nlo, nhi = None, v
+            lo, hi = self._bounds.get(col, (None, None))
+            try:
+                lo = nlo if lo is None else (lo if nlo is None else max(lo, nlo))
+                hi = nhi if hi is None else (hi if nhi is None else min(hi, nhi))
+            except TypeError:
+                continue  # mixed-type bounds on one column: skip
+            self._bounds[col] = (lo, hi)
+            self.pushed["filters"].append(f)
+        if key_vals is not None and self._key_dtype is not None:
+            try:
+                from ..plans.arrow_dml import bucket_of_value
+
+                self._allowed_buckets = {
+                    bucket_of_value(v, self._key_dtype, self._spec[1])
+                    for v in key_vals
+                }
+            except (ValueError, TypeError):
+                self._allowed_buckets = None  # unsupported key type
+        # every filter stays residual: Spark re-applies the exact
+        # predicates to the rows of whatever files survive
+        return filters
 
 
 class WarehouseDataSource(DataSource):
@@ -953,7 +1227,14 @@ class WarehouseDataSource(DataSource):
             opts = dict(opts)
             opts.pop("timestamp", None)
             opts["version"] = str(pinned)
-        return WarehouseSnapshotReader(schema, opts)
+        # pushdown by default (requires
+        # spark.sql.python.filterPushdown.enabled=true, which get_spark
+        # sets); option("pushdown", "false") opts out for sessions
+        # where that conf cannot be enabled — Spark refuses a
+        # pushFilters-implementing reader under a disabled conf
+        if str(opts.get("pushdown", "true")).lower() == "false":
+            return WarehouseSnapshotReader(schema, opts)
+        return WarehousePushdownSnapshotReader(schema, opts)
 
     def streamReader(self, schema: StructType):
         if not _opt_bool(self.options, "feed"):

@@ -239,9 +239,13 @@ def _parse_merge(stmt: str):
         if q is not None and q not in (t_alias, s_alias, table, source[1]):
             raise SqlDmlError(f"unknown qualifier {q!r} in MERGE ON")
     key = c1
-    # WHEN clauses
+    # WHEN clauses — statement order matters: SQL MERGE routes each
+    # row to its FIRST matching clause, so an unconditional matched
+    # clause anywhere but last would make every later clause dead
+    # (Delta's rule: only the last matched clause may omit AND <cond>)
     delete_cond = None
     has_delete = has_update = has_insert = False
+    matched_order: list[tuple[str, str | None]] = []
     pat = re.compile(
         r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+"
         r"(DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*)\s*",
@@ -268,30 +272,135 @@ def _parse_merge(stmt: str):
                 )
             has_insert = True
         elif action == "DELETE":
+            if has_delete:
+                raise SqlDmlError(
+                    "duplicate WHEN MATCHED ... THEN DELETE clause"
+                )
             has_delete = True
             delete_cond = cond.strip() if cond else None
+            matched_order.append(("delete", delete_cond))
         elif action == "UPDATE SET *":
             if cond:
                 raise SqlDmlError(
                     "WHEN MATCHED AND ... THEN UPDATE SET * is not "
                     "supported (conditional update = UPDATE ... SET)"
                 )
+            if has_update:
+                raise SqlDmlError(
+                    "duplicate WHEN MATCHED THEN UPDATE SET * clause"
+                )
             has_update = True
+            matched_order.append(("update", None))
         else:
             raise SqlDmlError(f"unsupported MERGE action {action!r}")
         pos = mc.end()
     if not (has_delete or has_update or has_insert):
         raise SqlDmlError("MERGE requires at least one WHEN clause")
+    for i, (act, c) in enumerate(matched_order):
+        if c is None and i < len(matched_order) - 1:
+            raise SqlDmlError(
+                f"WHEN MATCHED THEN {act.upper()} without a condition "
+                "must be the LAST matched clause — each row routes to "
+                "its first matching clause, so an earlier unconditional "
+                "clause would make every later matched clause dead; "
+                "reorder the clauses or add AND <condition>"
+            )
     return {
         "table": table,
         "source": source,
         "key": key,
+        "t_alias": t_alias,
         "s_alias": s_alias,
         "delete": has_delete,
         "delete_cond": delete_cond,
         "update": has_update,
         "insert": has_insert,
     }
+
+
+_COND_KEYWORDS = frozenset(
+    "and or not null true false is in like rlike between case when then "
+    "else end cast as distinct interval div".split()
+)
+
+
+def _scope_merge_cond(
+    cond: str,
+    t_alias: str,
+    s_alias: str | None,
+    src_cols: set,
+    tgt_cols: set,
+    key: str,
+    table: str,
+) -> str:
+    """Rewrite a WHEN MATCHED AND <cond> expression to evaluate over
+    the JOINED (source ⋈ target) row — SQL MERGE semantics — instead
+    of the source row alone:
+
+    - ``t_alias.col``  -> ``__t_col`` (the target side, joined in by
+      the executor under that prefix)
+    - ``s_alias.col``  -> ``col`` (the source side)
+    - unqualified name -> resolved to whichever side uniquely has it;
+      the join key itself stays unqualified (equal on both sides);
+      a name present on BOTH sides raises (ambiguous — qualify it)
+
+    String literals pass through untouched; ``name(`` shapes are left
+    alone (function calls)."""
+    import re
+
+    out = []
+    for idx, part in enumerate(re.split(r"('(?:[^']|'')*')", cond)):
+        if idx % 2 == 1:
+            out.append(part)
+            continue
+
+        def repl(m):
+            q, qcol, name = m.group(1), m.group(2), m.group(3)
+            if q is not None:  # qualified reference
+                if q == t_alias or q == table:
+                    if qcol not in tgt_cols:
+                        raise SqlDmlError(
+                            f"MERGE condition references {q}.{qcol} but "
+                            f"{table!r} has no column {qcol!r}"
+                        )
+                    return qcol if qcol == key else f"__t_{qcol}"
+                if s_alias and q == s_alias:
+                    return qcol
+                raise SqlDmlError(
+                    f"unknown qualifier {q!r} in MERGE condition "
+                    f"(expected {t_alias!r}"
+                    + (f" or {s_alias!r}" if s_alias else "")
+                    + ")"
+                )
+            if name.lower() in _COND_KEYWORDS or name == key:
+                return name
+            in_s, in_t = name in src_cols, name in tgt_cols
+            if in_s and in_t:
+                raise SqlDmlError(
+                    f"column {name!r} exists on both MERGE sides — "
+                    f"qualify it ({t_alias}.{name} for the target row, "
+                    + (
+                        f"{s_alias}.{name}"
+                        if s_alias
+                        else "the bare source name"
+                    )
+                    + " for the source row)"
+                )
+            if in_t:
+                return f"__t_{name}"
+            return name  # source column, or a no-arg SQL builtin
+
+        # ONE scan: qualified refs and bare identifiers resolve in the
+        # same pass, so a resolved qualifier's output is never re-read
+        # as a bare (possibly ambiguous) name
+        part = re.sub(
+            r"\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)"
+            r"|\b([A-Za-z_]\w*)\b(?!\s*[.(])",
+            repl,
+            part,
+        )
+        out.append(part)
+    return "".join(out)
 
 
 def _parse_create_mv(stmt: str):
@@ -418,29 +527,55 @@ def execute_dml(wh, stmt: str) -> dict:
         delete_keys = None
         upserts = src
         existing = None
+        tgt = None
         if p["delete"] or not (p["update"] and p["insert"]):
             # target key set: a column-pruned scan, deliberately NOT
             # broadcast-hinted — the TARGET is the big side at scale
             # (broadcasting a 100 TB table's distinct keys kills the
             # statement); AQE picks the strategy, and bucketed layouts
             # co-locate the join
-            existing = wh.read(p["table"]).select(key).distinct()
+            tgt = wh.read(p["table"])
+            existing = tgt.select(key).distinct()
         if p["delete"]:
             # SQL MERGE routes each source row to its first matching
             # WHEN clause: DELETE consumes only MATCHED rows passing
             # its condition; matched rows failing it fall through to
             # UPDATE, and NOT-matched rows fall through to INSERT —
             # they must never be swallowed by the delete branch
-            matched = src.join(existing, on=key, how="left_semi")
             if p["delete_cond"] is not None:
-                cond_txt = p["delete_cond"]
-                if p["s_alias"]:
-                    cond_txt = re.sub(
-                        rf"\b{re.escape(p['s_alias'])}\.", "", cond_txt
+                # the condition evaluates over the JOINED row: target-
+                # qualified (and unambiguous target-only) references
+                # read the target's current values, source references
+                # the source row — _scope_merge_cond resolves each
+                cond_txt = _scope_merge_cond(
+                    p["delete_cond"],
+                    p["t_alias"],
+                    p["s_alias"],
+                    set(src.columns),
+                    set(tgt.columns),
+                    key,
+                    p["table"],
+                )
+                if "__t_" in cond_txt:
+                    # join in only the referenced target columns
+                    # (keyed table: exactly one target row per key, so
+                    # the inner join IS the matched set); column-pruned
+                    # scan, big-side rules as above
+                    refs = [
+                        c for c in tgt.columns if f"__t_{c}" in cond_txt
+                    ]
+                    tgt_pref = tgt.select(
+                        key,
+                        *[F.col(c).alias(f"__t_{c}") for c in refs],
                     )
+                    matched = src.join(tgt_pref, on=key, how="inner")
+                else:
+                    matched = src.join(existing, on=key, how="left_semi")
                 # NULL condition = not deleted (falls through), per
                 # SQL's three-valued WHEN MATCHED AND <cond>
                 matched = matched.filter(F.expr(cond_txt))
+            else:
+                matched = src.join(existing, on=key, how="left_semi")
             delete_keys = matched.select(key)
             upserts = upserts.join(
                 delete_keys.distinct(), on=key, how="left_anti"
@@ -450,7 +585,9 @@ def execute_dml(wh, stmt: str) -> dict:
         elif p["insert"] and not p["update"]:
             upserts = upserts.join(existing, on=key, how="left_anti")
         elif not p["update"] and not p["insert"]:
-            upserts = upserts.limit(0)  # delete-only statement
+            # delete-only statement: the empty upsert frame must carry
+            # the TARGET's schema (the source may be a bare key feed)
+            upserts = tgt.limit(0)
         affected = wh.merge_bucketed(
             p["table"],
             upserts,

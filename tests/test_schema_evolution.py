@@ -719,3 +719,185 @@ class TestDeltaBucketedEvolve:
         )
         rows = {r["id"]: r["display_name"] for r in wh.read("t").collect()}
         assert 3 not in rows and rows[1] == "N1" and len(rows) == 11
+
+
+class TestRenamedAwayNameReuse:
+    """Round-10 (advisor finding, delta.py _evolved_schema_string): an
+    evolve that renames a -> a_old AND adds a NEW column named a must
+    give the new field a FRESH identity. Before the fix both logical
+    fields resolved to the same prev field and inherited physicalName
+    'a' — the delta lane died mid-merge with COLUMN_ALREADY_EXISTS and
+    the manifest lane silently aliased old 'a' values into the new
+    column on untouched buckets. Now: delta disambiguates via column
+    mapping (new field gets a col-uuid physical name); the manifest
+    lane — which stores files by logical name and cannot disambiguate
+    — REJECTS the re-use up front."""
+
+    def _seed_delta(self, spark, tmp_path):
+        from canvas_data_loader_spark.plans.delta import DeltaWarehouse
+
+        wh = DeltaWarehouse(spark, str(tmp_path / "dwh"))
+        base = spark.createDataFrame(
+            [(i, f"n{i}", i * 10) for i in range(1, 9)],
+            "id long, name string, cnt int",
+        )
+        wh.write("t", base, snapshot="s0", bucket=("id", 4))
+        return wh
+
+    def test_delta_rename_and_readd_same_name(self, spark, tmp_path):
+        from canvas_data_loader_spark.plans.delta import _cm_mapping
+
+        wh = self._seed_delta(spark, tmp_path)
+        batch = spark.createDataFrame(
+            [(1, "fresh")], "id long, name string"
+        )
+        wh.merge_bucketed(
+            "t", batch, snapshot="m1", evolve=True,
+            renames={"name": "name_old"},
+        )
+        _, meta, _, _, _ = wh._replay("t")
+        m = _cm_mapping(meta)
+        # renamed field keeps its on-disk physical name; the RE-USED
+        # logical name is a brand-new column with a fresh identity
+        assert m["name_old"] == "name"
+        assert m["name"].startswith("col-")
+        rows = {
+            r["id"]: (r["name"], r["name_old"], r["cnt"])
+            for r in wh.read("t").collect()
+        }
+        # untouched old row: old value lives ONLY under name_old — the
+        # regression aliased it into the new 'name' column
+        assert rows[2] == (None, "n2", 20)
+        assert rows[1] == ("fresh", "n1", None) or rows[1][0] == "fresh"
+        assert len(rows) == 8
+
+    def test_delta_readd_survives_independent_reader(self, spark, tmp_path):
+        """The spec-pure reader decodes the re-used name the same way
+        the writer reads it back."""
+        import os
+        import sys
+
+        import duckdb
+
+        sys.path.insert(0, "/root/repo/tools")
+        try:
+            import delta_reader
+        finally:
+            sys.path.pop(0)
+
+        wh = self._seed_delta(spark, tmp_path)
+        batch = spark.createDataFrame([(1, "fresh")], "id long, name string")
+        wh.merge_bucketed(
+            "t", batch, snapshot="m1", evolve=True,
+            renames={"name": "name_old"},
+        )
+        sql = delta_reader.duckdb_sql(os.path.join(wh.root, "t"))
+        rel = duckdb.sql(sql)
+        cols = [d[0] for d in rel.description]
+        by_id = {
+            r[cols.index("id")]: (
+                r[cols.index("name")],
+                r[cols.index("name_old")],
+            )
+            for r in rel.fetchall()
+        }
+        assert by_id[2] == (None, "n2")
+        assert by_id[1][0] == "fresh"
+
+    def test_manifest_rejects_consumed_name_reuse(self, spark, tmp_path):
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "mwh"))
+        base = spark.createDataFrame(
+            [(i, f"n{i}", i * 10) for i in range(1, 9)],
+            "id long, name string, cnt int",
+        )
+        wh.write("t", base, snapshot="s0", bucket=("id", 4))
+        batch = spark.createDataFrame([(1, "fresh")], "id long, name string")
+        with pytest.raises(ValueError, match="consumed by the rename"):
+            wh.merge_bucketed(
+                "t", batch, snapshot="m1", evolve=True,
+                renames={"name": "name_old"},
+            )
+        # ...including via a LATER evolve, not just the same one
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(1, "d1")], "id long, display string"),
+            snapshot="m2", evolve=True, renames={"name": "display"},
+        )
+        with pytest.raises(ValueError, match="consumed by the rename"):
+            wh.merge_bucketed(
+                "t",
+                spark.createDataFrame([(2, "zz")], "id long, name string"),
+                snapshot="m3", evolve=True,
+            )
+
+    def test_manifest_rename_back_stays_legal(self, spark, tmp_path):
+        """a -> b -> a is the SAME column round-tripping its name: its
+        own chain is not a conflict, and reads resolve every era."""
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "mwh2"))
+        base = spark.createDataFrame(
+            [(i, f"n{i}") for i in range(1, 5)], "id long, a string"
+        )
+        wh.write("t", base, snapshot="s0", bucket=("id", 2))
+        wh.merge_bucketed(
+            "t", spark.createDataFrame([(1, "b1")], "id long, b string"),
+            snapshot="m1", evolve=True, renames={"a": "b"},
+        )
+        wh.merge_bucketed(
+            "t", spark.createDataFrame([(2, "a2")], "id long, a string"),
+            snapshot="m2", evolve=True, renames={"b": "a"},
+        )
+        rows = {r["id"]: r["a"] for r in wh.read("t").collect()}
+        assert rows == {1: "b1", 2: "a2", 3: "n3", 4: "n4"}
+
+    def test_conform_to_skips_consumed_exact_match(self, spark):
+        """Unit: with history {a_old: [a]} and a target that ALSO has
+        a field named a, a frame carrying only the historical 'a'
+        column resolves it to a_old, and the new 'a' null-pads."""
+        from pyspark.sql import types as T
+
+        from canvas_data_loader_spark.operators.merge import conform_to
+
+        target = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("a_old", T.StringType()),
+                T.StructField("a", T.StringType()),
+            ]
+        )
+        old_file = spark.createDataFrame([(1, "v1")], "id long, a string")
+        out = conform_to(old_file, target, {"a_old": ["a"]}).collect()[0]
+        assert out["a_old"] == "v1" and out["a"] is None
+
+    def test_conform_arrow_skips_consumed_exact_match(self):
+        """The Arrow twin (stream/arrow-DML read lane) applies the
+        same rule: a file column whose name another field's chain
+        consumed resolves to THAT field, never to a same-named new
+        column (delta lane: old files physically carry 'name' for
+        name_old's data while new 'name' lives under its col-uuid)."""
+        import pyarrow as pa
+
+        from canvas_data_loader_spark.sources.warehouse_source import (
+            _conform_arrow,
+        )
+
+        target = pa.schema(
+            [("id", pa.int64()), ("name_old", pa.string()), ("name", pa.string())]
+        )
+        old_file = pa.table({"id": [1], "name": ["v1"]})
+        out = _conform_arrow(
+            old_file, target, {"name_old": ["name"], "name": ["col-x"]}
+        )
+        assert out.column("name_old").to_pylist() == ["v1"]
+        assert out.column("name").to_pylist() == [None]
+        # a NEW file carrying the fresh physical name resolves via the
+        # new field's own chain
+        new_file = pa.table({"id": [2], "col-x": ["w2"], "name": ["old2"]})
+        out2 = _conform_arrow(
+            new_file, target, {"name_old": ["name"], "name": ["col-x"]}
+        )
+        assert out2.column("name").to_pylist() == ["w2"]
+        assert out2.column("name_old").to_pylist() == ["old2"]

@@ -1,0 +1,276 @@
+"""Filter pushdown through the registered ``cdl_warehouse`` BATCH
+source (round-10, VERDICT top ask): a selective predicate through
+``spark.read.format("cdl_warehouse")`` must prune its scan — bucket
+routing for key equality/IN, per-file stats for ranges — instead of
+planning every live file. Files-opened counts are pinned at the
+reader level (partitions()), and end-to-end results are pinned equal
+to the unpruned read (pushdown changes IO, never semantics).
+
+Reference tie: per-file stats skipping exists precisely for this read
+path (plans/stats.py, Warehouse.files_for_range — round-8 rows); this
+wires it to the public Spark read surface via Spark 4's
+DataSourceReader.pushFilters.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+    StringStartsWith,
+)
+
+from canvas_data_loader_spark.plans.delta import DeltaWarehouse
+from canvas_data_loader_spark.plans.pipeline import Warehouse
+from canvas_data_loader_spark.sources.warehouse_source import (
+    WarehouseDataSource,
+    WarehousePushdownSnapshotReader,
+    WarehouseSnapshotReader,
+    _Meta,
+)
+
+N_BUCKETS = 16
+
+
+@pytest.fixture(params=["manifest", "delta"])
+def wh(request, tmp_path, spark):
+    cls = DeltaWarehouse if request.param == "delta" else Warehouse
+    w = cls(spark, str(tmp_path / request.param))
+    df = spark.range(1, 1001).selectExpr(
+        "id", "id * 10 as cnt", "concat('v', id) as v"
+    )
+    w.write("t", df, snapshot="s0", bucket=("id", N_BUCKETS))
+    # a second snapshot so buckets hold >1 file generation
+    w.merge_bucketed(
+        "t",
+        spark.createDataFrame([(5, 50, "v5x")], "id long, cnt long, v string"),
+        snapshot="s1",
+    )
+    spark.dataSource.register(WarehouseDataSource)
+    return w
+
+
+def _reader(wh, filters=(), **opts):
+    meta = _Meta(wh.root, "t")
+    schema = meta.spark_schema(None)
+    rd = WarehousePushdownSnapshotReader(
+        schema, {"root": wh.root, "table": "t", **opts}
+    )
+    if filters:
+        residual = rd.pushFilters(list(filters))
+        # EVERY filter must come back as residual — pruning is
+        # conservative and Spark re-applies the exact predicates
+        assert list(residual) == list(filters)
+    return rd, meta
+
+
+def _total_files(meta):
+    return sum(
+        len(v) for v in meta.files_by_bucket(meta.current_version()).values()
+    )
+
+
+def _loaded(spark, wh, **opts):
+    r = (
+        spark.read.format("cdl_warehouse")
+        .option("root", wh.root)
+        .option("table", "t")
+    )
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+class TestFileCountsPinned:
+    def test_point_lookup_plans_one_bucket(self, wh):
+        rd, meta = _reader(wh, [EqualTo(("id",), 77)])
+        parts = rd.partitions()
+        total = _total_files(meta)
+        assert total >= N_BUCKETS
+        assert rd.pushed["buckets"] is not None
+        assert len(rd.pushed["buckets"]) == 1
+        # one bucket's files at most (both generations of that bucket)
+        assert len(parts) <= max(
+            len(v)
+            for v in meta.files_by_bucket(meta.current_version()).values()
+        )
+        assert rd.pushed["files_planned"] + rd.pushed["files_skipped"] == total
+
+    def test_key_in_prunes_to_value_buckets(self, wh):
+        rd, meta = _reader(wh, [In(("id",), (5, 77, 400))])
+        rd.partitions()
+        assert rd.pushed["buckets"] is not None
+        assert 1 <= len(rd.pushed["buckets"]) <= 3
+        assert rd.pushed["files_planned"] < _total_files(meta)
+
+    def test_conflicting_equalities_intersect(self, wh):
+        rd, _ = _reader(wh, [EqualTo(("id",), 77), EqualTo(("id",), 78)])
+        rd.partitions()
+        # id = 77 AND id = 78 is unsatisfiable unless both hash to the
+        # same bucket; allowed set is the intersection
+        assert rd.pushed["buckets"] is not None
+        assert len(rd.pushed["buckets"]) <= 1
+
+    def test_range_skips_disjoint_files(self, wh):
+        rd, meta = _reader(wh, [GreaterThanOrEqual(("cnt",), 9910)])
+        parts = rd.partitions()
+        total = _total_files(meta)
+        # ids 991..1000 -> at most 10 buckets' NEWEST files can match;
+        # the s0-era files of untouched ranges must be skipped
+        assert len(parts) < total
+        assert rd.pushed["files_skipped"] > 0
+
+    def test_strict_and_inclusive_bounds_compose(self, wh):
+        rd, meta = _reader(
+            wh,
+            [GreaterThan(("cnt",), 9900), LessThanOrEqual(("cnt",), 9950)],
+        )
+        parts = rd.partitions()
+        assert len(parts) < _total_files(meta)
+
+    def test_unsupported_filters_are_noops(self, wh):
+        rd, meta = _reader(
+            wh,
+            [IsNotNull(("v",)), StringStartsWith(("v",), "v9")],
+        )
+        parts = rd.partitions()
+        assert len(parts) == _total_files(meta)
+        assert rd.pushed["buckets"] is None
+
+    def test_no_filters_plans_everything(self, wh):
+        rd, meta = _reader(wh)
+        assert len(rd.partitions()) == _total_files(meta)
+
+
+class TestEndToEnd:
+    def test_point_and_range_match_unpruned(self, spark, wh):
+        df = _loaded(spark, wh)
+        plain = _loaded(spark, wh, pushdown="false")
+        for cond in ("id = 77", "id IN (5, 77, 2000)", "cnt >= 9910",
+                     "cnt > 100 AND cnt < 220", "v = 'v5x'"):
+            got = sorted(tuple(r) for r in df.filter(cond).collect())
+            want = sorted(tuple(r) for r in plain.filter(cond).collect())
+            assert got == want, cond
+
+    def test_updated_row_found_through_pushdown(self, spark, wh):
+        got = _loaded(spark, wh).filter("id = 5").collect()
+        assert [(r.id, r.cnt, r.v) for r in got] == [(5, 50, "v5x")]
+
+    def test_escape_hatch_reader_has_no_pushfilters(self, wh):
+        meta = _Meta(wh.root, "t")
+        rd = WarehouseSnapshotReader(
+            meta.spark_schema(None), {"root": wh.root, "table": "t"}
+        )
+        from pyspark.sql.datasource import DataSourceReader
+
+        assert (
+            getattr(rd.pushFilters, "__func__", None)
+            is DataSourceReader.pushFilters
+        ), "base reader must NOT override pushFilters (conf-less sessions)"
+
+
+class TestDvAndEvolutionInterplay:
+    def test_mor_delete_stays_invisible_through_pruned_read(
+        self, spark, wh
+    ):
+        n = wh.delete_where("t", "id = 77", mode="mor")
+        assert n == 1
+        got = _loaded(spark, wh).filter("id = 77").collect()
+        assert got == []
+        # neighbors in the same bucket unaffected
+        assert _loaded(spark, wh).filter("id = 78").count() == 1
+
+    def test_rename_chain_stats_still_prune(self, spark, wh):
+        """After RENAME cnt -> amount, a range on the NEW name must
+        still skip s0-era files whose stats are keyed by the old
+        (manifest) / physical (delta) spelling."""
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame(
+                [(1, 10, "v1", "x")],
+                "id long, amount long, v string, extra string",
+            ),
+            snapshot="s2",
+            evolve=True,
+            renames={"cnt": "amount"},
+        )
+        rd, meta = _reader(wh, [GreaterThanOrEqual(("amount",), 9910)])
+        parts = rd.partitions()
+        assert len(parts) < _total_files(meta)
+        # and the rows come back right
+        got = (
+            _loaded(spark, wh)
+            .filter("amount >= 9910")
+            .selectExpr("id", "amount")
+            .collect()
+        )
+        assert sorted((r.id, r.amount) for r in got) == [
+            (i, i * 10) for i in range(991, 1001)
+        ]
+
+    def test_point_lookup_after_rebucket_uses_new_layout(self, spark, wh):
+        """A full reload onto a different bucket count re-routes the
+        pruning (spec is read per-version, never cached across)."""
+        df = spark.range(1, 101).selectExpr("id", "id*10 as cnt", "'x' as v")
+        wh.write("t", df, snapshot="s9", bucket=("id", 4))
+        rd, meta = _reader(wh, [EqualTo(("id",), 7)])
+        parts = rd.partitions()
+        assert rd.pushed["buckets"] is not None and len(
+            rd.pushed["buckets"]
+        ) == 1
+        assert rd.pushed["buckets"][0] < 4
+        got = _loaded(spark, wh).filter("id = 7").collect()
+        assert [(r.id, r.cnt) for r in got] == [(7, 70)]
+
+
+class TestStringKeyAndVersioned:
+    def test_string_bucket_key_point_lookup(self, spark, tmp_path, wh):
+        cls = type(wh)
+        w2 = cls(spark, str(tmp_path / "skey"))
+        df = spark.range(1, 201).selectExpr(
+            "concat('k', id) as k", "id as n"
+        )
+        w2.write("s", df, snapshot="s0", bucket=("k", 8))
+        meta = _Meta(w2.root, "s")
+        rd = WarehousePushdownSnapshotReader(
+            meta.spark_schema(None), {"root": w2.root, "table": "s"}
+        )
+        rd.pushFilters([EqualTo(("k",), "k42")])
+        parts = rd.partitions()
+        assert rd.pushed["buckets"] is not None
+        assert len(rd.pushed["buckets"]) == 1
+        total = sum(
+            len(v)
+            for v in meta.files_by_bucket(meta.current_version()).values()
+        )
+        assert len(parts) < total
+        spark.dataSource.register(WarehouseDataSource)
+        got = (
+            spark.read.format("cdl_warehouse")
+            .option("root", w2.root)
+            .option("table", "s")
+            .load()
+            .filter("k = 'k42'")
+            .collect()
+        )
+        assert [(r.k, r.n) for r in got] == [("k42", 42)]
+
+    def test_version_as_of_read_prunes_too(self, spark, wh):
+        v0 = 0 if isinstance(wh, DeltaWarehouse) else 1
+        rd, _ = _reader(wh, [EqualTo(("id",), 77)], version=str(v0))
+        parts = rd.partitions()
+        assert rd.pushed["buckets"] is not None
+        got = (
+            _loaded(spark, wh, version=str(v0))
+            .filter("id = 5")
+            .collect()
+        )
+        # AS OF the pre-merge version: the original row, not v5x
+        assert [(r.id, r.cnt, r.v) for r in got] == [(5, 50, "v5")]

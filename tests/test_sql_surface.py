@@ -495,3 +495,133 @@ class TestSqlConstraints:
         assert out["dropped"] is False
         with pytest.raises(SqlDmlError, match="malformed ALTER"):
             execute_dml(wh, "ALTER TABLE t RENAME TO u")
+
+
+class TestMergeClauseSemantics:
+    """Round-10 (advisor findings, sql.py MERGE): (1) first-matching-
+    clause-wins clause ORDER is enforced — an unconditional matched
+    clause anywhere but last is rejected (it would make later matched
+    clauses dead); (2) WHEN MATCHED AND <cond> evaluates over the
+    JOINED row — target-qualified and unambiguous target-only
+    references read the target's CURRENT values, not the source's."""
+
+    def test_unconditional_clause_must_be_last(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import SqlDmlError, execute_dml
+
+        wh = dml_wh()
+        _seed(spark, wh, "t")
+        spark.createDataFrame(
+            [(1, "x", 0, True)], "id long, v string, cnt long, deleted boolean"
+        ).createOrReplaceTempView("feed_order")
+        with pytest.raises(SqlDmlError, match="LAST matched clause"):
+            execute_dml(
+                wh,
+                "MERGE INTO t USING (SELECT * FROM feed_order) AS s "
+                "ON t.id = s.id "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN MATCHED AND s.deleted THEN DELETE "
+                "WHEN NOT MATCHED THEN INSERT *",
+            )
+        with pytest.raises(SqlDmlError, match="LAST matched clause"):
+            execute_dml(
+                wh,
+                "MERGE INTO t USING (SELECT * FROM feed_order) AS s "
+                "ON t.id = s.id "
+                "WHEN MATCHED THEN DELETE "
+                "WHEN MATCHED THEN UPDATE SET *",
+            )
+        with pytest.raises(SqlDmlError, match="duplicate"):
+            execute_dml(
+                wh,
+                "MERGE INTO t USING (SELECT * FROM feed_order) AS s "
+                "ON t.id = s.id "
+                "WHEN MATCHED AND s.deleted THEN DELETE "
+                "WHEN MATCHED AND s.v = 'x' THEN DELETE",
+            )
+
+    def test_delete_cond_reads_target_row(self, spark, dml_wh):
+        """t.cnt > 50 must test the TARGET's current cnt: seed rows
+        have cnt = id*10, the source carries NO cnt values at all —
+        only ids 6..8 (target cnt 60/70/80) may be deleted."""
+        from canvas_data_loader_spark.sql import execute_dml
+
+        wh = dml_wh()
+        _seed(spark, wh, "t")  # ids 1..8, cnt = id*10
+        spark.createDataFrame(
+            [(2,), (3,), (7,), (8,), (99,)], "id long"
+        ).createOrReplaceTempView("del_feed")
+        out = execute_dml(
+            wh,
+            "MERGE INTO t USING (SELECT * FROM del_feed) AS s "
+            "ON t.id = s.id "
+            "WHEN MATCHED AND t.cnt > 50 THEN DELETE",
+        )
+        assert out["operation"] == "MERGE"
+        left = sorted(r["id"] for r in wh.read("t").collect())
+        assert left == [1, 2, 3, 4, 5, 6]  # 7, 8 deleted; 99 unmatched
+
+    def test_delete_cond_unqualified_target_only_column(self, spark, dml_wh):
+        """An unqualified column only the TARGET has resolves to the
+        target side (the source lacks cnt entirely)."""
+        from canvas_data_loader_spark.sql import execute_dml
+
+        wh = dml_wh()
+        _seed(spark, wh, "t")
+        spark.createDataFrame(
+            [(1, "a"), (6, "b")], "id long, note string"
+        ).createOrReplaceTempView("del_feed2")
+        execute_dml(
+            wh,
+            "MERGE INTO t USING (SELECT * FROM del_feed2) AS s "
+            "ON t.id = s.id "
+            "WHEN MATCHED AND cnt >= 60 THEN DELETE",
+        )
+        left = sorted(r["id"] for r in wh.read("t").collect())
+        assert left == [1, 2, 3, 4, 5, 7, 8]
+
+    def test_delete_cond_ambiguous_column_rejected(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import SqlDmlError, execute_dml
+
+        wh = dml_wh()
+        _seed(spark, wh, "t")
+        spark.createDataFrame(
+            [(1, "a", 5)], "id long, v string, cnt long"
+        ).createOrReplaceTempView("amb_feed")
+        with pytest.raises(SqlDmlError, match="both MERGE sides"):
+            execute_dml(
+                wh,
+                "MERGE INTO t USING (SELECT * FROM amb_feed) AS s "
+                "ON t.id = s.id "
+                "WHEN MATCHED AND cnt > 3 THEN DELETE",
+            )
+        # qualified forms of the SAME column both work
+        execute_dml(
+            wh,
+            "MERGE INTO t USING (SELECT * FROM amb_feed) AS s "
+            "ON t.id = s.id WHEN MATCHED AND s.cnt > 3 THEN DELETE",
+        )
+        assert sorted(r["id"] for r in wh.read("t").collect()) == list(
+            range(2, 9)
+        )
+
+    def test_delete_cond_mixed_sides_and_literals(self, spark, dml_wh):
+        """Target + source references in one condition, with a string
+        literal containing a dotted word (must not be rewritten)."""
+        from canvas_data_loader_spark.sql import execute_dml
+
+        wh = dml_wh()
+        _seed(spark, wh, "t")
+        spark.createDataFrame(
+            [(3, "keep.me"), (4, "drop"), (5, "drop")],
+            "id long, tag string",
+        ).createOrReplaceTempView("mix_feed")
+        execute_dml(
+            wh,
+            "MERGE INTO t USING (SELECT * FROM mix_feed) AS s "
+            "ON t.id = s.id "
+            "WHEN MATCHED AND s.tag <> 'keep.me' AND t.cnt < 50 THEN DELETE",
+        )
+        left = sorted(r["id"] for r in wh.read("t").collect())
+        # id 4: tag drop, target cnt 40 < 50 -> deleted; id 5: tag drop
+        # but cnt 50 is NOT < 50 -> kept; id 3: tag keep.me -> kept
+        assert left == [1, 2, 3, 5, 6, 7, 8]

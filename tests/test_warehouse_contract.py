@@ -3668,3 +3668,71 @@ class TestConflictReconciliation:
         assert victim not in rows
         assert rows[key_a] == "MINE" and rows[key_disjoint] == "THEIRS"
         assert len(rows) == 15
+
+    def test_evolve_merge_cas_loss_rederives_keeps_dv_gate(
+        self, spark, wh_factory
+    ):
+        """Round-10 (advisor finding, delta _reconcile_merge_commit): a
+        tail carrying protocol/metaData actions must NEVER be
+        re-committed verbatim — a newly-mapped evolve's base-derived
+        protocol row would last-wins drop the deletionVectors gate an
+        intervening disjoint mor-delete just added. The fix re-derives
+        instead, and the re-derived commit's protocol row reflects the
+        head's live DVs."""
+        import json as _json
+        import os as _os
+        import re as _re
+
+        wh, wh2 = wh_factory(), wh_factory()
+        if not isinstance(wh, DeltaWarehouse):
+            pytest.skip("delta-specific: manifest reconcile is head-derived")
+        self._seed(spark, wh)
+        key_a, key_disjoint, _ = self._keys_disjoint_overlapping(spark)
+        victim = next(
+            k
+            for k in range(1, 17)
+            if self._bucket(spark, k) != self._bucket(spark, key_a)
+        )
+        fired = {"done": False}
+        orig = wh._commit
+
+        def racing(table, version, actions):
+            if not fired["done"]:
+                fired["done"] = True
+                assert wh2.delete_where("t", f"id = {victim}", mode="mor") == 1
+            return orig(table, version, actions)
+
+        wh._commit = racing
+        try:
+            wh.merge_bucketed(
+                "t",
+                spark.createDataFrame(
+                    [(key_a, "MINE")], "id long, display string"
+                ),
+                snapshot="mA",
+                evolve=True,
+                renames={"v": "display"},
+            )
+        finally:
+            wh._commit = orig
+        # end state: both writers\' effects land
+        rows = {r["id"]: r["display"] for r in wh.read("t").collect()}
+        assert rows[key_a] == "MINE" and victim not in rows
+        assert len(rows) == 15
+        # the LAST protocol row still gates deletionVectors (and now
+        # also columnMapping from the evolve) while DVs are live
+        ldir = wh._log_dir("t")
+        last_proto = None
+        for f in sorted(_os.listdir(ldir)):
+            if not _re.fullmatch(r"\d+\.json", f):
+                continue
+            for ln in open(_os.path.join(ldir, f)):
+                if ln.strip():
+                    a = _json.loads(ln)
+                    if "protocol" in a:
+                        last_proto = a["protocol"]
+        feats = set(last_proto.get("readerFeatures") or [])
+        assert "deletionVectors" in feats, (
+            f"DV feature gate lost by reconcile replay: {last_proto}"
+        )
+        assert "columnMapping" in feats
