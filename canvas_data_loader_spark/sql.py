@@ -684,3 +684,85 @@ def execute_dml(wh, stmt: str) -> dict:
         "UPDATE ... SET, MERGE INTO, CREATE/REFRESH/DROP MATERIALIZED "
         "VIEW, ALTER TABLE ADD/DROP CONSTRAINT)"
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL READ surface: SELECT with time travel (VERSION AS OF /
+# TIMESTAMP AS OF). register_warehouse_views exposes head snapshots;
+# this lane lets a SELECT pin any table reference to a retained
+# version or timestamp without dropping to the Python API — the Delta
+# SQL spelling, served by read_at_version / read_at_timestamp on both
+# commit protocols.
+# ---------------------------------------------------------------------------
+
+
+def _time_travel_view(wh, table: str, version=None, timestamp=None) -> str:
+    if wh.routing_info(table) is None:
+        raise SqlDmlError(
+            f"time travel requires a warehouse table; unknown {table!r}"
+        )
+    if version is not None:
+        df = wh.read_at_version(table, int(version))
+        tag = f"v{int(version)}"
+    else:
+        df = wh.read_at_timestamp(table, timestamp)
+        import hashlib
+
+        tag = "t" + hashlib.md5(str(timestamp).encode()).hexdigest()[:10]
+    name = f"__tt_{table}_{tag}"
+    df.createOrReplaceTempView(name)
+    return name
+
+
+def execute_sql(wh, stmt: str, register: bool = True):
+    """One SQL entry point over a warehouse (either commit protocol):
+
+    - SELECT / WITH statements run through ``spark.sql`` after
+      rewriting any ``<table> VERSION AS OF <n>`` /
+      ``<table> TIMESTAMP AS OF '<ts>'`` reference to a temp view of
+      the pinned snapshot (read_at_version / read_at_timestamp — the
+      same reads the Python API serves, so retention/vacuum errors
+      carry over verbatim). Head-snapshot views for every warehouse
+      table are (re-)registered first unless ``register=False``.
+      Returns the result DataFrame.
+    - every other verb routes to :func:`execute_dml` and returns its
+      result dict.
+    """
+    import re
+
+    head = re.match(r"\s*(\w+)", stmt)
+    verb = (head.group(1) if head else "").upper()
+    if verb not in ("SELECT", "WITH"):
+        return execute_dml(wh, stmt)
+    spark = wh.spark
+    if register:
+        register_warehouse_views(spark, wh)
+    parts = re.split(r"('(?:[^']|'')*')", stmt)
+    out: list[str] = []
+    i = 0
+    while i < len(parts):
+        seg = parts[i]
+        if i % 2 == 1:  # string literal: untouchable
+            out.append(seg)
+            i += 1
+            continue
+        seg = re.sub(
+            r"\b([A-Za-z_]\w*)\s+VERSION\s+AS\s+OF\s+(\d+)\b",
+            lambda m: _time_travel_view(wh, m.group(1), version=m.group(2)),
+            seg,
+            flags=re.I,
+        )
+        m = re.search(
+            r"\b([A-Za-z_]\w*)\s+TIMESTAMP\s+AS\s+OF\s*$", seg, flags=re.I
+        )
+        if m and i + 1 < len(parts):
+            lit = parts[i + 1][1:-1].replace("''", "'")
+            out.append(
+                seg[: m.start()]
+                + _time_travel_view(wh, m.group(1), timestamp=lit)
+            )
+            i += 2
+            continue
+        out.append(seg)
+        i += 1
+    return spark.sql("".join(out))

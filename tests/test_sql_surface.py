@@ -625,3 +625,89 @@ class TestMergeClauseSemantics:
         # id 4: tag drop, target cnt 40 < 50 -> deleted; id 5: tag drop
         # but cnt 50 is NOT < 50 -> kept; id 3: tag keep.me -> kept
         assert left == [1, 2, 3, 5, 6, 7, 8]
+
+
+class TestSqlTimeTravel:
+    """Round-10 (VERDICT next-round #4): VERSION AS OF / TIMESTAMP AS
+    OF in the SQL lane — execute_sql pins a table reference to
+    read_at_version / read_at_timestamp, so SQL users read history
+    without dropping to Python. Results are pinned equal to the
+    Python API on both commit protocols."""
+
+    def _v0(self, dml_wh):
+        return 0 if dml_wh.kind == "delta" else 1
+
+    def test_version_as_of_equals_api(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import execute_sql
+
+        wh = dml_wh()
+        _seed(spark, wh, "t")  # ids 1..8
+        execute_sql(wh, "DELETE FROM t WHERE id >= 5")
+        v0 = self._v0(dml_wh)
+        n_then = execute_sql(
+            wh, f"SELECT COUNT(*) AS n FROM t VERSION AS OF {v0}"
+        ).collect()[0]["n"]
+        n_now = execute_sql(wh, "SELECT COUNT(*) AS n FROM t").collect()[0][
+            "n"
+        ]
+        assert (n_then, n_now) == (8, 4)
+        got = sorted(
+            tuple(r)
+            for r in execute_sql(
+                wh, f"SELECT * FROM t VERSION AS OF {v0}"
+            ).collect()
+        )
+        want = sorted(tuple(r) for r in wh.read_at_version("t", v0).collect())
+        assert got == want
+
+    def test_timestamp_as_of_equals_api(self, spark, dml_wh):
+        import datetime
+        import time
+
+        from canvas_data_loader_spark.sql import execute_sql
+
+        wh = dml_wh()
+        _seed(spark, wh, "t")
+        time.sleep(1.1)
+        ts = datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%S.%f"
+        )
+        time.sleep(1.1)
+        execute_sql(wh, "DELETE FROM t WHERE id >= 5")
+        got = execute_sql(
+            wh, f"SELECT COUNT(*) AS n FROM t TIMESTAMP AS OF '{ts}'"
+        ).collect()[0]["n"]
+        assert got == 8
+        want = wh.read_at_timestamp("t", ts).count()
+        assert got == want
+
+    def test_history_joins_head_and_literals_survive(self, spark, dml_wh):
+        """A time-travelled reference joins the HEAD view of the same
+        table in one statement, and 'VERSION AS OF' inside a string
+        literal is untouched."""
+        from canvas_data_loader_spark.sql import execute_sql
+
+        wh = dml_wh()
+        _seed(spark, wh, "t")
+        execute_sql(wh, "DELETE FROM t WHERE id >= 5")
+        v0 = self._v0(dml_wh)
+        out = execute_sql(
+            wh,
+            f"SELECT h.id, 'VERSION AS OF 99' AS note "
+            f"FROM t VERSION AS OF {v0} AS h "
+            "LEFT ANTI JOIN t ON t.id = h.id ORDER BY h.id",
+        ).collect()
+        assert [r["id"] for r in out] == [5, 6, 7, 8]
+        assert out[0]["note"] == "VERSION AS OF 99"
+
+    def test_dml_verbs_still_route_and_unknown_table_raises(
+        self, spark, dml_wh
+    ):
+        from canvas_data_loader_spark.sql import SqlDmlError, execute_sql
+
+        wh = dml_wh()
+        _seed(spark, wh, "t")
+        res = execute_sql(wh, "DELETE FROM t WHERE id = 1")
+        assert res["operation"] == "DELETE"
+        with pytest.raises(SqlDmlError, match="unknown"):
+            execute_sql(wh, "SELECT * FROM nope VERSION AS OF 1")
