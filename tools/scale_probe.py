@@ -1289,8 +1289,213 @@ def main_delete():
     )
 
 
+
+
+def main_writers():
+    """N concurrent disjoint-bucket MERGE writers on ONE table, both
+    commit protocols, reconciliation ON vs OFF (A/B of the round-9
+    logical conflict detection): commits/sec, wall time, and re-derive
+    counts. Writer i's batch is restricted to keys hashing into bucket
+    i, so every pairwise conflict is LOGICAL (CAS loss on disjoint
+    buckets) — with reconciliation the loser re-publishes its already-
+    written files (zero re-derives); with it disabled every CAS loss
+    re-reads + re-writes its buckets (the pre-round-9 behavior).
+    Expect: recon re-derives == 0, and recon wall <= rederive wall,
+    with commit throughput ~linear in writers until CAS contention.
+    Usage: --writers [n_writers] [merges_each]."""
+    import re
+    import tempfile
+    import threading
+
+    from canvas_data_loader_spark.operators.merge import bucket_of
+    from canvas_data_loader_spark.plans.delta import DeltaWarehouse
+    from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+    n_writers = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    merges_each = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    n_buckets = 32
+    spark = get_spark("scale_probe_writers")
+    li = spark.read.parquet(f"{BASE}/orders.parquet").withColumnRenamed(
+        "o_orderkey", "k"
+    )
+    report = {}
+    for proto, cls in (("manifest", Warehouse), ("delta", DeltaWarehouse)):
+        batches = [
+            li.filter(bucket_of(F.col("k"), n_buckets) == i)
+            .limit(128)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+            .localCheckpoint()
+            for i in range(n_writers)
+        ]
+        for recon in (True, False):
+            root = tempfile.mkdtemp(prefix=f"scale_probe_writers_{proto}_")
+            try:
+                wh0 = cls(spark, root)
+                wh0.write(
+                    "t", li, snapshot="base", bucket=("k", n_buckets)
+                )
+                base_v = wh0.current_version("t")
+                handles = [cls(spark, root) for _ in range(n_writers)]
+                if not recon:
+                    for h in handles:
+                        if isinstance(h, DeltaWarehouse):
+                            h._reconcile_merge_commit = (
+                                lambda *a, **k: None
+                            )
+                        else:
+                            h._reconcile_merge_publish = (
+                                lambda *a, **k: None
+                            )
+                errs: list[str] = []
+
+                def work(i):
+                    try:
+                        for m in range(merges_each):
+                            handles[i].merge_bucketed(
+                                "t",
+                                batches[i],
+                                snapshot=f"w{i}m{m}",
+                                max_commit_retries=50,
+                            )
+                    except Exception as e:  # noqa: BLE001
+                        errs.append(f"w{i}: {e}")
+
+                threads = [
+                    threading.Thread(target=work, args=(i,))
+                    for i in range(n_writers)
+                ]
+                t0 = time.time()
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join()
+                elapsed = round(time.time() - t0, 3)
+                total = n_writers * merges_each
+                head_v = wh0.current_version("t")
+                rederives = [
+                    d
+                    for d in os.listdir(os.path.join(root, "t"))
+                    if re.search(r"-v\d+$", d)
+                    or re.fullmatch(r"batch-w\d+m\d+-\d+", d)
+                ]
+                report[f"{proto}_{'recon' if recon else 'no_recon'}"] = {
+                    "elapsed_sec": elapsed,
+                    "commits": head_v - base_v,
+                    "commits_per_sec": round(total / max(elapsed, 1e-3), 2),
+                    "rederive_dirs": len(rederives),
+                    "errors": errs,
+                }
+                assert not errs, errs
+                assert head_v - base_v == total, (head_v, base_v, total)
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "mode": "writers",
+                "n_writers": n_writers,
+                "merges_each": merges_each,
+                "n_buckets": n_buckets,
+                "runs": report,
+            }
+        )
+    )
+
+
+
+
+def main_source_pushdown():
+    """Point-lookup cost through the REGISTERED batch source
+    (spark.read.format("cdl_warehouse")) as the table's file count
+    scales with bucket count ∝ table size (constant bytes/bucket — the
+    100 TB layout): with filter pushdown the lookup plans ONE bucket's
+    files at any scale (flat); the no-pushdown twin plans every live
+    file (O(table)). Also reports the reader-level planned/skipped
+    file counts. Usage: --source-pushdown [factor]."""
+    import tempfile
+
+    from canvas_data_loader_spark.plans.pipeline import Warehouse
+    from canvas_data_loader_spark.sources.warehouse_source import (
+        WarehouseDataSource,
+        WarehousePushdownSnapshotReader,
+        _Meta,
+    )
+    from pyspark.sql.datasource import EqualTo
+
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    base_buckets = 64
+    spark = get_spark("scale_probe_source_pushdown")
+    spark.dataSource.register(WarehouseDataSource)
+    li = spark.read.parquet(f"{BASE}/orders.parquet").withColumnRenamed(
+        "o_orderkey", "k"
+    )
+    probe_key = int(li.limit(1).collect()[0]["k"])
+    report = {}
+    for f in (1, factor):
+        big = li
+        for i in range(1, f):
+            big = big.unionByName(
+                li.withColumn("k", F.col("k") + F.lit(i * OFFSET))
+            )
+        root = tempfile.mkdtemp(prefix=f"scale_probe_srcpd_{f}_")
+        try:
+            wh = Warehouse(spark, root)
+            wh.write(
+                "t", big, snapshot="base", bucket=("k", base_buckets * f)
+            )
+            meta = _Meta(root, "t")
+            rd = WarehousePushdownSnapshotReader(
+                meta.spark_schema(None), {"root": root, "table": "t"}
+            )
+            rd.pushFilters([EqualTo(("k",), probe_key)])
+            planned = len(rd.partitions())
+            total = rd.pushed["files_planned"] + rd.pushed["files_skipped"]
+
+            def lookup(push: bool):
+                r = (
+                    spark.read.format("cdl_warehouse")
+                    .option("root", root)
+                    .option("table", "t")
+                )
+                if not push:
+                    r = r.option("pushdown", "false")
+                t0 = time.time()
+                n = r.load().filter(F.col("k") == probe_key).count()
+                assert n == 1, n
+                return round(time.time() - t0, 3)
+
+            lookup(True)  # warm the source-planning path once
+            report[f"x{f}"] = {
+                "n_buckets": base_buckets * f,
+                "files_total": total,
+                "files_planned_pushdown": planned,
+                "lookup_sec_pushdown": lookup(True),
+                "lookup_sec_no_pushdown": lookup(False),
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    e = math.log(
+        max(report[f"x{factor}"]["lookup_sec_pushdown"], 1e-3)
+        / max(report["x1"]["lookup_sec_pushdown"], 1e-3)
+    ) / math.log(factor)
+    print(
+        json.dumps(
+            {
+                "mode": "source-pushdown",
+                "factor": factor,
+                "tables": report,
+                "exponent_pushdown_lookup": round(e, 3),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--merge":
+    if len(sys.argv) > 1 and sys.argv[1] == "--source-pushdown":
+        main_source_pushdown()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--writers":
+        main_writers()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--merge":
         main_merge()
     elif len(sys.argv) > 1 and sys.argv[1] == "--text":
         main_text()
