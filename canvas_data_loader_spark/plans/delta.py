@@ -53,6 +53,8 @@ from .stats import _file_stats
 
 _LOG_FMT = "{:020d}.json"
 _CKPT_FMT = "{:020d}.checkpoint.parquet"
+# multi-part classic checkpoint (PROTOCOL.md §checkpoints): part p of n
+_CKPT_PART_FMT = "{:020d}.checkpoint.{:010d}.{:010d}.parquet"
 
 # Column mapping (PROTOCOL.md §column-mapping): the rename lane. With
 # ``delta.columnMapping.mode = name`` the schemaString's field metadata
@@ -127,11 +129,19 @@ class DeltaWarehouse:
         root: str,
         checkpoint_interval: int = 10,
         vacuum_retention_sec: float = 6 * 3600.0,
+        checkpoint_part_size: int = 100_000,
     ):
         self.spark = spark
         self.root = root
         self.checkpoint_interval = checkpoint_interval
         self.vacuum_retention_sec = vacuum_retention_sec
+        # actions per checkpoint file: a state larger than this writes
+        # the protocol's MULTI-PART classic checkpoint (…checkpoint.
+        # {part}.{parts}.parquet + "parts" in _last_checkpoint), so
+        # checkpoint write cost is bounded PER PART instead of one
+        # O(all-live-files) parquet write — the metadata bottleneck at
+        # millions of add actions
+        self.checkpoint_part_size = checkpoint_part_size
         os.makedirs(root, exist_ok=True)
 
     # -- log primitives -----------------------------------------------------
@@ -203,20 +213,29 @@ class DeltaWarehouse:
         lc = os.path.join(self._log_dir(table), "_last_checkpoint")
         try:
             with open(lc) as fh:
-                v = int(json.load(fh)["version"])
+                data = json.load(fh)
+            v = int(data["version"])
+            parts = int(data["parts"]) if data.get("parts") else None
         except (OSError, ValueError, KeyError):
             return None
-        path = os.path.join(self._log_dir(table), _CKPT_FMT.format(v))
-        if not os.path.isfile(path):
+        ldir = self._log_dir(table)
+        if parts:
+            paths = [
+                os.path.join(ldir, _CKPT_PART_FMT.format(v, p, parts))
+                for p in range(1, parts + 1)
+            ]
+        else:
+            paths = [os.path.join(ldir, _CKPT_FMT.format(v))]
+        if not all(os.path.isfile(p) for p in paths):
             return None
         import pyarrow.parquet as pq
 
-        rows = pq.read_table(path).to_pylist()
         actions = []
-        for r in rows:
-            for kind in ("protocol", "metaData", "add", "remove", "txn"):
-                if r.get(kind) is not None:
-                    actions.append({kind: r[kind]})
+        for path in paths:
+            for r in pq.read_table(path).to_pylist():
+                for kind in ("protocol", "metaData", "add", "remove", "txn"):
+                    if r.get(kind) is not None:
+                        actions.append({kind: r[kind]})
         return v, actions
 
     def _replay(
@@ -315,10 +334,36 @@ class DeltaWarehouse:
             return v
 
         arrow_rows = [{c: _no_empty(r.get(c)) for c in cols} for r in rows]
-        path = os.path.join(self._log_dir(table), _CKPT_FMT.format(v))
-        pq.write_table(pa.Table.from_pylist(arrow_rows), path)
-        with open(os.path.join(self._log_dir(table), "_last_checkpoint"), "w") as fh:
-            json.dump({"version": v, "size": len(arrow_rows)}, fh)
+        ldir = self._log_dir(table)
+        psize = max(1, int(self.checkpoint_part_size))
+        if len(arrow_rows) <= psize:
+            path = os.path.join(ldir, _CKPT_FMT.format(v))
+            pq.write_table(pa.Table.from_pylist(arrow_rows), path)
+            lc = {"version": v, "size": len(arrow_rows)}
+        else:
+            # multi-part classic checkpoint: each part's write is
+            # bounded by part size, so checkpointing a state with
+            # millions of add actions never funnels through one
+            # O(state) parquet write. All parts land before
+            # _last_checkpoint points at them (same publish-last
+            # discipline as every other write here); readers require
+            # every named part and fall back to full JSON replay if
+            # any is missing.
+            parts = (len(arrow_rows) + psize - 1) // psize
+            # one schema for every part, inferred over ALL rows — a
+            # part holding only adds must still carry the full 5-column
+            # shape (a type inferred from one chunk could differ)
+            schema = pa.Table.from_pylist(arrow_rows).schema
+            for p in range(1, parts + 1):
+                chunk = arrow_rows[(p - 1) * psize : p * psize]
+                path = os.path.join(ldir, _CKPT_PART_FMT.format(v, p, parts))
+                pq.write_table(
+                    pa.Table.from_pylist(chunk, schema=schema), path
+                )
+            path = os.path.join(ldir, _CKPT_PART_FMT.format(v, 1, parts))
+            lc = {"version": v, "size": len(arrow_rows), "parts": parts}
+        with open(os.path.join(ldir, "_last_checkpoint"), "w") as fh:
+            json.dump(lc, fh)
         return path
 
     # -- write path ---------------------------------------------------------

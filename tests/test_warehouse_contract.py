@@ -14,6 +14,7 @@ format "passing the SAME merge/concurrency/time-travel suite".)
 
 from __future__ import annotations
 
+import json
 import os
 import threading
 
@@ -3736,3 +3737,155 @@ class TestConflictReconciliation:
             f"DV feature gate lost by reconcile replay: {last_proto}"
         )
         assert "columnMapping" in feats
+
+
+class TestMultiPartCheckpoints:
+    """Round-10 (VERDICT next-round #3): states above
+    ``checkpoint_part_size`` actions write the protocol's MULTI-PART
+    classic checkpoint ({v}.checkpoint.{p:010}.{n:010}.parquet +
+    "parts" in _last_checkpoint), bounding checkpoint write cost per
+    part instead of one O(all-live-files) parquet. Replay from parts
+    must equal replay from JSON, through BOTH the writer and the
+    independent spec-pure reader."""
+
+    def _wh(self, spark, tmp_path, part_size):
+        return DeltaWarehouse(
+            spark,
+            str(tmp_path / "dwh"),
+            checkpoint_interval=10_000,  # manual checkpoints only
+            checkpoint_part_size=part_size,
+        )
+
+    def _seed(self, spark, wh, n=48, buckets=16):
+        base = spark.createDataFrame(
+            [(i, f"v{i}", i * 10) for i in range(1, n + 1)],
+            "id long, v string, cnt int",
+        )
+        wh.write("t", base, snapshot="s0", bucket=("id", buckets))
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(1, "V1", 11)], "id long, v string, cnt int"),
+            snapshot="m1",
+            txn=("app", 3),
+        )
+
+    def _expect(self, wh):
+        return sorted(tuple(r) for r in wh.read("t").collect())
+
+    def test_parts_written_and_roundtrip(self, spark, tmp_path):
+        import re
+
+        wh = self._wh(spark, tmp_path, part_size=5)
+        self._seed(spark, wh)
+        want = self._expect(wh)
+        wh.checkpoint("t")
+        ldir = wh._log_dir("t")
+        parts = sorted(
+            f
+            for f in os.listdir(ldir)
+            if re.fullmatch(r"\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet", f)
+        )
+        assert len(parts) > 1, "state must have split into parts"
+        lc = json.load(open(os.path.join(ldir, "_last_checkpoint")))
+        assert lc["parts"] == len(parts)
+        # every named part exists with the declared numbering
+        assert parts == [
+            f"{lc['version']:020d}.checkpoint."
+            f"{p:010d}.{lc['parts']:010d}.parquet"
+            for p in range(1, lc["parts"] + 1)
+        ]
+        assert self._expect(wh) == want
+
+    def test_replay_actually_uses_parts(self, spark, tmp_path):
+        """Deleting every pre-checkpoint JSON commit proves the parts
+        carry the full state (and _read_last_checkpoint reads them)."""
+        wh = self._wh(spark, tmp_path, part_size=4)
+        self._seed(spark, wh)
+        want = self._expect(wh)
+        wh.checkpoint("t")
+        v = wh.current_version("t")
+        ldir = wh._log_dir("t")
+        # delete every commit BELOW the checkpoint (Delta's metadata
+        # cleanup shape: the checkpoint version's own JSON stays, it
+        # is the version-discovery anchor)
+        for f in list(os.listdir(ldir)):
+            if f.endswith(".json") and int(f.split(".")[0]) < v:
+                os.remove(os.path.join(ldir, f))
+        # post-checkpoint commits still fold on top
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(2, "V2", 22)], "id long, v string, cnt int"),
+            snapshot="m2",
+        )
+        got = {r["id"]: (r["v"], r["cnt"]) for r in wh.read("t").collect()}
+        assert got[2] == ("V2", 22) and got[1] == ("V1", 11)
+        assert len(got) == len(want)
+        # epochs survive the checkpoint round-trip
+        assert wh.last_txn_epoch("app", "t") == 3
+
+    def test_missing_part_falls_back_to_json(self, spark, tmp_path):
+        wh = self._wh(spark, tmp_path, part_size=4)
+        self._seed(spark, wh)
+        want = self._expect(wh)
+        wh.checkpoint("t")
+        ldir = wh._log_dir("t")
+        victim = next(
+            f for f in sorted(os.listdir(ldir)) if ".checkpoint.00000" in f
+        )
+        os.remove(os.path.join(ldir, victim))
+        # JSON intact -> full replay still serves the exact state
+        assert self._expect(wh) == want
+
+    def test_independent_reader_reads_parts(self, spark, tmp_path):
+        import sys
+
+        import duckdb
+
+        sys.path.insert(0, "/root/repo/tools")
+        try:
+            import delta_reader
+        finally:
+            sys.path.pop(0)
+
+        wh = self._wh(spark, tmp_path, part_size=4)
+        self._seed(spark, wh)
+        # harden the state: a mor-delete (inline DV) + a rename evolve
+        # (column mapping) must survive the part split too
+        assert wh.delete_where("t", "id = 7", mode="mor") == 1
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(3, "N3", 33)], "id long, name string, cnt long"),
+            snapshot="m2",
+            evolve=True,
+            renames={"v": "name"},
+        )
+        wh.checkpoint("t")
+        v = wh.current_version("t")
+        ldir = wh._log_dir("t")
+        for f in list(os.listdir(ldir)):
+            if f.endswith(".json") and int(f.split(".")[0]) < v:
+                os.remove(os.path.join(ldir, f))
+        sql = delta_reader.duckdb_sql(os.path.join(wh.root, "t"))
+        rel = duckdb.sql(sql)
+        cols = [d[0] for d in rel.description]
+        got = sorted(
+            tuple(r[cols.index(c)] for c in ("id", "name", "cnt"))
+            for r in rel.fetchall()
+        )
+        want = sorted(
+            tuple(r)
+            for r in wh.read("t").select("id", "name", "cnt").collect()
+        )
+        assert got == want
+        assert all(g[0] != 7 for g in got)
+
+    def test_single_part_path_unchanged(self, spark, tmp_path):
+        wh = self._wh(spark, tmp_path, part_size=100_000)
+        self._seed(spark, wh)
+        wh.checkpoint("t")
+        ldir = wh._log_dir("t")
+        assert any(
+            f.endswith(".checkpoint.parquet") for f in os.listdir(ldir)
+        )
+        lc = json.load(open(os.path.join(ldir, "_last_checkpoint")))
+        assert "parts" not in lc

@@ -81,20 +81,40 @@ def replay(table_dir: str, version: int | None = None) -> dict:
     lc_path = os.path.join(table_dir, "_delta_log", "_last_checkpoint")
     if os.path.isfile(lc_path):
         try:
-            ckpt_v = int(json.load(open(lc_path))["version"])
+            lc = json.load(open(lc_path))
+            ckpt_v = int(lc["version"])
+            n_parts = int(lc["parts"]) if lc.get("parts") else None
         except (ValueError, KeyError):
-            ckpt_v = -1
+            ckpt_v, n_parts = -1, None
         if 0 <= ckpt_v <= entries[-1][0]:
-            ckpt_file = os.path.join(
-                table_dir, "_delta_log", f"{ckpt_v:020d}.checkpoint.parquet"
-            )
-            if os.path.isfile(ckpt_file):
+            ldir = os.path.join(table_dir, "_delta_log")
+            if n_parts:
+                # multi-part classic checkpoint (PROTOCOL.md):
+                # {v:020}.checkpoint.{part:010}.{parts:010}.parquet —
+                # ALL named parts must exist, else fall back to the
+                # full JSON replay
+                ckpt_files = [
+                    os.path.join(
+                        ldir,
+                        f"{ckpt_v:020d}.checkpoint."
+                        f"{p:010d}.{n_parts:010d}.parquet",
+                    )
+                    for p in range(1, n_parts + 1)
+                ]
+            else:
+                ckpt_files = [
+                    os.path.join(ldir, f"{ckpt_v:020d}.checkpoint.parquet")
+                ]
+            if all(os.path.isfile(f) for f in ckpt_files):
                 import pyarrow.parquet as pq
 
-                for row in pq.read_table(ckpt_file).to_pylist():
-                    for kind in ("protocol", "metaData", "add", "remove", "txn"):
-                        if row.get(kind) is not None:
-                            _fold(state, {kind: row[kind]})
+                for ckpt_file in ckpt_files:
+                    for row in pq.read_table(ckpt_file).to_pylist():
+                        for kind in (
+                            "protocol", "metaData", "add", "remove", "txn",
+                        ):
+                            if row.get(kind) is not None:
+                                _fold(state, {kind: row[kind]})
                 start = ckpt_v + 1
     for v, path in entries:
         if v < start:

@@ -1490,8 +1490,101 @@ def main_source_pushdown():
     )
 
 
+
+
+def main_checkpoint():
+    """Checkpoint write cost vs state size (round-10, multi-part
+    classic checkpoints): synthesize a delta log whose live set holds
+    N add actions (metadata only — checkpoint() never opens data
+    files), checkpoint with a fixed part size, and report parts,
+    total seconds, and seconds/part at N and 10N. Contract: cost per
+    PART stays ~constant as the state grows — the single-part design
+    this replaces funneled the whole state through one O(state)
+    parquet write (the metadata bottleneck at millions of live
+    files). Usage: --checkpoint [n_actions] [part_size]."""
+    import tempfile
+
+    from canvas_data_loader_spark.plans.delta import DeltaWarehouse
+
+    n_actions = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+    part_size = int(sys.argv[3]) if len(sys.argv) > 3 else 5_000
+    report = {}
+    for n in (n_actions, n_actions * 10):
+        root = tempfile.mkdtemp(prefix=f"scale_probe_ckpt_{n}_")
+        try:
+            wh = DeltaWarehouse(
+                None,
+                root,
+                checkpoint_interval=10**9,
+                checkpoint_part_size=part_size,
+            )
+            os.makedirs(wh._log_dir("t"), exist_ok=True)
+            meta = wh._meta_action(
+                '{"type":"struct","fields":[{"name":"id","type":"long",'
+                '"nullable":true,"metadata":{}}]}',
+                ("id", 32),
+                None,
+            )
+            actions = [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {"metaData": meta},
+            ] + [
+                {
+                    "add": {
+                        "path": f"batch-b/__kb={i % 32}/part-{i:08d}.parquet",
+                        "partitionValues": {"__kb": str(i % 32)},
+                        "size": 1024,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "stats": (
+                            '{"numRecords":100,"minValues":{"id":%d},'
+                            '"maxValues":{"id":%d}}' % (i * 100, i * 100 + 99)
+                        ),
+                    }
+                }
+                for i in range(n)
+            ]
+            wh._commit("t", 0, actions)
+            t0 = time.time()
+            wh.checkpoint("t")
+            sec = round(time.time() - t0, 3)
+            lc = json.load(
+                open(os.path.join(wh._log_dir("t"), "_last_checkpoint"))
+            )
+            parts = int(lc.get("parts") or 1)
+            # replay-from-checkpoint time (the read half of the story)
+            t0 = time.time()
+            v, _, live, _, _ = wh._replay("t")
+            replay_sec = round(time.time() - t0, 3)
+            assert len(live) == n, (len(live), n)
+            report[f"n{n}"] = {
+                "actions": n,
+                "parts": parts,
+                "checkpoint_sec": sec,
+                "sec_per_part": round(sec / parts, 3),
+                "replay_from_checkpoint_sec": replay_sec,
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    a, b = report[f"n{n_actions}"], report[f"n{n_actions * 10}"]
+    print(
+        json.dumps(
+            {
+                "mode": "checkpoint",
+                "part_size": part_size,
+                "runs": report,
+                "sec_per_part_ratio_10x": round(
+                    b["sec_per_part"] / max(a["sec_per_part"], 1e-3), 2
+                ),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--source-pushdown":
+    if len(sys.argv) > 1 and sys.argv[1] == "--checkpoint":
+        main_checkpoint()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--source-pushdown":
         main_source_pushdown()
     elif len(sys.argv) > 1 and sys.argv[1] == "--writers":
         main_writers()
