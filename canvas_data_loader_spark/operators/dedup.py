@@ -227,6 +227,47 @@ def minhash_candidate_pairs(
     )
 
 
+def incremental_neardup_candidates(
+    index_bands: DataFrame, new_bands: DataFrame
+) -> DataFrame:
+    """Dedup a NEW dump against a PERSISTED banded-signature index at
+    O(batch): candidates = new-vs-index bucket collisions plus
+    new-vs-new collisions, as distinct ordered pairs (doc_a < doc_b).
+    The old corpus is never re-shingled or re-hashed — only its
+    (doc, band, band_hash) rows participate, and only through an
+    equi-join on (band, band_hash).
+
+    This is the reference's dump model (A24/A25: process each new
+    dump once, idempotently) applied to the LLM dedup pillar: the
+    signature table is maintained by APPENDING the new dump's bands
+    after the probe (a pure union — MinHash bands are per-doc facts,
+    so index maintenance is the same O(batch) as the probe). At
+    100 TB, persist the index bucketed by band_hash (warehouse
+    ``bucket=("band_hash", N)``): the probe then co-locates without
+    shuffling the index side, and the index update is a changed-bucket
+    merge. Maintained == rebuilt is pinned by
+    tests/test_operators.py::TestIncrementalNeardupIndex and the q167
+    oracle (full-corpus recompute restricted to new-dump pairs)."""
+    probe = (
+        new_bands.alias("n")
+        .join(index_bands.alias("x"), on=["band", "band_hash"])
+        .select(
+            F.least(F.col("n.doc"), F.col("x.doc")).alias("doc_a"),
+            F.greatest(F.col("n.doc"), F.col("x.doc")).alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    nn = (
+        new_bands.alias("a")
+        .join(new_bands.alias("b"), on=["band", "band_hash"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+    )
+    return probe.unionByName(nn).distinct()
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """SimHash per doc over unigram tokens, as a pure expression.
 
