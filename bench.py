@@ -157,6 +157,10 @@ HEADLINE = [
     "q162_tokenizer_fertility",
     "q163_embedding_drift",
     "q164_decontamination_cut",
+    # round-10 registry additions
+    "q165_url_canonical_dedup",
+    "q166_ngram_novelty",
+    "q167_incremental_neardup",
 ]
 
 

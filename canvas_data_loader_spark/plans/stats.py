@@ -39,13 +39,25 @@ def _file_stats(path: str) -> str:
 
     mins: dict = {}
     maxs: dict = {}
+    nulls: dict = {}
+    null_missing: set = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
             st = col.statistics
             name = col.path_in_schema
-            if st is None or not st.has_min_max or "." in name:
+            if st is None or "." in name:
+                continue
+            # nullCount (protocol stats field): usable only when EVERY
+            # row group records it for the column — a partial sum would
+            # undercount and break IS NULL pruning's proof
+            if st.has_null_count and name not in null_missing:
+                nulls[name] = nulls.get(name, 0) + int(st.null_count)
+            else:
+                null_missing.add(name)
+                nulls.pop(name, None)
+            if not st.has_min_max:
                 continue
             lo, hi = as_json(st.min), as_json(st.max)
             if lo is None or hi is None:
@@ -53,7 +65,12 @@ def _file_stats(path: str) -> str:
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
     return json.dumps(
-        {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs},
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        },
         separators=(",", ":"),
     )
 
@@ -77,3 +94,43 @@ def stats_disjoint(stats_json: str | None, col: str, lo, hi) -> bool:
         return (hi is not None and fmin > hi) or (lo is not None and fmax < lo)
     except TypeError:
         return False  # caller passed a bound of a different type
+
+
+def stats_all_null(stats_json: str | None, col: str) -> bool:
+    """True when the stats PROVE every row's ``col`` is NULL (so an
+    IS NOT NULL predicate can never match). Conservative on missing
+    nullCount (older sidecars/add actions predate the field)."""
+    if not stats_json:
+        return False
+    try:
+        s = json.loads(stats_json)
+        nc = s.get("nullCount", {}).get(col)
+        nr = s.get("numRecords")
+    except (ValueError, AttributeError, TypeError):
+        return False
+    return nc is not None and nr is not None and int(nc) == int(nr) > 0
+
+
+def stats_no_null(stats_json: str | None, col: str) -> bool:
+    """True when the stats PROVE ``col`` has no NULL in the file (so
+    an IS NULL predicate can never match). Conservative on missing
+    nullCount."""
+    if not stats_json:
+        return False
+    try:
+        nc = json.loads(stats_json).get("nullCount", {}).get(col)
+    except (ValueError, AttributeError, TypeError):
+        return False
+    return nc is not None and int(nc) == 0
+
+
+def prefix_upper_bound(prefix: str) -> str | None:
+    """Smallest string that is > every string with this prefix, or
+    None when no such bound exists (all chars at the code-point
+    ceiling). ``col LIKE 'p%'`` then prunes as the range
+    [prefix, upper) — the standard min/max trick for StartsWith."""
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            return prefix[:i] + chr(cp + 1)
+    return None

@@ -947,7 +947,11 @@ class WarehouseSnapshotReader(DataSourceReader):
       lookup plans O(files-in-one-bucket) partitions, not the table;
     - comparison / IN predicates on any stats-covered column skip
       FILES whose footer min/max provably cannot match (the same
-      contract as Warehouse.files_for_range, rename-chain-aware).
+      contract as Warehouse.files_for_range, rename-chain-aware);
+    - StringStartsWith prunes as the range [prefix, upper(prefix));
+      IS NULL skips files whose stats nullCount proves zero NULLs,
+      IS NOT NULL skips all-NULL files (nullCount == numRecords) —
+      older stats without the nullCount field simply never prune.
 
     Both prunes are conservative — a file is dropped only on PROOF of
     emptiness, files without usable stats are kept — and every filter
@@ -981,16 +985,23 @@ class WarehouseSnapshotReader(DataSourceReader):
         self._allowed_buckets: set[int] | None = None
         self._bounds: dict[str, tuple] = {}
         self._in_vals: dict[str, tuple] = {}
+        self._prefixes: dict[str, list[str]] = {}
+        self._null_cols: set[str] = set()
+        self._notnull_cols: set[str] = set()
         # observability: tests and the scale probe read this after
         # planning ({buckets pruned to, files skipped/planned/total})
         self.pushed: dict = {"filters": []}
 
-    def _stat_name(self, stats_json: str, col: str) -> str | None:
+    def _stat_name(
+        self, stats_json: str, col: str, section: str = "minValues"
+    ) -> str | None:
         """Which recorded name (current or a rename-chain historical/
         physical one) THIS file's stats carry for ``col`` — checking an
-        absent name always reads 'cannot skip' and defeats the prune."""
+        absent name always reads 'cannot skip' and defeats the prune.
+        ``section`` picks the stats map the name must appear in
+        (min/max for range prunes, nullCount for null prunes)."""
         try:
-            mv = json.loads(stats_json).get("minValues", {})
+            mv = json.loads(stats_json).get(section, {})
         except (ValueError, AttributeError):
             return None
         return next(
@@ -1003,7 +1014,12 @@ class WarehouseSnapshotReader(DataSourceReader):
         )
 
     def _file_pruned(self, path: str) -> bool:
-        from ..plans.stats import stats_disjoint
+        from ..plans.stats import (
+            prefix_upper_bound,
+            stats_all_null,
+            stats_disjoint,
+            stats_no_null,
+        )
 
         st = self._stats.get(path)
         if not st:
@@ -1019,6 +1035,24 @@ class WarehouseSnapshotReader(DataSourceReader):
             if nm is not None and all(
                 stats_disjoint(st, nm, v, v) for v in vals
             ):
+                return True
+        for col, prefixes in self._prefixes.items():
+            nm = self._stat_name(st, col)
+            if nm is None:
+                continue
+            for p in prefixes:
+                # startswith(p) rows live in [p, upper(p)): reusing the
+                # closed-interval prune with hi=upper keeps a harmless
+                # fmin == upper(p) file — conservative, never wrong
+                if stats_disjoint(st, nm, p, prefix_upper_bound(p)):
+                    return True
+        for col in self._null_cols:
+            nm = self._stat_name(st, col, "nullCount")
+            if nm is not None and stats_no_null(st, nm):
+                return True
+        for col in self._notnull_cols:
+            nm = self._stat_name(st, col, "nullCount")
+            if nm is not None and stats_all_null(st, nm):
                 return True
         return False
 
@@ -1088,7 +1122,11 @@ class WarehousePushdownSnapshotReader(WarehouseSnapshotReader):
       lookup plans O(files-in-one-bucket) partitions, not the table;
     - comparison / IN predicates on any stats-covered column skip
       FILES whose footer min/max provably cannot match (the same
-      contract as Warehouse.files_for_range, rename-chain-aware).
+      contract as Warehouse.files_for_range, rename-chain-aware);
+    - StringStartsWith prunes as the range [prefix, upper(prefix));
+      IS NULL skips files whose stats nullCount proves zero NULLs,
+      IS NOT NULL skips all-NULL files (nullCount == numRecords) —
+      older stats without the nullCount field simply never prune.
 
     Both prunes are conservative — a file is dropped only on PROOF of
     emptiness, files without usable stats are kept — and every filter
@@ -1104,8 +1142,11 @@ class WarehousePushdownSnapshotReader(WarehouseSnapshotReader):
             GreaterThan,
             GreaterThanOrEqual,
             In,
+            IsNotNull,
+            IsNull,
             LessThan,
             LessThanOrEqual,
+            StringStartsWith,
         )
 
         key = self._spec[0] if self._spec is not None else None
@@ -1115,6 +1156,21 @@ class WarehousePushdownSnapshotReader(WarehouseSnapshotReader):
             if not attr or len(attr) != 1:
                 continue
             col = attr[0]
+            if isinstance(f, IsNull):
+                # prunes files whose nullCount proves zero NULLs
+                self._null_cols.add(col)
+                self.pushed["filters"].append(f)
+                continue
+            if isinstance(f, IsNotNull):
+                # prunes all-NULL files (nullCount == numRecords)
+                self._notnull_cols.add(col)
+                self.pushed["filters"].append(f)
+                continue
+            if isinstance(f, StringStartsWith):
+                if isinstance(f.value, str):
+                    self._prefixes.setdefault(col, []).append(f.value)
+                    self.pushed["filters"].append(f)
+                continue
             if isinstance(f, In):
                 vals = tuple(
                     c

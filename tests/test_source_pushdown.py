@@ -22,6 +22,7 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     StringStartsWith,
@@ -136,13 +137,29 @@ class TestFileCountsPinned:
         assert len(parts) < _total_files(meta)
 
     def test_unsupported_filters_are_noops(self, wh):
+        from pyspark.sql.datasource import Not, StringContains
+
         rd, meta = _reader(
             wh,
-            [IsNotNull(("v",)), StringStartsWith(("v",), "v9")],
+            [Not(EqualTo(("v",), "v5")), StringContains(("v",), "9")],
         )
         parts = rd.partitions()
         assert len(parts) == _total_files(meta)
         assert rd.pushed["buckets"] is None
+
+    def test_supported_null_prefix_filters_never_overprune(self, wh):
+        # every file holds both NULL and non-NULL m? no — this table
+        # has no nullable col; the point here: on a table where no
+        # PROOF of emptiness exists, IsNotNull / prefix filters keep
+        # every matching row reachable (exact pruning is pinned in
+        # TestNullAndPrefixPruning on a layout built for it)
+        rd, meta = _reader(
+            wh, [IsNotNull(("v",)), StringStartsWith(("v",), "v")]
+        )
+        parts = rd.partitions()
+        # prefix 'v' covers every value: nothing may be pruned by it;
+        # IsNotNull can only prune all-NULL files (none here)
+        assert len(parts) == _total_files(meta)
 
     def test_no_filters_plans_everything(self, wh):
         rd, meta = _reader(wh)
@@ -274,3 +291,122 @@ class TestStringKeyAndVersioned:
         )
         # AS OF the pre-merge version: the original row, not v5x
         assert [(r.id, r.cnt, r.v) for r in got] == [(5, 50, "v5")]
+
+
+class TestNullAndPrefixPruning:
+    """IS NULL / IS NOT NULL pruning via the stats nullCount field and
+    StringStartsWith pruning via min/max prefix ranges — on a layout
+    BUILT so the proofs are deterministic: every column value is a
+    function of the row's bucket, so each bucket's files carry tight
+    stats (s = 'p<bucket>...', m all-NULL in even buckets, no NULLs in
+    odd ones)."""
+
+    N = 8
+
+    @pytest.fixture(params=["manifest", "delta"])
+    def whp(self, request, tmp_path, spark):
+        cls = DeltaWarehouse if request.param == "delta" else Warehouse
+        w = cls(spark, str(tmp_path / f"np-{request.param}"))
+        df = spark.range(1, 2001).selectExpr(
+            "id",
+            f"concat('p', pmod(xxhash64(id), {self.N}), '-', id) as s",
+            f"case when pmod(xxhash64(id), {self.N}) % 2 = 0 "
+            "then cast(null as long) else id end as m",
+        )
+        w.write("np", df, snapshot="s0", bucket=("id", self.N))
+        spark.dataSource.register(WarehouseDataSource)
+        return w
+
+    def _rd(self, whp, filters):
+        meta = _Meta(whp.root, "np")
+        rd = WarehousePushdownSnapshotReader(
+            meta.spark_schema(None), {"root": whp.root, "table": "np"}
+        )
+        residual = rd.pushFilters(list(filters))
+        assert list(residual) == list(filters)
+        return rd, meta
+
+    def test_prefix_prunes_to_one_bucket(self, spark, whp):
+        rd, meta = self._rd(whp, [StringStartsWith(("s",), "p3-")])
+        parts = rd.partitions()
+        total = _total_files(meta)
+        per_bucket = total // self.N
+        assert len(parts) == per_bucket
+        got = (
+            spark.read.format("cdl_warehouse")
+            .option("root", whp.root)
+            .option("table", "np")
+            .load()
+            .filter("s like 'p3-%'")
+        )
+        want = (
+            spark.read.format("cdl_warehouse")
+            .option("root", whp.root)
+            .option("table", "np")
+            .option("pushdown", "false")
+            .load()
+            .filter("s like 'p3-%'")
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        assert got.count() > 0
+
+    def test_is_null_prunes_no_null_files(self, spark, whp):
+        rd, meta = self._rd(whp, [IsNull(("m",))])
+        parts = rd.partitions()
+        total = _total_files(meta)
+        # odd buckets (nullCount == 0) are pruned; even buckets stay
+        assert 0 < len(parts) < total
+        got = (
+            spark.read.format("cdl_warehouse")
+            .option("root", whp.root)
+            .option("table", "np")
+            .load()
+            .filter("m is null")
+            .count()
+        )
+        unpruned = (
+            spark.read.format("cdl_warehouse")
+            .option("root", whp.root)
+            .option("table", "np")
+            .option("pushdown", "false")
+            .load()
+            .filter("m is null")
+            .count()
+        )
+        assert got == unpruned > 0
+
+    def test_is_not_null_prunes_all_null_files(self, spark, whp):
+        rd, meta = self._rd(whp, [IsNotNull(("m",))])
+        parts = rd.partitions()
+        total = _total_files(meta)
+        # even buckets are ALL-NULL in m -> provably empty under
+        # IS NOT NULL -> pruned
+        assert 0 < len(parts) < total
+        got = (
+            spark.read.format("cdl_warehouse")
+            .option("root", whp.root)
+            .option("table", "np")
+            .load()
+            .filter("m is not null")
+            .count()
+        )
+        unpruned = (
+            spark.read.format("cdl_warehouse")
+            .option("root", whp.root)
+            .option("table", "np")
+            .option("pushdown", "false")
+            .load()
+            .filter("m is not null")
+            .count()
+        )
+        assert got == unpruned > 0
+
+    def test_prefix_upper_bound_edges(self):
+        from canvas_data_loader_spark.plans.stats import prefix_upper_bound
+
+        assert prefix_upper_bound("abc") == "abd"
+        assert prefix_upper_bound("ab" + chr(0x10FFFF)) == "ac"
+        assert prefix_upper_bound(chr(0x10FFFF)) is None
+        assert prefix_upper_bound("") is None

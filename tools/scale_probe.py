@@ -115,6 +115,111 @@ def time_all(spark, d: str) -> dict[str, float]:
     return out
 
 
+def main_incremental_neardup():
+    """O(batch) claim for cross-dump incremental near-dup (q167): a
+    FIXED new dump deduped against a persisted banded-signature index
+    that grows by DISJOINT factor-x copies. The incremental probe
+    reads the stored band table and equi-joins the new dump's bands
+    (one broadcast-side scan of the index — no corpus re-shingle, no
+    corpus self-join); the rebuild comparator re-computes MinHash
+    bands for index+dump and self-joins, then filters to pairs
+    touching the dump. Expected: the probe's exponent is bounded by
+    the index SCAN (cheap IO, tiny constant) while the rebuild pays
+    the full shingle+minhash compute and self-join shuffle at every
+    scale — the gap, not just the exponents, is the finding.
+    Usage: --incremental-neardup [factor]."""
+    from canvas_data_loader_spark.operators import dedup as D
+    from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    spark = get_spark("scale_probe_incnd")
+    d = spark.read.parquet(f"{BASE}/documents.parquet")
+    # the dump: the base corpus's %5==4 slice, re-salted like copy 0
+    # (true near-dups of copy 0 exist at every factor) and id-shifted
+    # above every index copy
+    new = (
+        d.filter(F.col("doc_id") % 5 == 4)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1000 * OFFSET))
+        .withColumn(
+            "text", F.regexp_replace(F.col("text"), r"(^|\s)", "$1x0q")
+        )
+    )
+    new_bands = D.minhash_bands(
+        new, "text", "doc_id", num_hashes=16, band_size=4
+    ).localCheckpoint()
+    report = {}
+    for f in (1, factor):
+        dest = tempfile.mkdtemp(prefix=f"scale_probe_incnd_{f}_")
+        try:
+            replicate_documents_disjoint(spark, f, dest)
+            idx_docs = spark.read.parquet(f"{dest}/documents.parquet")
+            wh = Warehouse(spark, os.path.join(dest, "wh"))
+            # index build is amortized across every prior dump's
+            # import (a pure band append per dump) — untimed here
+            wh.write(
+                "band_index",
+                D.minhash_bands(
+                    idx_docs, "text", "doc_id", num_hashes=16, band_size=4
+                ),
+                "s0",
+                bucket=("band_hash", 64),
+            )
+
+            def probe():
+                idx = wh.read("band_index")
+                return D.incremental_neardup_candidates(
+                    idx, new_bands
+                ).count()
+
+            def rebuild():
+                full = idx_docs.unionByName(new)
+                pairs = D.minhash_candidate_pairs(full, "text", "doc_id")
+                return pairs.filter(
+                    (F.col("doc_a") >= 1000 * OFFSET)
+                    | (F.col("doc_b") >= 1000 * OFFSET)
+                ).count()
+
+            n_inc = probe()  # warm
+            t0 = time.time()
+            assert probe() == n_inc
+            t_probe = round(time.time() - t0, 3)
+            n_reb = rebuild()  # warm
+            t0 = time.time()
+            assert rebuild() == n_reb
+            t_rebuild = round(time.time() - t0, 3)
+            assert n_inc == n_reb, (
+                f"maintained != rebuilt at x{f}: {n_inc} vs {n_reb}"
+            )
+            report[f"x{f}"] = {
+                "probe_sec": t_probe,
+                "rebuild_sec": t_rebuild,
+                "pairs": n_inc,
+            }
+        finally:
+            shutil.rmtree(dest, ignore_errors=True)
+    exp = {
+        k: round(
+            math.log(
+                max(report[f"x{factor}"][f"{k}_sec"], 1e-3)
+                / max(report["x1"][f"{k}_sec"], 1e-3)
+            )
+            / math.log(factor),
+            3,
+        )
+        for k in ("probe", "rebuild")
+    }
+    print(
+        json.dumps(
+            {
+                "mode": "incremental-neardup",
+                "factor": factor,
+                "runs": report,
+                "exponent": exp,
+            }
+        )
+    )
+
+
 def main():
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     keep = "--keep" in sys.argv
@@ -1606,6 +1711,8 @@ if __name__ == "__main__":
         main_ppjoin()
     elif len(sys.argv) > 1 and sys.argv[1] == "--decontam":
         main_decontam()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--incremental-neardup":
+        main_incremental_neardup()
     elif len(sys.argv) > 1 and sys.argv[1] == "--mv":
         main_mv()
     elif len(sys.argv) > 1 and sys.argv[1] == "--minmax":
