@@ -149,26 +149,46 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of
     md5(i || '|' || shingle). String-min over hex digests is a valid
-    uniform min-hash and is engine-portable. Output: (doc, sig:array)."""
-    # Two-stage projection: materialize the shingle array once, then
-    # hash it num_hashes times. Inlining word_shingles() here would
-    # re-tokenize the document once per hash seed (16× the regex work).
-    shingled = df.select(
-        F.col(id_col).alias("doc"),
-        shingles_from_tokens(tokens(text_col), shingle_n).alias("__sh"),
-    )
-    sh = F.col("__sh")
-    sig = F.transform(
-        F.sequence(F.lit(1), F.lit(num_hashes)),
-        lambda i: F.array_min(
-            F.transform(
-                sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s))
-            )
-        ),
-    )
-    return shingled.select(
+    uniform min-hash and is engine-portable. Output: (doc, sig:array),
+    sig NULL for docs with no shingles (< n tokens) — bit-identical to
+    the original nested-HOF formulation and to the q35 oracle.
+
+    Plan shape: the shingle array is EXPLODED to rows and each seed's
+    min-hash is one ``min(md5('i|' || shingle))`` aggregate — all
+    num_hashes mins in ONE map-side-combined groupBy(doc) pass (one
+    exchange of doc-keyed partials). The previous formulation
+    (transform over seeds of array_min over transform of shingles)
+    ran INTERPRETED — higher-order functions are outside whole-stage
+    codegen — and measured 9.6s for the sf0.1 band table where this
+    aggregate runs it in ~1s (the q116 lesson again: q116's fix was
+    blocked-BLAS mapInPandas because hyperplane dots want a dgemm;
+    md5 minima want exactly this row-explode + codegen'd agg, no
+    Python). explode_outer keeps empty docs as a NULL-shingle row so
+    every input doc still gets an output row (md5 of NULL is NULL,
+    min(NULL) is NULL, and the __h1-guard folds all-NULL to sig NULL
+    — otherwise empty docs would hash to md5('') and all collide)."""
+    # tokens MATERIALIZED in their own projection first (the
+    # shingles_from_tokens contract): inlining tokens() re-runs the
+    # regex split per array element inside the HOF — measured 3.9s vs
+    # 0.7s for this aggregate at sf0.1
+    toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("__t"))
+    sh = toks.select(
         "doc",
-        F.when(F.size(sh) > 0, sig).alias("sig"),
+        F.explode_outer(
+            shingles_from_tokens(F.col("__t"), shingle_n)
+        ).alias("__s"),
+    )
+    agg = sh.groupBy("doc").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("__s")))).alias(
+                f"__h{i}"
+            )
+            for i in range(1, num_hashes + 1)
+        ]
+    )
+    sig = F.array(*[F.col(f"__h{i}") for i in range(1, num_hashes + 1)])
+    return agg.select(
+        "doc", F.when(F.col("__h1").isNotNull(), sig).alias("sig")
     )
 
 

@@ -8825,12 +8825,16 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = D.incremental_neardup_candidates(
         bands.filter(~is_new_band), bands.filter(is_new_band)
     )
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(shingles_from_tokens(tokens("text"), 3))
-        ).alias("s"),
-    ).localCheckpoint(eager=False)
+    sh = (
+        d.select("doc_id", tokens("text").alias("__t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("__t"), 3))
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
