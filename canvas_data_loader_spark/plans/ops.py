@@ -955,3 +955,66 @@ def sync_mirror(
         )
     finally:
         feed.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Near-dup signature index maintenance (q167's persisted-index lane)
+# ---------------------------------------------------------------------------
+
+
+def update_neardup_index(
+    warehouse,
+    table: str,
+    new_bands,
+    snapshot: str,
+    n_buckets: int = 64,
+) -> list[int]:
+    """Append a dump's banded-MinHash rows (``operators.dedup.
+    minhash_bands`` output: doc, band, band_hash) to the persisted
+    near-dup index, creating it bucketed by ``band_hash`` when absent.
+
+    Band rows are per-doc FACTS — several docs legally share a
+    band_hash (that IS the near-dup signal) — while ``merge_bucketed``
+    REPLACES by the bucket key. A naive merge of just the new rows
+    would therefore silently drop every existing row that collides
+    with the batch: exactly the rows the index exists to find. The
+    incoming frame here is the new bands UNION the existing rows of
+    the touched band_hashes, made DISTINCT so a replayed dump
+    (A25-style re-import) is an exact no-op on the index rather than a
+    row duplicator. Cost: O(batch + affected buckets) — the same
+    changed-bucket discipline as every other maintained table; the
+    source corpus is never re-shingled.
+
+    Returns the affected bucket ids ([] for the create case)."""
+    new_bands = new_bands.select("doc", "band", "band_hash")
+    if not warehouse.exists(table):
+        warehouse.write(
+            table,
+            new_bands.distinct(),
+            snapshot,
+            bucket=("band_hash", n_buckets),
+        )
+        return []
+    existing = warehouse.read(table).join(
+        new_bands.select("band_hash").distinct(), "band_hash", "semi"
+    )
+    incoming = new_bands.unionByName(
+        existing.select("doc", "band", "band_hash")
+    ).distinct()
+    return warehouse.merge_bucketed(table, incoming, snapshot)
+
+
+def probe_neardup_index(warehouse, table: str, new_bands):
+    """Near-dup candidate pairs of a NEW dump against the persisted
+    index (plus new-vs-new collisions) at O(batch): the index side is
+    read pre-bucketed by band_hash and equi-joined on
+    (band, band_hash) — never re-shingled, never self-joined. The
+    conventional order is probe-then-update, but the result is
+    identical either way: self-pairs are filtered and the pair set is
+    distinct. Output (doc_a, doc_b) ordered pairs, ready for the
+    exact-Jaccard re-score (q167's shape)."""
+    from ..operators.dedup import incremental_neardup_candidates
+
+    return incremental_neardup_candidates(
+        warehouse.read(table), new_bands
+    )

@@ -2411,11 +2411,15 @@ class TestIncrementalNeardupIndex:
 
     def test_second_dump_against_maintained_index(self, spark, docs, tmp_path):
         # dump sequence: base (%5 in 0..2), dump1 (%5 == 3), dump2
-        # (%5 == 4). Maintain the index through dump1 with the
-        # changed-bucket merge (incoming = new bands + existing rows
-        # of the touched band_hashes, so collisions append instead of
-        # replacing), then dedup dump2 against the MAINTAINED table
-        # and require equality with a from-scratch rebuild.
+        # (%5 == 4). Maintain the index through dump1 with
+        # plans.ops.update_neardup_index (which owns the collisions-
+        # append-instead-of-replacing union), then dedup dump2 against
+        # the MAINTAINED table and require equality with a
+        # from-scratch rebuild.
+        from canvas_data_loader_spark.plans.ops import (
+            probe_neardup_index,
+            update_neardup_index,
+        )
         from canvas_data_loader_spark.plans.pipeline import Warehouse
 
         mod = F.col("doc_id") % 5
@@ -2425,20 +2429,23 @@ class TestIncrementalNeardupIndex:
             docs.filter(mod == 4),
         )
         wh = Warehouse(spark, str(tmp_path / "wh"))
-        wh.write("band_index", self._bands(base), "s0", bucket=("band_hash", 8))
-        b1 = self._bands(d1).localCheckpoint()
-        existing = wh.read("band_index").join(
-            b1.select("band_hash").distinct(), "band_hash", "semi"
+        update_neardup_index(
+            wh, "band_index", self._bands(base), "s0", n_buckets=8
         )
-        wh.merge_bucketed("band_index", b1.unionByName(existing), "s1")
+        b1 = self._bands(d1).localCheckpoint()
+        affected = update_neardup_index(wh, "band_index", b1, "s1")
+        assert affected, "dump1 must touch buckets"
         maintained = wh.read("band_index")
         rebuilt = self._bands(docs.filter(mod <= 3))
-        assert sorted(map(tuple, maintained.select("doc", "band", "band_hash").collect())) == sorted(
-            map(tuple, rebuilt.collect())
-        )
-        inc = D.incremental_neardup_candidates(
-            maintained, self._bands(d2)
-        )
+        assert sorted(
+            map(tuple, maintained.select("doc", "band", "band_hash").collect())
+        ) == sorted(map(tuple, rebuilt.collect()))
+        # A25-style replayed dump: exact no-op on the index rows
+        update_neardup_index(wh, "band_index", b1, "s1-replay")
+        assert sorted(
+            map(tuple, wh.read("band_index").select("doc", "band", "band_hash").collect())
+        ) == sorted(map(tuple, rebuilt.collect()))
+        inc = probe_neardup_index(wh, "band_index", self._bands(d2))
         full = D.minhash_candidate_pairs(docs, "text", "doc_id").filter(
             (F.col("doc_a") % 5 == 4) | (F.col("doc_b") % 5 == 4)
         )
