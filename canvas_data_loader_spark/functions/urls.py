@@ -21,6 +21,9 @@ Rules applied (in order):
      ``msclkid``, ``mc_cid``, ``mc_eid``, ``igshid``); the survivors
      are SORTED so param order never splits a URL; an emptied query
      drops its ``?``.
+  7. userinfo (``user:pass@``) dropped from the authority — it never
+     identifies the PAGE, and leaving it would defeat the www./port
+     rules on the rare crawl rows that carry it.
 
 Registrable-domain extraction is the last-two-labels heuristic; a
 production deployment swaps in a public-suffix-list table broadcast
@@ -63,7 +66,8 @@ def canonical_url(c: Column | str) -> Column:
     Strings without a ``scheme://`` are returned trimmed/fragment-free
     but otherwise untouched (no scheme to anchor host rules on)."""
     scheme, hostport, path, query = url_parts(c)
-    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = F.regexp_replace(hostport, r"^.*@", "")
+    host = F.regexp_replace(host, r"^www\.", "")
     host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).when(
         scheme == "https", F.regexp_replace(host, r":443$", "")
     ).otherwise(host)
@@ -94,8 +98,9 @@ def registrable_domain(c: Column | str) -> Column:
     already stripped): ``https://a.b.example.com/x`` -> ``example.com``.
     Heuristic — see module docstring for the PSL caveat."""
     _, hostport, _, _ = url_parts(c)
+    host = F.regexp_replace(hostport, r"^.*@", "")
     host = F.regexp_replace(
-        F.regexp_replace(hostport, r"^www\.", ""), r":\d+$", ""
+        F.regexp_replace(host, r"^www\.", ""), r":\d+$", ""
     )
     two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     return F.when(two == "", host).otherwise(two)
@@ -114,7 +119,8 @@ def canonical_url_sql(c: str) -> str:
     pathq = f"REGEXP_REPLACE({rest}, '^[^/?]*', '')"
     path = f"REGEXP_EXTRACT({pathq}, '^([^?]*)', 1)"
     query = f"REGEXP_EXTRACT({pathq}, '^[^?]*\\?(.*)$', 1)"
-    host = f"REGEXP_REPLACE({hostport}, '^www\\.', '')"
+    host = f"REGEXP_REPLACE({hostport}, '^.*@', '')"
+    host = f"REGEXP_REPLACE({host}, '^www\\.', '')"
     host = (
         f"CASE WHEN {scheme} = 'http' THEN REGEXP_REPLACE({host}, ':80$', '')"
         f" WHEN {scheme} = 'https' THEN REGEXP_REPLACE({host}, ':443$', '')"
@@ -142,8 +148,9 @@ def registrable_domain_sql(c: str) -> str:
     u = f"REGEXP_REPLACE(TRIM({c}), '#.*$', '')"
     rest = f"REGEXP_REPLACE({u}, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
     hostport = f"LOWER(REGEXP_EXTRACT({rest}, '^([^/?]*)', 1))"
+    host = f"REGEXP_REPLACE({hostport}, '^.*@', '')"
     host = (
-        f"REGEXP_REPLACE(REGEXP_REPLACE({hostport}, '^www\\.', ''),"
+        f"REGEXP_REPLACE(REGEXP_REPLACE({host}, '^www\\.', ''),"
         f" ':[0-9]+$', '')"
     )
     two = f"REGEXP_EXTRACT({host}, '([^.]+\\.[^.]+)$', 1)"
