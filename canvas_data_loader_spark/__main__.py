@@ -22,7 +22,8 @@ care::
         (--compact | --vacuum | --rebucket N [--key K] | --restore V \
          | --changes V_FROM V_TO --out DIR | --refresh-view \
          | --delete-where SQL [--delete-mode auto|mor|cow] \
-         | --update-where SQL --set COL=EXPR [--set ...])
+         | --update-where SQL --set COL=EXPR [--set ...] \
+         | --neardup-index INDEX [--where SQL] [--probe-only] [--out DIR])
 """
 
 from __future__ import annotations
@@ -75,6 +76,28 @@ def _maintain(argv: list[str]) -> int:
         help="replicate --table into another warehouse root, "
         "incrementally via the change feed (clone on first sync); the "
         "destination commit-log format may differ (--mirror-format)",
+    )
+    g.add_argument(
+        "--neardup-index", metavar="INDEX_TABLE",
+        help="maintain the banded-MinHash near-dup index INDEX_TABLE "
+        "from --table (a document table): probe the index with the "
+        "selected docs (candidate pairs written to --out if given), "
+        "then append their bands — idempotent, O(batch) with --where "
+        "restricting to the new dump. --key = id column (default "
+        "doc_id), --text-col = text column, --probe-only skips the "
+        "index update",
+    )
+    ap.add_argument("--text-col", default="text",
+                    help="text column for --neardup-index")
+    ap.add_argument(
+        "--where", default=None, metavar="SQL_PREDICATE",
+        help="row filter for --neardup-index (select the NEW dump's "
+        "docs; omitting it shingles the whole --table)",
+    )
+    ap.add_argument(
+        "--probe-only", action="store_true",
+        help="with --neardup-index: report/write candidates without "
+        "updating the index",
     )
     ap.add_argument(
         "--mirror-format", choices=("manifest", "delta"), default="manifest",
@@ -232,6 +255,36 @@ def _maintain(argv: list[str]) -> int:
             f"updated {n} rows in {args.table} "
             f"(where {args.update_where}, set {set_map})"
         )
+    elif args.neardup_index is not None:
+        from .operators.dedup import minhash_bands
+        from .plans.ops import probe_neardup_index, update_neardup_index
+
+        docs = wh.read(args.table)
+        if args.where:
+            docs = docs.filter(args.where)
+        id_col = args.key or "doc_id"
+        bands = minhash_bands(
+            docs, args.text_col, id_col
+        ).localCheckpoint()
+        if wh.exists(args.neardup_index):
+            cand = probe_neardup_index(wh, args.neardup_index, bands)
+            if args.out:
+                cand.write.mode("overwrite").parquet(args.out)
+            n_cand = cand.count()
+        else:
+            n_cand = 0  # first dump: nothing to collide with yet
+        if args.probe_only:
+            print(
+                f"neardup probe {args.table} vs {args.neardup_index}: "
+                f"{n_cand} candidate pairs (index not updated)"
+            )
+        else:
+            snap = f"nd-{wh.current_version(args.table)}"
+            update_neardup_index(wh, args.neardup_index, bands, snap)
+            print(
+                f"neardup {args.table} vs {args.neardup_index}: "
+                f"{n_cand} candidate pairs; index updated ({snap})"
+            )
     elif args.mirror_to is not None:
         from .plans.ops import sync_mirror
 

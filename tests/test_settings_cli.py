@@ -919,3 +919,68 @@ class TestSqlCli:
         assert 8 not in rows              # DELETE applied
         assert rows[2] == ("UP", 999)     # MERGE update
         assert rows[20] == ("NEW", 1)     # MERGE insert
+
+
+class TestNeardupIndexCli:
+    def test_neardup_index_via_cli(self, tmp_path, spark, capsys):
+        """Two-dump lifecycle through `maintain --neardup-index`: dump1
+        creates the index; dump2 probes it (candidates written to
+        --out) and appends its bands; a replay of dump2 is a row-level
+        no-op on the index. Candidates must equal the operator-level
+        rebuild restricted to dump2."""
+        from canvas_data_loader_spark.__main__ import main
+        from canvas_data_loader_spark.operators import dedup as D
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+        from pyspark.sql import functions as F
+
+        wh_dir = str(tmp_path / "whnd")
+        wh = Warehouse(spark, wh_dir)
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text")
+        )
+        wh.write("docs", docs, snapshot="s0", bucket=("doc_id", 4))
+        base = ["maintain", "--warehouse-dir", wh_dir, "--table", "docs"]
+        # dump1 = doc_id % 5 < 4 -> creates the index
+        assert main(base + [
+            "--neardup-index", "band_index",
+            "--where", "doc_id % 5 < 4",
+        ]) == 0
+        assert wh.exists("band_index")
+        # dump2 = doc_id % 5 = 4 -> probes then appends
+        out = str(tmp_path / "cand")
+        assert main(base + [
+            "--neardup-index", "band_index",
+            "--where", "doc_id % 5 = 4", "--out", out,
+        ]) == 0
+        got = sorted(
+            (r.doc_a, r.doc_b)
+            for r in spark.read.parquet(out).collect()
+        )
+        full = D.minhash_candidate_pairs(docs, "text", "doc_id").filter(
+            (F.col("doc_a") % 5 == 4) | (F.col("doc_b") % 5 == 4)
+        )
+        assert got == sorted((r.doc_a, r.doc_b) for r in full.collect())
+        assert len(got) > 0
+        rows_after = sorted(
+            map(tuple, wh.read("band_index").select(
+                "doc", "band", "band_hash").collect())
+        )
+        # replay of dump2 (probe-only first: no index change at all)
+        assert main(base + [
+            "--neardup-index", "band_index",
+            "--where", "doc_id % 5 = 4", "--probe-only",
+        ]) == 0
+        assert sorted(
+            map(tuple, wh.read("band_index").select(
+                "doc", "band", "band_hash").collect())
+        ) == rows_after
+        # full replay: idempotent on rows
+        assert main(base + [
+            "--neardup-index", "band_index",
+            "--where", "doc_id % 5 = 4",
+        ]) == 0
+        assert sorted(
+            map(tuple, wh.read("band_index").select(
+                "doc", "band", "band_hash").collect())
+        ) == rows_after
