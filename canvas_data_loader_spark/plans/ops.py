@@ -1004,7 +1004,7 @@ def update_neardup_index(
     return warehouse.merge_bucketed(table, incoming, snapshot)
 
 
-def probe_neardup_index(warehouse, table: str, new_bands):
+def probe_neardup_index(warehouse, table: str, new_bands, prune: bool = True):
     """Near-dup candidate pairs of a NEW dump against the persisted
     index (plus new-vs-new collisions) at O(batch): the index side is
     read pre-bucketed by band_hash and equi-joined on
@@ -1012,9 +1012,34 @@ def probe_neardup_index(warehouse, table: str, new_bands):
     conventional order is probe-then-update, but the result is
     identical either way: self-pairs are filtered and the pair set is
     distinct. Output (doc_a, doc_b) ordered pairs, ready for the
-    exact-Jaccard re-score (q167's shape)."""
-    from ..operators.dedup import incremental_neardup_candidates
+    exact-Jaccard re-score (q167's shape).
 
-    return incremental_neardup_candidates(
-        warehouse.read(table), new_bands
-    )
+    With ``prune`` (default) and a band_hash-bucketed index, only the
+    buckets the NEW bands hash to are read (``read_buckets`` — the
+    same b/N contract as every maintained table): collisions can only
+    live where a probe hash routes. The driver-side bucket-id set is
+    bounded by |new docs| x bands. Callers should localCheckpoint
+    ``new_bands`` first — it is consumed twice (routing + join).
+    Correctness does not depend on pruning (equality with the
+    full-index probe is pinned in TestIncrementalNeardupIndex)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import incremental_neardup_candidates
+    from ..operators.merge import bucket_of
+
+    idx = None
+    info = warehouse.routing_info(table) or {}
+    if prune and info.get("bucket_key") == "band_hash" and info.get("n_buckets"):
+        n = int(info["n_buckets"])
+        ids = sorted(
+            r.b
+            for r in new_bands.select(
+                bucket_of(F.col("band_hash"), n).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        idx = warehouse.read_buckets(table, ids)
+    if idx is None:
+        idx = warehouse.read(table)
+    return incremental_neardup_candidates(idx, new_bands)

@@ -2408,6 +2408,16 @@ class TestIncrementalNeardupIndex:
             wh.read("band_index"), new_bands
         )
         assert self._pairs(inc) == self._pairs(want)
+        # the ops API's default probe IS the pruned read; both modes
+        # must agree with the manual paths above
+        from canvas_data_loader_spark.plans.ops import probe_neardup_index
+
+        assert self._pairs(
+            probe_neardup_index(wh, "band_index", new_bands)
+        ) == self._pairs(want)
+        assert self._pairs(
+            probe_neardup_index(wh, "band_index", new_bands, prune=False)
+        ) == self._pairs(want)
 
     def test_second_dump_against_maintained_index(self, spark, docs, tmp_path):
         # dump sequence: base (%5 in 0..2), dump1 (%5 == 3), dump2
