@@ -2046,6 +2046,20 @@ class DeltaWarehouse:
                             deleted += 1
                     except OSError:
                         pass
+        # metadata cleanup (the delta.logRetentionDuration analog):
+        # JSON commits and superseded checkpoint files STRICTLY BELOW
+        # the active _last_checkpoint pointer, older than the window.
+        # Head replay never reads them (_replay starts at the pointer's
+        # checkpoint); only time travel below the checkpoint does,
+        # which past retention is vacuum's documented trade — reads of
+        # cleaned versions raise ("does not exist"), exactly like
+        # time-traveling to vacuumed data files. The pointer version's
+        # own JSON is KEPT (version-discovery anchor), as are all its
+        # checkpoint part files (publish-last: an existing pointer
+        # implies its parts landed). Without this, the log directory
+        # is the one file set that grows forever at 100 TB commit
+        # rates — O(#commits) listing cost on every read.
+        deleted += self._cleanup_log(table, time.time() - retention)
         # unreferenced files (crashed/conflicted writers): neither live
         # nor tombstoned, judged by mtime age — same TTL reasoning as
         # Warehouse._prune's orphan sweep
@@ -2065,6 +2079,37 @@ class DeltaWarehouse:
                         deleted += 1
                 except OSError:
                     pass
+        return deleted
+
+    def _cleanup_log(self, table: str, horizon_s: float) -> int:
+        """Delete log JSONs / checkpoint files below the active
+        checkpoint pointer with mtime older than ``horizon_s``.
+        Conservative: no pointer -> no cleanup; the pointer version's
+        JSON and checkpoint files always stay."""
+        import re as _re
+
+        ldir = self._log_dir(table)
+        lc_path = os.path.join(ldir, "_last_checkpoint")
+        try:
+            with open(lc_path) as fh:
+                vc = int(json.load(fh)["version"])
+        except (OSError, ValueError, KeyError, TypeError):
+            return 0
+        pat = _re.compile(
+            r"(\d{20})\.(?:json|checkpoint(?:\.\d{10}\.\d{10})?\.parquet)$"
+        )
+        deleted = 0
+        for f in os.listdir(ldir):
+            m = pat.fullmatch(f)
+            if m is None or int(m.group(1)) >= vc:
+                continue
+            full = os.path.join(ldir, f)
+            try:
+                if os.path.getmtime(full) < horizon_s:
+                    os.remove(full)
+                    deleted += 1
+            except OSError:
+                pass
         return deleted
 
     def _live_by_bucket(

@@ -3889,3 +3889,122 @@ class TestMultiPartCheckpoints:
         )
         lc = json.load(open(os.path.join(ldir, "_last_checkpoint")))
         assert "parts" not in lc
+
+
+class TestDeltaLogCleanup:
+    """vacuum's metadata cleanup (the delta.logRetentionDuration
+    analog): log JSONs and superseded checkpoint files below the
+    active _last_checkpoint pointer are deleted past retention — the
+    log directory stops being the one file set that grows forever.
+    Head reads, epochs, the change feed ABOVE the checkpoint, and the
+    independent reader must all be unaffected; time travel BELOW the
+    checkpoint raises like any vacuumed read."""
+
+    def _seeded(self, spark, tmp_path, part_size=4):
+        wh = DeltaWarehouse(
+            spark,
+            str(tmp_path / "dlc"),
+            checkpoint_interval=10_000,
+            checkpoint_part_size=part_size,
+        )
+        base = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1, 33)], "id long, v string"
+        )
+        wh.write("t", base, snapshot="s0", bucket=("id", 8))
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(1, "V1")], "id long, v string"),
+            snapshot="m1",
+            txn=("app", 7),
+        )
+        wh.checkpoint("t")
+        # post-checkpoint commit so the JSON tail matters
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(2, "V2")], "id long, v string"),
+            snapshot="m2",
+        )
+        return wh
+
+    def test_log_cleanup_below_checkpoint(self, spark, tmp_path):
+        import os as _os
+
+        wh = self._seeded(spark, tmp_path)
+        want = sorted(tuple(r) for r in wh.read("t").collect())
+        ldir = wh._log_dir("t")
+        import json as _json
+
+        vc = _json.load(open(_os.path.join(ldir, "_last_checkpoint")))[
+            "version"
+        ]
+        before = sorted(_os.listdir(ldir))
+        n = wh.vacuum("t", retention_sec=0.0)
+        assert n > 0
+        after = sorted(_os.listdir(ldir))
+        # every JSON below the pointer is gone; pointer version + tail
+        # stay
+        for f in after:
+            if f.endswith(".json"):
+                assert int(f[:20]) >= vc, f
+        assert any(int(f[:20]) == vc for f in after if f.endswith(".json"))
+        # checkpoint files at the pointer stay (part or single form)
+        assert any(".checkpoint" in f for f in after)
+        # state, epochs, head reads unaffected
+        assert sorted(tuple(r) for r in wh.read("t").collect()) == want
+        assert wh.last_txn_epoch("app", "t") == 7
+        # a fresh warehouse object (no memo) replays identically
+        wh2 = DeltaWarehouse(spark, wh.root)
+        assert sorted(tuple(r) for r in wh2.read("t").collect()) == want
+        # sub-checkpoint time travel now raises, like vacuumed data
+        with pytest.raises(FileNotFoundError):
+            wh.read_at_version("t", 0)
+        # independent reader still decodes the table
+        import sys as _sys
+
+        _sys.path.insert(0, "/root/repo/tools")
+        try:
+            import delta_reader
+        finally:
+            _sys.path.pop(0)
+        import duckdb as _duckdb
+
+        rel = _duckdb.sql(
+            delta_reader.duckdb_sql(_os.path.join(wh.root, "t"))
+        )
+        cols = [d[0] for d in rel.description]
+        got = sorted(
+            (r[cols.index("id")], r[cols.index("v")]) for r in rel.fetchall()
+        )
+        assert got == [(t[0], t[1]) for t in want]
+        assert before != after
+
+    def test_no_pointer_no_cleanup(self, spark, tmp_path):
+        wh = DeltaWarehouse(spark, str(tmp_path / "np"))
+        wh.write(
+            "t",
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            snapshot="s0",
+        )
+        import os as _os
+
+        ldir = wh._log_dir("t")
+        before = sorted(_os.listdir(ldir))
+        wh.vacuum("t", retention_sec=0.0)
+        assert sorted(_os.listdir(ldir)) == before
+
+    def test_retention_window_respected(self, spark, tmp_path):
+        # generous retention: nothing in the log is old enough
+        wh = self._seeded(spark, tmp_path)
+        import os as _os
+
+        ldir = wh._log_dir("t")
+        before = sorted(
+            f for f in _os.listdir(ldir)
+            if f.endswith(".json") or ".checkpoint" in f
+        )
+        wh.vacuum("t", retention_sec=3600.0)
+        after = sorted(
+            f for f in _os.listdir(ldir)
+            if f.endswith(".json") or ".checkpoint" in f
+        )
+        assert after == before
