@@ -42,6 +42,13 @@ def _maintain(argv: list[str]) -> int:
     g = ap.add_mutually_exclusive_group(required=True)
     g.add_argument("--compact", action="store_true")
     g.add_argument("--vacuum", action="store_true", help="delta format only")
+    g.add_argument(
+        "--checkpoint", action="store_true",
+        help="delta format only: write a checkpoint at the current "
+        "head now (vacuum's log cleanup only reclaims commits below "
+        "the newest checkpoint, so checkpoint-then-vacuum bounds the "
+        "log without waiting for the automatic interval)",
+    )
     g.add_argument("--rebucket", type=int, metavar="N_BUCKETS")
     g.add_argument("--restore", type=int, metavar="VERSION")
     g.add_argument(
@@ -122,6 +129,11 @@ def _maintain(argv: list[str]) -> int:
     ap.add_argument("--out", default=None,
                     help="output directory for --changes")
     ap.add_argument(
+        "--retention-sec", type=float, default=None,
+        help="retention window for --vacuum (default: the warehouse's "
+        "6h); files/commits older than this are reclaimable",
+    )
+    ap.add_argument(
         "--delete-mode", choices=("auto", "mor", "cow"), default="auto",
         help="storage lane for --delete-where / --update-where (auto: "
         "deletion vectors while the matched fraction stays small, "
@@ -168,8 +180,16 @@ def _maintain(argv: list[str]) -> int:
             print("--vacuum applies to the delta format (the manifest "
                   "warehouse prunes automatically on every write)")
             return 2
-        n = wh.vacuum(args.table)
+        n = wh.vacuum(args.table, retention_sec=args.retention_sec)
         print(f"vacuumed {args.table}: {n} files removed")
+    elif args.checkpoint:
+        if args.format != "delta":
+            print("--checkpoint applies to the delta format (the "
+                  "manifest warehouse has no log to fold)")
+            return 2
+        path = wh.checkpoint(args.table)
+        print(f"checkpointed {args.table} at v{wh.current_version(args.table)}"
+              f" ({os.path.basename(path)})")
     elif args.rebucket is not None:
         from .plans.ops import rebucket
 

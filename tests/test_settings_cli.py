@@ -984,3 +984,44 @@ class TestNeardupIndexCli:
             map(tuple, wh.read("band_index").select(
                 "doc", "band", "band_hash").collect())
         ) == rows_after
+
+
+class TestCheckpointCli:
+    def test_checkpoint_then_vacuum_bounds_log(self, tmp_path, spark):
+        import os
+
+        from canvas_data_loader_spark.__main__ import main
+        from canvas_data_loader_spark.plans.delta import DeltaWarehouse
+
+        wh_dir = str(tmp_path / "whck")
+        wh = DeltaWarehouse(
+            spark, wh_dir, checkpoint_interval=10_000,
+            vacuum_retention_sec=0.0,
+        )
+        wh.write(
+            "t",
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(8)], "id long, v string"
+            ),
+            snapshot="s0",
+            bucket=("id", 2),
+        )
+        for k in range(3):
+            wh.merge_bucketed(
+                "t",
+                spark.createDataFrame([(k, f"U{k}")], "id long, v string"),
+                snapshot=f"m{k}",
+            )
+        want = sorted(tuple(r) for r in wh.read("t").collect())
+        base = ["maintain", "--warehouse-dir", wh_dir, "--table", "t",
+                "--format", "delta"]
+        # manifest format refuses with guidance
+        assert main(["maintain", "--warehouse-dir", str(tmp_path / "x"),
+                     "--table", "t", "--checkpoint"]) == 2
+        assert main(base + ["--checkpoint"]) == 0
+        assert main(base + ["--vacuum", "--retention-sec", "0"]) == 0
+        ldir = wh._log_dir("t")
+        jsons = [f for f in os.listdir(ldir) if f.endswith(".json")]
+        # only the pointer version's JSON survives (head == pointer)
+        assert len(jsons) == 1
+        assert sorted(tuple(r) for r in wh.read("t").collect()) == want
