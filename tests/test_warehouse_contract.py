@@ -4008,3 +4008,78 @@ class TestDeltaLogCleanup:
             if f.endswith(".json") or ".checkpoint" in f
         )
         assert after == before
+
+    def test_stream_source_composes_with_log_cleanup(self, spark, tmp_path):
+        """After checkpoint+vacuum cleans the log tail, every stream/
+        CDF read of the cleaned range fails DESCRIPTIVELY (the same
+        pruned-gap contract the manifest impl always had) while reads
+        of the retained range and the head stay green:
+
+        - a startingVersion whose diff base was cleaned -> the
+          not-retained FeedReconstructionError with restart guidance;
+        - 'earliest' when the earliest retained SNAPSHOT needs a
+          vacuumed data file (a post-checkpoint merge tombstoned it,
+          retention 0 deleted it) -> the vacuumed-files
+          FeedReconstructionError, never a silent partial delivery;
+        - with retention 0 even the head diff's PREIMAGE files are
+          gone (this is why real retention windows exist) -> same
+          descriptive error, never a partial delivery;
+        - a post-vacuum commit is reconstructable and delivers;
+        - head snapshot reads unaffected."""
+        from canvas_data_loader_spark.sources.warehouse_source import (
+            FeedReconstructionError,
+            WarehouseDataSource,
+            _Meta,
+            _resolve_start,
+        )
+
+        wh = self._seeded(spark, tmp_path)
+        head = wh.current_version("t")
+        wh.vacuum("t", retention_sec=0.0)
+        spark.dataSource.register(WarehouseDataSource)
+        base = (
+            spark.read.format("cdl_warehouse")
+            .option("root", wh.root)
+            .option("table", "t")
+        )
+        with pytest.raises(Exception, match="vacuumed data files"):
+            (
+                base.option("feed", "true")
+                .option("startingVersion", "earliest")
+                .load()
+                .collect()
+            )
+        meta = _Meta(wh.root, "t")
+        with pytest.raises(FeedReconstructionError, match="not retained"):
+            _resolve_start(meta, "1", default_latest=False)
+        with pytest.raises(Exception, match="vacuumed data files"):
+            (
+                base.option("feed", "true")
+                .option("startingVersion", str(head))
+                .load()
+                .collect()
+            )
+        # a post-vacuum commit's diff base (head's files) is live
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame([(3, "V3")], "id long, v string"),
+            snapshot="m3",
+        )
+        got = (
+            base.option("feed", "true")
+            .option("startingVersion", str(head + 1))
+            .load()
+            .collect()
+        )
+        assert sorted(r["_change_type"] for r in got) == [
+            "update_postimage",
+            "update_preimage",
+        ]
+        # fresh reader: `base` accumulated the feed options above
+        assert (
+            spark.read.format("cdl_warehouse")
+            .option("root", wh.root)
+            .option("table", "t")
+            .load()
+            .count()
+        ) == 32
