@@ -115,6 +115,80 @@ def time_all(spark, d: str) -> dict[str, float]:
     return out
 
 
+def main_logcleanup():
+    """Metadata-path cost vs commit count (the reason vacuum's log
+    cleanup exists): a delta table accumulates N commits; a FRESH
+    reader's state resolution (log listing + replay) is O(N) from
+    bare JSON, O(checkpoint + tail) after checkpoint, and stays that
+    way FOREVER only if the cleaned log stops growing — after
+    checkpoint+vacuum the log holds one JSON + the checkpoint parts
+    regardless of history length. Reports fresh-object replay seconds
+    and on-disk log file counts at N and 10N commits, for all three
+    states. Usage: --logcleanup [n_commits]."""
+    from canvas_data_loader_spark.plans.delta import DeltaWarehouse
+
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    spark = get_spark("scale_probe_logcleanup")
+    report = {}
+    for cnt in (n, 10 * n):
+        root = tempfile.mkdtemp(prefix=f"scale_probe_lc_{cnt}_")
+        try:
+            wh = DeltaWarehouse(spark, root, checkpoint_interval=10**9)
+            wh.write(
+                "t",
+                spark.range(0, 1000).selectExpr("id", "id * 2 as v"),
+                snapshot="s0",
+                bucket=("id", 8),
+            )
+            for i in range(cnt):
+                wh.record_txn("t", "probe", i + 1)
+
+            def fresh_replay_sec():
+                t0 = time.time()
+                w2 = DeltaWarehouse(spark, root)
+                w2._replay("t")
+                return round(time.time() - t0, 3)
+
+            def log_files():
+                ldir = wh._log_dir("t")
+                return len(
+                    [
+                        f
+                        for f in os.listdir(ldir)
+                        if f.endswith(".json") or ".checkpoint" in f
+                    ]
+                )
+
+            row = {"json_replay_sec": fresh_replay_sec(),
+                   "log_files": log_files()}
+            wh.checkpoint("t")
+            row["ckpt_replay_sec"] = fresh_replay_sec()
+            wh.vacuum("t", retention_sec=0.0)
+            row["cleaned_replay_sec"] = fresh_replay_sec()
+            row["log_files_cleaned"] = log_files()
+            report[f"n{cnt}"] = row
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    ratios = {
+        k: round(
+            report[f"n{10 * n}"][f"{k}_sec"]
+            / max(report[f"n{n}"][f"{k}_sec"], 1e-3),
+            2,
+        )
+        for k in ("json_replay", "ckpt_replay", "cleaned_replay")
+    }
+    print(
+        json.dumps(
+            {
+                "mode": "logcleanup",
+                "n_commits": [n, 10 * n],
+                "runs": report,
+                "growth_10x": ratios,
+            }
+        )
+    )
+
+
 def main_incremental_neardup():
     """O(batch) claim for cross-dump incremental near-dup (q167): a
     FIXED new dump deduped against a persisted banded-signature index
@@ -1713,6 +1787,8 @@ if __name__ == "__main__":
         main_decontam()
     elif len(sys.argv) > 1 and sys.argv[1] == "--incremental-neardup":
         main_incremental_neardup()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--logcleanup":
+        main_logcleanup()
     elif len(sys.argv) > 1 and sys.argv[1] == "--mv":
         main_mv()
     elif len(sys.argv) > 1 and sys.argv[1] == "--minmax":
