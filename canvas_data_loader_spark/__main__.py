@@ -325,11 +325,12 @@ def _maintain(argv: list[str]) -> int:
 
 
 def _sql(argv: list[str]) -> int:
-    """``sql`` subcommand: one DML statement (DELETE FROM / UPDATE ...
-    SET / MERGE INTO) against a warehouse table, either commit format.
-    Every warehouse table is pre-registered as a temp view, so a MERGE
-    source can be a subquery over them or a direct file scan
-    (``parquet.`/path```)::
+    """``sql`` subcommand: one statement (INSERT INTO / CREATE TABLE
+    ... AS SELECT / DELETE FROM / UPDATE ... SET / MERGE INTO / MV
+    DDL / ALTER TABLE constraints) against a warehouse table, either
+    commit format. Every warehouse table is pre-registered as a temp
+    view, so an INSERT/CTAS/MERGE source can be a subquery over them
+    or a direct file scan (``parquet.`/path```)::
 
         python -m canvas_data_loader_spark sql --warehouse-dir DIR \
             [--format manifest|delta] --stmt "DELETE FROM t WHERE ..."

@@ -403,6 +403,39 @@ def _scope_merge_cond(
     return "".join(out)
 
 
+def _parse_insert(stmt: str):
+    """``INSERT INTO <table> [(col[, ...])] (VALUES ...|SELECT ...|
+    WITH ...)`` -> (table, cols|None, body). A parenthesized query
+    where the column list would sit is treated as the body."""
+    import re
+
+    m = re.match(
+        r"\s*INSERT\s+INTO\s+(\S+)\s*(?:\(([^)]*)\)\s*)?"
+        r"((?:VALUES|SELECT|WITH)\b.*)?$",
+        stmt,
+        re.I | re.S,
+    )
+    if not m or (m.group(3) is None and m.group(2) is None):
+        raise SqlDmlError(
+            "malformed INSERT (want INSERT INTO <table> [(cols)] "
+            "VALUES ... | SELECT ...)"
+        )
+    table, cols, body = _ident(m.group(1)), None, m.group(3)
+    if m.group(2) is not None:
+        inner = m.group(2).strip()
+        if re.match(r"(SELECT|VALUES|WITH)\b", inner, re.I) and body is None:
+            body = inner  # INSERT INTO t (SELECT ...) — parenthesized body
+        else:
+            cols = [_ident(c.strip()) for c in inner.split(",") if c.strip()]
+            if not cols:
+                raise SqlDmlError("empty column list in INSERT")
+    if body is None:
+        raise SqlDmlError(
+            "INSERT needs a VALUES list or a SELECT/WITH query"
+        )
+    return table, cols, body
+
+
 def _parse_create_mv(stmt: str):
     """Parse the restricted materialized-view DDL::
 
@@ -633,9 +666,107 @@ def execute_dml(wh, stmt: str) -> dict:
             "malformed ALTER TABLE (supported: ADD CONSTRAINT <name> "
             "CHECK (<expr>), DROP CONSTRAINT [IF EXISTS] <name>)"
         )
+    if verb == "INSERT":
+        table, cols, body = _parse_insert(stmt)
+        spark = wh.spark
+        info = wh.routing_info(table)
+        if info is None:
+            raise SqlDmlError(f"unknown warehouse table {table!r}")
+        src = spark.sql(body)
+        tgt = wh.read(table)
+        tf = {f.name: f.dataType for f in tgt.schema.fields}
+        names = cols if cols is not None else list(tgt.columns)
+        if len(src.columns) != len(names):
+            raise SqlDmlError(
+                f"INSERT arity mismatch: {len(src.columns)} value "
+                f"column(s) for {len(names)} target column(s)"
+            )
+        unknown = sorted(c for c in names if c not in tf)
+        if unknown:
+            raise SqlDmlError(
+                f"INSERT column(s) {unknown} not in {table!r}"
+            )
+        src = src.toDF(*names)
+        key = info.get("bucket_key")
+        if key and key not in names:
+            raise SqlDmlError(
+                f"INSERT into {table!r} must supply the bucket key "
+                f"{key!r} (rows route by it)"
+            )
+        # positional values cast to the target types; omitted columns
+        # null-padded (SQL INSERT semantics) — CHECK constraints and
+        # every other write guarantee ride the underlying API
+        rows = tgt.limit(0).unionByName(
+            src.select(
+                *[
+                    (
+                        F.col(c).cast(tf[c])
+                        if c in names
+                        else F.lit(None).cast(tf[c])
+                    ).alias(c)
+                    for c in tgt.columns
+                ]
+            )
+        )
+        n = rows.count()
+        if key:
+            # keyed table: INSERT is the loader's keyed upsert (A17-19
+            # delete-by-key + insert); the table has no PK constraint,
+            # so in-batch duplicate keys land like any merge batch
+            wh.merge_bucketed(table, rows, snapshot="sql-insert")
+            return {"operation": "INSERT", "rows": n}
+        # unbucketed: append via read-modify-write CAS
+        from .plans.pipeline import CommitConflict
+
+        for attempt in range(5):
+            base_v, base_df = wh.read_versioned(table)
+            try:
+                wh.write(
+                    table,
+                    base_df.unionByName(rows),
+                    snapshot=f"sql-insert-{base_v + 1}",
+                    expected_version=base_v,
+                )
+                return {"operation": "INSERT", "rows": n}
+            except CommitConflict:
+                if attempt == 4:
+                    raise
+        return {"operation": "INSERT", "rows": n}  # unreachable
     if verb == "CREATE":
         from .plans.ops import create_minmax_view, create_rollup_view
 
+        if re.match(r"\s*CREATE\s+TABLE\b", stmt, re.I):
+            m = re.match(
+                r"\s*CREATE\s+TABLE\s+(\S+?)\s+"
+                r"(?:BUCKETED\s+BY\s*\(\s*(\w+)\s*,\s*(\d+)\s*\)\s+)?"
+                r"AS\s+((?:SELECT|WITH|VALUES)\b.*)$",
+                stmt,
+                re.I | re.S,
+            )
+            if not m:
+                raise SqlDmlError(
+                    "malformed CREATE TABLE (want CREATE TABLE <t> "
+                    "[BUCKETED BY (key, n)] AS SELECT ...)"
+                )
+            table = _ident(m.group(1))
+            if wh.exists(table):
+                raise SqlDmlError(f"table {table!r} already exists")
+            df = wh.spark.sql(m.group(4))
+            bucket = None
+            if m.group(2):
+                bkey = _ident(m.group(2))
+                if bkey not in df.columns:
+                    raise SqlDmlError(
+                        f"bucket key {bkey!r} not in the CTAS query's "
+                        f"columns {df.columns}"
+                    )
+                bucket = (bkey, int(m.group(3)))
+            wh.write(table, df, snapshot="ctas", bucket=bucket)
+            return {
+                "operation": "CREATE TABLE",
+                "table": table,
+                "version": wh.current_version(table),
+            }
         view, source, keys, sums, minmax = _parse_create_mv(stmt)
         if minmax:
             v_src = create_minmax_view(wh, view, source, keys, minmax)
@@ -680,9 +811,10 @@ def execute_dml(wh, stmt: str) -> dict:
             wh.drop(pt)
         return {"operation": "DROP MATERIALIZED VIEW", "view": view}
     raise SqlDmlError(
-        f"unsupported statement {verb!r} (supported: DELETE FROM, "
-        "UPDATE ... SET, MERGE INTO, CREATE/REFRESH/DROP MATERIALIZED "
-        "VIEW, ALTER TABLE ADD/DROP CONSTRAINT)"
+        f"unsupported statement {verb!r} (supported: INSERT INTO, "
+        "CREATE TABLE ... AS SELECT, DELETE FROM, UPDATE ... SET, "
+        "MERGE INTO, CREATE/REFRESH/DROP MATERIALIZED VIEW, "
+        "ALTER TABLE ADD/DROP CONSTRAINT)"
     )
 
 

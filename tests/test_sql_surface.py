@@ -711,3 +711,120 @@ class TestSqlTimeTravel:
         assert res["operation"] == "DELETE"
         with pytest.raises(SqlDmlError, match="unknown"):
             execute_sql(wh, "SELECT * FROM nope VERSION AS OF 1")
+
+
+class TestSqlInsertCtas:
+    """INSERT INTO and CREATE TABLE ... AS SELECT complete the SQL
+    write surface, both commit protocols. On a keyed (bucketed) table
+    INSERT is the loader's keyed upsert (A17-19 delete-by-key +
+    insert); on an unbucketed table it is a CAS append."""
+
+    def test_insert_values_upserts_keyed(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import execute_dml
+
+        wh = dml_wh("ins")
+        _seed(spark, wh)
+        out = execute_dml(
+            wh, "INSERT INTO t VALUES (1, 'NEW1', 111), (20, 'v20', 200)"
+        )
+        assert out == {"operation": "INSERT", "rows": 2}
+        rows = {r["id"]: (r["v"], r["cnt"]) for r in wh.read("t").collect()}
+        assert rows[1] == ("NEW1", 111)   # existing key replaced
+        assert rows[20] == ("v20", 200)   # new key inserted
+        assert len(rows) == 9
+
+    def test_insert_column_list_pads_and_casts(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import execute_dml
+
+        wh = dml_wh("insc")
+        _seed(spark, wh)
+        execute_dml(wh, "INSERT INTO t (cnt, id) VALUES (7, 30)")
+        r = {x["id"]: x for x in wh.read("t").collect()}[30]
+        assert (r["cnt"], r["v"]) == (7, None)  # int->long cast, v padded
+        assert dict(wh.read("t").dtypes)["cnt"] == "bigint"
+
+    def test_insert_select_from_view(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import (
+            execute_dml,
+            register_warehouse_views,
+        )
+
+        wh = dml_wh("inss")
+        _seed(spark, wh)
+        register_warehouse_views(spark, wh)
+        execute_dml(
+            wh,
+            "INSERT INTO t SELECT id + 100, upper(v), cnt FROM t WHERE id <= 2",
+        )
+        rows = {r["id"]: r["v"] for r in wh.read("t").collect()}
+        assert rows[101] == "V1" and rows[102] == "V2"
+        assert len(rows) == 10
+
+    def test_insert_errors(self, spark, dml_wh):
+        import pytest
+
+        from canvas_data_loader_spark.sql import SqlDmlError, execute_dml
+
+        wh = dml_wh("inse")
+        _seed(spark, wh)
+        with pytest.raises(SqlDmlError, match="bucket key"):
+            execute_dml(wh, "INSERT INTO t (v, cnt) VALUES ('x', 1)")
+        with pytest.raises(SqlDmlError, match="arity"):
+            execute_dml(wh, "INSERT INTO t VALUES (1, 'x')")
+        with pytest.raises(SqlDmlError, match="not in"):
+            execute_dml(wh, "INSERT INTO t (id, nope) VALUES (1, 'x')")
+        with pytest.raises(SqlDmlError, match="unknown warehouse table"):
+            execute_dml(wh, "INSERT INTO ghost VALUES (1)")
+
+    def test_insert_unbucketed_appends(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import execute_dml
+
+        wh = dml_wh("insu")
+        wh.write(
+            "u",
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            snapshot="s0",
+        )
+        execute_dml(wh, "INSERT INTO u VALUES (1, 'a'), (2, 'b')")
+        got = sorted(tuple(r) for r in wh.read("u").collect())
+        # append semantics: the duplicate (1, 'a') row is kept
+        assert got == [(1, "a"), (1, "a"), (2, "b")]
+
+    def test_ctas_bucketed_then_dml(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import (
+            execute_dml,
+            register_warehouse_views,
+        )
+
+        wh = dml_wh("ctas")
+        _seed(spark, wh)
+        register_warehouse_views(spark, wh)
+        out = execute_dml(
+            wh,
+            "CREATE TABLE big BUCKETED BY (id, 4) AS "
+            "SELECT id, cnt * 2 AS cnt2 FROM t WHERE id <= 4",
+        )
+        assert out["operation"] == "CREATE TABLE"
+        assert wh.routing_info("big")["bucket_key"] == "id"
+        assert wh.read("big").count() == 4
+        # the CTAS table is a first-class warehouse table: DML works
+        execute_dml(wh, "DELETE FROM big WHERE id = 4")
+        assert wh.read("big").count() == 3
+        execute_dml(wh, "INSERT INTO big VALUES (9, 90)")
+        assert {r["id"] for r in wh.read("big").collect()} == {1, 2, 3, 9}
+
+    def test_ctas_plain_and_refusals(self, spark, dml_wh):
+        import pytest
+
+        from canvas_data_loader_spark.sql import SqlDmlError, execute_dml
+
+        wh = dml_wh("ctas2")
+        _seed(spark, wh)
+        execute_dml(wh, "CREATE TABLE snap AS VALUES (1, 'x'), (2, 'y')")
+        assert wh.read("snap").count() == 2
+        with pytest.raises(SqlDmlError, match="already exists"):
+            execute_dml(wh, "CREATE TABLE snap AS VALUES (3, 'z')")
+        with pytest.raises(SqlDmlError, match="bucket key"):
+            execute_dml(
+                wh, "CREATE TABLE bad BUCKETED BY (nope, 4) AS VALUES (1)"
+            )
