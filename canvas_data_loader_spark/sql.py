@@ -409,30 +409,33 @@ def _parse_insert(stmt: str):
     where the column list would sit is treated as the body."""
     import re
 
+    # a parenthesized BODY (INSERT INTO t (SELECT ...)) is detected
+    # before the column-list grammar: Spark SQL accepts the query with
+    # its parentheses verbatim, so no balance-matching is needed here
     m = re.match(
-        r"\s*INSERT\s+INTO\s+(\S+)\s*(?:\(([^)]*)\)\s*)?"
-        r"((?:VALUES|SELECT|WITH)\b.*)?$",
+        r"\s*INSERT\s+INTO\s+(\S+)\s*"
+        r"(\(\s*(?:SELECT|VALUES|WITH)\b.*)$",
         stmt,
         re.I | re.S,
     )
-    if not m or (m.group(3) is None and m.group(2) is None):
+    if m:
+        return _ident(m.group(1)), None, m.group(2)
+    m = re.match(
+        r"\s*INSERT\s+INTO\s+(\S+)\s*(?:\(([^)]*)\)\s*)?"
+        r"((?:VALUES|SELECT|WITH)\b.*)$",
+        stmt,
+        re.I | re.S,
+    )
+    if not m:
         raise SqlDmlError(
             "malformed INSERT (want INSERT INTO <table> [(cols)] "
             "VALUES ... | SELECT ...)"
         )
     table, cols, body = _ident(m.group(1)), None, m.group(3)
     if m.group(2) is not None:
-        inner = m.group(2).strip()
-        if re.match(r"(SELECT|VALUES|WITH)\b", inner, re.I) and body is None:
-            body = inner  # INSERT INTO t (SELECT ...) — parenthesized body
-        else:
-            cols = [_ident(c.strip()) for c in inner.split(",") if c.strip()]
-            if not cols:
-                raise SqlDmlError("empty column list in INSERT")
-    if body is None:
-        raise SqlDmlError(
-            "INSERT needs a VALUES list or a SELECT/WITH query"
-        )
+        cols = [_ident(c.strip()) for c in m.group(2).split(",") if c.strip()]
+        if not cols:
+            raise SqlDmlError("empty column list in INSERT")
     return table, cols, body
 
 

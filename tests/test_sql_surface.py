@@ -828,3 +828,21 @@ class TestSqlInsertCtas:
             execute_dml(
                 wh, "CREATE TABLE bad BUCKETED BY (nope, 4) AS VALUES (1)"
             )
+
+    def test_insert_parenthesized_query_body(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import (
+            execute_dml,
+            register_warehouse_views,
+        )
+
+        wh = dml_wh("insp")
+        _seed(spark, wh)
+        register_warehouse_views(spark, wh)
+        # nested parens inside the parenthesized body must survive
+        execute_dml(
+            wh,
+            "INSERT INTO t (SELECT id + 200, upper(substr(v, 1, 2)), cnt "
+            "FROM t WHERE id IN (1, 2))",
+        )
+        rows = {r["id"]: r["v"] for r in wh.read("t").collect()}
+        assert rows[201] == "V1" and rows[202] == "V2"
