@@ -669,6 +669,65 @@ def execute_dml(wh, stmt: str) -> dict:
             "malformed ALTER TABLE (supported: ADD CONSTRAINT <name> "
             "CHECK (<expr>), DROP CONSTRAINT [IF EXISTS] <name>)"
         )
+    if verb == "SHOW":
+        if not re.match(r"\s*SHOW\s+TABLES\s*$", stmt, re.I):
+            raise SqlDmlError("malformed SHOW (want SHOW TABLES)")
+        return {"operation": "SHOW TABLES", "tables": sorted(wh.tables())}
+    if verb in ("DESCRIBE", "DESC"):
+        m = re.match(r"\s*DESC(?:RIBE)?\s+(\S+)\s*$", stmt, re.I)
+        if not m:
+            raise SqlDmlError("malformed DESCRIBE (want DESCRIBE <table>)")
+        table = _ident(m.group(1))
+        info = wh.routing_info(table)
+        if info is None:
+            raise SqlDmlError(f"unknown warehouse table {table!r}")
+        return {
+            "operation": "DESCRIBE",
+            "table": table,
+            "columns": wh.read(table).dtypes,
+            "bucket_key": info.get("bucket_key"),
+            "n_buckets": info.get("n_buckets"),
+            "version": wh.current_version(table),
+        }
+    if verb == "INSERT" and re.match(
+        r"\s*INSERT\s+OVERWRITE\b", stmt, re.I
+    ):
+        # full-snapshot replace, keeping the table's bucket layout —
+        # the Spark INSERT OVERWRITE idiom mapped onto write()
+        # (last-writer-wins by design: state-independent replacement)
+        m = re.match(
+            r"\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(\S+)\s+"
+            r"((?:\(\s*)?(?:VALUES|SELECT|WITH)\b.*)$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise SqlDmlError(
+                "malformed INSERT OVERWRITE (want INSERT OVERWRITE "
+                "[TABLE] <t> SELECT ... | VALUES ...)"
+            )
+        table = _ident(m.group(1))
+        info = wh.routing_info(table)
+        if info is None:
+            raise SqlDmlError(f"unknown warehouse table {table!r}")
+        spark = wh.spark
+        tgt = wh.read(table)
+        src = spark.sql(m.group(2))
+        if len(src.columns) != len(tgt.columns):
+            raise SqlDmlError(
+                f"INSERT OVERWRITE arity mismatch: {len(src.columns)} "
+                f"value column(s) for {len(tgt.columns)} target column(s)"
+            )
+        tf = {f.name: f.dataType for f in tgt.schema.fields}
+        rows = src.toDF(*tgt.columns).select(
+            *[F.col(c).cast(tf[c]).alias(c) for c in tgt.columns]
+        )
+        n = rows.count()
+        bucket = None
+        if info.get("bucket_key") and info.get("n_buckets"):
+            bucket = (info["bucket_key"], int(info["n_buckets"]))
+        wh.write(table, rows, snapshot="sql-overwrite", bucket=bucket)
+        return {"operation": "INSERT OVERWRITE", "rows": n}
     if verb == "INSERT":
         table, cols, body = _parse_insert(stmt)
         spark = wh.spark

@@ -846,3 +846,42 @@ class TestSqlInsertCtas:
         )
         rows = {r["id"]: r["v"] for r in wh.read("t").collect()}
         assert rows[201] == "V1" and rows[202] == "V2"
+
+    def test_insert_overwrite_replaces_keeping_layout(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import (
+            execute_dml,
+            register_warehouse_views,
+        )
+
+        wh = dml_wh("insow")
+        _seed(spark, wh)
+        register_warehouse_views(spark, wh)
+        out = execute_dml(
+            wh,
+            "INSERT OVERWRITE t SELECT id, upper(v), cnt FROM t WHERE id <= 3",
+        )
+        assert out == {"operation": "INSERT OVERWRITE", "rows": 3}
+        rows = {r["id"]: r["v"] for r in wh.read("t").collect()}
+        assert rows == {1: "V1", 2: "V2", 3: "V3"}
+        # bucket layout survives the replace: keyed DML still routes
+        info = wh.routing_info("t")
+        assert info["bucket_key"] == "id" and int(info["n_buckets"]) == 4
+        execute_dml(wh, "INSERT INTO t VALUES (7, 'v7', 70)")
+        assert wh.read("t").count() == 4
+
+    def test_show_tables_and_describe(self, spark, dml_wh):
+        import pytest
+
+        from canvas_data_loader_spark.sql import SqlDmlError, execute_dml
+
+        wh = dml_wh("meta")
+        _seed(spark, wh)
+        execute_dml(wh, "CREATE TABLE other AS VALUES (1)")
+        out = execute_dml(wh, "SHOW TABLES")
+        assert out["tables"] == sorted(["t", "other"])
+        d = execute_dml(wh, "DESCRIBE t")
+        assert d["bucket_key"] == "id" and int(d["n_buckets"]) == 4
+        assert ("v", "string") in d["columns"]
+        assert execute_dml(wh, "DESC other")["bucket_key"] is None
+        with pytest.raises(SqlDmlError, match="unknown warehouse table"):
+            execute_dml(wh, "DESCRIBE ghost")
