@@ -748,6 +748,10 @@ def execute_dml(wh, stmt: str) -> dict:
             raise SqlDmlError(
                 f"INSERT column(s) {unknown} not in {table!r}"
             )
+        if len(set(names)) != len(names):
+            raise SqlDmlError(
+                f"duplicate column in INSERT list: {names}"
+            )
         src = src.toDF(*names)
         key = info.get("bucket_key")
         if key and key not in names:

@@ -885,3 +885,13 @@ class TestSqlInsertCtas:
         assert execute_dml(wh, "DESC other")["bucket_key"] is None
         with pytest.raises(SqlDmlError, match="unknown warehouse table"):
             execute_dml(wh, "DESCRIBE ghost")
+
+    def test_insert_duplicate_column_rejected(self, spark, dml_wh):
+        import pytest
+
+        from canvas_data_loader_spark.sql import SqlDmlError, execute_dml
+
+        wh = dml_wh("insd")
+        _seed(spark, wh)
+        with pytest.raises(SqlDmlError, match="duplicate column"):
+            execute_dml(wh, "INSERT INTO t (id, id, cnt) VALUES (1, 2, 3)")
