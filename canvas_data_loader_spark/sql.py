@@ -535,14 +535,33 @@ def execute_dml(wh, stmt: str) -> dict:
 
     from pyspark.sql import functions as F
 
+    def _guard_not_mv(table: str, op: str) -> None:
+        # statement-side write to a MAINTAINED table would silently
+        # break maintained == rebuilt until the next refresh clobbers
+        # it — refuse with the maintenance route. (The Python API
+        # stays unrestricted: refresh itself writes these tables.)
+        try:
+            props = wh.table_properties(table)
+        except Exception:  # noqa: BLE001 - unknown table: branch handles it
+            return
+        if "mv.source" in props or "mv.parent" in props:
+            raise SqlDmlError(
+                f"{table!r} is a materialized view (or its partials "
+                f"sidecar) — {op} would desynchronize it from its "
+                "source; use REFRESH MATERIALIZED VIEW, or write to "
+                "the SOURCE table and refresh"
+            )
+
     head = re.match(r"\s*(\w+)", stmt)
     verb = (head.group(1) if head else "").upper()
     if verb == "DELETE":
         table, cond = _parse_delete(stmt)
+        _guard_not_mv(table, "DELETE")
         n = wh.delete_where(table, cond)
         return {"operation": "DELETE", "rows": n}
     if verb == "UPDATE":
         table, assigns, cond = _parse_update(stmt)
+        _guard_not_mv(table, "UPDATE")
         n = wh.update_where(table, assigns, cond)
         return {"operation": "UPDATE", "rows": n}
     if verb == "MERGE":
@@ -553,6 +572,7 @@ def execute_dml(wh, stmt: str) -> dict:
         info = wh.routing_info(p["table"])
         if info is None:
             raise SqlDmlError(f"unknown warehouse table {p['table']!r}")
+        _guard_not_mv(p["table"], "MERGE")
         if info.get("bucket_key") != p["key"]:
             raise SqlDmlError(
                 f"MERGE ON key {p['key']!r} must be the table's bucket "
@@ -710,6 +730,7 @@ def execute_dml(wh, stmt: str) -> dict:
         info = wh.routing_info(table)
         if info is None:
             raise SqlDmlError(f"unknown warehouse table {table!r}")
+        _guard_not_mv(table, "INSERT OVERWRITE")
         spark = wh.spark
         tgt = wh.read(table)
         src = spark.sql(m.group(2))
@@ -734,6 +755,7 @@ def execute_dml(wh, stmt: str) -> dict:
         info = wh.routing_info(table)
         if info is None:
             raise SqlDmlError(f"unknown warehouse table {table!r}")
+        _guard_not_mv(table, "INSERT")
         src = spark.sql(body)
         tgt = wh.read(table)
         tf = {f.name: f.dataType for f in tgt.schema.fields}

@@ -895,3 +895,23 @@ class TestSqlInsertCtas:
         _seed(spark, wh)
         with pytest.raises(SqlDmlError, match="duplicate column"):
             execute_dml(wh, "INSERT INTO t (id, id, cnt) VALUES (1, 2, 3)")
+
+    def test_statement_writes_to_mv_refused(self, spark, dml_wh):
+        import pytest
+
+        from canvas_data_loader_spark.plans.ops import create_rollup_view
+        from canvas_data_loader_spark.sql import SqlDmlError, execute_dml
+
+        wh = dml_wh("mvguard")
+        _seed(spark, wh)
+        create_rollup_view(
+            wh, "mv_t", "t", group_keys=["v"], sum_cols={"total": "cnt"}
+        )
+        for stmt in (
+            "DELETE FROM mv_t WHERE total > 0",
+            "UPDATE mv_t SET total = 0 WHERE total > 0",
+            "INSERT INTO mv_t VALUES ('x', 1)",
+            "INSERT OVERWRITE mv_t VALUES ('x', 1)",
+        ):
+            with pytest.raises(SqlDmlError, match="materialized view"):
+                execute_dml(wh, stmt)
