@@ -523,6 +523,75 @@ def _parse_create_mv(stmt: str):
     return view, source, group_keys, sums, minmax
 
 
+def _table_history(wh, table: str) -> list[dict]:
+    """Retained commits newest-first (the Delta DESCRIBE HISTORY
+    shape): version, ISO timestamp, operation, dataChange. Manifest
+    commits carry their publish stamp + snapshot name; delta commits
+    their commitInfo (mtime fallback for foreign commits)."""
+    import datetime
+    import json as _json
+    import os as _os
+
+    def iso(ts: float | None) -> str | None:
+        if ts is None:
+            return None
+        return datetime.datetime.fromtimestamp(
+            ts, tz=datetime.timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S")
+
+    out: list[dict] = []
+    if hasattr(wh, "_log_dir"):  # delta protocol
+        from .plans.delta import _LOG_FMT
+
+        ldir = wh._log_dir(table)
+        for v in wh._versions_on_disk(table):
+            path = _os.path.join(ldir, _LOG_FMT.format(v))
+            ts, op, dc = None, None, False
+            try:
+                with open(path) as fh:
+                    for line in fh:
+                        if not line.strip():
+                            continue
+                        a = _json.loads(line)
+                        ci = a.get("commitInfo")
+                        if ci and ts is None:
+                            t = ci.get("timestamp")
+                            ts = t / 1000.0 if t is not None else None
+                            op = ci.get("operation")
+                        if ("add" in a and a["add"].get("dataChange", True)) or (
+                            "remove" in a
+                            and a["remove"].get("dataChange", True)
+                        ):
+                            dc = True
+            except OSError:
+                continue
+            if ts is None:
+                try:
+                    ts = _os.path.getmtime(path)
+                except OSError:
+                    pass
+            out.append(
+                {
+                    "version": v,
+                    "timestamp": iso(ts),
+                    "operation": op,
+                    "data_change": dc,
+                }
+            )
+    else:
+        for v, man in wh._commits(table):
+            out.append(
+                {
+                    "version": v,
+                    "timestamp": iso(man.get("committed_at")),
+                    "operation": man.get("snapshot"),
+                    "data_change": bool(man.get("data_change", True)),
+                }
+            )
+    out.sort(key=lambda r: -r["version"])
+    return out
+
+
 def execute_dml(wh, stmt: str) -> dict:
     """Execute one DML statement against a warehouse (either commit
     protocol). Returns {"operation": ..., "rows"/"buckets": ...};
@@ -694,6 +763,16 @@ def execute_dml(wh, stmt: str) -> dict:
             raise SqlDmlError("malformed SHOW (want SHOW TABLES)")
         return {"operation": "SHOW TABLES", "tables": sorted(wh.tables())}
     if verb in ("DESCRIBE", "DESC"):
+        mh = re.match(r"\s*DESC(?:RIBE)?\s+HISTORY\s+(\S+)\s*$", stmt, re.I)
+        if mh:
+            table = _ident(mh.group(1))
+            if wh.routing_info(table) is None:
+                raise SqlDmlError(f"unknown warehouse table {table!r}")
+            return {
+                "operation": "DESCRIBE HISTORY",
+                "table": table,
+                "history": _table_history(wh, table),
+            }
         m = re.match(r"\s*DESC(?:RIBE)?\s+(\S+)\s*$", stmt, re.I)
         if not m:
             raise SqlDmlError("malformed DESCRIBE (want DESCRIBE <table>)")

@@ -915,3 +915,23 @@ class TestSqlInsertCtas:
         ):
             with pytest.raises(SqlDmlError, match="materialized view"):
                 execute_dml(wh, stmt)
+
+    def test_describe_history(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import execute_dml
+
+        wh = dml_wh("hist")
+        _seed(spark, wh)
+        execute_dml(wh, "INSERT INTO t VALUES (50, 'x', 5)")
+        wh.set_properties("t", {"k": "v"})
+        out = execute_dml(wh, "DESCRIBE HISTORY t")
+        h = out["history"]
+        # newest first, one row per retained commit, stamped
+        assert [r["version"] for r in h] == sorted(
+            (r["version"] for r in h), reverse=True
+        )
+        assert len(h) >= 3
+        assert all(r["timestamp"] for r in h)
+        # the metadata-only properties commit is data_change-free;
+        # the INSERT commit carries data change
+        assert h[0]["data_change"] is False
+        assert any(r["data_change"] for r in h)
