@@ -67,6 +67,11 @@ def _maintain(argv: list[str]) -> int:
         "deletion-vector load, writer epochs",
     )
     g.add_argument(
+        "--history", action="store_true",
+        help="print retained commits newest-first (version, "
+        "timestamp, operation, data_change) — DESCRIBE HISTORY",
+    )
+    g.add_argument(
         "--delete-where", metavar="SQL_PREDICATE",
         help="row-level DELETE: rows matching the SQL predicate are "
         "removed — merge-on-read (deletion vectors) or copy-on-write "
@@ -251,6 +256,17 @@ def _maintain(argv: list[str]) -> int:
             "properties": wh.table_properties(args.table),
         }
         print(_json.dumps(out, indent=2, default=str))
+    elif args.history:
+        import json as _json
+
+        from .sql import SqlDmlError, execute_dml
+
+        try:
+            out = execute_dml(wh, f"DESCRIBE HISTORY {args.table}")
+        except SqlDmlError as e:
+            print(str(e))
+            return 2
+        print(_json.dumps(out["history"], indent=2, default=str))
     elif args.delete_where is not None:
         n = wh.delete_where(args.table, args.delete_where, mode=args.delete_mode)
         print(

@@ -1025,3 +1025,33 @@ class TestCheckpointCli:
         # only the pointer version's JSON survives (head == pointer)
         assert len(jsons) == 1
         assert sorted(tuple(r) for r in wh.read("t").collect()) == want
+
+
+class TestHistoryCli:
+    def test_history_via_cli(self, tmp_path, spark, capsys):
+        import json
+
+        from canvas_data_loader_spark.__main__ import main
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh_dir = str(tmp_path / "whh")
+        wh = Warehouse(spark, wh_dir)
+        wh.write(
+            "t",
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            snapshot="s0",
+            bucket=("id", 2),
+        )
+        wh.merge_bucketed(
+            "t", spark.createDataFrame([(2, "b")], "id long, v string"),
+            snapshot="m1",
+        )
+        assert main(["maintain", "--warehouse-dir", wh_dir, "--table", "t",
+                     "--history"]) == 0
+        rows = json.loads(capsys.readouterr().out)
+        assert [r["version"] for r in rows] == sorted(
+            (r["version"] for r in rows), reverse=True
+        )
+        assert len(rows) == 2 and all(r["timestamp"] for r in rows)
+        assert main(["maintain", "--warehouse-dir", wh_dir,
+                     "--table", "ghost", "--history"]) == 2
