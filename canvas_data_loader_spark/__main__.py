@@ -19,11 +19,17 @@ care::
 
     python -m canvas_data_loader_spark maintain --warehouse-dir DIR \
         --table T [--format manifest|delta] \
-        (--compact | --vacuum | --rebucket N [--key K] | --restore V \
+        (--compact | --vacuum [--retention-sec S] | --checkpoint \
+         | --history | --rebucket N [--key K] | --restore V \
          | --changes V_FROM V_TO --out DIR | --refresh-view \
          | --delete-where SQL [--delete-mode auto|mor|cow] \
          | --update-where SQL --set COL=EXPR [--set ...] \
          | --neardup-index INDEX [--where SQL] [--probe-only] [--out DIR])
+
+``sql`` subcommand: one DML/DDL statement against a warehouse table
+(see ``_sql``). Note: ``INSERT INTO`` a keyed (bucketed) table is the
+loader's keyed UPSERT (delete-by-key + insert), not the ANSI pure
+append — the result's operation string says "INSERT (keyed upsert)".
 """
 
 from __future__ import annotations
@@ -346,7 +352,11 @@ def _sql(argv: list[str]) -> int:
     DDL / ALTER TABLE constraints) against a warehouse table, either
     commit format. Every warehouse table is pre-registered as a temp
     view, so an INSERT/CTAS/MERGE source can be a subquery over them
-    or a direct file scan (``parquet.`/path```)::
+    or a direct file scan (``parquet.`/path```). INSERT INTO a keyed
+    (bucketed) table is the loader's keyed UPSERT — rows with existing
+    keys are replaced, not duplicated (the reference's delete-by-key +
+    insert import semantics); the result's operation string surfaces
+    this as "INSERT (keyed upsert)"::
 
         python -m canvas_data_loader_spark sql --warehouse-dir DIR \
             [--format manifest|delta] --stmt "DELETE FROM t WHERE ..."

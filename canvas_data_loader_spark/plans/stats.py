@@ -40,27 +40,40 @@ def _file_stats(path: str) -> str:
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
+    # Every stat is usable only when EVERY row group records it for the
+    # column — a partial sum (nullCount) or partial range (min/max) over
+    # only the groups that carry stats would overclaim and mis-prune, so
+    # a single non-conforming row group permanently invalidates the
+    # column's entry for that stat.
     null_missing: set = set()
+    minmax_missing: set = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
             st = col.statistics
             name = col.path_in_schema
-            if st is None or "." in name:
+            if "." in name:
                 continue
-            # nullCount (protocol stats field): usable only when EVERY
-            # row group records it for the column — a partial sum would
-            # undercount and break IS NULL pruning's proof
+            if st is None:
+                null_missing.add(name)
+                nulls.pop(name, None)
+                minmax_missing.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
             if st.has_null_count and name not in null_missing:
                 nulls[name] = nulls.get(name, 0) + int(st.null_count)
             else:
                 null_missing.add(name)
                 nulls.pop(name, None)
-            if not st.has_min_max:
-                continue
-            lo, hi = as_json(st.min), as_json(st.max)
-            if lo is None or hi is None:
+            lo = hi = None
+            if st.has_min_max:
+                lo, hi = as_json(st.min), as_json(st.max)
+            if lo is None or hi is None or name in minmax_missing:
+                minmax_missing.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
                 continue
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)

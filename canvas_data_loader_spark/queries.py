@@ -8619,9 +8619,15 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
     registrable-domain extraction is the last-two-labels heuristic; a
     PSL table broadcast in front keeps the same plan shape."""
     d = load(spark, sf_dir, "documents")
-    # materialize the raw URL once: canonical_url() references its
-    # input ~a dozen times, and inlining the concat would multiply
-    # that expression tree (q34's shingle lesson, same failure shape)
+    # NOTE: the two-step select is readability only — Catalyst's
+    # CollapseProject merges adjacent deterministic projections, so
+    # canonical_url()'s ~dozen references to its input DO inline the
+    # derivation expression. That is fine here: the derived URL is a
+    # small concat (not q34's exploded-shingle shape) and runtime
+    # re-evaluation is covered by codegen subexpression elimination
+    # (spark.sql.subexpressionElimination, default on). If the input
+    # expression ever becomes expensive, a real barrier is needed
+    # (localCheckpoint / the groupBy exchange), not a second select.
     u = d.select("doc_id", _url_col().alias("url")).select(
         "doc_id", U.canonical_url("url").alias("canon")
     )

@@ -406,12 +406,31 @@ def _scope_merge_cond(
 def _parse_insert(stmt: str):
     """``INSERT INTO <table> [(col[, ...])] (VALUES ...|SELECT ...|
     WITH ...)`` -> (table, cols|None, body). A parenthesized query
-    where the column list would sit is treated as the body."""
+    where the column list would sit is treated as the body — but the
+    column-list grammar is tried FIRST, so a column literally named
+    ``values``/``select``/``with`` (INSERT INTO t (values, x) VALUES
+    ...) still parses as a column list when a body follows the close
+    paren; only when no body follows is the paren a query body."""
     import re
 
-    # a parenthesized BODY (INSERT INTO t (SELECT ...)) is detected
-    # before the column-list grammar: Spark SQL accepts the query with
-    # its parentheses verbatim, so no balance-matching is needed here
+    m = re.match(
+        r"\s*INSERT\s+INTO\s+(\S+)\s*(?:\(([^)]*)\)\s*)?"
+        r"((?:VALUES|SELECT|WITH)\b.*)$",
+        stmt,
+        re.I | re.S,
+    )
+    if m:
+        table, cols, body = _ident(m.group(1)), None, m.group(3)
+        if m.group(2) is not None:
+            cols = [
+                _ident(c.strip()) for c in m.group(2).split(",") if c.strip()
+            ]
+            if not cols:
+                raise SqlDmlError("empty column list in INSERT")
+        return table, cols, body
+    # a parenthesized BODY (INSERT INTO t (SELECT ...)): Spark SQL
+    # accepts the query with its parentheses verbatim, so no
+    # balance-matching is needed here
     m = re.match(
         r"\s*INSERT\s+INTO\s+(\S+)\s*"
         r"(\(\s*(?:SELECT|VALUES|WITH)\b.*)$",
@@ -420,23 +439,10 @@ def _parse_insert(stmt: str):
     )
     if m:
         return _ident(m.group(1)), None, m.group(2)
-    m = re.match(
-        r"\s*INSERT\s+INTO\s+(\S+)\s*(?:\(([^)]*)\)\s*)?"
-        r"((?:VALUES|SELECT|WITH)\b.*)$",
-        stmt,
-        re.I | re.S,
+    raise SqlDmlError(
+        "malformed INSERT (want INSERT INTO <table> [(cols)] "
+        "VALUES ... | SELECT ...)"
     )
-    if not m:
-        raise SqlDmlError(
-            "malformed INSERT (want INSERT INTO <table> [(cols)] "
-            "VALUES ... | SELECT ...)"
-        )
-    table, cols, body = _ident(m.group(1)), None, m.group(3)
-    if m.group(2) is not None:
-        cols = [_ident(c.strip()) for c in m.group(2).split(",") if c.strip()]
-        if not cols:
-            raise SqlDmlError("empty column list in INSERT")
-    return table, cols, body
 
 
 def _parse_create_mv(stmt: str):
@@ -878,10 +884,14 @@ def execute_dml(wh, stmt: str) -> dict:
         n = rows.count()
         if key:
             # keyed table: INSERT is the loader's keyed upsert (A17-19
-            # delete-by-key + insert); the table has no PK constraint,
-            # so in-batch duplicate keys land like any merge batch
+            # delete-by-key + insert), NOT the ANSI pure append —
+            # existing rows with matching keys are replaced. The
+            # divergence is surfaced in the result's operation string
+            # so a standard-SQL caller sees it at the call site; the
+            # table has no PK constraint, so in-batch duplicate keys
+            # land like any merge batch.
             wh.merge_bucketed(table, rows, snapshot="sql-insert")
-            return {"operation": "INSERT", "rows": n}
+            return {"operation": "INSERT (keyed upsert)", "rows": n}
         # unbucketed: append via read-modify-write CAS
         from .plans.pipeline import CommitConflict
 

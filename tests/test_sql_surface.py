@@ -727,11 +727,29 @@ class TestSqlInsertCtas:
         out = execute_dml(
             wh, "INSERT INTO t VALUES (1, 'NEW1', 111), (20, 'v20', 200)"
         )
-        assert out == {"operation": "INSERT", "rows": 2}
+        # the operation string surfaces the ANSI divergence (replace,
+        # not pure append) at the call site
+        assert out == {"operation": "INSERT (keyed upsert)", "rows": 2}
         rows = {r["id"]: (r["v"], r["cnt"]) for r in wh.read("t").collect()}
         assert rows[1] == ("NEW1", 111)   # existing key replaced
         assert rows[20] == ("v20", 200)   # new key inserted
         assert len(rows) == 9
+
+    def test_insert_column_list_reserved_first_identifier(self, spark):
+        """A column list whose FIRST identifier is literally values/
+        select/with parses as a column list (the paren-body branch must
+        not swallow it) whenever a VALUES/SELECT body follows."""
+        from canvas_data_loader_spark.sql import _parse_insert
+
+        t, cols, body = _parse_insert("INSERT INTO t (values, x) VALUES (1, 2)")
+        assert (t, cols) == ("t", ["values", "x"])
+        assert body.upper().startswith("VALUES")
+        t, cols, body = _parse_insert("INSERT INTO t (select) SELECT 1")
+        assert (t, cols) == ("t", ["select"])
+        # no body after the paren → the paren IS the body
+        t, cols, body = _parse_insert("INSERT INTO t (SELECT 1 AS x)")
+        assert (t, cols) == ("t", None)
+        assert body.startswith("(")
 
     def test_insert_column_list_pads_and_casts(self, spark, dml_wh):
         from canvas_data_loader_spark.sql import execute_dml

@@ -1073,6 +1073,66 @@ class TestDeltaDataSkipping:
         kept_all, _ = wh.files_for_range("t", "nonexistent", lo=0, hi=1)
         assert len(kept_all) == 4
 
+    def test_partial_rowgroup_stats_invalidate_column(self, monkeypatch):
+        """A row group with NO statistics object invalidates the
+        column's nullCount AND min/max in the emitted add-action stats:
+        a partial sum/range over only the groups that carry stats would
+        overclaim and mis-prune (IS NULL / range proofs). Invalidation
+        is permanent regardless of which group lacks stats."""
+        import json
+
+        import pyarrow.parquet as pq
+
+        from canvas_data_loader_spark.plans import stats as stats_mod
+
+        class St:
+            def __init__(self, mn, mx, nulls):
+                self.has_min_max = True
+                self.min, self.max = mn, mx
+                self.has_null_count = True
+                self.null_count = nulls
+
+        class Col:
+            def __init__(self, name, st):
+                self.path_in_schema = name
+                self.statistics = st
+
+        class RG:
+            def __init__(self, cols):
+                self._cols = cols
+                self.num_columns = len(cols)
+
+            def column(self, i):
+                return self._cols[i]
+
+        groups = [
+            RG([Col("a", St(0, 4, 0)), Col("b", St(0, 4, 0)), Col("c", None)]),
+            RG([Col("a", St(5, 9, 0)), Col("b", None), Col("c", St(0, 9, 0))]),
+        ]
+
+        class MD:
+            num_rows = 10
+            num_row_groups = 2
+
+            def row_group(self, i):
+                return groups[i]
+
+        class PF:
+            def __init__(self, path):
+                self.metadata = MD()
+
+        monkeypatch.setattr(pq, "ParquetFile", PF)
+        st = json.loads(stats_mod._file_stats("ignored"))
+        # full coverage → usable stats
+        assert st["minValues"]["a"] == 0 and st["maxValues"]["a"] == 9
+        assert st["nullCount"]["a"] == 0
+        # stats-less group AFTER a stats-bearing one → no partial claims
+        assert "b" not in st["minValues"] and "b" not in st["maxValues"]
+        assert "b" not in st["nullCount"]
+        # stats-less group BEFORE a stats-bearing one → same (no re-add)
+        assert "c" not in st["minValues"] and "c" not in st["maxValues"]
+        assert "c" not in st["nullCount"]
+
     def test_skipping_survives_merge_and_checkpoint(self, spark, tmp_path):
         wh = DeltaWarehouse(spark, str(tmp_path / "d"), checkpoint_interval=2)
         df = spark.createDataFrame(
