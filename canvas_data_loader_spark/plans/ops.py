@@ -1043,3 +1043,40 @@ def probe_neardup_index(warehouse, table: str, new_bands, prune: bool = True):
     if idx is None:
         idx = warehouse.read(table)
     return incremental_neardup_candidates(idx, new_bands)
+
+
+def fetch_docs_for_pairs(
+    warehouse, table: str, cand_pairs, id_col: str = "doc_id",
+    prune: bool = True,
+):
+    """Read the corpus rows a candidate-pair re-score needs — and at
+    the 100 TB layout, ONLY those: with the docs table bucketed by
+    ``id_col``, the distinct candidate ids route to a bounded bucket
+    set (driver-side list bounded by 2x|pairs|) and only those buckets
+    are read (``read_buckets``, same b/N contract as every maintained
+    table). Unbucketed/differently-bucketed tables fall back to the
+    full (log-aware) read — the downstream
+    ``operators.dedup.rescore_candidates`` semi-join still bounds the
+    SHINGLE cost to candidate docs either way; pruning bounds the scan
+    too. Callers should localCheckpoint ``cand_pairs`` first — it is
+    consumed here (routing) and again by the re-score."""
+    from pyspark.sql import functions as F
+
+    from ..operators.merge import bucket_of
+
+    info = warehouse.routing_info(table) or {}
+    if prune and info.get("bucket_key") == id_col and info.get("n_buckets"):
+        n = int(info["n_buckets"])
+        ids = (
+            cand_pairs.select(F.col("doc_a").alias(id_col))
+            .unionByName(cand_pairs.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+        )
+        buckets = sorted(
+            r.b
+            for r in ids.select(bucket_of(F.col(id_col), n).alias("b"))
+            .distinct()
+            .collect()
+        )
+        return warehouse.read_buckets(table, buckets)
+    return warehouse.read(table)

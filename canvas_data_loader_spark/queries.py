@@ -8831,44 +8831,8 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = D.incremental_neardup_candidates(
         bands.filter(~is_new_band), bands.filter(is_new_band)
     )
-    sh = (
-        d.select("doc_id", tokens("text").alias("__t"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(shingles_from_tokens(F.col("__t"), 3))
-            ).alias("s"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    common = (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.s") == F.col("sb.s")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
-    )
-    return (
-        common.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            "common",
-            F.round(
-                F.col("common")
-                / (F.col("na") + F.col("nb") - F.col("common")),
-                6,
-            ).alias("jaccard_r"),
-        )
-    )
+    # candidate-BOUNDED exact re-score (r10 What's-wrong #1 closed):
+    # documents is semi-joined to the distinct candidate ids before
+    # tokenize/shingle, so the re-score never re-shingles the corpus
+    # — per-dump dedup cost tracks the dump end to end
+    return D.rescore_candidates(d, cand, "text", "doc_id", n=3)

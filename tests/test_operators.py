@@ -2461,6 +2461,160 @@ class TestIncrementalNeardupIndex:
         )
         assert self._pairs(inc) == self._pairs(full)
 
+    def _cand(self, docs):
+        is_new = F.col("doc_id") % 5 == 4
+        return D.incremental_neardup_candidates(
+            self._bands(docs.filter(~is_new)), self._bands(docs.filter(is_new))
+        )
+
+    def test_rescore_candidate_bounded_matches_unbounded(self, docs):
+        """The candidate-bounded exact re-score (semi-join docs to the
+        candidate ids BEFORE shingling) returns the same scores as the
+        corpus-wide shape it replaced — shingle sets and counts are
+        per-doc facts, so bounding the input can't change any pair."""
+        from canvas_data_loader_spark.functions.text import (
+            shingles_from_tokens,
+            tokens,
+        )
+
+        cand = self._cand(docs).localCheckpoint()
+        got = sorted(
+            map(tuple, D.rescore_candidates(docs, cand, "text", "doc_id").collect())
+        )
+        # corpus-wide re-score (the pre-r11 q167 shape), inlined here
+        # as the oracle for the operator
+        sh = docs.select("doc_id", tokens("text").alias("__t")).select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("__t"), 3))
+            ).alias("s"),
+        )
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        common = (
+            cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+            .join(
+                sh.alias("sb"),
+                (F.col("doc_b") == F.col("sb.doc_id"))
+                & (F.col("sa.s") == F.col("sb.s")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+        )
+        want = sorted(
+            map(
+                tuple,
+                common.join(
+                    sizes.select(
+                        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+                    ),
+                    "doc_a",
+                )
+                .join(
+                    sizes.select(
+                        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+                    ),
+                    "doc_b",
+                )
+                .select(
+                    "doc_a",
+                    "doc_b",
+                    "common",
+                    F.round(
+                        F.col("common")
+                        / (F.col("na") + F.col("nb") - F.col("common")),
+                        6,
+                    ).alias("jaccard_r"),
+                )
+                .collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+
+    def test_rescore_plan_scans_only_candidate_docs(self, docs):
+        """Plan pin for the O(batch) claim: every shingle explode in
+        the re-score sits ABOVE a LeftSemi join against the candidate
+        ids — the docs relation is never shingled unfiltered. (With
+        checkpoint=False the full lineage is visible to the pin.)"""
+        # cut the candidate-GENERATION lineage (its own minhash explodes
+        # would drown the pin) — the claim under test is the re-score's
+        rs = D.rescore_candidates(
+            docs, self._cand(docs).localCheckpoint(), "text", "doc_id",
+            checkpoint=False,
+        )
+        lines = (
+            rs._jdf.queryExecution().optimizedPlan().toString().splitlines()
+        )
+        gens = [i for i, l in enumerate(lines) if "Generate explode" in l]
+        semis = [i for i, l in enumerate(lines) if "LeftSemi" in l]
+        assert gens, "re-score must shingle via explode"
+        # ancestors print before descendants: each explode must have a
+        # semi-join somewhere below it, and there are at least as many
+        # semi-joins as explodes (one per shingle branch)
+        assert len(semis) >= len(gens)
+        assert all(any(s > g for s in semis) for g in gens), (
+            "an explode has no candidate-id semi-join beneath it:\n"
+            + "\n".join(lines)
+        )
+
+    def test_fetch_docs_for_pairs_prunes_and_scores_equal(
+        self, spark, docs, tmp_path
+    ):
+        """The candidate-doc fetch over a doc_id-bucketed corpus table
+        reads ONLY the candidate ids' buckets (a strict subset for a
+        small pair set), and the re-score over the pruned read equals
+        the re-score over the full table."""
+        from canvas_data_loader_spark.plans.ops import fetch_docs_for_pairs
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        wh.write("documents", docs, "s0", bucket=("doc_id", 8))
+        cand = self._cand(docs).limit(2).localCheckpoint()
+        assert cand.count() == 2
+        pruned = fetch_docs_for_pairs(wh, "documents", cand)
+        full = fetch_docs_for_pairs(wh, "documents", cand, prune=False)
+        # <= 4 distinct ids route to <= 4 of 8 buckets: a strict subset
+        assert 0 < pruned.count() < full.count()
+        # completeness: every candidate id's row is in the pruned read
+        ids = {r.doc_a for r in cand.collect()} | {
+            r.doc_b for r in cand.collect()
+        }
+        have = {r.doc_id for r in pruned.select("doc_id").collect()}
+        assert ids <= have
+        got = D.rescore_candidates(pruned, cand, "text", "doc_id")
+        want = D.rescore_candidates(full, cand, "text", "doc_id")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        # unbucketed table: graceful full-read fallback
+        wh.write("docs_flat", docs, "s0")
+        flat = fetch_docs_for_pairs(wh, "docs_flat", cand)
+        assert flat.count() == full.count()
+
+    def test_rescore_with_persisted_sizes(self, docs):
+        """The sizes sidecar path (persisted per-doc shingle counts)
+        equals the derived path — only intersections are computed."""
+        from canvas_data_loader_spark.functions.text import (
+            shingles_from_tokens,
+            tokens,
+        )
+
+        cand = self._cand(docs).localCheckpoint()
+        sizes = (
+            docs.select("doc_id", tokens("text").alias("__t"))
+            .select(
+                "doc_id",
+                F.size(
+                    F.array_distinct(shingles_from_tokens(F.col("__t"), 3))
+                ).alias("n_sh"),
+            )
+            .filter(F.col("n_sh") > 0)
+        )
+        got = D.rescore_candidates(docs, cand, "text", "doc_id", sizes=sizes)
+        want = D.rescore_candidates(docs, cand, "text", "doc_id")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
 
 class TestUrlCanonical:
     """functions/urls.py rule-by-rule pins (q165's building block)."""

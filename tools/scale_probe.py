@@ -190,17 +190,22 @@ def main_logcleanup():
 
 
 def main_incremental_neardup():
-    """O(batch) claim for cross-dump incremental near-dup (q167): a
-    FIXED new dump deduped against a persisted banded-signature index
-    that grows by DISJOINT factor-x copies. The incremental probe
-    reads the stored band table and equi-joins the new dump's bands
-    (one broadcast-side scan of the index — no corpus re-shingle, no
-    corpus self-join); the rebuild comparator re-computes MinHash
-    bands for index+dump and self-joins, then filters to pairs
-    touching the dump. Expected: the probe's exponent is bounded by
-    the index SCAN (cheap IO, tiny constant) while the rebuild pays
-    the full shingle+minhash compute and self-join shuffle at every
-    scale — the gap, not just the exponents, is the finding.
+    """O(batch) claim for cross-dump incremental near-dup (q167),
+    END TO END since r11 — candidate generation AND the exact-Jaccard
+    re-score: a FIXED new dump deduped against a persisted
+    banded-signature index that grows by DISJOINT factor-x copies.
+    The incremental probe reads the stored band table, equi-joins the
+    new dump's bands (no corpus re-shingle, no corpus self-join),
+    bucket-prunes the corpus TEXT fetch to the candidate ids' buckets
+    (plans.ops.fetch_docs_for_pairs over the doc_id-bucketed docs
+    table), and re-scores candidate-bounded
+    (operators.dedup.rescore_candidates — the semi-join keeps the
+    shingle explode off the corpus). The rebuild comparator
+    re-computes MinHash bands for index+dump, self-joins, and
+    re-scores CORPUS-WIDE (the pre-r11 shape). Expected: the probe's
+    exponent stays ~flat (index scan + bounded bucket reads) while
+    the rebuild pays full shingle+minhash+self-join at every scale —
+    the gap, not just the exponents, is the finding.
     Usage: --incremental-neardup [factor]."""
     from canvas_data_loader_spark.operators import dedup as D
     from canvas_data_loader_spark.plans.pipeline import Warehouse
@@ -238,25 +243,109 @@ def main_incremental_neardup():
                 "s0",
                 bucket=("band_hash", 64),
             )
+            # the corpus text table, bucketed by doc_id — the layout
+            # that lets the re-score's candidate fetch prune to the
+            # candidate buckets (write amortized across imports;
+            # untimed like the index build)
+            wh.write("documents", idx_docs, "s0", bucket=("doc_id", 64))
 
             def probe():
+                # END-TO-END per-dump dedup (r11): candidates against
+                # the persisted index, then the candidate-BOUNDED
+                # exact re-score over a bucket-pruned corpus fetch —
+                # the corpus is never re-shingled and never fully
+                # scanned
+                from canvas_data_loader_spark.plans.ops import (
+                    fetch_docs_for_pairs,
+                )
+
                 idx = wh.read("band_index")
-                return D.incremental_neardup_candidates(
+                cand = D.incremental_neardup_candidates(
                     idx, new_bands
-                ).count()
+                ).localCheckpoint()
+                corpus_docs = fetch_docs_for_pairs(wh, "documents", cand)
+                docs_all = corpus_docs.select("doc_id", "text").unionByName(
+                    new.select("doc_id", "text")
+                )
+                return D.rescore_candidates(docs_all, cand).count()
 
             def rebuild():
+                # the naive comparator: recompute bands for the FULL
+                # corpus, self-join, then the corpus-wide re-score
+                # (the pre-r11 shape — every doc re-shingled)
+                from canvas_data_loader_spark.functions.text import (
+                    shingles_from_tokens,
+                    tokens,
+                )
+
                 full = idx_docs.unionByName(new)
-                pairs = D.minhash_candidate_pairs(full, "text", "doc_id")
-                return pairs.filter(
+                pairs = D.minhash_candidate_pairs(
+                    full, "text", "doc_id"
+                ).filter(
                     (F.col("doc_a") >= 1000 * OFFSET)
                     | (F.col("doc_b") >= 1000 * OFFSET)
+                )
+                sh = (
+                    full.select("doc_id", tokens("text").alias("__t"))
+                    .select(
+                        "doc_id",
+                        F.explode(
+                            F.array_distinct(
+                                shingles_from_tokens(F.col("__t"), 3)
+                            )
+                        ).alias("s"),
+                    )
+                    .localCheckpoint(eager=False)
+                )
+                sizes = sh.groupBy("doc_id").agg(
+                    F.count(F.lit(1)).alias("n_sh")
+                )
+                common = (
+                    pairs.join(
+                        sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id")
+                    )
+                    .join(
+                        sh.alias("sb"),
+                        (F.col("doc_b") == F.col("sb.doc_id"))
+                        & (F.col("sa.s") == F.col("sb.s")),
+                    )
+                    .groupBy("doc_a", "doc_b")
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+                )
+                return (
+                    common.join(
+                        sizes.select(
+                            F.col("doc_id").alias("doc_a"),
+                            F.col("n_sh").alias("na"),
+                        ),
+                        "doc_a",
+                    )
+                    .join(
+                        sizes.select(
+                            F.col("doc_id").alias("doc_b"),
+                            F.col("n_sh").alias("nb"),
+                        ),
+                        "doc_b",
+                    )
+                    .count()
+                )
+
+            def cand_only():
+                # candidate GENERATION alone (the r10 probe) — its
+                # exponent isolates the end-to-end residual growth to
+                # the candidate-doc text fetch (IO-only, no shingle)
+                return D.incremental_neardup_candidates(
+                    wh.read("band_index"), new_bands
                 ).count()
 
             n_inc = probe()  # warm
             t0 = time.time()
             assert probe() == n_inc
             t_probe = round(time.time() - t0, 3)
+            cand_only()  # warm
+            t0 = time.time()
+            cand_only()
+            t_cand = round(time.time() - t0, 3)
             n_reb = rebuild()  # warm
             t0 = time.time()
             assert rebuild() == n_reb
@@ -266,6 +355,7 @@ def main_incremental_neardup():
             )
             report[f"x{f}"] = {
                 "probe_sec": t_probe,
+                "cand_sec": t_cand,
                 "rebuild_sec": t_rebuild,
                 "pairs": n_inc,
             }
@@ -280,7 +370,7 @@ def main_incremental_neardup():
             / math.log(factor),
             3,
         )
-        for k in ("probe", "rebuild")
+        for k in ("probe", "cand", "rebuild")
     }
     print(
         json.dumps(
