@@ -165,19 +165,121 @@ def _parse_update(stmt: str):
     return table, assigns, cond
 
 
+def _merge_clause_starts(text: str) -> list[int]:
+    """Top-level start offsets of ``WHEN [NOT] MATCHED`` clauses.
+    CASE's WHEN is never followed by MATCHED, so requiring the MATCHED
+    token disambiguates; a condition that itself contains the literal
+    words ``WHEN MATCHED`` (e.g. comparing against a column of that
+    name inside CASE) must be parenthesized — depth > 0 is skipped."""
+    import re
+
+    starts, pos = [], 0
+    while True:
+        i = _find_keyword(text, "WHEN", pos)
+        if i < 0:
+            break
+        if re.match(r"WHEN\s+(NOT\s+)?MATCHED\b", text[i:], re.I):
+            starts.append(i)
+        pos = i + 4
+    return starts
+
+
+def _find_then_action(text: str) -> int:
+    """Offset of the top-level THEN that introduces the clause's
+    action (THEN followed by DELETE / UPDATE SET / INSERT). A CASE
+    expression's THEN inside an unparenthesized condition is skipped
+    unless its branch value starts with one of those keywords — wrap
+    such conditions in parentheses."""
+    import re
+
+    pos = 0
+    while True:
+        i = _find_keyword(text, "THEN", pos)
+        if i < 0:
+            return -1
+        if re.match(
+            r"THEN\s+(DELETE\b|UPDATE\s+SET\b|INSERT\b)", text[i:], re.I
+        ):
+            return i
+        pos = i + 4
+
+
+def _parse_merge_action(txt: str, is_not: bool):
+    """Parse a MERGE clause's THEN action. Returns one of
+    ``("delete",)``, ``("update_star",)``,
+    ``("update", [(col, expr), ...])``, ``("insert_star",)``,
+    ``("insert", [col, ...], [expr, ...])``."""
+    import re
+
+    t = txt.strip()
+    if re.fullmatch(r"DELETE", t, re.I):
+        if is_not:
+            raise SqlDmlError("WHEN NOT MATCHED cannot DELETE")
+        return ("delete",)
+    m = re.match(r"UPDATE\s+SET\s+", t, re.I)
+    if m:
+        if is_not:
+            raise SqlDmlError("WHEN NOT MATCHED cannot UPDATE")
+        body = t[m.end():].strip()
+        if body == "*":
+            return ("update_star",)
+        assigns = []
+        for item in _split_top_level(body):
+            if not item:
+                continue
+            eq = item.find("=")
+            if eq <= 0:
+                raise SqlDmlError(f"malformed MERGE SET assignment {item!r}")
+            assigns.append((item[:eq].strip(), item[eq + 1 :].strip()))
+        if not assigns:
+            raise SqlDmlError("MERGE UPDATE SET with an empty assignment list")
+        return ("update", assigns)
+    m = re.match(r"INSERT\b\s*", t, re.I)
+    if m:
+        if not is_not:
+            raise SqlDmlError("WHEN MATCHED cannot INSERT")
+        body = t[m.end():].strip()
+        if body == "*":
+            return ("insert_star",)
+        mi = re.match(r"\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$", body, re.I | re.S)
+        if not mi:
+            raise SqlDmlError(
+                "malformed MERGE INSERT (want INSERT * or "
+                "INSERT (col, ...) VALUES (expr, ...))"
+            )
+        cols = [_ident(c) for c in _split_top_level(mi.group(1)) if c]
+        exprs = [e for e in _split_top_level(mi.group(2)) if e]
+        if not cols or len(cols) != len(exprs):
+            raise SqlDmlError(
+                f"MERGE INSERT arity mismatch: {len(cols)} column(s) for "
+                f"{len(exprs)} expression(s)"
+            )
+        return ("insert", cols, exprs)
+    raise SqlDmlError(
+        f"unsupported MERGE action {t[:40]!r} (supported: DELETE / "
+        "UPDATE SET * / UPDATE SET col = expr, ... / INSERT * / "
+        "INSERT (cols) VALUES (exprs))"
+    )
+
+
 def _parse_merge(stmt: str):
     """Supported MERGE shapes (the warehouse's keyed CDC semantics):
 
         MERGE INTO t [AS a] USING <view | (subquery)> [AS b]
             ON t.<key> = b.<key>                  (equality on the key)
-        [WHEN MATCHED AND <cond> THEN DELETE]
-        [WHEN MATCHED THEN DELETE]                (unconditional)
-        [WHEN MATCHED THEN UPDATE SET *]
-        [WHEN NOT MATCHED THEN INSERT *]
+        WHEN MATCHED [AND <cond>] THEN DELETE
+        WHEN MATCHED [AND <cond>] THEN UPDATE SET *
+        WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr, ...
+        WHEN NOT MATCHED [AND <cond>] THEN INSERT *
+        WHEN NOT MATCHED [AND <cond>] THEN INSERT (cols) VALUES (exprs)
 
-    UPDATE SET * / INSERT * only — column-level assignment in MERGE is
-    the row-replacement the keyed upsert already performs; use UPDATE
-    ... SET for column surgery."""
+    Any number of clauses per side; each source row routes to its
+    FIRST matching clause (SQL/Delta semantics), so an unconditional
+    clause is only allowed LAST on its side. Conditions and update
+    expressions evaluate over the JOINED row (target refs via the
+    target alias or unambiguous bare names); NOT MATCHED conditions
+    and INSERT expressions see the source row only. Returns a dict
+    with ``matched`` / ``not_matched`` ordered clause lists."""
     import re
 
     m = re.match(r"\s*MERGE\s+INTO\s+(\S+)(?:\s+AS\s+(\w+))?\s+USING\s+",
@@ -240,81 +342,64 @@ def _parse_merge(stmt: str):
             raise SqlDmlError(f"unknown qualifier {q!r} in MERGE ON")
     key = c1
     # WHEN clauses — statement order matters: SQL MERGE routes each
-    # row to its FIRST matching clause, so an unconditional matched
-    # clause anywhere but last would make every later clause dead
-    # (Delta's rule: only the last matched clause may omit AND <cond>)
-    delete_cond = None
-    has_delete = has_update = has_insert = False
-    matched_order: list[tuple[str, str | None]] = []
-    pat = re.compile(
-        r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+"
-        r"(DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*)\s*",
-        re.I | re.S,
-    )
-    pos = 0
-    while pos < len(clauses_text):
-        mc = pat.match(clauses_text, pos)
-        if not mc:
-            if clauses_text[pos:].strip():
-                raise SqlDmlError(
-                    "unsupported MERGE clause at: "
-                    f"{clauses_text[pos:pos + 60]!r} (supported: WHEN "
-                    "MATCHED [AND c] THEN DELETE / WHEN MATCHED THEN "
-                    "UPDATE SET * / WHEN NOT MATCHED THEN INSERT *)"
-                )
-            break
-        is_not, cond, action = mc.group(1), mc.group(2), mc.group(3).upper()
-        action = " ".join(action.split())
-        if is_not:
-            if action != "INSERT *" or cond:
-                raise SqlDmlError(
-                    "WHEN NOT MATCHED supports only THEN INSERT *"
-                )
-            has_insert = True
-        elif action == "DELETE":
-            if has_delete:
-                raise SqlDmlError(
-                    "duplicate WHEN MATCHED ... THEN DELETE clause"
-                )
-            has_delete = True
-            delete_cond = cond.strip() if cond else None
-            matched_order.append(("delete", delete_cond))
-        elif action == "UPDATE SET *":
-            if cond:
-                raise SqlDmlError(
-                    "WHEN MATCHED AND ... THEN UPDATE SET * is not "
-                    "supported (conditional update = UPDATE ... SET)"
-                )
-            if has_update:
-                raise SqlDmlError(
-                    "duplicate WHEN MATCHED THEN UPDATE SET * clause"
-                )
-            has_update = True
-            matched_order.append(("update", None))
-        else:
-            raise SqlDmlError(f"unsupported MERGE action {action!r}")
-        pos = mc.end()
-    if not (has_delete or has_update or has_insert):
-        raise SqlDmlError("MERGE requires at least one WHEN clause")
-    for i, (act, c) in enumerate(matched_order):
-        if c is None and i < len(matched_order) - 1:
+    # row to its FIRST matching clause, so an unconditional clause
+    # anywhere but last on its side would make every later clause on
+    # that side dead (Delta's rule)
+    starts = _merge_clause_starts(clauses_text)
+    if not starts or clauses_text[: starts[0]].strip():
+        raise SqlDmlError(
+            "unsupported MERGE clause at: "
+            f"{clauses_text[:60]!r} (want WHEN [NOT] MATCHED ...)"
+        )
+    bounds = starts + [len(clauses_text)]
+    matched: list = []
+    not_matched: list = []
+    for a, b in zip(bounds, bounds[1:]):
+        clause = clauses_text[a:b].strip()
+        mm = re.match(r"WHEN\s+(NOT\s+)?MATCHED\b\s*", clause, re.I | re.S)
+        is_not = bool(mm.group(1))
+        rest = clause[mm.end():]
+        t_at = _find_then_action(rest)
+        if t_at < 0:
             raise SqlDmlError(
-                f"WHEN MATCHED THEN {act.upper()} without a condition "
-                "must be the LAST matched clause — each row routes to "
-                "its first matching clause, so an earlier unconditional "
-                "clause would make every later matched clause dead; "
-                "reorder the clauses or add AND <condition>"
+                f"MERGE clause missing THEN <action>: {clause[:60]!r}"
             )
+        head, action_txt = rest[:t_at].strip(), rest[t_at + 4 :].strip()
+        cond = None
+        if head:
+            ma = re.match(r"AND\b\s*", head, re.I | re.S)
+            if not ma:
+                raise SqlDmlError(
+                    "unexpected tokens before THEN in MERGE clause: "
+                    f"{head[:40]!r}"
+                )
+            cond = head[ma.end():].strip()
+            if not cond:
+                raise SqlDmlError("empty AND condition in MERGE clause")
+        action = _parse_merge_action(action_txt, is_not)
+        (not_matched if is_not else matched).append((cond, action))
+    if not (matched or not_matched):
+        raise SqlDmlError("MERGE requires at least one WHEN clause")
+    for lst, label in ((matched, "MATCHED"), (not_matched, "NOT MATCHED")):
+        for i, (cond, action) in enumerate(lst):
+            if cond is None and i < len(lst) - 1:
+                raise SqlDmlError(
+                    f"WHEN {label} THEN {action[0].split('_')[0].upper()} "
+                    "without a condition must be the LAST "
+                    f"{label.lower()} clause — each row routes to its "
+                    "first matching clause, so an earlier unconditional "
+                    f"clause would make every later {label.lower()} "
+                    "clause dead; reorder the clauses or add AND "
+                    "<condition>"
+                )
     return {
         "table": table,
         "source": source,
         "key": key,
         "t_alias": t_alias,
         "s_alias": s_alias,
-        "delete": has_delete,
-        "delete_cond": delete_cond,
-        "update": has_update,
-        "insert": has_insert,
+        "matched": matched,
+        "not_matched": not_matched,
     }
 
 
@@ -598,6 +683,257 @@ def _table_history(wh, table: str) -> list[dict]:
     return out
 
 
+def _scope_source_cond(
+    expr: str, t_alias: str, s_alias: str | None, src_cols: set,
+    key: str, table: str, what: str,
+) -> str:
+    """Scope a NOT-MATCHED condition / INSERT expression: it sees the
+    SOURCE row only (there is no target row for an unmatched source
+    row). Target-qualified references raise a clear error; source
+    qualifiers strip; bare names must be source columns or builtins."""
+    import re
+
+    if re.search(rf"\b{re.escape(t_alias)}\s*\.", expr) or (
+        t_alias != table and re.search(rf"\b{re.escape(table)}\s*\.", expr)
+    ):
+        raise SqlDmlError(
+            f"{what} cannot reference the target row "
+            f"({t_alias!r}.<col>) — an unmatched source row has none"
+        )
+    return _scope_merge_cond(
+        expr, t_alias, s_alias, src_cols, set(), key, table
+    )
+
+
+def _execute_merge_generic(wh, p: dict, src) -> dict:
+    """Clause-routing MERGE executor for the shapes beyond the legacy
+    fast path: column-level ``UPDATE SET col = expr``, conditional
+    update/insert clauses, multiple WHEN branches per side, and
+    ``INSERT (cols) VALUES (exprs)``.
+
+    Each MATCHED source row is routed to its first matching clause by
+    a single CASE over the source⋈target join (target columns joined
+    in under the ``__t_`` prefix; exactly one target row per key on a
+    keyed table, so the inner join IS the matched set); UPDATE clauses
+    emit full replacement row images (assigned columns evaluated over
+    the joined row, unassigned columns carried from the target),
+    DELETE clauses emit keys. NOT-MATCHED rows route the same way over
+    the anti-join; INSERT clauses emit images with omitted columns
+    NULL-padded. Images and delete keys then ride the SAME
+    ``merge_bucketed`` keyed upsert as every other write — CAS,
+    constraints, epochs, and DV-awareness are carried unchanged.
+
+    Scale: one join of the batch against the (column-pruned) target
+    plus one anti-join for inserts — the target is never broadcast
+    (100 TB side); routing and images are pure expressions."""
+    from pyspark.sql import functions as F
+
+    key = p["key"]
+    table = p["table"]
+    tgt = wh.read(table)
+    tf = {f.name: f.dataType for f in tgt.schema.fields}
+    src_cols, tgt_cols = set(src.columns), set(tgt.columns)
+    t_alias, s_alias = p["t_alias"], p["s_alias"]
+    if key not in src_cols:
+        raise SqlDmlError(f"MERGE source must carry the key {key!r}")
+
+    def scope_joined(expr: str) -> str:
+        return _scope_merge_cond(
+            expr, t_alias, s_alias, src_cols, tgt_cols, key, table
+        )
+
+    def assign_target_col(raw: str) -> str:
+        parts = raw.split(".")
+        if len(parts) == 2:
+            q, c = _ident(parts[0]), _ident(parts[1])
+            if q not in (t_alias, table):
+                raise SqlDmlError(
+                    f"MERGE SET target must be a target column, got {raw!r}"
+                )
+            return c
+        if len(parts) != 1:
+            raise SqlDmlError(f"malformed MERGE SET target {raw!r}")
+        return _ident(raw)
+
+    images = []
+    delete_keys = None
+    if p["matched"]:
+        # validate + precompute per-clause column expressions first, so a
+        # malformed statement fails before any job runs
+        upd_idx = [
+            i for i, (_, a) in enumerate(p["matched"]) if a[0] != "delete"
+        ]
+        del_idx = [
+            i for i, (_, a) in enumerate(p["matched"]) if a[0] == "delete"
+        ]
+        per_clause: dict[int, dict] = {}
+        for i in upd_idx:
+            a = p["matched"][i][1]
+            if a[0] == "update_star":
+                missing = sorted(c for c in tgt_cols if c not in src_cols)
+                if missing:
+                    raise SqlDmlError(
+                        f"MERGE UPDATE SET * needs source column(s) "
+                        f"{missing} to build the replacement row"
+                    )
+                per_clause[i] = {
+                    c: F.col(c).cast(tf[c]) for c in tgt.columns
+                }
+            else:
+                assigns: dict = {}
+                for raw, expr in a[1]:
+                    c = assign_target_col(raw)
+                    if c not in tgt_cols:
+                        raise SqlDmlError(
+                            f"MERGE SET column {c!r} not in {table!r}"
+                        )
+                    if c == key:
+                        raise SqlDmlError(
+                            f"MERGE cannot SET the bucket key {key!r} "
+                            "(re-keying = DELETE + INSERT)"
+                        )
+                    if c in assigns:
+                        raise SqlDmlError(f"duplicate MERGE SET column {c!r}")
+                    assigns[c] = F.expr(scope_joined(expr)).cast(tf[c])
+                per_clause[i] = {
+                    c: (
+                        assigns[c]
+                        if c in assigns
+                        else (F.col(key) if c == key else F.col(f"__t_{c}"))
+                    )
+                    for c in tgt.columns
+                }
+        route = None
+        for i, (cond, _a) in enumerate(p["matched"]):
+            c = (
+                F.expr(scope_joined(cond))
+                if cond is not None
+                else F.lit(True)
+            )
+            route = (
+                F.when(c, F.lit(i))
+                if route is None
+                else route.when(c, F.lit(i))
+            )
+        tgt_pref = tgt.select(
+            key, *[F.col(c).alias(f"__t_{c}") for c in tgt.columns if c != key]
+        )
+        routed = (
+            src.join(tgt_pref, on=key, how="inner")
+            .withColumn("__clause", route.otherwise(F.lit(-1)))
+            .localCheckpoint(eager=False)  # consumed per branch below
+        )
+        if del_idx:
+            delete_keys = routed.filter(
+                F.col("__clause").isin(del_idx)
+            ).select(key)
+        if upd_idx:
+            img = []
+            for c in tgt.columns:
+                e = None
+                for i in upd_idx:
+                    v = per_clause[i][c]
+                    e = (
+                        F.when(F.col("__clause") == i, v)
+                        if e is None
+                        else e.when(F.col("__clause") == i, v)
+                    )
+                img.append(e.alias(c))
+            images.append(
+                routed.filter(
+                    F.col("__clause").isin(upd_idx)
+                ).select(*img)
+            )
+    if p["not_matched"]:
+        per_ins: dict[int, dict] = {}
+        for i, (_c, a) in enumerate(p["not_matched"]):
+            if a[0] == "insert_star":
+                missing = sorted(c for c in tgt_cols if c not in src_cols)
+                if missing:
+                    raise SqlDmlError(
+                        f"MERGE INSERT * needs source column(s) {missing}"
+                    )
+                per_ins[i] = {c: F.col(c).cast(tf[c]) for c in tgt.columns}
+            else:
+                cols, exprs = a[1], a[2]
+                unknown = sorted(c for c in cols if c not in tgt_cols)
+                if unknown:
+                    raise SqlDmlError(
+                        f"MERGE INSERT column(s) {unknown} not in {table!r}"
+                    )
+                if len(set(cols)) != len(cols):
+                    raise SqlDmlError(
+                        f"duplicate column in MERGE INSERT list: {cols}"
+                    )
+                if key not in cols:
+                    raise SqlDmlError(
+                        f"MERGE INSERT must supply the bucket key {key!r}"
+                    )
+                by_col = {
+                    c: F.expr(
+                        _scope_source_cond(
+                            e, t_alias, s_alias, src_cols, key, table,
+                            "MERGE INSERT expression",
+                        )
+                    ).cast(tf[c])
+                    for c, e in zip(cols, exprs)
+                }
+                per_ins[i] = {
+                    c: by_col.get(c, F.lit(None).cast(tf[c]))
+                    for c in tgt.columns
+                }
+        route = None
+        for i, (cond, _a) in enumerate(p["not_matched"]):
+            c = (
+                F.expr(
+                    _scope_source_cond(
+                        cond, t_alias, s_alias, src_cols, key, table,
+                        "MERGE NOT MATCHED condition",
+                    )
+                )
+                if cond is not None
+                else F.lit(True)
+            )
+            route = (
+                F.when(c, F.lit(i))
+                if route is None
+                else route.when(c, F.lit(i))
+            )
+        # target key set: column-pruned, deliberately NOT broadcast-
+        # hinted (the target is the 100 TB side); AQE picks strategy
+        unmatched = src.join(tgt.select(key).distinct(), on=key, how="left_anti")
+        routed_n = unmatched.withColumn("__clause", route.otherwise(F.lit(-1)))
+        img = []
+        for c in tgt.columns:
+            e = None
+            for i in range(len(p["not_matched"])):
+                v = per_ins[i][c]
+                e = (
+                    F.when(F.col("__clause") == i, v)
+                    if e is None
+                    else e.when(F.col("__clause") == i, v)
+                )
+            img.append(e.alias(c))
+        images.append(
+            routed_n.filter(F.col("__clause") >= 0).select(*img)
+        )
+    upserts = None
+    for im in images:
+        upserts = im if upserts is None else upserts.unionByName(im)
+    if upserts is None:
+        # delete-only statement: the empty upsert frame must carry the
+        # TARGET's schema (the source may be a bare key feed)
+        upserts = tgt.limit(0)
+    if delete_keys is not None:
+        # in-batch duplicate keys routed to both a DELETE and an
+        # UPDATE clause resolve delete-wins, matching the legacy path
+        upserts = upserts.join(delete_keys.distinct(), on=key, how="left_anti")
+    affected = wh.merge_bucketed(
+        table, upserts, snapshot="sql-merge", delete_keys=delete_keys
+    )
+    return {"operation": "MERGE", "buckets": affected}
+
+
 def execute_dml(wh, stmt: str) -> dict:
     """Execute one DML statement against a warehouse (either commit
     protocol). Returns {"operation": ..., "rows"/"buckets": ...};
@@ -655,6 +991,39 @@ def execute_dml(wh, stmt: str) -> dict:
                 "routes by it"
             )
         key = p["key"]
+        matched_cl, not_matched_cl = p["matched"], p["not_matched"]
+        # the pre-r11 shapes (at most one delete [any condition], one
+        # UNCONDITIONAL UPDATE SET *, one UNCONDITIONAL INSERT *) keep
+        # their join-minimal executor; everything else — column-level
+        # SET, conditional update/insert, multi-branch — routes through
+        # the generic clause-routing path below
+        legacy = (
+            all(
+                a[0] == "delete" or (a[0] == "update_star" and c is None)
+                for c, a in matched_cl
+            )
+            and sum(1 for _, a in matched_cl if a[0] == "delete") <= 1
+            and sum(1 for _, a in matched_cl if a[0] == "update_star") <= 1
+            and all(
+                a[0] == "insert_star" and c is None for c, a in not_matched_cl
+            )
+            and len(not_matched_cl) <= 1
+        )
+        if not legacy:
+            return _execute_merge_generic(wh, p, src)
+        has_delete = any(a[0] == "delete" for _, a in matched_cl)
+        delete_cond_txt = next(
+            (c for c, a in matched_cl if a[0] == "delete"), None
+        )
+        has_update = any(a[0] == "update_star" for _, a in matched_cl)
+        has_insert = bool(not_matched_cl)
+        p = dict(
+            p,
+            delete=has_delete,
+            delete_cond=delete_cond_txt,
+            update=has_update,
+            insert=has_insert,
+        )
         delete_keys = None
         upserts = src
         existing = None

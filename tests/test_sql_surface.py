@@ -333,7 +333,7 @@ class TestSqlDml:
             execute_dml(
                 wh,
                 "MERGE INTO t USING src_k AS s ON t.id = s.id "
-                "WHEN MATCHED THEN UPDATE SET v = 'x'",
+                "WHEN MATCHED THEN TRUNCATE",
             )
 
     def test_delete_everything_and_string_literals(self, spark, dml_wh):
@@ -530,14 +530,17 @@ class TestMergeClauseSemantics:
                 "WHEN MATCHED THEN DELETE "
                 "WHEN MATCHED THEN UPDATE SET *",
             )
-        with pytest.raises(SqlDmlError, match="duplicate"):
-            execute_dml(
-                wh,
-                "MERGE INTO t USING (SELECT * FROM feed_order) AS s "
-                "ON t.id = s.id "
-                "WHEN MATCHED AND s.deleted THEN DELETE "
-                "WHEN MATCHED AND s.v = 'x' THEN DELETE",
-            )
+        # two CONDITIONAL delete clauses are legal since round 11
+        # (first-match routing) — the feed row hits the first one
+        out = execute_dml(
+            wh,
+            "MERGE INTO t USING (SELECT * FROM feed_order) AS s "
+            "ON t.id = s.id "
+            "WHEN MATCHED AND s.deleted THEN DELETE "
+            "WHEN MATCHED AND s.v = 'x' THEN DELETE",
+        )
+        assert out["operation"] == "MERGE"
+        assert 1 not in {r["id"] for r in wh.read("t").collect()}
 
     def test_delete_cond_reads_target_row(self, spark, dml_wh):
         """t.cnt > 50 must test the TARGET's current cnt: seed rows
@@ -711,6 +714,202 @@ class TestSqlTimeTravel:
         assert res["operation"] == "DELETE"
         with pytest.raises(SqlDmlError, match="unknown"):
             execute_sql(wh, "SELECT * FROM nope VERSION AS OF 1")
+
+
+class TestSqlMergeClauses:
+    """Round-11 MERGE surface: column-level UPDATE SET assignments,
+    conditional WHEN clauses, multi-branch routing, and INSERT with a
+    column list — statement end-state pinned on BOTH commit protocols,
+    with every guarantee (CAS, constraints, epochs) riding the same
+    merge_bucketed keyed upsert as the legacy shapes."""
+
+    def _rows(self, wh, name="t"):
+        return {
+            r["id"]: (r["v"], r["cnt"]) for r in wh.read(name).collect()
+        }
+
+    def test_column_level_update(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import execute_dml
+
+        wh = dml_wh("mc1")
+        _seed(spark, wh)
+        spark.createDataFrame(
+            [(2, "aa", 5), (20, "zz", 7)], "id long, v string, cnt long"
+        ).createOrReplaceTempView("mc1_src")
+        out = execute_dml(
+            wh,
+            "MERGE INTO t USING mc1_src AS s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = upper(s.v), "
+            "cnt = t.cnt + s.cnt",
+        )
+        assert out["operation"] == "MERGE"
+        rows = self._rows(wh)
+        assert rows[2] == ("AA", 25)      # 20 (target) + 5 (source)
+        assert 20 not in rows             # no NOT MATCHED clause
+        assert rows[3] == ("v3", 30)      # untouched
+
+    def test_multibranch_first_match_routing(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import execute_dml
+
+        wh = dml_wh("mc2")
+        _seed(spark, wh)
+        spark.createDataFrame(
+            [(1, "x1", 500), (3, "x3", 0), (2, "x2", 7), (50, "new", 9)],
+            "id long, v string, cnt long",
+        ).createOrReplaceTempView("mc2_src")
+        execute_dml(
+            wh,
+            "MERGE INTO t USING mc2_src AS s ON t.id = s.id "
+            "WHEN MATCHED AND s.cnt > 100 THEN DELETE "
+            "WHEN MATCHED AND t.cnt >= 30 THEN UPDATE SET cnt = t.cnt + 1 "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+        rows = self._rows(wh)
+        assert 1 not in rows              # first clause: DELETE
+        assert rows[3] == ("v3", 31)      # second: target-cond update
+        assert rows[2] == ("x2", 7)       # third: replacement row
+        assert rows[50] == ("new", 9)     # NOT MATCHED: insert
+        assert rows[4] == ("v4", 40)      # untouched
+
+    def test_conditional_insert_with_column_list(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import execute_dml
+
+        wh = dml_wh("mc3")
+        _seed(spark, wh)
+        spark.createDataFrame(
+            [(30, "aa", 10), (40, "bb", 3), (1, "zz", 99)],
+            "id long, v string, cnt long",
+        ).createOrReplaceTempView("mc3_src")
+        execute_dml(
+            wh,
+            "MERGE INTO t USING mc3_src AS s ON t.id = s.id "
+            "WHEN NOT MATCHED AND s.cnt >= 10 THEN "
+            "INSERT (id, v, cnt) VALUES (s.id, upper(s.v), s.cnt * 2) "
+            "WHEN NOT MATCHED THEN INSERT (id, cnt) VALUES (s.id, 0)",
+        )
+        rows = self._rows(wh)
+        assert rows[30] == ("AA", 20)
+        assert rows[40] == (None, 0)      # v NULL-padded
+        assert rows[1] == ("v1", 10)      # matched row: no clause, untouched
+
+    def test_matched_rows_without_clause_fall_through(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import execute_dml
+
+        wh = dml_wh("mc4")
+        _seed(spark, wh)
+        spark.createDataFrame(
+            [(2, "up", 1), (3, "no", 1)], "id long, v string, cnt long"
+        ).createOrReplaceTempView("mc4_src")
+        execute_dml(
+            wh,
+            "MERGE INTO t USING mc4_src AS s ON t.id = s.id "
+            "WHEN MATCHED AND s.v = 'up' THEN UPDATE SET v = s.v",
+        )
+        rows = self._rows(wh)
+        assert rows[2] == ("up", 20)      # assigned col only; cnt kept
+        assert rows[3] == ("v3", 30)      # condition false: untouched
+
+    def test_clause_validation_errors(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import SqlDmlError, execute_dml
+
+        wh = dml_wh("mc5")
+        _seed(spark, wh)
+        spark.createDataFrame(
+            [(2, "a", 1)], "id long, v string, cnt long"
+        ).createOrReplaceTempView("mc5_src")
+        base = "MERGE INTO t USING mc5_src AS s ON t.id = s.id "
+        with pytest.raises(SqlDmlError, match="LAST not matched"):
+            execute_dml(
+                wh,
+                base + "WHEN NOT MATCHED THEN INSERT * "
+                "WHEN NOT MATCHED AND s.cnt > 0 THEN INSERT *",
+            )
+        with pytest.raises(SqlDmlError, match="bucket key"):
+            execute_dml(
+                wh, base + "WHEN MATCHED THEN UPDATE SET id = s.id + 1"
+            )
+        with pytest.raises(SqlDmlError, match="supply the bucket key"):
+            execute_dml(
+                wh,
+                base + "WHEN NOT MATCHED THEN INSERT (v) VALUES (s.v)",
+            )
+        with pytest.raises(SqlDmlError, match="reference the target row"):
+            execute_dml(
+                wh,
+                base + "WHEN NOT MATCHED AND t.cnt > 0 THEN INSERT *",
+            )
+        with pytest.raises(SqlDmlError, match="not in"):
+            execute_dml(
+                wh, base + "WHEN MATCHED THEN UPDATE SET nope = 1"
+            )
+
+    def test_constraints_ride_generic_merge(self, spark, dml_wh):
+        from canvas_data_loader_spark.plans.constraints import (
+            ConstraintViolation,
+        )
+        from canvas_data_loader_spark.sql import execute_dml, execute_sql
+
+        wh = dml_wh("mc6")
+        _seed(spark, wh)
+        execute_sql(
+            wh, "ALTER TABLE t ADD CONSTRAINT cnt_pos CHECK (cnt >= 0)"
+        )
+        spark.createDataFrame(
+            [(2, "a", 1)], "id long, v string, cnt long"
+        ).createOrReplaceTempView("mc6_src")
+        with pytest.raises(ConstraintViolation, match="cnt_pos"):
+            execute_dml(
+                wh,
+                "MERGE INTO t USING mc6_src AS s ON t.id = s.id "
+                "WHEN MATCHED THEN UPDATE SET cnt = -5",
+            )
+        # end state untouched after the refused statement
+        assert self._rows(wh)[2] == ("v2", 20)
+
+    def test_generic_equals_python_api(self, spark, dml_wh):
+        """Statement end-state == the Python-API sequence expressing
+        the same routing (the parity rule every SQL verb follows)."""
+        from pyspark.sql import functions as F
+
+        from canvas_data_loader_spark.sql import execute_dml
+
+        wh_s = dml_wh("mc7s")
+        wh_p = dml_wh("mc7p")
+        _seed(spark, wh_s)
+        _seed(spark, wh_p)
+        src = spark.createDataFrame(
+            [(1, "x1", 500), (3, "x3", 0), (50, "new", 9)],
+            "id long, v string, cnt long",
+        )
+        src.createOrReplaceTempView("mc7_src")
+        execute_dml(
+            wh_s,
+            "MERGE INTO t USING mc7_src AS s ON t.id = s.id "
+            "WHEN MATCHED AND s.cnt > 100 THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET v = concat(t.v, '+', s.v) "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+        # Python API: compute the images by hand, one merge_bucketed
+        tgt = wh_p.read("t")
+        joined = src.alias("s").join(tgt.alias("t"), "id", "inner")
+        del_keys = joined.filter(F.col("s.cnt") > 100).select("id")
+        upd = (
+            joined.filter(~(F.col("s.cnt") > 100))
+            .select(
+                "id",
+                F.concat(F.col("t.v"), F.lit("+"), F.col("s.v")).alias("v"),
+                F.col("t.cnt").alias("cnt"),
+            )
+        )
+        ins = src.join(tgt.select("id"), "id", "left_anti")
+        wh_p.merge_bucketed(
+            "t",
+            upd.unionByName(ins),
+            snapshot="api-merge",
+            delete_keys=del_keys,
+        )
+        assert self._rows(wh_s) == self._rows(wh_p)
 
 
 class TestSqlInsertCtas:
