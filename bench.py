@@ -161,6 +161,8 @@ HEADLINE = [
     "q165_url_canonical_dedup",
     "q166_ngram_novelty",
     "q167_incremental_neardup",
+    # round-11 registry additions
+    "q168_ann_index_probe",
 ]
 
 

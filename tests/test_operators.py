@@ -2710,3 +2710,187 @@ class TestUrlCanonical:
         }
         for i, (u, want) in enumerate(cases):
             assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+
+
+class TestAnnIndex:
+    """Persisted IVF embedding index (round 11 — plans/ops.py
+    create_ann_index / update_ann_index / probe_ann_index): the q167
+    maintained-index discipline applied to similarity search. Pins:
+    maintained == rebuilt against the FROZEN centroids, replay
+    idempotency, bucket-pruned probe == full probe == probe over a
+    rebuilt index, and centroid exactness through the JSON property
+    round-trip."""
+
+    def _wh(self, spark, tmp_path):
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        return Warehouse(spark, str(tmp_path / "wh"))
+
+    def _index_rows(self, wh, table="ann"):
+        return sorted(
+            (r["vec_id"], r["cell"]) for r in wh.read(table).collect()
+        )
+
+    def test_create_and_centroid_roundtrip(self, spark, embs, tmp_path):
+        from canvas_data_loader_spark.plans.ops import (
+            _ann_meta,
+            _centroid_frame,
+            create_ann_index,
+        )
+        from canvas_data_loader_spark.operators import simsearch as S
+
+        wh = self._wh(spark, tmp_path)
+        create_ann_index(wh, "ann", embs, "s0", n_cells=8, n_buckets=4)
+        meta = _ann_meta(wh, "ann")
+        assert len(meta["centroids"]) == 8
+        # index rows == a fresh assignment against the stored centroids
+        cents = _centroid_frame(spark, meta["centroids"])
+        want = sorted(
+            (r["vec_id"], r["cell"])
+            for r in S.assign_cells(
+                embs, cents, "vec_id", "embedding"
+            ).collect()
+        )
+        assert self._index_rows(wh) == want
+        # every vector indexed exactly once
+        assert len(want) == embs.count()
+
+    def test_maintained_equals_rebuilt(self, spark, embs, tmp_path):
+        from canvas_data_loader_spark.operators import simsearch as S
+        from canvas_data_loader_spark.plans.ops import (
+            _ann_meta,
+            _centroid_frame,
+            create_ann_index,
+            keyed_changes,
+            update_ann_index,
+        )
+
+        mod = F.col("vec_id") % 10
+        v0 = embs.filter(mod <= 7)            # initial corpus
+        # new corpus: inserts (mod 8), updates (mod 0 -> reversed
+        # vector, certain to change some cells), deletes (mod 7)
+        updated = embs.filter(mod == 0).withColumn(
+            "embedding", F.reverse(F.col("embedding"))
+        )
+        v1 = (
+            embs.filter((mod.isin(1, 2, 3, 4, 5, 6)) | (mod == 8))
+            .unionByName(updated)
+        )
+        wh = self._wh(spark, tmp_path)
+        create_ann_index(wh, "ann", v0, "s0", n_cells=8, n_buckets=4)
+        feed = keyed_changes(v0, v1, "vec_id").localCheckpoint()
+        affected = update_ann_index(wh, "ann", feed, "s1")
+        assert affected, "feed must touch cells"
+        # rebuilt comparator: assign the NEW corpus against the FROZEN
+        # centroids (re-training is a reindex, not maintenance)
+        cents = _centroid_frame(
+            spark, _ann_meta(wh, "ann")["centroids"]
+        )
+        want = sorted(
+            (r["vec_id"], r["cell"])
+            for r in S.assign_cells(v1, cents, "vec_id", "embedding").collect()
+        )
+        assert self._index_rows(wh) == want
+        # replayed batch (A25-style): exact no-op on the index rows
+        update_ann_index(wh, "ann", feed, "s1-replay")
+        assert self._index_rows(wh) == want
+
+    def test_probe_pruned_equals_full_equals_rebuilt(
+        self, spark, embs, tmp_path
+    ):
+        from canvas_data_loader_spark.plans.ops import (
+            create_ann_index,
+            probe_ann_index,
+        )
+
+        mod = F.col("vec_id") % 5
+        corpus, queries = embs.filter(mod != 4), embs.filter(mod == 4)
+        wh = self._wh(spark, tmp_path)
+        create_ann_index(wh, "ann", corpus, "s0", n_cells=8, n_buckets=4)
+        got = sorted(
+            map(
+                tuple,
+                probe_ann_index(wh, "ann", queries, k=5, n_probe=2).collect(),
+            )
+        )
+        full = sorted(
+            map(
+                tuple,
+                probe_ann_index(
+                    wh, "ann", queries, k=5, n_probe=2, prune=False
+                ).collect(),
+            )
+        )
+        assert got == full and len(got) > 0
+        # probe over a freshly rebuilt index table: same result
+        wh2 = self._wh(spark, tmp_path / "b")
+        create_ann_index(wh2, "ann", corpus, "s0", n_cells=8, n_buckets=4)
+        again = sorted(
+            map(
+                tuple,
+                probe_ann_index(wh2, "ann", queries, k=5, n_probe=2).collect(),
+            )
+        )
+        assert got == again
+
+    def test_probe_reads_only_probed_buckets(self, spark, embs, tmp_path):
+        """The pruned probe's index read lists only the probed cells'
+        buckets: a single-query probe with n_probe=1 must read fewer
+        rows than the table holds (strict subset at 8 cells/4
+        buckets... cells hash across buckets, so assert on CELLS)."""
+        from canvas_data_loader_spark.plans.ops import (
+            create_ann_index,
+            probe_ann_index,
+        )
+
+        wh = self._wh(spark, tmp_path)
+        create_ann_index(wh, "ann", embs, "s0", n_cells=8, n_buckets=8)
+        q1 = embs.limit(1)
+        out = probe_ann_index(wh, "ann", q1, k=3, n_probe=1)
+        rows = out.collect()
+        assert 0 < len(rows) <= 3
+        # with n_probe=1 every neighbor is from ONE cell
+        idx = {r["vec_id"]: r["cell"] for r in wh.read("ann").collect()}
+        cells = {idx[r["neighbor_id"]] for r in rows}
+        assert len(cells) == 1
+
+    def test_non_index_table_raises(self, spark, embs, tmp_path):
+        from canvas_data_loader_spark.plans.ops import probe_ann_index
+
+        wh = self._wh(spark, tmp_path)
+        wh.write("plain", embs, "s0", bucket=("vec_id", 4))
+        with pytest.raises(ValueError, match="not an ANN index"):
+            probe_ann_index(wh, "plain", embs.limit(1))
+
+    def test_registered_query_parity_with_probe(self, spark, tmp_path):
+        """q168's inline dataflow == probe_ann_index over a PERSISTED
+        index created with the same frozen parameters (first-16 seed,
+        one Lloyd iteration, expression assignment) — the registry row
+        and the warehouse lane are the same operator."""
+        from canvas_data_loader_spark import queries as Q
+        from canvas_data_loader_spark.plans.ops import (
+            create_ann_index,
+            probe_ann_index,
+        )
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        sf = "/root/testdata/sf0.001"
+        e = spark.read.parquet(f"{sf}/embeddings.parquet")
+        is_new = F.col("vec_id") % 5 == 4
+        corpus, queries = e.filter(~is_new), e.filter(is_new)
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        create_ann_index(
+            wh, "ann", corpus, "s0", n_cells=16, refine_iters=1,
+            n_buckets=4, vectorized=False,
+        )
+        got = sorted(
+            (r["query_id"], r["neighbor_id"], round(r["sim"], 6), r["rank"])
+            for r in probe_ann_index(
+                wh, "ann", queries, k=10, n_probe=4
+            ).collect()
+        )
+        want = sorted(
+            (r["query_id"], r["neighbor_id"], r["sim_r"], r["rank"])
+            for r in Q.SPARK["q168_ann_index_probe"](spark, sf).collect()
+        )
+        assert got == want and len(got) > 0

@@ -1850,9 +1850,112 @@ def main_checkpoint():
     )
 
 
+def main_ann_index():
+    """Probe-cost claim for the persisted IVF embedding index (round
+    11, plans/ops.py create/update/probe_ann_index): a FIXED query
+    batch probed against an index over a corpus grown by disjoint
+    factor-x id copies. Each scale's index uses the sqrt-cells rule
+    (derive_n_cells) with bucket count ∝ cells — the constant
+    bytes-per-cell layout — so a probe reads n_probe cells' buckets
+    regardless of corpus size; index creation is untimed (amortized
+    across imports, maintained incrementally by update_ann_index).
+    The comparator is exact brute-force top-k over the same corpus —
+    O(corpus) per query batch by construction. Expected: probe ~flat,
+    brute-force ∝ corpus, and the gap is the index's reason to exist.
+    Usage: --ann-index [factor]."""
+    from canvas_data_loader_spark.operators.simsearch import (
+        brute_force_topk,
+        derive_n_cells,
+    )
+    from canvas_data_loader_spark.plans.ops import (
+        create_ann_index,
+        probe_ann_index,
+    )
+    from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    spark = get_spark("scale_probe_ann")
+    e = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") % 97 == 3).limit(32).localCheckpoint()
+    n_q = queries.count()
+    report = {}
+    for f in (1, factor):
+        dest = tempfile.mkdtemp(prefix=f"scale_probe_ann_{f}_")
+        try:
+            copies = [
+                e.withColumn("vec_id", F.col("vec_id") + F.lit(i * OFFSET))
+                for i in range(f)
+            ]
+            big = copies[0]
+            for c in copies[1:]:
+                big = big.unionByName(c)
+            big.repartition(16).write.mode("overwrite").parquet(
+                f"{dest}/embeddings.parquet"
+            )
+            corpus = spark.read.parquet(f"{dest}/embeddings.parquet")
+            n_rows = corpus.count()
+            n_cells = derive_n_cells(n_rows)
+            wh = Warehouse(spark, os.path.join(dest, "wh"))
+            create_ann_index(  # untimed: amortized across imports
+                wh, "ann", corpus, "s0",
+                n_cells=n_cells, n_buckets=max(4, n_cells // 4),
+            )
+
+            def probe():
+                return probe_ann_index(
+                    wh, "ann", queries, k=10, n_probe=4
+                ).count()
+
+            def brute():
+                return brute_force_topk(corpus, queries, k=10).count()
+
+            n_p = probe()  # warm
+            t0 = time.time()
+            assert probe() == n_p
+            t_probe = round(time.time() - t0, 3)
+            n_b = brute()  # warm
+            t0 = time.time()
+            assert brute() == n_b
+            t_brute = round(time.time() - t0, 3)
+            report[f"x{f}"] = {
+                "probe_sec": t_probe,
+                "brute_sec": t_brute,
+                "rows": n_rows,
+                "cells": n_cells,
+                "probe_hits": n_p,
+                "brute_hits": n_b,
+            }
+        finally:
+            shutil.rmtree(dest, ignore_errors=True)
+    exp = {
+        k: round(
+            math.log(
+                max(report[f"x{factor}"][f"{k}_sec"], 1e-3)
+                / max(report["x1"][f"{k}_sec"], 1e-3)
+            )
+            / math.log(factor),
+            3,
+        )
+        for k in ("probe", "brute")
+    }
+    print(
+        json.dumps(
+            {
+                "mode": "ann-index",
+                "factor": factor,
+                "n_queries": n_q,
+                "runs": report,
+                "exponent": exp,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--checkpoint":
         main_checkpoint()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ann-index":
+        main_ann_index()
     elif len(sys.argv) > 1 and sys.argv[1] == "--source-pushdown":
         main_source_pushdown()
     elif len(sys.argv) > 1 and sys.argv[1] == "--writers":
