@@ -25,11 +25,15 @@ Rules applied (in order):
      identifies the PAGE, and leaving it would defeat the www./port
      rules on the rare crawl rows that carry it.
 
-Registrable-domain extraction is the last-two-labels heuristic; a
-production deployment swaps in a public-suffix-list table broadcast
-in front of the same expressions (the plan shape — per-row expression
-work, no shuffle — is identical), which matters only for ccTLD
-second-level registries (``example.co.uk``).
+Registrable-domain extraction is PSL-backed (round 11): longest-match
+against the vendored public-suffix snapshot in
+``functions/psl_snapshot.py`` (multi-label ICANN registry suffixes —
+``example.co.uk`` resolves to ``example.co.uk``), rendered as literal
+IN expressions so the plan shape (per-row expression work, no
+shuffle, no join) is unchanged; the last-two-labels heuristic remains
+the fallback for single-label TLDs (where it is exactly correct) and
+for hosts under wildcard/exception rules the snapshot does not carry.
+Swapping in the FULL list is a one-tuple replacement.
 """
 
 from __future__ import annotations
@@ -94,16 +98,35 @@ def canonical_url(c: Column | str) -> Column:
 
 
 def registrable_domain(c: Column | str) -> Column:
-    """Last-two-labels registrable domain of a CANONICAL url (port
-    already stripped): ``https://a.b.example.com/x`` -> ``example.com``.
-    Heuristic — see module docstring for the PSL caveat."""
+    """PSL-backed registrable domain of a CANONICAL url:
+    ``https://a.b.example.com/x`` -> ``example.com`` and
+    ``https://shop.example.co.uk/x`` -> ``example.co.uk``.
+
+    Longest-match against the vendored public-suffix SNAPSHOT
+    (functions/psl_snapshot.py — multi-label ICANN registry suffixes;
+    single-label TLDs need no table because the last-two-labels
+    heuristic is already correct there, and that heuristic remains the
+    fallback for hosts under unlisted/wildcard rules). Pure literal IN
+    expressions — no join, no UDF, the q165 plan shape is unchanged
+    (golden-pinned); the SQL mirror reads the SAME tuples."""
+    from .psl_snapshot import PSL_SUFFIXES_2, PSL_SUFFIXES_3
+
     _, hostport, _, _ = url_parts(c)
     host = F.regexp_replace(hostport, r"^.*@", "")
     host = F.regexp_replace(
         F.regexp_replace(host, r"^www\.", ""), r":\d+$", ""
     )
-    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    return F.when(two == "", host).otherwise(two)
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    last4 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+\.[^.]+)$", 1)
+    return (
+        F.when(
+            (last4 != "") & last3.isin(*PSL_SUFFIXES_3), last4
+        )
+        .when((last3 != "") & last2.isin(*PSL_SUFFIXES_2), last3)
+        .when(last2 == "", host)
+        .otherwise(last2)
+    )
 
 
 def canonical_url_sql(c: str) -> str:
@@ -144,7 +167,11 @@ def canonical_url_sql(c: str) -> str:
 
 
 def registrable_domain_sql(c: str) -> str:
-    """DuckDB mirror of registrable_domain()."""
+    """DuckDB mirror of registrable_domain() — the PSL IN-lists are
+    rendered from the SAME vendored tuples, so the engines cannot
+    drift on what counts as a public suffix."""
+    from .psl_snapshot import PSL_SUFFIXES_2, PSL_SUFFIXES_3
+
     u = f"REGEXP_REPLACE(TRIM({c}), '#.*$', '')"
     rest = f"REGEXP_REPLACE({u}, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
     hostport = f"LOWER(REGEXP_EXTRACT({rest}, '^([^/?]*)', 1))"
@@ -154,4 +181,14 @@ def registrable_domain_sql(c: str) -> str:
         f" ':[0-9]+$', '')"
     )
     two = f"REGEXP_EXTRACT({host}, '([^.]+\\.[^.]+)$', 1)"
-    return f"CASE WHEN {two} = '' THEN {host} ELSE {two} END"
+    last3 = f"REGEXP_EXTRACT({host}, '([^.]+\\.[^.]+\\.[^.]+)$', 1)"
+    last4 = (
+        f"REGEXP_EXTRACT({host}, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1)"
+    )
+    set2 = ", ".join(f"'{s}'" for s in PSL_SUFFIXES_2)
+    set3 = ", ".join(f"'{s}'" for s in PSL_SUFFIXES_3)
+    return (
+        f"CASE WHEN {last4} <> '' AND {last3} IN ({set3}) THEN {last4} "
+        f"WHEN {last3} <> '' AND {two} IN ({set2}) THEN {last3} "
+        f"WHEN {two} = '' THEN {host} ELSE {two} END"
+    )

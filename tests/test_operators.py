@@ -2673,6 +2673,10 @@ class TestUrlCanonical:
         urls = [u for u, _ in self.CASES] + [
             "https://a.b.c.example.co/x?utm_medium=email&q=1#z",
             "HTTP://WWW.SUB.HOST.NET:80//deep//path/?utm_a=1&z=9&m=2",
+            # PSL-backed domains agree across engines too
+            "https://shop.Example.CO.UK:443/p?utm_source=x&b=2",
+            "http://www.school.act.edu.au/x",
+            "https://co.uk/",
         ]
         df = spark.createDataFrame([(u,) for u in urls], ["u"])
         srows = df.select(
@@ -2698,6 +2702,18 @@ class TestUrlCanonical:
             ("https://a.b.example.com/x", "example.com"),
             ("https://www.example.com:8443/", "example.com"),
             ("http://localhost/x", "localhost"),
+            # PSL-backed (round 11): ccTLD second-level registries
+            ("https://shop.example.co.uk/x", "example.co.uk"),
+            ("https://www.example.co.uk/", "example.co.uk"),
+            ("http://a.b.example.com.au/x", "example.com.au"),
+            ("https://news.example.co.jp/", "example.co.jp"),
+            # 3-label suffixes (state registries)
+            ("https://www.school.act.edu.au/", "school.act.edu.au"),
+            # host IS a public suffix: heuristic fallback (no
+            # registrable domain exists; last-two-labels returned)
+            ("https://co.uk/", "co.uk"),
+            # unlisted multi-label host: heuristic last-two
+            ("https://a.example.dev/x", "example.dev"),
         ]
         df = spark.createDataFrame(
             [(i, u) for i, (u, _) in enumerate(cases)], ["i", "u"]
