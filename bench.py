@@ -163,6 +163,8 @@ HEADLINE = [
     "q167_incremental_neardup",
     # round-11 registry additions
     "q168_ann_index_probe",
+    "q169_domain_reputation_gate",
+    "q170_sentence_span_dedup",
 ]
 
 

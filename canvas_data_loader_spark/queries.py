@@ -29,6 +29,7 @@ from .functions.text import (
     fingerprint,
     normalize_text,
     shingles_from_tokens,
+    token_count,
     tokens,
 )
 from .functions import urls as U
@@ -8929,3 +8930,224 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(
         "query_id", "neighbor_id", F.round("sim", 6).alias("sim_r"), "rank"
     )
+
+
+@query(
+    "q169_domain_reputation_gate",
+    f"""
+    -- Per-domain reputation gating doc retention (round 11 — the
+    -- RefinedWeb second pass over q165's registrable domain): a
+    -- domain's reputation is aggregated from its documents (URL-level
+    -- duplication rate + short-doc rate, integer ppm), then broadcast
+    -- back so every document carries its domain's verdict. Retention
+    -- keeps docs whose domain shows dup_ppm <= 500000 AND
+    -- short_ppm <= 500000.
+    WITH u AS (
+        SELECT doc_id, text,
+               {U.canonical_url_sql(_URL_SQL)} AS canon
+        FROM documents
+    ), d AS (
+        SELECT doc_id, text, canon,
+               {U.registrable_domain_sql('canon')} AS domain
+        FROM u
+    ), rep AS (
+        SELECT domain,
+               CAST(COUNT(*) AS BIGINT) AS domain_docs,
+               CAST((COUNT(*) - COUNT(DISTINCT canon)) * 1000000
+                    // COUNT(*) AS BIGINT) AS dup_ppm,
+               CAST(SUM(CASE WHEN (CASE WHEN LENGTH(TRIM(text)) = 0
+                                   THEN 0
+                                   ELSE LEN(STRING_SPLIT_REGEX(
+                                            TRIM(text), '\\s+')) END) < 20
+                         THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS short_ppm
+        FROM d GROUP BY domain
+    )
+    SELECT d.doc_id, d.domain, rep.domain_docs, rep.dup_ppm,
+           rep.short_ppm,
+           (rep.dup_ppm <= 660000 AND rep.short_ppm <= 100000)
+               AS retained
+    FROM d JOIN rep USING (domain)
+    """,
+)
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain reputation aggregation gating document retention
+    (round 11 registry row (b) — RefinedWeb's domain-level second
+    pass, built on q165's canonicalization + PSL registrable domain):
+    documents score their domain by URL-duplication rate (canonical
+    URLs collapsing = scraped/mirrored content) and short-doc rate
+    (boilerplate farms), both integer ppm; every document is then
+    gated by its domain's verdict — the per-DOMAIN decision that
+    individual per-doc filters cannot express.
+
+    Scale shape: a TWO-LEVEL aggregation — one hash shuffle on domain
+    (COUNT/SUM are map-side-combinable; the COUNT(DISTINCT canon) is
+    Spark's standard two-phase expand, keyed by (domain, canon) — the
+    same exchange the dedup already pays) — then the |domains|-sized
+    reputation table joins BACK via broadcast, so the corpus is
+    scanned once and shuffled once; no per-doc second shuffle. At
+    100 TB a mega-domain is a bounded aggregate (no per-key state
+    beyond the partial sums), and the broadcast side stays
+    domain-sized regardless of corpus growth."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "text",
+        U.canonical_url(_url_col()).alias("canon"),
+    ).withColumn("domain", U.registrable_domain(F.col("canon")))
+    short = (token_count("text") < 20).cast("long")
+    rep = (
+        base.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("domain_docs"),
+            F.countDistinct("canon").alias("__n_urls"),
+            F.sum(short).alias("__n_short"),
+        )
+        .select(
+            "domain",
+            "domain_docs",
+            F.expr(
+                "(domain_docs - __n_urls) * 1000000 DIV domain_docs"
+            ).cast("bigint").alias("dup_ppm"),
+            F.expr("__n_short * 1000000 DIV domain_docs")
+            .cast("bigint")
+            .alias("short_ppm"),
+        )
+    )
+    return base.select("doc_id", "domain").join(
+        F.broadcast(rep), "domain"
+    ).select(
+        "doc_id",
+        "domain",
+        "domain_docs",
+        "dup_ppm",
+        "short_ppm",
+        (
+            (F.col("dup_ppm") <= 660000) & (F.col("short_ppm") <= 100000)
+        ).alias("retained"),
+    )
+
+
+@query(
+    "q170_sentence_span_dedup",
+    f"""
+    -- Sentence-level span dedup (round 11 registry row (c) -- C4's
+    -- three-sentence rule, Raffel et al. 2020: remove any
+    -- three-sentence span occurring MORE THAN ONCE in the dataset,
+    -- within- or cross-document): the q145/q164 positional-cut
+    -- machinery at sentence granularity. The fixture text carries no
+    -- sentence punctuation, so a deterministically punctuated twin is
+    -- derived per row (a period after every 5th token -- the q165
+    -- derive-the-missing-column precedent) and the REAL sentence
+    -- splitter parses it back before the span logic runs.
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS w
+        FROM documents
+    ), ptext AS (
+        SELECT doc_id,
+               CASE WHEN LEN(w) > 0 THEN
+                   ARRAY_TO_STRING(LIST_TRANSFORM(
+                       RANGE(0, CAST(CEIL(LEN(w) / 5.0) AS BIGINT)),
+                       g -> ARRAY_TO_STRING(w[g * 5 + 1 : g * 5 + 5], ' ')
+                            || '.'), ' ')
+               ELSE '' END AS p
+        FROM toks
+    ), sents AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT(REGEXP_REPLACE(p, '([.!?]) ',
+                   '\\1' || CHR(1), 'g'), CHR(1)), x -> x <> '') AS t
+        FROM ptext
+    ), spans AS (
+        SELECT doc_id, i, MD5(ARRAY_TO_STRING(t[i : i + 2], ' ')) AS g
+        FROM sents, UNNEST(RANGE(1, LEN(t) - 1)) AS r(i)
+        WHERE LEN(t) >= 3
+    ), dupg AS (
+        SELECT g FROM spans GROUP BY g HAVING COUNT(*) > 1
+    ), covered AS (
+        SELECT DISTINCT s.doc_id, p.j
+        FROM spans s JOIN dupg USING (g),
+             UNNEST(RANGE(s.i, s.i + 3)) AS p(j)
+    ), kept AS (
+        SELECT sk.doc_id, sk.i, sk.w
+        FROM (SELECT doc_id, i, t[i] AS w
+              FROM sents, UNNEST(RANGE(1, LEN(t) + 1)) AS r(i)) sk
+        ANTI JOIN covered c ON c.doc_id = sk.doc_id AND c.j = sk.i
+    )
+    SELECT b.doc_id,
+           CAST(LEN(b.t) AS BIGINT) AS n_sentences,
+           CAST(LEN(b.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           MD5(COALESCE(k.clean, '')) AS clean_md5
+    FROM sents b LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               STRING_AGG(w, ' ' ORDER BY i) AS clean
+        FROM kept GROUP BY doc_id
+    ) k ON k.doc_id = b.doc_id
+    """,
+)
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level span dedup -- C4's three-sentence rule (round 11
+    registry row (c)): any three-sentence span occurring more than
+    once in the corpus (within- OR cross-document -- C4's occurrence
+    rule, unlike q145's distinct-doc ExactSubstr rule) is cut from
+    every document carrying it; output is the per-doc sentence count,
+    removed count, and the md5 of the surviving text.
+
+    Shares the q145/q164 machinery wholesale at sentence granularity:
+    ``exactsubstr_grams(n=3)`` over the SENTENCE array (md5-hashed
+    32-byte span keys), a span-keyed occurrence aggregate, positional
+    cover explode bounded to duplicated spans, and the O(|t| + |cov|)
+    array-native ``_cut_covered`` rewrite. The sentence splitter
+    (split at [.!?]+space via a CHR(1) sentinel -- no lookbehind, so
+    both engines' regex dialects agree) runs on a deterministically
+    punctuated twin of the fixture text (period after every 5th
+    token), since the testdata carries none -- the q165 precedent for
+    deriving a missing column; on real data the splitter consumes the
+    raw text directly.
+
+    Scale shape: sentence spans shrink the gram table ~5x vs token
+    8-grams (one row per SENTENCE position, not token position); the
+    dup aggregate is map-side-combinable on 32-byte keys; cover
+    positions explode only from DUPLICATED spans; the rewrite is
+    per-doc array work with no second corpus shuffle. Same linear
+    discipline as q145 (200k-token regression pinned there)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens("text").alias("__t"))
+    n_grp = (F.ceil(F.size("__t") / F.lit(5))).cast("int")
+    ptext = F.when(
+        F.size("__t") > 0,
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), n_grp - 1),
+                lambda g: F.concat(
+                    F.concat_ws(
+                        " ", F.slice(F.col("__t"), g * 5 + 1, 5)
+                    ),
+                    F.lit("."),
+                ),
+            ),
+        ),
+    ).otherwise(F.lit(""))
+    sent_arr = F.filter(
+        F.split(
+            F.regexp_replace(ptext, r"([.!?]) ", "$1\u0001"), "\u0001"
+        ),
+        lambda x: x != F.lit(""),
+    )
+    sfr = toks.select("doc_id", sent_arr.alias("t"))
+    spans = D.exactsubstr_grams(sfr, n=3).localCheckpoint(eager=False)
+    dupg = (
+        spans.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("g")
+    )
+    covered = (
+        D.exactsubstr_covered_positions(spans, dupg, n=3)
+        .groupBy("doc_id")
+        .agg(F.collect_set("j").alias("cov"))
+    )
+    j = sfr.join(covered, "doc_id", "left").withColumn(
+        "cov", F.coalesce("cov", F.array().cast("array<bigint>"))
+    )
+    return _cut_covered(j).withColumnRenamed("n_tokens", "n_sentences")
