@@ -19,7 +19,7 @@ care::
 
     python -m canvas_data_loader_spark maintain --warehouse-dir DIR \
         --table T [--format manifest|delta] \
-        (--compact | --vacuum [--retention-sec S] | --checkpoint \
+        (--compact | --vacuum [--retention-sec S] | --checkpoint [--v2] \
          | --history | --rebucket N [--key K] | --restore V \
          | --changes V_FROM V_TO --out DIR | --refresh-view \
          | --delete-where SQL [--delete-mode auto|mor|cow] \
@@ -154,6 +154,12 @@ def _maintain(argv: list[str]) -> int:
         "--set", action="append", default=[], metavar="COL=SQL_EXPR",
         help="assignment for --update-where (repeatable)",
     )
+    ap.add_argument(
+        "--v2", action="store_true",
+        help="with --checkpoint: write the V2 SPEC layout (sidecar "
+        "parquets under _delta_log/_sidecars/ + a manifest) instead "
+        "of classic/multi-part; readers consume both",
+    )
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -198,7 +204,7 @@ def _maintain(argv: list[str]) -> int:
             print("--checkpoint applies to the delta format (the "
                   "manifest warehouse has no log to fold)")
             return 2
-        path = wh.checkpoint(args.table)
+        path = wh.checkpoint(args.table, v2=args.v2 or None)
         print(f"checkpointed {args.table} at v{wh.current_version(args.table)}"
               f" ({os.path.basename(path)})")
     elif args.rebucket is not None:

@@ -40,6 +40,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import shutil
 import time
 import uuid
@@ -55,6 +56,16 @@ _LOG_FMT = "{:020d}.json"
 _CKPT_FMT = "{:020d}.checkpoint.parquet"
 # multi-part classic checkpoint (PROTOCOL.md §checkpoints): part p of n
 _CKPT_PART_FMT = "{:020d}.checkpoint.{:010d}.{:010d}.parquet"
+# V2 spec checkpoint (PROTOCOL.md §v2-spec-checkpoints): one top-level
+# manifest named {v:020d}.checkpoint.{uniqueId}.parquet holding
+# protocol/metaData/txn/checkpointMetadata/sidecar actions, with the
+# FILE actions (add/remove) in sidecar parquets under
+# _delta_log/_sidecars/ — the layout current external writers produce,
+# which bounds the manifest to metadata-row size no matter how many
+# live files the state holds
+_CKPT_V2_FMT = "{:020d}.checkpoint.{}.parquet"
+_RE_CKPT_PART = re.compile(r"\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet")
+_SIDECAR_DIR = "_sidecars"
 
 # Column mapping (PROTOCOL.md §column-mapping): the rename lane. With
 # ``delta.columnMapping.mode = name`` the schemaString's field metadata
@@ -130,11 +141,16 @@ class DeltaWarehouse:
         checkpoint_interval: int = 10,
         vacuum_retention_sec: float = 6 * 3600.0,
         checkpoint_part_size: int = 100_000,
+        checkpoint_v2: bool = False,
     ):
         self.spark = spark
         self.root = root
         self.checkpoint_interval = checkpoint_interval
         self.vacuum_retention_sec = vacuum_retention_sec
+        # True = write V2 SPEC checkpoints (sidecar layout) instead of
+        # classic/multi-part; both forms are always READ (the reader
+        # dispatches on what _last_checkpoint's version names on disk)
+        self.checkpoint_v2 = checkpoint_v2
         # actions per checkpoint file: a state larger than this writes
         # the protocol's MULTI-PART classic checkpoint (…checkpoint.
         # {part}.{parts}.parquet + "parts" in _last_checkpoint), so
@@ -226,17 +242,66 @@ class DeltaWarehouse:
             ]
         else:
             paths = [os.path.join(ldir, _CKPT_FMT.format(v))]
-        if not all(os.path.isfile(p) for p in paths):
-            return None
+        if all(os.path.isfile(p) for p in paths):
+            import pyarrow.parquet as pq
+
+            actions = []
+            for path in paths:
+                for r in pq.read_table(path).to_pylist():
+                    for kind in (
+                        "protocol", "metaData", "add", "remove", "txn",
+                    ):
+                        if r.get(kind) is not None:
+                            actions.append({kind: r[kind]})
+            return v, actions
+        if not parts:
+            # V2 SPEC checkpoint: {v}.checkpoint.{uniqueId}.parquet
+            # manifest + sidecar file actions; every named sidecar must
+            # exist, else fall back to full JSON replay (None)
+            got = self._read_v2_checkpoint(table, v)
+            if got is not None:
+                return v, got
+        return None
+
+    def _read_v2_checkpoint(self, table: str, v: int) -> list[dict] | None:
+        """Read a V2 spec checkpoint at version ``v``: the top-level
+        manifest carries protocol/metaData/txn + sidecar references;
+        add/remove actions come from the sidecar parquets. Returns the
+        flattened action list, or None when the manifest or any named
+        sidecar is missing (conservative: replay falls back to JSON)."""
+        import glob as _glob
+
         import pyarrow.parquet as pq
 
-        actions = []
+        ldir = self._log_dir(table)
+        cands = sorted(
+            p
+            for p in _glob.glob(
+                os.path.join(ldir, _CKPT_V2_FMT.format(v, "*"))
+            )
+            # exclude classic multi-part names ({10d}.{10d}.parquet)
+            if not _RE_CKPT_PART.fullmatch(os.path.basename(p))
+        )
+        if not cands:
+            return None
+        actions: list[dict] = []
+        sidecars: list[str] = []
+        for r in pq.read_table(cands[0]).to_pylist():
+            for kind in ("protocol", "metaData", "txn"):
+                if r.get(kind) is not None:
+                    actions.append({kind: r[kind]})
+            if r.get("sidecar") is not None:
+                sidecars.append(r["sidecar"]["path"])
+        sdir = os.path.join(ldir, _SIDECAR_DIR)
+        paths = [os.path.join(sdir, s) for s in sidecars]
+        if not all(os.path.isfile(p) for p in paths):
+            return None
         for path in paths:
             for r in pq.read_table(path).to_pylist():
-                for kind in ("protocol", "metaData", "add", "remove", "txn"):
+                for kind in ("add", "remove"):
                     if r.get(kind) is not None:
                         actions.append({kind: r[kind]})
-        return v, actions
+        return actions
 
     def _replay(
         self, table: str, upto: int | None = None
@@ -297,16 +362,27 @@ class DeltaWarehouse:
             t = a["txn"]
             txn[t["appId"]] = max(int(t["version"]), txn.get(t["appId"], -1))
 
-    def checkpoint(self, table: str, version: int | None = None) -> str:
+    def checkpoint(
+        self, table: str, version: int | None = None, v2: bool | None = None
+    ) -> str:
         """Write the reconciled state as ``{v:020d}.checkpoint.parquet``
         + ``_last_checkpoint`` (the protocol's replay bound). One row
         per action, standard top-level columns (protocol / metaData /
         add / remove / txn), written driver-side — the state is
-        metadata-sized (file entries, not data)."""
+        metadata-sized (file entries, not data). With ``v2`` (or the
+        warehouse's ``checkpoint_v2`` default) the V2 SPEC layout is
+        written instead: a sidecar parquet per part of the FILE actions
+        under ``_delta_log/_sidecars/`` and a top-level manifest
+        referencing them — the form current external writers produce;
+        readers here (and tools/delta_reader.py) consume both."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if v2 is None:
+            v2 = self.checkpoint_v2
         v, meta, live, txn, dead = self._replay(table, upto=version)
+        if v2:
+            return self._checkpoint_v2(table, v, meta, live, txn, dead)
         # the protocol row matches the features live IN this state:
         # deletionVectors while DVs are live, columnMapping while the
         # metaData declares mode=name (a feature-free state checkpoints
@@ -362,6 +438,86 @@ class DeltaWarehouse:
                 )
             path = os.path.join(ldir, _CKPT_PART_FMT.format(v, 1, parts))
             lc = {"version": v, "size": len(arrow_rows), "parts": parts}
+        with open(os.path.join(ldir, "_last_checkpoint"), "w") as fh:
+            json.dump(lc, fh)
+        return path
+
+    def _checkpoint_v2(
+        self,
+        table: str,
+        v: int,
+        meta: dict,
+        live: dict,
+        txn: dict,
+        dead: dict,
+    ) -> str:
+        """V2 SPEC checkpoint writer (PROTOCOL.md §v2-spec-checkpoints):
+        FILE actions (add/remove) go to part-size-bounded sidecar
+        parquets under ``_delta_log/_sidecars/``; the top-level
+        manifest ``{v}.checkpoint.{uniqueId}.parquet`` carries
+        protocol / metaData / txn / checkpointMetadata / sidecar rows.
+        Every file lands before ``_last_checkpoint`` repoints (the
+        publish-last discipline); unique ids are DETERMINISTIC uuid5 of
+        (table, version, part) so a re-run overwrites its own files
+        instead of littering. Write cost is bounded per sidecar part —
+        the multi-part guarantee — while the manifest stays
+        metadata-row-sized no matter how many live files exist."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def _no_empty(val):
+            if isinstance(val, dict):
+                return {k: _no_empty(x) for k, x in val.items()} or None
+            return val
+
+        ldir = self._log_dir(table)
+        sdir = os.path.join(ldir, _SIDECAR_DIR)
+        os.makedirs(sdir, exist_ok=True)
+        file_rows = [{"add": a} for _, a in sorted(live.items())]
+        file_rows += [{"remove": r} for _, r in sorted(dead.items())]
+        psize = max(1, int(self.checkpoint_part_size))
+        fcols = ("add", "remove")
+        arrow_files = [
+            {c: _no_empty(r.get(c)) for c in fcols} for r in file_rows
+        ]
+        n_parts = max(1, (len(arrow_files) + psize - 1) // psize)
+        fschema = pa.Table.from_pylist(
+            arrow_files or [{c: None for c in fcols}]
+        ).schema
+        sidecar_rows = []
+        for p in range(n_parts):
+            chunk = arrow_files[p * psize : (p + 1) * psize]
+            uid = str(
+                uuid.uuid5(uuid.NAMESPACE_URL, f"cdl:{table}:{v}:side:{p}")
+            )
+            fname = f"{uid}.parquet"
+            fpath = os.path.join(sdir, fname)
+            pq.write_table(pa.Table.from_pylist(chunk, schema=fschema), fpath)
+            st = os.stat(fpath)
+            sidecar_rows.append(
+                {
+                    "sidecar": {
+                        "path": fname,
+                        "sizeInBytes": int(st.st_size),
+                        "modificationTime": int(st.st_mtime * 1000),
+                    }
+                }
+            )
+        top_rows: list[dict] = [
+            self._protocol_action(meta, live),
+            {"metaData": meta},
+            {"checkpointMetadata": {"version": v, "tags": None}},
+        ]
+        top_rows += [
+            {"txn": {"appId": k, "version": n}} for k, n in sorted(txn.items())
+        ]
+        top_rows += sidecar_rows
+        tcols = ("protocol", "metaData", "txn", "checkpointMetadata", "sidecar")
+        arrow_top = [{c: _no_empty(r.get(c)) for c in tcols} for r in top_rows]
+        uid_top = str(uuid.uuid5(uuid.NAMESPACE_URL, f"cdl:{table}:{v}:top"))
+        path = os.path.join(ldir, _CKPT_V2_FMT.format(v, uid_top))
+        pq.write_table(pa.Table.from_pylist(arrow_top), path)
+        lc = {"version": v, "size": len(arrow_top) + len(arrow_files)}
         with open(os.path.join(ldir, "_last_checkpoint"), "w") as fh:
             json.dump(lc, fh)
         return path
@@ -2096,7 +2252,8 @@ class DeltaWarehouse:
         except (OSError, ValueError, KeyError, TypeError):
             return 0
         pat = _re.compile(
-            r"(\d{20})\.(?:json|checkpoint(?:\.\d{10}\.\d{10})?\.parquet)$"
+            r"(\d{20})\.(?:json|checkpoint"
+            r"(?:\.\d{10}\.\d{10}|\.[0-9a-f-]{36})?\.parquet)$"
         )
         deleted = 0
         for f in os.listdir(ldir):
@@ -2110,6 +2267,43 @@ class DeltaWarehouse:
                     deleted += 1
             except OSError:
                 pass
+        # sidecar sweep (V2 checkpoints): files the ACTIVE pointer's
+        # manifest references always stay; everything else in
+        # _sidecars/ belongs to superseded checkpoints and goes once
+        # past retention
+        sdir = os.path.join(ldir, _SIDECAR_DIR)
+        if os.path.isdir(sdir):
+            import glob as _glob
+
+            keep: set[str] = set()
+            cands = sorted(
+                p
+                for p in _glob.glob(
+                    os.path.join(ldir, _CKPT_V2_FMT.format(vc, "*"))
+                )
+                if not _RE_CKPT_PART.fullmatch(os.path.basename(p))
+            )
+            if cands:
+                import pyarrow.parquet as pq
+
+                try:
+                    for r in pq.read_table(
+                        cands[0], columns=["sidecar"]
+                    ).to_pylist():
+                        if r.get("sidecar"):
+                            keep.add(r["sidecar"]["path"])
+                except Exception:
+                    return deleted  # unreadable manifest: touch nothing
+            for f in os.listdir(sdir):
+                if f in keep:
+                    continue
+                full = os.path.join(sdir, f)
+                try:
+                    if os.path.getmtime(full) < horizon_s:
+                        os.remove(full)
+                        deleted += 1
+                except OSError:
+                    pass
         return deleted
 
     def _live_by_bucket(

@@ -116,6 +116,51 @@ def replay(table_dir: str, version: int | None = None) -> dict:
                             if row.get(kind) is not None:
                                 _fold(state, {kind: row[kind]})
                 start = ckpt_v + 1
+            elif n_parts is None:
+                # V2 SPEC checkpoint (PROTOCOL.md §v2-spec-checkpoints):
+                # {v:020}.checkpoint.{uniqueId}.parquet manifest with
+                # protocol/metaData/txn/checkpointMetadata/sidecar rows;
+                # add/remove actions live in the named sidecar parquets
+                # under _delta_log/_sidecars/. Every sidecar must exist,
+                # else fall back to full JSON replay.
+                import glob as _glob
+                import re as _re
+
+                part_re = _re.compile(
+                    r"\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet"
+                )
+                cands = sorted(
+                    p
+                    for p in _glob.glob(
+                        os.path.join(
+                            ldir, f"{ckpt_v:020d}.checkpoint.*.parquet"
+                        )
+                    )
+                    if not part_re.fullmatch(os.path.basename(p))
+                )
+                if cands:
+                    import pyarrow.parquet as pq
+
+                    top_actions = []
+                    sidecars = []
+                    for row in pq.read_table(cands[0]).to_pylist():
+                        for kind in ("protocol", "metaData", "txn"):
+                            if row.get(kind) is not None:
+                                top_actions.append({kind: row[kind]})
+                        if row.get("sidecar") is not None:
+                            sidecars.append(row["sidecar"]["path"])
+                    spaths = [
+                        os.path.join(ldir, "_sidecars", s) for s in sidecars
+                    ]
+                    if all(os.path.isfile(p) for p in spaths):
+                        for a in top_actions:
+                            _fold(state, a)
+                        for sp in spaths:
+                            for row in pq.read_table(sp).to_pylist():
+                                for kind in ("add", "remove"):
+                                    if row.get(kind) is not None:
+                                        _fold(state, {kind: row[kind]})
+                        start = ckpt_v + 1
     for v, path in entries:
         if v < start:
             continue
