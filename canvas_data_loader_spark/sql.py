@@ -204,24 +204,30 @@ def _find_then_action(text: str) -> int:
         pos = i + 4
 
 
-def _parse_merge_action(txt: str, is_not: bool):
-    """Parse a MERGE clause's THEN action. Returns one of
-    ``("delete",)``, ``("update_star",)``,
+def _parse_merge_action(txt: str, kind: str):
+    """Parse a MERGE clause's THEN action for ``kind`` in
+    {"matched", "not_matched", "nmbs"} (nmbs = NOT MATCHED BY
+    SOURCE). Returns one of ``("delete",)``, ``("update_star",)``,
     ``("update", [(col, expr), ...])``, ``("insert_star",)``,
     ``("insert", [col, ...], [expr, ...])``."""
     import re
 
     t = txt.strip()
     if re.fullmatch(r"DELETE", t, re.I):
-        if is_not:
+        if kind == "not_matched":
             raise SqlDmlError("WHEN NOT MATCHED cannot DELETE")
         return ("delete",)
     m = re.match(r"UPDATE\s+SET\s+", t, re.I)
     if m:
-        if is_not:
+        if kind == "not_matched":
             raise SqlDmlError("WHEN NOT MATCHED cannot UPDATE")
         body = t[m.end():].strip()
         if body == "*":
+            if kind == "nmbs":
+                raise SqlDmlError(
+                    "WHEN NOT MATCHED BY SOURCE cannot UPDATE SET * "
+                    "(there is no source row to copy)"
+                )
             return ("update_star",)
         assigns = []
         for item in _split_top_level(body):
@@ -236,8 +242,10 @@ def _parse_merge_action(txt: str, is_not: bool):
         return ("update", assigns)
     m = re.match(r"INSERT\b\s*", t, re.I)
     if m:
-        if not is_not:
-            raise SqlDmlError("WHEN MATCHED cannot INSERT")
+        if kind != "not_matched":
+            raise SqlDmlError(
+                "only WHEN NOT MATCHED (by target) can INSERT"
+            )
         body = t[m.end():].strip()
         if body == "*":
             return ("insert_star",)
@@ -272,6 +280,8 @@ def _parse_merge(stmt: str):
         WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr, ...
         WHEN NOT MATCHED [AND <cond>] THEN INSERT *
         WHEN NOT MATCHED [AND <cond>] THEN INSERT (cols) VALUES (exprs)
+        WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE
+        WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET col = ...
 
     Any number of clauses per side; each source row routes to its
     FIRST matching clause (SQL/Delta semantics), so an unconditional
@@ -354,10 +364,24 @@ def _parse_merge(stmt: str):
     bounds = starts + [len(clauses_text)]
     matched: list = []
     not_matched: list = []
+    nmbs: list = []  # WHEN NOT MATCHED BY SOURCE (target-only rows)
     for a, b in zip(bounds, bounds[1:]):
         clause = clauses_text[a:b].strip()
-        mm = re.match(r"WHEN\s+(NOT\s+)?MATCHED\b\s*", clause, re.I | re.S)
+        mm = re.match(
+            r"WHEN\s+(NOT\s+)?MATCHED(\s+BY\s+SOURCE)?\b\s*",
+            clause,
+            re.I | re.S,
+        )
         is_not = bool(mm.group(1))
+        by_source = bool(mm.group(2))
+        if by_source and not is_not:
+            raise SqlDmlError(
+                "WHEN MATCHED BY SOURCE is not a MERGE clause (did you "
+                "mean WHEN NOT MATCHED BY SOURCE?)"
+            )
+        kind = "nmbs" if (is_not and by_source) else (
+            "not_matched" if is_not else "matched"
+        )
         rest = clause[mm.end():]
         t_at = _find_then_action(rest)
         if t_at < 0:
@@ -376,11 +400,17 @@ def _parse_merge(stmt: str):
             cond = head[ma.end():].strip()
             if not cond:
                 raise SqlDmlError("empty AND condition in MERGE clause")
-        action = _parse_merge_action(action_txt, is_not)
-        (not_matched if is_not else matched).append((cond, action))
-    if not (matched or not_matched):
+        action = _parse_merge_action(action_txt, kind)
+        {"matched": matched, "not_matched": not_matched, "nmbs": nmbs}[
+            kind
+        ].append((cond, action))
+    if not (matched or not_matched or nmbs):
         raise SqlDmlError("MERGE requires at least one WHEN clause")
-    for lst, label in ((matched, "MATCHED"), (not_matched, "NOT MATCHED")):
+    for lst, label in (
+        (matched, "MATCHED"),
+        (not_matched, "NOT MATCHED"),
+        (nmbs, "NOT MATCHED BY SOURCE"),
+    ):
         for i, (cond, action) in enumerate(lst):
             if cond is None and i < len(lst) - 1:
                 raise SqlDmlError(
@@ -400,6 +430,7 @@ def _parse_merge(stmt: str):
         "s_alias": s_alias,
         "matched": matched,
         "not_matched": not_matched,
+        "nmbs": nmbs,
     }
 
 
@@ -705,6 +736,24 @@ def _scope_source_cond(
     )
 
 
+def _scope_target_cond(
+    expr: str, t_alias: str, s_alias: str | None, tgt_cols: set,
+    key: str, table: str, what: str,
+) -> str:
+    """Scope a NOT-MATCHED-BY-SOURCE condition / assignment: it sees
+    the TARGET row only (these are target rows WITHOUT a source
+    match). Source-qualified references raise a clear error; target
+    refs resolve to the executor's ``__t_`` frame."""
+    import re
+
+    if s_alias and re.search(rf"\b{re.escape(s_alias)}\s*\.", expr):
+        raise SqlDmlError(
+            f"{what} cannot reference the source row "
+            f"({s_alias!r}.<col>) — a NOT MATCHED BY SOURCE row has none"
+        )
+    return _scope_merge_cond(expr, t_alias, None, set(), tgt_cols, key, table)
+
+
 def _execute_merge_generic(wh, p: dict, src) -> dict:
     """Clause-routing MERGE executor for the shapes beyond the legacy
     fast path: column-level ``UPDATE SET col = expr``, conditional
@@ -723,8 +772,14 @@ def _execute_merge_generic(wh, p: dict, src) -> dict:
     ``merge_bucketed`` keyed upsert as every other write — CAS,
     constraints, epochs, and DV-awareness are carried unchanged.
 
+    NOT MATCHED BY SOURCE clauses (Delta's reverse side — full-sync
+    semantics) route TARGET rows without a source match the same way:
+    an anti-join of the target against the batch's keys, conditions
+    and assignments over the target row only (source references are
+    rejected — there is no source row).
+
     Scale: one join of the batch against the (column-pruned) target
-    plus one anti-join for inserts — the target is never broadcast
+    plus one anti-join per side — the target is never broadcast
     (100 TB side); routing and images are pure expressions."""
     from pyspark.sql import functions as F
 
@@ -917,6 +972,95 @@ def _execute_merge_generic(wh, p: dict, src) -> dict:
         images.append(
             routed_n.filter(F.col("__clause") >= 0).select(*img)
         )
+    if p["nmbs"]:
+        # target rows WITHOUT a source match: anti-join the (column-
+        # pruned, __t_-prefixed) target against the batch's keys —
+        # the batch side is small, the target streams
+        def scope_nmbs(expr: str, what: str) -> str:
+            return _scope_target_cond(
+                expr, t_alias, s_alias, tgt_cols, key, table, what
+            )
+
+        per_nmbs: dict[int, dict] = {}
+        del_idx_n = [
+            i for i, (_, a) in enumerate(p["nmbs"]) if a[0] == "delete"
+        ]
+        upd_idx_n = [
+            i for i, (_, a) in enumerate(p["nmbs"]) if a[0] == "update"
+        ]
+        for i in upd_idx_n:
+            assigns: dict = {}
+            for raw, expr in p["nmbs"][i][1][1]:
+                c = assign_target_col(raw)
+                if c not in tgt_cols:
+                    raise SqlDmlError(
+                        f"MERGE SET column {c!r} not in {table!r}"
+                    )
+                if c == key:
+                    raise SqlDmlError(
+                        f"MERGE cannot SET the bucket key {key!r} "
+                        "(re-keying = DELETE + INSERT)"
+                    )
+                if c in assigns:
+                    raise SqlDmlError(f"duplicate MERGE SET column {c!r}")
+                assigns[c] = F.expr(
+                    scope_nmbs(expr, "MERGE NOT MATCHED BY SOURCE SET")
+                ).cast(tf[c])
+            per_nmbs[i] = {
+                c: (
+                    assigns[c]
+                    if c in assigns
+                    else (F.col(key) if c == key else F.col(f"__t_{c}"))
+                )
+                for c in tgt.columns
+            }
+        route = None
+        for i, (cond, _a) in enumerate(p["nmbs"]):
+            c = (
+                F.expr(
+                    scope_nmbs(cond, "MERGE NOT MATCHED BY SOURCE condition")
+                )
+                if cond is not None
+                else F.lit(True)
+            )
+            route = (
+                F.when(c, F.lit(i))
+                if route is None
+                else route.when(c, F.lit(i))
+            )
+        tgt_only = (
+            tgt.select(
+                key,
+                *[
+                    F.col(c).alias(f"__t_{c}")
+                    for c in tgt.columns
+                    if c != key
+                ],
+            )
+            .join(src.select(key).distinct(), on=key, how="left_anti")
+            .withColumn("__clause", route.otherwise(F.lit(-1)))
+            .localCheckpoint(eager=False)
+        )
+        if del_idx_n:
+            dk = tgt_only.filter(F.col("__clause").isin(del_idx_n)).select(key)
+            delete_keys = (
+                dk if delete_keys is None else delete_keys.unionByName(dk)
+            )
+        if upd_idx_n:
+            img = []
+            for c in tgt.columns:
+                e = None
+                for i in upd_idx_n:
+                    v = per_nmbs[i][c]
+                    e = (
+                        F.when(F.col("__clause") == i, v)
+                        if e is None
+                        else e.when(F.col("__clause") == i, v)
+                    )
+                img.append(e.alias(c))
+            images.append(
+                tgt_only.filter(F.col("__clause").isin(upd_idx_n)).select(*img)
+            )
     upserts = None
     for im in images:
         upserts = im if upserts is None else upserts.unionByName(im)
@@ -1008,6 +1152,7 @@ def execute_dml(wh, stmt: str) -> dict:
                 a[0] == "insert_star" and c is None for c, a in not_matched_cl
             )
             and len(not_matched_cl) <= 1
+            and not p["nmbs"]
         )
         if not legacy:
             return _execute_merge_generic(wh, p, src)

@@ -1152,3 +1152,113 @@ class TestSqlInsertCtas:
         # the INSERT commit carries data change
         assert h[0]["data_change"] is False
         assert any(r["data_change"] for r in h)
+
+
+class TestSqlMergeNotMatchedBySource:
+    """Round-11 extension: WHEN NOT MATCHED BY SOURCE (Delta's reverse
+    clause — route TARGET rows without a source match), enabling
+    full-sync MERGE statements. Both commit protocols."""
+
+    def _rows(self, wh, name="t"):
+        return {
+            r["id"]: (r["v"], r["cnt"]) for r in wh.read(name).collect()
+        }
+
+    def test_full_sync_delete_unmatched(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import execute_dml
+
+        wh = dml_wh("nm1")
+        _seed(spark, wh)  # ids 1..8
+        spark.createDataFrame(
+            [(2, "S2", 7), (50, "S50", 9)], "id long, v string, cnt long"
+        ).createOrReplaceTempView("nm1_src")
+        execute_dml(
+            wh,
+            "MERGE INTO t USING nm1_src AS s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        )
+        rows = self._rows(wh)
+        # full sync: the table now equals the source exactly
+        assert rows == {2: ("S2", 7), 50: ("S50", 9)}
+
+    def test_conditional_nmbs_update_and_delete(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import execute_dml
+
+        wh = dml_wh("nm2")
+        _seed(spark, wh)  # cnt = id*10
+        spark.createDataFrame(
+            [(1, "S1", 0)], "id long, v string, cnt long"
+        ).createOrReplaceTempView("nm2_src")
+        execute_dml(
+            wh,
+            "MERGE INTO t USING nm2_src AS s ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE AND t.cnt >= 70 THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE THEN "
+            "UPDATE SET v = concat(t.v, '-stale'), cnt = t.cnt + 1",
+        )
+        rows = self._rows(wh)
+        assert 7 not in rows and 8 not in rows      # cnt 70/80 deleted
+        assert rows[2] == ("v2-stale", 21)          # unmatched, updated
+        assert rows[1] == ("v1", 10)                # matched: untouched
+
+    def test_nmbs_validation(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import SqlDmlError, execute_dml
+
+        wh = dml_wh("nm3")
+        _seed(spark, wh)
+        spark.createDataFrame(
+            [(1, "a", 1)], "id long, v string, cnt long"
+        ).createOrReplaceTempView("nm3_src")
+        base = "MERGE INTO t USING nm3_src AS s ON t.id = s.id "
+        with pytest.raises(SqlDmlError, match="cannot UPDATE SET \\*"):
+            execute_dml(
+                wh, base + "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
+            )
+        with pytest.raises(SqlDmlError, match="can INSERT"):
+            execute_dml(
+                wh, base + "WHEN NOT MATCHED BY SOURCE THEN INSERT *"
+            )
+        with pytest.raises(SqlDmlError, match="source row"):
+            execute_dml(
+                wh,
+                base + "WHEN NOT MATCHED BY SOURCE AND s.cnt > 0 THEN DELETE",
+            )
+        with pytest.raises(SqlDmlError, match="LAST not matched by source"):
+            execute_dml(
+                wh,
+                base + "WHEN NOT MATCHED BY SOURCE THEN DELETE "
+                "WHEN NOT MATCHED BY SOURCE AND t.cnt > 0 THEN DELETE",
+            )
+        with pytest.raises(SqlDmlError, match="mean WHEN NOT MATCHED"):
+            execute_dml(
+                wh, base + "WHEN MATCHED BY SOURCE THEN DELETE"
+            )
+
+    def test_nmbs_equals_python_api(self, spark, dml_wh):
+        from pyspark.sql import functions as F
+
+        from canvas_data_loader_spark.sql import execute_dml
+
+        wh_s = dml_wh("nm4s")
+        wh_p = dml_wh("nm4p")
+        _seed(spark, wh_s)
+        _seed(spark, wh_p)
+        src = spark.createDataFrame(
+            [(3, "S3", 1)], "id long, v string, cnt long"
+        )
+        src.createOrReplaceTempView("nm4_src")
+        execute_dml(
+            wh_s,
+            "MERGE INTO t USING nm4_src AS s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED BY SOURCE AND t.cnt <= 20 THEN DELETE",
+        )
+        tgt = wh_p.read("t")
+        unmatched = tgt.join(src.select("id"), "id", "left_anti")
+        dk = unmatched.filter(F.col("cnt") <= 20).select("id")
+        wh_p.merge_bucketed(
+            "t", src, snapshot="api", delete_keys=dk
+        )
+        assert self._rows(wh_s) == self._rows(wh_p)
