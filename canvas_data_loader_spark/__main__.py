@@ -24,7 +24,7 @@ care::
          | --changes V_FROM V_TO --out DIR | --refresh-view \
          | --delete-where SQL [--delete-mode auto|mor|cow] \
          | --update-where SQL --set COL=EXPR [--set ...] \
-         | --neardup-index INDEX [--where SQL] [--probe-only] [--out DIR])
+         | --neardup-index INDEX [--where SQL] [--probe-only] [--rescore] [--out DIR])
 
 ``sql`` subcommand: one DML/DDL statement against a warehouse table
 (see ``_sql``). Note: ``INSERT INTO`` a keyed (bucketed) table is the
@@ -116,6 +116,13 @@ def _maintain(argv: list[str]) -> int:
         "--probe-only", action="store_true",
         help="with --neardup-index: report/write candidates without "
         "updating the index",
+    )
+    ap.add_argument(
+        "--rescore", action="store_true",
+        help="with --neardup-index: exact-Jaccard re-score the "
+        "candidate pairs (candidate-bounded: the corpus text fetch "
+        "bucket-prunes and only candidate docs are shingled); the "
+        "--out parquet then carries (doc_a, doc_b, common, jaccard_r)",
     )
     ap.add_argument(
         "--mirror-format", choices=("manifest", "delta"), default="manifest",
@@ -304,8 +311,12 @@ def _maintain(argv: list[str]) -> int:
             f"(where {args.update_where}, set {set_map})"
         )
     elif args.neardup_index is not None:
-        from .operators.dedup import minhash_bands
-        from .plans.ops import probe_neardup_index, update_neardup_index
+        from .operators.dedup import minhash_bands, rescore_candidates
+        from .plans.ops import (
+            fetch_docs_for_pairs,
+            probe_neardup_index,
+            update_neardup_index,
+        )
 
         docs = wh.read(args.table)
         if args.where:
@@ -315,7 +326,19 @@ def _maintain(argv: list[str]) -> int:
             docs, args.text_col, id_col
         ).localCheckpoint()
         if wh.exists(args.neardup_index):
-            cand = probe_neardup_index(wh, args.neardup_index, bands)
+            cand = probe_neardup_index(
+                wh, args.neardup_index, bands
+            ).localCheckpoint()
+            if args.rescore:
+                # END-TO-END per-dump dedup (round 11): exact-Jaccard
+                # re-score of the candidates, candidate-bounded — the
+                # corpus text fetch bucket-prunes (every candidate doc,
+                # new dump included, lives in --table) and the shingle
+                # explode sees only candidate docs
+                corpus = fetch_docs_for_pairs(
+                    wh, args.table, cand, id_col
+                ).select(id_col, args.text_col)
+                cand = rescore_candidates(corpus, cand, args.text_col, id_col)
             if args.out:
                 cand.write.mode("overwrite").parquet(args.out)
             n_cand = cand.count()

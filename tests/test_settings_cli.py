@@ -986,6 +986,52 @@ class TestNeardupIndexCli:
         ) == rows_after
 
 
+    def test_neardup_rescore_via_cli(self, tmp_path, spark):
+        """--rescore upgrades the --out payload to the exact-Jaccard
+        scored pairs (candidate-bounded operator), equal to calling
+        rescore_candidates directly on the probe's candidates."""
+        from canvas_data_loader_spark.__main__ import main
+        from canvas_data_loader_spark.operators import dedup as D
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh_dir = str(tmp_path / "whndr")
+        wh = Warehouse(spark, wh_dir)
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text")
+        )
+        wh.write("docs", docs, snapshot="s0", bucket=("doc_id", 4))
+        base = ["maintain", "--warehouse-dir", wh_dir, "--table", "docs"]
+        assert main(base + [
+            "--neardup-index", "band_index",
+            "--where", "doc_id % 5 < 4",
+        ]) == 0
+        out = str(tmp_path / "scored")
+        assert main(base + [
+            "--neardup-index", "band_index",
+            "--where", "doc_id % 5 = 4", "--probe-only",
+            "--rescore", "--out", out,
+        ]) == 0
+        got = sorted(
+            (r.doc_a, r.doc_b, r.common, r.jaccard_r)
+            for r in spark.read.parquet(out).collect()
+        )
+        assert len(got) > 0
+        assert all(0 < j <= 1 for *_, j in got)
+        # equals the operator applied to the same candidate set
+        from pyspark.sql import functions as F
+
+        bands = D.minhash_bands(docs, "text", "doc_id").localCheckpoint()
+        cand = D.incremental_neardup_candidates(
+            bands.filter(F.col("doc") % 5 != 4),
+            bands.filter(F.col("doc") % 5 == 4),
+        ).localCheckpoint()
+        want = sorted(
+            map(tuple, D.rescore_candidates(docs, cand).collect())
+        )
+        assert got == want
+
+
 class TestCheckpointCli:
     def test_checkpoint_then_vacuum_bounds_log(self, tmp_path, spark):
         import os
