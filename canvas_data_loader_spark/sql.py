@@ -1501,11 +1501,74 @@ def execute_dml(wh, stmt: str) -> dict:
         if wh.exists(pt) and wh.table_properties(pt).get("mv.parent") == view:
             wh.drop(pt)
         return {"operation": "DROP MATERIALIZED VIEW", "view": view}
+    if verb == "OPTIMIZE":
+        # Delta SQL maintenance verb: OPTIMIZE <t> [ZORDER BY (c, ...)]
+        # -> compact (row-preserving; CAS'd so concurrent merges win).
+        # Allowed on materialized views too — compaction never changes
+        # rows, so maintained == rebuilt is preserved.
+        m = re.match(
+            r"\s*OPTIMIZE\s+(\S+?)\s*"
+            r"(?:ZORDER\s+BY\s*\(([^)]*)\)\s*)?$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise SqlDmlError(
+                "malformed OPTIMIZE (want OPTIMIZE <table> "
+                "[ZORDER BY (col, ...)])"
+            )
+        table = _ident(m.group(1))
+        if wh.routing_info(table) is None:
+            raise SqlDmlError(f"unknown warehouse table {table!r}")
+        cols = None
+        if m.group(2) is not None:
+            cols = [
+                _ident(c.strip()) for c in m.group(2).split(",") if c.strip()
+            ]
+            if not cols:
+                raise SqlDmlError("empty ZORDER BY column list")
+        # one clustering column = a plain range-sort; 2+ = true Z-order
+        # interleaving so stats skipping works on every listed column
+        n = wh.compact(
+            table, order_by=cols, zorder=bool(cols) and len(cols) > 1
+        )
+        return {"operation": "OPTIMIZE", "table": table, "files": n}
+    if verb == "VACUUM":
+        m = re.match(
+            r"\s*VACUUM\s+(\S+?)\s*"
+            r"(?:RETAIN\s+(\d+(?:\.\d+)?)\s+(HOURS?|SECONDS?)\s*)?$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise SqlDmlError(
+                "malformed VACUUM (want VACUUM <table> "
+                "[RETAIN <n> HOURS|SECONDS])"
+            )
+        table = _ident(m.group(1))
+        if not hasattr(wh, "vacuum"):
+            raise SqlDmlError(
+                "VACUUM applies to the delta format (the manifest "
+                "warehouse reclaims via its snapshot pruning policy)"
+            )
+        if wh.routing_info(table) is None:
+            raise SqlDmlError(f"unknown warehouse table {table!r}")
+        retention = None
+        if m.group(2) is not None:
+            val = float(m.group(2))
+            retention = (
+                val * 3600.0
+                if m.group(3).upper().startswith("HOUR")
+                else val
+            )
+        n = wh.vacuum(table, retention_sec=retention)
+        return {"operation": "VACUUM", "table": table, "deleted": n}
     raise SqlDmlError(
         f"unsupported statement {verb!r} (supported: INSERT INTO, "
         "CREATE TABLE ... AS SELECT, DELETE FROM, UPDATE ... SET, "
         "MERGE INTO, CREATE/REFRESH/DROP MATERIALIZED VIEW, "
-        "ALTER TABLE ADD/DROP CONSTRAINT)"
+        "ALTER TABLE ADD/DROP CONSTRAINT, OPTIMIZE [ZORDER BY], "
+        "VACUUM [RETAIN])"
     )
 
 

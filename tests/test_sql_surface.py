@@ -1262,3 +1262,68 @@ class TestSqlMergeNotMatchedBySource:
             "t", src, snapshot="api", delete_keys=dk
         )
         assert self._rows(wh_s) == self._rows(wh_p)
+
+
+class TestSqlMaintenanceVerbs:
+    """Round-11: OPTIMIZE [ZORDER BY] and VACUUM [RETAIN] — the Delta
+    SQL maintenance verbs mapped onto compact/vacuum, so routine table
+    care is statement-reachable like everything else."""
+
+    def test_optimize_preserves_rows_and_compacts(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import execute_sql
+
+        wh = dml_wh("opt")
+        _seed(spark, wh)
+        for i in (1, 2):  # fragment the table
+            wh.merge_bucketed(
+                "t",
+                spark.createDataFrame(
+                    [(i, f"m{i}", i)], "id long, v string, cnt long"
+                ),
+                snapshot=f"m{i}",
+            )
+        before = rows(wh.read("t"))
+        out = execute_sql(wh, "OPTIMIZE t")
+        assert out["operation"] == "OPTIMIZE" and out["files"] > 0
+        assert rows(wh.read("t")) == before
+
+    def test_optimize_zorder_by(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import execute_sql
+
+        wh = dml_wh("optz")
+        _seed(spark, wh)
+        before = rows(wh.read("t"))
+        out = execute_sql(wh, "OPTIMIZE t ZORDER BY (cnt, id)")
+        assert out["operation"] == "OPTIMIZE"
+        assert rows(wh.read("t")) == before
+
+    def test_vacuum_statement(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import SqlDmlError, execute_sql
+
+        wh = dml_wh("vac")
+        _seed(spark, wh)
+        if not hasattr(wh, "vacuum"):
+            with pytest.raises(SqlDmlError, match="delta"):
+                execute_sql(wh, "VACUUM t")
+            return
+        # tombstone some files (cow delete), then reclaim immediately
+        wh.delete_where("t", "id <= 2", mode="cow")
+        before = rows(wh.read("t"))
+        out = execute_sql(wh, "VACUUM t RETAIN 0 SECONDS")
+        assert out["operation"] == "VACUUM" and out["deleted"] > 0
+        assert rows(wh.read("t")) == before
+        # RETAIN n HOURS parses too (nothing young enough to delete)
+        out2 = execute_sql(wh, "VACUUM t RETAIN 24 HOURS")
+        assert out2["deleted"] == 0
+
+    def test_unknown_table_and_malformed(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import SqlDmlError, execute_sql
+
+        wh = dml_wh("optbad")
+        _seed(spark, wh)
+        with pytest.raises(SqlDmlError, match="unknown"):
+            execute_sql(wh, "OPTIMIZE nope")
+        with pytest.raises(SqlDmlError, match="malformed OPTIMIZE"):
+            execute_sql(wh, "OPTIMIZE t ZORDER cnt")
+        with pytest.raises(SqlDmlError, match="malformed VACUUM"):
+            execute_sql(wh, "VACUUM t RETAIN soon")
