@@ -1283,6 +1283,26 @@ def execute_dml(wh, stmt: str) -> dict:
             raise SqlDmlError("malformed SHOW (want SHOW TABLES)")
         return {"operation": "SHOW TABLES", "tables": sorted(wh.tables())}
     if verb in ("DESCRIBE", "DESC"):
+        md = re.match(r"\s*DESC(?:RIBE)?\s+DETAIL\s+(\S+)\s*$", stmt, re.I)
+        if md:
+            # Delta SQL: DESCRIBE DETAIL t — the table-health shape the
+            # CLI --stats probe prints (version, live files, layout,
+            # DV load, writer epochs, properties)
+            table = _ident(md.group(1))
+            info = wh.routing_info(table)
+            if info is None:
+                raise SqlDmlError(f"unknown warehouse table {table!r}")
+            return {
+                "operation": "DESCRIBE DETAIL",
+                "table": table,
+                "version": wh.current_version(table),
+                "live_files": wh.live_file_count(table),
+                "bucket_key": info.get("bucket_key"),
+                "n_buckets": info.get("n_buckets"),
+                "dv": wh.dv_stats(table),
+                "txn": info.get("txn") or {},
+                "properties": wh.table_properties(table),
+            }
         mh = re.match(r"\s*DESC(?:RIBE)?\s+HISTORY\s+(\S+)\s*$", stmt, re.I)
         if mh:
             table = _ident(mh.group(1))
@@ -1501,6 +1521,31 @@ def execute_dml(wh, stmt: str) -> dict:
         if wh.exists(pt) and wh.table_properties(pt).get("mv.parent") == view:
             wh.drop(pt)
         return {"operation": "DROP MATERIALIZED VIEW", "view": view}
+    if verb == "RESTORE":
+        # Delta SQL: RESTORE TABLE t TO VERSION AS OF n — publishes the
+        # retained commit's state as a NEW head (history moves forward;
+        # writer epochs carried, not rewound — the Python API's rules)
+        m = re.match(
+            r"\s*RESTORE\s+TABLE\s+(\S+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise SqlDmlError(
+                "malformed RESTORE (want RESTORE TABLE <t> TO "
+                "VERSION AS OF <n>)"
+            )
+        table = _ident(m.group(1))
+        if wh.routing_info(table) is None:
+            raise SqlDmlError(f"unknown warehouse table {table!r}")
+        _guard_not_mv(table, "RESTORE")
+        new_v = wh.restore(table, int(m.group(2)))
+        return {
+            "operation": "RESTORE",
+            "table": table,
+            "restored_version": int(m.group(2)),
+            "version": new_v,
+        }
     if verb == "OPTIMIZE":
         # Delta SQL maintenance verb: OPTIMIZE <t> [ZORDER BY (c, ...)]
         # -> compact (row-preserving; CAS'd so concurrent merges win).
@@ -1568,7 +1613,8 @@ def execute_dml(wh, stmt: str) -> dict:
         "CREATE TABLE ... AS SELECT, DELETE FROM, UPDATE ... SET, "
         "MERGE INTO, CREATE/REFRESH/DROP MATERIALIZED VIEW, "
         "ALTER TABLE ADD/DROP CONSTRAINT, OPTIMIZE [ZORDER BY], "
-        "VACUUM [RETAIN])"
+        "VACUUM [RETAIN], RESTORE TABLE ... TO VERSION AS OF, "
+        "DESCRIBE [HISTORY|DETAIL])"
     )
 
 

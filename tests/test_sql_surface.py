@@ -1327,3 +1327,60 @@ class TestSqlMaintenanceVerbs:
             execute_sql(wh, "OPTIMIZE t ZORDER cnt")
         with pytest.raises(SqlDmlError, match="malformed VACUUM"):
             execute_sql(wh, "VACUUM t RETAIN soon")
+
+
+class TestSqlRestoreAndDetail:
+    """Round-11: RESTORE TABLE ... TO VERSION AS OF and DESCRIBE
+    DETAIL complete the statement-reachable maintenance surface."""
+
+    def test_restore_statement(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import execute_sql
+
+        wh = dml_wh("rst")
+        _seed(spark, wh)
+        v_good = wh.current_version("t")
+        wh.merge_bucketed(
+            "t",
+            spark.createDataFrame(
+                [(1, "BAD", 0)], "id long, v string, cnt long"
+            ),
+            snapshot="bad-import",
+        )  # v1
+        assert {
+            r["id"]: r["v"] for r in wh.read("t").collect()
+        }[1] == "BAD"
+        out = execute_sql(
+            wh, f"RESTORE TABLE t TO VERSION AS OF {v_good}"
+        )
+        assert out["operation"] == "RESTORE"
+        assert out["version"] > out["restored_version"]  # history moves on
+        rows_now = {r["id"]: r["v"] for r in wh.read("t").collect()}
+        assert rows_now[1] == "v1"  # the bad import undone
+        # equal to the Python API on a twin
+        wh2 = dml_wh("rst2")
+        _seed(spark, wh2)
+        wh2.merge_bucketed(
+            "t",
+            spark.createDataFrame(
+                [(1, "BAD", 0)], "id long, v string, cnt long"
+            ),
+            snapshot="bad-import",
+        )
+        wh2.restore("t", v_good)
+        assert rows(wh.read("t")) == rows(wh2.read("t"))
+
+    def test_describe_detail(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import SqlDmlError, execute_sql
+
+        wh = dml_wh("dd")
+        _seed(spark, wh)
+        out = execute_sql(wh, "DESCRIBE DETAIL t")
+        assert out["operation"] == "DESCRIBE DETAIL"
+        assert out["bucket_key"] == "id" and out["n_buckets"] == 4
+        assert out["live_files"] > 0
+        assert out["version"] == wh.current_version("t")
+        with pytest.raises(SqlDmlError, match="unknown"):
+            execute_sql(wh, "DESCRIBE DETAIL nope")
+        # plain DESCRIBE still serves the schema shape
+        plain = execute_sql(wh, "DESCRIBE t")
+        assert plain["operation"] == "DESCRIBE"
