@@ -2368,6 +2368,16 @@ class DeltaWarehouse:
             return df
         return df.drop(*meta.get("partitionColumns", []))
 
+    def read_buckets(self, table: str, bucket_ids: list[int]) -> DataFrame:
+        """Partition-pruned HEAD read of specific buckets — the same
+        b/N contract as the manifest warehouse's read_buckets, so
+        contract-level consumers (the generic MERGE executor's routing
+        read, probe_neardup_index, fetch_docs_for_pairs,
+        probe_ann_index) prune on either commit protocol."""
+        return self.read_buckets_at_version(
+            table, self.current_version(table), bucket_ids
+        )
+
     def restore(self, table: str, version: int, max_retries: int = 5) -> int:
         """Delta RESTORE: publish a new head commit whose live file set
         (and metaData — schema rollback is part of a restore) equals

@@ -778,9 +778,14 @@ def _execute_merge_generic(wh, p: dict, src) -> dict:
     and assignments over the target row only (source references are
     rejected — there is no source row).
 
-    Scale: one join of the batch against the (column-pruned) target
-    plus one anti-join per side — the target is never broadcast
-    (100 TB side); routing and images are pure expressions."""
+    Scale: the matched join and the not-matched anti-join read the
+    target BUCKET-PRUNED to the batch's key buckets (a source key can
+    only match inside the bucket it routes to — the same b/N contract
+    merge_bucketed itself honors), so a fixed batch's statement cost
+    tracks the batch, not the table; the target is never broadcast
+    (100 TB side); routing and images are pure expressions. Only a
+    NOT MATCHED BY SOURCE clause reads the full target — its
+    semantics require examining every target row."""
     from pyspark.sql import functions as F
 
     key = p["key"]
@@ -791,6 +796,31 @@ def _execute_merge_generic(wh, p: dict, src) -> dict:
     t_alias, s_alias = p["t_alias"], p["s_alias"]
     if key not in src_cols:
         raise SqlDmlError(f"MERGE source must carry the key {key!r}")
+    # src is consumed several times below (bucket routing + joins):
+    # cut its lineage once
+    src = src.localCheckpoint(eager=False)
+    # bucket-pruned target read for the matched/not-matched sides: a
+    # source key can only collide inside the bucket it routes to, so
+    # only those buckets' files are listed (driver-side bucket-id set
+    # bounded by the batch)
+    tgt_matchable = tgt
+    info = wh.routing_info(table) or {}
+    if (
+        (p["matched"] or p["not_matched"])
+        and info.get("bucket_key") == key
+        and info.get("n_buckets")
+        and hasattr(wh, "read_buckets")
+    ):
+        from .operators.merge import bucket_of
+
+        n_b = int(info["n_buckets"])
+        bids = sorted(
+            r.b
+            for r in src.select(bucket_of(F.col(key), n_b).alias("b"))
+            .distinct()
+            .collect()
+        )
+        tgt_matchable = wh.read_buckets(table, bids)
 
     def scope_joined(expr: str) -> str:
         return _scope_merge_cond(
@@ -870,7 +900,7 @@ def _execute_merge_generic(wh, p: dict, src) -> dict:
                 if route is None
                 else route.when(c, F.lit(i))
             )
-        tgt_pref = tgt.select(
+        tgt_pref = tgt_matchable.select(
             key, *[F.col(c).alias(f"__t_{c}") for c in tgt.columns if c != key]
         )
         routed = (
@@ -954,9 +984,12 @@ def _execute_merge_generic(wh, p: dict, src) -> dict:
                 if route is None
                 else route.when(c, F.lit(i))
             )
-        # target key set: column-pruned, deliberately NOT broadcast-
-        # hinted (the target is the 100 TB side); AQE picks strategy
-        unmatched = src.join(tgt.select(key).distinct(), on=key, how="left_anti")
+        # target key set: column-pruned AND bucket-pruned (keys outside
+        # the batch's buckets cannot exist in the table for these src
+        # keys); deliberately NOT broadcast-hinted; AQE picks strategy
+        unmatched = src.join(
+            tgt_matchable.select(key).distinct(), on=key, how="left_anti"
+        )
         routed_n = unmatched.withColumn("__clause", route.otherwise(F.lit(-1)))
         img = []
         for c in tgt.columns:

@@ -1384,3 +1384,73 @@ class TestSqlRestoreAndDetail:
         # plain DESCRIBE still serves the schema shape
         plain = execute_sql(wh, "DESCRIBE t")
         assert plain["operation"] == "DESCRIBE"
+
+
+class TestGenericMergeBucketPruning:
+    """Round-11 scale fix: the generic (clause-routing) MERGE executor
+    reads the target BUCKET-PRUNED to the batch's key buckets for both
+    the matched join and the not-matched anti-join — a fixed batch's
+    statement cost tracks the batch, not the table. Pinned by spying
+    on read_buckets: a 2-key batch against a 64-bucket table must list
+    at most 2 buckets (and never fall back to the full read for those
+    sides)."""
+
+    def test_target_read_is_bucket_pruned(self, spark, dml_wh, monkeypatch):
+        from canvas_data_loader_spark.sql import execute_dml
+
+        wh = dml_wh("prune")
+        wh.write(
+            "t",
+            spark.createDataFrame(
+                [(i, f"v{i}", i * 10) for i in range(1, 65)],
+                "id long, v string, cnt long",
+            ),
+            snapshot="s0",
+            bucket=("id", 64),
+        )
+        calls = []
+        orig = type(wh).read_buckets
+
+        def spy(self, table, bucket_ids, *a, **kw):
+            calls.append((table, sorted(bucket_ids)))
+            return orig(self, table, bucket_ids, *a, **kw)
+
+        monkeypatch.setattr(type(wh), "read_buckets", spy)
+        spark.createDataFrame(
+            [(2, "S2", 7), (200, "S200", 9)], "id long, v string, cnt long"
+        ).createOrReplaceTempView("prune_src")
+        execute_dml(
+            wh,
+            "MERGE INTO t USING prune_src AS s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET cnt = t.cnt + s.cnt "
+            "WHEN NOT MATCHED AND s.cnt > 0 THEN INSERT *",
+        )
+        # the executor's routing read listed only the batch's buckets
+        routing = [c for c in calls if c[0] == "t"]
+        assert routing, "generic MERGE must use the pruned read"
+        assert all(len(bids) <= 2 for _, bids in routing), calls
+        rows = {r["id"]: (r["v"], r["cnt"]) for r in wh.read("t").collect()}
+        assert rows[2] == ("v2", 27)       # 20 + 7, other cols kept
+        assert rows[200] == ("S200", 9)    # conditional insert landed
+        assert len(rows) == 65
+
+    def test_pruned_read_is_dv_aware(self, spark, dml_wh):
+        """A merge-on-read-deleted row must NOT resurrect through the
+        pruned routing read: a batch re-inserting its key routes to
+        the NOT MATCHED branch (the row is gone), never to MATCHED."""
+        from canvas_data_loader_spark.sql import execute_dml
+
+        wh = dml_wh("prunedv")
+        _seed(spark, wh)
+        assert wh.delete_where("t", "id = 2", mode="mor") == 1
+        spark.createDataFrame(
+            [(2, "REBORN", 1)], "id long, v string, cnt long"
+        ).createOrReplaceTempView("prunedv_src")
+        execute_dml(
+            wh,
+            "MERGE INTO t USING prunedv_src AS s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = 'matched' "
+            "WHEN NOT MATCHED AND s.cnt > 0 THEN INSERT *",
+        )
+        rows = {r["id"]: (r["v"], r["cnt"]) for r in wh.read("t").collect()}
+        assert rows[2] == ("REBORN", 1)  # inserted, not "matched"
