@@ -2910,3 +2910,48 @@ class TestAnnIndex:
             for r in Q.SPARK["q168_ann_index_probe"](spark, sf).collect()
         )
         assert got == want and len(got) > 0
+
+    def test_delta_protocol_index(self, spark, embs, tmp_path):
+        """The ANN index ops are contract-level: the SAME code runs on
+        the Delta-protocol warehouse (round-11 delta read_buckets),
+        with maintained == rebuilt and pruned == full probes."""
+        from canvas_data_loader_spark.operators import simsearch as S
+        from canvas_data_loader_spark.plans.delta import DeltaWarehouse
+        from canvas_data_loader_spark.plans.ops import (
+            _ann_meta,
+            _centroid_frame,
+            create_ann_index,
+            keyed_changes,
+            probe_ann_index,
+            update_ann_index,
+        )
+
+        mod = F.col("vec_id") % 10
+        v0 = embs.filter(mod <= 7)
+        v1 = embs.filter(mod <= 8)  # pure inserts
+        wh = DeltaWarehouse(spark, str(tmp_path / "dwh"))
+        create_ann_index(wh, "ann", v0, "s0", n_cells=8, n_buckets=4)
+        feed = keyed_changes(v0, v1, "vec_id").localCheckpoint()
+        assert update_ann_index(wh, "ann", feed, "s1")
+        cents = _centroid_frame(spark, _ann_meta(wh, "ann")["centroids"])
+        want = sorted(
+            (r["vec_id"], r["cell"])
+            for r in S.assign_cells(v1, cents, "vec_id", "embedding").collect()
+        )
+        got = sorted(
+            (r["vec_id"], r["cell"]) for r in wh.read("ann").collect()
+        )
+        assert got == want
+        q = embs.filter(mod == 9)
+        pruned = sorted(
+            map(tuple, probe_ann_index(wh, "ann", q, k=5, n_probe=2).collect())
+        )
+        full = sorted(
+            map(
+                tuple,
+                probe_ann_index(
+                    wh, "ann", q, k=5, n_probe=2, prune=False
+                ).collect(),
+            )
+        )
+        assert pruned == full and len(pruned) > 0
