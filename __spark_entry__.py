@@ -45,10 +45,13 @@ def _priority_order(names: list[str]) -> list[str]:
         return int(n.split("_", 1)[0][1:])
 
     # One-shot re-queues for queries whose proof the fingerprint ledger
-    # cannot see as stale (used in r5 for q61/q67, whose r4 edits
-    # predated the first snapshot; both went green in r5 and the
-    # snapshot now binds to that tree, so the set is empty again).
-    explicit_lead: set[str] = set()
+    # cannot see as stale (r5 precedent: q61/q67). Round 11: q68 (ivf
+    # norm-precompute replan), q165 (PSL-backed registrable domain) and
+    # q167 (candidate-bounded re-score) were edited this round and the
+    # closing snapshot re-bound their fingerprints before a driver
+    # window ran — lead them so the driver re-proves the edited plans
+    # alongside the brand-new q168-q170.
+    explicit_lead: set[str] = {"q68", "q165", "q167"}
     try:
         import os
         import sys
