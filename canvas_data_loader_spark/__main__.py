@@ -377,9 +377,12 @@ def _maintain(argv: list[str]) -> int:
 
 def _sql(argv: list[str]) -> int:
     """``sql`` subcommand: one statement (INSERT INTO / CREATE TABLE
-    ... AS SELECT / DELETE FROM / UPDATE ... SET / MERGE INTO / MV
-    DDL / ALTER TABLE constraints) against a warehouse table, either
-    commit format. Every warehouse table is pre-registered as a temp
+    ... AS SELECT / DELETE FROM / UPDATE ... SET / MERGE INTO incl.
+    column-level SET, conditional multi-branch WHEN and NOT MATCHED BY
+    SOURCE / MV DDL / ALTER TABLE constraints / OPTIMIZE [ZORDER BY] /
+    VACUUM [RETAIN] / RESTORE TABLE ... TO VERSION AS OF / DESCRIBE
+    [HISTORY|DETAIL] / SELECT with time travel) against a warehouse
+    table, either commit format. Every warehouse table is pre-registered as a temp
     view, so an INSERT/CTAS/MERGE source can be a subquery over them
     or a direct file scan (``parquet.`/path```). INSERT INTO a keyed
     (bucketed) table is the loader's keyed UPSERT — rows with existing
