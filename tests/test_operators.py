@@ -2955,3 +2955,47 @@ class TestAnnIndex:
             )
         )
         assert pruned == full and len(pruned) > 0
+
+
+class TestIncrementalNeardupIndexDelta:
+    """Contract coverage (round 11): the near-dup index lane runs
+    unmodified on the Delta-protocol warehouse — probe_neardup_index
+    bucket-prunes through the new head-version read_buckets, and
+    update_neardup_index's replay idempotency holds."""
+
+    def _bands(self, df):
+        return D.minhash_bands(df, "text", "doc_id", num_hashes=16, band_size=4)
+
+    def _pairs(self, df):
+        return sorted((r.doc_a, r.doc_b) for r in df.collect())
+
+    def test_delta_index_lifecycle(self, spark, docs, tmp_path):
+        from canvas_data_loader_spark.plans.delta import DeltaWarehouse
+        from canvas_data_loader_spark.plans.ops import (
+            probe_neardup_index,
+            update_neardup_index,
+        )
+
+        is_new = F.col("doc_id") % 5 == 4
+        old, new = docs.filter(~is_new), docs.filter(is_new)
+        wh = DeltaWarehouse(spark, str(tmp_path / "dwh"))
+        update_neardup_index(wh, "band_index", self._bands(old), "s0", n_buckets=8)
+        nb = self._bands(new).localCheckpoint()
+        pruned = self._pairs(probe_neardup_index(wh, "band_index", nb))
+        full = self._pairs(
+            probe_neardup_index(wh, "band_index", nb, prune=False)
+        )
+        assert pruned == full and len(pruned) > 0
+        want = self._pairs(
+            D.minhash_candidate_pairs(docs, "text", "doc_id").filter(
+                (F.col("doc_a") % 5 == 4) | (F.col("doc_b") % 5 == 4)
+            )
+        )
+        assert pruned == want
+        # append + replay no-op on the delta log too
+        update_neardup_index(wh, "band_index", nb, "s1")
+        rows_after = sorted(
+            map(tuple, wh.read("band_index").collect())
+        )
+        update_neardup_index(wh, "band_index", nb, "s1-replay")
+        assert sorted(map(tuple, wh.read("band_index").collect())) == rows_after
