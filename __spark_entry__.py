@@ -29,29 +29,24 @@ def _priority_order(names: list[str]) -> list[str]:
     """Order the registry so the driver's correctness window (50
     entries, observed rounds 1-4) verifies what needs proof most.
 
-    MECHANICAL since round 5: the verification ledger
+    FULLY MECHANICAL since round 12: the verification ledger
     (tools/ledger.py) fingerprints every query's source + oracle and
     compares against the fingerprints recorded with its last green
     driver proof (tools/ledger_hashes.json). Anything not currently
-    green — source changed since proof, failed, or never windowed —
-    leads; the remainder is ordered oldest-proof-first so long-green
-    rows keep getting refreshed. This replaces the hand-maintained
-    round lists that let two round-4 implementation changes (q61 via
-    its own edit, q67 via a shared helper) ship without re-proof; both
-    are also explicitly led this round since their r4 edits predate
-    the first fingerprint snapshot.
+    green — source changed since proof ("STALE"), recorded by a
+    closing snapshot as edited-but-unproven ("pending driver proof"),
+    failed, or never windowed — leads; the remainder is ordered
+    oldest-proof-first so long-green rows keep getting refreshed.
+    Round 12 removed the last hand-maintained piece (the one-shot
+    ``explicit_lead`` set): ``ledger.py snapshot`` now records changed
+    fingerprints as PENDING instead of proof-current, so an
+    edited-this-round query self-queues without a human remembering it
+    (``ledger.py confirm --round N`` promotes pendings once the
+    round's green CORRECTNESS rows land).
     """
     def num(n: str) -> int:
         return int(n.split("_", 1)[0][1:])
 
-    # One-shot re-queues for queries whose proof the fingerprint ledger
-    # cannot see as stale (r5 precedent: q61/q67). Round 11: q68 (ivf
-    # norm-precompute replan), q165 (PSL-backed registrable domain) and
-    # q167 (candidate-bounded re-score) were edited this round and the
-    # closing snapshot re-bound their fingerprints before a driver
-    # window ran — lead them so the driver re-proves the edited plans
-    # alongside the brand-new q168-q170.
-    explicit_lead: set[str] = {"q68", "q165", "q167"}
     try:
         import os
         import sys
@@ -70,11 +65,12 @@ def _priority_order(names: list[str]) -> list[str]:
         def sort_key(n: str):
             green, _ = proof_rounds(n, rounds)
             status = status_of(n, rounds, rec, fps.get(n))
-            if n.split("_", 1)[0] in explicit_lead or status in (
+            if status in (
                 "FAILED last check",
                 "never in driver window",
+                "pending driver proof",
             ):
-                tier = 0  # no usable proof at all / explicit re-queue
+                tier = 0  # no usable proof for the current source
             elif status == "green":
                 tier = 3
             elif status == "STALE (loader only)":

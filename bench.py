@@ -2,17 +2,20 @@
 
 Runs each headline query end-to-end (full materialization via the
 ``noop`` sink so Catalyst can't prune away projections the way a bare
-count() would) and prints ONE JSON line:
+count() would) and prints ONE compact JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q01_...": sec, ...},
-     "spread": {"q01_...": [min, max], ...}, "repeat": 3, "sf": 0.1}
+     "queries": {"q01_...": sec, ...}, "repeat": 3, "sf": 0.1}
 
 Each query is timed ``--repeat`` times (default 3) and ``queries``
-reports the per-query MEDIAN; ``spread`` records [min, max] so
-round-over-round comparisons can tell a real regression from
-scheduler noise (observed up to 6x run-to-run variance on short
-queries, e.g. q99 0.9s..5.6s within one session).
+reports the per-query MEDIAN. The [min, max] spread per query is
+still measured (round-over-round comparisons need it to tell a real
+regression from scheduler noise — observed up to 6x run-to-run
+variance on short queries, e.g. q99 0.9s..5.6s within one session)
+but is written to ``BENCH_SPREAD.json`` next to this script instead
+of stdout: the driver's stdout capture truncates long lines, and the
+medians-only line must survive intact (BENCH_r10/r11 arrived tail-
+truncated because spread doubled the line length).
 
 Usage: python bench.py [--repeat N]
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
@@ -207,6 +210,16 @@ def main() -> None:
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     total = round(sum(timings.values()), 3)
+    # Spread goes to a sidecar file, NOT stdout: the driver's capture
+    # truncates long stdout lines, and the medians line must parse.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json"
+    )
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump({"spread": spread, "sf": sf}, fh, separators=(",", ":"))
+    except OSError:
+        pass  # sidecar is best-effort diagnostics
     print(
         json.dumps(
             {
@@ -214,10 +227,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "spread": spread,
                 "repeat": max(1, args.repeat),
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -504,7 +504,7 @@ class DeltaWarehouse:
                 }
             )
         top_rows: list[dict] = [
-            self._protocol_action(meta, live),
+            self._protocol_action(meta, live, force_v2ckpt=True),
             {"metaData": meta},
             {"checkpointMetadata": {"version": v, "tags": None}},
         ]
@@ -716,18 +716,30 @@ class DeltaWarehouse:
         return schema_json, cfg, (mapping if enable else None)
 
     def _protocol_action(
-        self, meta: dict, live: dict, force_dv: bool = False
+        self,
+        meta: dict,
+        live: dict,
+        force_dv: bool = False,
+        force_v2ckpt: bool = False,
     ) -> dict:
         """The protocol row matching the table's CURRENT feature set:
-        base (1/2) when neither feature is in play, else the table-
-        features form with columnMapping and/or deletionVectors.
-        ``force_dv``: the commit being assembled ADDS deletion vectors
-        (the pre-commit live set can't show them yet)."""
+        base (1/2) when no feature is in play, else the table-
+        features form with columnMapping / deletionVectors /
+        v2Checkpoint. ``force_dv``: the commit being assembled ADDS
+        deletion vectors (the pre-commit live set can't show them
+        yet). ``force_v2ckpt``: the row is being written INTO a V2
+        spec checkpoint manifest — the upstream spec gates V2-
+        checkpoint handling on the ``v2Checkpoint`` readerWriter
+        feature, so a spec-compliant external reader needs it declared
+        whenever a V2 checkpoint exists (PROTOCOL.md §v2-checkpoint-
+        table-feature)."""
         feats = []
         if (meta.get("configuration") or {}).get(_CM_MODE) == "name":
             feats.append("columnMapping")
         if force_dv or any(a.get("deletionVector") for a in live.values()):
             feats.append("deletionVectors")
+        if force_v2ckpt:
+            feats.append("v2Checkpoint")
         if not feats:
             return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
         return {

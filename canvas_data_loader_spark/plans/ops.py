@@ -1235,6 +1235,13 @@ def update_ann_index(
         new_a.select(id_col).unionByName(old_a.select(id_col)).distinct()
     )
     info = warehouse.routing_info(table) or {}
+    if info.get("bucket_key") != "cell" or not info.get("n_buckets"):
+        raise ValueError(
+            f"{table!r} is not bucketed by 'cell' (routing_info={info!r}) — "
+            "the ANN index table must keep the bucketing create_ann_index "
+            "wrote; rebuild the index (create_ann_index) if the table was "
+            "rewritten outside the ANN lane"
+        )
     n = int(info["n_buckets"])
     from ..operators.merge import bucket_of
 

@@ -8940,8 +8940,8 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- domain's reputation is aggregated from its documents (URL-level
     -- duplication rate + short-doc rate, integer ppm), then broadcast
     -- back so every document carries its domain's verdict. Retention
-    -- keeps docs whose domain shows dup_ppm <= 500000 AND
-    -- short_ppm <= 500000.
+    -- keeps docs whose domain shows dup_ppm <= 660000 AND
+    -- short_ppm <= 100000.
     WITH u AS (
         SELECT doc_id, text,
                {U.canonical_url_sql(_URL_SQL)} AS canon

@@ -522,12 +522,24 @@ def _scope_merge_cond(
 def _parse_insert(stmt: str):
     """``INSERT INTO <table> [(col[, ...])] (VALUES ...|SELECT ...|
     WITH ...)`` -> (table, cols|None, body). A parenthesized query
-    where the column list would sit is treated as the body — but the
+    where the column list would sit is treated as the body — the
     column-list grammar is tried FIRST, so a column literally named
     ``values``/``select``/``with`` (INSERT INTO t (values, x) VALUES
     ...) still parses as a column list when a body follows the close
-    paren; only when no body follows is the paren a query body."""
+    paren. The column-list branch only WINS when every comma-separated
+    piece is a single plain/quoted identifier: a parenthesized
+    WITH-CTE body whose inner ``)`` precedes SELECT/VALUES (INSERT
+    INTO t (WITH a AS (SELECT 1 AS x) SELECT x FROM a)) would
+    otherwise be split mid-CTE into a bogus column list (the [^)]*
+    group stops at the CTE's close paren), so non-identifier pieces
+    fall through to the parenthesized-body grammar below."""
     import re
+
+    def _is_plain_ident(piece: str) -> bool:
+        piece = piece.strip()
+        return bool(
+            re.fullmatch(r"[A-Za-z_]\w*|`[^`]+`|\"[^\"]+\"", piece)
+        )
 
     m = re.match(
         r"\s*INSERT\s+INTO\s+(\S+)\s*(?:\(([^)]*)\)\s*)?"
@@ -535,7 +547,10 @@ def _parse_insert(stmt: str):
         stmt,
         re.I | re.S,
     )
-    if m:
+    if m and (
+        m.group(2) is None
+        or all(_is_plain_ident(c) for c in m.group(2).split(",") if c.strip())
+    ):
         table, cols, body = _ident(m.group(1)), None, m.group(3)
         if m.group(2) is not None:
             cols = [

@@ -136,6 +136,25 @@ class TestStatus:
         rec = {"qA": fp("f" * 16, "s" * 16)}
         assert status_of("qA", rounds, rec, fp("f" * 16, "s" * 16)) == "FAILED last check"
 
+    def test_pending_fingerprint_leads_not_green(self):
+        # Round-12 mechanics: a closing snapshot records an edited
+        # query's fingerprint under "pending" — status must read
+        # "pending driver proof" (tier 0 in the window), NOT green,
+        # even though the recorded pending hash equals the current one.
+        rec = {
+            "qA": {
+                **fp("f" * 16, "s" * 16),
+                "pending": fp("e" * 16, "t" * 16),
+            }
+        }
+        s = status_of("qA", self.ROUNDS, rec, fp("e" * 16, "t" * 16))
+        assert s == "pending driver proof"
+        # the proven fingerprint still reads green (edit reverted)
+        assert status_of("qA", self.ROUNDS, rec, fp("f" * 16, "s" * 16)) == "green"
+        # a THIRD fingerprint (edited again after the snapshot) is stale
+        s = status_of("qA", self.ROUNDS, rec, fp("0" * 16, "0" * 16))
+        assert s == "STALE (semantics changed)"
+
     def test_loader_change_stales_every_query_but_sem_separates(self):
         # the round-5 incident in miniature: current_fingerprints()'s
         # sem hash must NOT include the loader trio, so a load() edit
@@ -146,3 +165,82 @@ class TestStatus:
         fps = current_fingerprints()
         some = fps["q01_pricing_summary"]
         assert set(some) == {"hash", "sem"} and some["hash"] != some["sem"]
+
+
+class TestSnapshotConfirm:
+    """The round-12 snapshot/confirm cycle: a closing snapshot must
+    never promote an edited fingerprint to proven (the round-11
+    blemish that required a hand-maintained lead list); confirm
+    promotes exactly the pendings a green CORRECTNESS row covers."""
+
+    def _run_cycle(self, monkeypatch, tmp_path, steps):
+        import json
+
+        import tools.ledger as L
+
+        hpath = tmp_path / "hashes.json"
+        monkeypatch.setattr(L, "HASHES_PATH", str(hpath))
+        out = []
+        for kind, payload in steps:
+            if kind == "fps":
+                monkeypatch.setattr(L, "current_fingerprints", lambda p=payload: p)
+                L.snapshot(None)
+            elif kind == "rounds":
+                monkeypatch.setattr(L, "load_rounds", lambda p=payload: p)
+                L.confirm(max(payload))
+            out.append(json.loads(hpath.read_text()))
+        return out
+
+    GREEN = {"err": None, "rows_match": True, "schema_match": True, "hash_match": True}
+    RED = {"err": "boom", "rows_match": False, "schema_match": False, "hash_match": False}
+
+    def test_edit_self_queues_and_confirm_promotes(self, monkeypatch, tmp_path):
+        from tools.ledger import status_of
+
+        v1, v2 = fp("a" * 16, "a" * 16), fp("b" * 16, "b" * 16)
+        states = self._run_cycle(
+            monkeypatch,
+            tmp_path,
+            [
+                ("fps", {"qA": v1}),                      # new query -> pending
+                ("rounds", {1: {"qA": self.GREEN}}),      # driver proves it
+                ("fps", {"qA": v2}),                      # edited -> pending again
+            ],
+        )
+        # 1) brand-new query is pending, not proven
+        assert states[0]["qA"]["pending"]["hash"] == v1["hash"]
+        assert status_of(
+            "qA", {1: {"qA": self.GREEN}}, states[0], v1
+        ) == "pending driver proof"
+        # 2) confirm promoted it: pending gone, proven == v1
+        assert "pending" not in states[1]["qA"]
+        assert states[1]["qA"]["hash"] == v1["hash"]
+        assert status_of("qA", {1: {"qA": self.GREEN}}, states[1], v1) == "green"
+        # 3) the edit re-queued itself mechanically — no hand list
+        assert states[2]["qA"]["hash"] == v1["hash"]  # proven unchanged
+        assert states[2]["qA"]["pending"]["hash"] == v2["hash"]
+        assert status_of(
+            "qA", {1: {"qA": self.GREEN}}, states[2], v2
+        ) == "pending driver proof"
+
+    def test_confirm_skips_failed_rows_and_revert_clears_pending(
+        self, monkeypatch, tmp_path
+    ):
+        v1, v2 = fp("a" * 16, "a" * 16), fp("b" * 16, "b" * 16)
+        states = self._run_cycle(
+            monkeypatch,
+            tmp_path,
+            [
+                ("fps", {"qA": v1}),
+                ("rounds", {1: {"qA": self.GREEN}}),
+                ("fps", {"qA": v2}),                 # edit -> pending v2
+                ("rounds", {1: {"qA": self.GREEN}, 2: {"qA": self.RED}}),
+                ("fps", {"qA": v1}),                 # revert -> pending cleared
+            ],
+        )
+        # failed round-2 row must NOT promote pending v2
+        assert states[3]["qA"]["hash"] == v1["hash"]
+        assert states[3]["qA"]["pending"]["hash"] == v2["hash"]
+        # reverting to the proven source clears the stray pending
+        assert "pending" not in states[4]["qA"]
+        assert states[4]["qA"]["hash"] == v1["hash"]

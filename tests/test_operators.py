@@ -2811,6 +2811,33 @@ class TestAnnIndex:
         update_ann_index(wh, "ann", feed, "s1-replay")
         assert self._index_rows(wh) == want
 
+    def test_update_rejects_rebucketed_index_table(
+        self, spark, embs, tmp_path
+    ):
+        """Round-12 ADVICE: if the index table was rewritten outside
+        the ANN lane (bucketing lost or changed), maintenance must die
+        with a descriptive ValueError, not a bare KeyError."""
+        import pytest
+
+        from canvas_data_loader_spark.plans.ops import (
+            create_ann_index,
+            keyed_changes,
+            update_ann_index,
+        )
+
+        wh = self._wh(spark, tmp_path)
+        v0 = embs.filter(F.col("vec_id") % 10 <= 7)
+        create_ann_index(wh, "ann", v0, "s0", n_cells=8, n_buckets=4)
+        # rewrite the table bucketed by a different key — the ANN
+        # properties survive but the routing no longer matches
+        rows = wh.read("ann")
+        wh.write("ann", rows, snapshot="rogue", bucket=("vec_id", 4))
+        feed = keyed_changes(
+            v0, embs.filter(F.col("vec_id") % 10 <= 8), "vec_id"
+        ).localCheckpoint()
+        with pytest.raises(ValueError, match="bucketed by 'cell'"):
+            update_ann_index(wh, "ann", feed, "s1")
+
     def test_probe_pruned_equals_full_equals_rebuilt(
         self, spark, embs, tmp_path
     ):

@@ -950,6 +950,23 @@ class TestSqlInsertCtas:
         assert (t, cols) == ("t", None)
         assert body.startswith("(")
 
+    def test_insert_parenthesized_with_cte_body(self, spark):
+        """A parenthesized WITH-CTE body whose inner ')' is followed by
+        SELECT must NOT be mis-split into a bogus column list (round-12
+        ADVICE: the column-list grammar only wins when every piece is a
+        plain identifier)."""
+        from canvas_data_loader_spark.sql import _parse_insert
+
+        stmt = "INSERT INTO t (WITH a AS (SELECT 1 AS x) SELECT x FROM a)"
+        t, cols, body = _parse_insert(stmt)
+        assert (t, cols) == ("t", None)
+        assert body.startswith("(WITH") and body.endswith(")")
+        # quoted identifiers still count as a plain column list
+        t, cols, body = _parse_insert(
+            "INSERT INTO t (`id`, \"v\") VALUES (1, 'a')"
+        )
+        assert (t, cols) == ("t", ["id", "v"])
+
     def test_insert_column_list_pads_and_casts(self, spark, dml_wh):
         from canvas_data_loader_spark.sql import execute_dml
 

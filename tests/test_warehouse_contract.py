@@ -4217,6 +4217,19 @@ class TestDeltaV2Checkpoints:
             if r.get("checkpointMetadata")
         ]
         assert len(cm) == 1 and int(cm[0]["version"]) == lc["version"]
+        # the manifest's protocol row declares the v2Checkpoint
+        # readerWriter table feature the upstream spec gates V2-
+        # checkpoint handling on (round-12 ADVICE)
+        protos = [
+            r["protocol"]
+            for r in pq.read_table(path).to_pylist()
+            if r.get("protocol")
+        ]
+        assert len(protos) == 1
+        assert protos[0]["minReaderVersion"] == 3
+        assert protos[0]["minWriterVersion"] == 7
+        assert "v2Checkpoint" in protos[0]["readerFeatures"]
+        assert "v2Checkpoint" in protos[0]["writerFeatures"]
         assert self._expect(wh) == want
 
     def test_replay_actually_uses_v2(self, spark, tmp_path):

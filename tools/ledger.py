@@ -11,13 +11,27 @@ query edited after its last green driver row can't silently keep its
 green status (the round-4 failure mode: q61/q67 changed via a shared
 helper but stayed "green" from r2/r3 rows).
 
+Records are TWO-SLOT since round 12 (VERDICT r11 blemish #1): the
+top-level hash/sem is the fingerprint of the last DRIVER-PROVEN source;
+``pending`` (when present) is the fingerprint a closing snapshot saw
+that no driver row has proven yet. ``snapshot`` never promotes a
+changed fingerprint to proven — it records it as pending, so an
+edited-this-round query reads "pending driver proof" and leads the
+next driver window MECHANICALLY (no more hand-maintained
+``explicit_lead`` list in __spark_entry__). ``confirm --round N``
+promotes pending -> proven for every query with a green row in
+CORRECTNESS_r{N} (run it when a round's CORRECTNESS lands).
+
 Usage:
   python tools/ledger.py                   # markdown table to stdout
   python tools/ledger.py snapshot          # record fingerprints of the
-                                           # current worktree as verified
+                                           # current worktree (changed ->
+                                           # pending, never auto-proven)
   python tools/ledger.py snapshot --ref X  # fingerprints of git commit X
                                            # (the tree the driver actually
-                                           # verified at end of a round)
+                                           # verifies at end of a round)
+  python tools/ledger.py confirm --round N # promote pending fingerprints
+                                           # proven green in round N
 """
 
 from __future__ import annotations
@@ -190,7 +204,8 @@ def status_of(
     recorded: dict[str, dict],
     current_fp: dict[str, str] | None,
 ) -> str:
-    """green | STALE (…) | FAILED last check | never in driver window.
+    """green | pending driver proof | STALE (…) | FAILED last check |
+    never in driver window.
 
     STALE = has a green row, but the current source fingerprint differs
     from the one recorded when that proof was snapshotted (or no
@@ -198,6 +213,11 @@ def status_of(
     stale flavors: the query's own logic changed ("semantics"), or
     only the shared source loader it reads through changed ("loader
     only") — both need driver re-proof, semantics first.
+
+    "pending driver proof" = a closing snapshot recorded this exact
+    fingerprint as edited-but-unproven; it must lead the next driver
+    window (round-12 mechanical replacement for the hand-maintained
+    one-shot lead list).
     """
     green, failed = proof_rounds(name, rounds)
     if not green:
@@ -207,6 +227,9 @@ def status_of(
     rec = recorded.get(name)
     if rec is None or current_fp is None:
         return "STALE (no fingerprint recorded)"
+    pend = rec.get("pending")
+    if pend and pend["hash"] == current_fp["hash"]:
+        return "pending driver proof"
     if rec["hash"] == current_fp["hash"]:
         return "green"
     if rec.get("sem") == current_fp["sem"]:
@@ -218,10 +241,16 @@ def status_of(
 
 
 def snapshot(ref: str | None) -> None:
-    """Record fingerprints as 'this is the source state the proofs refer
-    to'. With --ref, fingerprint that commit's tree (what the driver
-    verified); without, the current worktree (use right after running
-    the full local bitdiff sweep)."""
+    """Record the source state the next driver window will verify.
+
+    NEVER marks a changed fingerprint proof-current (the round-11
+    blemish: the closing snapshot re-bound edited rows' fingerprints
+    before a driver window ran, so they read green and needed a
+    hand-list to re-queue). A fingerprint that differs from the
+    proven one is recorded under ``pending`` — status reads "pending
+    driver proof" and the query leads the window; ``confirm`` promotes
+    it once a green row lands. With --ref, fingerprint that commit's
+    tree (what the driver verifies); without, the current worktree."""
     if ref is None:
         fps, label = current_fingerprints(), "worktree"
     else:
@@ -246,11 +275,58 @@ def snapshot(ref: str | None) -> None:
             )
             fps, label = json.loads(out.stdout.strip().splitlines()[-1]), ref
     hashes = load_hashes()
+    kept = pended = cleared = 0
     for name, fp in fps.items():
-        hashes[name] = {**fp, "ref": label}
+        rec = hashes.get(name)
+        if rec is None:
+            # brand-new query: no proof exists, everything is pending
+            hashes[name] = {**fp, "ref": label, "pending": {**fp, "ref": label}}
+            pended += 1
+        elif rec["hash"] == fp["hash"]:
+            # unchanged since last proof — a stray pending (e.g. an
+            # edit that was reverted) no longer describes the tree
+            if rec.pop("pending", None) is not None:
+                cleared += 1
+            kept += 1
+        else:
+            rec["pending"] = {**fp, "ref": label}
+            pended += 1
     with open(HASHES_PATH, "w") as f:
         json.dump(hashes, f, indent=1, sort_keys=True)
-    print(f"recorded {len(fps)} fingerprints from {label} -> {HASHES_PATH}")
+    print(
+        f"snapshot of {label}: {kept} proof-current, {pended} pending "
+        f"driver proof, {cleared} stray pendings cleared -> {HASHES_PATH}"
+    )
+
+
+def confirm(rnd: int) -> None:
+    """Promote pending fingerprints proven by CORRECTNESS_r{rnd}: a
+    query whose round-``rnd`` row is green had its snapshot-recorded
+    source verified by the driver, so pending becomes the proven
+    fingerprint. Queries green in the round WITHOUT a pending entry
+    are untouched (their proven fingerprint already matches)."""
+    rounds = load_rounds()
+    if rnd not in rounds:
+        raise SystemExit(f"no CORRECTNESS_r{rnd}.json in {REPO}")
+    hashes = load_hashes()
+    promoted, still = [], []
+    for name, rec in hashes.items():
+        pend = rec.get("pending")
+        if not pend:
+            continue
+        row = rounds[rnd].get(name)
+        if row is not None and row_ok(row):
+            hashes[name] = {k: v for k, v in pend.items()}
+            promoted.append(name)
+        else:
+            still.append(name)
+    with open(HASHES_PATH, "w") as f:
+        json.dump(hashes, f, indent=1, sort_keys=True)
+    print(
+        f"round {rnd}: promoted {len(promoted)} pending fingerprints to "
+        f"proven ({', '.join(sorted(promoted)) or '—'}); "
+        f"{len(still)} still pending ({', '.join(sorted(still)) or '—'})"
+    )
 
 
 # --- report ----------------------------------------------------------------
@@ -262,6 +338,9 @@ def main() -> None:
         if "--ref" in sys.argv:
             ref = sys.argv[sys.argv.index("--ref") + 1]
         snapshot(ref)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "confirm":
+        confirm(int(sys.argv[sys.argv.index("--round") + 1]))
         return
 
     from canvas_data_loader_spark import queries as Q
