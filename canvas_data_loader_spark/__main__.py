@@ -24,7 +24,8 @@ care::
          | --changes V_FROM V_TO --out DIR | --refresh-view \
          | --delete-where SQL [--delete-mode auto|mor|cow] \
          | --update-where SQL --set COL=EXPR [--set ...] \
-         | --neardup-index INDEX [--where SQL] [--probe-only] [--rescore] [--out DIR])
+         | --neardup-index INDEX [--where SQL] [--probe-only] [--rescore] [--out DIR] \
+         | --advance-index)
 
 ``sql`` subcommand: one DML/DDL statement against a warehouse table
 (see ``_sql``). Note: ``INSERT INTO`` a keyed (bucketed) table is the
@@ -104,6 +105,14 @@ def _maintain(argv: list[str]) -> int:
         "restricting to the new dump. --key = id column (default "
         "doc_id), --text-col = text column, --probe-only skips the "
         "index update",
+    )
+    g.add_argument(
+        "--advance-index", action="store_true",
+        help="advance a REGISTERED index (--table names the INDEX "
+        "table; register_neardup_index / create_ann_index(source=...)) "
+        "to its source's head — noop / advance / incremental / "
+        "rebuild, the same ladder PipelineConfig.auto_maintain_indexes "
+        "runs after each import",
     )
     ap.add_argument("--text-col", default="text",
                     help="text column for --neardup-index")
@@ -245,6 +254,14 @@ def _maintain(argv: list[str]) -> int:
             f"changes {args.table} v{v_from}->v{v_to}: "
             + (", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
                or "none")
+        )
+    elif args.advance_index:
+        from .plans.ops import advance_index
+
+        out = advance_index(wh, args.table)
+        print(
+            f"advanced {args.table}: {out['mode']} "
+            f"(source v{out['v_from']} -> v{out['v_to']})"
         )
     elif args.refresh_view:
         from .plans.ops import refresh_view

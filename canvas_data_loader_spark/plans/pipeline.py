@@ -292,6 +292,18 @@ class PipelineConfig:
     # dashboard refresh. Best-effort like auto-compaction: a refresh
     # that loses its commit race is picked up by the next import.
     auto_refresh_views: bool = False
+    # When True, after each table's import every REGISTERED index on it
+    # (near-dup band index / persisted IVF ANN index — plans/ops.py
+    # register_neardup_index / create_ann_index(source=...)) is
+    # advanced from the import's change feed at O(changed). This turns
+    # the round-10/11 index probes into the reference's actual
+    # operating model (README.md:31-33, the unattended hourly cron):
+    # an index stays query-ready as a property of the WRITE path, and
+    # maintained == rebuilt is pinned e2e in
+    # tests/test_pipeline.py::TestAutoMaintainIndexes. Best-effort like
+    # the other auto_* hooks: a lost race leaves the index one import
+    # behind and the next import catches it up.
+    auto_maintain_indexes: bool = False
 
 
 class Warehouse:
@@ -2881,7 +2893,21 @@ class ImportPipeline:
             result.tables[table_name] = obs.get["rows"]
             self._maybe_compact(table_name)
             self._maybe_refresh_views(table_name)
+            self._maybe_maintain_indexes(table_name)
         return result
+
+    def _maybe_maintain_indexes(self, table_name: str) -> None:
+        """Advance near-dup/ANN indexes registered on the table just
+        imported (PipelineConfig.auto_maintain_indexes). Indexes are
+        discovered from their own table properties — no side registry
+        to drift. Best-effort like _maybe_compact: a lost commit race
+        leaves the index one import behind; the next import catches it
+        up (advance always targets the source HEAD)."""
+        if not self.config.auto_maintain_indexes:
+            return
+        from .ops import maintain_indexes_of
+
+        maintain_indexes_of(self.warehouse, table_name)
 
     def _maybe_refresh_views(self, table_name: str) -> None:
         """Advance materialized rollup views registered on the table

@@ -144,6 +144,7 @@ def stream_upsert_to_warehouse(
     checkpoint: str | None = None,
     app_id: str | None = None,
     refresh_views: bool = False,
+    maintain_indexes: bool = False,
 ):
     """Continuously merge a stream into ``warehouse.table`` by key.
 
@@ -168,6 +169,13 @@ def stream_upsert_to_warehouse(
     logged and skipped (the stream's exactly-once data path must not
     be held hostage by a derived table; the view catches up on the
     next batch).
+
+    ``maintain_indexes=True`` does the same for REGISTERED near-dup /
+    ANN indexes on ``table`` (plans/ops.py maintain_indexes_of) — the
+    streaming twin of PipelineConfig.auto_maintain_indexes: each
+    micro-batch's merge is followed by an O(changed) index advance
+    keyed off the index's own txn watermark, so a replayed batch
+    (skipped merge, watermark already at head) is an index no-op too.
     """
     keys = [key] if isinstance(key, str) else list(key)
     ckpt = checkpoint or tempfile.mkdtemp(prefix="ingest_ckpt_")
@@ -181,6 +189,10 @@ def stream_upsert_to_warehouse(
             from ..plans.ops import refresh_views_of
 
             refresh_views_of(warehouse, table)
+        if maintain_indexes:
+            from ..plans.ops import maintain_indexes_of
+
+            maintain_indexes_of(warehouse, table)
 
     return (
         stream_df.writeStream.foreachBatch(apply_batch)

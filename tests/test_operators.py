@@ -2811,6 +2811,40 @@ class TestAnnIndex:
         update_ann_index(wh, "ann", feed, "s1-replay")
         assert self._index_rows(wh) == want
 
+    def test_delete_only_batch_empties_a_cell(self, spark, embs, tmp_path):
+        """Round-12 regression: a batch that deletes EVERY vector of a
+        cell (nothing arrives there) must leave the cell empty —
+        replace-by-incoming-key alone kept the stale rows because no
+        incoming row carried that cell's key."""
+        from collections import Counter
+
+        from canvas_data_loader_spark.operators import simsearch as S
+        from canvas_data_loader_spark.plans.ops import (
+            _ann_meta,
+            _centroid_frame,
+            create_ann_index,
+            keyed_changes,
+            update_ann_index,
+        )
+
+        wh = self._wh(spark, tmp_path)
+        create_ann_index(wh, "ann", embs, "s0", n_cells=8, n_buckets=4)
+        rows = wh.read("ann").select("vec_id", "cell").collect()
+        counts = Counter(r.cell for r in rows)
+        victim = min(counts, key=lambda k: counts[k])
+        vic_ids = {r.vec_id for r in rows if r.cell == victim}
+        v1 = embs.filter(~F.col("vec_id").isin(*vic_ids))
+        feed = keyed_changes(embs, v1, "vec_id").localCheckpoint()
+        update_ann_index(wh, "ann", feed, "s1")
+        cents = _centroid_frame(spark, _ann_meta(wh, "ann")["centroids"])
+        want = sorted(
+            (r.vec_id, r.cell)
+            for r in S.assign_cells(v1, cents, "vec_id", "embedding").collect()
+        )
+        assert self._index_rows(wh) == want
+        update_ann_index(wh, "ann", feed, "s1-replay")
+        assert self._index_rows(wh) == want
+
     def test_update_rejects_rebucketed_index_table(
         self, spark, embs, tmp_path
     ):
@@ -3026,3 +3060,107 @@ class TestIncrementalNeardupIndexDelta:
         )
         update_neardup_index(wh, "band_index", nb, "s1-replay")
         assert sorted(map(tuple, wh.read("band_index").collect())) == rows_after
+
+
+class TestIndexAutoMaintenance:
+    """plans/ops.py register_neardup_index / sync_neardup_index /
+    advance_index / maintain_indexes_of (round 12): the unit half of
+    the auto-maintenance lane (the e2e pipeline/streaming half lives in
+    tests/test_pipeline.py::TestAutoMaintainIndexes). Pins the
+    advance_index ladder: noop at head, metadata-only advance over a
+    row-identical interval, incremental from the change feed with
+    maintained == rebuilt, and rebuild on source drop+recreate
+    (incarnation change via table_id)."""
+
+    def _wh(self, spark, tmp_path):
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        return Warehouse(spark, str(tmp_path / "wh"))
+
+    def _seed(self, spark, docs, wh):
+        from canvas_data_loader_spark.plans.ops import register_neardup_index
+
+        base = docs.select("doc_id", "text").limit(60)
+        wh.write("docs", base, "s0", bucket=("doc_id", 8))
+        register_neardup_index(
+            wh, "nd", "docs", "idx0", id_col="doc_id", text_col="text",
+            n_buckets=8,
+        )
+        return base
+
+    def _rebuilt(self, wh):
+        from canvas_data_loader_spark.operators.dedup import minhash_bands
+
+        return sorted(
+            tuple(r)
+            for r in minhash_bands(
+                wh.read("docs").select("doc_id", "text"),
+                "text", "doc_id", 16, 4, 3,
+            ).distinct().collect()
+        )
+
+    def test_noop_advance_incremental_ladder(self, spark, docs, tmp_path):
+        from canvas_data_loader_spark.plans.ops import advance_index
+
+        wh = self._wh(spark, tmp_path)
+        base = self._seed(spark, docs, wh)
+        # at head -> noop
+        assert advance_index(wh, "nd")["mode"] == "noop"
+        # row-identical interval (metadata-only commit) -> advance
+        wh.record_txn("docs", "someone-else", 1)
+        out = advance_index(wh, "nd")
+        assert out["mode"] == "advance"
+        assert wh.last_txn_epoch("idx-sync:nd", "nd") == wh.current_version(
+            "docs"
+        )
+        # real changes -> incremental, maintained == rebuilt
+        upd = base.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "text", F.concat(F.lit("CHANGED "), F.col("text"))
+        )
+        wh.merge_bucketed(
+            "docs", upd, "m1",
+            delete_keys=base.filter(F.col("doc_id") % 5 == 0).select(
+                "doc_id"
+            ),
+        )
+        assert advance_index(wh, "nd")["mode"] == "incremental"
+        got = sorted(tuple(r) for r in wh.read("nd").collect())
+        assert got == self._rebuilt(wh)
+        # replay -> noop, rows identical
+        assert advance_index(wh, "nd")["mode"] == "noop"
+        assert sorted(tuple(r) for r in wh.read("nd").collect()) == got
+
+    def test_rebuild_on_source_recreate(self, spark, docs, tmp_path):
+        from canvas_data_loader_spark.plans.ops import advance_index
+
+        wh = self._wh(spark, tmp_path)
+        self._seed(spark, docs, wh)
+        # drop + recreate the source with different content: the
+        # incarnation (table_id) changes, so the watermark is void
+        fresh = docs.select("doc_id", "text").filter(
+            F.col("doc_id") % 2 == 0
+        ).limit(30)
+        wh.drop("docs")
+        wh.write("docs", fresh, "s0b", bucket=("doc_id", 8))
+        out = advance_index(wh, "nd")
+        assert out["mode"] == "rebuild"
+        assert sorted(tuple(r) for r in wh.read("nd").collect()) == (
+            self._rebuilt(wh)
+        )
+        # rebuilt index re-binds to the new incarnation: next is noop
+        assert advance_index(wh, "nd")["mode"] == "noop"
+
+    def test_maintain_indexes_of_skips_failures(self, spark, docs, tmp_path):
+        """A broken index (properties vandalized) must be logged and
+        skipped, never failing the source's import hook."""
+        from canvas_data_loader_spark.plans.ops import maintain_indexes_of
+
+        wh = self._wh(spark, tmp_path)
+        base = self._seed(spark, docs, wh)
+        wh.set_properties("nd", {"index.num_hashes": "not-a-number"})
+        wh.merge_bucketed(
+            "docs",
+            base.limit(3).withColumn("text", F.lit("new text rows here")),
+            "m1",
+        )
+        maintain_indexes_of(wh, "docs")  # must not raise

@@ -1101,3 +1101,47 @@ class TestHistoryCli:
         assert len(rows) == 2 and all(r["timestamp"] for r in rows)
         assert main(["maintain", "--warehouse-dir", wh_dir,
                      "--table", "ghost", "--history"]) == 2
+
+
+class TestAdvanceIndexCli:
+    def test_advance_index_via_cli(self, tmp_path, spark):
+        """maintain --advance-index: the hand-run twin of
+        PipelineConfig.auto_maintain_indexes (round 12)."""
+        from pyspark.sql import functions as F
+
+        from canvas_data_loader_spark.__main__ import main
+        from canvas_data_loader_spark.operators.dedup import minhash_bands
+        from canvas_data_loader_spark.plans.ops import register_neardup_index
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh_dir = str(tmp_path / "whidx")
+        wh = Warehouse(spark, wh_dir)
+        docs = spark.createDataFrame(
+            [(i, f"the quick brown fox {i} jumps over the lazy dog {i}")
+             for i in range(1, 20)],
+            "doc_id long, text string",
+        )
+        wh.write("docs", docs, "s0", bucket=("doc_id", 4))
+        register_neardup_index(
+            wh, "nd", "docs", "idx0", id_col="doc_id", text_col="text",
+            n_buckets=4,
+        )
+        wh.merge_bucketed(
+            "docs",
+            docs.filter(F.col("doc_id") <= 3).withColumn(
+                "text", F.concat(F.lit("CHANGED "), F.col("text"))
+            ),
+            "m1",
+        )
+        base = ["maintain", "--warehouse-dir", wh_dir, "--table", "nd"]
+        assert main(base + ["--advance-index"]) == 0
+        want = sorted(
+            tuple(r)
+            for r in minhash_bands(
+                wh.read("docs"), "text", "doc_id", 16, 4, 3
+            ).distinct().collect()
+        )
+        assert sorted(tuple(r) for r in wh.read("nd").collect()) == want
+        # replay: noop, rows identical
+        assert main(base + ["--advance-index"]) == 0
+        assert sorted(tuple(r) for r in wh.read("nd").collect()) == want
