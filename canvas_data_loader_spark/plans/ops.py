@@ -1138,6 +1138,7 @@ def create_ann_index(
     vec_col: str = "embedding",
     vectorized: bool = True,
     source: str | None = None,
+    drift_threshold: float | None = None,
 ) -> None:
     """Build a persisted IVF index: deterministic centroids (first-n
     seed, optionally Lloyd-refined — operators.simsearch.
@@ -1180,6 +1181,8 @@ def create_ann_index(
             "index.id_col": id_col,
         }
         txn = (f"{_IDX_APP}:{table}", v_src)
+    if drift_threshold is not None:
+        props["ann.drift_threshold"] = repr(float(drift_threshold))
     cent_rows = (
         refined_centroids(
             vectors, n_cells, refine_iters, id_col, vec_col, vectorized
@@ -1202,6 +1205,7 @@ def create_ann_index(
             "ann.centroids": json.dumps(cents, separators=(",", ":")),
             "ann.id_col": id_col,
             "ann.vec_col": vec_col,
+            "ann.refine_iters": str(int(refine_iters)),
             **props,
         },
         txn=txn,
@@ -1637,6 +1641,9 @@ def advance_index(warehouse, index: str) -> dict:
         sync_neardup_index(warehouse, index, feed, snapshot, txn=(app, v_head))
     else:
         update_ann_index(warehouse, index, feed, snapshot, txn=(app, v_head))
+        # drift repair rides the same unattended path: re-freeze the
+        # cell function when the corpus has moved past the threshold
+        maybe_recenter_ann_index(warehouse, index)
     return {"mode": "incremental", "v_from": last, "v_to": v_head}
 
 
@@ -1661,3 +1668,114 @@ def maintain_indexes_of(warehouse, table: str) -> None:
                 f"auto-maintain of index {index!r} skipped: {e}",
                 file=sys.stderr,
             )
+
+
+def ann_index_drift(warehouse, index: str) -> float:
+    """How far the index's CURRENT vectors have drifted from its FROZEN
+    centroids: the population-weighted mean L2 shift between each
+    cell's frozen centroid and its current mean vector, normalized by
+    the population-weighted mean frozen-centroid norm — q163's
+    centroid-shift statistic (queries.py q163) specialized to the IVF
+    cell structure. 0.0 for an empty index; grows as ingest moves the
+    corpus away from the distribution the centroids were trained on
+    (encoder swap, upstream mix change), exactly when probe recall
+    decays because vectors land far from every frozen centroid.
+
+    Scale shape: posexplode to (cell, pos) narrow rows — ONE shuffle,
+    map-side combined AVG; the fold to the scalar runs on
+    |cells| x dims rows (control-plane sized)."""
+    meta = _ann_meta(warehouse, index)
+    vec_col = meta["vec_col"]
+    idx = warehouse.read(index)
+    mu = (
+        idx.select("cell", F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("mu"))
+    )
+    cpos = _centroid_frame(warehouse.spark, meta["centroids"]).select(
+        "cell", F.posexplode("cvec").alias("pos", "c")
+    )
+    per_cell = (
+        mu.join(F.broadcast(cpos), ["cell", "pos"])
+        .groupBy("cell")
+        .agg(
+            F.sqrt(F.sum((F.col("mu") - F.col("c")) ** 2)).alias("shift"),
+            F.sqrt(F.sum(F.col("c") ** 2)).alias("cnorm"),
+        )
+    )
+    counts = idx.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    row = (
+        per_cell.join(counts, "cell")
+        .agg(
+            F.sum(F.col("shift") * F.col("n")).alias("num"),
+            F.sum(F.col("cnorm") * F.col("n")).alias("den"),
+        )
+        .collect()[0]
+    )
+    if row["den"] is None or row["den"] == 0.0:
+        return 0.0
+    return float(row["num"]) / float(row["den"])
+
+
+def recenter_ann_index(warehouse, index: str, snapshot: str | None = None) -> dict:
+    """Re-freeze the IVF cell function: new centroids trained on the
+    index's CURRENT vectors (same n_cells / refine_iters the index was
+    created with — ann.refine_iters rides the properties), full
+    reassignment, published as ONE CAS'd commit carrying both the new
+    rows and the new ``ann.centroids`` property. Because properties
+    ride the commit log, a time-travel read at any pre-recenter
+    version still pairs the OLD rows with the OLD centroids — probes
+    against history stay self-consistent, which is why re-centering is
+    a new index VERSION and not an in-place property edit. The txn
+    watermark (auto-maintenance) is carried forward by the publish,
+    untouched: re-centering changes the cell function, not how much of
+    the source has been consumed."""
+    import json
+
+    from ..operators.simsearch import assign_cells_vectorized, refined_centroids
+
+    meta = _ann_meta(warehouse, index)
+    props = warehouse.table_properties(index)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    n_cells = len(meta["centroids"])
+    refine = int(props.get("ann.refine_iters", "0"))
+    info = warehouse.routing_info(index) or {}
+    n_buckets = int(info.get("n_buckets") or 16)
+    vectors = warehouse.read(index).select(id_col, vec_col)
+    cent_rows = (
+        refined_centroids(vectors, n_cells, refine, id_col, vec_col, True)
+        .orderBy("cell")
+        .collect()
+    )
+    cents = [[int(r["cell"]), [float(x) for x in r["cvec"]]] for r in cent_rows]
+    cents_df = _centroid_frame(warehouse.spark, cents)
+    assigned = assign_cells_vectorized(
+        vectors, cents_df, id_col, vec_col, id_col
+    ).select(id_col, vec_col, F.col("cell").cast("int").alias("cell"))
+    warehouse.write(
+        index,
+        assigned,
+        snapshot or "ann-recenter",
+        bucket=("cell", n_buckets),
+        props={"ann.centroids": json.dumps(cents, separators=(",", ":"))},
+    )
+    return {"mode": "recenter", "n_cells": n_cells}
+
+
+def maybe_recenter_ann_index(warehouse, index: str) -> dict:
+    """Threshold gate for re-centering (VERDICT r11 next-round #7):
+    when the index carries ``ann.drift_threshold`` and
+    ``ann_index_drift`` exceeds it, re-freeze via recenter_ann_index;
+    otherwise a measurement-only no-op. Called by advance_index after
+    every incremental ANN update, so drift repair is part of the same
+    unattended write path as the index itself."""
+    props = warehouse.table_properties(index)
+    thr = props.get("ann.drift_threshold")
+    if thr is None:
+        return {"mode": "noop", "drift": None}
+    drift = ann_index_drift(warehouse, index)
+    if drift <= float(thr):
+        return {"mode": "noop", "drift": drift}
+    out = recenter_ann_index(warehouse, index)
+    out["drift"] = drift
+    return out

@@ -3164,3 +3164,176 @@ class TestIndexAutoMaintenance:
             "m1",
         )
         maintain_indexes_of(wh, "docs")  # must not raise
+
+
+class TestAnnDriftRecenter:
+    """Drift-triggered ANN re-centering (round 12 — VERDICT r11
+    next-round #7): q163's centroid-shift statistic specialized to the
+    index (plans/ops.py ann_index_drift), a property-stored threshold
+    (ann.drift_threshold), and re-freezing as a new CAS'd index
+    version (recenter_ann_index), wired into advance_index's
+    incremental path. Pins: a drifted corpus triggers the re-center,
+    maintained == rebuilt holds against the NEW frozen centroids,
+    probe recall is restored vs the stale cell function, and the
+    pre-recenter version stays readable (time-travel consistency)."""
+
+    DIM = 6
+
+    def _cluster(self, anchor, ids, spread=0.05):
+        # tight, deterministic cluster around an anchor vector
+        return [
+            (
+                i,
+                [
+                    anchor[j] + spread * ((i * 7 + j * 3) % 5 - 2)
+                    for j in range(self.DIM)
+                ],
+            )
+            for i in ids
+        ]
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def _recall(self, wh, index, queries, k=5):
+        """recall@k of the pruned probe vs exact brute force over the
+        index's own vectors."""
+        from canvas_data_loader_spark.operators.simsearch import (
+            brute_force_topk,
+        )
+        from canvas_data_loader_spark.plans.ops import probe_ann_index
+
+        corpus = wh.read(index).select("vec_id", "embedding")
+        truth = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(corpus, queries, k=k).collect()
+        }
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in probe_ann_index(wh, index, queries, k=k, n_probe=1).collect()
+        }
+        return len(got & truth) / max(1, len(truth))
+
+    def test_drift_triggers_recenter_and_restores_recall(
+        self, spark, tmp_path
+    ):
+        import json
+
+        from canvas_data_loader_spark.operators import simsearch as S
+        from canvas_data_loader_spark.plans.ops import (
+            _ann_meta,
+            _centroid_frame,
+            advance_index,
+            ann_index_drift,
+            create_ann_index,
+        )
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        # v0: four tight clusters at axis-ish anchors
+        anchors = [
+            [10.0, 0, 0, 0, 0, 0],
+            [0, 10.0, 0, 0, 0, 0],
+            [0, 0, 10.0, 0, 0, 0],
+            [0, 0, 0, 10.0, 0, 0],
+        ]
+        rows = []
+        for ci, a in enumerate(anchors):
+            # interleave ids across clusters so the deterministic
+            # first-n centroid seed draws one vector per cluster
+            rows += self._cluster(a, [ci + 1 + 4 * k for k in range(20)])
+        v0 = self._mk(spark, rows)
+        wh.write("vecs", v0, "s0", bucket=("vec_id", 4))
+        create_ann_index(
+            wh, "ann", None, "idx0", n_cells=4, n_buckets=4,
+            refine_iters=2, source="vecs", drift_threshold=0.5,
+        )
+        before = _ann_meta(wh, "ann")["centroids"]
+        assert ann_index_drift(wh, "ann") < 0.5  # fresh index: no drift
+        v_pre = wh.current_version("ann")
+        pre_rows = sorted(
+            (r.vec_id, r.cell) for r in wh.read("ann").collect()
+        )
+
+        # DRIFT: the encoder swapped — every vector re-embeds into a
+        # rotated/offset space far from the frozen centroids
+        drifted = []
+        for ci, a in enumerate(anchors):
+            new_anchor = [-x + 3.0 for x in a[1:]] + [7.0]
+            drifted += self._cluster(
+                new_anchor, [ci + 1 + 4 * k for k in range(20)]
+            )
+        v1 = self._mk(spark, drifted)
+        wh.merge_bucketed("vecs", v1, "m1")
+        out = advance_index(wh, "ann")
+        assert out["mode"] == "incremental"
+
+        after = _ann_meta(wh, "ann")["centroids"]
+        assert json.dumps(after) != json.dumps(before), "recenter must re-freeze"
+        # maintained == rebuilt against the NEW frozen centroids
+        cents = _centroid_frame(spark, after)
+        want = sorted(
+            (r.vec_id, r.cell)
+            for r in S.assign_cells(
+                wh.read("vecs").select("vec_id", "embedding"),
+                cents, "vec_id", "embedding",
+            ).collect()
+        )
+        assert sorted(
+            (r.vec_id, r.cell) for r in wh.read("ann").collect()
+        ) == want
+        # recall restored: against the same drifted corpus, a stale
+        # index (no threshold -> never recenters) probes poorly while
+        # the recentered one matches the cluster structure again
+        wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+        wh2.write("vecs", wh.read("vecs"), "s0", bucket=("vec_id", 4))
+        create_ann_index(wh2, "stale", None, "idx0", n_cells=4, n_buckets=4,
+                         refine_iters=2, source="vecs")
+        # overwrite stale's centroids with the PRE-drift frozen set
+        wh2.set_properties(
+            "stale", {"ann.centroids": json.dumps(before)}
+        )
+        queries = self._mk(
+            spark, self._cluster([-a + 3.0 for a in anchors[0][1:]] + [7.0],
+                                 [901, 902, 903])
+        )
+        r_new = self._recall(wh, "ann", queries)
+        r_stale = self._recall(wh2, "stale", queries)
+        assert r_new >= r_stale
+        assert r_new >= 0.8, (r_new, r_stale)
+        # pre-recenter version still readable with its own rows
+        assert sorted(
+            (r.vec_id, r.cell)
+            for r in wh.read_at_version("ann", v_pre).collect()
+        ) == pre_rows
+        # replay: watermark at head, nothing moves
+        assert advance_index(wh, "ann")["mode"] == "noop"
+        assert sorted(
+            (r.vec_id, r.cell) for r in wh.read("ann").collect()
+        ) == want
+
+    def test_below_threshold_is_measurement_only(self, spark, tmp_path):
+        from canvas_data_loader_spark.plans.ops import (
+            _ann_meta,
+            advance_index,
+            create_ann_index,
+        )
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        rows = self._cluster([10.0, 0, 0, 0, 0, 0], range(1, 41))
+        wh.write("vecs", self._mk(spark, rows), "s0", bucket=("vec_id", 4))
+        create_ann_index(
+            wh, "ann", None, "idx0", n_cells=4, n_buckets=4,
+            source="vecs", drift_threshold=0.5,
+        )
+        before = _ann_meta(wh, "ann")["centroids"]
+        # a small in-distribution update: drift stays under threshold
+        upd = self._mk(
+            spark, self._cluster([10.0, 0, 0, 0, 0, 0], [1, 2], spread=0.06)
+        )
+        wh.merge_bucketed("vecs", upd, "m1")
+        assert advance_index(wh, "ann")["mode"] == "incremental"
+        assert _ann_meta(wh, "ann")["centroids"] == before
