@@ -168,6 +168,10 @@ HEADLINE = [
     "q168_ann_index_probe",
     "q169_domain_reputation_gate",
     "q170_sentence_span_dedup",
+    # round-12 registry additions
+    "q171_decontam_index_probe",
+    "q172_bloom_dedup_prepass",
+    "q173_ccnet_ppl_buckets",
 ]
 
 

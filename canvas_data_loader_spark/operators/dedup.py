@@ -711,3 +711,95 @@ def exactsubstr_covered_positions(
         )
         .distinct()
     )
+
+
+def bloom_bits(
+    df: DataFrame,
+    text_col: str,
+    k: int = 3,
+    hex_chars: int = 3,
+    salt: str = "bff",
+) -> DataFrame:
+    """Deterministic Bloom-filter bit set over document CONTENT
+    fingerprints — the Dolma/BFF-shaped membership pre-pass for exact
+    dedup where the exact fingerprint table is too big to join every
+    dump against: the filter is O(k·16^hex_chars) SET BITS no matter
+    the corpus size. Output: distinct (row_id, b) — ``k`` salted hash
+    rows, each bit id the first ``hex_chars`` hex chars of the salted
+    md5 of the content fingerprint (functions.text.fingerprint, the
+    q30 truth key). Bit ids stay HEX STRINGS end-to-end (engines
+    disagree on hex->int parsing — the q119/q142 cross-engine rule),
+    and the whole construction is md5-deterministic, which is what
+    makes an approximate structure oracle-checkable.
+
+    MERGEABLE by construction: bloom_bits(A ∪ B) == bloom_bits(A) ∪
+    bloom_bits(B) as sets — so per-snapshot sidecars union into the
+    corpus filter without rescanning (pinned in TestBloomPrepass).
+
+    Scale shape: one projection + a distinct whose key space is
+    bounded by k·16^hex_chars (4096 per row at the default) — map-side
+    combine ships at most the FILTER per executor, the mergeable-
+    sketch property (q62/q142's class)."""
+    fp = fingerprint(text_col)
+    rows = F.array(*[F.lit(i) for i in range(k)])
+    return (
+        df.select(F.explode(rows).alias("row_id"), fp.alias("__fp"))
+        .select(
+            "row_id",
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.col("row_id"),
+                        F.lit(":"),
+                        F.col("__fp"),
+                    )
+                ),
+                1,
+                hex_chars,
+            ).alias("b"),
+        )
+        .distinct()
+    )
+
+
+def bloom_maybe_member(
+    df: DataFrame,
+    bits: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    hex_chars: int = 3,
+    salt: str = "bff",
+) -> DataFrame:
+    """Probe documents against a ``bloom_bits`` filter: (id, maybe_dup)
+    where maybe_dup = 1 iff ALL k salted bits of the doc's content
+    fingerprint are set. Guarantees the Bloom contract: a true
+    duplicate is NEVER missed (its bits were set by the original);
+    a hit is only 'maybe' (false-positive rate ~ (set_fraction)^k,
+    bounded in pytest). The filter side is fixed-size, so each probe
+    join is a broadcast hash join at any corpus scale."""
+    fp = fingerprint(text_col)
+    probe = df.select(F.col(id_col), fp.alias("__fp"))
+    for i in range(k):
+        bit = F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(i), F.lit(":"), F.col("__fp"))),
+            1,
+            hex_chars,
+        )
+        side = (
+            bits.filter(F.col("row_id") == i)
+            .select(F.col("b").alias(f"__b{i}"))
+        )
+        probe = probe.withColumn(f"__bit{i}", bit).join(
+            F.broadcast(side.withColumn(f"__hit{i}", F.lit(1))),
+            F.col(f"__bit{i}") == F.col(f"__b{i}"),
+            "left",
+        ).drop(f"__b{i}")
+    hit = None
+    for i in range(k):
+        h = F.col(f"__hit{i}").isNotNull()
+        hit = h if hit is None else (hit & h)
+    return probe.select(
+        id_col, hit.cast("int").alias("maybe_dup")
+    )

@@ -1572,7 +1572,21 @@ def advance_index(warehouse, index: str) -> dict:
         info = warehouse.routing_info(index) or {}
         n_buckets = int(info.get("n_buckets") or 64)
         snapshot = f"idx-rebuild-v{v_head}"
-        if kind == "neardup":
+        if kind == "decontam":
+            warehouse.write(
+                index,
+                _decontam_grams(
+                    warehouse.read(source),
+                    props["index.id_col"],
+                    props["index.text_col"],
+                    int(props["index.gram_n"]),
+                ),
+                snapshot,
+                bucket=("g", n_buckets),
+                props={"index.source_id": src_id},
+                txn=(app, v_head),
+            )
+        elif kind == "neardup":
             from ..operators.dedup import minhash_bands
 
             id_col, text_col = props["index.id_col"], props["index.text_col"]
@@ -1639,6 +1653,8 @@ def advance_index(warehouse, index: str) -> dict:
     snapshot = f"idx-sync-v{v_head}"
     if kind == "neardup":
         sync_neardup_index(warehouse, index, feed, snapshot, txn=(app, v_head))
+    elif kind == "decontam":
+        sync_decontam_index(warehouse, index, feed, snapshot, txn=(app, v_head))
     else:
         update_ann_index(warehouse, index, feed, snapshot, txn=(app, v_head))
         # drift repair rides the same unattended path: re-freeze the
@@ -1779,3 +1795,178 @@ def maybe_recenter_ann_index(warehouse, index: str) -> dict:
     out = recenter_ann_index(warehouse, index)
     out["drift"] = drift
     return out
+
+
+# ---------------------------------------------------------------------------
+# Maintained decontamination index (round 12 — VERDICT r11 registry
+# slot a): the q167/q168 maintained-index discipline applied to
+# decontamination. The EVAL suite's positional-gram set persists as a
+# warehouse table of DISTINCT (doc, g) gram-membership edges bucketed
+# by g, maintained from the eval corpus' change feed at O(changed);
+# each new training dump is probed at O(batch) against only the
+# buckets its own grams route to — the eval grams are never re-derived
+# (the A24/A25 new-dumps-only loop this index serves).
+# ---------------------------------------------------------------------------
+
+
+def _decontam_grams(df, id_col: str, text_col: str, n: int):
+    """DISTINCT (doc, g) gram-membership edges of a document frame —
+    the index's row unit. Gram hashing is operators.dedup.
+    exactsubstr_grams (md5 over the token n-gram; the shuffle never
+    carries word strings) over functions.text.tokens, the same
+    machinery q141/q145/q164 share, so index rows are bit-comparable
+    with every ExactSubstr consumer."""
+    from ..functions.text import tokens
+    from ..operators.dedup import exactsubstr_grams
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
+    )
+    return (
+        exactsubstr_grams(toks, n=n)
+        .select(F.col("doc_id").alias("doc"), "g")
+        .distinct()
+    )
+
+
+def register_decontam_index(
+    warehouse,
+    index: str,
+    source: str,
+    snapshot: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_buckets: int = 64,
+) -> None:
+    """Build the decontamination gram index of the EVAL table
+    ``source`` at its current version and register it for
+    auto-maintenance (index.kind = decontam): linkage + the frozen
+    gram width ``n`` ride the properties, the source version rides the
+    txn watermark. Eval corpora are small by construction (benchmarks
+    are MBs, training data is TBs), so the (doc, g) edge list — rather
+    than bare gram counts — costs little and buys replay idempotency:
+    every maintenance motion is a set replacement, never an increment."""
+    v_src, src_df = warehouse.read_versioned(source)
+    warehouse.write(
+        index,
+        _decontam_grams(src_df, id_col, text_col, n),
+        snapshot,
+        bucket=("g", n_buckets),
+        props={
+            "index.kind": "decontam",
+            "index.source": source,
+            "index.source_id": warehouse.table_id(source) or "",
+            "index.id_col": id_col,
+            "index.text_col": text_col,
+            "index.gram_n": str(int(n)),
+        },
+        txn=(f"{_IDX_APP}:{index}", v_src),
+    )
+
+
+def sync_decontam_index(
+    warehouse,
+    index: str,
+    changes,
+    snapshot: str,
+    txn: tuple[str, int] | None = None,
+) -> list[int]:
+    """Maintain the decontam index from the EVAL corpus' change feed
+    at O(changed) — sync_neardup_index's motion on (doc, g) edges:
+    departing eval docs' grams are recomputed from their OLD images
+    (deterministic, so exactly the rows the index holds for them) and
+    the touched gram keys replaced wholesale (merge_bucketed with
+    delete_keys; incoming = kept rows of touched grams ∪ arriving
+    docs' grams). A replayed feed is an exact no-op; an eval benchmark
+    being REMOVED actually un-contaminates its grams for future dumps."""
+    props = warehouse.table_properties(index)
+    id_col, text_col = props["index.id_col"], props["index.text_col"]
+    n = int(props["index.gram_n"])
+    old_g = _decontam_grams(
+        changes.filter(F.col("_change_type").isin("delete", "update_preimage")),
+        id_col, text_col, n,
+    ).localCheckpoint()
+    new_g = _decontam_grams(
+        changes.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ),
+        id_col, text_col, n,
+    ).localCheckpoint()
+    touched = (
+        old_g.select("g").unionByName(new_g.select("g")).distinct()
+        .localCheckpoint()
+    )
+    if touched.isEmpty():
+        if txn is not None:
+            warehouse.record_txn(index, *txn)
+        return []
+    changed_docs = (
+        old_g.select("doc").unionByName(new_g.select("doc")).distinct()
+    )
+    existing = None
+    info = warehouse.routing_info(index) or {}
+    if info.get("bucket_key") == "g" and info.get("n_buckets"):
+        nb = int(info["n_buckets"])
+        bids = sorted(
+            r.b
+            for r in touched.select(bucket_of(F.col("g"), nb).alias("b"))
+            .distinct()
+            .collect()
+        )
+        existing = warehouse.read_buckets(index, bids)
+    if existing is None:
+        existing = warehouse.read(index)
+    kept = (
+        existing.join(touched, "g", "semi")
+        .join(changed_docs, "doc", "left_anti")
+        .select("doc", "g")
+    )
+    incoming = kept.unionByName(new_g.select("doc", "g")).distinct()
+    return warehouse.merge_bucketed(
+        index, incoming, snapshot, txn=txn, delete_keys=touched
+    )
+
+
+def probe_decontam_index(
+    warehouse,
+    index: str,
+    new_docs,
+    prune: bool = True,
+):
+    """Contamination hits of a NEW training dump against the persisted
+    eval gram index at O(batch): the dump's positional grams
+    (doc_id, i, g) are routed to the index buckets they hash to (with
+    ``prune``, only those buckets are read — the b/N contract; the
+    driver-side bucket set is bounded by |dump grams|) and semi-joined
+    against the index's gram set. Output (doc_id, i, g): every
+    dump-gram occurrence that also occurs anywhere in the eval suite —
+    exactly the hit set q164 derives by re-computing the eval grams,
+    without touching the eval corpus. Feed the hits to the q145/q164
+    span-cut to produce the decontaminated text."""
+    from ..functions.text import tokens
+    from ..operators.dedup import exactsubstr_grams
+
+    props = warehouse.table_properties(index)
+    id_col, text_col = props["index.id_col"], props["index.text_col"]
+    n = int(props["index.gram_n"])
+    toks = new_docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
+    )
+    grams = exactsubstr_grams(toks, n=n).localCheckpoint()
+    idx = None
+    info = warehouse.routing_info(index) or {}
+    if prune and info.get("bucket_key") == "g" and info.get("n_buckets"):
+        nb = int(info["n_buckets"])
+        bids = sorted(
+            r.b
+            for r in grams.select(bucket_of(F.col("g"), nb).alias("b"))
+            .distinct()
+            .collect()
+        )
+        idx = warehouse.read_buckets(index, bids)
+    if idx is None:
+        idx = warehouse.read(index)
+    return grams.join(idx.select("g").distinct(), "g", "semi").select(
+        "doc_id", "i", "g"
+    )

@@ -9151,3 +9151,303 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cov", F.coalesce("cov", F.array().cast("array<bigint>"))
     )
     return _cut_covered(j).withColumnRenamed("n_tokens", "n_sentences")
+
+
+@query(
+    "q171_decontam_index_probe",
+    f"""
+    -- Maintained-decontamination-index probe (round 12 registry slot
+    -- a): only the NEW dump's documents (doc_id % 5 = 4 — the A24/A25
+    -- new-dumps-only stand-in q167/q168 use) are probed against the
+    -- eval suite's persisted gram set and span-cut. The production
+    -- lane is the WAREHOUSE-TABLE index: plans/ops.py
+    -- register_decontam_index persists the eval corpus' DISTINCT
+    -- (doc, gram) edges bucketed by gram hash, sync_decontam_index
+    -- maintains it from the eval corpus' change feed at O(changed),
+    -- and probe_decontam_index answers a dump at O(batch) reading
+    -- only the buckets the dump's own grams route to — the eval
+    -- grams are never re-derived per dump. This row materializes the
+    -- same dataflow inline so DuckDB can byte-compare it.
+    WITH toks AS (
+        SELECT doc_id, source, STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, source, i, MD5(ARRAY_TO_STRING(t[i : i + 2], ' ')) AS g
+        FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS r(i)
+        WHERE LEN(t) >= 3
+    ), eval_g AS (
+        SELECT DISTINCT g FROM grams WHERE source IN ('src0','src1','src2')
+    ), covered AS (
+        SELECT DISTINCT gr.doc_id, p.j
+        FROM grams gr JOIN eval_g e ON e.g = gr.g,
+             UNNEST(RANGE(gr.i, gr.i + 3)) AS p(j)
+        WHERE gr.source NOT IN ('src0','src1','src2')
+          AND gr.doc_id % 5 = 4
+    ), kept AS (
+        SELECT tk.doc_id, tk.i, tk.w
+        FROM (SELECT doc_id, i, t[i] AS w
+              FROM toks, UNNEST(RANGE(1, LEN(t) + 1)) AS r(i)
+              WHERE source NOT IN ('src0','src1','src2')
+                AND doc_id % 5 = 4) tk
+        ANTI JOIN covered c ON c.doc_id = tk.doc_id AND c.j = tk.i
+    )
+    SELECT b.doc_id,
+           CAST(LEN(b.t) AS BIGINT) AS n_tokens,
+           CAST(LEN(b.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           MD5(COALESCE(k.clean, '')) AS clean_md5
+    FROM (SELECT doc_id, t FROM toks
+          WHERE source NOT IN ('src0','src1','src2')
+            AND doc_id % 5 = 4) b
+    LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               STRING_AGG(w, ' ' ORDER BY i) AS clean
+        FROM kept GROUP BY doc_id
+    ) k ON k.doc_id = b.doc_id
+    """,
+)
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination as the A24/A25 dump loop runs it (round 12 —
+    VERDICT r11 next-round #3): probe ONE new dump against the
+    maintained eval gram index and span-cut the hits, instead of
+    q164's re-derive-everything pass over the whole corpus.
+
+    Production lane (pinned maintained == rebuilt and probe parity in
+    TestDecontamIndex): plans/ops.py register_decontam_index /
+    sync_decontam_index / probe_decontam_index — the eval suite's
+    (doc, gram) edges live bucketed by gram hash, advance at
+    O(eval changes) under PipelineConfig.auto_maintain_indexes, and a
+    dump probe reads only the b/N buckets its own grams hash to.
+
+    Scale shape: the dump side is |dump| x grams narrow rows (md5
+    keys, never word strings — operators/dedup.py exactsubstr_grams);
+    the index side is eval-corpus-sized by construction, so the hit
+    join is semi/broadcast-sized at 100 TB; covered positions explode
+    only from HIT gram positions (span-bounded); the rewrite is
+    q145's array-native positional filter (_cut_covered)."""
+    d = load(spark, sf_dir, "documents")
+    eval_srcs = ("src0", "src1", "src2")
+    toks = d.select("doc_id", "source", tokens(F.col("text")).alias("t"))
+    dump = toks.filter(
+        (~F.col("source").isin(*eval_srcs)) & (F.col("doc_id") % 5 == 4)
+    ).select("doc_id", "t")
+    evald = toks.filter(F.col("source").isin(*eval_srcs)).select(
+        "doc_id", "t"
+    )
+    eval_g = D.exactsubstr_grams(evald, n=3).select("g").distinct()
+    covered = (
+        D.exactsubstr_grams(dump, n=3)
+        .join(eval_g, "g")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + 2)).alias("j"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("j").alias("cov"))
+    )
+    j = dump.join(covered, "doc_id", "left").withColumn(
+        "cov", F.coalesce("cov", F.array().cast("array<bigint>"))
+    )
+    return _cut_covered(j)
+
+
+@query(
+    "q172_bloom_dedup_prepass",
+    f"""
+    -- Bloom-filter dedup pre-pass (round 12 registry slot b — the
+    -- Dolma/BFF shape): membership of each NEW dump document's
+    -- content fingerprint in a DETERMINISTIC Bloom filter built over
+    -- the prior corpus — 3 salted md5 hash rows x 4096 bits, bit ids
+    -- the first 3 hex chars of the salted md5 (hex STRINGS end to
+    -- end, the q119/q142 cross-engine rule). The filter is O(1)
+    -- memory at any corpus size; the oracle rebuilds it bit-for-bit
+    -- and the exact join verifies the Bloom contract: a true
+    -- duplicate is NEVER missed (no_false_negative is 1 on every
+    -- row); hits are only 'maybe' (the FP rate is bounded in
+    -- TestBloomPrepass).
+    WITH fps AS (
+        SELECT doc_id, MD5({_NORM_SQL.format(c='text')}) AS fp
+        FROM documents
+    ), old AS (
+        SELECT DISTINCT fp FROM fps WHERE doc_id % 5 != 4
+    ), newd AS (
+        SELECT doc_id, fp FROM fps WHERE doc_id % 5 = 4
+    ), bits AS (
+        SELECT DISTINCT r.i AS row_id,
+               SUBSTR(MD5('bff' || r.i || ':' || fp), 1, 3) AS b
+        FROM old, UNNEST([0, 1, 2]) AS r(i)
+    ), hits AS (
+        SELECT n.doc_id, CAST(COUNT(*) AS BIGINT) AS nhit
+        FROM newd n
+        JOIN bits c
+          ON c.b = SUBSTR(MD5('bff' || c.row_id || ':' || n.fp), 1, 3)
+        GROUP BY n.doc_id
+    ), exact AS (
+        SELECT DISTINCT n.doc_id FROM newd n JOIN old o ON o.fp = n.fp
+    )
+    SELECT n.doc_id,
+           CAST(COALESCE(h.nhit, 0) = 3 AS INT) AS maybe_dup,
+           CAST(e.doc_id IS NOT NULL AS INT) AS exact_dup,
+           CAST(COALESCE(h.nhit, 0) = 3 OR e.doc_id IS NULL AS INT)
+               AS no_false_negative
+    FROM newd n
+    LEFT JOIN hits h ON h.doc_id = n.doc_id
+    LEFT JOIN exact e ON e.doc_id = n.doc_id
+    """,
+)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-pass for exact dedup at dump granularity (round 12 —
+    VERDICT r11 next-round #4, the Dolma/BFF shape made a registry
+    row): before the exact q30 fingerprint join, each new dump is
+    probed against a FIXED-SIZE Bloom filter of the prior corpus'
+    content fingerprints; only maybe-hits need the exact join at all.
+
+    operators/dedup.py ``bloom_bits`` builds the filter as distinct
+    (row_id, bit) rows — k=3 salted md5 rows, 3-hex-char bit ids
+    (m=4096 per row) — and ``bloom_maybe_member`` probes it with k
+    broadcast joins. Mergeable by construction (bits(A ∪ B) ==
+    bits(A) ∪ bits(B)), so per-snapshot sidecars union into the
+    corpus filter without rescanning history — the O(1)-memory dedup
+    lane where even the exact gram/fingerprint table is too big.
+
+    Scale shape: the filter build is a map-side-combined distinct
+    whose key space is bounded by k·4096 regardless of corpus size
+    (the mergeable-sketch property, q62/q142's class); every probe
+    join is a broadcast of the fixed-size filter. The exact-truth join
+    here exists to PROVE the contract (no false negatives, bounded
+    false positives) — at 100 TB it runs only on maybe-hits."""
+    from canvas_data_loader_spark.functions.text import fingerprint
+
+    d = load(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 4
+    old, new = d.filter(~is_new), d.filter(is_new)
+    bits = D.bloom_bits(old, "text").localCheckpoint(eager=False)
+    probe = D.bloom_maybe_member(new, bits, "text", "doc_id")
+    old_fp = old.select(fingerprint("text").alias("__fp")).distinct()
+    ex = (
+        new.select("doc_id", fingerprint("text").alias("__fp"))
+        .join(
+            F.broadcast(old_fp.withColumn("__e", F.lit(1))), "__fp", "left"
+        )
+        .select(
+            "doc_id",
+            F.col("__e").isNotNull().cast("int").alias("exact_dup"),
+        )
+    )
+    return probe.join(ex, "doc_id").select(
+        "doc_id",
+        "maybe_dup",
+        "exact_dup",
+        ((F.col("maybe_dup") == 1) | (F.col("exact_dup") == 0))
+        .cast("int")
+        .alias("no_false_negative"),
+    )
+
+
+@query(
+    "q173_ccnet_ppl_buckets",
+    f"""
+    -- CCNet perplexity partition (round 12 registry slot c — Wenzek
+    -- et al. 2020's head/middle/tail split, the canonical quality
+    -- partition public corpus builds apply before sampling): per-LANG
+    -- terciles of the LM quality score (q130's unigram NLL — the real
+    -- CCNet uses a pretrained 5-gram KenLM; the model is data, the
+    -- dataflow identical). Bucket assignment is RANK arithmetic
+    -- (rn*3 vs n), not value-threshold comparison: integer-exact on
+    -- both engines, no interpolated-quantile knife edges; scores ride
+    -- as integer micro-units per the q128 cross-engine policy.
+    WITH toks AS (
+        SELECT doc_id, lang,
+               UNNEST(STRING_SPLIT({_NORM_SQL.format(c='text')}, ' ')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+    ), tot AS (
+        SELECT SUM(c) AS n FROM vocab
+    ), lp AS (
+        SELECT w, LN(c * 1.0 / n) AS lp FROM vocab CROSS JOIN tot
+    ), scores AS (
+        SELECT t.doc_id, t.lang,
+               CAST(FLOOR(ROUND(AVG(-l.lp), 6) * 1000000 + 0.5) AS BIGINT)
+                   AS nll_micro
+        FROM toks t JOIN lp l USING (w)
+        GROUP BY t.doc_id, t.lang
+    ), ranked AS (
+        SELECT doc_id, lang, nll_micro,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY nll_micro, doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM scores
+    )
+    SELECT doc_id, lang, nll_micro,
+           CASE WHEN rn * 3 <= n THEN 'head'
+                WHEN rn * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM ranked
+    """,
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity buckets (round 12 — VERDICT
+    r11 next-round #5): every public corpus build's quality partition
+    — per-language terciles of the LM score, head = most in-domain.
+    Reuses q130's fit-then-score LM dataflow (vocabulary-sized
+    log-prob table, broadcast for the scoring join).
+
+    Exactness: bucket boundaries are RANK terciles (row_number * 3 vs
+    partition count — pure integer arithmetic, deterministic tie-break
+    on (score, doc_id)), not interpolated-quantile value thresholds,
+    so the oracle comparison has no float knife edges; the score
+    itself rides as integer micro-units (q128 policy: FLOOR of the
+    6dp-rounded mean * 1e6 + 0.5).
+
+    Scale shape: the LM fit is one token-keyed aggregate (map-side
+    combined, vocabulary-sized output -> broadcast); scoring is one
+    groupBy(doc) shuffle; the partition is one window over the
+    DOC-COUNT-sized score table (narrow rows — the corpus text never
+    enters the sort). At 100 TB production precomputes per-lang
+    CUTOFF VALUES on a sample and broadcasts them (CCNet's actual
+    mode, a map-only assignment); the rank form here is the exact
+    semantics that calibration approximates."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(normalize_text("text"), " ")).alias("w"),
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "w", F.log(F.col("c") * 1.0 / F.col("n")).alias("lp")
+    )
+    scores = (
+        toks.join(F.broadcast(lp), "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.floor(
+                F.round(F.avg(-F.col("lp")), 6) * 1000000 + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("nll_micro")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("nll_micro", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = scores.select(
+        "doc_id",
+        "lang",
+        "nll_micro",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "nll_micro",
+        F.when(F.col("rn") * 3 <= F.col("n"), "head")
+        .when(F.col("rn") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )

@@ -3337,3 +3337,166 @@ class TestAnnDriftRecenter:
         wh.merge_bucketed("vecs", upd, "m1")
         assert advance_index(wh, "ann")["mode"] == "incremental"
         assert _ann_meta(wh, "ann")["centroids"] == before
+
+
+class TestDecontamIndex:
+    """Maintained decontamination index (round 12 — plans/ops.py
+    register_decontam_index / sync_decontam_index /
+    probe_decontam_index): the q167/q168 discipline applied to
+    decontamination. Pins: maintained == rebuilt through eval-corpus
+    inserts/updates/deletes, replay idempotency, probe-pruned == full
+    probe == the q164-style recompute hit set, and advance_index
+    dispatch."""
+
+    def _wh(self, spark, tmp_path):
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        return Warehouse(spark, str(tmp_path / "wh"))
+
+    def _rebuilt(self, wh, source="eval_docs"):
+        from canvas_data_loader_spark.plans.ops import _decontam_grams
+
+        return sorted(
+            tuple(r)
+            for r in _decontam_grams(
+                wh.read(source), "doc_id", "text", 3
+            ).collect()
+        )
+
+    def test_maintained_equals_rebuilt_and_replay(self, spark, docs, tmp_path):
+        from canvas_data_loader_spark.plans.ops import (
+            advance_index,
+            register_decontam_index,
+        )
+
+        wh = self._wh(spark, tmp_path)
+        ev = docs.select("doc_id", "text").filter(
+            F.col("doc_id") % 4 == 0
+        ).limit(40)
+        wh.write("eval_docs", ev, "s0", bucket=("doc_id", 4))
+        register_decontam_index(
+            wh, "dc", "eval_docs", "idx0", id_col="doc_id",
+            text_col="text", n=3, n_buckets=8,
+        )
+        assert sorted(
+            tuple(r) for r in wh.read("dc").collect()
+        ) == self._rebuilt(wh)
+        # benchmark suite evolves: one doc's text updated, some docs
+        # removed (benchmark retired), new docs added
+        upd = ev.filter(F.col("doc_id") % 8 == 0).withColumn(
+            "text", F.concat(F.lit("retired wording now "), F.col("text"))
+        )
+        added = docs.select("doc_id", "text").filter(
+            F.col("doc_id") % 4 == 1
+        ).limit(10)
+        wh.merge_bucketed(
+            "eval_docs",
+            upd.unionByName(added),
+            "m1",
+            delete_keys=ev.filter(F.col("doc_id") % 12 == 4).select("doc_id"),
+        )
+        out = advance_index(wh, "dc")
+        assert out["mode"] == "incremental"
+        want = self._rebuilt(wh)
+        assert sorted(tuple(r) for r in wh.read("dc").collect()) == want
+        # replay: noop, rows identical
+        assert advance_index(wh, "dc")["mode"] == "noop"
+        assert sorted(tuple(r) for r in wh.read("dc").collect()) == want
+
+    def test_probe_pruned_equals_full_equals_recompute(
+        self, spark, docs, tmp_path
+    ):
+        from canvas_data_loader_spark.functions.text import tokens
+        from canvas_data_loader_spark.operators.dedup import exactsubstr_grams
+        from canvas_data_loader_spark.plans.ops import (
+            probe_decontam_index,
+            register_decontam_index,
+        )
+
+        wh = self._wh(spark, tmp_path)
+        ev = docs.select("doc_id", "text").filter(F.col("doc_id") % 4 == 0)
+        wh.write("eval_docs", ev, "s0", bucket=("doc_id", 4))
+        register_decontam_index(
+            wh, "dc", "eval_docs", "idx0", id_col="doc_id",
+            text_col="text", n=3, n_buckets=8,
+        )
+        dump = docs.select("doc_id", "text").filter(
+            F.col("doc_id") % 5 == 4
+        )
+        got = sorted(
+            tuple(r)
+            for r in probe_decontam_index(wh, "dc", dump).collect()
+        )
+        full = sorted(
+            tuple(r)
+            for r in probe_decontam_index(
+                wh, "dc", dump, prune=False
+            ).collect()
+        )
+        # the q164-style recompute: eval grams re-derived from text
+        ev_g = (
+            exactsubstr_grams(
+                ev.select("doc_id", tokens(F.col("text")).alias("t")), n=3
+            ).select("g").distinct()
+        )
+        want = sorted(
+            tuple(r)
+            for r in exactsubstr_grams(
+                dump.select("doc_id", tokens(F.col("text")).alias("t")), n=3
+            ).join(ev_g, "g", "semi").select("doc_id", "i", "g").collect()
+        )
+        assert got == full == want
+        assert got, "fixture must actually contain contamination hits"
+
+
+class TestBloomPrepass:
+    """operators/dedup.py bloom_bits / bloom_maybe_member (round 12 —
+    the q172 Dolma/BFF-shaped membership pre-pass). Pins the Bloom
+    contract against q30's exact truth: zero false negatives, a
+    bounded false-positive rate, and set-union mergeability (the
+    per-snapshot-sidecar property)."""
+
+    def test_no_false_negatives_and_fp_bound(self, spark, docs):
+        from canvas_data_loader_spark.functions.text import fingerprint
+
+        is_new = F.col("doc_id") % 5 == 4
+        old, new = docs.filter(~is_new), docs.filter(is_new)
+        bits = D.bloom_bits(old, "text").localCheckpoint()
+        probe = D.bloom_maybe_member(new, bits, "text", "doc_id")
+        old_fp = old.select(fingerprint("text").alias("fp")).distinct()
+        truth = (
+            new.select("doc_id", fingerprint("text").alias("fp"))
+            .join(old_fp.withColumn("e", F.lit(1)), "fp", "left")
+            .select("doc_id", F.col("e").isNotNull().alias("exact"))
+        )
+        rows = {r.doc_id: r for r in probe.join(truth, "doc_id").collect()}
+        assert rows
+        # Bloom contract: every exact duplicate is flagged
+        assert all(r.maybe_dup == 1 for r in rows.values() if r.exact)
+        # false-positive rate bounded: with k=3 rows of 4096 bits and
+        # the sf0.001 corpus (<2k distinct fingerprints), theoretical
+        # FP ~ (n/4096)^3 << 5%
+        non_dup = [r for r in rows.values() if not r.exact]
+        if non_dup:
+            fp_rate = sum(r.maybe_dup for r in non_dup) / len(non_dup)
+            assert fp_rate < 0.05, fp_rate
+
+    def test_mergeable_union(self, spark, docs):
+        a = docs.filter(F.col("doc_id") % 2 == 0)
+        b = docs.filter(F.col("doc_id") % 2 == 1)
+        whole = sorted(
+            tuple(r) for r in D.bloom_bits(docs, "text").collect()
+        )
+        merged = sorted(
+            tuple(r)
+            for r in D.bloom_bits(a, "text")
+            .unionByName(D.bloom_bits(b, "text"))
+            .distinct()
+            .collect()
+        )
+        assert whole == merged
+
+    def test_deterministic_across_sessions(self, spark, docs):
+        one = sorted(tuple(r) for r in D.bloom_bits(docs, "text").collect())
+        two = sorted(tuple(r) for r in D.bloom_bits(docs, "text").collect())
+        assert one == two and one

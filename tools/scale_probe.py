@@ -1951,6 +1951,127 @@ def main_ann_index():
     )
 
 
+
+def main_decontam_index():
+    """Probe-cost claim for the MAINTAINED decontamination index
+    (round 12, plans/ops.py register/sync/probe_decontam_index): one
+    FIXED new dump decontaminated against a FIXED eval suite while the
+    historical training corpus grows by disjoint factor-x copies — the
+    A24/A25 new-dumps-only loop. The index path probes only the
+    buckets the dump's own grams route to and never re-derives the
+    eval grams, so its cost is O(dump): expected ~flat (exponent ~0)
+    at any corpus size. The comparator is the q164 shape — re-derive
+    eval grams AND scan the whole training corpus per pass — which
+    grows with the corpus by construction. Index creation is untimed
+    (amortized across imports, maintained from the eval corpus' change
+    feed). Usage: --decontam-index [factor]."""
+    from canvas_data_loader_spark.functions.text import tokens
+    from canvas_data_loader_spark.operators.dedup import exactsubstr_grams
+    from canvas_data_loader_spark.plans.ops import (
+        probe_decontam_index,
+        register_decontam_index,
+    )
+    from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    spark = get_spark("scale_probe_decontam_index")
+    d = spark.read.parquet(f"{BASE}/documents.parquet")
+    eval_docs = d.filter(
+        F.col("source").isin("src0", "src1", "src2")
+    ).select("doc_id", "text").localCheckpoint()
+    dump = (
+        d.filter(
+            (~F.col("source").isin("src0", "src1", "src2"))
+            & (F.col("doc_id") % 5 == 4)
+        )
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    n_dump = dump.count()
+    report = {}
+    for f in (1, factor):
+        dest = tempfile.mkdtemp(prefix=f"scale_probe_dcidx_{f}_")
+        try:
+            replicate_documents_disjoint(spark, f, dest)
+            corpus = spark.read.parquet(f"{dest}/documents.parquet").select(
+                "doc_id", "text"
+            )
+            n_rows = corpus.count()
+            wh = Warehouse(spark, os.path.join(dest, "wh"))
+            wh.write("eval_docs", eval_docs, "s0", bucket=("doc_id", 4))
+            register_decontam_index(  # untimed: maintained, not rebuilt
+                wh, "dc", "eval_docs", "idx0", id_col="doc_id",
+                text_col="text", n=3, n_buckets=64,
+            )
+
+            def probe():
+                return probe_decontam_index(wh, "dc", dump).count()
+
+            def recompute():
+                ev_g = (
+                    exactsubstr_grams(
+                        eval_docs.select(
+                            "doc_id", tokens(F.col("text")).alias("t")
+                        ),
+                        n=3,
+                    )
+                    .select("g")
+                    .distinct()
+                )
+                # the full pass scans the grown corpus PLUS the dump
+                # (its hit set must cover the probe's) — the q164 shape
+                return (
+                    exactsubstr_grams(
+                        corpus.unionByName(dump).select(
+                            "doc_id", tokens(F.col("text")).alias("t")
+                        ),
+                        n=3,
+                    )
+                    .join(ev_g, "g", "semi")
+                    .count()
+                )
+
+            n_p = probe()  # warm
+            t0 = time.time()
+            assert probe() == n_p
+            t_probe = round(time.time() - t0, 3)
+            n_r = recompute()  # warm
+            t0 = time.time()
+            assert recompute() == n_r
+            t_re = round(time.time() - t0, 3)
+            report[f"x{f}"] = {
+                "probe_sec": t_probe,
+                "recompute_sec": t_re,
+                "corpus_rows": n_rows,
+                "probe_hits": n_p,
+                "recompute_hits": n_r,
+            }
+        finally:
+            shutil.rmtree(dest, ignore_errors=True)
+    exp = {
+        k: round(
+            math.log(
+                max(report[f"x{factor}"][f"{k}_sec"], 1e-3)
+                / max(report["x1"][f"{k}_sec"], 1e-3)
+            )
+            / math.log(factor),
+            3,
+        )
+        for k in ("probe", "recompute")
+    }
+    print(
+        json.dumps(
+            {
+                "mode": "decontam-index",
+                "factor": factor,
+                "n_dump_docs": n_dump,
+                "runs": report,
+                "exponent": exp,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--checkpoint":
         main_checkpoint()
@@ -1978,6 +2099,8 @@ if __name__ == "__main__":
         main_ppjoin()
     elif len(sys.argv) > 1 and sys.argv[1] == "--decontam":
         main_decontam()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--decontam-index":
+        main_decontam_index()
     elif len(sys.argv) > 1 and sys.argv[1] == "--incremental-neardup":
         main_incremental_neardup()
     elif len(sys.argv) > 1 and sys.argv[1] == "--logcleanup":
