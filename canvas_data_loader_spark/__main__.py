@@ -396,7 +396,9 @@ def _sql(argv: list[str]) -> int:
     """``sql`` subcommand: one statement (INSERT INTO / CREATE TABLE
     ... AS SELECT / DELETE FROM / UPDATE ... SET / MERGE INTO incl.
     column-level SET, conditional multi-branch WHEN and NOT MATCHED BY
-    SOURCE / MV DDL / ALTER TABLE constraints / OPTIMIZE [ZORDER BY] /
+    SOURCE / MV DDL / index DDL (CREATE NEARDUP|ANN|DECONTAM INDEX ...
+    ON t (id, col) [OPTIONS (...)], ADVANCE INDEX, DROP INDEX) /
+    ALTER TABLE constraints / OPTIMIZE [ZORDER BY] /
     VACUUM [RETAIN] / RESTORE TABLE ... TO VERSION AS OF / DESCRIBE
     [HISTORY|DETAIL] / SELECT with time travel) against a warehouse
     table, either commit format. Every warehouse table is pre-registered as a temp

@@ -1154,6 +1154,13 @@ def execute_dml(wh, stmt: str) -> dict:
                 "source; use REFRESH MATERIALIZED VIEW, or write to "
                 "the SOURCE table and refresh"
             )
+        if "index.kind" in props:
+            raise SqlDmlError(
+                f"{table!r} is a maintained {props['index.kind']} index "
+                f"— {op} would break maintained == rebuilt; write to "
+                f"the SOURCE table ({props.get('index.source')!r}) and "
+                "ADVANCE INDEX (or let auto-maintenance run)"
+            )
 
     head = re.match(r"\s*(\w+)", stmt)
     verb = (head.group(1) if head else "").upper()
@@ -1494,6 +1501,95 @@ def execute_dml(wh, stmt: str) -> dict:
     if verb == "CREATE":
         from .plans.ops import create_minmax_view, create_rollup_view
 
+        mi = re.match(
+            r"\s*CREATE\s+(NEARDUP|ANN|DECONTAM)\s+INDEX\s+(\S+)\s+"
+            r"ON\s+(\S+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*"
+            r"(?:OPTIONS\s*\(([^)]*)\)\s*)?$",
+            stmt,
+            re.I,
+        )
+        if mi:
+            # The maintained-index DDL (round 12): statement-reachable
+            # registration of the three index kinds, the CREATE
+            # MATERIALIZED VIEW pattern applied to indexes. Column pair
+            # is (id, payload): text for neardup/decontam, the
+            # embedding array for ann. OPTIONS keys mirror the Python
+            # API's keyword arguments; unknown keys are rejected so a
+            # typo can't silently fall back to a default.
+            kind = mi.group(1).lower()
+            index, table = _ident(mi.group(2)), _ident(mi.group(3))
+            id_col, payload = _ident(mi.group(4)), _ident(mi.group(5))
+            if wh.routing_info(table) is None:
+                raise SqlDmlError(f"unknown warehouse table {table!r}")
+            if wh.exists(index):
+                raise SqlDmlError(f"table {index!r} already exists")
+            opts: dict[str, float] = {}
+            for piece in (mi.group(6) or "").split(","):
+                piece = piece.strip()
+                if not piece:
+                    continue
+                mkv = re.fullmatch(r"(\w+)\s*=\s*([\d.]+)", piece)
+                if not mkv:
+                    raise SqlDmlError(
+                        f"malformed OPTIONS entry {piece!r} (want "
+                        "key = number)"
+                    )
+                val = mkv.group(2)
+                opts[mkv.group(1).lower()] = (
+                    float(val) if "." in val else int(val)
+                )
+            allowed = {
+                "neardup": {"num_hashes", "band_size", "shingle_n",
+                            "n_buckets"},
+                "decontam": {"gram_n", "n_buckets"},
+                "ann": {"n_cells", "refine_iters", "n_buckets",
+                        "drift_threshold"},
+            }[kind]
+            unknown = sorted(set(opts) - allowed)
+            if unknown:
+                raise SqlDmlError(
+                    f"unknown OPTIONS {unknown} for a {kind} index "
+                    f"(allowed: {sorted(allowed)})"
+                )
+            snapshot = "sql-create-index"
+            if kind == "neardup":
+                from .plans.ops import register_neardup_index
+
+                register_neardup_index(
+                    wh, index, table, snapshot,
+                    id_col=id_col, text_col=payload,
+                    num_hashes=int(opts.get("num_hashes", 16)),
+                    band_size=int(opts.get("band_size", 4)),
+                    shingle_n=int(opts.get("shingle_n", 3)),
+                    n_buckets=int(opts.get("n_buckets", 64)),
+                )
+            elif kind == "decontam":
+                from .plans.ops import register_decontam_index
+
+                register_decontam_index(
+                    wh, index, table, snapshot,
+                    id_col=id_col, text_col=payload,
+                    n=int(opts.get("gram_n", 3)),
+                    n_buckets=int(opts.get("n_buckets", 64)),
+                )
+            else:
+                from .plans.ops import create_ann_index
+
+                create_ann_index(
+                    wh, index, None, snapshot,
+                    n_cells=int(opts.get("n_cells", 16)),
+                    refine_iters=int(opts.get("refine_iters", 0)),
+                    n_buckets=int(opts.get("n_buckets", 16)),
+                    id_col=id_col, vec_col=payload,
+                    source=table,
+                    drift_threshold=opts.get("drift_threshold"),
+                )
+            return {
+                "operation": f"CREATE {kind.upper()} INDEX",
+                "index": index,
+                "source": table,
+                "source_version": wh.current_version(table),
+            }
         if re.match(r"\s*CREATE\s+TABLE\b", stmt, re.I):
             m = re.match(
                 r"\s*CREATE\s+TABLE\s+(\S+?)\s+"
@@ -1548,7 +1644,35 @@ def execute_dml(wh, stmt: str) -> dict:
             raise SqlDmlError("malformed REFRESH MATERIALIZED VIEW statement")
         out = refresh_view(wh, _ident(m.group(1)), full=bool(m.group(2)))
         return {"operation": "REFRESH MATERIALIZED VIEW", **out}
+    if verb == "ADVANCE":
+        from .plans.ops import advance_index
+
+        m = re.match(r"\s*ADVANCE\s+INDEX\s+(\S+)\s*$", stmt, re.I)
+        if not m:
+            raise SqlDmlError("malformed ADVANCE (want ADVANCE INDEX <idx>)")
+        index = _ident(m.group(1))
+        if wh.routing_info(index) is None:
+            raise SqlDmlError(f"unknown warehouse table {index!r}")
+        if "index.kind" not in wh.table_properties(index):
+            raise SqlDmlError(
+                f"{index!r} is not a registered index (no index.kind "
+                "property — create it with CREATE NEARDUP|ANN|DECONTAM "
+                "INDEX)"
+            )
+        out = advance_index(wh, index)
+        return {"operation": "ADVANCE INDEX", "index": index, **out}
     if verb == "DROP":
+        mi = re.match(r"\s*DROP\s+INDEX\s+(\S+)\s*$", stmt, re.I)
+        if mi:
+            index = _ident(mi.group(1))
+            props = wh.table_properties(index)
+            if "index.kind" not in props:
+                raise SqlDmlError(
+                    f"{index!r} is not a registered index — refusing to "
+                    "drop (use the warehouse drop API for plain tables)"
+                )
+            wh.drop(index)
+            return {"operation": "DROP INDEX", "index": index}
         m = re.match(
             r"\s*DROP\s+MATERIALIZED\s+VIEW\s+(\S+)\s*$", stmt, re.I
         )

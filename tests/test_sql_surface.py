@@ -1471,3 +1471,120 @@ class TestGenericMergeBucketPruning:
         )
         rows = {r["id"]: (r["v"], r["cnt"]) for r in wh.read("t").collect()}
         assert rows[2] == ("REBORN", 1)  # inserted, not "matched"
+
+
+class TestSqlIndexDdl:
+    """Index DDL (round 12): CREATE NEARDUP|ANN|DECONTAM INDEX /
+    ADVANCE INDEX / DROP INDEX — the maintained-index discipline made
+    statement-reachable (the CREATE MATERIALIZED VIEW pattern), with
+    statement writes to index tables refused (the MV guard extended)."""
+
+    def _seed_docs(self, spark, wh):
+        wh.write(
+            "docs",
+            spark.createDataFrame(
+                [(i, f"the quick brown fox {i} jumps over the lazy dog {i}")
+                 for i in range(1, 25)],
+                "doc_id long, text string",
+            ),
+            "s0",
+            bucket=("doc_id", 4),
+        )
+
+    def test_create_advance_drop_neardup(self, spark, dml_wh):
+        from canvas_data_loader_spark.operators.dedup import minhash_bands
+        from canvas_data_loader_spark.sql import SqlDmlError, execute_dml
+
+        wh = dml_wh("idx")
+        self._seed_docs(spark, wh)
+        out = execute_dml(
+            wh,
+            "CREATE NEARDUP INDEX nd ON docs (doc_id, text) "
+            "OPTIONS (n_buckets = 8)",
+        )
+        assert out["operation"] == "CREATE NEARDUP INDEX"
+        props = wh.table_properties("nd")
+        assert props["index.kind"] == "neardup"
+        assert props["index.source"] == "docs"
+        # at head -> noop
+        assert execute_dml(wh, "ADVANCE INDEX nd")["mode"] == "noop"
+        # change the source through SQL, advance, compare vs rebuilt
+        execute_dml(
+            wh, "INSERT INTO docs VALUES (1, 'fresh new words entirely')"
+        )
+        out = execute_dml(wh, "ADVANCE INDEX nd")
+        assert out["mode"] == "incremental"
+        want = sorted(
+            tuple(r)
+            for r in minhash_bands(
+                wh.read("docs"), "text", "doc_id", 16, 4, 3
+            ).distinct().collect()
+        )
+        assert sorted(tuple(r) for r in wh.read("nd").collect()) == want
+        # statement writes to the index are refused
+        with pytest.raises(SqlDmlError, match="maintained neardup index"):
+            execute_dml(wh, "DELETE FROM nd WHERE band = 0")
+        assert execute_dml(wh, "DROP INDEX nd") == {
+            "operation": "DROP INDEX",
+            "index": "nd",
+        }
+        assert not wh.exists("nd")
+
+    def test_create_decontam_and_ann(self, spark, dml_wh):
+        from canvas_data_loader_spark.plans.ops import (
+            _ann_meta,
+            _decontam_grams,
+        )
+        from canvas_data_loader_spark.sql import execute_dml
+
+        wh = dml_wh("idx2")
+        self._seed_docs(spark, wh)
+        execute_dml(
+            wh,
+            "CREATE DECONTAM INDEX dc ON docs (doc_id, text) "
+            "OPTIONS (gram_n = 3, n_buckets = 8)",
+        )
+        assert sorted(tuple(r) for r in wh.read("dc").collect()) == sorted(
+            tuple(r)
+            for r in _decontam_grams(
+                wh.read("docs"), "doc_id", "text", 3
+            ).collect()
+        )
+        wh.write(
+            "vecs",
+            spark.createDataFrame(
+                [(i, [float((i * 3 + j) % 7) for j in range(4)])
+                 for i in range(1, 25)],
+                "vec_id long, embedding array<double>",
+            ),
+            "s0",
+            bucket=("vec_id", 4),
+        )
+        execute_dml(
+            wh,
+            "CREATE ANN INDEX va ON vecs (vec_id, embedding) "
+            "OPTIONS (n_cells = 4, n_buckets = 4, drift_threshold = 0.9)",
+        )
+        meta = _ann_meta(wh, "va")
+        assert len(meta["centroids"]) == 4
+        props = wh.table_properties("va")
+        assert props["index.kind"] == "ann"
+        assert props["ann.drift_threshold"] == "0.9"
+        assert execute_dml(wh, "ADVANCE INDEX va")["mode"] == "noop"
+
+    def test_rejections(self, spark, dml_wh):
+        from canvas_data_loader_spark.sql import SqlDmlError, execute_dml
+
+        wh = dml_wh("idx3")
+        self._seed_docs(spark, wh)
+        with pytest.raises(SqlDmlError, match="unknown warehouse table"):
+            execute_dml(wh, "CREATE NEARDUP INDEX nd ON ghost (a, b)")
+        with pytest.raises(SqlDmlError, match="unknown OPTIONS"):
+            execute_dml(
+                wh, "CREATE NEARDUP INDEX nd ON docs (doc_id, text) "
+                "OPTIONS (cells = 4)"
+            )
+        with pytest.raises(SqlDmlError, match="not a registered index"):
+            execute_dml(wh, "ADVANCE INDEX docs")
+        with pytest.raises(SqlDmlError, match="not a registered index"):
+            execute_dml(wh, "DROP INDEX docs")
