@@ -447,6 +447,24 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--config-dir", default="config")
     ap.add_argument("--warehouse-dir", default=None)
     ap.add_argument("--offline-fixture", default=None)
+    # the unattended-cron hooks (the reference's operating model is an
+    # hourly cron, README.md:31-33): derived state stays current as a
+    # property of each run instead of separate hand-run maintenance
+    ap.add_argument(
+        "--auto-refresh-views", action="store_true",
+        help="advance registered materialized views after each "
+        "table's import (PipelineConfig.auto_refresh_views)",
+    )
+    ap.add_argument(
+        "--auto-maintain-indexes", action="store_true",
+        help="advance registered near-dup/ANN/decontam indexes after "
+        "each table's import (PipelineConfig.auto_maintain_indexes)",
+    )
+    ap.add_argument(
+        "--auto-compact-min-files", type=int, default=0, metavar="N",
+        help="compact a table after import when its live file count "
+        "exceeds N (0 = off)",
+    )
     args = ap.parse_args(argv)
 
     from .plans.pipeline import ImportPipeline, PipelineConfig
@@ -496,6 +514,9 @@ def main(argv: list[str] | None = None) -> int:
         only_load_final=st.only_load_final,
         skip_historical_imports=st.skip_historical_imports,
         all_tables_volatile=st.all_tables_volatile,
+        auto_refresh_views=args.auto_refresh_views,
+        auto_maintain_indexes=args.auto_maintain_indexes,
+        auto_compact_min_files=args.auto_compact_min_files,
     )
     pipeline = ImportPipeline(spark, client, cfg)
     results = pipeline.run()

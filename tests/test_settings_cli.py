@@ -1145,3 +1145,95 @@ class TestAdvanceIndexCli:
         # replay: noop, rows identical
         assert main(base + ["--advance-index"]) == 0
         assert sorted(tuple(r) for r in wh.read("nd").collect()) == want
+
+
+class TestCliAutoMaintain:
+    def test_run_cli_auto_maintains_registered_index(self, tmp_path, spark):
+        """--auto-maintain-indexes on the run entrypoint: the cron
+        invocation itself keeps registered indexes current (round 12 —
+        the reference's hourly-cron operating model end to end)."""
+        from tests.test_pipeline import files_json, make_dump_json
+
+        schema_json = {
+            "version": "4.2.0",
+            "schema": {
+                "documents_dim": {
+                    "tableName": "documents_dim",
+                    "dw_type": "dimension",
+                    "incremental": False,
+                    "columns": [
+                        {"name": "id", "type": "bigint"},
+                        {"name": "body", "type": "text"},
+                    ],
+                },
+            },
+        }
+
+        def write_fixture(fx, dumps, files, payloads):
+            (fx / "payloads").mkdir(parents=True, exist_ok=True)
+            (fx / "dumps.json").write_text(json.dumps(dumps))
+            (fx / "schema.json").write_text(json.dumps(schema_json))
+            (fx / "files_by_dump.json").write_text(json.dumps(files))
+            for name, data in payloads.items():
+                (fx / "payloads" / name).write_bytes(data)
+
+        def tsv_gz(rows):
+            return gzip.compress(
+                "".join("\t".join(map(str, r)) + "\n" for r in rows).encode()
+            )
+
+        text = "the quick brown fox {i} jumps over the lazy dog {i}"
+        d1_rows = [[i, text.format(i=i)] for i in range(1, 13)]
+        d2_rows = [[1, "totally fresh wording for doc one now"],
+                   [13, text.format(i=13)]]
+        fx1, fx2 = tmp_path / "fx1", tmp_path / "fx2"
+        write_fixture(
+            fx1,
+            [make_dump_json("d1", 1, "2024-01-01T00:00:00Z")],
+            {"d1": files_json("d1", {"documents_dim": ["documents_dim-00000-d1.gz"]})},
+            {"documents_dim-00000-d1.gz": tsv_gz(d1_rows)},
+        )
+        write_fixture(
+            fx2,
+            [make_dump_json("d1", 1, "2024-01-01T00:00:00Z"),
+             make_dump_json("d2", 2, "2024-01-02T00:00:00Z")],
+            {"d1": files_json("d1", {"documents_dim": ["documents_dim-00000-d1.gz"]}),
+             "d2": files_json("d2", {"documents_dim": ["documents_dim-00000-d2.gz"]})},
+            {"documents_dim-00000-d1.gz": tsv_gz(d1_rows),
+             "documents_dim-00000-d2.gz": tsv_gz(d2_rows)},
+        )
+        cfgdir = tmp_path / "config"
+        cfgdir.mkdir()
+        (cfgdir / "default.toml").write_text(
+            f'save_location = "{tmp_path}/stage"\n'
+            f'rocksdb_location = "{tmp_path}/ledger.jsonl"\n'
+            '[canvasdataauth]\napi_key = "k"\napi_secret = "s"\n'
+        )
+        wh_dir = str(tmp_path / "wh")
+
+        import canvas_data_loader_spark.__main__ as cli
+        from canvas_data_loader_spark.operators.dedup import minhash_bands
+        from canvas_data_loader_spark.plans.ops import register_neardup_index
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        base = ["--config-dir", str(cfgdir), "--warehouse-dir", wh_dir,
+                "--auto-maintain-indexes"]
+        assert cli.main(base + ["--offline-fixture", str(fx1)]) == 0
+        wh = Warehouse(spark, wh_dir)
+        register_neardup_index(
+            wh, "docs_nd", "documents_dim", "idx0",
+            id_col="id", text_col="body", n_buckets=8,
+        )
+        # the SECOND cron run imports d2 and auto-advances the index
+        assert cli.main(base + ["--offline-fixture", str(fx2)]) == 0
+        want = sorted(
+            tuple(r)
+            for r in minhash_bands(
+                wh.read("documents_dim").select("id", "body"),
+                "body", "id", 16, 4, 3,
+            ).distinct().collect()
+        )
+        assert sorted(tuple(r) for r in wh.read("docs_nd").collect()) == want
+        assert wh.last_txn_epoch(
+            "idx-sync:docs_nd", "docs_nd"
+        ) == wh.current_version("documents_dim")
