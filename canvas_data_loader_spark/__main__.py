@@ -25,6 +25,7 @@ care::
          | --delete-where SQL [--delete-mode auto|mor|cow] \
          | --update-where SQL --set COL=EXPR [--set ...] \
          | --neardup-index INDEX [--where SQL] [--probe-only] [--rescore] [--out DIR] \
+         | --decontam-index INDEX [--where SQL] [--probe-only] [--out DIR] \
          | --advance-index)
 
 ``sql`` subcommand: one DML/DDL statement against a warehouse table
@@ -105,6 +106,17 @@ def _maintain(argv: list[str]) -> int:
         "restricting to the new dump. --key = id column (default "
         "doc_id), --text-col = text column, --probe-only skips the "
         "index update",
+    )
+    g.add_argument(
+        "--decontam-index", metavar="INDEX_TABLE",
+        help="probe --table's documents (optionally --where-filtered "
+        "to the new dump) against the REGISTERED decontamination gram "
+        "index INDEX_TABLE and span-cut the hits (the q164/q171 "
+        "rewrite); --out writes (doc_id, n_tokens, n_removed, "
+        "clean_md5, clean_text) parquet; --probe-only writes/reports "
+        "raw positional hits instead of cutting. The eval grams are "
+        "never re-derived — the probe reads only the buckets the "
+        "dump's own grams route to",
     )
     g.add_argument(
         "--advance-index", action="store_true",
@@ -372,6 +384,85 @@ def _maintain(argv: list[str]) -> int:
             print(
                 f"neardup {args.table} vs {args.neardup_index}: "
                 f"{n_cand} candidate pairs; index updated ({snap})"
+            )
+    elif args.decontam_index is not None:
+        from pyspark.sql import functions as F
+
+        from .plans.ops import probe_decontam_index
+
+        props = wh.table_properties(args.decontam_index)
+        if props.get("index.kind") != "decontam":
+            print(
+                f"{args.decontam_index!r} is not a registered decontam "
+                "index (create it with register_decontam_index or "
+                "CREATE DECONTAM INDEX)"
+            )
+            return 2
+        docs = wh.read(args.table)
+        if args.where:
+            docs = docs.filter(args.where)
+        id_col = props["index.id_col"]
+        text_col = props["index.text_col"]
+        n = int(props["index.gram_n"])
+        hits = probe_decontam_index(
+            wh, args.decontam_index, docs
+        ).localCheckpoint()
+        if args.probe_only:
+            if args.out:
+                hits.write.mode("overwrite").parquet(args.out)
+            print(
+                f"decontam probe {args.table} vs {args.decontam_index}: "
+                f"{hits.count()} gram hits (no rewrite)"
+            )
+        else:
+            from .functions.text import tokens as _tokens
+
+            cov = (
+                hits.select(
+                    "doc_id",
+                    F.explode(
+                        F.sequence(F.col("i"), F.col("i") + (n - 1))
+                    ).alias("j"),
+                )
+                .distinct()
+                .groupBy("doc_id")
+                .agg(F.collect_set("j").alias("cov"))
+            )
+            toks = docs.select(
+                F.col(id_col).alias("doc_id"),
+                _tokens(F.col(text_col)).alias("t"),
+            )
+            j = toks.join(cov, "doc_id", "left").withColumn(
+                "cov", F.coalesce("cov", F.array().cast("array<bigint>"))
+            )
+            pos = F.when(
+                F.size("t") > 0,
+                F.sequence(
+                    F.lit(1).cast("bigint"), F.size("t").cast("bigint")
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+            kept_pos = F.array_except(pos, F.col("cov"))
+            kept_arr = F.transform(
+                kept_pos, lambda q: F.element_at(F.col("t"), q.cast("int"))
+            )
+            out_df = j.select(
+                "doc_id",
+                F.size("t").cast("bigint").alias("n_tokens"),
+                (F.size("t") - F.size(kept_arr)).cast("bigint").alias(
+                    "n_removed"
+                ),
+                F.md5(F.concat_ws(" ", kept_arr)).alias("clean_md5"),
+                F.concat_ws(" ", kept_arr).alias("clean_text"),
+            )
+            if args.out:
+                out_df.write.mode("overwrite").parquet(args.out)
+            stats = out_df.agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_removed").alias("cut"),
+            ).collect()[0]
+            print(
+                f"decontaminated {args.table} vs {args.decontam_index}: "
+                f"{stats['docs']} docs, {stats['cut']} tokens cut"
             )
     elif args.mirror_to is not None:
         from .plans.ops import sync_mirror

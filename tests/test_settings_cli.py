@@ -1237,3 +1237,75 @@ class TestCliAutoMaintain:
         assert wh.last_txn_epoch(
             "idx-sync:docs_nd", "docs_nd"
         ) == wh.current_version("documents_dim")
+
+
+class TestDecontamIndexCli:
+    def test_probe_and_cut_via_cli(self, tmp_path, spark):
+        """maintain --decontam-index: per-dump decontamination as one
+        CLI invocation — probe the registered eval-gram index, span-cut
+        the hits, write the cleaned parquet. The cut must agree with
+        the q164/q171 recompute on the same rows."""
+        from pyspark.sql import functions as F
+
+        from canvas_data_loader_spark.__main__ import main
+        from canvas_data_loader_spark.functions.text import tokens
+        from canvas_data_loader_spark.operators.dedup import exactsubstr_grams
+        from canvas_data_loader_spark.plans.ops import register_decontam_index
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh_dir = str(tmp_path / "whdc")
+        wh = Warehouse(spark, wh_dir)
+        eval_rows = [(100 + i, f"secret benchmark answer {i} is here")
+                     for i in range(4)]
+        train_rows = [
+            (1, "plain training text with no overlap at all"),
+            (2, "the secret benchmark answer 2 is here verbatim leak"),
+            (3, ""),
+        ]
+        wh.write(
+            "eval_docs",
+            spark.createDataFrame(eval_rows, "doc_id long, text string"),
+            "s0", bucket=("doc_id", 2),
+        )
+        wh.write(
+            "train",
+            spark.createDataFrame(train_rows, "doc_id long, text string"),
+            "s0", bucket=("doc_id", 2),
+        )
+        register_decontam_index(
+            wh, "dc", "eval_docs", "idx0", id_col="doc_id",
+            text_col="text", n=3, n_buckets=4,
+        )
+        out_dir = str(tmp_path / "clean")
+        rc = main([
+            "maintain", "--warehouse-dir", wh_dir, "--table", "train",
+            "--decontam-index", "dc", "--out", out_dir,
+        ])
+        assert rc == 0
+        got = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+        assert got[1]["n_removed"] == 0
+        assert got[2]["n_removed"] > 0
+        assert "secret" not in got[2]["clean_text"]
+        # the registry-wide split convention (q164 oracle's
+        # STRING_SPLIT agrees): empty text is one empty token
+        assert got[3]["n_tokens"] == 1 and got[3]["n_removed"] == 0
+        # parity with the recompute (q164/q171 shape) on doc 2
+        ev_g = exactsubstr_grams(
+            wh.read("eval_docs").select(
+                "doc_id", tokens(F.col("text")).alias("t")
+            ), n=3,
+        ).select("g").distinct()
+        hits = exactsubstr_grams(
+            wh.read("train").select(
+                "doc_id", tokens(F.col("text")).alias("t")
+            ), n=3,
+        ).join(ev_g, "g", "semi")
+        covered = hits.filter(F.col("doc_id") == 2).select(
+            F.explode(F.sequence(F.col("i"), F.col("i") + 2)).alias("j")
+        ).distinct().count()
+        assert got[2]["n_removed"] == covered
+        # refuse a non-index table
+        assert main([
+            "maintain", "--warehouse-dir", wh_dir, "--table", "train",
+            "--decontam-index", "train",
+        ]) == 2
