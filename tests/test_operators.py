@@ -3500,3 +3500,70 @@ class TestBloomPrepass:
         one = sorted(tuple(r) for r in D.bloom_bits(docs, "text").collect())
         two = sorted(tuple(r) for r in D.bloom_bits(docs, "text").collect())
         assert one == two and one
+
+
+class TestIndexMaintenanceRace:
+    def test_advance_races_concurrent_merges_and_converges(
+        self, spark, docs, tmp_path
+    ):
+        """advance_index races ingest: a writer thread lands keyed
+        merges on the source while a maintainer thread advances the
+        index after each one it observes. CAS serializes the index's
+        commits; watermarks ride them; the final advance must land the
+        index EXACTLY on a from-scratch rebuild of the source head —
+        the same convergence contract the MV refresh race pins."""
+        import threading
+
+        from canvas_data_loader_spark.operators.dedup import minhash_bands
+        from canvas_data_loader_spark.plans.ops import (
+            advance_index,
+            register_neardup_index,
+        )
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        base = docs.select("doc_id", "text").limit(60).localCheckpoint()
+        wh.write("docs", base, "s0", bucket=("doc_id", 8))
+        register_neardup_index(
+            wh, "nd", "docs", "idx0", id_col="doc_id", text_col="text",
+            n_buckets=8,
+        )
+        errs = []
+
+        def writer():
+            try:
+                for i in range(1, 6):
+                    upd = base.filter(F.col("doc_id") % 6 == i % 6).withColumn(
+                        "text",
+                        F.concat(F.lit(f"wave {i} rewrite "), F.col("text")),
+                    )
+                    wh.merge_bucketed("docs", upd, f"w{i}")
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        def maintainer():
+            try:
+                for _ in range(8):
+                    advance_index(wh, "nd")
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        ts = [threading.Thread(target=writer),
+              threading.Thread(target=maintainer)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
+        # catch-up advance, then exact convergence
+        advance_index(wh, "nd")
+        want = sorted(
+            tuple(r)
+            for r in minhash_bands(
+                wh.read("docs"), "text", "doc_id", 16, 4, 3
+            ).distinct().collect()
+        )
+        assert sorted(tuple(r) for r in wh.read("nd").collect()) == want
+        assert wh.last_txn_epoch("idx-sync:nd", "nd") == wh.current_version(
+            "docs"
+        )
