@@ -270,10 +270,19 @@ def _maintain(argv: list[str]) -> int:
     elif args.advance_index:
         from .plans.ops import advance_index
 
+        if "index.kind" not in wh.table_properties(args.table):
+            print(
+                f"{args.table!r} is not a registered index (no "
+                "index.kind property — create it with "
+                "register_neardup_index / create_ann_index(source=...) "
+                "/ register_decontam_index, or the SQL CREATE ... INDEX)"
+            )
+            return 2
         out = advance_index(wh, args.table)
+        v_from = "genesis" if out["v_from"] is None else f"v{out['v_from']}"
         print(
             f"advanced {args.table}: {out['mode']} "
-            f"(source v{out['v_from']} -> v{out['v_to']})"
+            f"(source {v_from} -> v{out['v_to']})"
         )
     elif args.refresh_view:
         from .plans.ops import refresh_view
@@ -416,6 +425,7 @@ def _maintain(argv: list[str]) -> int:
             )
         else:
             from .functions.text import tokens as _tokens
+            from .operators.dedup import cut_covered
 
             cov = (
                 hits.select(
@@ -435,25 +445,8 @@ def _maintain(argv: list[str]) -> int:
             j = toks.join(cov, "doc_id", "left").withColumn(
                 "cov", F.coalesce("cov", F.array().cast("array<bigint>"))
             )
-            pos = F.when(
-                F.size("t") > 0,
-                F.sequence(
-                    F.lit(1).cast("bigint"), F.size("t").cast("bigint")
-                ),
-            ).otherwise(F.array().cast("array<bigint>"))
-            kept_pos = F.array_except(pos, F.col("cov"))
-            kept_arr = F.transform(
-                kept_pos, lambda q: F.element_at(F.col("t"), q.cast("int"))
-            )
-            out_df = j.select(
-                "doc_id",
-                F.size("t").cast("bigint").alias("n_tokens"),
-                (F.size("t") - F.size(kept_arr)).cast("bigint").alias(
-                    "n_removed"
-                ),
-                F.md5(F.concat_ws(" ", kept_arr)).alias("clean_md5"),
-                F.concat_ws(" ", kept_arr).alias("clean_text"),
-            )
+            # the q145/q164/q171 span-cut, one shared implementation
+            out_df = cut_covered(j, include_text=True)
             if args.out:
                 out_df.write.mode("overwrite").parquet(args.out)
             stats = out_df.agg(

@@ -781,6 +781,12 @@ def bloom_maybe_member(
     join is a broadcast hash join at any corpus scale."""
     fp = fingerprint(text_col)
     probe = df.select(F.col(id_col), fp.alias("__fp"))
+    # dedup the filter ONCE: the documented sidecar-union usage passes
+    # bits(A) ∪ bits(B) WITHOUT dedup — a bit set in both snapshots
+    # would otherwise match twice per join and multiply the probe's
+    # rows (up to 2^k duplicates per doc). One distinct over the
+    # ≤ k·16^hex_chars filter rows, not one per hash row.
+    bits = bits.select("row_id", "b").distinct().localCheckpoint(eager=False)
     for i in range(k):
         bit = F.substring(
             F.md5(F.concat(F.lit(salt), F.lit(i), F.lit(":"), F.col("__fp"))),
@@ -803,3 +809,43 @@ def bloom_maybe_member(
     return probe.select(
         id_col, hit.cast("int").alias("maybe_dup")
     )
+
+
+def cut_covered(j: DataFrame, include_text: bool = False) -> DataFrame:
+    """Positional span-cut rewrite shared by q145/q164/q170/q171 and
+    the CLI decontamination verb: from rows (doc_id, t token-array,
+    cov covered-1-based-positions array), drop every covered token and
+    emit (doc_id, n_tokens, n_removed, clean_md5[, clean_text]).
+
+    The rewrite is O(|t| + |cov|) per row: kept POSITIONS come from
+    ``array_except(sequence(1, n), cov)`` — Spark's ArrayExcept builds
+    a hash set over the right operand and streams the left in order —
+    then each kept token is an O(1) array index. An array_contains
+    scan per position (or a map_from_entries probe — Spark maps have
+    no hash index, GetMapValue is a linear scan) makes a
+    fully-contaminated long doc pay |t|·|cov| in one task: the
+    round-9 quadratic cliff, pinned by the 200k-token tripwire test
+    (284s -> <5s).
+
+    n_removed is size(t) - size(kept), NOT size(cov): for a NULL text
+    both sides of the subtraction are NULL, matching the oracles'
+    LEN(t) - n_kept (size(cov) would emit 0 and hash-mismatch).
+    sequence(1, 0) is DESCENDING [1, 0], so empty/NULL text routes to
+    the empty-array branch (md5('') like the oracles)."""
+    pos = F.when(
+        F.size("t") > 0,
+        F.sequence(F.lit(1).cast("bigint"), F.size("t").cast("bigint")),
+    ).otherwise(F.array().cast("array<bigint>"))
+    kept_pos = F.array_except(pos, F.col("cov"))
+    kept_arr = F.transform(
+        kept_pos, lambda p: F.element_at(F.col("t"), p.cast("int"))
+    )
+    cols = [
+        F.col("doc_id"),
+        F.size("t").cast("bigint").alias("n_tokens"),
+        (F.size("t") - F.size(kept_arr)).cast("bigint").alias("n_removed"),
+        F.md5(F.concat_ws(" ", kept_arr)).alias("clean_md5"),
+    ]
+    if include_text:
+        cols.append(F.concat_ws(" ", kept_arr).alias("clean_text"))
+    return j.select(*cols)

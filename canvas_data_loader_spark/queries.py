@@ -6607,41 +6607,12 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cut_covered(j: DataFrame) -> DataFrame:
-    """Positional span-cut rewrite shared by q145/q164: drop every
-    token of ``t`` whose 1-based position is in ``cov``, emit
-    (doc_id, n_tokens, n_removed, clean_md5).
-
-    The rewrite is O(|t| + |cov|) per row: kept POSITIONS come from
-    ``array_except(sequence(1, n), cov)`` — Spark's ArrayExcept builds
-    a hash set over the right operand and streams the left in order —
-    then each kept token is an O(1) array index. The previous shape
-    (an array_contains scan of ``cov`` per position; and a
-    map_from_entries probe is no better, Spark maps have no hash index
-    — GetMapValue is a linear scan) made a fully-contaminated long doc
-    pay |t|·|cov| inside one task (round-9 advisor note: per-row
-    compute, no shuffle impact, but a quadratic cliff under
-    adversarial long docs at 100 TB; the 200k-token pytest tripwire
-    measured 284s -> <5s).
-
-    n_removed is size(t) - size(kept), NOT size(cov): for a NULL text
-    both sides of the subtraction are NULL, matching the oracle's
-    LEN(t) - n_kept (size(cov) would emit 0 and hash-mismatch)."""
-    # sequence(1, 0) is DESCENDING [1, 0] — guard the empty/NULL text
-    # (NULL falls to otherwise: empty kept set, md5('') like the oracle)
-    pos = F.when(
-        F.size("t") > 0,
-        F.sequence(F.lit(1).cast("bigint"), F.size("t").cast("bigint")),
-    ).otherwise(F.array().cast("array<bigint>"))
-    kept_pos = F.array_except(pos, F.col("cov"))
-    kept_arr = F.transform(
-        kept_pos, lambda p: F.element_at(F.col("t"), p.cast("int"))
-    )
-    return j.select(
-        "doc_id",
-        F.size("t").cast("bigint").alias("n_tokens"),
-        (F.size("t") - F.size(kept_arr)).cast("bigint").alias("n_removed"),
-        F.md5(F.concat_ws(" ", kept_arr)).alias("clean_md5"),
-    )
+    """Positional span-cut shared by q145/q164/q170/q171 — the single
+    implementation lives in operators/dedup.py::cut_covered (the CLI
+    decontamination verb consumes the same expressions with
+    include_text=True, so the NULL/empty-text edge rules cannot
+    drift between the query and CLI copies)."""
+    return D.cut_covered(j)
 
 
 

@@ -1528,7 +1528,7 @@ def execute_dml(wh, stmt: str) -> dict:
                 piece = piece.strip()
                 if not piece:
                     continue
-                mkv = re.fullmatch(r"(\w+)\s*=\s*([\d.]+)", piece)
+                mkv = re.fullmatch(r"(\w+)\s*=\s*(\d+(?:\.\d+)?)", piece)
                 if not mkv:
                     raise SqlDmlError(
                         f"malformed OPTIONS entry {piece!r} (want "

@@ -3501,6 +3501,35 @@ class TestBloomPrepass:
         two = sorted(tuple(r) for r in D.bloom_bits(docs, "text").collect())
         assert one == two and one
 
+    def test_unioned_sidecars_probe_without_row_multiplication(
+        self, spark, docs
+    ):
+        """Round-12 review fix: probing against bits(A) ∪ bits(B)
+        WITHOUT dedup (the documented sidecar-union usage) must emit
+        exactly one row per probed doc with the same verdicts as the
+        deduped filter — overlapping bits multiplied rows up to 2^k
+        before bloom_maybe_member dedup'd its filter side."""
+        a = docs.filter(F.col("doc_id") % 2 == 0)
+        b = docs.filter(F.col("doc_id") % 3 == 0)  # overlaps a on %6
+        unioned = D.bloom_bits(a, "text").unionByName(
+            D.bloom_bits(b, "text")
+        )  # deliberately NOT distinct
+        probe_docs = docs.limit(40)
+        got = sorted(
+            tuple(r)
+            for r in D.bloom_maybe_member(
+                probe_docs, unioned, "text", "doc_id"
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in D.bloom_maybe_member(
+                probe_docs, unioned.distinct(), "text", "doc_id"
+            ).collect()
+        )
+        assert got == want
+        assert len(got) == probe_docs.count()
+
 
 class TestIndexMaintenanceRace:
     def test_advance_races_concurrent_merges_and_converges(

@@ -1584,6 +1584,13 @@ class TestSqlIndexDdl:
                 wh, "CREATE NEARDUP INDEX nd ON docs (doc_id, text) "
                 "OPTIONS (cells = 4)"
             )
+        # a malformed numeric must be the SqlDmlError contract, not an
+        # escaped ValueError (round-12 review: [\d.]+ accepted 1.2.3)
+        with pytest.raises(SqlDmlError, match="malformed OPTIONS"):
+            execute_dml(
+                wh, "CREATE ANN INDEX va ON docs (doc_id, text) "
+                "OPTIONS (drift_threshold = 1.2.3)"
+            )
         with pytest.raises(SqlDmlError, match="not a registered index"):
             execute_dml(wh, "ADVANCE INDEX docs")
         with pytest.raises(SqlDmlError, match="not a registered index"):
