@@ -279,7 +279,12 @@ def snapshot(ref: str | None) -> None:
     for name, fp in fps.items():
         rec = hashes.get(name)
         if rec is None:
-            # brand-new query: no proof exists, everything is pending
+            # brand-new query: no proof exists, everything is pending.
+            # The top-level slot is provisionally filled with the same
+            # fingerprint (status_of needs the keys) — harmless even if
+            # a later snapshot "clears" the pending as unchanged,
+            # because a query with no green CORRECTNESS row reads
+            # "never in driver window" (tier 0) regardless of slots.
             hashes[name] = {**fp, "ref": label, "pending": {**fp, "ref": label}}
             pended += 1
         elif rec["hash"] == fp["hash"]:
