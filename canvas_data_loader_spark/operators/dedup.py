@@ -740,26 +740,66 @@ def bloom_bits(
     bounded by k·16^hex_chars (4096 per row at the default) — map-side
     combine ships at most the FILTER per executor, the mergeable-
     sketch property (q62/q142's class)."""
+    return _bloom_doc_bits(df, text_col, k, hex_chars, salt).distinct()
+
+
+def _bloom_doc_bits(
+    df: DataFrame,
+    text_col: str,
+    k: int = 3,
+    hex_chars: int = 3,
+    salt: str = "bff",
+) -> DataFrame:
+    """Per-document Bloom bit rows (row_id, b) — ``bloom_bits`` BEFORE
+    its corpus-wide distinct: every source row contributes exactly one
+    row per hash index (its k (row_id, bit) pairs are unique within
+    the doc by construction — row_id differs), so counting these rows
+    per (row_id, b) yields the COUNTING-filter cell values
+    ``bloom_bit_counts`` maintains."""
     fp = fingerprint(text_col)
     rows = F.array(*[F.lit(i) for i in range(k)])
+    return df.select(F.explode(rows).alias("row_id"), fp.alias("__fp")).select(
+        "row_id",
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt),
+                    F.col("row_id"),
+                    F.lit(":"),
+                    F.col("__fp"),
+                )
+            ),
+            1,
+            hex_chars,
+        ).alias("b"),
+    )
+
+
+def bloom_bit_counts(
+    df: DataFrame,
+    text_col: str,
+    k: int = 3,
+    hex_chars: int = 3,
+    salt: str = "bff",
+) -> DataFrame:
+    """COUNTING Bloom filter cells over document content fingerprints:
+    (row_id, b, cnt) where cnt = how many source rows hash a bit into
+    that cell. The counting form is what makes the filter a
+    MAINTAINABLE index (plans/ops.py register_bloom_index): a plain
+    bit set cannot honor deletes (unsetting a bit a surviving doc
+    still needs breaks the no-false-negative contract), while counts
+    support the full insert/update/delete motion — a delete
+    decrements, and the bit stays set while cnt > 0. ``cnt > 0`` rows
+    project to exactly ``bloom_bits`` (pinned in tests), so every
+    probe consumer is unchanged.
+
+    Scale shape: same bounded key space as bloom_bits (≤ k·16^hex_chars
+    cells regardless of corpus size); the count agg map-side combines,
+    so at most the filter ships per executor."""
     return (
-        df.select(F.explode(rows).alias("row_id"), fp.alias("__fp"))
-        .select(
-            "row_id",
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(salt),
-                        F.col("row_id"),
-                        F.lit(":"),
-                        F.col("__fp"),
-                    )
-                ),
-                1,
-                hex_chars,
-            ).alias("b"),
-        )
-        .distinct()
+        _bloom_doc_bits(df, text_col, k, hex_chars, salt)
+        .groupBy("row_id", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 

@@ -391,7 +391,7 @@ class DeltaWarehouse:
         # in play; note a real writer would never downgrade, documented
         # trade)
         rows: list[dict] = [
-            self._protocol_action(meta, live),
+            self._protocol_action(meta, live, table=table),
             {"metaData": meta},
         ]
         rows += [{"txn": {"appId": k, "version": n}} for k, n in sorted(txn.items())]
@@ -715,12 +715,41 @@ class DeltaWarehouse:
         cfg = {_CM_MODE: "name", _CM_MAX_ID: str(max_id)} if enable else {}
         return schema_json, cfg, (mapping if enable else None)
 
+    def _v2_checkpoint_in_effect(self, table: str) -> bool:
+        """True when the table's protocol must keep declaring the
+        ``v2Checkpoint`` readerWriter feature: the warehouse writes V2
+        spec checkpoints (``checkpoint_v2``), or the table's active
+        ``_last_checkpoint`` names a V2 manifest a reader may still be
+        replaying from. Cheap (one small-JSON read + one glob), called
+        only on protocol-emitting commits."""
+        if self.checkpoint_v2:
+            return True
+        lc = os.path.join(self._log_dir(table), "_last_checkpoint")
+        try:
+            with open(lc) as fh:
+                data = json.load(fh)
+            v = int(data["version"])
+            if data.get("parts"):
+                return False
+        except (OSError, ValueError, KeyError):
+            return False
+        if os.path.isfile(os.path.join(self._log_dir(table), _CKPT_FMT.format(v))):
+            return False
+        import glob as _glob
+
+        return bool(
+            _glob.glob(
+                os.path.join(self._log_dir(table), _CKPT_V2_FMT.format(v, "*"))
+            )
+        )
+
     def _protocol_action(
         self,
         meta: dict,
         live: dict,
         force_dv: bool = False,
         force_v2ckpt: bool = False,
+        table: str | None = None,
     ) -> dict:
         """The protocol row matching the table's CURRENT feature set:
         base (1/2) when no feature is in play, else the table-
@@ -732,13 +761,21 @@ class DeltaWarehouse:
         checkpoint handling on the ``v2Checkpoint`` readerWriter
         feature, so a spec-compliant external reader needs it declared
         whenever a V2 checkpoint exists (PROTOCOL.md §v2-checkpoint-
-        table-feature)."""
+        table-feature). ``table``: pass it on every OTHER protocol-
+        emitting commit (DV adds, newly-mapped columns, v1
+        checkpoints) so that once a V2 checkpoint is in effect the
+        feature stays declared — a later protocol row WITHOUT
+        v2Checkpoint would regress the declaration below the feature
+        the still-referenced checkpoint requires, which a strict
+        external reader may reject (ADVICE r12)."""
         feats = []
         if (meta.get("configuration") or {}).get(_CM_MODE) == "name":
             feats.append("columnMapping")
         if force_dv or any(a.get("deletionVector") for a in live.values()):
             feats.append("deletionVectors")
-        if force_v2ckpt:
+        if force_v2ckpt or (
+            table is not None and self._v2_checkpoint_in_effect(table)
+        ):
             feats.append("v2Checkpoint")
         if not feats:
             return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -1511,7 +1548,9 @@ class DeltaWarehouse:
                     )
                     if newly_mapped:
                         meta_actions.append(
-                            self._protocol_action(new_meta, live)
+                            self._protocol_action(
+                                new_meta, live, table=table
+                            )
                         )
                     meta_actions.append({"metaData": new_meta})
             # CHECK constraints gate the batch POST-conform (an evolve
@@ -1789,7 +1828,10 @@ class DeltaWarehouse:
                 # idempotent protocol upgrade rides every DV commit
                 # (later protocol actions replace earlier ones)
                 actions.insert(
-                    1, self._protocol_action(meta, live, force_dv=True)
+                    1,
+                    self._protocol_action(
+                        meta, live, force_dv=True, table=table
+                    ),
                 )
                 for p in sorted(by_file):
                     old_add = live[p]
@@ -1978,7 +2020,10 @@ class DeltaWarehouse:
                 for r in matched.select(FILE_COL, POS_COL).collect():
                     by_file.setdefault(r[0], []).append(int(r[1]))
                 actions.insert(
-                    1, self._protocol_action(meta, live, force_dv=True)
+                    1,
+                    self._protocol_action(
+                        meta, live, force_dv=True, table=table
+                    ),
                 )
                 for p in sorted(by_file):
                     old_add = live[p]

@@ -62,8 +62,10 @@ class SqlDmlError(ValueError):
 
 def _scan_top_level(stmt: str):
     """Yield (index, char, depth, in_quote) for a SQL string, tracking
-    single/double quotes (with '' escape) and parenthesis depth — the
-    primitive under keyword search and comma splitting."""
+    single/double/backtick quotes (with doubled-char escape) and
+    parenthesis depth — the primitive under keyword search and comma
+    splitting. Backticks are Spark's identifier quoting, so a comma or
+    paren inside `a,b` must not split/nest (round-13 ADVICE)."""
     depth = 0
     quote = None
     i = 0
@@ -75,7 +77,7 @@ def _scan_top_level(stmt: str):
                     i += 2
                     continue
                 quote = None
-        elif c in "'\"":
+        elif c in "'\"`":
             quote = c
         elif c == "(":
             depth += 1
@@ -547,14 +549,22 @@ def _parse_insert(stmt: str):
         stmt,
         re.I | re.S,
     )
+    # the column list splits QUOTE-AWARE (_split_top_level, ADVICE
+    # r12): a bare .split(",") would cut a quoted identifier holding a
+    # comma ("a,b") mid-name, fail the ident guard, and bounce a valid
+    # statement to the parenthesized-body grammar.
     if m and (
         m.group(2) is None
-        or all(_is_plain_ident(c) for c in m.group(2).split(",") if c.strip())
+        or all(
+            _is_plain_ident(c)
+            for c in _split_top_level(m.group(2))
+            if c.strip()
+        )
     ):
         table, cols, body = _ident(m.group(1)), None, m.group(3)
         if m.group(2) is not None:
             cols = [
-                _ident(c.strip()) for c in m.group(2).split(",") if c.strip()
+                _ident(c) for c in _split_top_level(m.group(2)) if c.strip()
             ]
             if not cols:
                 raise SqlDmlError("empty column list in INSERT")
@@ -1502,7 +1512,7 @@ def execute_dml(wh, stmt: str) -> dict:
         from .plans.ops import create_minmax_view, create_rollup_view
 
         mi = re.match(
-            r"\s*CREATE\s+(NEARDUP|ANN|DECONTAM)\s+INDEX\s+(\S+)\s+"
+            r"\s*CREATE\s+(NEARDUP|ANN|DECONTAM|BLOOM)\s+INDEX\s+(\S+)\s+"
             r"ON\s+(\S+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*"
             r"(?:OPTIONS\s*\(([^)]*)\)\s*)?$",
             stmt,
@@ -1512,7 +1522,7 @@ def execute_dml(wh, stmt: str) -> dict:
             # The maintained-index DDL (round 12): statement-reachable
             # registration of the three index kinds, the CREATE
             # MATERIALIZED VIEW pattern applied to indexes. Column pair
-            # is (id, payload): text for neardup/decontam, the
+            # is (id, payload): text for neardup/decontam/bloom, the
             # embedding array for ann. OPTIONS keys mirror the Python
             # API's keyword arguments; unknown keys are rejected so a
             # typo can't silently fall back to a default.
@@ -1542,6 +1552,7 @@ def execute_dml(wh, stmt: str) -> dict:
                 "neardup": {"num_hashes", "band_size", "shingle_n",
                             "n_buckets"},
                 "decontam": {"gram_n", "n_buckets"},
+                "bloom": {"k", "hex_chars", "n_buckets"},
                 "ann": {"n_cells", "refine_iters", "n_buckets",
                         "drift_threshold"},
             }[kind]
@@ -1571,6 +1582,16 @@ def execute_dml(wh, stmt: str) -> dict:
                     id_col=id_col, text_col=payload,
                     n=int(opts.get("gram_n", 3)),
                     n_buckets=int(opts.get("n_buckets", 64)),
+                )
+            elif kind == "bloom":
+                from .plans.ops import register_bloom_index
+
+                register_bloom_index(
+                    wh, index, table, snapshot,
+                    id_col=id_col, text_col=payload,
+                    k=int(opts.get("k", 3)),
+                    hex_chars=int(opts.get("hex_chars", 3)),
+                    n_buckets=int(opts.get("n_buckets", 8)),
                 )
             else:
                 from .plans.ops import create_ann_index
@@ -1656,7 +1677,7 @@ def execute_dml(wh, stmt: str) -> dict:
         if "index.kind" not in wh.table_properties(index):
             raise SqlDmlError(
                 f"{index!r} is not a registered index (no index.kind "
-                "property — create it with CREATE NEARDUP|ANN|DECONTAM "
+                "property — create it with CREATE NEARDUP|ANN|DECONTAM|BLOOM "
                 "INDEX)"
             )
         out = advance_index(wh, index)

@@ -3338,6 +3338,135 @@ class TestAnnDriftRecenter:
         assert advance_index(wh, "ann")["mode"] == "incremental"
         assert _ann_meta(wh, "ann")["centroids"] == before
 
+    def test_assign_dissim_weighs_duplicate_rows(self, spark):
+        """The drift probe is a mean over ROWS (round-13 ADVICE fix):
+        a duplicate-heavy drifted batch must move the statistic by its
+        row count, not collapse to one distinct-vector observation."""
+        from canvas_data_loader_spark.plans.ops import (
+            _assign_dissim,
+            _centroid_frame,
+        )
+
+        cents = _centroid_frame(spark, [[0, [1.0, 0.0]], [1, [0.0, 1.0]]])
+        near = [1.0, 0.0]  # best cosine 1.0 (cell 0) → dissim 0.0
+        far = [-1.0, 0.0]  # best cosine 0.0 (cell 1) → dissim 1.0
+        batch = spark.createDataFrame(
+            [(near,)] + [(far,)] * 9, "embedding array<double>"
+        )
+        got = _assign_dissim(batch, cents, "embedding")
+        # row mean: (1*0.0 + 9*1.0)/10 = 0.9; the old distinct-vector
+        # mean read (0.0 + 1.0)/2 = 0.5 — duplicates under-weighted
+        assert abs(got - 0.9) < 1e-9, got
+
+    def test_advance_index_unknown_kind_raises(self, spark, tmp_path):
+        """An unrecognized index.kind errors AT DISPATCH (round-13
+        ADVICE: no silent fall-through into the ANN branch), on both
+        the rebuild and the incremental path."""
+        import pytest
+
+        from canvas_data_loader_spark.plans.ops import (
+            advance_index,
+            create_ann_index,
+        )
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        rows = self._cluster([10.0, 0, 0, 0, 0, 0], range(1, 21))
+        wh.write("vecs", self._mk(spark, rows), "s0", bucket=("vec_id", 4))
+        create_ann_index(
+            wh, "ann", None, "idx0", n_cells=2, n_buckets=4, source="vecs"
+        )
+        wh.set_properties("ann", {"index.kind": "bogus"})
+        # incremental path: a real source change routes to the kind
+        # dispatch and must refuse the unknown kind
+        wh.merge_bucketed(
+            "vecs",
+            self._mk(spark, self._cluster([10.0, 0, 0, 0, 0, 0], [1, 2])),
+            "m1",
+        )
+        with pytest.raises(ValueError, match="unknown index.kind"):
+            advance_index(wh, "ann")
+        # rebuild path: vandalize the incarnation link so advance
+        # chooses rebuild, which must refuse at its own dispatch
+        wh.set_properties("ann", {"index.source_id": "stale-incarnation"})
+        with pytest.raises(ValueError, match="unknown index.kind"):
+            advance_index(wh, "ann")
+
+    def test_recenter_cas_retries_on_conflict(self, spark, tmp_path):
+        """recenter_ann_index publishes with expected_version (round-13
+        ADVICE: the docstring's 'ONE CAS'd commit' is now real): a
+        concurrent commit landing between its read and its publish
+        forces a CommitConflict + retry against the fresh head instead
+        of silently clobbering the interloper."""
+        import json
+
+        from canvas_data_loader_spark.plans import ops as O
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        rows = self._cluster([10.0, 0, 0, 0, 0, 0], range(1, 21))
+        wh.write("vecs", self._mk(spark, rows), "s0", bucket=("vec_id", 4))
+        O.create_ann_index(
+            wh, "ann", None, "idx0", n_cells=2, n_buckets=4,
+            refine_iters=1, source="vecs",
+        )
+        before = O._ann_meta(wh, "ann")["centroids"]
+        real_write = wh.write
+        state = {"interfered": False}
+
+        def racing_write(table, df, snapshot, **kw):
+            if table == "ann" and not state["interfered"]:
+                state["interfered"] = True
+                # the race: a concurrent maintainer bumps the index's
+                # version between recenter's read and its publish
+                wh.record_txn("ann", "idx-sync:ann", 99)
+            return real_write(table, df, snapshot, **kw)
+
+        wh.write = racing_write
+        try:
+            out = O.recenter_ann_index(wh, "ann")
+        finally:
+            wh.write = real_write
+        assert out["mode"] == "recenter" and state["interfered"]
+        # the retry re-derived from the post-interloper head: the
+        # interloper's txn watermark survives the publish
+        assert wh.last_txn_epoch("idx-sync:ann", "ann") == 99
+        after = O._ann_meta(wh, "ann")["centroids"]
+        assert json.dumps(after) is not None  # parses: property intact
+
+    def test_maybe_recenter_conflict_is_skipped(self, spark, tmp_path):
+        """A recenter that keeps losing the CAS is SKIPPED by the
+        unattended gate (mode=conflict), never poisoning the
+        maintenance pass — drift is re-measured next interval."""
+        from canvas_data_loader_spark.plans import ops as O
+        from canvas_data_loader_spark.plans.pipeline import (
+            CommitConflict,
+            Warehouse,
+        )
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        rows = self._cluster([10.0, 0, 0, 0, 0, 0], range(1, 21))
+        wh.write("vecs", self._mk(spark, rows), "s0", bucket=("vec_id", 4))
+        O.create_ann_index(
+            wh, "ann", None, "idx0", n_cells=2, n_buckets=4,
+            source="vecs", drift_threshold=0.0,
+        )
+        # force measurable drift so the gate reaches the recenter
+        wh.set_properties("ann", {"ann.drift_threshold": "-1.0"})
+        real_write = wh.write
+
+        def always_conflict(table, df, snapshot, **kw):
+            if table == "ann":
+                raise CommitConflict("forced")
+            return real_write(table, df, snapshot, **kw)
+
+        wh.write = always_conflict
+        try:
+            out = O.maybe_recenter_ann_index(wh, "ann")
+        finally:
+            wh.write = real_write
+        assert out["mode"] == "conflict"
+
 
 class TestDecontamIndex:
     """Maintained decontamination index (round 12 — plans/ops.py
@@ -3529,6 +3658,195 @@ class TestBloomPrepass:
         )
         assert got == want
         assert len(got) == probe_docs.count()
+
+
+class TestBloomIndex:
+    """Maintained counting-Bloom dedup index (round 13 — plans/ops.py
+    register_bloom_index / sync_bloom_index / probe_bloom_index, the
+    4th advance_index kind): the q172 Dolma/BFF pre-pass as a
+    persisted per-dump artifact. Pins, on BOTH commit protocols:
+    maintained == from-scratch rebuild (bloom_bit_counts of the source
+    head) through inserts/updates/deletes, a cell decremented to zero
+    actually disappears, replay is an exact no-op, the cnt>0 rows
+    project to exactly bloom_bits (so the probe keeps the
+    zero-false-negative contract), and probe == fresh-filter
+    recompute."""
+
+    def _wh(self, spark, tmp_path, fmt):
+        if fmt == "delta":
+            from canvas_data_loader_spark.plans.delta import DeltaWarehouse
+
+            return DeltaWarehouse(spark, str(tmp_path / "wh"))
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        return Warehouse(spark, str(tmp_path / "wh"))
+
+    def _rebuilt(self, wh, source="corpus"):
+        return sorted(
+            tuple(r)
+            for r in D.bloom_bit_counts(
+                wh.read(source).select("doc_id", "text"), "text"
+            ).collect()
+        )
+
+    @pytest.mark.parametrize("fmt", ["manifest", "delta"])
+    def test_maintained_equals_rebuilt_and_replay(
+        self, spark, docs, tmp_path, fmt
+    ):
+        from canvas_data_loader_spark.plans.ops import (
+            advance_index,
+            register_bloom_index,
+        )
+
+        wh = self._wh(spark, tmp_path, fmt)
+        base = docs.select("doc_id", "text").limit(60)
+        wh.write("corpus", base, "s0", bucket=("doc_id", 4))
+        register_bloom_index(wh, "bf", "corpus", "idx0")
+        assert sorted(
+            tuple(r) for r in wh.read("bf").collect()
+        ) == self._rebuilt(wh)
+        # a dump wave: updates + inserts + deletes in one merge
+        upd = base.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "text", F.concat(F.lit("republished "), F.col("text"))
+        )
+        added = docs.select("doc_id", "text").filter(
+            ~F.col("doc_id").isin(
+                [r.doc_id for r in base.select("doc_id").collect()]
+            )
+        ).limit(12)
+        wh.merge_bucketed(
+            "corpus",
+            upd.unionByName(added),
+            "m1",
+            delete_keys=base.filter(F.col("doc_id") % 11 == 3).select(
+                "doc_id"
+            ),
+        )
+        assert advance_index(wh, "bf")["mode"] == "incremental"
+        want = self._rebuilt(wh)
+        assert sorted(tuple(r) for r in wh.read("bf").collect()) == want
+        # replay: noop, rows identical
+        assert advance_index(wh, "bf")["mode"] == "noop"
+        assert sorted(tuple(r) for r in wh.read("bf").collect()) == want
+        # the filter projection stays exactly bloom_bits of the head —
+        # the probe's no-false-negative contract
+        assert sorted(
+            tuple(r)
+            for r in wh.read("bf")
+            .filter("cnt > 0")
+            .select("row_id", "b")
+            .collect()
+        ) == sorted(
+            tuple(r)
+            for r in D.bloom_bits(wh.read("corpus"), "text").collect()
+        )
+
+    @pytest.mark.parametrize("fmt", ["manifest"])
+    def test_cell_empties_when_last_contributor_departs(
+        self, spark, tmp_path, fmt
+    ):
+        from canvas_data_loader_spark.plans.ops import (
+            advance_index,
+            probe_bloom_index,
+            register_bloom_index,
+        )
+
+        wh = self._wh(spark, tmp_path, fmt)
+        # two exact copies of one text + one unique text
+        rows = spark.createDataFrame(
+            [(1, "shared duplicated body"), (2, "shared duplicated body"),
+             (3, "completely unique body")],
+            "doc_id long, text string",
+        )
+        wh.write("corpus", rows, "s0", bucket=("doc_id", 4))
+        register_bloom_index(wh, "bf", "corpus", "idx0")
+        # delete ONE copy of the duplicate: its bits must survive
+        wh.delete_where("corpus", "doc_id = 2")
+        assert advance_index(wh, "bf")["mode"] == "incremental"
+        assert sorted(
+            tuple(r) for r in wh.read("bf").collect()
+        ) == self._rebuilt(wh)
+        probe = spark.createDataFrame(
+            [(10, "shared duplicated body")], "doc_id long, text string"
+        )
+        got = probe_bloom_index(wh, "bf", probe).collect()[0]
+        assert got.maybe_dup == 1  # the surviving copy keeps the bit set
+        # delete the LAST copy: the cells decrement to zero and vanish
+        wh.delete_where("corpus", "doc_id = 1")
+        assert advance_index(wh, "bf")["mode"] == "incremental"
+        assert sorted(
+            tuple(r) for r in wh.read("bf").collect()
+        ) == self._rebuilt(wh)
+        assert wh.read("bf").filter("cnt <= 0").count() == 0
+
+    @pytest.mark.parametrize("fmt", ["manifest"])
+    def test_probe_matches_fresh_filter_and_never_misses(
+        self, spark, docs, tmp_path, fmt
+    ):
+        from canvas_data_loader_spark.plans.ops import (
+            probe_bloom_index,
+            register_bloom_index,
+        )
+
+        wh = self._wh(spark, tmp_path, fmt)
+        old = docs.select("doc_id", "text").filter(F.col("doc_id") % 5 != 4)
+        wh.write("corpus", old, "s0", bucket=("doc_id", 4))
+        register_bloom_index(wh, "bf", "corpus", "idx0")
+        dump = docs.select("doc_id", "text").filter(F.col("doc_id") % 5 == 4)
+        got = sorted(
+            tuple(r) for r in probe_bloom_index(wh, "bf", dump).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in D.bloom_maybe_member(
+                dump, D.bloom_bits(old, "text"), "text", "doc_id"
+            ).collect()
+        )
+        assert got == want
+        # zero false negatives vs the exact fingerprint truth
+        from canvas_data_loader_spark.functions.text import fingerprint
+
+        truly_dup = {
+            r.doc_id
+            for r in dump.select("doc_id", fingerprint("text").alias("f"))
+            .join(
+                old.select(fingerprint("text").alias("f")).distinct(), "f"
+            )
+            .collect()
+        }
+        flagged = {r[0] for r in got if r[1] == 1}
+        assert truly_dup <= flagged
+
+    @pytest.mark.parametrize("fmt", ["manifest", "delta"])
+    def test_sql_ddl_create_advance_drop(self, spark, docs, tmp_path, fmt):
+        from canvas_data_loader_spark.sql import SqlDmlError, execute_dml
+
+        wh = self._wh(spark, tmp_path, fmt)
+        wh.write(
+            "corpus", docs.select("doc_id", "text").limit(30), "s0",
+            bucket=("doc_id", 4),
+        )
+        out = execute_dml(
+            wh,
+            "CREATE BLOOM INDEX bf ON corpus (doc_id, text) "
+            "OPTIONS (k = 3, hex_chars = 3, n_buckets = 4)",
+        )
+        assert out["operation"] == "CREATE BLOOM INDEX"
+        props = wh.table_properties("bf")
+        assert props["index.kind"] == "bloom"
+        assert props["index.bloom_k"] == "3"
+        assert execute_dml(wh, "ADVANCE INDEX bf")["mode"] == "noop"
+        # statement writes to the index table are refused (the MV rule)
+        with pytest.raises(SqlDmlError):
+            execute_dml(wh, "DELETE FROM bf WHERE cnt = 1")
+        # unknown option rejected
+        with pytest.raises(SqlDmlError, match="unknown OPTIONS"):
+            execute_dml(
+                wh,
+                "CREATE BLOOM INDEX bf2 ON corpus (doc_id, text) "
+                "OPTIONS (gram_n = 3)",
+            )
+        assert execute_dml(wh, "DROP INDEX bf")["operation"] == "DROP INDEX"
 
 
 class TestIndexMaintenanceRace:

@@ -967,6 +967,24 @@ class TestSqlInsertCtas:
         )
         assert (t, cols) == ("t", ["id", "v"])
 
+    def test_insert_quoted_identifier_with_comma(self, spark):
+        """A quoted identifier CONTAINING a comma must not be split
+        mid-name by the column-list guard (round-13 ADVICE: the split
+        is quote-aware via _split_top_level, so ("a,b", c) stays a
+        two-column list instead of bouncing to the paren-body grammar
+        and being rejected)."""
+        from canvas_data_loader_spark.sql import _parse_insert
+
+        t, cols, body = _parse_insert(
+            'INSERT INTO t ("a,b", c) VALUES (1, 2)'
+        )
+        assert (t, cols) == ("t", ["a,b", "c"])
+        assert body.upper().startswith("VALUES")
+        t, cols, body = _parse_insert(
+            "INSERT INTO t (`x,y`, z) SELECT 1, 2"
+        )
+        assert (t, cols) == ("t", ["x,y", "z"])
+
     def test_insert_column_list_pads_and_casts(self, spark, dml_wh):
         from canvas_data_loader_spark.sql import execute_dml
 

@@ -4232,6 +4232,55 @@ class TestDeltaV2Checkpoints:
         assert "v2Checkpoint" in protos[0]["writerFeatures"]
         assert self._expect(wh) == want
 
+    def test_protocol_never_regresses_below_v2_checkpoint(
+        self, spark, tmp_path
+    ):
+        """Once a V2 checkpoint exists, every LATER protocol-emitting
+        commit keeps declaring the v2Checkpoint readerWriter feature
+        (round-13 ADVICE): a DV-adding delete after the checkpoint —
+        and the same commit issued by a DIFFERENT warehouse handle
+        opened with checkpoint_v2=False over the same log — must not
+        regress the declaration below what the still-referenced
+        checkpoint requires for a strict external reader."""
+
+        def _commit_protocols(ldir, v_from=0):
+            out = []
+            for f in sorted(os.listdir(ldir)):
+                if not f.endswith(".json") or not f[0].isdigit():
+                    continue
+                if int(f.split(".")[0]) < v_from:
+                    continue
+                with open(os.path.join(ldir, f)) as fh:
+                    for line in fh:
+                        a = json.loads(line)
+                        if "protocol" in a:
+                            out.append(a["protocol"])
+            return out
+
+        wh = self._wh(spark, tmp_path, part_size=4)
+        self._seed(spark, wh)
+        wh.checkpoint("t")
+        v_ckpt = wh.current_version("t")
+        ldir = wh._log_dir("t")
+        # a DV commit from the checkpointing handle
+        assert wh.delete_where("t", "id = 5", mode="mor") == 1
+        # ... and one from a fresh handle that does NOT itself write
+        # v2 checkpoints (the in-effect detection reads the active
+        # _last_checkpoint, not the handle's own config)
+        wh_plain = DeltaWarehouse(
+            spark, wh.root, checkpoint_interval=10_000, checkpoint_v2=False
+        )
+        assert wh_plain.delete_where("t", "id = 6", mode="mor") == 1
+        protos = _commit_protocols(ldir, v_from=v_ckpt + 1)
+        assert len(protos) == 2
+        for p in protos:
+            assert "v2Checkpoint" in p.get("readerFeatures", []), p
+            assert "v2Checkpoint" in p.get("writerFeatures", []), p
+            assert "deletionVectors" in p["writerFeatures"]
+        # state stays correct through it all
+        got = {r[0] for r in wh.read("t").select("id").collect()}
+        assert 5 not in got and 6 not in got
+
     def test_replay_actually_uses_v2(self, spark, tmp_path):
         """Deleting every pre-checkpoint JSON proves the manifest +
         sidecars carry the full state (adds, DV deletes, epochs)."""
