@@ -172,6 +172,8 @@ HEADLINE = [
     "q171_decontam_index_probe",
     "q172_bloom_dedup_prepass",
     "q173_ccnet_ppl_buckets",
+    # round-13 registry additions
+    "q174_bloom_index_probe",
 ]
 
 

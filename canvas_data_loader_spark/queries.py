@@ -9422,3 +9422,116 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
+
+
+@query(
+    "q174_bloom_index_probe",
+    f"""
+    -- Maintained counting-Bloom index probe (round 13 registry slot —
+    -- VERDICT r12 next-round #1 as a dump-loop row): the q172 filter
+    -- promoted to a PERSISTED index that honors DELETES. The prior
+    -- corpus registered the filter; a retirement wave departed
+    -- (doc_id % 7 = 0) and the maintenance decremented their bits —
+    -- cells at zero EXPIRE, so a bit only the departed docs set no
+    -- longer fires. The oracle rebuilds the filter from the SURVIVOR
+    -- set (maintained == rebuilt, the counting filter's linearity);
+    -- exactness of the maintenance fold itself is pinned both
+    -- protocols in TestBloomIndex. Bit ids stay hex strings
+    -- (q119/q142 cross-engine rule).
+    WITH fps AS (
+        SELECT doc_id, MD5({_NORM_SQL.format(c='text')}) AS fp
+        FROM documents
+    ), survivors AS (
+        SELECT doc_id, fp FROM fps
+        WHERE doc_id % 5 != 4 AND doc_id % 7 != 0
+    ), newd AS (
+        SELECT doc_id, fp FROM fps WHERE doc_id % 5 = 4
+    ), bits AS (
+        SELECT DISTINCT r.i AS row_id,
+               SUBSTR(MD5('bff' || r.i || ':' || fp), 1, 3) AS b
+        FROM survivors, UNNEST([0, 1, 2]) AS r(i)
+    ), hits AS (
+        SELECT n.doc_id, CAST(COUNT(*) AS BIGINT) AS nhit
+        FROM newd n
+        JOIN bits c
+          ON c.b = SUBSTR(MD5('bff' || c.row_id || ':' || n.fp), 1, 3)
+        GROUP BY n.doc_id
+    ), exact AS (
+        SELECT DISTINCT n.doc_id
+        FROM newd n JOIN survivors s ON s.fp = n.fp
+    )
+    SELECT n.doc_id,
+           CAST(COALESCE(h.nhit, 0) = 3 AS INT) AS maybe_dup,
+           CAST(e.doc_id IS NOT NULL AS INT) AS exact_dup,
+           CAST(COALESCE(h.nhit, 0) = 3 OR e.doc_id IS NULL AS INT)
+               AS no_false_negative
+    FROM newd n
+    LEFT JOIN hits h ON h.doc_id = n.doc_id
+    LEFT JOIN exact e ON e.doc_id = n.doc_id
+    """,
+)
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe a new dump against the MAINTAINED counting-Bloom index
+    (round 13 — VERDICT r12 next-round #1): the Dolma/BFF per-dump
+    operating model with deletes. The prior corpus' filter was
+    registered as counting cells (row_id, b, cnt); a retirement wave
+    (doc_id % 7 == 0) departed, and maintenance DECREMENTED its bits
+    instead of being unable to unset them — a cell at zero expires, so
+    retired-only content stops flagging, while content a surviving
+    duplicate still holds keeps its bits (the no-false-negative
+    contract survives deletes, which a plain bit set cannot offer).
+
+    Production lane (pinned maintained == rebuilt on both commit
+    protocols in TestBloomIndex): plans/ops.py register_bloom_index /
+    sync_bloom_index / probe_bloom_index — the filter lives as a
+    bucketed warehouse table, advances at O(batch + touched cells)
+    from the source change feed under auto-maintenance, and every
+    probe broadcasts the fixed-size filter. Here the same fold runs
+    expression-side: cells(old) minus cells(departed), drop at zero —
+    the counting filter's linearity makes the two identical.
+
+    Scale shape: both count aggs are map-side combined with key space
+    bounded by k·16^hex_chars (≤12288 cells) regardless of corpus
+    size; the fold join is cell-sized; every probe join broadcasts the
+    filter — the dump is the only big frame and it streams through
+    map-side joins. Reference tie: the A24/A25 new-dumps-only loop
+    (/root/reference/src/main.rs:119-138)."""
+    from canvas_data_loader_spark.functions.text import fingerprint
+
+    d = load(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 4
+    old, new = d.filter(~is_new), d.filter(is_new)
+    departed = old.filter(F.col("doc_id") % 7 == 0)
+    registered = D.bloom_bit_counts(old, "text")
+    dec = D.bloom_bit_counts(departed, "text").withColumnRenamed("cnt", "d")
+    cells = (
+        registered.join(dec, ["row_id", "b"], "left")
+        .select(
+            "row_id",
+            "b",
+            (F.col("cnt") - F.coalesce(F.col("d"), F.lit(0))).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    bits = cells.select("row_id", "b").localCheckpoint(eager=False)
+    probe = D.bloom_maybe_member(new, bits, "text", "doc_id")
+    survivors = old.filter(F.col("doc_id") % 7 != 0)
+    surv_fp = survivors.select(fingerprint("text").alias("__fp")).distinct()
+    ex = (
+        new.select("doc_id", fingerprint("text").alias("__fp"))
+        .join(
+            F.broadcast(surv_fp.withColumn("__e", F.lit(1))), "__fp", "left"
+        )
+        .select(
+            "doc_id",
+            F.col("__e").isNotNull().cast("int").alias("exact_dup"),
+        )
+    )
+    return probe.join(ex, "doc_id").select(
+        "doc_id",
+        "maybe_dup",
+        "exact_dup",
+        ((F.col("maybe_dup") == 1) | (F.col("exact_dup") == 0))
+        .cast("int")
+        .alias("no_false_negative"),
+    )
