@@ -174,6 +174,7 @@ HEADLINE = [
     "q173_ccnet_ppl_buckets",
     # round-13 registry additions
     "q174_bloom_index_probe",
+    "q175_audio_stats",
 ]
 
 

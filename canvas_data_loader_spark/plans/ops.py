@@ -688,6 +688,8 @@ def refresh_view(warehouse, view: str, full: bool = False) -> dict:
     kind = warehouse.table_properties(view).get("mv.kind", "rollup")
     if kind == "minmax":
         return refresh_minmax_view(warehouse, view, full=full)
+    if kind == "join":
+        return refresh_join_view(warehouse, view, full=full)
     return refresh_rollup_view(warehouse, view, full=full)
 
 
@@ -705,8 +707,12 @@ def refresh_views_of(warehouse, table: str) -> None:
     for view in warehouse.tables():
         props = warehouse.table_properties(view)
         # partials sidecars carry mv.source for the ownership guard but
-        # are refreshed BY their parent view's lane, never directly
-        if props.get("mv.source") == table and "mv.parent" not in props:
+        # are refreshed BY their parent view's lane, never directly.
+        # A join view is discoverable from EITHER side: its dim rides
+        # jv.dim, and refresh always targets both heads.
+        if (
+            props.get("mv.source") == table or props.get("jv.dim") == table
+        ) and "mv.parent" not in props:
             try:
                 refresh_view(warehouse, view)
             except Exception as e:  # noqa: BLE001
@@ -2286,3 +2292,369 @@ def probe_bloom_index(warehouse, index: str, new_docs) -> "DataFrame":
     return bloom_maybe_member(
         new_docs, bits, text_col, id_col, k=k, hex_chars=hx, salt=salt
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-view IVM (round 13 — VERDICT r12 next-round #2): a fact ⋈ dim
+# INNER equi-join materialized as a warehouse table and maintained at
+# O(changed buckets) from BOTH sides' change feeds — the star-schema
+# view the reference's dw_type/dimension vocabulary implies
+# (/root/reference/src/api_client.rs:407-408, 441-450).
+#
+# Layout is the whole trick: the view AND a ``<view>__pending``
+# sidecar (fact rows currently WITHOUT a dim match — the inner join's
+# complement) are both bucketed by the JOIN KEY. Every maintenance
+# motion then reads only the fk buckets the two feeds name:
+#   - fact changes carry their fk on both images — no fact re-read;
+#   - dim changes name their pk — the affected fact rows live in the
+#     view/pending buckets of exactly that key;
+#   - a dim INSERT can promote fact rows that never matched before —
+#     they are in pending's bucket for that pk, NOT findable any other
+#     way without a fact scan (the reason the sidecar exists).
+# Matched ∪ pending always holds every fact row exactly once, so the
+# touched keys' state is recomputed WHOLESALE from (current state ∖
+# feed pre-images ∪ feed post-images) ⋈ head-dim-restricted-to-touched
+# — a set replacement per key, idempotent under replay on top of the
+# epoch ladder both commit protocols enforce.
+# ---------------------------------------------------------------------------
+
+
+def _jv_pending_table(view: str) -> str:
+    return f"{view}__pending"
+
+
+def _jv_definition(props: dict, view: str) -> dict:
+    import json
+
+    if props.get("mv.kind") != "join":
+        raise ValueError(
+            f"{view!r} is not a join view (mv.kind != 'join' — create it "
+            "with create_join_view)"
+        )
+    return {
+        "fact": props["mv.source"],
+        "dim": props["jv.dim"],
+        "fk": props["jv.fk"],
+        "fact_key": props["jv.fact_key"],
+        "dim_key": props["jv.dim_key"],
+        "dim_cols": json.loads(props["jv.dim_cols"]),
+        "fact_cols": json.loads(props["jv.fact_cols"]),
+    }
+
+
+def _jv_split(fact_df, dim_df, fk: str, dim_key: str, dim_cols: list[str]):
+    """(matched, pending) of a fact frame against a dim frame: matched
+    carries fact columns + dim payload columns, pending carries the
+    fact columns alone. ONE join shape both the build and every
+    incremental motion share — maintained == rebuilt is an identity of
+    dataflow, not a reconciliation."""
+    payload = dim_df.select(
+        F.col(dim_key).alias("__jk"), *[F.col(c) for c in dim_cols]
+    )
+    matched = fact_df.join(
+        payload, fact_df[fk] == F.col("__jk"), "inner"
+    ).drop("__jk")
+    pending = fact_df.join(
+        payload.select("__jk"), fact_df[fk] == F.col("__jk"), "left_anti"
+    )
+    return matched, pending
+
+
+def create_join_view(
+    warehouse,
+    view: str,
+    fact: str,
+    dim: str,
+    fk: str,
+    dim_cols: list[str] | None = None,
+    fact_key: str | None = None,
+    dim_key: str | None = None,
+    n_buckets: int = 16,
+) -> dict:
+    """Materialize ``fact INNER JOIN dim ON fact.fk = dim.dim_key`` as
+    a refreshable warehouse table. ``fact_key`` (the fact row key,
+    default: fact's bucket key) must be row-unique — view rows are
+    keyed by it; ``dim_key`` (default: dim's bucket key) must be
+    dim-unique — an fk matches at most one dim row, so the view stays
+    fact-row-keyed. ``dim_cols`` defaults to every dim column except
+    the key; collisions with fact column names are refused (alias in
+    the dim first). The definition rides the view's table properties
+    (mv.kind = join — refresh_view dispatches on it, refresh_views_of
+    discovers it from BOTH sides, and the SQL statement-write guard
+    refuses direct writes); both sources' reflected versions ride the
+    writer-epoch map under ``mv:{fact}`` / ``mv-dim:{dim}``.
+
+    Returns {"v_fact", "v_dim"}."""
+    import json
+
+    if fact == dim:
+        raise ValueError(
+            "join view requires distinct fact and dim tables (a "
+            "self-join's two watermark apps would collide)"
+        )
+    f_info = warehouse.routing_info(fact)
+    d_info = warehouse.routing_info(dim)
+    if f_info is None:
+        raise FileNotFoundError(f"fact table not in warehouse: {fact}")
+    if d_info is None:
+        raise FileNotFoundError(f"dim table not in warehouse: {dim}")
+    fact_key = fact_key or f_info.get("bucket_key")
+    dim_key = dim_key or d_info.get("bucket_key")
+    if not fact_key:
+        raise ValueError(
+            f"fact {fact!r} has no bucket key — pass fact_key="
+        )
+    if not dim_key:
+        raise ValueError(f"dim {dim!r} has no bucket key — pass dim_key=")
+    if warehouse.exists(view) and warehouse.table_properties(view).get(
+        "mv.kind"
+    ) != "join":
+        raise ValueError(
+            f"{view!r} exists and is not a join view — refusing to "
+            "overwrite (drop it first if the replacement is intended)"
+        )
+    v_fact, fact_df = warehouse.read_versioned(fact)
+    v_dim, dim_df = warehouse.read_versioned(dim)
+    if fk not in fact_df.columns:
+        raise ValueError(
+            f"join key {fk!r} not a column of {fact!r} "
+            f"(have {fact_df.columns})"
+        )
+    if dim_key not in dim_df.columns:
+        raise ValueError(
+            f"dim key {dim_key!r} not a column of {dim!r} "
+            f"(have {dim_df.columns})"
+        )
+    if dim_cols is None:
+        dim_cols = [c for c in dim_df.columns if c != dim_key]
+    clash = sorted(set(dim_cols) & set(fact_df.columns))
+    if clash:
+        raise ValueError(
+            f"dim payload columns {clash} collide with fact columns — "
+            "rename them in the dim (or pass a disjoint dim_cols list)"
+        )
+    missing = sorted(set(dim_cols) - set(dim_df.columns))
+    if missing:
+        raise ValueError(f"dim_cols {missing} not in {dim!r}")
+    matched, pending = _jv_split(fact_df, dim_df, fk, dim_key, dim_cols)
+    props = {
+        "mv.kind": "join",
+        "mv.source": fact,
+        "mv.source_id": warehouse.table_id(fact) or "",
+        "jv.dim": dim,
+        "jv.dim_id": warehouse.table_id(dim) or "",
+        "jv.fk": fk,
+        "jv.fact_key": fact_key,
+        "jv.dim_key": dim_key,
+        "jv.dim_cols": json.dumps(dim_cols),
+        "jv.fact_cols": json.dumps(fact_df.columns),
+    }
+    app_f, app_d = f"mv:{fact}", f"mv-dim:{dim}"
+    # pending FIRST, view second (the watermarks are read from the
+    # view, so a crash between the pair leaves pending AHEAD — and
+    # every motion is a per-key set replacement, so its replay when
+    # the view's interval re-runs is exact)
+    warehouse.write(
+        _jv_pending_table(view),
+        pending,
+        snapshot=f"jv-full-v{v_fact}",
+        bucket=(fk, n_buckets),
+        txn=(app_f, v_fact),
+        props={**props, "mv.parent": view},
+    )
+    warehouse.write(
+        view,
+        matched,
+        snapshot=f"jv-full-v{v_fact}",
+        bucket=(fk, n_buckets),
+        txn=(app_f, v_fact),
+        props=props,
+    )
+    warehouse.record_txn(view, app_d, v_dim)
+    return {"v_fact": v_fact, "v_dim": v_dim}
+
+
+def refresh_join_view(warehouse, view: str, full: bool = False) -> dict:
+    """Advance a join view (and its pending sidecar) to BOTH sources'
+    current versions. Paths, cheapest first — the refresh_rollup_view
+    ladder over two feeds:
+
+    - **noop** — both watermarks at their heads (metadata compare).
+    - **advance** — both intervals provably row-identical
+      (maintenance-only commits): watermarks move via record_txn,
+      zero data IO.
+    - **incremental** — the touched join keys = fk values named by the
+      fact feed (both images) ∪ pks named by the dim feed; their
+      matched/pending state is recomputed WHOLESALE from the current
+      state ± the fact feed, joined against the head dim restricted to
+      those keys (bucket-pruned on every side that is bucketed), and
+      replaced via merge_bucketed(delete_keys=touched). Cost:
+      O(|feeds| + touched buckets), never a fact or dim scan.
+    - **full** — rebuild from both heads: asked (``full=True``),
+      watermark missing/ahead, either incarnation changed, feed
+      horizon pruned, or schema drift across either interval.
+
+    Returns {"mode", "fact": (from, to), "dim": (from, to)}."""
+    props = warehouse.table_properties(view)
+    d = _jv_definition(props, view)
+    fact, dim, fk = d["fact"], d["dim"], d["fk"]
+    pending_t = _jv_pending_table(view)
+    app_f, app_d = f"mv:{fact}", f"mv-dim:{dim}"
+    if warehouse.routing_info(fact) is None:
+        raise FileNotFoundError(f"fact table not in warehouse: {fact}")
+    if warehouse.routing_info(dim) is None:
+        raise FileNotFoundError(f"dim table not in warehouse: {dim}")
+    fact_id = warehouse.table_id(fact) or ""
+    dim_id = warehouse.table_id(dim) or ""
+    same_inc = fact_id == props.get("mv.source_id", "") and dim_id == props.get(
+        "jv.dim_id", ""
+    )
+    v_f, v_d = warehouse.current_version(fact), warehouse.current_version(dim)
+    last_f = warehouse.last_txn_epoch(app_f, view)
+    last_d = warehouse.last_txn_epoch(app_d, view)
+    if not full and same_inc and last_f == v_f and last_d == v_d:
+        return {"mode": "noop", "fact": (last_f, v_f), "dim": (last_d, v_d)}
+
+    def rebuild() -> dict:
+        import json
+
+        v_fact, fact_df = warehouse.read_versioned(fact)
+        v_dim, dim_df = warehouse.read_versioned(dim)
+        matched, pend = _jv_split(
+            fact_df, dim_df, fk, d["dim_key"], d["dim_cols"]
+        )
+        info = warehouse.routing_info(view) or {}
+        n_b = int(info.get("n_buckets") or 16)
+        fresh = {
+            "mv.source_id": fact_id,
+            "jv.dim_id": dim_id,
+            "jv.fact_cols": json.dumps(fact_df.columns),
+        }
+        warehouse.write(
+            pending_t,
+            pend,
+            snapshot=f"jv-full-v{v_fact}",
+            bucket=(fk, n_b),
+            txn=(app_f, v_fact),
+            props=fresh,
+        )
+        warehouse.write(
+            view,
+            matched,
+            snapshot=f"jv-full-v{v_fact}",
+            bucket=(fk, n_b),
+            txn=(app_f, v_fact),
+            props=fresh,
+        )
+        warehouse.record_txn(view, app_d, v_dim)
+        return {
+            "mode": "full",
+            "fact": (last_f, v_fact),
+            "dim": (last_d, v_dim),
+        }
+
+    live = (
+        not full
+        and same_inc
+        and warehouse.GENESIS_VERSION < last_f <= v_f
+        and warehouse.GENESIS_VERSION < last_d <= v_d
+    )
+    if not live:
+        return rebuild()
+    try:
+        feed_f = (
+            table_changes(warehouse, fact, last_f, v_f, key=d["fact_key"])
+            .localCheckpoint()
+            if last_f < v_f
+            else None
+        )
+        feed_d = (
+            table_changes(warehouse, dim, last_d, v_d, key=d["dim_key"])
+            .localCheckpoint()
+            if last_d < v_d
+            else None
+        )
+    except (FileNotFoundError, FeedSchemaDrift):
+        return rebuild()
+    fks_f = (
+        feed_f.select(F.col(fk).alias("__t")) if feed_f is not None else None
+    )
+    fks_d = (
+        feed_d.select(F.col(d["dim_key"]).alias("__t"))
+        if feed_d is not None
+        else None
+    )
+    parts = [p for p in (fks_f, fks_d) if p is not None]
+    touched = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    touched = touched.distinct().localCheckpoint()
+    if touched.isEmpty():
+        # row-identical intervals: watermarks move, no data moves
+        if last_f < v_f:
+            warehouse.record_txn(view, app_f, v_f)
+        if last_d < v_d:
+            warehouse.record_txn(view, app_d, v_d)
+        return {"mode": "advance", "fact": (last_f, v_f), "dim": (last_d, v_d)}
+    info = warehouse.routing_info(view) or {}
+    n_b = int(info.get("n_buckets") or 16)
+    bids = sorted(
+        r.bk
+        for r in touched.select(bucket_of(F.col("__t"), n_b).alias("bk"))
+        .distinct()
+        .collect()
+    )
+    touched_keys = touched.withColumnRenamed("__t", fk)
+    fact_cols = d["fact_cols"]
+    state = (
+        warehouse.read_buckets(view, bids)
+        .select(*fact_cols)
+        .unionByName(
+            warehouse.read_buckets(pending_t, bids).select(*fact_cols)
+        )
+        .join(touched_keys.select(fk), fk, "semi")
+    )
+    if feed_f is not None:
+        state = state.join(
+            feed_f.select(d["fact_key"]).distinct(), d["fact_key"], "left_anti"
+        ).unionByName(applied_rows(feed_f).select(*fact_cols))
+    # head dim restricted to the touched keys, bucket-pruned when the
+    # dim's own layout allows it
+    d_info = warehouse.routing_info(dim) or {}
+    if d_info.get("bucket_key") == d["dim_key"] and d_info.get("n_buckets"):
+        nd = int(d_info["n_buckets"])
+        d_bids = sorted(
+            r.bk
+            for r in touched.select(
+                bucket_of(F.col("__t"), nd).alias("bk")
+            )
+            .distinct()
+            .collect()
+        )
+        dim_head = warehouse.read_buckets(dim, d_bids)
+    else:
+        dim_head = warehouse.read(dim)
+    dim_head = dim_head.join(
+        touched.withColumnRenamed("__t", d["dim_key"]).select(d["dim_key"]),
+        d["dim_key"],
+        "semi",
+    )
+    matched, pend = _jv_split(
+        state.localCheckpoint(), dim_head, fk, d["dim_key"], d["dim_cols"]
+    )
+    txn = (app_f, v_f) if last_f < v_f else (app_d, v_d)
+    warehouse.merge_bucketed(
+        pending_t, pend, f"jv-inc-v{v_f}.{v_d}", txn=txn,
+        delete_keys=touched_keys.select(fk),
+    )
+    warehouse.merge_bucketed(
+        view, matched, f"jv-inc-v{v_f}.{v_d}", txn=txn,
+        delete_keys=touched_keys.select(fk),
+    )
+    if last_f < v_f and txn[0] != app_f:
+        warehouse.record_txn(view, app_f, v_f)
+    if last_d < v_d and txn[0] != app_d:
+        warehouse.record_txn(view, app_d, v_d)
+    return {
+        "mode": "incremental",
+        "fact": (last_f, v_f),
+        "dim": (last_d, v_d),
+    }

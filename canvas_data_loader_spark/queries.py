@@ -9535,3 +9535,91 @@ def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("no_false_negative"),
     )
+
+
+@query(
+    "q175_audio_stats",
+    """
+    -- Audio decode stats (round 13 registry slot — VERDICT r12
+    -- next-round #5): the WAV/PCM lane proven end-to-end THROUGH the
+    -- container format. The Spark side synthesizes a deterministic
+    -- 16-bit PCM waveform per document (sample i of doc d =
+    -- ((d*31 + i*7) % 2001) - 1000, n = 50 + d % 100 samples at 8 kHz),
+    -- serializes it into real RIFF/WAVE bytes (stdlib `wave`), then
+    -- DECODES those bytes back with operators/multimodal.py decode_wav
+    -- and emits exact-integer stats. The oracle computes the same
+    -- stats from the closed-form sample definition — any header
+    -- mis-parse, channel/frame confusion, or sample-width slip breaks
+    -- the equality. All columns integer (q128 cross-engine policy).
+    WITH ids AS (
+        SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+    ), s AS (
+        SELECT doc_id,
+               ((doc_id * 31 + r.i * 7) % 2001) - 1000 AS v
+        FROM ids, UNNEST(range(0, 50 + doc_id % 100)) AS r(i)
+    )
+    SELECT doc_id AS media_id,
+           CAST(1 AS INT) AS n_channels,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(*) * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(v)) AS INT) AS peak
+    FROM s GROUP BY doc_id
+    """,
+)
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV audio stats through a REAL container round-trip (round 13 —
+    VERDICT r12 next-round #5): per-document deterministic PCM16
+    waveforms are serialized into RIFF/WAVE bytes and decoded back by
+    the stdlib-`wave` lane (operators/multimodal.py encode_wav_pcm16 /
+    decode_wav / audio_stats — capability-free, unlike the PIL-gated
+    image decode). Stats ride as exact integers — duration in floor
+    milliseconds, loudness as (sum_sq, n_samples) so corpus RMS merges
+    from partials — and the oracle derives them from the closed-form
+    waveform definition, so the equality proves the encode→decode pair
+    preserves every sample bit.
+
+    Scale shape: both stages are map-side mapInPandas passes (encode,
+    decode) with zero shuffles before the final compare-friendly
+    projection; media rows are wide, so batches are bounded by Arrow's
+    maxRecordsPerBatch (the module-top sizing rule). At 100 TB the
+    encode stage is replaced by real ingested payloads; the decode
+    pass's shape is identical."""
+    import pandas as _pd
+
+    from canvas_data_loader_spark.operators.multimodal import (
+        audio_stats,
+        encode_wav_pcm16,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    ids = d.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+
+    def encode(it):
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 50 + did % 100
+                samples = [((did * 31 + i * 7) % 2001) - 1000 for i in range(n)]
+                out.append(
+                    {
+                        "media_id": did,
+                        "payload": encode_wav_pcm16(samples, 8000),
+                    }
+                )
+            yield _pd.DataFrame(out, columns=["media_id", "payload"])
+
+    media = ids.mapInPandas(encode, "media_id long, payload binary")
+    return audio_stats(media).select(
+        "media_id",
+        "n_channels",
+        "sample_rate",
+        "n_frames",
+        "duration_ms",
+        "n_samples",
+        "sum_sq",
+        F.col("peak").cast("int").alias("peak"),
+    )

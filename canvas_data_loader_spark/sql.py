@@ -1643,6 +1643,42 @@ def execute_dml(wh, stmt: str) -> dict:
                 "table": table,
                 "version": wh.current_version(table),
             }
+        mj = re.match(
+            r"\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\S+)\s+AS\s+"
+            r"SELECT\s+\*\s+FROM\s+(\S+)\s+(?:INNER\s+)?JOIN\s+(\S+)\s+"
+            r"ON\s+(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)\s*$",
+            stmt,
+            re.I | re.S,
+        )
+        if mj:
+            # join-view DDL (round 13): SELECT * FROM fact JOIN dim ON
+            # fact.fk = dim.pk — the star-schema view maintained at
+            # O(touched buckets) from both sides' change feeds
+            # (plans/ops.py create_join_view). The ON sides may come in
+            # either order; each qualifier must name one of the two
+            # tables.
+            from .plans.ops import create_join_view
+
+            view = _ident(mj.group(1))
+            fact, dim = _ident(mj.group(2)), _ident(mj.group(3))
+            q1, c1, q2, c2 = (
+                _ident(mj.group(4)), _ident(mj.group(5)),
+                _ident(mj.group(6)), _ident(mj.group(7)),
+            )
+            if {q1, q2} != {fact, dim}:
+                raise SqlDmlError(
+                    f"ON clause qualifiers ({q1!r}, {q2!r}) must be the "
+                    f"joined tables ({fact!r}, {dim!r})"
+                )
+            fk = c1 if q1 == fact else c2
+            dim_key = c2 if q2 == dim else c1
+            out = create_join_view(wh, view, fact, dim, fk=fk, dim_key=dim_key)
+            return {
+                "operation": "CREATE MATERIALIZED VIEW",
+                "view": view,
+                "kind": "join",
+                **out,
+            }
         view, source, keys, sums, minmax = _parse_create_mv(stmt)
         if minmax:
             v_src = create_minmax_view(wh, view, source, keys, minmax)
@@ -1707,12 +1743,16 @@ def execute_dml(wh, stmt: str) -> dict:
                 "(use the warehouse drop API for plain tables)"
             )
         wh.drop(view)
-        # a minmax view's partials sidecar dies with its parent
-        from .plans.ops import _minmax_partials_table
+        # a minmax view's partials sidecar — and a join view's pending
+        # sidecar — die with their parent
+        from .plans.ops import _jv_pending_table, _minmax_partials_table
 
-        pt = _minmax_partials_table(view)
-        if wh.exists(pt) and wh.table_properties(pt).get("mv.parent") == view:
-            wh.drop(pt)
+        for pt in (_minmax_partials_table(view), _jv_pending_table(view)):
+            if (
+                wh.exists(pt)
+                and wh.table_properties(pt).get("mv.parent") == view
+            ):
+                wh.drop(pt)
         return {"operation": "DROP MATERIALIZED VIEW", "view": view}
     if verb == "RESTORE":
         # Delta SQL: RESTORE TABLE t TO VERSION AS OF n — publishes the

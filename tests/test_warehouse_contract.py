@@ -4419,3 +4419,254 @@ class TestDeltaV2Checkpoints:
             if f.endswith(".json") and int(f.split(".")[0]) < v:
                 os.remove(os.path.join(ldir, f))
         assert self._expect(wh) == want
+
+
+class TestJoinViews:
+    """create_join_view / refresh_join_view (round 13 — plans/ops.py):
+    a fact ⋈ dim INNER equi-join materialized with a ``__pending``
+    sidecar of unmatched fact rows, maintained at O(touched join-key
+    buckets) from BOTH sides' change feeds. The exactness bar is
+    equality against a from-scratch `_jv_split` of both heads, on both
+    commit protocols, through every motion: fact update / insert
+    (matched and unmatched) / fk re-pointing / delete, dim payload
+    update / dim INSERT promoting pending rows / dim DELETE demoting
+    matched rows, replay no-op, maintenance-only advance, and full
+    rebuild on incarnation change."""
+
+    @staticmethod
+    def _fact(spark):
+        return spark.createDataFrame(
+            [(i, i % 6, i * 10.0) for i in range(1, 41)],
+            "oid long, ckey long, amt double",
+        )
+
+    @staticmethod
+    def _dim(spark):
+        # keys 4, 5 deliberately absent: fact rows with them start
+        # in the pending sidecar
+        return spark.createDataFrame(
+            [(c, f"cust{c}", f"seg{c % 2}") for c in range(0, 4)],
+            "ckey long, cname string, seg string",
+        )
+
+    @staticmethod
+    def _rebuilt(wh):
+        from canvas_data_loader_spark.plans.ops import _jv_split
+
+        m, p = _jv_split(
+            wh.read("fact"), wh.read("dim"), "ckey", "ckey",
+            ["cname", "seg"],
+        )
+        return (
+            sorted(tuple(r) for r in m.collect()),
+            sorted(tuple(r) for r in p.collect()),
+        )
+
+    @staticmethod
+    def _current(wh):
+        return (
+            sorted(tuple(r) for r in wh.read("jv").collect()),
+            sorted(tuple(r) for r in wh.read("jv__pending").collect()),
+        )
+
+    def _mk(self, spark, wh):
+        from canvas_data_loader_spark.plans.ops import create_join_view
+
+        wh.write("fact", self._fact(spark), "s0", bucket=("oid", 8))
+        wh.write("dim", self._dim(spark), "s0", bucket=("ckey", 4))
+        create_join_view(wh, "jv", "fact", "dim", fk="ckey")
+
+    def test_maintained_equals_rebuilt_through_all_motions(
+        self, spark, wh_factory
+    ):
+        from canvas_data_loader_spark.plans.ops import refresh_join_view
+
+        wh = wh_factory()
+        self._mk(spark, wh)
+        assert self._current(wh) == self._rebuilt(wh)
+        assert refresh_join_view(wh, "jv")["mode"] == "noop"
+        # FACT wave: amt update, matched insert, UNMATCHED insert,
+        # fk re-pointing to an unmatched key, and a delete
+        wh.merge_bucketed(
+            "fact",
+            spark.createDataFrame(
+                [(1, 1, 999.0), (41, 2, 55.0), (42, 5, 66.0), (2, 4, 20.0)],
+                "oid long, ckey long, amt double",
+            ),
+            "m1",
+            delete_keys=spark.createDataFrame([(3,)], "oid long"),
+        )
+        out = refresh_join_view(wh, "jv")
+        assert out["mode"] == "incremental"
+        assert self._current(wh) == self._rebuilt(wh)
+        # DIM wave: payload update, INSERT of key 5 (must PROMOTE the
+        # pending fact rows — unfindable without the sidecar), DELETE
+        # of key 0 (must demote its matched rows back to pending)
+        wh.merge_bucketed(
+            "dim",
+            spark.createDataFrame(
+                [(1, "cust1-renamed", "seg9"), (5, "cust5", "seg1")],
+                "ckey long, cname string, seg string",
+            ),
+            "m1",
+            delete_keys=spark.createDataFrame([(0,)], "ckey long"),
+        )
+        assert refresh_join_view(wh, "jv")["mode"] == "incremental"
+        assert self._current(wh) == self._rebuilt(wh)
+        assert wh.read("jv").filter("ckey = 5").count() > 0
+        assert wh.read("jv__pending").filter("ckey = 0").count() > 0
+        # replay: noop; maintenance-only interval: advance
+        assert refresh_join_view(wh, "jv")["mode"] == "noop"
+        wh.record_txn("fact", "someapp", 1)
+        assert refresh_join_view(wh, "jv")["mode"] == "advance"
+        assert self._current(wh) == self._rebuilt(wh)
+
+    def test_dim_recreate_triggers_full_rebuild(self, spark, wh_factory):
+        from canvas_data_loader_spark.plans.ops import refresh_join_view
+
+        wh = wh_factory()
+        self._mk(spark, wh)
+        wh.drop("dim")
+        wh.write("dim", self._dim(spark), "s0", bucket=("ckey", 4))
+        out = refresh_join_view(wh, "jv")
+        assert out["mode"] == "full"
+        assert self._current(wh) == self._rebuilt(wh)
+        assert refresh_join_view(wh, "jv")["mode"] == "noop"
+
+    def test_crash_between_pair_heals(self, spark, wh_factory):
+        """A crash AFTER the pending commit but BEFORE the view commit
+        leaves pending ahead; the view's watermark is authoritative, so
+        the next refresh re-runs the interval and the pending replay is
+        an exact no-op (per-key set replacement + epoch skip)."""
+        from canvas_data_loader_spark.plans.ops import refresh_join_view
+
+        wh = wh_factory()
+        self._mk(spark, wh)
+        wh.merge_bucketed(
+            "fact",
+            spark.createDataFrame(
+                [(1, 5, 111.0), (43, 0, 77.0)],
+                "oid long, ckey long, amt double",
+            ),
+            "m1",
+        )
+        real = wh.merge_bucketed
+
+        def dying(table, *a, **kw):
+            out = real(table, *a, **kw)
+            if table == "jv":
+                raise RuntimeError("injected crash after view commit? no —")
+            return out
+
+        # crash BEFORE the view merge: let pending commit, die on view
+        def dying_before_view(table, *a, **kw):
+            if table == "jv":
+                raise RuntimeError("injected crash")
+            return real(table, *a, **kw)
+
+        wh.merge_bucketed = dying_before_view
+        try:
+            with pytest.raises(RuntimeError, match="injected crash"):
+                refresh_join_view(wh, "jv")
+        finally:
+            wh.merge_bucketed = real
+        # interval re-runs; everything converges
+        out = refresh_join_view(wh, "jv")
+        assert out["mode"] == "incremental"
+        assert self._current(wh) == self._rebuilt(wh)
+
+    def test_rollup_composes_on_top(self, spark, wh_factory):
+        """A rollup view OVER the join view — the star-schema rollup —
+        maintains itself from the join view's change feed with zero new
+        machinery: the join view is a first-class warehouse table."""
+        from canvas_data_loader_spark.operators.ivm import build_rollup
+        from canvas_data_loader_spark.plans.ops import (
+            create_rollup_view,
+            refresh_join_view,
+            refresh_view,
+        )
+
+        wh = wh_factory()
+        self._mk(spark, wh)
+        create_rollup_view(
+            wh, "amt_by_seg", "jv", ["seg"], {"total_amt": "amt"},
+            source_key="oid",
+        )
+        wh.merge_bucketed(
+            "dim",
+            spark.createDataFrame(
+                [(0, "cust0", "seg9"), (4, "cust4", "seg0")],
+                "ckey long, cname string, seg string",
+            ),
+            "m1",
+        )
+        refresh_join_view(wh, "jv")
+        out = refresh_view(wh, "amt_by_seg")
+        assert out["mode"] in ("incremental", "full")
+        assert sorted(
+            tuple(r) for r in wh.read("amt_by_seg").collect()
+        ) == sorted(
+            tuple(r)
+            for r in build_rollup(
+                wh.read("jv"), ["seg"], {"total_amt": "amt"}
+            ).collect()
+        )
+
+    def test_sql_ddl_create_refresh_drop(self, spark, wh_factory):
+        from canvas_data_loader_spark.sql import SqlDmlError, execute_dml
+
+        wh = wh_factory()
+        wh.write("fact", self._fact(spark), "s0", bucket=("oid", 8))
+        wh.write("dim", self._dim(spark), "s0", bucket=("ckey", 4))
+        out = execute_dml(
+            wh,
+            "CREATE MATERIALIZED VIEW jv AS SELECT * FROM fact "
+            "JOIN dim ON fact.ckey = dim.ckey",
+        )
+        assert out["kind"] == "join"
+        assert self._current(wh) == self._rebuilt(wh)
+        wh.merge_bucketed(
+            "dim",
+            spark.createDataFrame(
+                [(4, "cust4", "seg0")], "ckey long, cname string, seg string"
+            ),
+            "m1",
+        )
+        out = execute_dml(wh, "REFRESH MATERIALIZED VIEW jv")
+        assert out["mode"] == "incremental"
+        assert self._current(wh) == self._rebuilt(wh)
+        # statement writes to the view and its sidecar are refused
+        with pytest.raises(SqlDmlError, match="materialized view"):
+            execute_dml(wh, "DELETE FROM jv WHERE oid = 1")
+        with pytest.raises(SqlDmlError, match="materialized view"):
+            execute_dml(wh, "DELETE FROM jv__pending WHERE oid = 1")
+        # DROP takes the pending sidecar with it
+        execute_dml(wh, "DROP MATERIALIZED VIEW jv")
+        assert not wh.exists("jv") and not wh.exists("jv__pending")
+        # a mis-qualified ON clause is refused with the actionable error
+        with pytest.raises(SqlDmlError, match="qualifiers"):
+            execute_dml(
+                wh,
+                "CREATE MATERIALIZED VIEW jv2 AS SELECT * FROM fact "
+                "JOIN dim ON other.ckey = dim.ckey",
+            )
+
+    def test_create_validations(self, spark, wh_factory):
+        from canvas_data_loader_spark.plans.ops import create_join_view
+
+        wh = wh_factory()
+        wh.write("fact", self._fact(spark), "s0", bucket=("oid", 8))
+        wh.write("dim", self._dim(spark), "s0", bucket=("ckey", 4))
+        with pytest.raises(ValueError, match="distinct fact and dim"):
+            create_join_view(wh, "jv", "fact", "fact", fk="ckey")
+        with pytest.raises(ValueError, match="not a column"):
+            create_join_view(wh, "jv", "fact", "dim", fk="nope")
+        # a dim payload column colliding with a fact column is refused
+        wh.write(
+            "dim2",
+            self._dim(spark).withColumnRenamed("cname", "amt"),
+            "s0",
+            bucket=("ckey", 4),
+        )
+        with pytest.raises(ValueError, match="collide with fact columns"):
+            create_join_view(wh, "jv", "fact", "dim2", fk="ckey")

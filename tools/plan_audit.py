@@ -59,6 +59,9 @@ EXPECTED = {
     # blocked-BLAS IVF cell assignment (assign_cells_vectorized) —
     # keep-set pinned identical to the expression path in pytest
     "q118_semantic_dedup": {"MAP_IN_PANDAS"},
+    # WAV encode + decode are Python by nature (stdlib `wave` over
+    # binary payloads) — the media-decode pandas lane, like q40
+    "q175_audio_stats": {"MAP_IN_PANDAS"},
 }
 
 

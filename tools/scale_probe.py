@@ -2072,6 +2072,213 @@ def main_decontam_index():
     )
 
 
+def main_join_view():
+    """Measure join-view IVM refresh cost as the FACT table scales
+    with the per-interval change batches held fixed — the claim behind
+    plans/ops.py refresh_join_view: an incremental refresh reads the
+    feeds plus the touched join-key buckets of the view/pending pair
+    and a key-pruned slice of the dim, never the fact table, so it
+    should be near-FLAT in fact size (exponent ~0) while the full
+    rebuild it replaces scans everything (exponent ~1 by
+    construction). Both a fact-side and a dim-side wave are timed —
+    the dim-side one is the motion that NEEDS the pending sidecar.
+    Usage: --join-view [factor]."""
+    import tempfile
+
+    from canvas_data_loader_spark.operators.merge import bucket_of
+    from canvas_data_loader_spark.plans.ops import (
+        _jv_split,
+        create_join_view,
+        refresh_join_view,
+    )
+    from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("scale_probe_join_view")
+    o = spark.read.parquet(f"{BASE}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    c = spark.read.parquet(f"{BASE}/customer.parquet").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    # FIXED-KEY batches (the daily dump): 32 fact upserts + 8 dim
+    # re-segmentations. Bucket counts scale WITH the fact table
+    # (constant bytes/bucket — the 100 TB layout, the --feedsource
+    # probe's documented contract): the batch's <=32 fks then route to
+    # <=32 view/pending buckets whose SIZE is scale-invariant, so the
+    # incremental read is ~constant bytes while the rebuild scans the
+    # growing table. With n_buckets held fixed instead, the touched
+    # buckets' size grows ~linearly and the incremental measures b/N
+    # of the table — that is the documented small-layout behavior, not
+    # a regression.
+    fact_batch = (
+        o.limit(32)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .localCheckpoint()
+    )
+    dim_batch = (
+        c.limit(8)
+        .withColumn("c_mktsegment", F.lit("RESEGMENTED"))
+        .localCheckpoint()
+    )
+
+    def fact_at(f):
+        big = o
+        for i in range(1, f):
+            big = big.unionByName(
+                o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * OFFSET))
+            )
+        return big
+
+    report = {}
+    for f in (1, factor):
+        root = tempfile.mkdtemp(prefix=f"scale_probe_jv_{f}_")
+        try:
+            wh = Warehouse(spark, root)
+            n_b = 64 * f
+            wh.write("orders", fact_at(f), snapshot="base", bucket=("o_orderkey", n_b))
+            wh.write("customer", c, snapshot="base", bucket=("c_custkey", 16))
+            create_join_view(
+                wh, "ojv", "orders", "customer", fk="o_custkey", n_buckets=n_b
+            )
+            wh.merge_bucketed("orders", fact_batch, snapshot="m1")
+            t0 = time.time()
+            out = refresh_join_view(wh, "ojv")
+            assert out["mode"] == "incremental", out
+            fact_sec = round(time.time() - t0, 3)
+            wh.merge_bucketed("customer", dim_batch, snapshot="m1")
+            t0 = time.time()
+            out = refresh_join_view(wh, "ojv")
+            assert out["mode"] == "incremental", out
+            dim_sec = round(time.time() - t0, 3)
+            t0 = time.time()
+            out = refresh_join_view(wh, "ojv", full=True)
+            assert out["mode"] == "full", out
+            full_sec = round(time.time() - t0, 3)
+            # exactness stays the contract at every scale
+            m, pnd = _jv_split(
+                wh.read("orders"), wh.read("customer"), "o_custkey",
+                "c_custkey", ["c_name", "c_mktsegment"],
+            )
+            assert wh.read("ojv").count() == m.count()
+            assert wh.read("ojv__pending").count() == pnd.count()
+            report[f"x{f}"] = {
+                "fact_wave_sec": fact_sec,
+                "dim_wave_sec": dim_sec,
+                "full_rebuild_sec": full_sec,
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    exp = {
+        k: round(
+            math.log(
+                max(report[f"x{factor}"][k], 1e-3)
+                / max(report["x1"][k], 1e-3)
+            )
+            / math.log(factor),
+            3,
+        )
+        for k in ("fact_wave_sec", "dim_wave_sec", "full_rebuild_sec")
+    }
+    print(
+        json.dumps(
+            {
+                "mode": "join-view",
+                "factor": factor,
+                "tables": report,
+                "exponents": exp,
+            }
+        )
+    )
+
+
+def main_bloom_index():
+    """Measure maintained-Bloom-index cost as the corpus scales with
+    the dump held fixed — the claim behind plans/ops.py
+    register/sync/probe_bloom_index: the filter is bounded by
+    k*16^hex_chars cells no matter the corpus, so the per-dump sync
+    (count deltas of the batch folded onto touched cells) and the
+    probe (broadcast joins against the fixed-size filter) should both
+    be near-FLAT in corpus size, while rebuilding the filter from
+    scratch scans the corpus (exponent ~1). Usage: --bloom-index
+    [factor]."""
+    import tempfile
+
+    from canvas_data_loader_spark.plans.ops import (
+        advance_index,
+        probe_bloom_index,
+        register_bloom_index,
+    )
+    from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("scale_probe_bloom_index")
+    docs = spark.read.parquet(f"{BASE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dump = (
+        docs.limit(512)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(77 * OFFSET))
+        .localCheckpoint()
+    )
+
+    def corpus_at(f):
+        big = docs
+        for i in range(1, f):
+            big = big.unionByName(
+                docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * OFFSET))
+            )
+        return big
+
+    report = {}
+    for f in (1, factor):
+        root = tempfile.mkdtemp(prefix=f"scale_probe_bf_{f}_")
+        try:
+            wh = Warehouse(spark, root)
+            wh.write(
+                "corpus", corpus_at(f), snapshot="base", bucket=("doc_id", 64)
+            )
+            t0 = time.time()
+            register_bloom_index(wh, "bf", "corpus", "idx0")
+            build_sec = round(time.time() - t0, 3)
+            wh.merge_bucketed("corpus", dump, snapshot="m1")
+            t0 = time.time()
+            out = advance_index(wh, "bf")
+            assert out["mode"] == "incremental", out
+            sync_sec = round(time.time() - t0, 3)
+            t0 = time.time()
+            probe_bloom_index(wh, "bf", dump).count()
+            probe_sec = round(time.time() - t0, 3)
+            report[f"x{f}"] = {
+                "build_sec": build_sec,
+                "sync_sec": sync_sec,
+                "probe_sec": probe_sec,
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    exp = {
+        k: round(
+            math.log(
+                max(report[f"x{factor}"][k], 1e-3)
+                / max(report["x1"][k], 1e-3)
+            )
+            / math.log(factor),
+            3,
+        )
+        for k in ("build_sec", "sync_sec", "probe_sec")
+    }
+    print(
+        json.dumps(
+            {
+                "mode": "bloom-index",
+                "factor": factor,
+                "tables": report,
+                "exponents": exp,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--checkpoint":
         main_checkpoint()
@@ -2109,6 +2316,10 @@ if __name__ == "__main__":
         main_mv()
     elif len(sys.argv) > 1 and sys.argv[1] == "--minmax":
         main_minmax()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--join-view":
+        main_join_view()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--bloom-index":
+        main_bloom_index()
     elif len(sys.argv) > 1 and sys.argv[1] == "--mirror":
         main_mirror()
     elif len(sys.argv) > 1 and sys.argv[1] == "--feedsource":
