@@ -2658,3 +2658,138 @@ def refresh_join_view(warehouse, view: str, full: bool = False) -> dict:
         "fact": (last_f, v_f),
         "dim": (last_d, v_d),
     }
+
+
+# ---------------------------------------------------------------------------
+# CCNet production cutoffs (round 13 — VERDICT r12 next-round #7):
+# q173's per-language perplexity terciles, operationalized the way
+# CCNet actually runs (Wenzek et al. 2020): the rank-form partition is
+# the SEMANTICS, but production precomputes per-lang cutoff VALUES
+# from the score table and assigns buckets map-only — no window over
+# the corpus per dump. Here the cutoffs persist as a small warehouse
+# table with the MV watermark discipline: refreshed per dump at
+# O(score-table) (the score table is doc-count-sized narrow rows — the
+# corpus text never enters), noop when the scores didn't move.
+# ---------------------------------------------------------------------------
+
+
+def ccnet_cutoff_values(scores, lang_col: str = "lang",
+                        score_col: str = "nll_micro") -> DataFrame:
+    """Per-language tercile cutoff values from the rank partition:
+    (lang, c1, c2) where c1 = the highest score in the head tercile
+    and c2 = the highest in head+middle (rank arithmetic rn*3 <= n /
+    2n, q173's integer-exact rule — cutoff VALUES are tie-break
+    independent: a tie spanning the boundary contributes the same max
+    either way). One window over the score table + one group-all agg;
+    output is |languages| rows — broadcast-sized at any corpus."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(lang_col).orderBy(score_col)
+    wn = Window.partitionBy(lang_col)
+    ranked = scores.select(
+        lang_col,
+        score_col,
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    return ranked.groupBy(lang_col).agg(
+        F.max(
+            F.when(F.col("__rn") * 3 <= F.col("__n"), F.col(score_col))
+        ).alias("c1"),
+        F.max(
+            F.when(F.col("__rn") * 3 <= 2 * F.col("__n"), F.col(score_col))
+        ).alias("c2"),
+    )
+
+
+def ccnet_assign(scores, cutoffs, lang_col: str = "lang",
+                 score_col: str = "nll_micro") -> DataFrame:
+    """The MAP-ONLY production scorer: bucket each row by comparing
+    its score against the broadcast per-lang cutoffs — zero windows,
+    zero shuffles beyond the broadcast join, which is what lets a new
+    dump score in one map pass at 100 TB. A lang with no calibration
+    row falls to 'tail' (conservative: uncalibrated data is not
+    'head'). Agrees with q173's rank form everywhere except ties ON a
+    cutoff value, where the cutoff form puts the whole tie group in
+    the lower bucket (pinned in tests: every disagreement row's score
+    equals a stored cutoff)."""
+    return scores.join(F.broadcast(cutoffs), lang_col, "left").withColumn(
+        "ppl_bucket",
+        F.when(F.col(score_col) <= F.col("c1"), "head")
+        .when(F.col(score_col) <= F.col("c2"), "middle")
+        .otherwise("tail"),
+    ).drop("c1", "c2")
+
+
+def register_ccnet_cutoffs(
+    warehouse,
+    table: str,
+    source: str,
+    snapshot: str,
+    lang_col: str = "lang",
+    score_col: str = "nll_micro",
+) -> None:
+    """Calibrate the cutoffs from the score table ``source`` at its
+    CURRENT version and register the linkage (mv.kind = ccnet-cutoffs)
+    with the source version riding the txn watermark — the MV
+    discipline on a |languages|-row artifact. The real CCNet
+    calibrates on a SAMPLE of the corpus' scores; pass a sampled score
+    table as ``source`` for that mode — the lane is indifferent, and
+    the rank-form-vs-cutoff-form agreement bound in the tests is the
+    statement of what sampling costs."""
+    v_src, src = warehouse.read_versioned(source)
+    warehouse.write(
+        table,
+        ccnet_cutoff_values(src, lang_col, score_col),
+        snapshot,
+        props={
+            "mv.kind": "ccnet-cutoffs",
+            "mv.source": source,
+            "mv.source_id": warehouse.table_id(source) or "",
+            "ccnet.lang_col": lang_col,
+            "ccnet.score_col": score_col,
+            # props-carried watermark, NOT the txn map: the epoch map
+            # is monotone-max across commits, so after a source
+            # drop+recreate (version counter restarts) the old epoch
+            # would shadow the new incarnation's lower versions and
+            # the noop check could never re-arm (the ABA case).
+            # Properties ride the same atomic commit and can move
+            # backward with the rebind.
+            "ccnet.watermark": str(v_src),
+        },
+        txn=(f"mv:{source}", v_src),
+    )
+
+
+def refresh_ccnet_cutoffs(warehouse, table: str) -> dict:
+    """Advance the cutoffs to the score table's head: noop when the
+    watermark is current (metadata compare), else recompute — the
+    artifact is |languages| rows derived from a doc-count-sized score
+    table, so 'incremental' would cost more bookkeeping than the
+    recompute (contrast the rollup lane, where the state is
+    group-count-sized but the source is the 100 TB corpus). Rebinds on
+    incarnation change like every MV lane."""
+    props = warehouse.table_properties(table)
+    if props.get("mv.kind") != "ccnet-cutoffs":
+        raise ValueError(
+            f"{table!r} is not a ccnet-cutoffs artifact (create it with "
+            "register_ccnet_cutoffs)"
+        )
+    source = props["mv.source"]
+    app = f"mv:{source}"
+    src_id = warehouse.table_id(source) or ""
+    v_src = warehouse.current_version(source)
+    last = int(props.get("ccnet.watermark", "-1"))
+    if last == v_src and props.get("mv.source_id", "") == src_id:
+        return {"mode": "noop", "v_from": last, "v_to": v_src}
+    v_src, src = warehouse.read_versioned(source)
+    warehouse.write(
+        table,
+        ccnet_cutoff_values(
+            src, props["ccnet.lang_col"], props["ccnet.score_col"]
+        ),
+        f"ccnet-recal-v{v_src}",
+        props={"mv.source_id": src_id, "ccnet.watermark": str(v_src)},
+        txn=(app, v_src),
+    )
+    return {"mode": "recompute", "v_from": last, "v_to": v_src}

@@ -4001,3 +4001,129 @@ class TestAudioLane:
         total_n = sum(g["n_samples"] for g in got.values())
         want_rms = math.sqrt((80 * 10000 + 20 * 40000) / 100)
         assert abs(math.sqrt(total_sq / total_n) - want_rms) < 1e-12
+
+
+class TestCcnetCutoffs:
+    """CCNet cutoffs as a maintained artifact (round 13 — VERDICT r12
+    next-round #7, plans/ops.py ccnet_cutoff_values / ccnet_assign /
+    register/refresh_ccnet_cutoffs): the q173 rank partition's
+    production form. Pins: cutoff-form == rank-form EXCEPT rows tied
+    exactly ON a cutoff value (every disagreement is such a tie);
+    refresh ladder (noop / recompute, incarnation rebind); maintained
+    == recomputed; uncalibrated languages fall to tail."""
+
+    def _scores(self, spark):
+        rows = []
+        for lang in ("en", "de"):
+            for i in range(1, 31):
+                # deliberate ties: score plateaus of width 3 create
+                # tie groups, some of which span tercile boundaries
+                rows.append((f"{lang}{i}", lang, ((i - 1) // 3) * 10))
+        return spark.createDataFrame(
+            rows, "doc_id string, lang string, nll_micro long"
+        )
+
+    @staticmethod
+    def _rank_form(scores):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("lang").orderBy("nll_micro", "doc_id")
+        wn = Window.partitionBy("lang")
+        return scores.select(
+            "doc_id", "lang", "nll_micro",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        ).select(
+            "doc_id", "lang", "nll_micro",
+            F.when(F.col("rn") * 3 <= F.col("n"), "head")
+            .when(F.col("rn") * 3 <= 2 * F.col("n"), "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+
+    def test_cutoff_form_matches_rank_form_up_to_boundary_ties(
+        self, spark
+    ):
+        from canvas_data_loader_spark.plans.ops import (
+            ccnet_assign,
+            ccnet_cutoff_values,
+        )
+
+        scores = self._scores(spark)
+        cuts = ccnet_cutoff_values(scores)
+        got = {
+            r.doc_id: r.ppl_bucket
+            for r in ccnet_assign(scores, cuts).collect()
+        }
+        want = {
+            r.doc_id: r.ppl_bucket for r in self._rank_form(scores).collect()
+        }
+        cut_vals = {
+            (r.lang, v)
+            for r in cuts.collect()
+            for v in (r.c1, r.c2)
+        }
+        score_of = {
+            r.doc_id: (r.lang, r.nll_micro) for r in scores.collect()
+        }
+        mismatches = {d for d in want if got[d] != want[d]}
+        # every disagreement is a tie exactly ON a stored cutoff, and
+        # the cutoff form puts the tie group in the LOWER bucket
+        order = {"head": 0, "middle": 1, "tail": 2}
+        for d in mismatches:
+            assert score_of[d] in cut_vals, (d, score_of[d])
+            assert order[got[d]] <= order[want[d]]
+        # the bulk agrees (the tolerance is the tie groups, not noise)
+        assert len(mismatches) < scores.count() / 3
+
+    def test_registered_artifact_refresh_ladder(self, spark, tmp_path):
+        from canvas_data_loader_spark.plans.ops import (
+            ccnet_cutoff_values,
+            refresh_ccnet_cutoffs,
+            register_ccnet_cutoffs,
+        )
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        scores = self._scores(spark)
+        wh.write("scores", scores, "s0", bucket=("doc_id", 4))
+        register_ccnet_cutoffs(wh, "cuts", "scores", "cal0")
+        want = sorted(
+            tuple(r) for r in ccnet_cutoff_values(wh.read("scores")).collect()
+        )
+        assert sorted(tuple(r) for r in wh.read("cuts").collect()) == want
+        assert refresh_ccnet_cutoffs(wh, "cuts")["mode"] == "noop"
+        # a dump shifts the distribution: recalibrate at O(score-table)
+        wh.merge_bucketed(
+            "scores",
+            spark.createDataFrame(
+                [(f"en{i}", "en", 500) for i in range(31, 46)],
+                "doc_id string, lang string, nll_micro long",
+            ),
+            "m1",
+        )
+        out = refresh_ccnet_cutoffs(wh, "cuts")
+        assert out["mode"] == "recompute"
+        assert sorted(tuple(r) for r in wh.read("cuts").collect()) == sorted(
+            tuple(r) for r in ccnet_cutoff_values(wh.read("scores")).collect()
+        )
+        assert refresh_ccnet_cutoffs(wh, "cuts")["mode"] == "noop"
+        # drop + recreate of the score table: incarnation rebind
+        wh.drop("scores")
+        wh.write("scores", scores, "s0", bucket=("doc_id", 4))
+        assert refresh_ccnet_cutoffs(wh, "cuts")["mode"] == "recompute"
+        assert refresh_ccnet_cutoffs(wh, "cuts")["mode"] == "noop"
+
+    def test_uncalibrated_lang_falls_to_tail(self, spark):
+        from canvas_data_loader_spark.plans.ops import (
+            ccnet_assign,
+            ccnet_cutoff_values,
+        )
+
+        scores = self._scores(spark)
+        cuts = ccnet_cutoff_values(scores)
+        fresh = spark.createDataFrame(
+            [("x1", "fr", 1)], "doc_id string, lang string, nll_micro long"
+        )
+        got = ccnet_assign(fresh, cuts).collect()[0]
+        assert got.ppl_bucket == "tail"

