@@ -809,3 +809,220 @@ def embedding_neardup_pairs_lsh(
         .distinct()  # a pair may collide in several bands
     )
     return _exact_rescore(candidates, cand_pairs, threshold, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 13 — VERDICT r12 next-round #4): the
+# q115 code path factored into reusable pieces for the IVF-PQ
+# compressed index (plans/ops.py create_ivfpq_index). Everything is
+# deterministic — codebook = sub-slices of the first n_codes vectors
+# by id (L2-NORMALIZED, so squared ADC distance ranks identically to
+# cosine: |u-v|^2 = 2 - 2cos for unit vectors), L2 argmin ties to the
+# smallest code — so even the compressed representation is
+# oracle-checkable bit-exactly (q115's property). Codes PACK into one
+# BIGINT (8 bits per subspace, m_subs <= 8, n_codes <= 256): the
+# stored index row is (id, cell, code) — two longs and an int.
+# ---------------------------------------------------------------------------
+
+
+def _unit_expr(vec_col):
+    """The L2-normalized copy of a vector column (zero vectors stay
+    zero), as a pure codegen expression."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    nrm = F.sqrt(
+        F.aggregate(
+            col,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return F.transform(
+        col,
+        lambda x: F.when(nrm == 0, F.lit(0.0)).otherwise(
+            x.cast("double") / nrm
+        ),
+    )
+
+
+def pq_codebook(
+    vectors: DataFrame,
+    n_codes: int,
+    m_subs: int,
+    id_col: str,
+    vec_col: str,
+    refine_iters: int = 0,
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebook: ``codebook[m][c]`` = the m-th
+    sub-slice of the c-th training vector AFTER L2 normalization,
+    training vectors = the first ``n_codes`` rows by id
+    (first_n_centroids' seeding rule), optionally Lloyd-refined per
+    subspace over the full corpus (``refine_iters`` sweeps; fully
+    reproducible — same seed, same argmin tie rule, means are
+    order-insensitive sums). Refinement is what buys ADC its ranking
+    quality on real data: the first-n seed quantizes with whatever
+    spread those rows happen to have, while one or two Lloyd sweeps
+    move the codewords onto the corpus' actual sub-space density
+    (measured on the fixtures: probe recall at equal rescore_c jumps
+    from ~random-keep to raw-probe parity). Cost: m_subs x iters
+    corpus passes at BUILD time only. Control-plane sized output
+    (n_codes x dim doubles) — rides table properties like the IVF
+    centroids."""
+    import math as _math
+
+    rows = (
+        first_n_centroids(vectors, n_codes, id_col, vec_col, cell_col="k")
+        .orderBy("k")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_codebook: no training vectors")
+    dim = len(rows[0]["cvec"])
+    if dim % m_subs:
+        raise ValueError(
+            f"vector dim {dim} not divisible by m_subs={m_subs}"
+        )
+    if m_subs > 8 or n_codes > 256:
+        raise ValueError(
+            "packed codes hold 8 bits x 8 subspaces — m_subs <= 8 and "
+            f"n_codes <= 256 (got {m_subs}, {n_codes})"
+        )
+    sub = dim // m_subs
+    out = []
+    for m in range(m_subs):
+        words = []
+        for r in rows:
+            v = [float(x) for x in r["cvec"]]
+            nrm = _math.sqrt(sum(x * x for x in v))
+            u = [x / nrm if nrm else 0.0 for x in v]
+            words.append(u[m * sub : (m + 1) * sub])
+        out.append(words)
+    unit = _unit_expr(vec_col)
+    for _ in range(refine_iters):
+        # ONE shuffle per sweep: explode every normalized dimension,
+        # route it to (subspace, its row's code in that subspace,
+        # position), mean per cell — all m_subs updates in one job
+        m_col = (F.col("__pos") / sub).cast("int")
+        normed = vectors.select(unit.alias("__u")).localCheckpoint()
+        means = (
+            normed.select(
+                _pq_codes_arr(out, "__u", pre_normalized=True).alias(
+                    "__codes"
+                ),
+                F.posexplode("__u").alias("__pos", "__x"),
+            )
+            .select(
+                m_col.alias("__m"),
+                (F.col("__pos") % sub).alias("__p"),
+                F.element_at("__codes", m_col + 1).alias("__c"),
+                "__x",
+            )
+            .groupBy("__m", "__c", "__p")
+            .agg(F.avg("__x").alias("__mu"))
+            .collect()
+        )
+        new_out = [[list(w) for w in words] for words in out]  # empty codes keep old
+        by_cell: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault((int(r["__m"]), int(r["__c"])), {})[
+                int(r["__p"])
+            ] = float(r["__mu"])
+        for (m, c), dims in by_cell.items():
+            new_out[m][c] = [dims[p] for p in range(sub)]
+        out = new_out
+    return out
+
+
+def _pq_sub_l2(unit_col, codeword: list[float], m: int, sub: int):
+    """Squared L2 between the m-th sub-slice of a pre-normalized
+    vector expression and a literal codeword — pure codegen
+    (zip_with + aggregate, the q115 shape)."""
+    lit_cw = F.array(*[F.lit(float(x)) for x in codeword])
+    s = F.slice(unit_col, 1 + m * sub, sub)
+    return F.aggregate(
+        F.zip_with(s, lit_cw, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode_expr(
+    codebook: list[list[list[float]]], vec_col: str,
+    pre_normalized: bool = False,
+):
+    """Column expression: the PACKED PQ code (one BIGINT, 8 bits per
+    subspace) of ``vec_col`` under a literal codebook — per subspace,
+    argmin squared-L2 over the codewords of the NORMALIZED vector via
+    min-struct (ties to the smallest code, q115's rule). Expression
+    tree is m_subs x n_codes sub-distances — fine at the
+    control-plane codebook sizes this lane uses (the band_signatures
+    compile-cost lesson caps how far to push literal trees)."""
+    codes = _pq_codes_arr(codebook, vec_col, pre_normalized)
+    powers = F.array(
+        *[F.lit(256 ** m).cast("bigint") for m in range(len(codebook))]
+    )
+    return F.aggregate(
+        F.zip_with(codes, powers, lambda c, p: c.cast("bigint") * p),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_codes_arr(
+    codebook: list[list[list[float]]], vec_col: str,
+    pre_normalized: bool = False,
+):
+    """Array of per-subspace codes (0-based ints) — the unpacked form
+    ``pq_encode_expr`` folds into the bigint, shared by the codebook
+    refinement sweep.
+
+    ``pre_normalized``: the caller already materialized the
+    L2-normalized vector into ``vec_col`` — REQUIRED on hot paths:
+    inlining ``_unit_expr`` here copies the 64-term norm aggregate
+    into every one of the m_subs x n_codes sub-distances and codegen
+    time explodes (measured 400+s builds before the split; seconds
+    after)."""
+    sub = len(codebook[0][0])
+    unit = F.col(vec_col) if pre_normalized else _unit_expr(vec_col)
+    out = []
+    for m, words in enumerate(codebook):
+        arr = F.array(*[_pq_sub_l2(unit, w, m, sub) for w in words])
+        # argmin with ties to the smallest code: array_position finds
+        # the FIRST element equal to the min (1-based) — q115's
+        # min-struct rule without struct-field access, which loses its
+        # aliases under some analysis contexts
+        out.append((F.array_position(arr, F.array_min(arr)) - 1).cast("int"))
+    return F.array(*out)
+
+
+def pq_adc_expr(
+    codebook: list[list[list[float]]], vec_col: str,
+    pre_normalized: bool = False,
+):
+    """Column expression: the asymmetric-distance LOOKUP TABLE of a
+    query vector — ``adc[m][c]`` = squared L2 between the NORMALIZED
+    query's m-th sub-slice and codeword c. Computed ONCE per query
+    row; a candidate's ADC distance is then a pure table-lookup fold
+    (``pq_adc_distance``), never a vector op per candidate. Unit
+    vectors make the summed distance rank identically to cosine."""
+    sub = len(codebook[0][0])
+    unit = F.col(vec_col) if pre_normalized else _unit_expr(vec_col)
+    return F.array(
+        *[
+            F.array(*[_pq_sub_l2(unit, w, m, sub) for w in words])
+            for m, words in enumerate(codebook)
+        ]
+    )
+
+
+def pq_adc_distance(code_col, adc_col, m_subs: int):
+    """Fold a candidate's PACKED code against a query's ADC table:
+    sum_m adc[m][(code >> 8m) & 255] — O(m_subs) shift/mask/lookup
+    steps, zero arithmetic on vectors (the IVFADC inner loop, Jégou
+    et al. 2011, as a codegen expression over the packed bigint)."""
+    code = code_col if not isinstance(code_col, str) else F.col(code_col)
+    adc = adc_col if not isinstance(adc_col, str) else F.col(adc_col)
+    total = F.lit(0.0)
+    for m in range(m_subs):
+        c_m = F.shiftright(code, 8 * m).bitwiseAND(F.lit(255)).cast("int")
+        total = total + F.element_at(adc, m + 1)[c_m]
+    return total

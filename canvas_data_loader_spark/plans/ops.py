@@ -1672,6 +1672,34 @@ def advance_index(warehouse, index: str) -> dict:
                 props={"index.source_id": src_id},
                 txn=(app, v_head),
             )
+        elif kind == "ivfpq":
+            from ..operators.simsearch import (
+                assign_cells_vectorized,
+                pq_encode_expr,
+            )
+
+            meta = _ivfpq_meta(warehouse, index)
+            id_col, vec_col = meta["id_col"], meta["vec_col"]
+            cents_df = _centroid_frame(warehouse.spark, meta["centroids"])
+            assigned = assign_cells_vectorized(
+                warehouse.read(source).select(id_col, vec_col),
+                cents_df,
+                id_col,
+                vec_col,
+                id_col,
+            ).select(
+                id_col,
+                F.col("cell").cast("int").alias("cell"),
+                pq_encode_expr(meta["codebook"], vec_col).alias("code"),
+            )
+            warehouse.write(
+                index,
+                assigned,
+                snapshot,
+                bucket=("cell", n_buckets),
+                props={"index.source_id": src_id},
+                txn=(app, v_head),
+            )
         else:
             raise ValueError(f"unknown index.kind {kind!r} for {index!r}")
         return {"mode": "rebuild", "v_from": None, "v_to": v_head}
@@ -1704,6 +1732,8 @@ def advance_index(warehouse, index: str) -> dict:
         sync_decontam_index(warehouse, index, feed, snapshot, txn=(app, v_head))
     elif kind == "bloom":
         sync_bloom_index(warehouse, index, feed, snapshot, txn=(app, v_head))
+    elif kind == "ivfpq":
+        update_ivfpq_index(warehouse, index, feed, snapshot, txn=(app, v_head))
     elif kind == "ann":
         update_ann_index(warehouse, index, feed, snapshot, txn=(app, v_head))
         # drift repair rides the same unattended path: re-freeze the
@@ -2793,3 +2823,362 @@ def refresh_ccnet_cutoffs(warehouse, table: str) -> dict:
         txn=(app, v_src),
     )
     return {"mode": "recompute", "v_from": last, "v_to": v_src}
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ compressed ANN index (round 13 — VERDICT r12 next-round #4):
+# the raw-vector IVF index's rows ARE the storage problem at 100 TB —
+# the index duplicates every embedding. IVF-PQ stores (id, cell,
+# code) instead: m_subs product-quantization codes per vector, PACKED
+# into one BIGINT (8 bits per subspace)
+# (operators/simsearch.py pq_* — deterministic codebook, so the
+# compressed rows stay oracle-checkable), ~an order of magnitude
+# smaller on disk (pinned by measurement in TestIvfPqIndex). The probe
+# is the IVFADC shape (Jégou et al. 2011): route queries to n_probe
+# cells, rank those cells' candidates by asymmetric distance (a pure
+# table-lookup fold — no vector math per candidate), then EXACT
+# re-score only the top rescore_c candidates with raw vectors fetched
+# FROM THE SOURCE by key (bucket-pruned) — the index never stores a
+# vector.
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_meta(warehouse, table: str) -> dict:
+    import json
+
+    props = warehouse.table_properties(table)
+    if "pq.codebook" not in props:
+        raise ValueError(
+            f"{table!r} is not an IVF-PQ index (no pq.codebook property "
+            "— create it with create_ivfpq_index)"
+        )
+    return {
+        "centroids": json.loads(props["ann.centroids"]),
+        "codebook": json.loads(props["pq.codebook"]),
+        "id_col": props["ann.id_col"],
+        "vec_col": props["ann.vec_col"],
+    }
+
+
+def create_ivfpq_index(
+    warehouse,
+    table: str,
+    vectors,
+    snapshot: str,
+    n_cells: int = 16,
+    m_subs: int = 8,
+    n_codes: int = 8,
+    refine_iters: int = 0,
+    pq_refine_iters: int = 1,
+    n_buckets: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    source: str | None = None,
+) -> None:
+    """Build the compressed IVF-PQ index: IVF centroids (the
+    create_ann_index rule — first-n seed, optional Lloyd refinement,
+    frozen into properties) route rows to cells; each row stores only
+    its PQ code array under the frozen codebook. With ``source`` the
+    index registers for auto-maintenance (index.kind = ivfpq) AND the
+    probe knows where to fetch raw vectors for the exact re-score.
+    Both the cell function and the codebook are frozen at creation —
+    re-training either is a reindex, not maintenance (the ANN rule)."""
+    import json
+
+    from ..operators.simsearch import (
+        assign_cells_vectorized,
+        pq_codebook,
+        pq_encode_expr,
+        refined_centroids,
+    )
+
+    props: dict = {}
+    txn = None
+    if source is not None:
+        v_src, src_df = warehouse.read_versioned(source)
+        if vectors is None:
+            vectors = src_df.select(id_col, vec_col)
+        props = {
+            "index.kind": "ivfpq",
+            "index.source": source,
+            "index.source_id": warehouse.table_id(source) or "",
+            "index.id_col": id_col,
+        }
+        txn = (f"{_IDX_APP}:{table}", v_src)
+    cent_rows = (
+        refined_centroids(
+            vectors, n_cells, refine_iters, id_col, vec_col, True
+        )
+        .orderBy("cell")
+        .collect()
+    )
+    cents = [[int(r["cell"]), [float(x) for x in r["cvec"]]] for r in cent_rows]
+    cents_df = _centroid_frame(warehouse.spark, cents)
+    cb = pq_codebook(
+        vectors, n_codes, m_subs, id_col, vec_col, pq_refine_iters
+    )
+    # normalize ONCE behind a checkpoint barrier: inlining the norm
+    # aggregate into every sub-distance multiplies codegen size by the
+    # codebook (measured 400+s builds before the split; seconds after)
+    from ..operators.simsearch import _unit_expr
+
+    pre = assign_cells_vectorized(
+        vectors, cents_df, id_col, vec_col, id_col
+    ).select(
+        id_col,
+        F.col("cell").cast("int").alias("cell"),
+        _unit_expr(vec_col).alias("__u"),
+    ).localCheckpoint()
+    assigned = pre.select(
+        id_col,
+        "cell",
+        pq_encode_expr(cb, "__u", pre_normalized=True).alias("code"),
+    )
+    warehouse.write(
+        table,
+        assigned,
+        snapshot,
+        bucket=("cell", n_buckets),
+        props={
+            "ann.centroids": json.dumps(cents, separators=(",", ":")),
+            "pq.codebook": json.dumps(cb, separators=(",", ":")),
+            "ann.id_col": id_col,
+            "ann.vec_col": vec_col,
+            "ann.refine_iters": str(int(refine_iters)),
+            **props,
+        },
+        txn=txn,
+    )
+
+
+def update_ivfpq_index(
+    warehouse,
+    table: str,
+    changes,
+    snapshot: str,
+    txn: tuple[str, int] | None = None,
+) -> list[int]:
+    """Maintain the compressed index from the source's change feed at
+    O(changed) — update_ann_index's wholesale-cell-replace motion with
+    PQ encoding in place of vector storage: departing rows locate
+    their old cell by re-assigning the OLD image against the frozen
+    centroids; arriving rows assign AND encode under the frozen
+    codebook. Replayed feed = exact no-op; empty interval advances the
+    watermark."""
+    from ..operators.simsearch import (
+        assign_cells_vectorized,
+        pq_encode_expr,
+    )
+
+    meta = _ivfpq_meta(warehouse, table)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    cents_df = _centroid_frame(warehouse.spark, meta["centroids"])
+    old = changes.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select(id_col, vec_col)
+    new = changes.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(id_col, vec_col)
+    from ..operators.simsearch import _unit_expr
+
+    new_a = assign_cells_vectorized(
+        new, cents_df, id_col, vec_col, id_col
+    ).select(
+        id_col,
+        F.col("cell").cast("int").alias("cell"),
+        _unit_expr(vec_col).alias("__u"),
+    ).localCheckpoint().select(
+        id_col,
+        "cell",
+        pq_encode_expr(meta["codebook"], "__u", pre_normalized=True).alias(
+            "code"
+        ),
+    ).localCheckpoint()
+    old_a = assign_cells_vectorized(old, cents_df, id_col, vec_col, id_col).select(
+        id_col, F.col("cell").cast("int").alias("cell")
+    ).localCheckpoint()
+    touched = sorted(
+        r.cell
+        for r in new_a.select("cell")
+        .unionByName(old_a.select("cell"))
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        if txn is not None:
+            warehouse.record_txn(table, *txn)
+        return []
+    changed_ids = (
+        new_a.select(id_col).unionByName(old_a.select(id_col)).distinct()
+    )
+    info = warehouse.routing_info(table) or {}
+    if info.get("bucket_key") != "cell" or not info.get("n_buckets"):
+        raise ValueError(
+            f"{table!r} is not bucketed by 'cell' (routing_info={info!r}) "
+            "— the IVF-PQ index must keep the bucketing create_ivfpq_index "
+            "wrote; rebuild the index if the table was rewritten outside "
+            "its lane"
+        )
+    n = int(info["n_buckets"])
+    touched_df = warehouse.spark.createDataFrame(
+        [(c,) for c in touched], "cell int"
+    )
+    bids = sorted(
+        r.b
+        for r in touched_df.select(bucket_of(F.col("cell"), n).alias("b"))
+        .distinct()
+        .collect()
+    )
+    keep = (
+        warehouse.read_buckets(table, bids)
+        .filter(F.col("cell").isin(touched))
+        .join(changed_ids, id_col, "left_anti")
+        .select(id_col, "cell", "code")
+    )
+    incoming = keep.unionByName(new_a.select(id_col, "cell", "code"))
+    return warehouse.merge_bucketed(
+        table,
+        incoming,
+        snapshot,
+        txn=txn,
+        delete_keys=touched_df.select(F.col("cell")),
+    )
+
+
+def probe_ivfpq_index(
+    warehouse,
+    table: str,
+    queries,
+    k: int = 10,
+    n_probe: int = 4,
+    rescore_c: int | None = None,
+    vectors=None,
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+):
+    """IVFADC probe: (1) route each query to its n_probe nearest cells
+    (broadcast centroids); (2) rank those cells' rows by ASYMMETRIC
+    distance — the query's per-subspace distance table is computed
+    once per query (pq_adc_expr) and each candidate costs an m_subs
+    table-lookup fold, zero vector math; (3) EXACT cosine re-score of
+    the top ``rescore_c`` (default 4k) candidates per query, raw
+    vectors fetched from ``vectors`` (default: the registered source
+    table) by key. Output (query_id, neighbor_id, sim, rank) — the
+    probe_ann_index shape, so the two are recall-comparable row for
+    row. Self-matches excluded.
+
+    Scale shape: the index read is n_probe cells' buckets; the ADC
+    rank shuffles (candidates) narrow code rows; the re-score join
+    touches |queries| x rescore_c source rows by key."""
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine
+    from ..operators.simsearch import _unit_expr, pq_adc_distance, pq_adc_expr
+
+    meta = _ivfpq_meta(warehouse, table)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    q_id = query_id_col or id_col
+    q_vec = query_vec_col or vec_col
+    if rescore_c is None:
+        rescore_c = 4 * k
+    if vectors is None:
+        src = warehouse.table_properties(table).get("index.source")
+        if not src:
+            raise ValueError(
+                "probe_ivfpq_index needs raw vectors for the exact "
+                "re-score: register the index with source=, or pass "
+                "vectors= (an (id, vector) frame)"
+            )
+        vectors = warehouse.read(src).select(id_col, vec_col)
+    cents_df = _centroid_frame(warehouse.spark, meta["centroids"])
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("cell").asc()
+    )
+    probes = (
+        queries.select(
+            F.col(q_id).alias("query_id"), F.col(q_vec).alias("__qv")
+        )
+        .crossJoin(F.broadcast(cents_df))
+        .select(
+            "query_id",
+            "__qv",
+            "cell",
+            cosine(F.col("__qv"), F.col("cvec")).alias("__sim"),
+        )
+        .withColumn("__pr", F.row_number().over(w_probe))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "__qv", _unit_expr("__qv").alias("__qu"), "cell")
+        .localCheckpoint()
+        .select(
+            "query_id",
+            "__qv",
+            pq_adc_expr(meta["codebook"], "__qu", pre_normalized=True).alias(
+                "__adc"
+            ),
+            "cell",
+        )
+        .localCheckpoint()
+    )
+    info = warehouse.routing_info(table) or {}
+    idx = None
+    if info.get("bucket_key") == "cell" and info.get("n_buckets"):
+        n = int(info["n_buckets"])
+        cells = sorted(
+            r.cell for r in probes.select("cell").distinct().collect()
+        )
+        cells_df = warehouse.spark.createDataFrame(
+            [(c,) for c in cells], "cell int"
+        )
+        bids = sorted(
+            r.b
+            for r in cells_df.select(bucket_of(F.col("cell"), n).alias("b"))
+            .distinct()
+            .collect()
+        )
+        idx = warehouse.read_buckets(table, bids).filter(
+            F.col("cell").isin(cells)
+        )
+    if idx is None:
+        idx = warehouse.read(table)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("__d").asc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        idx.select(F.col(id_col).alias("neighbor_id"), "cell", "code")
+        .join(F.broadcast(probes.drop("__qv")), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            pq_adc_distance(
+                F.col("code"), F.col("__adc"), len(meta["codebook"])
+            ).alias("__d"),
+        )
+        .withColumn("__cr", F.row_number().over(w_adc))
+        .filter(F.col("__cr") <= rescore_c)
+        .select("query_id", "neighbor_id")
+    )
+    qv = probes.select("query_id", "__qv").distinct()
+    rescored = (
+        cands.join(
+            vectors.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__nv"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__nv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -4127,3 +4127,205 @@ class TestCcnetCutoffs:
         )
         got = ccnet_assign(fresh, cuts).collect()[0]
         assert got.ppl_bucket == "tail"
+
+
+class TestIvfPqIndex:
+    """IVF-PQ compressed ANN index (round 13 — VERDICT r12 next-round
+    #4, plans/ops.py create_ivfpq_index / update_ivfpq_index /
+    probe_ivfpq_index + operators/simsearch.py pq_*). Pins: codes are
+    deterministic (== expression recompute); with rescore_c covering
+    the probed cells the probe is IDENTICAL pair-for-pair to the
+    raw-vector probe_ann_index (recall == raw, the VERDICT bar, proven
+    as set equality); maintained == rebuilt through updates + replay
+    no-op via advance_index; the stored index is measurably smaller
+    than the raw-vector index; packed-code invariants hold."""
+
+    def _wh(self, spark, tmp_path):
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        return Warehouse(spark, str(tmp_path / "wh"))
+
+    def _mk(self, spark, wh, embs):
+        from canvas_data_loader_spark.plans.ops import create_ivfpq_index
+
+        wh.write(
+            "vecs", embs.select("vec_id", "embedding"), "s0",
+            bucket=("vec_id", 8),
+        )
+        create_ivfpq_index(
+            wh, "pq", None, "idx0", n_cells=8, m_subs=8, n_codes=8,
+            refine_iters=1, pq_refine_iters=1, n_buckets=8, source="vecs",
+        )
+
+    def test_codes_deterministic_and_packed_range(self, spark, embs, tmp_path):
+        from canvas_data_loader_spark.operators.simsearch import (
+            _unit_expr,
+            pq_encode_expr,
+        )
+        from canvas_data_loader_spark.plans.ops import _ivfpq_meta
+
+        wh = self._wh(spark, tmp_path)
+        self._mk(spark, wh, embs)
+        meta = _ivfpq_meta(wh, "pq")
+        want = sorted(
+            (r.vec_id, r.c)
+            for r in wh.read("vecs")
+            .select("vec_id", _unit_expr("embedding").alias("__u"))
+            .localCheckpoint()
+            .select(
+                "vec_id",
+                pq_encode_expr(meta["codebook"], "__u", True).alias("c"),
+            )
+            .collect()
+        )
+        got = sorted((r.vec_id, r.code) for r in wh.read("pq").collect())
+        assert got == want
+        # every packed byte is a valid code id (< n_codes)
+        n_codes = len(meta["codebook"][0])
+        for _, code in got:
+            for m in range(len(meta["codebook"])):
+                assert 0 <= (code >> (8 * m)) & 255 < n_codes
+
+    def test_probe_equals_raw_probe_at_covering_rescore(
+        self, spark, embs, tmp_path
+    ):
+        from canvas_data_loader_spark.plans.ops import (
+            create_ann_index,
+            probe_ann_index,
+            probe_ivfpq_index,
+        )
+
+        wh = self._wh(spark, tmp_path)
+        self._mk(spark, wh, embs)
+        create_ann_index(
+            wh, "ann", None, "idx0", n_cells=8, refine_iters=1,
+            n_buckets=8, source="vecs",
+        )
+        queries = wh.read("vecs").limit(20)
+        raw = {
+            (r.query_id, r.neighbor_id)
+            for r in probe_ann_index(
+                wh, "ann", queries, k=5, n_probe=2
+            ).collect()
+        }
+        pq = {
+            (r.query_id, r.neighbor_id)
+            for r in probe_ivfpq_index(
+                wh, "pq", queries, k=5, n_probe=2, rescore_c=10**6
+            ).collect()
+        }
+        # identical pair set -> recall identically equals the raw probe
+        assert pq == raw
+        # at a bounded candidate pool the probe stays well-formed and
+        # monotone: a larger pool never loses pairs vs a smaller one
+        small = {
+            (r.query_id, r.neighbor_id)
+            for r in probe_ivfpq_index(
+                wh, "pq", queries, k=5, n_probe=2, rescore_c=5
+            ).collect()
+        }
+        assert len(small & raw) <= len(pq & raw)
+
+    def test_maintained_equals_rebuilt_and_replay(self, spark, embs, tmp_path):
+        from canvas_data_loader_spark.operators.simsearch import (
+            _unit_expr,
+            pq_encode_expr,
+        )
+        from canvas_data_loader_spark.plans.ops import (
+            _ivfpq_meta,
+            advance_index,
+        )
+
+        wh = self._wh(spark, tmp_path)
+        self._mk(spark, wh, embs)
+        meta = _ivfpq_meta(wh, "pq")
+        upd = (
+            wh.read("vecs")
+            .limit(5)
+            .withColumn(
+                "embedding",
+                F.transform("embedding", lambda x: x + F.lit(0.5)),
+            )
+        )
+        wh.merge_bucketed("vecs", upd, "m1")
+        assert advance_index(wh, "pq")["mode"] == "incremental"
+        want = sorted(
+            (r.vec_id, r.c)
+            for r in wh.read("vecs")
+            .select("vec_id", _unit_expr("embedding").alias("__u"))
+            .localCheckpoint()
+            .select(
+                "vec_id",
+                pq_encode_expr(meta["codebook"], "__u", True).alias("c"),
+            )
+            .collect()
+        )
+        got = sorted((r.vec_id, r.code) for r in wh.read("pq").collect())
+        assert got == want
+        assert advance_index(wh, "pq")["mode"] == "noop"
+        assert sorted(
+            (r.vec_id, r.code) for r in wh.read("pq").collect()
+        ) == want
+
+    def test_compressed_index_is_smaller(self, spark, embs, tmp_path):
+        """The point of the lane: at a corpus size where parquet
+        footers stop dominating, the (id, cell, code) rows are several
+        times smaller on disk than the raw-vector (id, vec, cell)
+        rows."""
+        import os as _os
+
+        from canvas_data_loader_spark.plans.ops import (
+            create_ann_index,
+            create_ivfpq_index,
+        )
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "whsz"))
+        base = embs.select("vec_id", "embedding")
+        big = base
+        for i in range(1, 8):
+            big = big.unionByName(
+                base.withColumn(
+                    "vec_id", F.col("vec_id") + F.lit(i * 1_000_000)
+                )
+            )
+        wh.write("vecs", big, "s0", bucket=("vec_id", 8))
+        create_ivfpq_index(
+            wh, "pq", None, "idx0", n_cells=8, m_subs=8, n_codes=8,
+            n_buckets=8, source="vecs",
+        )
+        create_ann_index(
+            wh, "ann", None, "idx0", n_cells=8, n_buckets=8, source="vecs"
+        )
+
+        def tree_bytes(p):
+            t = 0
+            for root, _, fs in _os.walk(p):
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        t += _os.path.getsize(_os.path.join(root, f))
+            return t
+
+        bp = tree_bytes(str(tmp_path / "whsz" / "pq"))
+        ba = tree_bytes(str(tmp_path / "whsz" / "ann"))
+        assert bp > 0 and ba / bp >= 4.0, (ba, bp, ba / bp)
+
+    def test_create_validations(self, spark, embs, tmp_path):
+        from canvas_data_loader_spark.operators.simsearch import pq_codebook
+        from canvas_data_loader_spark.plans.ops import probe_ivfpq_index
+
+        with pytest.raises(ValueError, match="m_subs <= 8"):
+            pq_codebook(embs, 8, 16, "vec_id", "embedding")
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_codebook(embs, 8, 7, "vec_id", "embedding")
+        # probe without a registered source and without vectors= is an
+        # actionable error
+        wh = self._wh(spark, tmp_path)
+        from canvas_data_loader_spark.plans.ops import create_ivfpq_index
+
+        create_ivfpq_index(
+            wh, "pq2", embs.select("vec_id", "embedding"), "idx0",
+            n_cells=4, n_buckets=4,
+        )
+        with pytest.raises(ValueError, match="re-score"):
+            probe_ivfpq_index(wh, "pq2", embs.limit(2))
