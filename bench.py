@@ -175,6 +175,7 @@ HEADLINE = [
     # round-13 registry additions
     "q174_bloom_index_probe",
     "q175_audio_stats",
+    "q176_ivfpq_packed_codes",
 ]
 
 

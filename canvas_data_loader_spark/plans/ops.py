@@ -2467,6 +2467,12 @@ def create_join_view(
     if missing:
         raise ValueError(f"dim_cols {missing} not in {dim!r}")
     matched, pending = _jv_split(fact_df, dim_df, fk, dim_key, dim_cols)
+    # cluster on the bucket expression before the partitioned write
+    # (the rebucket discipline): one output file per bucket instead of
+    # tasks x buckets shards — at 640+ buckets the shard blow-up
+    # dominates the build and fragments every later pruned read
+    matched = matched.repartition(n_buckets, bucket_of(F.col(fk), n_buckets))
+    pending = pending.repartition(n_buckets, bucket_of(F.col(fk), n_buckets))
     props = {
         "mv.kind": "join",
         "mv.source": fact,
@@ -2555,6 +2561,8 @@ def refresh_join_view(warehouse, view: str, full: bool = False) -> dict:
         )
         info = warehouse.routing_info(view) or {}
         n_b = int(info.get("n_buckets") or 16)
+        matched = matched.repartition(n_b, bucket_of(F.col(fk), n_b))
+        pend = pend.repartition(n_b, bucket_of(F.col(fk), n_b))
         fresh = {
             "mv.source_id": fact_id,
             "jv.dim_id": dim_id,

@@ -2136,7 +2136,13 @@ def main_join_view():
         try:
             wh = Warehouse(spark, root)
             n_b = 64 * f
-            wh.write("orders", fact_at(f), snapshot="base", bucket=("o_orderkey", n_b))
+            # pre-cluster each write by its bucket expression (the
+            # rebucket discipline) so the Hive-partitioned write emits
+            # one file per bucket instead of tasks x buckets shards —
+            # probe SETUP cost, not the thing being measured
+            big = fact_at(f)
+            big = big.repartition(n_b, bucket_of(F.col("o_orderkey"), n_b))
+            wh.write("orders", big, snapshot="base", bucket=("o_orderkey", n_b))
             wh.write("customer", c, snapshot="base", bucket=("c_custkey", 16))
             create_join_view(
                 wh, "ojv", "orders", "customer", fk="o_custkey", n_buckets=n_b
