@@ -1512,7 +1512,7 @@ def execute_dml(wh, stmt: str) -> dict:
         from .plans.ops import create_minmax_view, create_rollup_view
 
         mi = re.match(
-            r"\s*CREATE\s+(NEARDUP|ANN|DECONTAM|BLOOM)\s+INDEX\s+(\S+)\s+"
+            r"\s*CREATE\s+(NEARDUP|ANN|DECONTAM|BLOOM|IVFPQ)\s+INDEX\s+(\S+)\s+"
             r"ON\s+(\S+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*"
             r"(?:OPTIONS\s*\(([^)]*)\)\s*)?$",
             stmt,
@@ -1553,6 +1553,8 @@ def execute_dml(wh, stmt: str) -> dict:
                             "n_buckets"},
                 "decontam": {"gram_n", "n_buckets"},
                 "bloom": {"k", "hex_chars", "n_buckets"},
+                "ivfpq": {"n_cells", "m_subs", "n_codes", "refine_iters",
+                          "pq_refine_iters", "n_buckets"},
                 "ann": {"n_cells", "refine_iters", "n_buckets",
                         "drift_threshold"},
             }[kind]
@@ -1592,6 +1594,20 @@ def execute_dml(wh, stmt: str) -> dict:
                     k=int(opts.get("k", 3)),
                     hex_chars=int(opts.get("hex_chars", 3)),
                     n_buckets=int(opts.get("n_buckets", 8)),
+                )
+            elif kind == "ivfpq":
+                from .plans.ops import create_ivfpq_index
+
+                create_ivfpq_index(
+                    wh, index, None, snapshot,
+                    n_cells=int(opts.get("n_cells", 16)),
+                    m_subs=int(opts.get("m_subs", 8)),
+                    n_codes=int(opts.get("n_codes", 8)),
+                    refine_iters=int(opts.get("refine_iters", 0)),
+                    pq_refine_iters=int(opts.get("pq_refine_iters", 1)),
+                    n_buckets=int(opts.get("n_buckets", 16)),
+                    id_col=id_col, vec_col=payload,
+                    source=table,
                 )
             else:
                 from .plans.ops import create_ann_index
@@ -1713,7 +1729,8 @@ def execute_dml(wh, stmt: str) -> dict:
         if "index.kind" not in wh.table_properties(index):
             raise SqlDmlError(
                 f"{index!r} is not a registered index (no index.kind "
-                "property — create it with CREATE NEARDUP|ANN|DECONTAM|BLOOM "
+                "property — create it with CREATE "
+                "NEARDUP|ANN|DECONTAM|BLOOM|IVFPQ "
                 "INDEX)"
             )
         out = advance_index(wh, index)

@@ -4329,3 +4329,52 @@ class TestIvfPqIndex:
         )
         with pytest.raises(ValueError, match="re-score"):
             probe_ivfpq_index(wh, "pq2", embs.limit(2))
+
+
+class TestIvfPqDdl:
+    """CREATE IVFPQ INDEX completes the statement-reachable index
+    surface (5 kinds): registration via DDL == the Python API, ADVANCE
+    INDEX dispatches, statement writes refused, DROP INDEX cleans up,
+    unknown OPTIONS rejected."""
+
+    def test_ddl_lifecycle(self, spark, embs, tmp_path):
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+        from canvas_data_loader_spark.sql import SqlDmlError, execute_dml
+
+        wh = Warehouse(spark, str(tmp_path / "wh"))
+        wh.write(
+            "vecs", embs.select("vec_id", "embedding"), "s0",
+            bucket=("vec_id", 4),
+        )
+        out = execute_dml(
+            wh,
+            "CREATE IVFPQ INDEX pq ON vecs (vec_id, embedding) "
+            "OPTIONS (n_cells = 4, m_subs = 8, n_codes = 4, n_buckets = 4)",
+        )
+        assert out["operation"] == "CREATE IVFPQ INDEX"
+        props = wh.table_properties("pq")
+        assert props["index.kind"] == "ivfpq"
+        assert "pq.codebook" in props
+        assert execute_dml(wh, "ADVANCE INDEX pq")["mode"] == "noop"
+        # a source merge advances incrementally through the DDL verb
+        wh.merge_bucketed(
+            "vecs",
+            embs.select("vec_id", "embedding")
+            .limit(2)
+            .withColumn(
+                "embedding",
+                F.transform("embedding", lambda x: x + F.lit(1.0)),
+            ),
+            "m1",
+        )
+        assert execute_dml(wh, "ADVANCE INDEX pq")["mode"] == "incremental"
+        with pytest.raises(SqlDmlError):
+            execute_dml(wh, "DELETE FROM pq WHERE cell = 0")
+        with pytest.raises(SqlDmlError, match="unknown OPTIONS"):
+            execute_dml(
+                wh,
+                "CREATE IVFPQ INDEX pq2 ON vecs (vec_id, embedding) "
+                "OPTIONS (gram_n = 3)",
+            )
+        assert execute_dml(wh, "DROP INDEX pq")["operation"] == "DROP INDEX"
+        assert not wh.exists("pq")
