@@ -4520,6 +4520,21 @@ class TestJoinViews:
         wh.record_txn("fact", "someapp", 1)
         assert refresh_join_view(wh, "jv")["mode"] == "advance"
         assert self._current(wh) == self._rebuilt(wh)
+        # auto-discovery from the DIM side: refresh_views_of(dim) finds
+        # the view through jv.dim and never touches the pending sidecar
+        # directly (mv.parent)
+        from canvas_data_loader_spark.plans.ops import refresh_views_of
+
+        wh.merge_bucketed(
+            "dim",
+            spark.createDataFrame(
+                [(2, "cust2-v2", "seg0")],
+                "ckey long, cname string, seg string",
+            ),
+            "m2",
+        )
+        refresh_views_of(wh, "dim")
+        assert self._current(wh) == self._rebuilt(wh)
 
     def test_dim_recreate_triggers_full_rebuild(self, spark, wh_factory):
         from canvas_data_loader_spark.plans.ops import refresh_join_view
