@@ -3089,6 +3089,7 @@ def probe_ivfpq_index(
     q_vec = query_vec_col or vec_col
     if rescore_c is None:
         rescore_c = 4 * k
+    src_for_prune = None
     if vectors is None:
         src = warehouse.table_properties(table).get("index.source")
         if not src:
@@ -3097,6 +3098,7 @@ def probe_ivfpq_index(
                 "re-score: register the index with source=, or pass "
                 "vectors= (an (id, vector) frame)"
             )
+        src_for_prune = src
         vectors = warehouse.read(src).select(id_col, vec_col)
     cents_df = _centroid_frame(warehouse.spark, meta["centroids"])
     w_probe = Window.partitionBy("query_id").orderBy(
@@ -3165,16 +3167,36 @@ def probe_ivfpq_index(
         .withColumn("__cr", F.row_number().over(w_adc))
         .filter(F.col("__cr") <= rescore_c)
         .select("query_id", "neighbor_id")
+        .localCheckpoint()
     )
+    # the exact re-score touches |queries| x rescore_c source rows BY
+    # KEY: prune the source read to the candidate ids' buckets when
+    # its layout allows (the fetch_docs_for_pairs discipline), and
+    # broadcast the bounded candidate set so the 100 TB side never
+    # shuffles
+    s_info = (
+        warehouse.routing_info(src_for_prune) if src_for_prune else None
+    ) or {}
+    if s_info.get("bucket_key") == id_col and s_info.get("n_buckets"):
+        ns = int(s_info["n_buckets"])
+        s_bids = sorted(
+            r.b
+            for r in cands.select(
+                bucket_of(F.col("neighbor_id"), ns).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        vectors = warehouse.read_buckets(src_for_prune, s_bids).select(
+            id_col, vec_col
+        )
     qv = probes.select("query_id", "__qv").distinct()
     rescored = (
-        cands.join(
-            vectors.select(
-                F.col(id_col).alias("neighbor_id"),
-                F.col(vec_col).alias("__nv"),
-            ),
-            "neighbor_id",
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__nv"),
         )
+        .join(F.broadcast(cands), "neighbor_id")
         .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
