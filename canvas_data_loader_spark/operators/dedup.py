@@ -755,10 +755,18 @@ def _bloom_doc_bits(
     row per hash index (its k (row_id, bit) pairs are unique within
     the doc by construction — row_id differs), so counting these rows
     per (row_id, b) yields the COUNTING-filter cell values
-    ``bloom_bit_counts`` maintains."""
+    ``bloom_bit_counts`` maintains.
+
+    NULL fingerprints (NULL text) contribute NO bits: a NULL bit id
+    can never satisfy the all-k probe join anyway (SQL equality), and
+    in the COUNTING index a NULL cell key would be unmaintainable —
+    delete_keys equality joins never match NULL, so a retired
+    NULL-text doc's cell could never be retracted."""
     fp = fingerprint(text_col)
     rows = F.array(*[F.lit(i) for i in range(k)])
-    return df.select(F.explode(rows).alias("row_id"), fp.alias("__fp")).select(
+    return df.filter(fp.isNotNull()).select(
+        F.explode(rows).alias("row_id"), fp.alias("__fp")
+    ).select(
         "row_id",
         F.substring(
             F.md5(

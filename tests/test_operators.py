@@ -3752,10 +3752,13 @@ class TestBloomIndex:
         )
 
         wh = self._wh(spark, tmp_path, fmt)
-        # two exact copies of one text + one unique text
+        # two exact copies of one text + one unique text + a NULL text
+        # (NULL fingerprints contribute NO cells — a NULL cell key
+        # would be unmaintainable: delete_keys equality never matches
+        # NULL, so a retired NULL-text doc could never retract it)
         rows = spark.createDataFrame(
             [(1, "shared duplicated body"), (2, "shared duplicated body"),
-             (3, "completely unique body")],
+             (3, "completely unique body"), (4, None)],
             "doc_id long, text string",
         )
         wh.write("corpus", rows, "s0", bucket=("doc_id", 4))
@@ -3778,6 +3781,13 @@ class TestBloomIndex:
             tuple(r) for r in wh.read("bf").collect()
         ) == self._rebuilt(wh)
         assert wh.read("bf").filter("cnt <= 0").count() == 0
+        assert wh.read("bf").filter("b IS NULL").count() == 0
+        # retiring the NULL-text doc is a maintainable no-op interval
+        wh.delete_where("corpus", "doc_id = 4")
+        assert advance_index(wh, "bf")["mode"] in ("incremental", "advance")
+        assert sorted(
+            tuple(r) for r in wh.read("bf").collect()
+        ) == self._rebuilt(wh)
 
     @pytest.mark.parametrize("fmt", ["manifest"])
     def test_probe_matches_fresh_filter_and_never_misses(
