@@ -808,3 +808,257 @@ class TestPgWireSmoke:
             assert c.execute("INSERT INTO t (id) VALUES (2)") == "INSERT 0 1"
         srv._thread.join(timeout=5)
         assert len(srv.received) == 3
+
+
+class _FakeMySqlServer:
+    """In-process MySQL listener (round 13 — the ``pgwire`` pattern
+    applied to the reference's SECOND production sink): Initial
+    Handshake v10 with a fixed 20-byte nonce, HandshakeResponse41
+    parsing that VERIFIES the ``mysql_native_password`` token against
+    the expected password (rejecting with ERR 1045 on mismatch — the
+    auth arithmetic is part of the contract, not just the framing),
+    then COM_QUERY handling that RECORDS every received SQL string and
+    answers OK (or ERR 1064 for statements containing 'BOOM'). Just
+    enough server to observe the dialect's statements on a real
+    socket."""
+
+    NONCE = bytes(range(1, 21))  # deterministic 20-byte scramble
+
+    def __init__(self, password: str = ""):
+        import socket
+        import threading
+
+        self.password = password
+        self.received: list[str] = []
+        self.login: dict[str, object] = {}
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(1)
+        self.port = self._srv.getsockname()[1]
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    @staticmethod
+    def _recv_exact(conn, n):
+        buf = b""
+        while len(buf) < n:
+            chunk = conn.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("client hung up")
+            buf += chunk
+        return buf
+
+    def _read_packet(self, conn):
+        head = self._recv_exact(conn, 4)
+        return self._recv_exact(conn, int.from_bytes(head[:3], "little"))
+
+    @staticmethod
+    def _send_packet(conn, seq, payload):
+        conn.sendall(
+            len(payload).to_bytes(3, "little") + bytes([seq]) + payload
+        )
+
+    def _serve(self):
+        import struct
+
+        from canvas_data_loader_spark.mysqlwire import (
+            CLIENT_PROTOCOL_41,
+            CLIENT_SECURE_CONNECTION,
+            native_password_scramble,
+        )
+
+        conn, _ = self._srv.accept()
+        try:
+            caps = CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION | 0x80008
+            greet = (
+                bytes([0x0A])
+                + b"8.0.0-fake\x00"
+                + struct.pack("<I", 4242)
+                + self.NONCE[:8]
+                + b"\x00"
+                + struct.pack("<H", caps & 0xFFFF)
+                + bytes([45])
+                + struct.pack("<H", 0)
+                + struct.pack("<H", caps >> 16)
+                + bytes([21])
+                + b"\x00" * 10
+                + self.NONCE[8:]
+                + b"\x00"
+                + b"mysql_native_password\x00"
+            )
+            self._send_packet(conn, 0, greet)
+            resp = self._read_packet(conn)
+            client_caps = int.from_bytes(resp[:4], "little")
+            i = 4 + 4 + 1 + 23  # caps, max packet, charset, zeros
+            nul = resp.index(b"\x00", i)
+            user = resp[i:nul].decode()
+            i = nul + 1
+            tok_len = resp[i]
+            token = resp[i + 1 : i + 1 + tok_len]
+            i += 1 + tok_len
+            nul = resp.index(b"\x00", i)
+            database = resp[i:nul].decode()
+            self.login = {
+                "user": user,
+                "database": database,
+                "caps": client_caps,
+            }
+            expected = native_password_scramble(self.password, self.NONCE)
+            if token != expected:
+                self._send_packet(
+                    conn,
+                    2,
+                    bytes([0xFF])
+                    + struct.pack("<H", 1045)
+                    + b"#28000"
+                    + f"Access denied for user '{user}'".encode(),
+                )
+                return
+            ok = bytes([0x00, 0, 0]) + struct.pack("<HH", 2, 0)
+            self._send_packet(conn, 2, ok)
+            while True:
+                pkt = self._read_packet(conn)
+                if not pkt or pkt[0] == 0x01:  # COM_QUIT
+                    return
+                if pkt[0] != 0x03:  # not COM_QUERY
+                    continue
+                sql = pkt[1:].decode()
+                self.received.append(sql)
+                if "BOOM" in sql:
+                    self._send_packet(
+                        conn,
+                        1,
+                        bytes([0xFF])
+                        + struct.pack("<H", 1064)
+                        + b"#42000"
+                        + b"injected syntax error",
+                    )
+                else:
+                    verb = sql.split(None, 1)[0].upper()
+                    affected = 1 if verb in ("INSERT", "DELETE") else 0
+                    self._send_packet(
+                        conn,
+                        1,
+                        bytes([0x00, affected, 0])
+                        + struct.pack("<HH", 2, 0),
+                    )
+        except ConnectionError:
+            pass
+        finally:
+            conn.close()
+            self._srv.close()
+
+
+class TestMySqlWireSmoke:
+    """The MySQL dialect's statements observed on a REAL socket via
+    the from-spec client (canvas_data_loader_spark/mysqlwire.py) —
+    closes the reference's second production sink seam
+    (db_client.rs:305-504, mysql_pool/pool.rs:8-49) without a server
+    binary, symmetric to TestPgWireSmoke. The statements are the SAME
+    generator outputs TestDialectDDL pins serverless, so wire == golden
+    by construction; what this adds is the protocol round trip: the
+    handshake (including the real mysql_native_password scramble,
+    VERIFIED server-side), per-statement affected-row counts, and
+    error handling mid-session."""
+
+    COLS = {"id": "bigint", "default": "text", "generated_at": "timestamp"}
+
+    def test_import_statements_arrive_verbatim(self):
+        from canvas_data_loader_spark.mysqlwire import apply_statements
+        from canvas_data_loader_spark.sinks import (
+            canvas_type_to_ddl,
+            create_table_ddl,
+            delete_record_sql,
+            insert_record_sql,
+        )
+
+        types = {
+            n: canvas_type_to_ddl(t, "mysql") for n, t in self.COLS.items()
+        }
+        stmts = [
+            create_table_ddl("assignments", self.COLS, "mysql"),
+            delete_record_sql("assignments", types, "id", "7", "mysql"),
+            insert_record_sql(
+                "assignments",
+                types,
+                {"id": "7", "default": "x", "generated_at": None},
+                "mysql",
+            ),
+        ]
+        srv = _FakeMySqlServer(password="s3cret")
+        counts = apply_statements(
+            "127.0.0.1",
+            srv.port,
+            stmts,
+            user="cdl",
+            password="s3cret",
+            database="canvas",
+        )
+        srv._thread.join(timeout=5)
+        # the dialect's exact strings crossed the wire, in order
+        assert srv.received == stmts
+        assert srv.received[0].startswith(
+            "CREATE TABLE IF NOT EXISTS assignments"
+        )
+        assert srv.received[0].endswith("CHARACTER SET utf8mb4")
+        # MySQL-only reserved mangles (db_client.rs:350-354)
+        assert "_default LONGTEXT" in srv.received[0]
+        assert "_generated_at DATETIME" in srv.received[0]
+        assert counts == [0, 1, 1]
+        assert srv.login["user"] == "cdl"
+        assert srv.login["database"] == "canvas"
+
+    def test_error_mid_session_keeps_connection_usable(self):
+        from canvas_data_loader_spark.mysqlwire import (
+            MySqlWireClient,
+            MySqlWireError,
+        )
+
+        srv = _FakeMySqlServer()
+        with MySqlWireClient(
+            "127.0.0.1", srv.port, password="", database="cdl"
+        ) as c:
+            assert c.server_version == "8.0.0-fake"
+            assert c.thread_id == 4242
+            assert c.execute("DELETE FROM t WHERE id = 1") == 1
+            with pytest.raises(MySqlWireError, match="injected syntax"):
+                c.execute("SELECT BOOM")
+            # one response per command — the SAME connection keeps going
+            assert c.execute("INSERT INTO t (id) VALUES (2)") == 1
+        srv._thread.join(timeout=5)
+        assert len(srv.received) == 3
+
+    def test_wrong_password_is_access_denied(self):
+        from canvas_data_loader_spark.mysqlwire import (
+            MySqlWireClient,
+            MySqlWireError,
+        )
+
+        srv = _FakeMySqlServer(password="right")
+        with pytest.raises(MySqlWireError) as ei:
+            MySqlWireClient("127.0.0.1", srv.port, password="wrong")
+        assert ei.value.errno == 1045
+        assert ei.value.sqlstate == "28000"
+        srv._thread.join(timeout=5)
+
+    def test_scramble_vector(self):
+        # pinned first-principles vector: SHA1(pwd) XOR
+        # SHA1(nonce + SHA1(SHA1(pwd))) — recomputed independently here
+        # so a refactor of native_password_scramble cannot silently
+        # change the arithmetic the fake server verifies
+        import hashlib
+
+        from canvas_data_loader_spark.mysqlwire import (
+            native_password_scramble,
+        )
+
+        nonce = _FakeMySqlServer.NONCE
+        pwd = "s3cret"
+        p1 = hashlib.sha1(pwd.encode()).digest()
+        p2 = hashlib.sha1(p1).digest()
+        mask = hashlib.sha1(nonce + p2).digest()
+        assert native_password_scramble(pwd, nonce) == bytes(
+            a ^ b for a, b in zip(p1, mask)
+        )
+        assert native_password_scramble("", nonce) == b""
