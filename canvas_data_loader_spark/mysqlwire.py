@@ -166,10 +166,12 @@ class MySqlWireClient:
             auth_len = greet[i]
             i += 1 + 10  # + reserved
             if caps & CLIENT_SECURE_CONNECTION:
-                # part-2 is max(13, auth_len - 8) bytes; the trailing
-                # NUL is not part of the 20-byte nonce
+                # part-2 is max(13, auth_len - 8) bytes; exactly the
+                # first 12 join the nonce (the 13th is a terminating
+                # NUL) — rstrip would corrupt a nonce whose own tail
+                # bytes are legitimately zero
                 part2 = greet[i : i + max(13, auth_len - 8)]
-                nonce += part2.rstrip(b"\x00")[:12]
+                nonce += part2[:12]
         if not caps & CLIENT_PROTOCOL_41:
             raise MySqlWireError(
                 2007, "HY000", "server does not speak protocol 4.1"

@@ -822,7 +822,10 @@ class _FakeMySqlServer:
     enough server to observe the dialect's statements on a real
     socket."""
 
-    NONCE = bytes(range(1, 21))  # deterministic 20-byte scramble
+    # deterministic 20-byte scramble ENDING IN 0x00: auth only succeeds
+    # if the client joins exactly 12 part-2 bytes to the nonce (a
+    # trailing-NUL rstrip would drop the last byte and fail login)
+    NONCE = bytes(range(1, 20)) + b"\x00"
 
     def __init__(self, password: str = ""):
         import socket
