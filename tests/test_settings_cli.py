@@ -1212,8 +1212,14 @@ class TestCliAutoMaintain:
         wh_dir = str(tmp_path / "wh")
 
         import canvas_data_loader_spark.__main__ as cli
-        from canvas_data_loader_spark.operators.dedup import minhash_bands
-        from canvas_data_loader_spark.plans.ops import register_neardup_index
+        from canvas_data_loader_spark.operators.dedup import (
+            bloom_bit_counts,
+            minhash_bands,
+        )
+        from canvas_data_loader_spark.plans.ops import (
+            register_bloom_index,
+            register_neardup_index,
+        )
         from canvas_data_loader_spark.plans.pipeline import Warehouse
 
         base = ["--config-dir", str(cfgdir), "--warehouse-dir", wh_dir,
@@ -1224,7 +1230,14 @@ class TestCliAutoMaintain:
             wh, "docs_nd", "documents_dim", "idx0",
             id_col="id", text_col="body", n_buckets=8,
         )
-        # the SECOND cron run imports d2 and auto-advances the index
+        # the maintenance loop is kind-agnostic — register a round-13
+        # counting-Bloom index on the same source so the cron run must
+        # advance BOTH kinds
+        register_bloom_index(
+            wh, "docs_bf", "documents_dim", "idx0",
+            id_col="id", text_col="body", n_buckets=4,
+        )
+        # the SECOND cron run imports d2 and auto-advances the indexes
         assert cli.main(base + ["--offline-fixture", str(fx2)]) == 0
         want = sorted(
             tuple(r)
@@ -1236,6 +1249,16 @@ class TestCliAutoMaintain:
         assert sorted(tuple(r) for r in wh.read("docs_nd").collect()) == want
         assert wh.last_txn_epoch(
             "idx-sync:docs_nd", "docs_nd"
+        ) == wh.current_version("documents_dim")
+        want_bf = sorted(
+            tuple(r)
+            for r in bloom_bit_counts(
+                wh.read("documents_dim").select("id", "body"), "body"
+            ).collect()
+        )
+        assert sorted(tuple(r) for r in wh.read("docs_bf").collect()) == want_bf
+        assert wh.last_txn_epoch(
+            "idx-sync:docs_bf", "docs_bf"
         ) == wh.current_version("documents_dim")
 
 
