@@ -26,6 +26,7 @@ care::
          | --update-where SQL --set COL=EXPR [--set ...] \
          | --neardup-index INDEX [--where SQL] [--probe-only] [--rescore] [--out DIR] \
          | --decontam-index INDEX [--where SQL] [--probe-only] [--out DIR] \
+         | --bloom-index INDEX [--where SQL] [--probe-only] [--out DIR] \
          | --advance-index)
 
 ``sql`` subcommand: one DML/DDL statement against a warehouse table
@@ -117,6 +118,17 @@ def _maintain(argv: list[str]) -> int:
         "raw positional hits instead of cutting. The eval grams are "
         "never re-derived — the probe reads only the buckets the "
         "dump's own grams route to",
+    )
+    g.add_argument(
+        "--bloom-index", metavar="INDEX_TABLE",
+        help="probe --table's documents (optionally --where-filtered "
+        "to the new dump) against the REGISTERED counting-Bloom index "
+        "INDEX_TABLE — the Dolma/BFF per-dump pre-pass: --probe-only "
+        "writes/reports (id, maybe_dup); the default writes the KEPT "
+        "rows (maybe_dup = 0, definitely-new content) to --out. The "
+        "filter side is fixed-size and broadcast; a corpus "
+        "fingerprint is never missed (no false negatives), so kept "
+        "rows are safe to import without the exact dedup pass",
     )
     g.add_argument(
         "--advance-index", action="store_true",
@@ -394,6 +406,51 @@ def _maintain(argv: list[str]) -> int:
                 f"neardup {args.table} vs {args.neardup_index}: "
                 f"{n_cand} candidate pairs; index updated ({snap})"
             )
+    elif args.bloom_index is not None:
+        from pyspark.sql import functions as F
+
+        from .plans.ops import probe_bloom_index
+
+        props = wh.table_properties(args.bloom_index)
+        if props.get("index.kind") != "bloom":
+            print(
+                f"{args.bloom_index!r} is not a registered bloom "
+                "index (create it with register_bloom_index or "
+                "CREATE BLOOM INDEX)"
+            )
+            return 2
+        docs = wh.read(args.table)
+        if args.where:
+            docs = docs.filter(args.where)
+        verdicts = probe_bloom_index(
+            wh, args.bloom_index, docs
+        ).localCheckpoint()
+        n_maybe = verdicts.filter(F.col("maybe_dup") == 1).count()
+        n_all = verdicts.count()
+        if args.probe_only:
+            if args.out:
+                verdicts.write.mode("overwrite").parquet(args.out)
+            print(
+                f"bloom probe {args.table} vs {args.bloom_index}: "
+                f"{n_maybe}/{n_all} maybe-dup (no filtering)"
+            )
+        else:
+            id_col = props["index.id_col"]
+            kept = docs.join(
+                verdicts.filter(F.col("maybe_dup") == 0).select(
+                    F.col(props["index.id_col"]).alias(id_col)
+                ),
+                id_col,
+                "semi",
+            )
+            if args.out:
+                kept.write.mode("overwrite").parquet(args.out)
+            print(
+                f"bloom pre-pass {args.table} vs {args.bloom_index}: "
+                f"kept {n_all - n_maybe}/{n_all} definitely-new docs "
+                f"({n_maybe} routed to the exact dedup pass)"
+            )
+        return 0
     elif args.decontam_index is not None:
         from pyspark.sql import functions as F
 

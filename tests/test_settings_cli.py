@@ -1332,3 +1332,97 @@ class TestDecontamIndexCli:
             "maintain", "--warehouse-dir", wh_dir, "--table", "train",
             "--decontam-index", "train",
         ]) == 2
+
+
+class TestBloomIndexCli:
+    def test_probe_and_prepass_via_cli(self, tmp_path, spark):
+        """maintain --bloom-index: the Dolma/BFF per-dump pre-pass as
+        one CLI invocation — probe the registered counting-Bloom
+        filter, write the definitely-new rows. Kept rows must carry NO
+        content fingerprint the indexed corpus holds (the
+        no-false-negative contract), and the verdicts must equal the
+        q172/q174 recompute."""
+        from pyspark.sql import functions as F
+
+        from canvas_data_loader_spark.__main__ import main
+        from canvas_data_loader_spark.functions.text import fingerprint
+        from canvas_data_loader_spark.operators.dedup import (
+            bloom_bits,
+            bloom_maybe_member,
+        )
+        from canvas_data_loader_spark.plans.ops import register_bloom_index
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh_dir = str(tmp_path / "whbf")
+        wh = Warehouse(spark, wh_dir)
+        corpus_rows = [(i, f"well known corpus document number {i}")
+                       for i in range(1, 9)]
+        dump_rows = [
+            (101, "well known corpus document number 3"),   # exact dup
+            (102, "a genuinely new document never seen"),
+            (103, "well known corpus document number 7"),   # exact dup
+            (104, "another new arrival with fresh words"),
+        ]
+        wh.write(
+            "corpus",
+            spark.createDataFrame(corpus_rows, "doc_id long, text string"),
+            "s0", bucket=("doc_id", 2),
+        )
+        wh.write(
+            "dump",
+            spark.createDataFrame(dump_rows, "doc_id long, text string"),
+            "s0", bucket=("doc_id", 2),
+        )
+        register_bloom_index(
+            wh, "bf", "corpus", "idx0",
+            id_col="doc_id", text_col="text", n_buckets=2,
+        )
+        probe_dir = str(tmp_path / "verdicts")
+        rc = main([
+            "maintain", "--warehouse-dir", wh_dir, "--table", "dump",
+            "--bloom-index", "bf", "--probe-only", "--out", probe_dir,
+        ])
+        assert rc == 0
+        got = {
+            r["doc_id"]: r["maybe_dup"]
+            for r in spark.read.parquet(probe_dir).collect()
+        }
+        want = {
+            r["doc_id"]: r["maybe_dup"]
+            for r in bloom_maybe_member(
+                wh.read("dump"),
+                bloom_bits(wh.read("corpus"), "text"),
+                "text",
+                "doc_id",
+            ).collect()
+        }
+        assert got == want
+        assert got[101] == 1 and got[103] == 1  # never miss a dup
+        kept_dir = str(tmp_path / "kept")
+        rc = main([
+            "maintain", "--warehouse-dir", wh_dir, "--table", "dump",
+            "--bloom-index", "bf", "--out", kept_dir,
+        ])
+        assert rc == 0
+        kept = spark.read.parquet(kept_dir)
+        kept_ids = {r["doc_id"] for r in kept.collect()}
+        assert kept_ids == {d for d, m in got.items() if m == 0}
+        # no kept row's fingerprint exists in the corpus (the contract
+        # that makes the pre-pass safe to import without exact dedup)
+        overlap = (
+            kept.select(fingerprint("text").alias("fp"))
+            .join(
+                wh.read("corpus").select(fingerprint("text").alias("fp")),
+                "fp",
+                "semi",
+            )
+            .count()
+        )
+        assert overlap == 0
+        # kept rows keep the full document schema
+        assert set(kept.columns) == {"doc_id", "text"}
+        # refuse a non-index table
+        assert main([
+            "maintain", "--warehouse-dir", wh_dir, "--table", "dump",
+            "--bloom-index", "dump",
+        ]) == 2
