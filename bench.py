@@ -176,6 +176,8 @@ HEADLINE = [
     "q174_bloom_index_probe",
     "q175_audio_stats",
     "q176_ivfpq_packed_codes",
+    "q177_join_view_maintenance",
+    "q178_ccnet_cutoff_assign",
 ]
 
 
