@@ -4685,3 +4685,103 @@ class TestJoinViews:
         )
         with pytest.raises(ValueError, match="collide with fact columns"):
             create_join_view(wh, "jv", "fact", "dim2", fk="ckey")
+
+
+class TestJoinViewRefreshVsMergeRace:
+    def test_concurrent_merges_and_refreshes_converge_exact(
+        self, spark, wh_factory
+    ):
+        """The TestMvRefreshVsMergeRace bar applied to join views: a
+        writer thread lands keyed merges on BOTH sources (fact rows
+        re-pointing across dim keys, dim payload churn) while a
+        refresher thread advances the view after each state it
+        observes. CAS serializes every view/pending commit and the
+        per-source watermarks ride those commits, so the final refresh
+        must land EXACTLY on a from-scratch `_jv_split` of both heads
+        — no lost promotion/demotion, no double-applied feed row."""
+        from canvas_data_loader_spark.plans.ops import (
+            _jv_split,
+            create_join_view,
+            refresh_join_view,
+        )
+
+        wh = wh_factory()
+        wh.write(
+            "fact",
+            spark.createDataFrame(
+                [(i, i % 6, i * 10.0) for i in range(1, 33)],
+                "oid long, ckey long, amt double",
+            ),
+            "s0",
+            bucket=("oid", 8),
+        )
+        wh.write(
+            "dim",
+            spark.createDataFrame(
+                [(c, f"cust{c}", f"seg{c % 2}") for c in range(0, 4)],
+                "ckey long, cname string, seg string",
+            ),
+            "s0",
+            bucket=("ckey", 4),
+        )
+        create_join_view(wh, "jv", "fact", "dim", fk="ckey")
+        errors: list[Exception] = []
+        merger = wh_factory()
+
+        def write_side():
+            try:
+                for i in range(4):
+                    merger.merge_bucketed(
+                        "fact",
+                        spark.createDataFrame(
+                            # update re-pointing oid 1 across keys
+                            # (incl. the absent 4/5 -> pending), plus a
+                            # fresh insert per round
+                            [(1, (i * 2) % 6, 999.0 + i),
+                             (100 + i, i % 6, 5.0 * i)],
+                            "oid long, ckey long, amt double",
+                        ),
+                        snapshot=f"mf{i}",
+                        max_commit_retries=25,
+                    )
+                    merger.merge_bucketed(
+                        "dim",
+                        spark.createDataFrame(
+                            [(i % 4, f"cust{i % 4}-r{i}", f"seg{i % 3}")],
+                            "ckey long, cname string, seg string",
+                        ),
+                        snapshot=f"md{i}",
+                        max_commit_retries=25,
+                    )
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        refresher = wh_factory()
+
+        def refresh_side():
+            try:
+                for _ in range(4):
+                    refresh_join_view(refresher, "jv")
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=write_side),
+            threading.Thread(target=refresh_side),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert errors == []
+        refresh_join_view(wh, "jv")  # catch up to both heads
+        m, p = _jv_split(
+            wh.read("fact"), wh.read("dim"), "ckey", "ckey",
+            ["cname", "seg"],
+        )
+        assert sorted(tuple(r) for r in wh.read("jv").collect()) == sorted(
+            tuple(r) for r in m.collect()
+        )
+        assert sorted(
+            tuple(r) for r in wh.read("jv__pending").collect()
+        ) == sorted(tuple(r) for r in p.collect())
