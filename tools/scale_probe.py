@@ -1952,6 +1952,124 @@ def main_ann_index():
 
 
 
+def main_ivfpq_index():
+    """Probe-cost + storage claim for the COMPRESSED IVF-PQ index
+    (round 13, plans/ops.py create/update/probe_ivfpq_index): a FIXED
+    query batch probed against an index over a corpus grown by
+    disjoint factor-x id copies — the main_ann_index harness with the
+    compressed lane measured instead of asserted. Each scale uses the
+    sqrt-cells rule with bucket count ∝ cells (constant
+    bytes-per-cell); the corpus rides the warehouse bucketed by id so
+    the exact re-score fetch prunes. Comparator = probe_ann_index over
+    a raw-vector index of the SAME corpus (the twin the lane
+    compresses); both probes read n_probe cells' buckets, so both
+    should be ~flat — what the compressed lane buys is the index
+    BYTES, reported per scale. Index creation is untimed (amortized
+    across imports, maintained by update_ivfpq_index at O(changed)).
+    Usage: --ivfpq-index [factor]."""
+    from canvas_data_loader_spark.operators.simsearch import derive_n_cells
+    from canvas_data_loader_spark.plans.ops import (
+        create_ann_index,
+        create_ivfpq_index,
+        probe_ann_index,
+        probe_ivfpq_index,
+    )
+    from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+    def tree_bytes(root):
+        total = 0
+        for dp, _, fs in os.walk(root):
+            for fname in fs:
+                total += os.path.getsize(os.path.join(dp, fname))
+        return total
+
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    spark = get_spark("scale_probe_ivfpq")
+    e = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") % 97 == 3).limit(32).localCheckpoint()
+    n_q = queries.count()
+    report = {}
+    for f in (1, factor):
+        dest = tempfile.mkdtemp(prefix=f"scale_probe_ivfpq_{f}_")
+        try:
+            copies = [
+                e.withColumn("vec_id", F.col("vec_id") + F.lit(i * OFFSET))
+                for i in range(f)
+            ]
+            big = copies[0]
+            for c in copies[1:]:
+                big = big.unionByName(c)
+            wh = Warehouse(spark, os.path.join(dest, "wh"))
+            wh.write("vecs", big, "s0", bucket=("vec_id", 16))
+            n_rows = wh.read("vecs").count()
+            n_cells = derive_n_cells(n_rows)
+            n_b = max(4, n_cells // 4)
+            create_ivfpq_index(  # untimed: amortized across imports
+                wh, "pq", None, "s0", n_cells=n_cells, m_subs=8,
+                n_codes=8, n_buckets=n_b, source="vecs",
+            )
+            create_ann_index(
+                wh, "ann", None, "s0", n_cells=n_cells, n_buckets=n_b,
+                source="vecs",
+            )
+
+            def probe_pq():
+                return probe_ivfpq_index(
+                    wh, "pq", queries, k=10, n_probe=4
+                ).count()
+
+            def probe_raw():
+                return probe_ann_index(
+                    wh, "ann", queries, k=10, n_probe=4
+                ).count()
+
+            n_pq = probe_pq()  # warm
+            t0 = time.time()
+            assert probe_pq() == n_pq
+            t_pq = round(time.time() - t0, 3)
+            n_raw = probe_raw()  # warm
+            t0 = time.time()
+            assert probe_raw() == n_raw
+            t_raw = round(time.time() - t0, 3)
+            b_pq = tree_bytes(wh.current_path("pq"))
+            b_raw = tree_bytes(wh.current_path("ann"))
+            report[f"x{f}"] = {
+                "pq_sec": t_pq,
+                "raw_sec": t_raw,
+                "rows": n_rows,
+                "cells": n_cells,
+                "pq_hits": n_pq,
+                "raw_hits": n_raw,
+                "pq_bytes": b_pq,
+                "raw_bytes": b_raw,
+                "compression": round(b_raw / max(b_pq, 1), 2),
+            }
+        finally:
+            shutil.rmtree(dest, ignore_errors=True)
+    exp = {
+        k: round(
+            math.log(
+                max(report[f"x{factor}"][f"{k}_sec"], 1e-3)
+                / max(report["x1"][f"{k}_sec"], 1e-3)
+            )
+            / math.log(factor),
+            3,
+        )
+        for k in ("pq", "raw")
+    }
+    print(
+        json.dumps(
+            {
+                "mode": "ivfpq-index",
+                "factor": factor,
+                "n_queries": n_q,
+                "runs": report,
+                "exponent": exp,
+            }
+        )
+    )
+
+
 def main_decontam_index():
     """Probe-cost claim for the MAINTAINED decontamination index
     (round 12, plans/ops.py register/sync/probe_decontam_index): one
@@ -2290,6 +2408,8 @@ if __name__ == "__main__":
         main_checkpoint()
     elif len(sys.argv) > 1 and sys.argv[1] == "--ann-index":
         main_ann_index()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ivfpq-index":
+        main_ivfpq_index()
     elif len(sys.argv) > 1 and sys.argv[1] == "--source-pushdown":
         main_source_pushdown()
     elif len(sys.argv) > 1 and sys.argv[1] == "--writers":
