@@ -437,9 +437,7 @@ def _maintain(argv: list[str]) -> int:
         else:
             id_col = props["index.id_col"]
             kept = docs.join(
-                verdicts.filter(F.col("maybe_dup") == 0).select(
-                    F.col(props["index.id_col"]).alias(id_col)
-                ),
+                verdicts.filter(F.col("maybe_dup") == 0).select(id_col),
                 id_col,
                 "semi",
             )

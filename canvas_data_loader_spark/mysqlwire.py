@@ -65,7 +65,7 @@ def native_password_scramble(password: str, nonce: bytes) -> bytes:
     if not password:
         return b""
     p1 = hashlib.sha1(password.encode("utf-8")).digest()
-    p2 = hashlib.sha1(hashlib.sha1(password.encode("utf-8")).digest()).digest()
+    p2 = hashlib.sha1(p1).digest()
     mask = hashlib.sha1(nonce + p2).digest()
     return bytes(a ^ b for a, b in zip(p1, mask))
 
@@ -117,7 +117,14 @@ class MySqlWireClient:
         self.server_version: str | None = None
         self.thread_id: int | None = None
         self.last_info: str = ""
-        self._handshake(user, password, database)
+        try:
+            self._handshake(user, password, database)
+        except BaseException:
+            # a failed handshake raises from __init__, so no context
+            # manager ever runs close() — reclaim the socket here or a
+            # retry loop against a misconfigured server leaks fds
+            self._sock.close()
+            raise
 
     # -- packet framing -----------------------------------------------
 

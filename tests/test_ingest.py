@@ -842,19 +842,11 @@ class _FakeMySqlServer:
         self._thread = threading.Thread(target=self._serve, daemon=True)
         self._thread.start()
 
-    @staticmethod
-    def _recv_exact(conn, n):
-        buf = b""
-        while len(buf) < n:
-            chunk = conn.recv(n - len(buf))
-            if not chunk:
-                raise ConnectionError("client hung up")
-            buf += chunk
-        return buf
-
     def _read_packet(self, conn):
-        head = self._recv_exact(conn, 4)
-        return self._recv_exact(conn, int.from_bytes(head[:3], "little"))
+        from canvas_data_loader_spark.mysqlwire import _recv_exact
+
+        head = _recv_exact(conn, 4)
+        return _recv_exact(conn, int.from_bytes(head[:3], "little"))
 
     @staticmethod
     def _send_packet(conn, seq, payload):
