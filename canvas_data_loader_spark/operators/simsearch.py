@@ -886,6 +886,17 @@ def pq_codebook(
             "packed codes hold 8 bits x 8 subspaces — m_subs <= 8 and "
             f"n_codes <= 256 (got {m_subs}, {n_codes})"
         )
+    # the packed value is sum(code_m * 256^m); its maximum
+    # (n_codes-1) * (256^m_subs - 1)/255 must fit a SIGNED bigint —
+    # at m_subs=8 any code >= 128 in the top subspace crosses 2^63
+    # and the encode job dies with ARITHMETIC_OVERFLOW under ANSI
+    # mode (or silently wraps negative without it)
+    if (n_codes - 1) * (256**m_subs - 1) // 255 > 2**63 - 1:
+        raise ValueError(
+            f"packed code overflows bigint: m_subs={m_subs} with "
+            f"n_codes={n_codes} exceeds 63 bits — use n_codes <= 128 "
+            "at m_subs=8 (or fewer subspaces)"
+        )
     sub = dim // m_subs
     out = []
     for m in range(m_subs):
@@ -897,12 +908,18 @@ def pq_codebook(
             words.append(u[m * sub : (m + 1) * sub])
         out.append(words)
     unit = _unit_expr(vec_col)
+    # the normalized frame depends only on the input vectors, never on
+    # the evolving codebook — materialize it ONCE, not per sweep
+    normed = (
+        vectors.select(unit.alias("__u")).localCheckpoint()
+        if refine_iters
+        else None
+    )
     for _ in range(refine_iters):
         # ONE shuffle per sweep: explode every normalized dimension,
         # route it to (subspace, its row's code in that subspace,
         # position), mean per cell — all m_subs updates in one job
         m_col = (F.col("__pos") / sub).cast("int")
-        normed = vectors.select(unit.alias("__u")).localCheckpoint()
         means = (
             normed.select(
                 _pq_codes_arr(out, "__u", pre_normalized=True).alias(

@@ -82,7 +82,14 @@ class PgWireClient:
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self.parameters: dict[str, str] = {}
         self.backend_pid: int | None = None
-        self._startup(user, database)
+        try:
+            self._startup(user, database)
+        except BaseException:
+            # a failed startup raises from __init__, so no context
+            # manager ever runs close() — reclaim the socket here or a
+            # retry loop against an md5/scram server leaks fds
+            self._sock.close()
+            raise
 
     # -- protocol ------------------------------------------------------
 

@@ -690,6 +690,10 @@ def refresh_view(warehouse, view: str, full: bool = False) -> dict:
         return refresh_minmax_view(warehouse, view, full=full)
     if kind == "join":
         return refresh_join_view(warehouse, view, full=full)
+    if kind == "ccnet-cutoffs":
+        # the cutoffs artifact recomputes wholesale (|languages| rows);
+        # full vs incremental does not apply
+        return refresh_ccnet_cutoffs(warehouse, view)
     return refresh_rollup_view(warehouse, view, full=full)
 
 
@@ -1580,19 +1584,42 @@ def advance_index(warehouse, index: str) -> dict:
       through the kind's O(changed) maintainer (sync_neardup_index /
       update_ann_index), watermark riding the same commit.
     - **rebuild** — watermark missing, source incarnation changed
-      (drop+recreate, via table_id), feed horizon pruned, or schema
-      drift: recompute from the source head AGAINST THE FROZEN
-      parameters (LSH params / ANN centroids — re-training is a
-      reindex, not maintenance) and full-write with properties and
-      bucketing carried forward.
+      (drop+recreate, via table_id), watermark SHADOWED (ahead of the
+      head — see below), feed horizon pruned, or schema drift:
+      recompute from the source head AGAINST THE FROZEN parameters
+      (LSH params / ANN centroids — re-training is a reindex, not
+      maintenance) and full-write with properties and bucketing
+      carried forward.
+
+    The ABA case (the ccnet lane's props-watermark comment, applied
+    here): txn epochs are monotone-max across commits, so after a
+    source drop+recreate the old incarnation's high epoch would
+    shadow the new incarnation's restarted version counter — the
+    rebuild's own txn write max-folds into the stale epoch and every
+    later call would read watermark >= head and noop while the index
+    silently decays. A shadowed watermark (``last > v_head``)
+    therefore bumps ``index.app_gen``: the rebuild records its txn
+    under a FRESH app name (``idx-sync:<index>#<gen>``), which starts
+    from a clean epoch and re-arms the incremental ladder, while the
+    sync merges keep riding the txn map for replay-exactness.
 
     Returns {"mode", "v_from", "v_to"}."""
     props = warehouse.table_properties(index)
     kind, source = props["index.kind"], props["index.source"]
-    app = f"{_IDX_APP}:{index}"
+    gen = int(props.get("index.app_gen", "0") or 0)
+
+    def app_name(g: int) -> str:
+        return f"{_IDX_APP}:{index}" + (f"#{g}" if g else "")
+
+    app = app_name(gen)
     v_head = warehouse.current_version(source)
     last = warehouse.last_txn_epoch(app, index)
     src_id = warehouse.table_id(source) or ""
+    shadowed = last > v_head
+    if shadowed:
+        gen += 1
+        app = app_name(gen)
+        last = warehouse.last_txn_epoch(app, index)
 
     def rebuild() -> dict:
         info = warehouse.routing_info(index) or {}
@@ -1609,7 +1636,8 @@ def advance_index(warehouse, index: str) -> dict:
                 ),
                 snapshot,
                 bucket=("g", n_buckets),
-                props={"index.source_id": src_id},
+                props={"index.source_id": src_id,
+                       "index.app_gen": str(gen)},
                 txn=(app, v_head),
             )
         elif kind == "neardup":
@@ -1629,7 +1657,8 @@ def advance_index(warehouse, index: str) -> dict:
                 bands.distinct(),
                 snapshot,
                 bucket=("band_hash", n_buckets),
-                props={"index.source_id": src_id},
+                props={"index.source_id": src_id,
+                       "index.app_gen": str(gen)},
                 txn=(app, v_head),
             )
         elif kind == "bloom":
@@ -1648,7 +1677,8 @@ def advance_index(warehouse, index: str) -> dict:
                 ),
                 snapshot,
                 bucket=("b", n_buckets),
-                props={"index.source_id": src_id},
+                props={"index.source_id": src_id,
+                       "index.app_gen": str(gen)},
                 txn=(app, v_head),
             )
         elif kind == "ann":
@@ -1669,11 +1699,13 @@ def advance_index(warehouse, index: str) -> dict:
                 assigned,
                 snapshot,
                 bucket=("cell", n_buckets),
-                props={"index.source_id": src_id},
+                props={"index.source_id": src_id,
+                       "index.app_gen": str(gen)},
                 txn=(app, v_head),
             )
         elif kind == "ivfpq":
             from ..operators.simsearch import (
+                _unit_expr,
                 assign_cells_vectorized,
                 pq_encode_expr,
             )
@@ -1681,7 +1713,13 @@ def advance_index(warehouse, index: str) -> dict:
             meta = _ivfpq_meta(warehouse, index)
             id_col, vec_col = meta["id_col"], meta["vec_col"]
             cents_df = _centroid_frame(warehouse.spark, meta["centroids"])
-            assigned = assign_cells_vectorized(
+            # normalize ONCE behind a checkpoint barrier — the same
+            # codegen-size discipline as create_ivfpq_index (inlining
+            # the norm aggregate into every sub-distance measured
+            # 400+s builds; this path runs UNATTENDED via
+            # maintain_indexes_of, where a stalled rebuild blocks an
+            # import cycle)
+            pre = assign_cells_vectorized(
                 warehouse.read(source).select(id_col, vec_col),
                 cents_df,
                 id_col,
@@ -1690,14 +1728,22 @@ def advance_index(warehouse, index: str) -> dict:
             ).select(
                 id_col,
                 F.col("cell").cast("int").alias("cell"),
-                pq_encode_expr(meta["codebook"], vec_col).alias("code"),
+                _unit_expr(vec_col).alias("__u"),
+            ).localCheckpoint()
+            assigned = pre.select(
+                id_col,
+                "cell",
+                pq_encode_expr(
+                    meta["codebook"], "__u", pre_normalized=True
+                ).alias("code"),
             )
             warehouse.write(
                 index,
                 assigned,
                 snapshot,
                 bucket=("cell", n_buckets),
-                props={"index.source_id": src_id},
+                props={"index.source_id": src_id,
+                       "index.app_gen": str(gen)},
                 txn=(app, v_head),
             )
         else:
@@ -2341,9 +2387,11 @@ def probe_bloom_index(warehouse, index: str, new_docs) -> "DataFrame":
 #   - a dim INSERT can promote fact rows that never matched before —
 #     they are in pending's bucket for that pk, NOT findable any other
 #     way without a fact scan (the reason the sidecar exists).
-# Matched ∪ pending always holds every fact row exactly once, so the
-# touched keys' state is recomputed WHOLESALE from (current state ∖
-# feed pre-images ∪ feed post-images) ⋈ head-dim-restricted-to-touched
+# Matched ∪ pending always holds every NON-NULL-fk fact row exactly
+# once (NULL fks can never equality-match any dim row, so they are
+# excluded from the pair entirely — see _jv_split), so the touched
+# keys' state is recomputed WHOLESALE from (current state ∖ feed
+# pre-images ∪ feed post-images) ⋈ head-dim-restricted-to-touched
 # — a set replacement per key, idempotent under replay on top of the
 # epoch ladder both commit protocols enforce.
 # ---------------------------------------------------------------------------
@@ -2377,14 +2425,21 @@ def _jv_split(fact_df, dim_df, fk: str, dim_key: str, dim_cols: list[str]):
     carries fact columns + dim payload columns, pending carries the
     fact columns alone. ONE join shape both the build and every
     incremental motion share — maintained == rebuilt is an identity of
-    dataflow, not a reconciliation."""
+    dataflow, not a reconciliation.
+
+    NULL-fk fact rows are in NEITHER frame: SQL equality means they
+    can never match any dim row (not even a NULL dim key), so they are
+    not view rows and carrying them in pending would be dead weight
+    the maintenance motions cannot touch — every state/delete join is
+    fk equality, which skips NULLs, so a NULL-fk pending row could
+    never be retracted or replaced (ghost-row corruption)."""
     payload = dim_df.select(
         F.col(dim_key).alias("__jk"), *[F.col(c) for c in dim_cols]
     )
     matched = fact_df.join(
         payload, fact_df[fk] == F.col("__jk"), "inner"
     ).drop("__jk")
-    pending = fact_df.join(
+    pending = fact_df.filter(F.col(fk).isNotNull()).join(
         payload.select("__jk"), fact_df[fk] == F.col("__jk"), "left_anti"
     )
     return matched, pending
@@ -2486,10 +2541,12 @@ def create_join_view(
         "jv.fact_cols": json.dumps(fact_df.columns),
     }
     app_f, app_d = f"mv:{fact}", f"mv-dim:{dim}"
-    # pending FIRST, view second (the watermarks are read from the
-    # view, so a crash between the pair leaves pending AHEAD — and
-    # every motion is a per-key set replacement, so its replay when
-    # the view's interval re-runs is exact)
+    # pending FIRST, view second: the watermarks are read from the
+    # view, so a crash between the pair leaves pending's epoch AHEAD
+    # of the view watermark — the exact signature refresh_join_view's
+    # crashed-pair detection looks for (it heals by rebuilding from
+    # both heads; a state-based replay would lose rows a committed
+    # pending merge already consumed)
     warehouse.write(
         _jv_pending_table(view),
         pending,
@@ -2597,6 +2654,19 @@ def refresh_join_view(warehouse, view: str, full: bool = False) -> dict:
         and warehouse.GENESIS_VERSION < last_f <= v_f
         and warehouse.GENESIS_VERSION < last_d <= v_d
     )
+    # crashed-pair detection: the incremental motion commits pending
+    # FIRST, view second, under the same txn epoch. A crash between
+    # the pair leaves pending's epoch AHEAD of the view watermark —
+    # and the pending rows it consumed (a promotion deletes from
+    # pending before the view gains the row) are then invisible to a
+    # state recompute, so the replay is NOT exact for promotions.
+    # Detect the half-applied pair and heal by rebuilding from both
+    # heads instead.
+    if live and (
+        warehouse.last_txn_epoch(app_f, pending_t) > last_f
+        or warehouse.last_txn_epoch(app_d, pending_t) > last_d
+    ):
+        live = False
     if not live:
         return rebuild()
     try:
@@ -2687,8 +2757,10 @@ def refresh_join_view(warehouse, view: str, full: bool = False) -> dict:
         view, matched, f"jv-inc-v{v_f}.{v_d}", txn=txn,
         delete_keys=touched_keys.select(fk),
     )
-    if last_f < v_f and txn[0] != app_f:
-        warehouse.record_txn(view, app_f, v_f)
+    # txn[0] == app_f exactly when the fact interval advanced (the
+    # definition above), so the fact watermark always rode the merges;
+    # only a dim interval observed ALONGSIDE a fact interval needs the
+    # separate record (the merge could carry only one app's epoch)
     if last_d < v_d and txn[0] != app_d:
         warehouse.record_txn(view, app_d, v_d)
     return {

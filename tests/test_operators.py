@@ -3150,6 +3150,59 @@ class TestIndexAutoMaintenance:
         # rebuilt index re-binds to the new incarnation: next is noop
         assert advance_index(wh, "nd")["mode"] == "noop"
 
+    def test_recreate_below_old_watermark_does_not_shadow(
+        self, spark, docs, tmp_path
+    ):
+        """The ABA case the ccnet lane documents, closed for indexes:
+        advance the watermark several source versions, then drop +
+        recreate the source so its version counter RESTARTS BELOW the
+        recorded epoch. The monotone-max txn map would keep reading
+        the old epoch (rebuild's own txn write max-folds into it) and
+        every later call would noop while the index silently decays —
+        the shadow must instead bump index.app_gen so the incremental
+        ladder re-arms on a fresh epoch sequence."""
+        from canvas_data_loader_spark.plans.ops import advance_index
+
+        wh = self._wh(spark, tmp_path)
+        base = self._seed(spark, docs, wh)
+        # push the source (and watermark) several versions ahead
+        for i in range(3):
+            wh.merge_bucketed(
+                "docs",
+                base.limit(2).withColumn(
+                    "text", F.lit(f"watermark push {i}")
+                ),
+                f"m{i}",
+            )
+            assert advance_index(wh, "nd")["mode"] == "incremental"
+        old_wm = wh.last_txn_epoch("idx-sync:nd", "nd")
+        assert old_wm >= 4
+        # recreate: the new incarnation's version counter restarts
+        fresh = docs.select("doc_id", "text").filter(
+            F.col("doc_id") % 2 == 0
+        ).limit(30)
+        wh.drop("docs")
+        wh.write("docs", fresh, "s0b", bucket=("doc_id", 8))
+        assert wh.current_version("docs") < old_wm
+        assert advance_index(wh, "nd")["mode"] == "rebuild"
+        assert sorted(tuple(r) for r in wh.read("nd").collect()) == (
+            self._rebuilt(wh)
+        )
+        assert advance_index(wh, "nd")["mode"] == "noop"
+        # the lane must keep TRACKING the new incarnation — the
+        # shadowed-watermark bug turned every one of these into a noop
+        wh.merge_bucketed(
+            "docs",
+            fresh.limit(2).withColumn("text", F.lit("post-recreate rows")),
+            "m-post",
+        )
+        out = advance_index(wh, "nd")
+        assert out["mode"] == "incremental"
+        assert sorted(tuple(r) for r in wh.read("nd").collect()) == (
+            self._rebuilt(wh)
+        )
+        assert advance_index(wh, "nd")["mode"] == "noop"
+
     def test_maintain_indexes_of_skips_failures(self, spark, docs, tmp_path):
         """A broken index (properties vandalized) must be logged and
         skipped, never failing the source's import hook."""
@@ -4124,6 +4177,41 @@ class TestCcnetCutoffs:
         assert refresh_ccnet_cutoffs(wh, "cuts")["mode"] == "recompute"
         assert refresh_ccnet_cutoffs(wh, "cuts")["mode"] == "noop"
 
+    def test_unattended_auto_refresh_routes_to_ccnet_lane(
+        self, spark, tmp_path
+    ):
+        """refresh_views_of discovers the artifact via mv.source and
+        must dispatch it to refresh_ccnet_cutoffs — the unattended path
+        the lane was built for. Before the refresh_view branch existed
+        the artifact fell through to refresh_rollup_view, died on
+        KeyError('mv.source_key'), and auto-refresh skipped it forever
+        (the cutoffs never recalibrated on the import loop)."""
+        from canvas_data_loader_spark.plans.ops import (
+            ccnet_cutoff_values,
+            refresh_view,
+            refresh_views_of,
+            register_ccnet_cutoffs,
+        )
+        from canvas_data_loader_spark.plans.pipeline import Warehouse
+
+        wh = Warehouse(spark, str(tmp_path / "whar"))
+        wh.write("scores", self._scores(spark), "s0", bucket=("doc_id", 4))
+        register_ccnet_cutoffs(wh, "cuts", "scores", "cal0")
+        wh.merge_bucketed(
+            "scores",
+            spark.createDataFrame(
+                [(f"en{i}", "en", 777) for i in range(31, 40)],
+                "doc_id string, lang string, nll_micro long",
+            ),
+            "m1",
+        )
+        refresh_views_of(wh, "scores")
+        assert sorted(tuple(r) for r in wh.read("cuts").collect()) == sorted(
+            tuple(r) for r in ccnet_cutoff_values(wh.read("scores")).collect()
+        )
+        # the explicit dispatcher (the CLI's --refresh-view) agrees
+        assert refresh_view(wh, "cuts")["mode"] == "noop"
+
     def test_uncalibrated_lang_falls_to_tail(self, spark):
         from canvas_data_loader_spark.plans.ops import (
             ccnet_assign,
@@ -4328,6 +4416,13 @@ class TestIvfPqIndex:
             pq_codebook(embs, 8, 16, "vec_id", "embedding")
         with pytest.raises(ValueError, match="not divisible"):
             pq_codebook(embs, 8, 7, "vec_id", "embedding")
+        # 8 subspaces x codes >= 128: the top subspace's contribution
+        # crosses 2^63 and the encode job would die with
+        # ARITHMETIC_OVERFLOW under ANSI mode — refused at build
+        with pytest.raises(ValueError, match="overflows bigint"):
+            pq_codebook(embs, 129, 8, "vec_id", "embedding")
+        # 128 codes at 8 subspaces still fits (2^63 - 1 boundary)
+        assert len(pq_codebook(embs, 128, 8, "vec_id", "embedding")) == 8
         # probe without a registered source and without vectors= is an
         # actionable error
         wh = self._wh(spark, tmp_path)

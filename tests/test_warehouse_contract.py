@@ -4550,9 +4550,13 @@ class TestJoinViews:
 
     def test_crash_between_pair_heals(self, spark, wh_factory):
         """A crash AFTER the pending commit but BEFORE the view commit
-        leaves pending ahead; the view's watermark is authoritative, so
-        the next refresh re-runs the interval and the pending replay is
-        an exact no-op (per-key set replacement + epoch skip)."""
+        leaves pending's epoch ahead of the view watermark. The next
+        refresh detects the half-applied pair and heals by REBUILDING
+        from both heads — a state-based replay is exact for fact waves
+        like this one but loses dim-side promotions (a committed
+        pending merge already consumed the promoted rows), so the
+        detection is unconditional; see
+        TestJoinViewCrashBetweenCommitPair for the lossy case."""
         from canvas_data_loader_spark.plans.ops import refresh_join_view
 
         wh = wh_factory()
@@ -4585,10 +4589,11 @@ class TestJoinViews:
                 refresh_join_view(wh, "jv")
         finally:
             wh.merge_bucketed = real
-        # interval re-runs; everything converges
+        # the crashed pair is detected; the rebuild converges
         out = refresh_join_view(wh, "jv")
-        assert out["mode"] == "incremental"
+        assert out["mode"] == "full"
         assert self._current(wh) == self._rebuilt(wh)
+        assert refresh_join_view(wh, "jv")["mode"] == "noop"
 
     def test_rollup_composes_on_top(self, spark, wh_factory):
         """A rollup view OVER the join view — the star-schema rollup —
@@ -4685,6 +4690,170 @@ class TestJoinViews:
         )
         with pytest.raises(ValueError, match="collide with fact columns"):
             create_join_view(wh, "jv", "fact", "dim2", fk="ckey")
+
+
+class TestJoinViewNullFk:
+    def test_null_fk_rows_never_ghost_the_pending_sidecar(
+        self, spark, wh_factory
+    ):
+        """NULL-fk fact rows can never equality-match any dim row, so
+        they belong in NEITHER the view NOR the pending sidecar: every
+        maintenance join is fk equality, which skips NULLs, so a
+        NULL-fk pending row could never be retracted — deleting or
+        re-pointing it would leave a ghost forever (maintained !=
+        rebuilt). Pins: the build excludes them; deleting one and
+        re-pointing one through NULL in both directions all keep
+        maintained == rebuilt."""
+        from canvas_data_loader_spark.plans.ops import (
+            _jv_split,
+            create_join_view,
+            refresh_join_view,
+        )
+
+        wh = wh_factory()
+        rows = [(i, i % 4, i * 10.0) for i in range(1, 17)]
+        rows += [(100, None, 1.0), (101, None, 2.0), (102, None, 3.0)]
+        wh.write(
+            "fact",
+            spark.createDataFrame(
+                rows, "oid long, ckey long, amt double"
+            ),
+            "s0",
+            bucket=("oid", 8),
+        )
+        wh.write(
+            "dim",
+            spark.createDataFrame(
+                [(c, f"cust{c}") for c in range(0, 3)],
+                "ckey long, cname string",
+            ),
+            "s0",
+            bucket=("ckey", 4),
+        )
+        create_join_view(wh, "jv", "fact", "dim", fk="ckey")
+
+        def rebuilt():
+            m, p = _jv_split(
+                wh.read("fact"), wh.read("dim"), "ckey", "ckey", ["cname"]
+            )
+            return (
+                sorted(tuple(r) for r in m.collect()),
+                sorted(tuple(r) for r in p.collect()),
+            )
+
+        def current():
+            return (
+                sorted(tuple(r) for r in wh.read("jv").collect()),
+                sorted(tuple(r) for r in wh.read("jv__pending").collect()),
+            )
+
+        assert current() == rebuilt()
+        # NULL-fk rows are in neither half
+        assert (
+            wh.read("jv__pending").filter(F.col("ckey").isNull()).count()
+            == 0
+        )
+        # delete one NULL-fk row; re-point one NULL -> 1 (appears);
+        # re-point a matched row 1 -> NULL (disappears)
+        wh.merge_bucketed(
+            "fact",
+            spark.createDataFrame(
+                [(101, 1, 2.0), (1, None, 10.0)],
+                "oid long, ckey long, amt double",
+            ),
+            "m1",
+            delete_keys=spark.createDataFrame([(100,)], "oid long"),
+        )
+        assert refresh_join_view(wh, "jv")["mode"] == "incremental"
+        assert current() == rebuilt()
+        assert wh.read("jv").filter("oid = 101").count() == 1
+        assert wh.read("jv").filter("oid = 1").count() == 0
+        assert (
+            wh.read("jv__pending").filter(F.col("ckey").isNull()).count()
+            == 0
+        )
+        assert refresh_join_view(wh, "jv")["mode"] == "noop"
+
+
+class TestJoinViewCrashBetweenCommitPair:
+    def test_crash_after_pending_merge_heals_by_rebuild(
+        self, spark, wh_factory, monkeypatch
+    ):
+        """The incremental motion commits pending FIRST, view second.
+        A crash between the pair (injected: the second merge raises
+        after the first committed) consumes a promoted row from
+        pending before the view gains it — a state-based replay
+        cannot see that row anywhere, so the NEXT refresh must detect
+        pending's epoch ahead of the view watermark and heal by
+        rebuilding from both heads, with the promotion present."""
+        from canvas_data_loader_spark.plans.ops import (
+            _jv_split,
+            create_join_view,
+            refresh_join_view,
+        )
+
+        wh = wh_factory()
+        wh.write(
+            "fact",
+            spark.createDataFrame(
+                [(i, i % 6, i * 10.0) for i in range(1, 25)],
+                "oid long, ckey long, amt double",
+            ),
+            "s0",
+            bucket=("oid", 8),
+        )
+        wh.write(
+            "dim",
+            spark.createDataFrame(
+                [(c, f"cust{c}", f"seg{c % 2}") for c in range(0, 4)],
+                "ckey long, cname string, seg string",
+            ),
+            "s0",
+            bucket=("ckey", 4),
+        )
+        create_join_view(wh, "jv", "fact", "dim", fk="ckey")
+        assert wh.read("jv__pending").filter("ckey = 5").count() > 0
+        # dim INSERT of key 5: the refresh will PROMOTE those pending
+        # rows — crash it between the two commits
+        wh.merge_bucketed(
+            "dim",
+            spark.createDataFrame(
+                [(5, "cust5", "seg1")], "ckey long, cname string, seg string"
+            ),
+            "m1",
+        )
+        real = wh.merge_bucketed
+        calls = {"n": 0}
+
+        def crash_after_first(table, *a, **k):
+            out = real(table, *a, **k)
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected crash between the pair")
+            return out
+
+        monkeypatch.setattr(wh, "merge_bucketed", crash_after_first)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            refresh_join_view(wh, "jv")
+        monkeypatch.setattr(wh, "merge_bucketed", real)
+        # the half-applied pair: pending no longer holds key 5, the
+        # view does not yet — the promoted rows are nowhere
+        assert wh.read("jv__pending").filter("ckey = 5").count() == 0
+        assert wh.read("jv").filter("ckey = 5").count() == 0
+        out = refresh_join_view(wh, "jv")
+        assert out["mode"] == "full"
+        m, p = _jv_split(
+            wh.read("fact"), wh.read("dim"), "ckey", "ckey",
+            ["cname", "seg"],
+        )
+        assert sorted(tuple(r) for r in wh.read("jv").collect()) == sorted(
+            tuple(r) for r in m.collect()
+        )
+        assert sorted(
+            tuple(r) for r in wh.read("jv__pending").collect()
+        ) == sorted(tuple(r) for r in p.collect())
+        assert wh.read("jv").filter("ckey = 5").count() > 0
+        assert refresh_join_view(wh, "jv")["mode"] == "noop"
 
 
 class TestJoinViewRefreshVsMergeRace:
