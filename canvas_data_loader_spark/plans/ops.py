@@ -843,11 +843,33 @@ def sync_mirror(
     import os
 
     mirror = mirror or table
-    app = f"mirror:{table}"
     info = src_wh.routing_info(table)
     if info is None:
         raise FileNotFoundError(f"source table not in warehouse: {table}")
     src_id = src_wh.table_id(table) or ""
+    # shadowed-watermark escape (the advance_index ABA fix applied to
+    # mirrors): txn epochs are monotone-max, so after a source
+    # drop+recreate whose version counter restarts BELOW the recorded
+    # epoch, every sync would read watermark > head and re-clone the
+    # whole mirror until the new counter caught up — correct but
+    # O(mirror) per sync. A shadowed watermark bumps mirror.app_gen so
+    # the fresh app name restarts the epoch sequence and the
+    # incremental ladder re-arms after ONE clone.
+    gen = 0
+    if dst_wh.exists(mirror):
+        gen = int(
+            dst_wh.table_properties(mirror).get("mirror.app_gen", "0") or 0
+        )
+
+    def app_name(g: int) -> str:
+        return f"mirror:{table}" + (f"#{g}" if g else "")
+
+    app = app_name(gen)
+    if dst_wh.exists(mirror) and dst_wh.last_txn_epoch(
+        app, mirror
+    ) > src_wh.current_version(table):
+        gen += 1
+        app = app_name(gen)
     src_root = os.path.abspath(getattr(src_wh, "root", "") or "")
     bucket = (
         (info["bucket_key"], int(info["n_buckets"]))
@@ -868,6 +890,7 @@ def sync_mirror(
                 "mirror.source": table,
                 "mirror.source_id": src_id,
                 "mirror.source_root": src_root,
+                "mirror.app_gen": str(gen),
             },
         )
         return {"mode": "clone", "v_from": v_from, "v_to": v_src}

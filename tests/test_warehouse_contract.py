@@ -3044,6 +3044,57 @@ class TestSyncMirror:
         assert out["mode"] == "clone"
         assert rows_of(dst, "t") == [(7, "fresh")]
 
+    def test_history_reset_reclones_once_then_goes_incremental(
+        self, spark, pair
+    ):
+        """The advance_index ABA fix applied to mirrors: advance the
+        watermark several source versions, then drop + recreate the
+        source so its version counter restarts BELOW the recorded
+        epoch. The monotone-max txn map would read watermark > head on
+        every later sync and re-clone the whole mirror each time
+        (correct but O(mirror) per sync) — the shadow must instead
+        bump mirror.app_gen so exactly ONE clone re-arms the
+        incremental ladder."""
+        from canvas_data_loader_spark.plans.ops import sync_mirror
+
+        src, dst = pair
+        self._seed(spark, src)
+        sync_mirror(src, "t", dst)
+        for i in range(3):
+            src.merge_bucketed(
+                "t",
+                spark.createDataFrame(
+                    [(i, f"upd{i}")], "id long, v string"
+                ),
+                snapshot=f"m{i}",
+            )
+            assert sync_mirror(src, "t", dst)["mode"] == "incremental"
+        # recreate: version counter restarts below the recorded epoch
+        src.drop("t")
+        src.write(
+            "t",
+            spark.createDataFrame(
+                [(i, f"n{i}") for i in range(12)], "id long, v string"
+            ),
+            snapshot="s0",
+            bucket=("id", 8),
+        )
+        assert src.current_version("t") < 4
+        assert sync_mirror(src, "t", dst)["mode"] == "clone"
+        assert rows_of(dst, "t") == rows_of(src, "t")
+        assert sync_mirror(src, "t", dst)["mode"] == "noop"
+        # the lane must keep tracking the new incarnation
+        # incrementally — the shadowed watermark re-cloned here
+        src.merge_bucketed(
+            "t",
+            spark.createDataFrame([(3, "UPD")], "id long, v string"),
+            snapshot="m-post",
+        )
+        out = sync_mirror(src, "t", dst)
+        assert out["mode"] == "incremental"
+        assert rows_of(dst, "t") == rows_of(src, "t")
+        assert sync_mirror(src, "t", dst)["mode"] == "noop"
+
     def test_refuses_foreign_destination(self, spark, pair):
         from canvas_data_loader_spark.plans.ops import sync_mirror
 
