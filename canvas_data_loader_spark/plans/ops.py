@@ -323,15 +323,34 @@ def refresh_rollup_view(
     )
     from ..operators.ivm import apply_rollup_delta, build_rollup
 
-    app = f"mv:{source}"
     src_info = warehouse.routing_info(source)
     if src_info is None:
         raise FileNotFoundError(f"source table not in warehouse: {source}")
     source_id = warehouse.table_id(source) or ""
     same_incarnation = source_id == view_props.get("mv.source_id", "")
+    # shadowed-watermark escape (the advance_index ABA fix): after a
+    # source drop+recreate whose version counter restarts BELOW the
+    # recorded epoch, the monotone-max txn map would keep the lane on
+    # the full path EVERY refresh until the new counter caught up —
+    # bump mv.app_gen so one rebuild under a fresh app name re-arms
+    # the incremental ladder
+    app_gen = int(view_props.get("mv.app_gen", "0") or 0)
+
+    def _app(g: int) -> str:
+        return f"mv:{source}" + (f"#{g}" if g else "")
+
+    app = _app(app_gen)
+    gen_bumped = False
+    if warehouse.last_txn_epoch(app, view) > warehouse.current_version(
+        source
+    ):
+        app_gen += 1
+        app = _app(app_gen)
+        gen_bumped = True
     if (
         not full
         and same_incarnation
+        and not gen_bumped
         and warehouse.current_version(source)
         == warehouse.last_txn_epoch(app, view)
     ):
@@ -371,6 +390,8 @@ def refresh_rollup_view(
             prop_updates["mv.source_key"] = use_key
         if not same_incarnation:
             prop_updates["mv.source_id"] = source_id
+        if gen_bumped:
+            prop_updates["mv.app_gen"] = str(app_gen)
         new_rollup, mode, feed = None, "full", None
         if live and use_key:
             try:
@@ -560,17 +581,35 @@ def refresh_minmax_view(
         k: tuple(v) for k, v in json.loads(props["mv.agg_cols"]).items()
     }
     pt = _minmax_partials_table(view)
-    app = f"mv:{source}"
     src_info = warehouse.routing_info(source)
     if src_info is None:
         raise FileNotFoundError(f"source table not in warehouse: {source}")
     source_id = warehouse.table_id(source) or ""
     same_incarnation = source_id == props.get("mv.source_id", "")
+    # shadowed-watermark escape — the rollup-lane rule (see
+    # refresh_rollup_view): a source history reset must cost ONE
+    # rebuild, not a rebuild per refresh
+    app_gen = int(props.get("mv.app_gen", "0") or 0)
+
+    def _app(g: int) -> str:
+        return f"mv:{source}" + (f"#{g}" if g else "")
+
+    app = _app(app_gen)
+    gen_bumped = False
+    src_head = warehouse.current_version(source)
+    if (
+        warehouse.last_txn_epoch(app, view) > src_head
+        or warehouse.last_txn_epoch(app, pt) > src_head
+    ):
+        app_gen += 1
+        app = _app(app_gen)
+        gen_bumped = True
     view_last = warehouse.last_txn_epoch(app, view)
     if (
         not full
         and same_incarnation
-        and warehouse.current_version(source) == view_last
+        and not gen_bumped
+        and src_head == view_last
         and warehouse.last_txn_epoch(app, pt) == view_last
     ):
         return {"mode": "noop", "v_from": view_last, "v_to": view_last}
@@ -661,6 +700,8 @@ def refresh_minmax_view(
         prop_updates = {}
         if not same_incarnation:
             prop_updates["mv.source_id"] = source_id
+        if gen_bumped:
+            prop_updates["mv.app_gen"] = str(app_gen)
         if mode in ("incremental", "full"):
             if use_key and use_key != stored_key:
                 prop_updates["mv.source_key"] = use_key
@@ -2615,7 +2656,6 @@ def refresh_join_view(warehouse, view: str, full: bool = False) -> dict:
     d = _jv_definition(props, view)
     fact, dim, fk = d["fact"], d["dim"], d["fk"]
     pending_t = _jv_pending_table(view)
-    app_f, app_d = f"mv:{fact}", f"mv-dim:{dim}"
     if warehouse.routing_info(fact) is None:
         raise FileNotFoundError(f"fact table not in warehouse: {fact}")
     if warehouse.routing_info(dim) is None:
@@ -2626,6 +2666,28 @@ def refresh_join_view(warehouse, view: str, full: bool = False) -> dict:
         "jv.dim_id", ""
     )
     v_f, v_d = warehouse.current_version(fact), warehouse.current_version(dim)
+    # shadowed-watermark escape per SIDE (the rollup-lane rule): a
+    # history reset of either source must cost ONE rebuild, not a
+    # rebuild per refresh
+    gen_f = int(props.get("jv.app_gen_f", "0") or 0)
+    gen_d = int(props.get("jv.app_gen_d", "0") or 0)
+
+    def _app_f(g: int) -> str:
+        return f"mv:{fact}" + (f"#{g}" if g else "")
+
+    def _app_d(g: int) -> str:
+        return f"mv-dim:{dim}" + (f"#{g}" if g else "")
+
+    app_f, app_d = _app_f(gen_f), _app_d(gen_d)
+    gen_bumped = False
+    if warehouse.last_txn_epoch(app_f, view) > v_f:
+        gen_f += 1
+        app_f = _app_f(gen_f)
+        gen_bumped = True
+    if warehouse.last_txn_epoch(app_d, view) > v_d:
+        gen_d += 1
+        app_d = _app_d(gen_d)
+        gen_bumped = True
     last_f = warehouse.last_txn_epoch(app_f, view)
     last_d = warehouse.last_txn_epoch(app_d, view)
     if not full and same_inc and last_f == v_f and last_d == v_d:
@@ -2647,6 +2709,8 @@ def refresh_join_view(warehouse, view: str, full: bool = False) -> dict:
             "mv.source_id": fact_id,
             "jv.dim_id": dim_id,
             "jv.fact_cols": json.dumps(fact_df.columns),
+            "jv.app_gen_f": str(gen_f),
+            "jv.app_gen_d": str(gen_d),
         }
         warehouse.write(
             pending_t,

@@ -4743,6 +4743,170 @@ class TestJoinViews:
             create_join_view(wh, "jv", "fact", "dim2", fk="ckey")
 
 
+class TestMvHistoryResetRebuildsOnce:
+    """The advance_index/sync_mirror shadowed-watermark rule applied to
+    the three MV lanes: a source drop+recreate whose version counter
+    restarts BELOW the recorded epoch must cost ONE rebuild, after
+    which the incremental ladder re-arms — the monotone-max txn map
+    alone would put the lane on the full path EVERY refresh until the
+    new counter caught up."""
+
+    @staticmethod
+    def _advance(wh, spark, table, rows, n):
+        for i in range(n):
+            wh.merge_bucketed(
+                table,
+                spark.createDataFrame(rows(i), "id long, grp string, amount long"),
+                snapshot=f"adv{i}",
+            )
+
+    def test_rollup_goes_incremental_after_reset(self, spark, wh_factory):
+        from canvas_data_loader_spark.operators.ivm import build_rollup
+        from canvas_data_loader_spark.plans.ops import (
+            create_rollup_view,
+            refresh_rollup_view,
+        )
+
+        wh = wh_factory()
+        base = spark.createDataFrame(
+            [(i, f"g{i % 3}", i * 10) for i in range(24)],
+            "id long, grp string, amount long",
+        )
+        wh.write("facts", base, "s0", bucket=("id", 8))
+        create_rollup_view(wh, "v", "facts", ["grp"], {"total": "amount"})
+        self._advance(
+            wh, spark, "facts", lambda i: [(900 + i, "gX", i)], 3
+        )
+        assert refresh_rollup_view(wh, "v")["mode"] == "incremental"
+        old_head = wh.current_version("facts")
+        wh.drop("facts")
+        wh.write("facts", base, "s0", bucket=("id", 8))
+        assert wh.current_version("facts") < old_head
+        assert refresh_rollup_view(wh, "v")["mode"] == "full"
+        assert refresh_rollup_view(wh, "v")["mode"] == "noop"
+        # the lane must keep tracking the new incarnation INCREMENTALLY
+        wh.merge_bucketed(
+            "facts",
+            spark.createDataFrame(
+                [(1, "g1", 7777)], "id long, grp string, amount long"
+            ),
+            snapshot="post",
+        )
+        assert refresh_rollup_view(wh, "v")["mode"] == "incremental"
+        assert sorted(tuple(r) for r in wh.read("v").collect()) == sorted(
+            tuple(r)
+            for r in build_rollup(
+                wh.read("facts"), ["grp"], {"total": "amount"}
+            ).collect()
+        )
+
+    def test_minmax_goes_incremental_after_reset(self, spark, wh_factory):
+        from canvas_data_loader_spark.operators.ivm import (
+            build_minmax_partials,
+            finalize_minmax,
+        )
+        from canvas_data_loader_spark.plans.ops import (
+            create_minmax_view,
+            refresh_minmax_view,
+        )
+
+        wh = wh_factory()
+        base = spark.createDataFrame(
+            [(i, f"g{i % 3}", i * 10) for i in range(24)],
+            "id long, grp string, amount long",
+        )
+        wh.write("facts", base, "s0", bucket=("id", 8))
+        create_minmax_view(
+            wh, "v", "facts", ["grp"], {"lo": ("amount", "min")}
+        )
+        self._advance(
+            wh, spark, "facts", lambda i: [(900 + i, "gX", -i)], 3
+        )
+        assert refresh_minmax_view(wh, "v")["mode"] == "incremental"
+        old_head = wh.current_version("facts")
+        wh.drop("facts")
+        wh.write("facts", base, "s0", bucket=("id", 8))
+        assert wh.current_version("facts") < old_head
+        assert refresh_minmax_view(wh, "v")["mode"] == "full"
+        assert refresh_minmax_view(wh, "v")["mode"] == "noop"
+        wh.merge_bucketed(
+            "facts",
+            spark.createDataFrame(
+                [(1, "g1", -555)], "id long, grp string, amount long"
+            ),
+            snapshot="post",
+        )
+        assert refresh_minmax_view(wh, "v")["mode"] == "incremental"
+        want = finalize_minmax(
+            build_minmax_partials(
+                wh.read("facts"), "id", 8, ["grp"], {"lo": ("amount", "min")}
+            ),
+            ["grp"],
+            {"lo": ("amount", "min")},
+        )
+        assert sorted(tuple(r) for r in wh.read("v").collect()) == sorted(
+            tuple(r) for r in want.collect()
+        )
+
+    def test_join_view_goes_incremental_after_fact_reset(
+        self, spark, wh_factory
+    ):
+        from canvas_data_loader_spark.plans.ops import (
+            _jv_split,
+            create_join_view,
+            refresh_join_view,
+        )
+
+        wh = wh_factory()
+        fact = spark.createDataFrame(
+            [(i, i % 4, i * 10.0) for i in range(1, 17)],
+            "oid long, ckey long, amt double",
+        )
+        wh.write("fact", fact, "s0", bucket=("oid", 8))
+        wh.write(
+            "dim",
+            spark.createDataFrame(
+                [(c, f"cust{c}") for c in range(0, 3)],
+                "ckey long, cname string",
+            ),
+            "s0",
+            bucket=("ckey", 4),
+        )
+        create_join_view(wh, "jv", "fact", "dim", fk="ckey")
+        for i in range(3):
+            wh.merge_bucketed(
+                "fact",
+                spark.createDataFrame(
+                    [(100 + i, i % 4, 5.0)], "oid long, ckey long, amt double"
+                ),
+                snapshot=f"adv{i}",
+            )
+            assert refresh_join_view(wh, "jv")["mode"] == "incremental"
+        old_head = wh.current_version("fact")
+        wh.drop("fact")
+        wh.write("fact", fact, "s0", bucket=("oid", 8))
+        assert wh.current_version("fact") < old_head
+        assert refresh_join_view(wh, "jv")["mode"] == "full"
+        assert refresh_join_view(wh, "jv")["mode"] == "noop"
+        wh.merge_bucketed(
+            "fact",
+            spark.createDataFrame(
+                [(1, 2, 999.0)], "oid long, ckey long, amt double"
+            ),
+            snapshot="post",
+        )
+        assert refresh_join_view(wh, "jv")["mode"] == "incremental"
+        m, p = _jv_split(
+            wh.read("fact"), wh.read("dim"), "ckey", "ckey", ["cname"]
+        )
+        assert sorted(tuple(r) for r in wh.read("jv").collect()) == sorted(
+            tuple(r) for r in m.collect()
+        )
+        assert sorted(
+            tuple(r) for r in wh.read("jv__pending").collect()
+        ) == sorted(tuple(r) for r in p.collect())
+
+
 class TestJoinViewNullFk:
     def test_null_fk_rows_never_ghost_the_pending_sidecar(
         self, spark, wh_factory
