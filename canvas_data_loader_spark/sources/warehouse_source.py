@@ -369,19 +369,28 @@ def _plan_step(
     guarded full-diff partition when pruning is unavailable."""
     if base is None:
         dv_all = meta.dv_by_file(v)
-        return [
-            FeedPartition(
-                v_from=meta.genesis,
-                v_to=v,
-                key=key,
-                new_files=[f],
-                insert_only=True,
-                renames=renames,
-                new_dv={f: dv_all[f]} if f in dv_all else {},
-            )
-            for fl in meta.files_by_bucket(v).values()
-            for f in fl
-        ]
+        # NO early return: these partitions flow through the shared
+        # vacuum/size guard below — a snapshot file pruned between
+        # planning and read must surface as the documented
+        # FeedReconstructionError, not as a raw executor
+        # FileNotFoundError (the diff branch's contract)
+        return _guard_partitions(
+            meta,
+            [
+                FeedPartition(
+                    v_from=meta.genesis,
+                    v_to=v,
+                    key=key,
+                    new_files=[f],
+                    insert_only=True,
+                    renames=renames,
+                    new_dv={f: dv_all[f]} if f in dv_all else {},
+                )
+                for fl in meta.files_by_bucket(v).values()
+                for f in fl
+            ],
+            max_diff_bytes,
+        )
     if meta.wh.rows_changed(meta.table, base, v) is False:
         # interval provably row-identical (compaction / rebucket /
         # properties / txn-only commits carry data_change=false):
@@ -435,6 +444,16 @@ def _plan_step(
                     new_dv=dv_for(new_map.get(b, []), new_dv_all),
                 )
             )
+    return _guard_partitions(meta, parts, max_diff_bytes)
+
+
+def _guard_partitions(
+    meta: _Meta, parts: list[FeedPartition], max_diff_bytes: int
+) -> list[FeedPartition]:
+    """Planner-side guard every feed partition passes (diff AND
+    snapshot-catch-up shapes): vacuumed files fail as the documented
+    FeedReconstructionError, oversized partitions as an actionable
+    maxDiffBytes error — never a raw executor FileNotFoundError."""
     for p in parts:
         try:
             size = sum(
@@ -795,12 +814,26 @@ class WarehouseStreamReader(DataSourceStreamReader):
         # checkpointed offset governs then, and the floor falls back
         # to the current head (first recovered trigger may be
         # unclamped: bounded staleness, never lost data).
+        #
+        # RESTART SAFETY: a restarted stream re-passing the same
+        # startingVersion + maxVersionsPerTrigger options must never
+        # clamp latestOffset BELOW the checkpointed cursor (offset
+        # regression = duplicate delivery). The engine re-plans the
+        # last offset-logged batch on every restart (observed:
+        # partitions(ckpt, ckpt) precedes the first latestOffset in
+        # both trigger modes) and replays commit() for it — so
+        # partitions() and commit() below fold every offset they see
+        # into this floor, making the clamp safe whichever recovery
+        # path runs and independent of that undocumented ordering
+        # (pinned by test_restart_with_rate_limit_never_rewinds).
         try:
             self._planned_through = _resolve_start(
                 self._meta(), self.starting, default_latest=True
             )
         except FeedReconstructionError:
             self._planned_through = self._meta().current_version()
+
+
 
     def _meta(self) -> _Meta:
         return _Meta(self.root, self.table, self.protocol)
@@ -809,7 +842,8 @@ class WarehouseStreamReader(DataSourceStreamReader):
         # only called for a FRESH stream (no checkpoint) — the one
         # place the startingVersion option is resolved and validated
         v = _resolve_start(self._meta(), self.starting, default_latest=True)
-        self._planned_through = v  # rate-limit floor known from birth
+        # never LOWER a floor partitions()/commit() already raised
+        self._planned_through = max(self._planned_through, v)
         return {"version": v}
 
     def latestOffset(self):
@@ -823,8 +857,10 @@ class WarehouseStreamReader(DataSourceStreamReader):
     def partitions(self, start, end):
         start_v, end_v = int(start["version"]), int(end["version"])
         # NEVER clamp here: ``end`` is already in the offset log, so
-        # planning less than it would mark undelivered data consumed
-        self._planned_through = max(self._planned_through, end_v)
+        # planning less than it would mark undelivered data consumed —
+        # but fold BOTH bounds into the rate-limit floor (the start is
+        # the checkpointed cursor on a restarted recovered batch)
+        self._planned_through = max(self._planned_through, start_v, end_v)
         parts = _plan_range(
             self._meta(),
             start_v,
@@ -848,7 +884,16 @@ class WarehouseStreamReader(DataSourceStreamReader):
         yield from _read_feed_partition(partition, self.full_schema)
 
     def commit(self, end):
-        pass
+        # the engine replays commit(<checkpointed end>) when it
+        # recovers a COMMITTED final batch — folding it into the floor
+        # keeps a restarted rate-limited stream from clamping
+        # latestOffset below the checkpoint
+        try:
+            self._planned_through = max(
+                self._planned_through, int(end["version"])
+            )
+        except (KeyError, TypeError, ValueError):
+            pass
 
 
 class WarehouseFeedBatchReader(DataSourceReader):
@@ -1095,19 +1140,16 @@ class WarehouseSnapshotReader(DataSourceReader):
         return parts or [SnapshotPartition(file="", renames={})]
 
     def read(self, partition: SnapshotPartition):
-        import pyarrow.parquet as pq
-
         if not partition.file:
             return
-        t = pq.read_table(partition.file)
-        if partition.dv:
-            import numpy as np
-            import pyarrow as pa
-
-            mask = np.ones(len(t), dtype=bool)
-            mask[[p for p in partition.dv if p < len(t)]] = False
-            t = t.filter(pa.array(mask))
-        t = _conform_arrow(t, self.arrow_schema, partition.renames)
+        # one shared DV-mask + conform implementation with the feed
+        # readers (_read_conformed) — a masking fix lands once
+        t = _read_conformed(
+            [partition.file],
+            self.arrow_schema,
+            partition.renames,
+            {partition.file: list(partition.dv)} if partition.dv else None,
+        )
         yield from t.to_batches()
 
 

@@ -123,7 +123,8 @@ def _ident(tok: str) -> str:
     if tok.startswith('"') and tok.endswith('"'):
         return tok[1:-1].replace('""', '"')
     if tok.startswith("`") and tok.endswith("`"):
-        return tok[1:-1]
+        # Spark spelling: a literal backtick doubles inside backticks
+        return tok[1:-1].replace("``", "`")
     return tok
 
 
@@ -467,7 +468,12 @@ def _scope_merge_cond(
     import re
 
     out = []
-    for idx, part in enumerate(re.split(r"('(?:[^']|'')*')", cond)):
+    # both quote styles are STRING LITERALS to Spark's parser (double
+    # quotes too, under the default conf) — a column name appearing
+    # inside either must not be rewritten into a reference
+    for idx, part in enumerate(
+        re.split(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")", cond)
+    ):
         if idx % 2 == 1:
             out.append(part)
             continue
@@ -543,8 +549,13 @@ def _parse_insert(stmt: str):
             re.fullmatch(r"[A-Za-z_]\w*|`[^`]+`|\"[^\"]+\"", piece)
         )
 
+    # the table token must not swallow an adjacent column list —
+    # INSERT INTO t(id,v) VALUES ... is the standard spelling, and a
+    # greedy \S+ would capture 't(id,v)' as the table name (the
+    # optional group never forces a backtrack)
     m = re.match(
-        r"\s*INSERT\s+INTO\s+(\S+)\s*(?:\(([^)]*)\)\s*)?"
+        r"\s*INSERT\s+INTO\s+(`[^`]+`|\"[^\"]+\"|[^\s(]+)\s*"
+        r"(?:\(([^)]*)\)\s*)?"
         r"((?:VALUES|SELECT|WITH)\b.*)$",
         stmt,
         re.I | re.S,
@@ -1424,8 +1435,13 @@ def execute_dml(wh, stmt: str) -> dict:
                 f"value column(s) for {len(tgt.columns)} target column(s)"
             )
         tf = {f.name: f.dataType for f in tgt.schema.fields}
-        rows = src.toDF(*tgt.columns).select(
-            *[F.col(c).cast(tf[c]).alias(c) for c in tgt.columns]
+        rows = (
+            src.toDF(*tgt.columns)
+            .select(*[F.col(c).cast(tf[c]).alias(c) for c in tgt.columns])
+            # materialize ONCE: count + write otherwise evaluate the
+            # source query twice, and a non-deterministic body would
+            # report a count that diverges from the committed rows
+            .localCheckpoint()
         )
         n = rows.count()
         bucket = None
@@ -1480,6 +1496,9 @@ def execute_dml(wh, stmt: str) -> dict:
                 ]
             )
         )
+        # materialize ONCE (same rule as INSERT OVERWRITE): the count
+        # and the write must see the same evaluation of the body
+        rows = rows.localCheckpoint()
         n = rows.count()
         if key:
             # keyed table: INSERT is the loader's keyed upsert (A17-19
@@ -1915,6 +1934,12 @@ def execute_sql(wh, stmt: str, register: bool = True):
     head = re.match(r"\s*(\w+)", stmt)
     verb = (head.group(1) if head else "").upper()
     if verb not in ("SELECT", "WITH"):
+        # DML bodies can read warehouse tables too (INSERT ... SELECT
+        # FROM t, MERGE ... USING t): re-register the head views so
+        # the source resolves to the CURRENT snapshot, not whatever a
+        # prior registration pinned (same rule as the SELECT path)
+        if register:
+            register_warehouse_views(wh.spark, wh)
         return execute_dml(wh, stmt)
     spark = wh.spark
     if register:

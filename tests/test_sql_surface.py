@@ -934,6 +934,37 @@ class TestSqlInsertCtas:
         assert rows[20] == ("v20", 200)   # new key inserted
         assert len(rows) == 9
 
+    def test_insert_column_list_without_space_before_paren(self, spark):
+        """The standard spelling INSERT INTO t(col, ...) VALUES — no
+        space before the paren — must parse: a greedy table token
+        previously swallowed the column list into the table name and
+        the statement failed as 'unknown warehouse table t(col,...)'."""
+        from canvas_data_loader_spark.sql import _parse_insert
+
+        t, cols, body = _parse_insert("INSERT INTO a(id,cnt) VALUES (1,2)")
+        assert (t, cols) == ("a", ["id", "cnt"])
+        assert body.upper().startswith("VALUES")
+        t, cols, _ = _parse_insert("INSERT INTO `a b`(id) SELECT 1")
+        assert (t, cols) == ("a b", ["id"])
+
+    def test_dml_select_body_sees_current_head(self, spark, dml_wh):
+        """INSERT ... SELECT FROM <warehouse table> must read the
+        source's CURRENT head: the DML route now re-registers the head
+        views like the SELECT route, so a view pinned by an earlier
+        registration can never serve a stale snapshot silently."""
+        from canvas_data_loader_spark.sql import execute_sql
+
+        wh = dml_wh("dmlhead")
+        _seed(spark, wh)
+        execute_sql(wh, "SELECT COUNT(*) AS n FROM t").collect()  # pin views
+        execute_sql(wh, "INSERT INTO t VALUES (77, 'fresh', 7)")
+        out = execute_sql(
+            wh,
+            "CREATE TABLE t2 BUCKETED BY (id, 4) AS "
+            "SELECT id, v, cnt FROM t",
+        )
+        assert wh.read("t2").filter("id = 77").count() == 1
+
     def test_insert_column_list_reserved_first_identifier(self, spark):
         """A column list whose FIRST identifier is literally values/
         select/with parses as a column list (the paren-body branch must

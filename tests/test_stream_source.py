@@ -528,6 +528,43 @@ class TestStreamingFeed:
                              maxVersionsPerTrigger=1)
         assert canon(got) == canon(expected_feed(spark, wh, "t"))
 
+    def test_restart_with_rate_limit_never_rewinds(
+        self, spark, wh_factory, tmp_path
+    ):
+        """A RESTARTED run that passes the same startingVersion +
+        maxVersionsPerTrigger options (what a real deployment does —
+        readStream options live in code and are re-sent every run)
+        must never clamp latestOffset below the checkpointed cursor:
+        that regresses the offset (Spark treats any different offset
+        as new data) and redelivers already-consumed versions. The
+        floor re-learns the checkpoint from the engine's
+        commit()-replay on recovery, so each restarted run advances
+        forward, never backward — pinned by asserting zero duplicate
+        (version, key) deliveries across five paced runs."""
+        wh = wh_factory()
+        build_history(spark, wh)  # >= 3 data versions pending
+        ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+        opts = dict(startingVersion="earliest", maxVersionsPerTrigger=1)
+        got = run_stream(spark, wh.root, "t", ckpt, out, **opts)
+        first = got.count()
+        assert first > 0
+        # every further run RE-PASSES the options (the restart case
+        # the rewind bug lived in) until caught up
+        for _ in range(4):
+            got = run_stream(spark, wh.root, "t", ckpt, out, **opts)
+        # no (commit_version, key) delivered twice — the cursor only
+        # ever moved forward
+        from pyspark.sql import functions as F
+
+        dupes = (
+            got.groupBy("_commit_version", "id", "_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .count()
+        )
+        assert dupes == 0
+        assert canon(got) == canon(expected_feed(spark, wh, "t"))
+
     def test_unbucketed_full_diff_with_explicit_key(
         self, spark, wh_factory, tmp_path
     ):
