@@ -437,12 +437,26 @@ def semantic_dedup(
         candidates, n_cells, refine_iters, id_col, vec_col, vectorized
     )
     assign = assign_cells_vectorized if vectorized else assign_cells
-    assigned = assign(candidates, centroids, id_col, vec_col, "__id")
+    # the assignment feeds THREE plan branches (both sides of the
+    # within-cell pair join and the final anti-join), and every branch
+    # needs only (id, cell) — the vectors come back via _exact_rescore
+    # keyed by id. Without a barrier the cell assignment — a full
+    # corpus x n_cells scoring pass — re-executes per branch (plan
+    # audit: three MapInPandas nodes on the vectorized path). One
+    # EAGER materialization of the narrow (id, cell) projection runs
+    # it once; eager, not lazy, because the three consumers sit in the
+    # SAME job and concurrent tasks of a lazy checkpoint each
+    # recompute the partition they race on.
+    ids = (
+        assign(candidates, centroids, id_col, vec_col, "__id")
+        .select("__id", "cell")
+        .localCheckpoint(eager=True)
+    )
+    assigned = ids
     # candidate pairs carry IDS ONLY through the cell self-join; the
     # vectors and per-side cached norms come back via _exact_rescore
     # (one dot per pair instead of dot+2 norms — measured 5.2s -> 2.0s
     # at sf0.1 on the 1.5M within-cell pairs).
-    ids = assigned.select("__id", "cell")
     cand_pairs = (
         ids.join(ids.select(F.col("__id").alias("__idb"), "cell"), on="cell")
         .filter(F.col("__idb") < F.col("__id"))
@@ -799,6 +813,11 @@ def embedding_neardup_pairs_lsh(
             F.col("__b.band").alias("band"),
             F.col("__b.sig").alias("sig"),
         )
+    # the signature table is BOTH sides of the bucket self-join; a lazy
+    # barrier computes the n_bands x band_bits signatures once instead
+    # of once per side (on the vectorized path that is a whole Arrow
+    # dgemm pass over the corpus per side)
+    tagged = tagged.localCheckpoint(eager=False)
     cand_pairs = (
         tagged.alias("a")
         .join(tagged.alias("b"), on=["band", "sig"])

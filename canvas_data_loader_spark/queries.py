@@ -5759,7 +5759,7 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _repetition_signal_frame(t: "DataFrame"):
+def _repetition_signal_frame(t: "DataFrame", barrier: bool = False):
     """Shared Gopher repetition-signal machinery for q137 and the q148
     pipeline (one definition, so a threshold or signal change cannot
     silently drift the composite from its component query — the
@@ -5768,7 +5768,17 @@ def _repetition_signal_frame(t: "DataFrame"):
     Returns (frame, dup_word, dup_tri, top_frac): the frame adds
     n_tokens/n_distinct/n_tri/n_tri_distinct and the left-joined
     modal-bigram columns; the three expressions are the 6dp-rounded
-    signals."""
+    signals.
+
+    ``barrier=True`` materializes ``t`` once (localCheckpoint) before
+    the two consumers (per-row signals, bigram explode). Worth it only
+    when the caller layers MORE consumers on the same tokenization
+    downstream (q148's fused pipeline: measured 7.1s -> 5.1s at
+    sf0.1); for the standalone q137 the store+reload of the token
+    arrays costs more than the second tokenize (measured ~par), so it
+    defaults off."""
+    if barrier:
+        t = t.localCheckpoint(eager=False)
     base = (
         t.withColumn("n_tokens", F.size("t").cast("bigint"))
         .withColumn("n_distinct", F.size(F.array_distinct("t")).cast("bigint"))
@@ -6997,7 +7007,7 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_text("text").alias("norm"),
         tokens("text").alias("t"),
     )
-    jj, dup_word, dup_tri, top_frac = _repetition_signal_frame(t)
+    jj, dup_word, dup_tri, top_frac = _repetition_signal_frame(t, barrier=True)
     surv = (
         jj.filter(_repetition_keep(dup_word, dup_tri, top_frac))
         .select("doc_id", "lang", "source", "t", "n_tokens")
@@ -7699,10 +7709,12 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = truth.localCheckpoint(eager=False)
     cand = cand.localCheckpoint(eager=False)
     caught = truth.join(cand, ["doc_a", "doc_b"])
+    # n_docs = docs contributing >= 1 shingle = docs with >= 3 tokens:
+    # count that directly instead of building (and deduplicating) a
+    # third shingle table just to count its distinct doc ids
     n_docs_df = (
-        D.shingle_table(d, "text", "doc_id", n=3)
-        .select("doc")
-        .distinct()
+        d.select(tokens("text").alias("__t"))
+        .filter(F.size("__t") >= 3)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
     stats = (
@@ -8961,18 +8973,26 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond the partial sums), and the broadcast side stays
     domain-sized regardless of corpus growth."""
     d = load(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id",
-        "text",
-        U.canonical_url(_url_col()).alias("canon"),
-    ).withColumn("domain", U.registrable_domain(F.col("canon")))
-    short = (token_count("text") < 20).cast("long")
+    # one canonicalize+PSL pass: base is consumed by the reputation
+    # aggregate AND the per-doc verdict join — without a barrier the
+    # regex-heavy URL canonicalization runs twice over the corpus
+    # (measured 4.2s -> 1.2s at sf0.1). The barriered frame is narrow
+    # (id, short flag, canon, domain); text folds into the flag first.
+    base = (
+        d.select(
+            "doc_id",
+            (token_count("text") < 20).cast("long").alias("__short"),
+            U.canonical_url(_url_col()).alias("canon"),
+        )
+        .withColumn("domain", U.registrable_domain(F.col("canon")))
+        .localCheckpoint(eager=False)
+    )
     rep = (
         base.groupBy("domain")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("domain_docs"),
             F.countDistinct("canon").alias("__n_urls"),
-            F.sum(short).alias("__n_short"),
+            F.sum("__short").alias("__n_short"),
         )
         .select(
             "domain",
@@ -9105,7 +9125,12 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda x: x != F.lit(""),
     )
-    sfr = toks.select("doc_id", sent_arr.alias("t"))
+    # sfr feeds both the span table and the final cut join; the
+    # barrier runs the tokenize + sentence re-derivation once
+    # (measured 3.6s -> 1.2s at sf0.1)
+    sfr = toks.select("doc_id", sent_arr.alias("t")).localCheckpoint(
+        eager=False
+    )
     spans = D.exactsubstr_grams(sfr, n=3).localCheckpoint(eager=False)
     dupg = (
         spans.groupBy("g")
