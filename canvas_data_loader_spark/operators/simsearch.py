@@ -846,7 +846,12 @@ def embedding_neardup_pairs_lsh(
 
 def _unit_expr(vec_col):
     """The L2-normalized copy of a vector column (zero vectors stay
-    zero), as a pure codegen expression."""
+    zero), as a pure expression. The norm is bound ONCE as a lambda
+    variable of an outer single-element transform — inlining its
+    aggregate subtree inside the per-element lambda re-runs the whole
+    64-term fold for every element (dim^2 work per row; measured 1.4s
+    for 2000 rows before the hoist, ~0.1s after). Same arithmetic,
+    same values — only the evaluation count changes."""
     col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     nrm = F.sqrt(
         F.aggregate(
@@ -855,11 +860,17 @@ def _unit_expr(vec_col):
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
     )
-    return F.transform(
-        col,
-        lambda x: F.when(nrm == 0, F.lit(0.0)).otherwise(
-            x.cast("double") / nrm
+    return F.element_at(
+        F.transform(
+            F.array(nrm),
+            lambda n: F.transform(
+                col,
+                lambda x: F.when(n == 0, F.lit(0.0)).otherwise(
+                    x.cast("double") / n
+                ),
+            ),
         ),
+        1,
     )
 
 
@@ -888,14 +899,18 @@ def pq_codebook(
     centroids."""
     import math as _math
 
+    # same deterministic seed rows as first_n_centroids (first n by id),
+    # collected directly — no intermediate createDataFrame + second
+    # collect job for what is already a driver-side list
     rows = (
-        first_n_centroids(vectors, n_codes, id_col, vec_col, cell_col="k")
-        .orderBy("k")
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(n_codes)
+        .select(id_col, vec_col)
         .collect()
     )
     if not rows:
         raise ValueError("pq_codebook: no training vectors")
-    dim = len(rows[0]["cvec"])
+    dim = len(rows[0][1])
     if dim % m_subs:
         raise ValueError(
             f"vector dim {dim} not divisible by m_subs={m_subs}"
@@ -921,7 +936,7 @@ def pq_codebook(
     for m in range(m_subs):
         words = []
         for r in rows:
-            v = [float(x) for x in r["cvec"]]
+            v = [float(x) for x in r[1]]
             nrm = _math.sqrt(sum(x * x for x in v))
             u = [x / nrm if nrm else 0.0 for x in v]
             words.append(u[m * sub : (m + 1) * sub])
@@ -968,16 +983,47 @@ def pq_codebook(
     return out
 
 
-def _pq_sub_l2(unit_col, codeword: list[float], m: int, sub: int):
-    """Squared L2 between the m-th sub-slice of a pre-normalized
-    vector expression and a literal codeword — pure codegen
-    (zip_with + aggregate, the q115 shape)."""
-    lit_cw = F.array(*[F.lit(float(x)) for x in codeword])
-    s = F.slice(unit_col, 1 + m * sub, sub)
-    return F.aggregate(
-        F.zip_with(s, lit_cw, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _cb_flat_lit(codebook: list[list[list[float]]]):
+    """The whole codebook as ONE flattened literal array —
+    element (m, c, p) lives at ``(m * n_codes + c) * sub + p`` — built
+    from a single parsed SQL string. One py4j round-trip instead of
+    one F.lit call per element (512 of them cost ~2s of pure driver
+    chatter in the old per-codeword tree); repr() doubles round-trip
+    exactly through the SQL parser, so values are bit-identical."""
+    flat = ", ".join(
+        repr(float(x)) + "D" for words in codebook for w in words for x in w
+    )
+    return F.expr(f"array({flat})")
+
+
+def _pq_dist_table(codebook: list[list[list[float]]], unit_col):
+    """array<array<double>> of squared-L2 distances — ``d[m][c]`` =
+    dist(m-th sub-slice of the pre-normalized vector, codeword c) —
+    as one nested higher-order-function expression over the flattened
+    codebook literal. Per (m, c) the arithmetic is the exact fold the
+    old per-codeword tree ran (zip_with squared diffs, left fold from
+    a 0.0 seed), so results are bit-identical; the expression tree is
+    O(1) in m_subs x n_codes instead of O(m x c) subtrees, which is
+    what removes the multi-second analysis/codegen cost q176 measured
+    (guide §7.3: planning time on giant literal trees)."""
+    sub = len(codebook[0][0])
+    n_codes = len(codebook[0])
+    m_subs = len(codebook)
+    cbf = _cb_flat_lit(codebook)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m_subs - 1)),
+        lambda m: F.transform(
+            F.sequence(F.lit(0), F.lit(n_codes - 1)),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.slice(unit_col, m * sub + 1, sub),
+                    F.slice(cbf, (m * n_codes + c) * sub + 1, sub),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
     )
 
 
@@ -1017,17 +1063,16 @@ def _pq_codes_arr(
     into every one of the m_subs x n_codes sub-distances and codegen
     time explodes (measured 400+s builds before the split; seconds
     after)."""
-    sub = len(codebook[0][0])
     unit = F.col(vec_col) if pre_normalized else _unit_expr(vec_col)
-    out = []
-    for m, words in enumerate(codebook):
-        arr = F.array(*[_pq_sub_l2(unit, w, m, sub) for w in words])
-        # argmin with ties to the smallest code: array_position finds
-        # the FIRST element equal to the min (1-based) — q115's
-        # min-struct rule without struct-field access, which loses its
-        # aliases under some analysis contexts
-        out.append((F.array_position(arr, F.array_min(arr)) - 1).cast("int"))
-    return F.array(*out)
+    # argmin with ties to the smallest code: array_position finds the
+    # FIRST element equal to the min (1-based) — q115's min-struct
+    # rule without struct-field access, which loses its aliases under
+    # some analysis contexts. The transform binds each per-subspace
+    # distance row ONCE, so min and position read the same array.
+    return F.transform(
+        _pq_dist_table(codebook, unit),
+        lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+    )
 
 
 def pq_adc_expr(
@@ -1040,14 +1085,8 @@ def pq_adc_expr(
     row; a candidate's ADC distance is then a pure table-lookup fold
     (``pq_adc_distance``), never a vector op per candidate. Unit
     vectors make the summed distance rank identically to cosine."""
-    sub = len(codebook[0][0])
     unit = F.col(vec_col) if pre_normalized else _unit_expr(vec_col)
-    return F.array(
-        *[
-            F.array(*[_pq_sub_l2(unit, w, m, sub) for w in words])
-            for m, words in enumerate(codebook)
-        ]
-    )
+    return _pq_dist_table(codebook, unit)
 
 
 def pq_adc_distance(code_col, adc_col, m_subs: int):
