@@ -599,10 +599,18 @@ def setsim_prefix_join(
     jacc_r rounded to 6dp.
     """
     sh = shingle_table(df, text_col, id_col, n).localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # df and sz as WINDOW counts over the checkpointed shingle table:
+    # the old groupBy(s)+join / groupBy(doc)+join pair built each
+    # aggregate as its own subtree and the planner re-derived the
+    # whole (sh ⋈ dfreq ⋈ sizes → window) tower once per consumer —
+    # the before-plan carried TWO copies of the ranking tower and
+    # THREE of the sizes aggregate (plans/r13/q138_*_before.txt). Two
+    # window passes need one exchange each (the rk window reuses the
+    # doc partitioning the sz window establishes), and the counts are
+    # definitionally the same numbers the groupBys produced.
     ranked = (
-        sh.join(dfreq, "s")
+        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc")))
         .withColumn(
             "rk",
             F.row_number().over(
@@ -611,25 +619,39 @@ def setsim_prefix_join(
                 )
             ),
         )
-        .join(sizes, "doc")
     )
     # prefix length |d| - ceil(t*|d|) + 1 via exact integer ceil:
     # ceil(t_num*sz/t_den) = (t_num*sz + t_den - 1) div t_den, computed
     # with SQL `div` (true integral division on bigints) — NOT `/` +
     # cast, whose double intermediate is only exact below 2^53 and
-    # would quietly break the lossless-pruning proof past it
-    prefix = ranked.filter(
-        F.col("rk")
-        <= F.col("sz")
-        - F.expr(f"(CAST({t_num} AS BIGINT) * sz + {t_den - 1}) div {t_den}")
-        + F.lit(1)
-    ).select("doc", "s")
+    # would quietly break the lossless-pruning proof past it.
+    # Checkpointed EAGERLY: the self-join's two scans race within one
+    # job, and a lazy checkpoint would let each stage recompute the
+    # partitions it reaches first (the b96566e discipline).
+    prefix = (
+        ranked.filter(
+            F.col("rk")
+            <= F.col("sz")
+            - F.expr(f"(CAST({t_num} AS BIGINT) * sz + {t_den - 1}) div {t_den}")
+            + F.lit(1)
+        )
+        .select("doc", "s", "sz")
+        .localCheckpoint(eager=True)
+    )
+    # every doc's prefix is non-empty (len >= 1 for t <= 1), so sz
+    # rides the candidate pair from here — the two per-side size joins
+    # the old plan ran against a third sizes aggregate are gone; the
+    # distinct key gains only columns functionally dependent on the
+    # doc ids, so the candidate set is unchanged.
     cand = (
         prefix.alias("pa")
         .join(prefix.alias("pb"), on="s")
         .filter(F.col("pa.doc") < F.col("pb.doc"))
         .select(
-            F.col("pa.doc").alias("doc_a"), F.col("pb.doc").alias("doc_b")
+            F.col("pa.doc").alias("doc_a"),
+            F.col("pb.doc").alias("doc_b"),
+            F.col("pa.sz").alias("n_a"),
+            F.col("pb.sz").alias("n_b"),
         )
         .distinct()
     )
@@ -642,19 +664,11 @@ def setsim_prefix_join(
             sh.select(F.col("doc").alias("doc_b"), "s"),
             ["doc_b", "s"],
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    # sizes is per-DOCUMENT — corpus-sized, so no broadcast hint: at
-    # test scale AQE broadcasts it on its own (under the threshold);
-    # at 100 TB a forced broadcast of a billion-row table would OOM
-    # the driver, and the co-keyed shuffle join is the correct shape.
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("n_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("un", (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        inter.withColumn("un", (F.col("n_a") + F.col("n_b") - F.col("inter")))
         # exact rational threshold: inter/un >= t_num/t_den
         .filter(F.col("inter") * F.lit(t_den) >= F.col("un") * F.lit(t_num))
         .select(

@@ -209,6 +209,117 @@ def refined_centroids(
     return c
 
 
+def _json_arr_lit(values, elem_type: str) -> F.Column:
+    """A driver-side list as ONE constant-folded array literal.
+
+    ``from_json`` over a single string literal keeps the analysis tree
+    at one node — an ``array(lit, lit, ...)`` expression carries one
+    child PER ELEMENT and every analyzer/optimizer rule re-traverses
+    them all (measured 1.4s of pure plan analysis for a 1024-element
+    centroid table vs 0.015s this way), and per-element ``F.lit``
+    calls pay a py4j round-trip each. The optimizer constant-folds the
+    parse once (foldable input), so execution reads a plain Literal.
+    Doubles go through repr (shortest round-trip form) and Jackson's
+    correctly-rounded parser — bit-exact; non-finite values would be
+    invalid JSON and silently NULL the whole array, so they are
+    refused here (none of the callers can produce them).
+    """
+    if elem_type == "double":
+        import math as _math
+
+        if any(not _math.isfinite(v) for v in values):
+            raise ValueError("_json_arr_lit: non-finite value")
+        body = ",".join(repr(float(v)) for v in values)
+    else:
+        body = ",".join(str(int(v)) for v in values)
+    return F.from_json(F.lit(f"[{body}]"), f"array<{elem_type}>")
+
+
+def argmax_cell_expr(cent_rows, vec_col) -> F.Column:
+    """The max-cosine cell of one vector column as a PURE codegen
+    expression over the collected centroid rows (cell, cvec), ties ->
+    smallest cell, all-NULL sims (zero-norm vector or all-zero
+    centroids) -> smallest cell.
+
+    Bit-equivalence with the old crossJoin + max(struct(sim, -cell))
+    aggregate path: each sim is the identical IEEE op sequence
+    (zip_with cast-to-double products, left fold from 0.0, divided by
+    norm(v) * norm(c)); centroid norms are pre-folded on the driver
+    with the same sequential double arithmetic (Python float IS
+    binary64, math.sqrt is correctly rounded like the JVM's); the
+    argmax picks the FIRST occurrence of the array max over cells
+    sorted ascending, which is exactly the max-struct tie-break. The
+    codebook rides as ONE flattened parsed literal (the _cb_flat_lit
+    discipline: no per-element py4j chatter, O(1) expression tree in
+    n_cells), and norm(v) / the sims array are each bound ONCE via
+    single-element transform lambdas so nothing re-evaluates per cell.
+    """
+    import math as _math
+
+    cent_rows = sorted(cent_rows, key=lambda r: int(r["cell"]))
+    dim = len(cent_rows[0]["cvec"])
+    k = len(cent_rows)
+    cflat = _json_arr_lit(
+        [float(x) for r in cent_rows for x in r["cvec"]], "double"
+    )
+    cells = _json_arr_lit([int(r["cell"]) for r in cent_rows], "int")
+    norms = []
+    for r in cent_rows:
+        acc = 0.0
+        for x in r["cvec"]:
+            acc = acc + float(x) * float(x)
+        norms.append(_math.sqrt(acc))
+    cnorms = _json_arr_lit(norms, "double")
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    nv = F.sqrt(
+        F.aggregate(
+            col,
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+
+    def sims_of(n):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.when(
+                n * F.element_at(cnorms, j + 1) == 0,
+                F.lit(None).cast("double"),
+            ).otherwise(
+                F.aggregate(
+                    F.zip_with(
+                        col,
+                        F.slice(cflat, j * dim + 1, dim),
+                        lambda x, y: x.cast("double") * y.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / (n * F.element_at(cnorms, j + 1))
+            ),
+        )
+
+    def pick_of(s):
+        # first index holding the max = smallest cell among sim-ties
+        # (cells ascending); array_position yields NULL when the max
+        # itself is NULL (all sims NULL) and the old max-struct
+        # ordering resolved that case to the smallest cell too
+        pos = F.array_position(s, F.array_max(s))
+        return F.element_at(
+            cells, F.coalesce(F.nullif(pos, F.lit(0)), F.lit(1)).cast("int")
+        )
+
+    return F.element_at(
+        F.transform(
+            F.array(nv),
+            lambda n: F.element_at(
+                F.transform(F.array(sims_of(n)), pick_of), 1
+            ),
+        ),
+        1,
+    )
+
+
 def assign_cells(
     df: DataFrame,
     centroids: DataFrame,
@@ -218,26 +329,22 @@ def assign_cells(
 ) -> DataFrame:
     """Assign each vector to its max-cosine coarse centroid.
 
-    centroids: (cell:int, cvec:array<float>) — small, broadcast. The
-    argmax is a struct-max aggregation (one map-side-combinable
-    shuffle), never a window. Output: (out_id, vec_col, cell).
+    centroids: (cell:int, cvec:array<float|double>) — small; collected
+    to the driver (it was always destined for a broadcast, so this
+    moves no more data) and inlined as one flattened literal so the
+    assignment is a PURE per-row projection: no crossJoin row
+    explosion, no argmax shuffle, no join-back — the plan is scan ->
+    project, mirroring the vectorized mapInPandas path's shape. Same
+    argmax and tie-break as the old max-struct aggregate
+    (argmax_cell_expr documents the bit-equivalence argument).
+    Output: (out_id, vec_col, cell).
     """
-    scored = df.select(
-        F.col(id_col).alias(out_id), F.col(vec_col).alias(vec_col)
-    ).crossJoin(F.broadcast(centroids)).select(
-        out_id,
-        vec_col,
-        F.col("cell"),
-        cosine(F.col(vec_col), F.col("cvec")).alias("__sim"),
-    )
-    best = (
-        scored.groupBy(out_id)
-        .agg(F.max(F.struct(F.col("__sim"), (-F.col("cell")).alias("__nc"))).alias("__m"))
-        .select(out_id, (-F.col("__m.__nc")).cast("int").alias("cell"))
-    )
+    cent_rows = centroids.orderBy("cell").collect()
     return df.select(
-        F.col(id_col).alias(out_id), F.col(vec_col).alias(vec_col)
-    ).join(best, on=out_id)
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias(vec_col),
+        argmax_cell_expr(cent_rows, vec_col).cast("int").alias("cell"),
+    )
 
 
 def assign_cells_vectorized(
@@ -986,14 +1093,16 @@ def pq_codebook(
 def _cb_flat_lit(codebook: list[list[list[float]]]):
     """The whole codebook as ONE flattened literal array —
     element (m, c, p) lives at ``(m * n_codes + c) * sub + p`` — built
-    from a single parsed SQL string. One py4j round-trip instead of
-    one F.lit call per element (512 of them cost ~2s of pure driver
-    chatter in the old per-codeword tree); repr() doubles round-trip
-    exactly through the SQL parser, so values are bit-identical."""
-    flat = ", ".join(
-        repr(float(x)) + "D" for words in codebook for w in words for x in w
+    from a single string literal. One py4j round-trip instead of one
+    F.lit call per element (512 of them cost ~2s of pure driver
+    chatter in the old per-codeword tree), and one ANALYSIS node
+    instead of 512 literal children re-traversed by every rule (the
+    _json_arr_lit rationale); repr() doubles round-trip exactly
+    through the correctly-rounded parser, so values are
+    bit-identical."""
+    return _json_arr_lit(
+        [float(x) for words in codebook for w in words for x in w], "double"
     )
-    return F.expr(f"array({flat})")
 
 
 def _pq_dist_table(codebook: list[list[list[float]]], unit_col):
