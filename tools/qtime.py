@@ -35,6 +35,14 @@ def main() -> None:
                 pass
         runs = []
         for _ in range(args.repeat):
+            # drop dead checkpoint blocks between runs (bench.py's
+            # drop_dead_blocks rationale — the ContextCleaner won't
+            # reclaim them until a JVM GC, 30 min away by default)
+            try:
+                for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                    jrdd.unpersist(False)
+            except Exception:
+                pass
             t0 = time.perf_counter()
             df = Q.SPARK[name](spark, args.sf)
             df.write.format("noop").mode("overwrite").save()
