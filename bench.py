@@ -206,7 +206,7 @@ def main() -> None:
             except Exception:
                 pass  # warmup is best-effort; the timed run surfaces real errors
 
-    def drop_dead_blocks() -> None:
+    def drop_dead_blocks(gc: bool = False) -> None:
         """Unpersist every cached RDD between timed runs.
 
         The heavy queries materialize narrow multi-consumer subtrees
@@ -222,11 +222,35 @@ def main() -> None:
         the timed window; the timed region still computes every run
         from the parquet inputs (nothing here caches results — this
         RELEASES memory).
+
+        The explicit System.gc() exists because unpersist only covers
+        RDD blocks: dead SHUFFLE files and BROADCAST pieces are
+        reclaimed by the ContextCleaner only after a JVM GC enqueues
+        their weak references, and a ~10-minute bench session under a
+        16 GB mostly-idle driver heap may never major-GC on its own —
+        measured at repeat=3 as q134_cdc_chunking pinned at 5.4-5.9 s
+        on EVERY run (vs 0.94 s in a short session; the execution
+        memory its per-token window sort needs was occupied by dead
+        broadcast/shuffle state, forcing a disk-spill sort each run).
+        Synchronous, between timed windows — unlike the reverted
+        spark.cleaner.periodicGC.interval=2min attempt whose forced
+        GCs landed INSIDE timed windows and inflated random queries
+        by 0.5-4 s. GC runs every 25th query: per-RUN GC measured +8 s
+        and per-QUERY GC +6 s on the session total (each forced full
+        GC also flushes JIT-compiled generated code, and the
+        ContextCleaner's async shuffle-file deletions land in the
+        following timed window), while 5 GCs per session keep the
+        dead-block population bounded at a fraction of the heap; the
+        0.5 s settle sleep after each GC lets the async cleanup drain
+        outside the clock.
         """
         try:
             jmap = spark.sparkContext._jsc.getPersistentRDDs()
             for jrdd in jmap.values():
                 jrdd.unpersist(False)
+            if gc:
+                spark.sparkContext._jvm.System.gc()
+                time.sleep(0.5)
         except Exception:
             pass  # diagnostics-free best effort; timing still valid
 
@@ -235,8 +259,8 @@ def main() -> None:
     for name in HEADLINE:
         fn = Q.SPARK[name]
         runs = []
-        for _ in range(max(1, args.repeat)):
-            drop_dead_blocks()
+        for i in range(max(1, args.repeat)):
+            drop_dead_blocks(gc=(i == 0 and HEADLINE.index(name) % 25 == 0))
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)  # fresh plan every run, like the driver
             df.write.format("noop").mode("overwrite").save()
