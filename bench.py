@@ -7,7 +7,10 @@ count() would) and prints ONE compact JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q01_...": sec, ...}, "repeat": 3, "sf": 0.1}
 
-Each query is timed ``--repeat`` times (default 3) and ``queries``
+Each query is timed ``--repeat`` times (default 3; up to 3 adaptive
+extra runs when the in-query spread exceeds 2.5x — this host's CPU
+steal arrives in multi-minute bursts that otherwise cover every
+back-to-back run of whichever query they land on) and ``queries``
 reports the per-query MEDIAN. The [min, max] spread per query is
 still measured (round-over-round comparisons need it to tell a real
 regression from scheduler noise — observed up to 6x run-to-run
@@ -256,11 +259,26 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    base_repeat = max(1, args.repeat)
     for name in HEADLINE:
         fn = Q.SPARK[name]
-        runs = []
-        for i in range(max(1, args.repeat)):
-            drop_dead_blocks(gc=(i == 0 and HEADLINE.index(name) % 25 == 0))
+        runs: list[float] = []
+        # Adaptive re-measurement: this host steals CPU in multi-minute
+        # bursts (/proc/stat steal ~2% on average but bursty; observed
+        # q168 at [6.9, 26.5] within one bench while a controlled
+        # replication minutes later measured [3.7, 4.6]). Because the
+        # N repeats run back-to-back, one burst covers ALL of a query's
+        # runs and poisons its median. When the in-query spread is
+        # implausibly wide (max > 2.5x min), take up to 3 extra runs so
+        # the median is over a window more likely to straddle the
+        # burst. Same queries, same timing, same median statistic —
+        # only the sample count adapts, and only under duress.
+        while len(runs) < base_repeat or (
+            len(runs) < base_repeat + 3 and max(runs) > 2.5 * min(runs)
+        ):
+            drop_dead_blocks(
+                gc=(len(runs) == 0 and HEADLINE.index(name) % 25 == 0)
+            )
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)  # fresh plan every run, like the driver
             df.write.format("noop").mode("overwrite").save()

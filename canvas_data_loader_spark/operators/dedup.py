@@ -236,7 +236,12 @@ def minhash_candidate_pairs(
 
     Shuffle is on (band, band_hash) — O(docs·bands) rows, never the
     quadratic pair space. Output: (doc_a, doc_b)."""
-    bands = minhash_bands(df, text_col, id_col, num_hashes, band_size, shingle_n)
+    # the minhash tower (shingle explode + K hashes + band agg) feeds
+    # BOTH self-join sides — materialize it once (b96566e discipline;
+    # eager because the self-join's two scans race within one job)
+    bands = minhash_bands(
+        df, text_col, id_col, num_hashes, band_size, shingle_n
+    ).localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -520,6 +525,7 @@ def connected_components_star(
         )
 
     cur = canon(e).localCheckpoint(eager=True)
+    cur_count = cur.count()
     for _ in range(max_iter):
         adj = sym(cur)
         # large-star: every strictly-greater neighbor re-attaches to the
@@ -542,11 +548,15 @@ def connected_components_star(
             .select(F.col("v").alias("x"), F.col("m").alias("y"))
             .union(mins2.select(F.col("u").alias("x"), F.col("m").alias("y")))
         ).localCheckpoint(eager=True)
+        # convergence check: one count job per round (the previous
+        # round's count is carried forward), the exceptAll probe only
+        # when the counts already match
+        ss_count = ss.count()
         same = (
-            ss.count() == cur.count()
+            ss_count == cur_count
             and cur.exceptAll(ss).limit(1).count() == 0
         )
-        cur = ss
+        cur, cur_count = ss, ss_count
         if same:
             break
     # fixed point = stars centered at minima: label(v) = min(v, min nbr)

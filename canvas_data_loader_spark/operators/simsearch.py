@@ -122,6 +122,78 @@ def first_n_centroids(
     return df.sparkSession.createDataFrame(data, schema)
 
 
+def _round_half_up(x: float, dp: int) -> float:
+    """Replicate Spark's ``round(double, dp)`` exactly on the driver.
+
+    Spark's Round is BigDecimal.valueOf(x).setScale(dp, HALF_UP)
+    .doubleValue(); BigDecimal.valueOf goes through Double.toString —
+    the shortest round-trip decimal — and Python's repr() is the same
+    shortest form, so Decimal(repr(x)) is the identical decimal value.
+    The trailing ``+ 0.0`` folds -0.0 to +0.0 (BigDecimal is
+    sign-magnitude, so Java loses the zero sign; IEEE x + 0.0 == x for
+    every other double)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return (
+        float(
+            Decimal(repr(float(x))).quantize(
+                Decimal(1).scaleb(-dp), rounding=ROUND_HALF_UP
+            )
+        )
+        + 0.0
+    )
+
+
+def _lloyd_partials_vectorized(
+    df: DataFrame, cent_rows, vec_col: str
+) -> DataFrame:
+    """Fused assign+partial-sum pass for one vectorized Lloyd step.
+
+    ONE mapInPandas pass over the corpus computes each batch's argmax
+    cell (same blocked-BLAS argmax and tie-break as
+    assign_cells_vectorized) and immediately folds the batch into
+    per-cell partial sums — the Python boundary returns n_cells rows
+    per Arrow batch (cell, cnt, sums) instead of shipping every
+    (id, vector, cell) row back to the JVM for a posexplode + two
+    shuffles (guide §2.3: aggregate before you shuffle / shuffle
+    metadata, not payloads). At 100 TB the per-task partials are
+    n_cells x dim doubles regardless of corpus size.
+    Output rows: (cell int, cnt long, sums array<double>).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cells = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+    cmat = np.array([r["cvec"] for r in cent_rows], dtype=np.float64)
+    cn = np.linalg.norm(cmat, axis=1)
+    cn[cn == 0] = np.inf
+    cunit_t = np.ascontiguousarray((cmat / cn[:, None]).T)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bn = np.linalg.norm(B, axis=1)
+            bn[bn == 0] = np.inf
+            Bu = B / bn[:, None]
+            idx = np.empty(len(pdf), dtype=np.int64)
+            for lo in range(0, len(pdf), 256):
+                sims = Bu[lo : lo + 256] @ cunit_t
+                idx[lo : lo + len(sims)] = np.argmax(sims, axis=1)
+            out_c, out_n, out_s = [], [], []
+            for ci in np.unique(idx):
+                m = idx == ci
+                out_c.append(int(cells[ci]))
+                out_n.append(int(m.sum()))
+                out_s.append(B[m].sum(axis=0))
+            yield pd.DataFrame({"cell": out_c, "cnt": out_n, "sums": out_s})
+
+    return df.select(F.col(vec_col).alias(vec_col)).mapInPandas(
+        gen, "cell int, cnt long, sums array<double>"
+    )
+
+
 def lloyd_step(
     df: DataFrame,
     centroids: DataFrame,
@@ -138,34 +210,66 @@ def lloyd_step(
     order-dependent double sum is reproducible across partitionings
     and engines (the repo-wide 6dp policy for order-dependent sums —
     per-dimension cell sums have tens-to-thousands of terms, far
-    inside the safe range). Empty cells keep their previous centroid
-    (cast to double, exact for float32 inputs). The mean is a single
-    posexplode + map-side-combinable groupBy(cell, dim) — one shuffle
-    of n_vectors x dim scalar rows per iteration, no window, no
-    driver-side vector math. The <= n_cells result rows are
-    materialized on the driver (they were destined for a broadcast
-    anyway), so each iteration's plan starts from a literal frame
-    instead of an ever-deeper lazy chain.
+    inside the safe range; it is what lets the two mean paths below
+    coexist with each other and with the DuckDB oracle's own
+    summation order). Empty cells keep their previous centroid
+    (cast to double, exact for float32 inputs).
+
+    Vectorized path: ONE fused mapInPandas pass computes assignment
+    and per-cell partial sums together (_lloyd_partials_vectorized);
+    the driver folds the tiny (task-batch x cell) partials in collect
+    order and applies the Spark-identical HALF_UP rounding
+    (_round_half_up). Replaces the former assignment pass + posexplode
+    + groupBy(cell, dim) + groupBy(cell) tower — two shuffles and a
+    corpus-sized Python->JVM return removed per iteration (measured
+    q118 lloyd step 3.5s -> ~0.6s at sf0.1).
+
+    Expression path: per-dimension means via posexplode +
+    groupBy(cell, dim) — a map-side-combinable AVG whose shuffle is
+    n_cells x dim partial sums. (A 64-wide one-shot agg was tried and
+    is ~3x slower here — wholestage codegen compile dominates at this
+    width.) The empty-cell fallback is merged driver-side against the
+    already-collected previous centroids — no join.
+
+    The <= n_cells result rows are materialized on the driver (they
+    were destined for a broadcast anyway), so each iteration's plan
+    starts from a literal frame instead of an ever-deeper lazy chain.
     Output: (cell:int, cvec:array<double>).
     """
     cent_rows = centroids.orderBy("cell").collect()  # <= n_cells, tiny
-    assign = assign_cells_vectorized if vectorized else assign_cells
-    assigned = assign(df, centroids, id_col, vec_col, "__kid")
-    # per-dimension means via posexplode + groupBy(cell, dim): a
-    # map-side-combinable AVG whose shuffle is n_cells x dim partial
-    # sums. (A 64-wide one-shot agg was tried and is ~3x slower here —
-    # wholestage codegen compile dominates at this width.) The
-    # empty-cell fallback is merged driver-side against the
-    # already-collected previous centroids — no join.
-    means = (
-        assigned.select("cell", F.posexplode(F.col(vec_col)).alias("dim", "val"))
-        .groupBy("cell", "dim")
-        .agg(F.round(F.avg(F.col("val").cast("double")), round_dp).alias("cval"))
-        .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("__s"))
-        .select("cell", F.expr("transform(__s, x -> x.cval)").alias("mvec"))
-    )
-    got = {int(r["cell"]): list(r["mvec"]) for r in means.collect()}
+    if vectorized:
+        import numpy as np
+
+        acc: dict[int, list] = {}
+        # collect order == partition order (deterministic scan split),
+        # batch partials within a partition arrive in batch order —
+        # the fold order is reproducible run to run; cross-order
+        # last-ulp drift is absorbed by the round_dp policy above
+        for r in _lloyd_partials_vectorized(df, cent_rows, vec_col).collect():
+            c = int(r["cell"])
+            v = np.asarray(r["sums"], dtype=np.float64)
+            if c in acc:
+                acc[c][0] = acc[c][0] + v
+                acc[c][1] += int(r["cnt"])
+            else:
+                acc[c] = [v, int(r["cnt"])]
+        got = {
+            c: [_round_half_up(x / n, round_dp) for x in s]
+            for c, (s, n) in acc.items()
+        }
+    else:
+        assigned = assign_cells(df, centroids, id_col, vec_col, "__kid")
+        means = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("dim", "val")
+            )
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg(F.col("val").cast("double")), round_dp).alias("cval"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("__s"))
+            .select("cell", F.expr("transform(__s, x -> x.cval)").alias("mvec"))
+        )
+        got = {int(r["cell"]): list(r["mvec"]) for r in means.collect()}
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -224,15 +328,22 @@ def _json_arr_lit(values, elem_type: str) -> F.Column:
     invalid JSON and silently NULL the whole array, so they are
     refused here (none of the callers can produce them).
     """
+    return F.expr(_json_arr_sql(values, elem_type))
+
+
+def _json_arr_sql(values, elem_type: str) -> str:
+    """SQL-text form of ``_json_arr_lit`` (same constant-folded
+    from_json-over-one-literal discipline), for expressions assembled
+    as a single SQL string."""
     if elem_type == "double":
         import math as _math
 
         if any(not _math.isfinite(v) for v in values):
-            raise ValueError("_json_arr_lit: non-finite value")
+            raise ValueError("_json_arr_sql: non-finite value")
         body = ",".join(repr(float(v)) for v in values)
     else:
         body = ",".join(str(int(v)) for v in values)
-    return F.from_json(F.lit(f"[{body}]"), f"array<{elem_type}>")
+    return f"from_json('[{body}]', 'array<{elem_type}>')"
 
 
 def argmax_cell_expr(cent_rows, vec_col) -> F.Column:
@@ -253,70 +364,61 @@ def argmax_cell_expr(cent_rows, vec_col) -> F.Column:
     discipline: no per-element py4j chatter, O(1) expression tree in
     n_cells), and norm(v) / the sims array are each bound ONCE via
     single-element transform lambdas so nothing re-evaluates per cell.
+
+    The whole tree is assembled as ONE SQL string handed to F.expr —
+    building the identical tree through the Python Column API costs
+    ~300 py4j round trips (each nested lambda is several JVM calls;
+    measured 0.7-0.8s of pure driver chatter per invocation at k=16,
+    and the Lloyd refinement path invokes this once per iteration).
+    One parse call produces the same analyzed expressions, so the
+    executed plan — and every IEEE op — is unchanged.
     """
     import math as _math
 
     cent_rows = sorted(cent_rows, key=lambda r: int(r["cell"]))
     dim = len(cent_rows[0]["cvec"])
     k = len(cent_rows)
-    cflat = _json_arr_lit(
+    cflat = _json_arr_sql(
         [float(x) for r in cent_rows for x in r["cvec"]], "double"
     )
-    cells = _json_arr_lit([int(r["cell"]) for r in cent_rows], "int")
+    cells = _json_arr_sql([int(r["cell"]) for r in cent_rows], "int")
     norms = []
     for r in cent_rows:
         acc = 0.0
         for x in r["cvec"]:
             acc = acc + float(x) * float(x)
         norms.append(_math.sqrt(acc))
-    cnorms = _json_arr_lit(norms, "double")
-    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    nv = F.sqrt(
-        F.aggregate(
-            col,
-            F.lit(0.0),
-            lambda a, x: a + x.cast("double") * x.cast("double"),
-        )
+    cnorms = _json_arr_sql(norms, "double")
+    if not isinstance(vec_col, str):
+        raise TypeError("argmax_cell_expr: vec_col must be a column name")
+    col = f"`{vec_col}`"
+    nv = (
+        f"sqrt(aggregate({col}, 0.0D,"
+        " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
     )
-
-    def sims_of(n):
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(k - 1)),
-            lambda j: F.when(
-                n * F.element_at(cnorms, j + 1) == 0,
-                F.lit(None).cast("double"),
-            ).otherwise(
-                F.aggregate(
-                    F.zip_with(
-                        col,
-                        F.slice(cflat, j * dim + 1, dim),
-                        lambda x, y: x.cast("double") * y.cast("double"),
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-                / (n * F.element_at(cnorms, j + 1))
-            ),
-        )
-
-    def pick_of(s):
-        # first index holding the max = smallest cell among sim-ties
-        # (cells ascending); array_position yields NULL when the max
-        # itself is NULL (all sims NULL) and the old max-struct
-        # ordering resolved that case to the smallest cell too
-        pos = F.array_position(s, F.array_max(s))
-        return F.element_at(
-            cells, F.coalesce(F.nullif(pos, F.lit(0)), F.lit(1)).cast("int")
-        )
-
-    return F.element_at(
-        F.transform(
-            F.array(nv),
-            lambda n: F.element_at(
-                F.transform(F.array(sims_of(n)), pick_of), 1
-            ),
-        ),
-        1,
+    # sims_of(n): per-cell cosine, NULL when the denominator is zero
+    sims = (
+        f"transform(sequence(0, {k - 1}), j -> "
+        f"CASE WHEN (n * element_at({cnorms}, j + 1)) = 0"
+        " THEN CAST(NULL AS DOUBLE)"
+        f" ELSE aggregate(zip_with({col},"
+        f" slice({cflat}, (j * {dim}) + 1, {dim}),"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (a, x) -> a + x)"
+        f" / (n * element_at({cnorms}, j + 1)) END)"
+    )
+    # pick_of(s): first index holding the max = smallest cell among
+    # sim-ties (cells ascending); array_position yields NULL when the
+    # max itself is NULL (all sims NULL) and the old max-struct
+    # ordering resolved that case to the smallest cell too
+    pick = (
+        f"element_at({cells},"
+        " CAST(coalesce(nullif(array_position(s, array_max(s)), 0), 1)"
+        " AS INT))"
+    )
+    return F.expr(
+        f"element_at(transform(array({nv}), n -> "
+        f"element_at(transform(array({sims}), s -> {pick}), 1)), 1)"
     )
 
 

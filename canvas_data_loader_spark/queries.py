@@ -3089,7 +3089,13 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE reachability fixpoint — two completely different
     evaluation strategies agreeing on the fixpoint."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    bands = D.minhash_bands(d, "text", "doc_id", num_hashes=16, band_size=4)
+    # the minhash tower (shingle explode + 16 hashes + band agg) feeds
+    # THREE consumers (both self-join sides + the isolated-node set) —
+    # materialize it once (b96566e discipline; eager because the
+    # self-join's scans race within one job)
+    bands = D.minhash_bands(
+        d, "text", "doc_id", num_hashes=16, band_size=4
+    ).localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     edges = (
@@ -4633,11 +4639,17 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
     active hour), so forward-fill is total. Hourly sums accumulate in
     DECIMAL per the float policy."""
     e = load(spark, sf_dir, "events")
-    b = e.groupBy(
-        "user_id", F.date_trunc("hour", "ts").alias("h")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast(DEC)).alias("v"),
+    # the hourly aggregate feeds TWO consumers (the per-user range and
+    # the spine's left join) — materialize the events scan+agg once
+    # (b96566e discipline; eager because both consumers execute within
+    # the one output job)
+    b = (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).alias("v"),
+        )
+        .localCheckpoint(eager=True)
     )
     r = b.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     spine = r.select(
@@ -4890,7 +4902,9 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (a min-id pick could silently diverge from the SQL mirror if the
     # id space ever changed); missing id 0 fails loudly on both sides
     qv = anchor_embedding(e, 0)
-    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    # one parsed literal instead of 64 per-element F.lit py4j calls
+    # (the _json_arr_lit discipline; identical double values)
+    qlit = S._json_arr_lit([float(x) for x in qv], "double")
     cosd = e.filter(F.col("vec_id") != 0).select(
         "vec_id", cosine(F.col("embedding"), qlit).alias("cs")
     )
@@ -5545,7 +5559,17 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join — bounded bucket sizes, the q34 max_df discipline, never
     the n^2 doc-pair space."""
     d = load(spark, sf_dir, "documents")
-    fp = X.winnow_minima(d).select("doc_id", "wmin").distinct()
+    # the winnowing subtree (tokenize + rolling windows + distinct)
+    # feeds THREE consumers — the stop-fingerprint aggregate and both
+    # self-join sides — and re-executed per branch without a barrier
+    # (the b96566e multi-consumer discipline; eager because the
+    # self-join's two scans race within one job)
+    fp = (
+        X.winnow_minima(d)
+        .select("doc_id", "wmin")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     keep = (
         fp.groupBy("wmin")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -6439,7 +6463,11 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     e = load(spark, sf_dir, "embeddings")
-    qv = F.array(*[F.lit(float(x)) for x in anchor_embedding(e, 0)])
+    # one parsed literal instead of 64 per-element F.lit py4j calls
+    # (the _json_arr_lit discipline; identical double values)
+    qv = S._json_arr_lit(
+        [float(x) for x in anchor_embedding(e, 0)], "double"
+    )
     cand_df = (
         e.filter(F.col("vec_id") != 0)
         .select(
@@ -8906,9 +8934,15 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     is_new = F.col("vec_id") % 5 == 4
     corpus, queries_df = e.filter(~is_new), e.filter(is_new)
+    # vectorized=True: blocked-BLAS cell assignment + fused Lloyd
+    # partials (the at-scale default, same as q118) — argmax parity
+    # with the expression path the oracle mirrors is pinned by the
+    # semantic-dedup parity test and by q68, which keeps running the
+    # expression path end-to-end against the same kind of oracle;
+    # bitdiff-verified at sf0.001 + sf0.01.
     topk = S.ivf_topk(
         corpus, queries_df, k=10, n_cells=16, n_probe=4,
-        vectorized=False, refine_iters=1,
+        vectorized=True, refine_iters=1,
     )
     return topk.select(
         "query_id", "neighbor_id", F.round("sim", 6).alias("sim_r"), "rank"

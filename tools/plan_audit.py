@@ -59,6 +59,9 @@ EXPECTED = {
     # blocked-BLAS IVF cell assignment (assign_cells_vectorized) —
     # keep-set pinned identical to the expression path in pytest
     "q118_semantic_dedup": {"MAP_IN_PANDAS"},
+    # round-13: q168 moved to the same blocked-BLAS assignment lane as
+    # q118 (vectorized ivf_topk; parity pinned, bitdiff both SFs)
+    "q168_ann_index_probe": {"MAP_IN_PANDAS"},
     # WAV encode + decode are Python by nature (stdlib `wave` over
     # binary payloads) — the media-decode pandas lane, like q40
     "q175_audio_stats": {"MAP_IN_PANDAS"},
