@@ -455,6 +455,7 @@ def assign_cells_vectorized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_id: str = "vec_id",
+    keep_vec: bool = True,
 ) -> DataFrame:
     """BLAS path for cell assignment: the centroid matrix is tiny
     (n_cells x dim), so broadcast it and compute each Arrow batch's
@@ -465,7 +466,12 @@ def assign_cells_vectorized(
     -> smallest cell id; numpy argmax picks the first, centroids are
     ordered by cell). Zero-norm vectors score 0 against every cell and
     land in the first one deterministically.
-    Output: (out_id, vec_col, cell).
+    Output: (out_id, vec_col, cell) — or (out_id, cell) with
+    ``keep_vec=False``: Spark cannot prune columns a mapInPandas
+    function emits, so callers that only need the assignment (e.g.
+    semantic_dedup's id/cell frame, the ANN-index departing-rows
+    re-location) would otherwise ship every vector Python -> JVM just
+    to drop it (guide §4.1: control what crosses the boundary).
     """
     import numpy as np
     import pandas as pd
@@ -493,14 +499,15 @@ def assign_cells_vectorized(
             for lo in range(0, len(pdf), 256):
                 sims = Bu[lo : lo + 256] @ b_ct
                 picks[lo : lo + len(sims)] = b_cells[np.argmax(sims, axis=1)]
-            out = pdf[[id_col, vec_col]].copy()
-            out.columns = [out_id, vec_col]
+            out = pdf[[id_col, vec_col] if keep_vec else [id_col]].copy()
+            out.columns = [out_id, vec_col] if keep_vec else [out_id]
             out["cell"] = picks
             yield out
 
+    keep_cols = [out_id, vec_col] if keep_vec else [out_id]
     in_schema = df.select(
         F.col(id_col).alias(out_id), F.col(vec_col).alias(vec_col)
-    ).schema
+    ).select(*keep_cols).schema
     fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in in_schema.fields
     )
@@ -645,7 +652,6 @@ def semantic_dedup(
     centroids = refined_centroids(
         candidates, n_cells, refine_iters, id_col, vec_col, vectorized
     )
-    assign = assign_cells_vectorized if vectorized else assign_cells
     # the assignment feeds THREE plan branches (both sides of the
     # within-cell pair join and the final anti-join), and every branch
     # needs only (id, cell) — the vectors come back via _exact_rescore
@@ -656,11 +662,16 @@ def semantic_dedup(
     # it once; eager, not lazy, because the three consumers sit in the
     # SAME job and concurrent tasks of a lazy checkpoint each
     # recompute the partition they race on.
-    ids = (
-        assign(candidates, centroids, id_col, vec_col, "__id")
-        .select("__id", "cell")
-        .localCheckpoint(eager=True)
+    assigned_ids = (
+        # vectorized path: don't ship the vectors back across Arrow
+        # just to drop them (mapInPandas output is never column-pruned)
+        assign_cells_vectorized(
+            candidates, centroids, id_col, vec_col, "__id", keep_vec=False
+        )
+        if vectorized
+        else assign_cells(candidates, centroids, id_col, vec_col, "__id")
     )
+    ids = assigned_ids.select("__id", "cell").localCheckpoint(eager=True)
     assigned = ids
     # candidate pairs carry IDS ONLY through the cell self-join; the
     # vectors and per-side cached norms come back via _exact_rescore

@@ -3161,7 +3161,9 @@ def update_ivfpq_index(
             "code"
         ),
     ).localCheckpoint()
-    old_a = assign_cells_vectorized(old, cents_df, id_col, vec_col, id_col).select(
+    old_a = assign_cells_vectorized(
+        old, cents_df, id_col, vec_col, id_col, keep_vec=False
+    ).select(
         id_col, F.col("cell").cast("int").alias("cell")
     ).localCheckpoint()
     touched = sorted(
