@@ -178,17 +178,23 @@ def minhash_signatures(
             shingles_from_tokens(F.col("__t"), shingle_n)
         ).alias("__s"),
     )
+    # each aggregate as ONE parsed SQL string: the per-piece Column
+    # API (min/md5/concat/lit/alias per seed) cost ~100 py4j round
+    # trips per tower build, and the tower is rebuilt per consumer
+    # query (same driver-chatter discipline as argmax_cell_expr; the
+    # parsed trees are identical, so results stay bit-exact)
     agg = sh.groupBy("doc").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("__s")))).alias(
-                f"__h{i}"
-            )
+            F.expr(f"min(md5(concat('{i}|', __s))) AS __h{i}")
             for i in range(1, num_hashes + 1)
         ]
     )
-    sig = F.array(*[F.col(f"__h{i}") for i in range(1, num_hashes + 1)])
+    cols = ", ".join(f"__h{i}" for i in range(1, num_hashes + 1))
     return agg.select(
-        "doc", F.when(F.col("__h1").isNotNull(), sig).alias("sig")
+        "doc",
+        F.expr(
+            f"CASE WHEN __h1 IS NOT NULL THEN array({cols}) END AS sig"
+        ),
     )
 
 
@@ -208,14 +214,12 @@ def minhash_bands(
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.md5(
-                F.concat_ws("", F.slice(F.col("sig"), b * band_size + 1, band_size))
-            ).alias("band_hash"),
-        ),
+    # one parsed expression (no per-band lambda construction chatter)
+    bands = F.expr(
+        f"transform(sequence(0, {n_bands - 1}), b -> struct("
+        "b AS band,"
+        f" md5(concat_ws('', slice(sig, b * {band_size} + 1, {band_size})))"
+        " AS band_hash))"
     )
     return (
         sigs.filter(F.col("sig").isNotNull())
