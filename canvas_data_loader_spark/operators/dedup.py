@@ -66,6 +66,11 @@ def shingle_table(
 ) -> DataFrame:
     """Distinct (id, shingle) pairs; optionally drop shingles appearing
     in more than ``max_df`` docs (skew + signal control)."""
+    from .skew import ensure_scan_parallelism
+
+    # single-row-group inputs scan as ONE task; spread the tokenize +
+    # shingle-explode map before it runs (no-op on multi-file inputs)
+    df = ensure_scan_parallelism(df)
     # Tokenize in its own projection so the shingle lambda slices a
     # materialized array instead of re-running split+regexp per element.
     toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("__t"))
@@ -171,6 +176,12 @@ def minhash_signatures(
     # shingles_from_tokens contract): inlining tokens() re-runs the
     # regex split per array element inside the HOF — measured 3.9s vs
     # 0.7s for this aggregate at sf0.1
+    from .skew import ensure_scan_parallelism
+
+    # single-row-group inputs scan as ONE task; spread the tokenize +
+    # explode + md5-min map side before it runs (no-op on multi-file
+    # inputs)
+    df = ensure_scan_parallelism(df)
     toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("__t"))
     sh = toks.select(
         "doc",
@@ -703,6 +714,11 @@ def exactsubstr_grams(toks: DataFrame, n: int = 8) -> DataFrame:
     shuffle carries 32-byte keys, never n-word strings). Callers
     typically localCheckpoint the result — it feeds both the
     duplicate-gram aggregate and the position join."""
+    from .skew import ensure_scan_parallelism
+
+    # single-row-group inputs scan as ONE task; spread the gram
+    # explode + md5 map before it runs (no-op on multi-file inputs)
+    toks = ensure_scan_parallelism(toks)
     return (
         toks.filter(F.size("t") >= n)
         .select(

@@ -82,3 +82,26 @@ def salted_agg_sum(
         partial.groupBy(*keys)
         .agg(F.sum("__p").cast("double").alias(out))
     )
+
+
+def ensure_scan_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the upstream scan cannot
+    parallelize — the guide §2.5 "unsplittable input" remedy, made
+    scale-adaptive instead of a local-mode constant.
+
+    The test parquet ships ONE row group per table, so a scan is a
+    single task regardless of split size, and every expensive map
+    that follows (tokenize + shingle explode, the BPE REPLACE chain,
+    minhash aggregation's map side) runs on one core of the box. At
+    production scale inputs arrive as many files / row groups, the
+    partition count exceeds the threshold, and this returns the input
+    UNCHANGED — no exchange is added to the plan. Round-robin keeps
+    Spark's sort-before-repartition determinism (safe under task
+    retry); callers must be row-order-insensitive, which every
+    aggregate/join/window consumer here is.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df

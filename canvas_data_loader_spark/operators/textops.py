@@ -185,6 +185,11 @@ def winnow_minima(
     """
     from pyspark.sql import Window
 
+    from .skew import ensure_scan_parallelism
+
+    # single-row-group inputs scan as ONE task; spread the gram
+    # explode + md5 map before it runs (no-op on multi-file inputs)
+    df = ensure_scan_parallelism(df)
     toks = df.select(
         F.col(id_col), F.split(normalize_text(text_col), " ").alias("t")
     )

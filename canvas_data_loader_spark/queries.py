@@ -92,6 +92,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def scan_parallel(df: DataFrame) -> DataFrame:
+    """See operators.skew.ensure_scan_parallelism (one definition)."""
+    from .operators.skew import ensure_scan_parallelism
+
+    return ensure_scan_parallelism(df)
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.ts has shipped as both TIMESTAMP(NANOS) and timestamp[us]
     parquet across testdata generations; dispatch on what the file
@@ -4727,7 +4734,9 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     REAL trained tokenizer (tiktoken public vocab) would use at scale
     is bpe.bpe_token_count_udf, pinned equal to this expression in
     pytest; both windows share one (lang) shuffle."""
-    d = load(spark, sf_dir, "documents")
+    # single-row-group input: parallelize the REPLACE-chain map
+    # (scan_parallel is a structural no-op on multi-file inputs)
+    d = scan_parallel(load(spark, sf_dir, "documents"))
     n_ws = F.size(tokens(F.col("text")))
     n_bpe = F.expr(count_expr_spark("text"))
     w = (
@@ -4784,7 +4793,9 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk geometry is fixed BEFORE the (expensive, Arrow-batched)
     encoding pass touches any text. Chunk starts come from a per-row
     sequence + explode: no join, no shuffle, corpus-linear."""
-    d = load(spark, sf_dir, "documents")
+    # single-row-group input: parallelize the REPLACE-chain map
+    # (scan_parallel is a structural no-op on multi-file inputs)
+    d = scan_parallel(load(spark, sf_dir, "documents"))
     n_bpe = F.expr(count_expr_spark("text"))
     starts = F.sequence(
         F.lit(1).cast("bigint"),
@@ -5801,6 +5812,9 @@ def _repetition_signal_frame(t: "DataFrame", barrier: bool = False):
     sf0.1); for the standalone q137 the store+reload of the token
     arrays costs more than the second tokenize (measured ~par), so it
     defaults off."""
+    # single-row-group inputs scan as ONE task; spread the per-row
+    # array signals + the bigram explode (no-op on multi-file inputs)
+    t = scan_parallel(t)
     if barrier:
         t = t.localCheckpoint(eager=False)
     base = (
@@ -8288,7 +8302,9 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
     five integer sums — |langs| rows out. Ratios are integer DIV in
     parts-per-million so the comparison is exact arithmetic on both
     engines, never an order-dependent float."""
-    d = load(spark, sf_dir, "documents")
+    # single-row-group input: parallelize the REPLACE-chain map
+    # (scan_parallel is a structural no-op on multi-file inputs)
+    d = scan_parallel(load(spark, sf_dir, "documents"))
     nm = normalize_text("text")
     per_doc = d.select(
         "lang",
