@@ -713,12 +713,16 @@ def exactsubstr_grams(toks: DataFrame, n: int = 8) -> DataFrame:
     (doc_id, i, g) with 1-based position i and md5-hashed gram g (the
     shuffle carries 32-byte keys, never n-word strings). Callers
     typically localCheckpoint the result — it feeds both the
-    duplicate-gram aggregate and the position join."""
-    from .skew import ensure_scan_parallelism
+    duplicate-gram aggregate and the position join.
 
-    # single-row-group inputs scan as ONE task; spread the gram
-    # explode + md5 map before it runs (no-op on multi-file inputs)
-    toks = ensure_scan_parallelism(toks)
+    Deliberately NOT spread via ensure_scan_parallelism: ``toks``
+    carries the full token ARRAY, so a round-robin exchange here
+    ships the widest rows in the pipeline (guide §2.3 — shuffle fewer
+    bytes). Measured on the r13 driver bench: the repartition was a
+    1.56x/1.67x LOSS on q164/q171 (two invocations per query, arrays
+    shuffled both times) against a ~2x win on narrow-row lanes.
+    Callers that want the explode spread repartition their NARROW
+    text rows upstream, before the token projection."""
     return (
         toks.filter(F.size("t") >= n)
         .select(

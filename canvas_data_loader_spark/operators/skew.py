@@ -94,14 +94,30 @@ def ensure_scan_parallelism(df: DataFrame) -> DataFrame:
     that follows (tokenize + shingle explode, the BPE REPLACE chain,
     minhash aggregation's map side) runs on one core of the box. At
     production scale inputs arrive as many files / row groups, the
-    partition count exceeds the threshold, and this returns the input
+    file count exceeds the threshold, and this returns the input
     UNCHANGED — no exchange is added to the plan. Round-robin keeps
     Spark's sort-before-repartition determinism (safe under task
     retry); callers must be row-order-insensitive, which every
     aggregate/join/window consumer here is.
+
+    Splittability is decided from ``df.inputFiles()`` — one py4j call
+    that walks the ALREADY-ANALYZED plan. The previous
+    ``df.rdd.getNumPartitions()`` probe ran full physical planning +
+    plan→RDD conversion on the driver per operator invocation — the
+    exact py4j/analyzer chatter tax the checkpoint-heavy queries
+    already pay (~3 s of q167's sf0.1 time was driver analysis).
+    A file under one effective scan task is the only case local
+    parallelism collapses here; a frame with NO input files (its
+    lineage was cut by localCheckpoint) inherited its materialized
+    partitioning from the producer — which already ran through this
+    helper — so it is returned unchanged, never probed.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < max(2, target // 2):
         return df.repartition(target)
     return df

@@ -5811,10 +5811,13 @@ def _repetition_signal_frame(t: "DataFrame", barrier: bool = False):
     downstream (q148's fused pipeline: measured 7.1s -> 5.1s at
     sf0.1); for the standalone q137 the store+reload of the token
     arrays costs more than the second tokenize (measured ~par), so it
-    defaults off."""
-    # single-row-group inputs scan as ONE task; spread the per-row
-    # array signals + the bigram explode (no-op on multi-file inputs)
-    t = scan_parallel(t)
+    defaults off.
+
+    Callers spread the RAW text rows (scan_parallel on the scan,
+    below the normalize/tokenize projection): the exchange then
+    carries narrow (id, text) rows and the regex-heavy tokenize runs
+    on every core, instead of shipping (norm, token-array) rows that
+    were tokenized by the scan's single task (guide §2.3)."""
     if barrier:
         t = t.localCheckpoint(eager=False)
     base = (
@@ -5964,7 +5967,9 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number — never a corpus-global window. All ratios are exact
     integer-over-integer doubles, identical IEEE results both
     engines, rounded 6dp per the float policy."""
-    d = load(spark, sf_dir, "documents")
+    # spread the RAW rows so normalize+tokenize runs on every core
+    # (structural no-op on multi-file inputs)
+    d = scan_parallel(load(spark, sf_dir, "documents"))
     t = d.select(
         "doc_id",
         normalize_text("text").alias("norm"),
@@ -6268,7 +6273,10 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals make that exact, no sweep-line needed. Suffix arrays
     (the paper's single-node tool) don't distribute; the gram-join
     formulation is how this is run at corpus scale."""
-    d = load(spark, sf_dir, "documents")
+    # spread the RAW text rows (narrow) so tokenize + the 8-gram
+    # explode run on every core; exactsubstr_grams itself never
+    # shuffles the token arrays (no-op on multi-file inputs)
+    d = scan_parallel(load(spark, sf_dir, "documents"))
     toks = d.select("doc_id", tokens("text").alias("t"))
     grams = D.exactsubstr_grams(toks).localCheckpoint(eager=False)
     dupg = D.cross_doc_dup_grams(grams)
@@ -6721,7 +6729,10 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
     no re-sort: original token order is preserved by construction).
     The md5 fingerprint makes the rewritten text oracle-checkable
     without shipping full texts through the compare."""
-    d = load(spark, sf_dir, "documents")
+    # spread the RAW text rows (narrow) so tokenize + the 8-gram
+    # explode run on every core; exactsubstr_grams itself never
+    # shuffles the token arrays (no-op on multi-file inputs)
+    d = scan_parallel(load(spark, sf_dir, "documents"))
     toks = d.select("doc_id", tokens("text").alias("t"))
     grams = D.exactsubstr_grams(toks).localCheckpoint(eager=False)
     dupg = D.cross_doc_dup_grams(grams)
@@ -7041,7 +7052,9 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages). q99 is pipeline v1 (quality rules + exact dedup); this
     is its round-6 successor with repetition-aware filtering and
     span-level (not whole-doc) dedup."""
-    d = load(spark, sf_dir, "documents")
+    # spread the RAW rows so normalize+tokenize runs on every core
+    # (structural no-op on multi-file inputs)
+    d = scan_parallel(load(spark, sf_dir, "documents"))
     t = d.select(
         "doc_id",
         "lang",
@@ -8515,7 +8528,10 @@ def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale; covered positions explode only from HIT gram positions
     (span-bounded); the rewrite is q145's single array-native
     positional filter — no per-token corpus explode, no re-sort."""
-    d = load(spark, sf_dir, "documents")
+    # spread the RAW text rows (narrow) so tokenize + the 3-gram
+    # explode run on every core; exactsubstr_grams itself never
+    # shuffles the token arrays (no-op on multi-file inputs)
+    d = scan_parallel(load(spark, sf_dir, "documents"))
     eval_srcs = ("src0", "src1", "src2")
     toks = d.select("doc_id", "source", tokens(F.col("text")).alias("t"))
     train = toks.filter(~F.col("source").isin(*eval_srcs)).select(
@@ -9270,6 +9286,11 @@ def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is semi/broadcast-sized at 100 TB; covered positions explode
     only from HIT gram positions (span-bounded); the rewrite is
     q145's array-native positional filter (_cut_covered)."""
+    # deliberately NOT spread: the dump side is 1/5 of the corpus and
+    # ``toks`` feeds three consumers (dump grams, eval grams, the
+    # final join), so a scan-level exchange triples in the plan while
+    # the map work it spreads is dump-sized — measured A/B at sf0.1:
+    # unspread 1.09 s vs spread 1.20 s vs r13's wide-array spread 1.28 s
     d = load(spark, sf_dir, "documents")
     eval_srcs = ("src0", "src1", "src2")
     toks = d.select("doc_id", "source", tokens(F.col("text")).alias("t"))

@@ -305,6 +305,61 @@ class TestSkew:
         }
         assert direct == salted
 
+    def test_scan_parallelism_spreads_single_file_scan(self, spark):
+        from canvas_data_loader_spark.operators.skew import (
+            ensure_scan_parallelism,
+        )
+
+        df = spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        out = ensure_scan_parallelism(df)
+        # single-file input on a multi-core session: a round-robin
+        # exchange must appear and land on defaultParallelism
+        target = spark.sparkContext.defaultParallelism
+        assert "Exchange" in out._jdf.queryExecution().executedPlan().toString()
+        assert out.rdd.getNumPartitions() == target
+        # row-identical (repartition only moves rows)
+        assert out.count() == df.count()
+
+    def test_scan_parallelism_noop_without_input_files(self, spark):
+        from canvas_data_loader_spark.operators.skew import (
+            ensure_scan_parallelism,
+        )
+
+        # lineage cut by localCheckpoint: no input files -> returned
+        # unchanged (the producer already ran through the helper; a
+        # re-probe would cost a plan->RDD conversion per call)
+        df = (
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id")
+            .localCheckpoint()
+        )
+        out = ensure_scan_parallelism(df)
+        assert out is df
+
+    def test_scan_parallelism_decision_uses_input_files_not_rdd(self, spark):
+        """The splittability probe must not run physical planning: a
+        plan->RDD conversion per operator invocation was measured as
+        driver py4j chatter on the checkpoint-heavy queries (VERDICT
+        r13 item 3). Guard: the helper never touches DataFrame.rdd on
+        a scan-backed frame."""
+        from unittest import mock
+
+        from canvas_data_loader_spark.operators.skew import (
+            ensure_scan_parallelism,
+        )
+        from pyspark.sql import DataFrame
+
+        df = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+        with mock.patch.object(
+            DataFrame,
+            "rdd",
+            new_callable=mock.PropertyMock,
+            side_effect=AssertionError("helper ran plan->RDD conversion"),
+        ):
+            ensure_scan_parallelism(df)
+
 
 class TestMergeMultiOrder:
     def test_dedup_latest_tiebreaker(self, spark):

@@ -1,8 +1,9 @@
-"""Capture .explain("formatted") for headline queries into plans/r13/.
+"""Capture .explain("formatted") for headline queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py before|after [name ...]
-Writes plans/r13/<query>_<tag>.txt for each headline query (or the
-names given). Plans are built, not executed — cheap, no data pass.
+Writes plans/<PLANS_ROUND, default r14>/<query>_<tag>.txt for each
+headline query (or the names given). Plans are built, not executed —
+cheap, no data pass. Set PLANS_ROUND=r13 to refresh older captures.
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r13",
+        "plans", os.environ.get("PLANS_ROUND", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
